@@ -1,0 +1,104 @@
+"""Unit tests for the HTML extractor (M6/M7/M9/M10, Parser.py semantics)."""
+
+from webcrawler_ray.functions.htmlparse import (
+    extract_visible_text,
+    parse_page,
+)
+
+DOC = b"""<!DOCTYPE html>
+<html><head><title>My Title</title>
+<meta charset="utf-8">
+<style>body { color: red; }</style>
+<script>var hidden = 1;</script>
+</head>
+<body>
+<h1>Header</h1>
+<!-- a comment -->
+<p>hello <b>bold</b> world <a href="/p1#s">link one</a> tail</p>
+<p>second <a href="https://o.test/x  extra">link two</a></p>
+<div>deep <span>nested</span> text</div>
+</body></html>
+"""
+
+
+class TestVisibleText:  # M9 (Parser.py:57-72)
+    def test_excludes_style_script_title_head_comments(self):
+        t = extract_visible_text(DOC)
+        assert "My Title" not in t
+        assert "color: red" not in t
+        assert "hidden" not in t
+        assert "a comment" not in t
+        assert "Header" in t and "hello" in t and "bold" in t
+        assert "nested" in t
+
+    def test_whitespace_only_nodes_contribute_separator(self):
+        # bs4: " ".join(t.strip() ...) keeps empty strings from whitespace
+        # nodes -> consecutive spaces. Must reproduce byte-for-byte.
+        html = b"<html><body><p>a</p>\n<p>b</p></body></html>"
+        assert extract_visible_text(html) == "a  b"
+
+    def test_each_node_stripped(self):
+        html = b"<html><body><p>  a  </p><p> b</p></body></html>"
+        assert extract_visible_text(html) == "a b"
+
+    def test_script_content_cdata_mode(self):
+        html = b"<html><body><script>if (a < b) { x(); }</script>vis</body></html>"
+        assert extract_visible_text(html) == "vis"
+
+    def test_text_outside_body_visible(self):
+        html = b"<html>stray<body>in</body></html>"
+        assert extract_visible_text(html) == "stray in"
+
+    def test_bytes_and_str_agree(self):
+        assert extract_visible_text(DOC) == extract_visible_text(DOC.decode())
+
+    def test_latin1_fallback(self):
+        html = "<html><body>caf\xe9</body></html>".encode("latin-1")
+        assert "caf" in extract_visible_text(html)
+
+
+class TestLinks:  # M7 (Parser.py:13-24)
+    def test_collects_hrefs_first_token(self):
+        p = parse_page(DOC)
+        assert p.hrefs == ["/p1#s", "https://o.test/x"]
+
+    def test_blank_and_missing_href_skipped(self):
+        html = b'<body><a href="">x</a><a>y</a><a href="  ">z</a><a href="/ok">w</a></body>'
+        assert parse_page(html).hrefs == ["/ok"]
+
+    def test_entity_decoded_href(self):
+        html = b'<body><a href="/a&amp;b">x</a></body>'
+        assert parse_page(html).hrefs == ["/a&b"]
+
+
+class TestTitle:  # soup.find('title').string (WorkersPipeline.py:278)
+    def test_simple_title(self):
+        assert parse_page(DOC).title == "My Title"
+
+    def test_no_title(self):
+        assert parse_page(b"<html><body>x</body></html>").title is None
+
+    def test_first_title_wins(self):
+        html = b"<head><title>A</title></head><body><title>B</title></body>"
+        assert parse_page(html).title == "A"
+
+
+class TestFirstN:  # M10 (Parser.py:48-55)
+    def test_first_n_words(self):
+        p = parse_page(b"<body>one two three four five</body>")
+        assert p.first_n_words(3) == "one two three"
+        assert p.first_n_words(20) == "one two three four five"
+
+    def test_multiple_spaces_collapse_in_split(self):
+        p = parse_page(b"<p>a</p>  <p>b</p>")
+        assert p.first_n_words(20) == "a b"
+
+
+class TestRobustness:
+    def test_malformed_html_no_crash(self):
+        for html in [b"<a href=", b"<<<>>>", b"", b"<body><p>x",
+                     b"<html><body></div></p>text"]:
+            parse_page(html)  # must not raise
+
+    def test_binary_garbage_no_crash(self):
+        parse_page(bytes(range(256)))

@@ -1,0 +1,48 @@
+"""Typed configuration for the crawl engine.
+
+The reference's configuration surface is the CLI (-s/-n/-d) plus
+hard-coded constants (`main.py:85`, `Worker.py:177`, `Host.py:96-97`,
+`WarcFileSave.py:9`, `WebAccesser.py:43-63` — see SURVEY.md §2.8); here it
+is a dataclass, and per-stage UDFs are the extension surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    # --- semantics (reference-parity knobs) ------------------------------
+    limit: int = 100                 # page budget; run saves limit+1 pages
+    #                                  (reference ST6 quirk: counter > LIMIT,
+    #                                  WorkersPipeline.py:271-272)
+    plus_one_quirk: bool = True      # keep the LIMIT+1 off-by-one
+    max_rounds: int = 1000           # safety bound on frontier rounds
+    first_n_words: int = 20          # DebugPrinter first-N (WorkersPipeline.py:276)
+    html_langs: tuple = ("en", "pt")  # lang values treated as text/html
+
+    # --- scale knobs -----------------------------------------------------
+    num_seen_shards: int = 8         # URL-seen actor shards (ST1)
+    num_politeness_shards: int = 4   # politeness/robots actor shards (ST2-ST4)
+    parse_concurrency: int = 4       # parse actor pool size
+    parse_batch_size: int = 128      # html rows per parse batch (wide binary!)
+    url_batch_size: int = 8192       # rows per batch in URL-algebra stages
+    pages_per_file: int = 1000       # WARC rotation parity (WarcFileSave.py:9)
+    fetch_broadcast_max_bytes: int = 256 * 1024 * 1024
+    #                                  pages tables up to this size are
+    #                                  broadcast via ray.put; larger ones use
+    #                                  the hash-bucketed PagesStore
+    pages_store_buckets: int = 64    # buckets for the partitioned store
+
+    # --- seen-set sizing -------------------------------------------------
+    seen_capacity_per_shard: int = 1 << 20  # cuckoo slots per shard
+    seen_exact_confirm: bool = True  # keep exact per-shard set (correctness
+    #                                  oracle; turn off at 10^10 scale and
+    #                                  accept cuckoo FP rate)
+
+    # --- output ----------------------------------------------------------
+    store_html: bool = True          # keep html bytes in the crawled corpus
+    debug_log: bool = True           # emit the crawl_log dataset (S6)
+
+    extra: dict = field(default_factory=dict)
