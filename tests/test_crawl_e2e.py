@@ -1,0 +1,100 @@
+"""End-to-end conformance: the Ray Data crawl must match the canonical
+oracle EXACTLY — total crawl order, URL-seen set, per-URL byte-identical
+extracted text, per-host counts (SURVEY.md §5.3)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from webcrawler_ray.config import CrawlConfig
+from webcrawler_ray.oracle.crawler import OracleCrawler
+from webcrawler_ray.pipelines.crawl import RayCrawler
+from webcrawler_ray.robots import RobotsTable
+
+
+def oracle_run(web, limit):
+    pages = {r["url"]: r for r in pq.read_table(web["pages"]).to_pylist()}
+    robots = RobotsTable.from_parquet(web["robots"])
+    seeds = open(web["seeds"]).read().splitlines()
+    return OracleCrawler(pages, robots, CrawlConfig(limit=limit)).run(seeds)
+
+
+@pytest.fixture(scope="module")
+def ray_crawl(ray_session, tiny_web, tmp_path_factory):
+    limit = 60
+    wd = str(tmp_path_factory.mktemp("crawl") / "wd")
+    cfg = CrawlConfig(limit=limit, num_seen_shards=4, num_politeness_shards=3,
+                      parse_concurrency=2)
+    crawler = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd, cfg)
+    seeds = open(tiny_web["seeds"]).read().splitlines()
+    summary = crawler.crawl(seeds)
+    oracle = oracle_run(tiny_web, limit)
+    yield crawler, summary, oracle
+    crawler.shutdown_services()
+
+
+class TestConformance:
+    def test_total_crawl_order_matches_oracle(self, ray_crawl):
+        crawler, _, oracle = ray_crawl
+        att = crawler.attempts_dataset().to_pandas().sort_values("fetch_seq")
+        got = list(zip(att["fetch_seq"], att["url"], att["status"], att["round"]))
+        want = [(r.fetch_seq, r.url, r.status, r.round) for r in oracle.records]
+        assert got == want
+
+    def test_virtual_timestamps_match(self, ray_crawl):
+        crawler, _, oracle = ray_crawl
+        att = crawler.attempts_dataset().to_pandas().sort_values("fetch_seq")
+        got = list(zip(att["url"], att["ts"]))
+        want = [(r.url, pytest.approx(r.ts)) for r in oracle.records]
+        assert got == want
+
+    def test_seen_set_matches(self, ray_crawl):
+        crawler, _, oracle = ray_crawl
+        att = crawler.attempts_dataset().to_pandas()
+        assert set(att["url"]) == oracle.seen
+
+    def test_saved_count_limit_plus_one(self, ray_crawl):
+        _, summary, oracle = ray_crawl
+        assert summary["saved_total"] == len(oracle.saved_records) == 61
+
+    def test_extracted_text_byte_identical(self, ray_crawl, tiny_web):
+        # BASELINE.json per-row invariant: byte-identical extracted text
+        crawler, _, oracle = ray_crawl
+        crawled = crawler.crawled_dataset().to_pandas()
+        golden = {r["url"]: r["text"]
+                  for r in pq.read_table(tiny_web["pages"]).to_pylist()}
+        assert len(crawled) > 0
+        for _, row in crawled.iterrows():
+            assert row["extracted_text"] == golden[row["url"]], row["url"]
+        want = {r.url: r.extracted_text for r in oracle.saved_records}
+        got = dict(zip(crawled["url"], crawled["extracted_text"]))
+        assert got == want
+
+    def test_titles_and_first20_match(self, ray_crawl):
+        crawler, _, oracle = ray_crawl
+        crawled = crawler.crawled_dataset().to_pandas()
+        want_t = {r.url: r.title for r in oracle.saved_records}
+        want_f = {r.url: r.first_n for r in oracle.saved_records}
+        assert dict(zip(crawled["url"], crawled["title"])) == want_t
+        assert dict(zip(crawled["url"], crawled["first_n"])) == want_f
+
+    def test_host_counts_match(self, ray_crawl):
+        crawler, _, oracle = ray_crawl
+        hc = crawler.host_counts().to_pandas()
+        got = dict(zip(hc["host"], hc["count()"]))
+        assert got == oracle.host_counts
+
+    def test_crawled_parquet_resumable_layout(self, ray_crawl):
+        # one directory per round with _SUCCESS markers (resumable output)
+        import os
+        crawler, summary, _ = ray_crawl
+        rounds = sorted(os.listdir(os.path.join(crawler.workdir, "rounds")))
+        assert len(rounds) >= 2
+        for r in rounds:
+            assert os.path.exists(
+                os.path.join(crawler.workdir, "rounds", r, "_SUCCESS"))
+
+    def test_n_links_matches_oracle(self, ray_crawl):
+        crawler, _, oracle = ray_crawl
+        crawled = crawler.crawled_dataset().to_pandas()
+        want = {r.url: r.n_links for r in oracle.saved_records}
+        assert dict(zip(crawled["url"], crawled["n_links"])) == want

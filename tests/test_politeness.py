@@ -1,0 +1,120 @@
+"""Unit tests for the politeness shard scheduler (ST2-ST4, M5)."""
+
+import pyarrow as pa
+
+from webcrawler_ray.robots import RobotsTable, HostRules
+from webcrawler_ray.state.politeness import (
+    STATUS_BLOCKLISTED,
+    STATUS_MISSING,
+    STATUS_NON_HTML,
+    STATUS_ROBOTS_DENIED,
+    STATUS_SAVED,
+    PolitenessShardState,
+)
+
+
+def make_batch(rows):
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "host": pa.array([r[1] for r in rows], pa.string()),
+        "resource": pa.array([r[2] for r in rows], pa.string()),
+        "seq": pa.array([r[3] for r in rows], pa.int64()),
+        "in_table": pa.array([r[4] for r in rows], pa.bool_()),
+        "is_html": pa.array([r[5] for r in rows], pa.bool_()),
+    })
+
+
+def robots(**hosts):
+    return RobotsTable(rules={h: r for h, r in hosts.items()})
+
+
+H = "https://h.test"
+
+
+class TestSchedule:
+    def test_slot_assignment_and_delay(self):
+        rt = robots(**{H: HostRules(host=H, crawl_delay=0.5, fetchable=True)})
+        st = PolitenessShardState(0, rt)
+        batch = make_batch([
+            (f"{H}/a", H, "/a", 0, True, True),
+            (f"{H}/b", H, "/b", 1, True, True),
+            (f"{H}/c", H, "/c", 2, True, True),
+        ])
+        out = st.schedule(batch, T=0.0)
+        assert out.column("ts").to_pylist() == [0.0, 0.5, 1.0]
+        assert st.next_allowed[H] == 1.5
+
+    def test_next_round_respects_next_allowed(self):
+        rt = robots(**{H: HostRules(host=H, crawl_delay=1.0, fetchable=True)})
+        st = PolitenessShardState(0, rt)
+        st.schedule(make_batch([(f"{H}/a", H, "/a", 0, True, True)]), T=0.0)
+        out = st.schedule(make_batch([(f"{H}/b", H, "/b", 5, True, True)]), T=0.2)
+        assert out.column("ts").to_pylist() == [1.0]  # max(T, next_allowed)
+
+    def test_non_saving_urls_consume_no_slot(self):
+        rt = robots(**{H: HostRules(host=H, disallow=("/priv/",),
+                                    crawl_delay=1.0, fetchable=True)})
+        st = PolitenessShardState(0, rt)
+        out = st.schedule(make_batch([
+            (f"{H}/a", H, "/a", 0, True, True),
+            (f"{H}/priv/x", H, "/priv/x", 1, True, True),   # robots-denied
+            (f"{H}/b", H, "/b", 2, True, True),
+        ]), T=0.0)
+        ts = dict(zip(out.column("url").to_pylist(), out.column("ts").to_pylist()))
+        assert ts[f"{H}/a"] == 0.0
+        assert ts[f"{H}/priv/x"] == 1.0  # scheduled at next slot, no advance
+        assert ts[f"{H}/b"] == 1.0
+        assert st.next_allowed[H] == 2.0
+
+    def test_statuses_and_precedence(self):
+        rt = robots(**{H: HostRules(host=H, disallow=("/x",), fetchable=True)})
+        st = PolitenessShardState(0, rt)
+        out = st.schedule(make_batch([
+            (f"{H}/x.pdf", H, "/x.pdf", 0, True, True),   # robots beats blocklist
+            (f"{H}/y.pdf", H, "/y.pdf", 1, True, True),   # blocklist
+            (f"{H}/miss", H, "/miss", 2, False, False),   # missing
+            (f"{H}/bin", H, "/bin", 3, True, False),      # non-html
+            (f"{H}/ok", H, "/ok", 4, True, True),
+        ]), T=0.0)
+        got = dict(zip(out.column("url").to_pylist(),
+                       out.column("status").to_pylist()))
+        assert got[f"{H}/x.pdf"] == STATUS_ROBOTS_DENIED
+        assert got[f"{H}/y.pdf"] == STATUS_BLOCKLISTED
+        assert got[f"{H}/miss"] == STATUS_MISSING
+        assert got[f"{H}/bin"] == STATUS_NON_HTML
+        assert got[f"{H}/ok"] == STATUS_SAVED
+
+    def test_seq_order_not_arrival_order(self):
+        rt = robots(**{H: HostRules(host=H, crawl_delay=1.0, fetchable=True)})
+        st = PolitenessShardState(0, rt)
+        out = st.schedule(make_batch([
+            (f"{H}/late", H, "/late", 9, True, True),
+            (f"{H}/early", H, "/early", 1, True, True),
+        ]), T=0.0)
+        ts = dict(zip(out.column("url").to_pylist(), out.column("ts").to_pylist()))
+        assert ts[f"{H}/early"] == 0.0 and ts[f"{H}/late"] == 1.0
+
+    def test_unknown_host_allow_all_min_delay(self):
+        st = PolitenessShardState(0, RobotsTable(rules={}))
+        out = st.schedule(make_batch([
+            ("https://u.test/a", "https://u.test", "/a", 0, True, True),
+            ("https://u.test/b", "https://u.test", "/b", 1, True, True),
+        ]), T=0.0)
+        assert out.column("ts").to_pylist() == [0.0, 0.1]
+
+    def test_round_id_makes_schedule_idempotent(self):
+        rt = robots(**{H: HostRules(host=H, crawl_delay=1.0, fetchable=True)})
+        st = PolitenessShardState(0, rt)
+        b = make_batch([(f"{H}/a", H, "/a", 0, True, True)])
+        out1 = st.schedule(b, T=0.0, round_id=7)
+        out2 = st.schedule(b, T=0.0, round_id=7)  # simulated task retry
+        assert out1.column("ts").to_pylist() == out2.column("ts").to_pylist()
+        assert st.next_allowed[H] == 1.0
+
+    def test_dump_load(self):
+        rt = robots(**{H: HostRules(host=H, crawl_delay=1.0, fetchable=True)})
+        st = PolitenessShardState(4, rt)
+        st.schedule(make_batch([(f"{H}/a", H, "/a", 0, True, True)]), T=0.0)
+        st2 = PolitenessShardState(4, rt)
+        st2.load_next_allowed(st.dump())
+        assert st2.next_allowed == st.next_allowed

@@ -1,0 +1,76 @@
+"""Checkpoint/resume: a killed crawl resumes mid-frontier with no
+re-fetches and reaches the identical final state (SURVEY.md §5.4)."""
+
+import os
+
+import pytest
+
+from webcrawler_ray.config import CrawlConfig
+from webcrawler_ray.pipelines.crawl import RayCrawler
+
+LIMIT = 60
+
+
+def _cfg(**kw):
+    return CrawlConfig(limit=LIMIT, num_seen_shards=3,
+                       num_politeness_shards=2, **kw)
+
+
+@pytest.fixture(scope="module")
+def interrupted_then_resumed(ray_session, tiny_web, tmp_path_factory):
+    seeds = open(tiny_web["seeds"]).read().splitlines()
+
+    # uninterrupted reference run
+    wd_full = str(tmp_path_factory.mktemp("resume") / "full")
+    c_full = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd_full, _cfg())
+    s_full = c_full.crawl(seeds)
+    c_full.shutdown_services()  # datasets remain readable from parquet
+
+    # interrupted run: stop after 2 rounds (simulated kill between rounds)
+    wd_int = str(tmp_path_factory.mktemp("resume") / "interrupted")
+    c1 = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd_int,
+                    _cfg(max_rounds=2))
+    c1.crawl(seeds)
+    c1.shutdown_services()  # the "kill": actors and driver state are gone
+
+    # fresh crawler over the same workdir resumes from the checkpoint
+    c2 = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd_int, _cfg())
+    s2 = c2.crawl(seeds, resume=True)
+    yield c_full, s_full, c2, s2
+    c2.shutdown_services()
+
+
+class TestResume:
+    def test_final_summary_matches_uninterrupted(self, interrupted_then_resumed):
+        _, s_full, _, s2 = interrupted_then_resumed
+        for k in ("round", "T", "attempt_base", "saved_total", "budget_left"):
+            assert s2[k] == s_full[k], k
+
+    def test_crawl_order_identical(self, interrupted_then_resumed):
+        c_full, _, c2, _ = interrupted_then_resumed
+        a = c_full.attempts_dataset().to_pandas().sort_values("fetch_seq")
+        b = c2.attempts_dataset().to_pandas().sort_values("fetch_seq")
+        assert list(a["url"]) == list(b["url"])
+        assert list(a["ts"]) == list(b["ts"])
+        assert list(a["status"]) == list(b["status"])
+
+    def test_no_refetches(self, interrupted_then_resumed):
+        # every URL appears in exactly one round's attempts partition
+        _, _, c2, _ = interrupted_then_resumed
+        att = c2.attempts_dataset().to_pandas()
+        assert att["url"].is_unique
+
+    def test_resume_skips_finished_rounds(self, interrupted_then_resumed):
+        # rounds 0-1 directories were written by the first (killed) run and
+        # must not be rewritten: their metrics carry the first run's pid era
+        _, _, c2, _ = interrupted_then_resumed
+        rounds = sorted(os.listdir(os.path.join(c2.workdir, "rounds")))
+        assert len(rounds) > 2
+
+    def test_resume_on_fresh_workdir_returns_none(self, ray_session, tiny_web,
+                                                  tmp_path):
+        c = RayCrawler(tiny_web["pages"], tiny_web["robots"],
+                       str(tmp_path / "empty"), _cfg(max_rounds=1))
+        state = c._load_latest_checkpoint()
+        assert state is None
+        c.shutdown_services()

@@ -1,0 +1,482 @@
+"""The Ray-Data-native crawl driver (SURVEY.md §3.4 lifecycle).
+
+Each frontier round is a Dataset pipeline:
+
+    read frontier parquet
+      -> map_batches: HEAD-equivalent flags (broadcast hash index)   [S3/M11]
+      -> map_batches: politeness-shard key                            [SH1]
+      -> groupby(pshard).map_groups -> politeness actors: robots gate,
+         virtual-time slot assignment (ts, status, will_save)         [ST2-ST4, M5]
+      -> sort(ts, host, seq)  == the canonical total order            [SH3]
+      -> distributed prefix-sum budget cut + global fetch_seq ranks   [ST6]
+      -> map_batches: seen-shard insert (bloom+cuckoo+exact actors)   [ST1]
+      -> filter saved -> GET-equivalent html fetch (broadcast or
+         bucketed-store hash join)                                    [S4]
+      -> map_batches actor pool: parse/extract/outlink fixup          [M6-M10]
+      -> write crawled parquet (1000-row files == WARC rotation)      [S5]
+      -> explode links -> groupby(url).min(seq) dedup -> seen filter
+         -> next frontier parquet                                     [SH2/ST1]
+
+Between rounds the driver checkpoints: next frontier, seen-shard dumps,
+politeness dumps, metrics, then a ``_SUCCESS`` marker — a killed job
+resumes from the last complete round and never re-fetches a URL already
+in a ``crawled`` partition (SURVEY.md §4 checkpoint row). Termination is
+the trivial driver-side check: budget exhausted or empty frontier
+(replacing the reference's race-prone event protocol,
+`WorkersPipeline.py:177-227`, SURVEY.md §2.7).
+
+The budget cut is a distributed ordered prefix sum: per sorted block a
+summary row (first key, row count, save count) -> tiny driver-side cumsum
+-> per-block verdict broadcast back (keep / partial(n) / drop). No block
+ordering assumption is needed — blocks are identified by their unique
+first sort key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import CrawlConfig
+from ..functions.urls import (
+    complete_link,
+    normalize_and_split,
+    split_host_resource,
+    stable_hash64_batch,
+)
+from ..robots import RobotsTable
+from ..stages.fetch import PagesStore
+from ..stages.parse import ParseHtmlBatch, explode_links
+from ..state.politeness import STATUS_SAVED, make_politeness_shard_actor
+from ..state.seen import make_seen_shard_actor
+
+FRONTIER_SCHEMA = pa.schema([
+    ("url", pa.string()), ("host", pa.string()),
+    ("resource", pa.string()), ("seq", pa.int64()),
+])
+
+
+def _write_frontier(path: str, urls, hosts, ress, seqs) -> int:
+    os.makedirs(path, exist_ok=True)
+    t = pa.table({"url": pa.array(urls, pa.string()),
+                  "host": pa.array(hosts, pa.string()),
+                  "resource": pa.array(ress, pa.string()),
+                  "seq": pa.array(seqs, pa.int64())})
+    pq.write_table(t, os.path.join(path, "part-0.parquet"))
+    return t.num_rows
+
+
+class RayCrawler:
+    """Crawl(config).run(seeds) — the programmatic surface mirroring the
+    reference's ``Crawler`` (`Crawler.py:11-103`), returning datasets."""
+
+    def __init__(self, pages_path: str, robots_path: str, workdir: str,
+                 config: CrawlConfig | None = None):
+        import ray
+
+        self.ray = ray
+        self.cfg = config or CrawlConfig()
+        self.pages_path = pages_path
+        self.robots_path = robots_path
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.store = PagesStore(pages_path, self.cfg,
+                                os.path.join(workdir, "pages_store"))
+        self._services_up = False
+        self.seen = []
+        self.pol = []
+
+    # ------------------------------------------------------------------
+    def _start_services(self):
+        if self._services_up:
+            return
+        ray = self.ray
+        cfg = self.cfg
+        robots_ref = ray.put(RobotsTable.from_parquet(self.robots_path))
+        Seen = make_seen_shard_actor()
+        Pol = make_politeness_shard_actor()
+        self.seen = [Seen.remote(i, cfg.seen_capacity_per_shard,
+                                 cfg.seen_exact_confirm)
+                     for i in range(cfg.num_seen_shards)]
+        self.pol = [Pol.remote(i, robots_ref)
+                    for i in range(cfg.num_politeness_shards)]
+        self.store.prepare(ray)
+        self._services_up = True
+
+    def shutdown_services(self):
+        for a in self.seen + self.pol:
+            self.ray.kill(a)
+        self.seen, self.pol = [], []
+        self._services_up = False
+
+    # ------------------------------------------------------------------
+    def _round_dir(self, rnd: int) -> str:
+        return os.path.join(self.workdir, "rounds", f"r={rnd:05d}")
+
+    def _seed_frontier(self, seeds: list[str]) -> tuple[str, int]:
+        """F_0: normalize+split seeds (Crawler.py:67-84 enqueue path)."""
+        front: dict[str, tuple[str, str, int]] = {}
+        for i, s in enumerate(seeds):
+            s = s.strip()
+            if not s:
+                continue
+            host, res = normalize_and_split(s)
+            if not host:
+                continue
+            url = complete_link(host, res)
+            if url not in front:
+                front[url] = (host, res, i)
+        path = os.path.join(self.workdir, "frontier_0")
+        items = sorted(front.items(), key=lambda kv: kv[1][2])
+        n = _write_frontier(path, [u for u, _ in items],
+                            [v[0] for _, v in items],
+                            [v[1] for _, v in items],
+                            [v[2] for _, v in items])
+        return path, n
+
+    # ------------------------------------------------------------------
+    def crawl(self, seeds: list[str], resume: bool = False) -> dict:
+        """Run (or resume) the crawl; returns the final summary dict."""
+        self._start_services()
+        cfg = self.cfg
+        state = None
+        if resume:
+            state = self._load_latest_checkpoint()
+        if state is None:
+            frontier_path, n_frontier = self._seed_frontier(seeds)
+            state = {"round": 0, "T": 0.0, "attempt_base": 0,
+                     "budget_left": cfg.limit + (1 if cfg.plus_one_quirk else 0),
+                     "saved_total": 0, "frontier_path": frontier_path,
+                     "n_frontier": n_frontier, "stopped": False}
+
+        while (not state["stopped"] and state["n_frontier"] > 0
+               and state["budget_left"] > 0
+               and state["round"] < cfg.max_rounds):
+            state = self._run_round(state)
+
+        summary = {k: state[k] for k in
+                   ("round", "T", "attempt_base", "saved_total", "budget_left",
+                    "stopped")}
+        summary["rounds_dir"] = os.path.join(self.workdir, "rounds")
+        with open(os.path.join(self.workdir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        return summary
+
+    # ------------------------------------------------------------------
+    def _run_round(self, st: dict) -> dict:
+        ray = self.ray
+        cfg = self.cfg
+        rnd = st["round"]
+        T = st["T"]
+        t0 = time.perf_counter()
+        rdir = self._round_dir(rnd)
+        os.makedirs(rdir, exist_ok=True)
+
+        ds = ray.data.read_parquet(st["frontier_path"])
+
+        # ---- flags (HEAD-equivalent) + politeness shard key -------------
+        ds = ds.map_batches(self.store.add_flags_fn(), batch_format="pyarrow",
+                            batch_size=cfg.url_batch_size)
+        P = cfg.num_politeness_shards
+
+        def add_pshard(batch: pa.Table) -> pa.Table:
+            hh = stable_hash64_batch(batch.column("host").to_pylist())
+            return batch.append_column(
+                "pshard", pa.array((hh % P).astype(np.int64), pa.int64()))
+
+        ds = ds.map_batches(add_pshard, batch_format="pyarrow")
+
+        # ---- politeness scheduling (one actor RPC per shard) ------------
+        pol = self.pol
+
+        def sched_group(group: pa.Table) -> pa.Table:
+            import ray as _ray
+            if group.num_rows == 0:
+                return group
+            sid = int(group.column("pshard")[0].as_py())
+            return _ray.get(pol[sid].schedule.remote(
+                group.drop_columns(["pshard"]), T, rnd))
+
+        ds = ds.groupby("pshard").map_groups(sched_group, batch_format="pyarrow")
+
+        # ---- canonical total order --------------------------------------
+        sorted_ds = ds.sort(["ts", "host", "seq"]).materialize()
+
+        # ---- distributed ordered prefix sum -> budget cut ---------------
+        def block_summary(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"first_ts": pa.array([], pa.float64()),
+                                 "first_host": pa.array([], pa.string()),
+                                 "first_seq": pa.array([], pa.int64()),
+                                 "n_rows": pa.array([], pa.int64()),
+                                 "n_saves": pa.array([], pa.int64())})
+            ws = batch.column("will_save").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "first_ts": [batch.column("ts")[0].as_py()],
+                "first_host": [batch.column("host")[0].as_py()],
+                "first_seq": [batch.column("seq")[0].as_py()],
+                "n_rows": [batch.num_rows],
+                "n_saves": [int(ws.sum())],
+            })
+
+        summ = sorted_ds.map_batches(block_summary, batch_size=None,
+                                     batch_format="pyarrow").to_pandas()
+        summ = summ.sort_values(["first_ts", "first_host", "first_seq"])
+        budget_left = st["budget_left"]
+        block_info: dict[tuple, tuple] = {}
+        base_rows = 0
+        cum_saves = 0
+        for _, row in summ.iterrows():
+            key = (row.first_ts, row.first_host, int(row.first_seq))
+            if cum_saves >= budget_left:
+                block_info[key] = ("drop", 0, base_rows)
+            elif cum_saves + row.n_saves >= budget_left:
+                block_info[key] = ("partial", int(budget_left - cum_saves),
+                                   base_rows)
+            else:
+                block_info[key] = ("keep", 0, base_rows)
+            cum_saves += int(row.n_saves)
+            base_rows += int(row.n_rows)
+
+        attempt_base = st["attempt_base"]
+
+        def cut_filter(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                batch = batch.append_column("fetch_seq",
+                                            pa.array([], pa.int64()))
+                return batch.append_column("round", pa.array([], pa.int32()))
+            key = (batch.column("ts")[0].as_py(),
+                   batch.column("host")[0].as_py(),
+                   batch.column("seq")[0].as_py())
+            mode, allowed, base = block_info[key]
+            if mode == "drop":
+                batch = batch.slice(0, 0)
+            elif mode == "partial":
+                ws = batch.column("will_save").to_numpy(zero_copy_only=False)
+                cum = np.cumsum(ws)
+                cut_idx = int(np.searchsorted(cum, allowed))  # allowed-th save
+                batch = batch.slice(0, cut_idx + 1)
+            fs = attempt_base + base + np.arange(batch.num_rows, dtype=np.int64)
+            batch = batch.append_column("fetch_seq", pa.array(fs, pa.int64()))
+            return batch.append_column(
+                "round", pa.array(np.full(batch.num_rows, rnd, dtype=np.int32),
+                                  pa.int32()))
+
+        # ---- seen-set insert (ST1) --------------------------------------
+        seen = self.seen
+        S = cfg.num_seen_shards
+
+        def seen_insert(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+            if batch.num_rows == 0:
+                return batch
+            urls = batch.column("url").to_pylist()
+            h = stable_hash64_batch(urls)
+            shard = h % S
+            futs = []
+            for s in np.unique(shard):
+                m = shard == s
+                futs.append(seen[int(s)].insert.remote(
+                    h[m], [urls[i] for i in np.nonzero(m)[0]]))
+            _ray.get(futs)
+            return batch
+
+        # ---- attempts log: the round's ONE materialization point --------
+        # (parquet write executes cut + seen inserts; everything downstream
+        # reads the columnar attempts log back — resumable by construction)
+        att_dir = os.path.join(rdir, "attempts")
+        (sorted_ds
+         .map_batches(cut_filter, batch_size=None, batch_format="pyarrow")
+         .map_batches(seen_insert, batch_format="pyarrow")
+         .map_batches(lambda t: t.drop_columns(
+             [c for c in ("in_table", "is_html", "will_save")
+              if c in t.column_names]), batch_format="pyarrow")
+         .write_parquet(att_dir))
+
+        # ---- round stats (driver-side columnar scan of two columns) -----
+        import pyarrow.dataset as pads
+
+        att_cols = pads.dataset(att_dir).to_table(columns=["status", "ts"])
+        status_np = att_cols.column("status").to_numpy(zero_copy_only=False)
+        ts_np = att_cols.column("ts").to_numpy(zero_copy_only=False)
+        saved_mask = status_np == STATUS_SAVED
+        n_attempted = len(status_np)
+        n_saved = int(saved_mask.sum())
+        T_next = max(T, float(ts_np[saved_mask].max())) if n_saved > 0 else T
+
+        # ---- fetch + parse + sinks --------------------------------------
+        n_candidates = 0
+        if n_saved > 0:
+            import pyarrow.compute as pc
+
+            saved = ray.data.read_parquet(
+                att_dir, filter=(pc.field("status") == STATUS_SAVED))
+            fetched = self.store.attach_html(saved, cfg)
+            parsed = fetched.map_batches(
+                ParseHtmlBatch(cfg.first_n_words, keep_html=cfg.store_html),
+                batch_format="pyarrow",
+                batch_size=cfg.parse_batch_size).materialize()
+
+            crawled_dir = os.path.join(rdir, "crawled")
+            drop = ["links", "in_table", "is_html", "will_save"]
+            crawled = parsed.map_batches(
+                lambda t: t.drop_columns([c for c in drop
+                                          if c in t.column_names]),
+                batch_format="pyarrow")
+            try:
+                crawled.write_parquet(crawled_dir,
+                                      min_rows_per_file=cfg.pages_per_file)
+            except TypeError:  # older write_parquet API
+                crawled.write_parquet(crawled_dir,
+                                      num_rows_per_file=cfg.pages_per_file)
+
+            if cfg.debug_log:
+                # S6 debug record: URL/Title/Text(first-20)/Timestamp
+                log_dir = os.path.join(rdir, "crawl_log")
+                parsed.map_batches(
+                    lambda t: pa.table({
+                        "URL": t.column("url"), "Title": t.column("title"),
+                        "Text": t.column("first_n"),
+                        "Timestamp": t.column("ts")}),
+                    batch_format="pyarrow").write_parquet(log_dir)
+
+            # ---- next frontier ------------------------------------------
+            cand = parsed.map_batches(explode_links, batch_format="pyarrow")
+            cand = cand.groupby("url").min("seq")
+
+            def finish_candidates(batch: pa.Table) -> pa.Table:
+                import ray as _ray
+                names = batch.column_names
+                seq_col = "min(seq)" if "min(seq)" in names else "seq"
+                urls = batch.column("url").to_pylist()
+                seqs = batch.column(seq_col).to_numpy(zero_copy_only=False)
+                hosts, ress, keep = [], [], []
+                for i, u in enumerate(urls):
+                    h, r = split_host_resource(u)
+                    hosts.append(h)
+                    ress.append(r)
+                    keep.append(bool(h))
+                keep = np.array(keep, dtype=bool)
+                t = pa.table({"url": pa.array(urls, pa.string()),
+                              "host": pa.array(hosts, pa.string()),
+                              "resource": pa.array(ress, pa.string()),
+                              "seq": pa.array(seqs.astype(np.int64), pa.int64())})
+                t = t.filter(pa.array(keep))
+                if t.num_rows == 0:
+                    return t
+                urls2 = t.column("url").to_pylist()
+                h64 = stable_hash64_batch(urls2)
+                shard = h64 % S
+                seen_mask = np.zeros(len(urls2), dtype=bool)
+                futs, idxs = [], []
+                for s in np.unique(shard):
+                    m = shard == s
+                    idxs.append(np.nonzero(m)[0])
+                    futs.append(seen[int(s)].contains.remote(
+                        h64[m], [urls2[i] for i in np.nonzero(m)[0]]))
+                for ix, r in zip(idxs, _ray.get(futs)):
+                    seen_mask[ix] = r
+                return t.filter(pa.array(~seen_mask))
+
+            nf_dir = os.path.join(rdir, "next_frontier")
+            cand.map_batches(finish_candidates,
+                             batch_format="pyarrow").write_parquet(nf_dir)
+            try:
+                n_candidates = pads.dataset(nf_dir).count_rows()
+            except Exception:
+                n_candidates = 0
+        # ---- checkpoint --------------------------------------------------
+        state_dir = os.path.join(rdir, "state")
+        os.makedirs(state_dir, exist_ok=True)
+        for i, blob in enumerate(ray.get([a.dump.remote() for a in self.seen])):
+            with open(os.path.join(state_dir, f"seen_{i}.bin"), "wb") as f:
+                f.write(blob)
+        for i, blob in enumerate(ray.get([a.dump.remote() for a in self.pol])):
+            with open(os.path.join(state_dir, f"pol_{i}.bin"), "wb") as f:
+                f.write(blob)
+
+        budget_next = st["budget_left"] - n_saved
+        stopped = budget_next <= 0
+        new_state = {
+            "round": rnd + 1, "T": T_next,
+            "attempt_base": st["attempt_base"] + n_attempted,
+            "budget_left": budget_next,
+            "saved_total": st["saved_total"] + n_saved,
+            "frontier_path": os.path.join(rdir, "next_frontier"),
+            "n_frontier": n_candidates, "stopped": stopped,
+        }
+        metrics = dict(new_state)
+        metrics.update({
+            "this_round": rnd, "n_attempted": n_attempted, "n_saved": n_saved,
+            "n_frontier_in": st["n_frontier"],
+            "wall_sec": time.perf_counter() - t0,
+        })
+        with open(os.path.join(rdir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=1)
+        with open(os.path.join(rdir, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        return new_state
+
+    # ------------------------------------------------------------------
+    def _load_latest_checkpoint(self) -> dict | None:
+        rounds_dir = os.path.join(self.workdir, "rounds")
+        if not os.path.isdir(rounds_dir):
+            return None
+        done = sorted(d for d in os.listdir(rounds_dir)
+                      if os.path.exists(os.path.join(rounds_dir, d, "_SUCCESS")))
+        if not done:
+            return None
+        last = os.path.join(rounds_dir, done[-1])
+        with open(os.path.join(last, "metrics.json")) as f:
+            m = json.load(f)
+        state_dir = os.path.join(last, "state")
+        ray = self.ray
+        futs = []
+        for i, a in enumerate(self.seen):
+            with open(os.path.join(state_dir, f"seen_{i}.bin"), "rb") as f:
+                futs.append(a.load.remote(f.read()))
+        for i, a in enumerate(self.pol):
+            with open(os.path.join(state_dir, f"pol_{i}.bin"), "rb") as f:
+                futs.append(a.load.remote(f.read()))
+        ray.get(futs)
+        return {k: m[k] for k in ("round", "T", "attempt_base", "budget_left",
+                                  "saved_total", "frontier_path", "n_frontier",
+                                  "stopped")}
+
+    # ------------------------------------------------------------------
+    def _round_subdirs(self, name: str) -> list[str]:
+        import glob
+
+        rounds_dir = os.path.join(self.workdir, "rounds")
+        files = []
+        if os.path.isdir(rounds_dir):
+            for d in sorted(os.listdir(rounds_dir)):
+                c = os.path.join(rounds_dir, d, name)
+                if os.path.isdir(c) and os.path.exists(
+                        os.path.join(rounds_dir, d, "_SUCCESS")):
+                    files.extend(sorted(glob.glob(os.path.join(c, "*.parquet"))))
+        return files
+
+    def crawled_dataset(self):
+        """Union of all rounds' crawled partitions, as one Dataset."""
+        dirs = self._round_subdirs("crawled")
+        return self.ray.data.read_parquet(dirs) if dirs else None
+
+    def attempts_dataset(self):
+        """Union of all rounds' attempt logs (the total crawl order)."""
+        dirs = self._round_subdirs("attempts")
+        return self.ray.data.read_parquet(dirs) if dirs else None
+
+    def host_counts(self):
+        """S7 final stats (`WorkersPipeline.py:281-291` / `main.py:92`):
+        host -> resources ATTEMPTED (the reference marks failures crawled
+        too, `Worker.py:202`, `Host.py:135-142`)."""
+        ds = self.attempts_dataset()
+        if ds is None:
+            return None
+        return ds.groupby("host").count()

@@ -1,0 +1,197 @@
+"""Simulated fetch (S3/S4): lookups into the Parquet pages table.
+
+The sandbox "web" is the pages Parquet table (BASELINE.json input_hint);
+HEAD (`WebAccesser.py:76-77`) becomes an existence + content-type flag
+lookup, GET (`WebAccesser.py:73-88`) becomes an html-bytes lookup. Two
+modes, chosen by table size (CrawlConfig.fetch_broadcast_max_bytes):
+
+* **broadcast** — small webs (tests): flags as a broadcast sorted-uint64
+  hash index (compact: 9 bytes/URL), html as a broadcast url->bytes dict;
+  ``ray.put`` once, read once per actor/task via the object store.
+* **bucketed** — large webs (bench and the 100 TB design point): a one-time
+  preprocessing pass hash-partitions the pages table into
+  ``store_dir/bucket=i/`` Parquet files by ``stable_hash64(url) % B``; a
+  frontier round is partitioned by the same key and each bucket group does
+  ONE filtered Parquet read (``url isin``, column-pruned) + Arrow hash
+  join. Cost per round: O(frontier) + O(matching row groups), never a scan
+  of the whole web. Failed lookups are 404-equivalents, recorded and never
+  retried (reference disables retries, `WebAccesser.py:45`, report §5).
+
+Flag lookups always use the broadcast hash index: 10^10 URLs x 9 bytes =
+~90 GB cluster-wide — at that scale set ``flags_bucketed=True`` to route
+flags through the bucketed store too (same join path, lang column only).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..functions.urls import stable_hash64_batch
+from ..config import CrawlConfig
+
+
+_PROC_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    """Fetch a broadcast object once per WORKER PROCESS (ray.put + first
+    ray.get per process; later tasks in the same process reuse it). This is
+    the broadcast-not-reshipped pattern: the payload crosses the object
+    store once per node, not once per batch."""
+    import ray
+
+    key = ref.binary() if hasattr(ref, "binary") else id(ref)
+    v = _PROC_CACHE.get(key)
+    if v is None:
+        v = ray.get(ref)
+        _PROC_CACHE[key] = v
+    return v
+
+
+class PagesStore:
+    def __init__(self, pages_path: str, cfg: CrawlConfig, store_dir: str):
+        self.pages_path = pages_path
+        self.cfg = cfg
+        self.store_dir = store_dir
+        size = os.path.getsize(pages_path)
+        self.bucketed = size > cfg.fetch_broadcast_max_bytes
+        self._flags_ref = None
+        self._html_ref = None
+
+    # -- one-time preparation --------------------------------------------
+    def prepare(self, ray) -> None:
+        """Build broadcast refs and (if bucketed) the partitioned layout."""
+        self._build_flags(ray)
+        if self.bucketed:
+            self._build_buckets()
+        else:
+            tbl = pq.read_table(self.pages_path,
+                                columns=["url", "html", "warc_ts", "lang"])
+            d = {}
+            urls = tbl.column("url").to_pylist()
+            htmls = tbl.column("html").to_pylist()
+            ts = tbl.column("warc_ts").to_pylist()
+            for u, h, t in zip(urls, htmls, ts):
+                d[u] = (h, t)
+            self._html_ref = ray.put(d)
+
+    def _build_flags(self, ray) -> None:
+        tbl = pq.read_table(self.pages_path, columns=["url", "lang"])
+        urls = tbl.column("url").to_pylist()
+        hashes = stable_hash64_batch(urls)
+        is_html = np.array([l in self.cfg.html_langs
+                            for l in tbl.column("lang").to_pylist()], dtype=bool)
+        order = np.argsort(hashes)
+        self._flags_ref = ray.put((hashes[order], is_html[order]))
+
+    def _build_buckets(self) -> None:
+        done = os.path.join(self.store_dir, "_STORE_DONE")
+        if os.path.exists(done):
+            return
+        os.makedirs(self.store_dir, exist_ok=True)
+        B = self.cfg.pages_store_buckets
+        pf = pq.ParquetFile(self.pages_path)
+        writers: dict[int, pq.ParquetWriter] = {}
+        try:
+            for rb in pf.iter_batches(batch_size=8192):
+                t = pa.Table.from_batches([rb])
+                bk = (stable_hash64_batch(t.column("url").to_pylist()) % B).astype(np.int64)
+                t = t.append_column("bucket", pa.array(bk, pa.int64()))
+                for b in np.unique(bk):
+                    part = t.filter(pc.equal(t.column("bucket"), pa.scalar(int(b))))
+                    part = part.drop_columns(["bucket"])
+                    w = writers.get(int(b))
+                    if w is None:
+                        os.makedirs(os.path.join(self.store_dir, f"bucket={int(b)}"),
+                                    exist_ok=True)
+                        w = pq.ParquetWriter(
+                            os.path.join(self.store_dir, f"bucket={int(b)}", "part.parquet"),
+                            part.schema)
+                        writers[int(b)] = w
+                    w.write_table(part)
+        finally:
+            for w in writers.values():
+                w.close()
+        with open(done, "w") as f:
+            f.write("ok")
+
+    # -- flag lookup (HEAD-equivalent) ------------------------------------
+    def add_flags_fn(self):
+        """Plain map_batches fn adding in_table/is_html from the broadcast
+        sorted-hash index (per-process cached, zero-copy numpy)."""
+        flags_ref = self._flags_ref
+
+        def add_flags(batch: pa.Table) -> pa.Table:
+            hashes, is_html = _cached_get(flags_ref)
+            h = stable_hash64_batch(batch.column("url").to_pylist())
+            idx = np.searchsorted(hashes, h)
+            idx_c = np.clip(idx, 0, max(len(hashes) - 1, 0))
+            found = ((len(hashes) > 0) & (hashes[idx_c] == h)) \
+                if len(hashes) else np.zeros(len(h), dtype=bool)
+            ih = np.zeros(len(h), dtype=bool)
+            if len(hashes):
+                ih[found] = is_html[idx_c[found]]
+            out = batch.append_column("in_table", pa.array(found, pa.bool_()))
+            return out.append_column("is_html", pa.array(ih, pa.bool_()))
+
+        return add_flags
+
+    # -- html fetch (GET-equivalent) --------------------------------------
+    def fetch_html_broadcast_fn(self):
+        html_ref = self._html_ref
+
+        def fetch_html(batch: pa.Table) -> pa.Table:
+            pages = _cached_get(html_ref)
+            urls = batch.column("url").to_pylist()
+            htmls, tss = [], []
+            for u in urls:
+                h, t = pages[u]
+                htmls.append(h)
+                tss.append(t)
+            out = batch.append_column("html", pa.array(htmls, pa.binary()))
+            return out.append_column("warc_ts",
+                                     pa.array(tss, pa.timestamp("us")))
+
+        return fetch_html
+
+    def fetch_html_bucket_fn(self):
+        """Per-bucket group fn for groupby('fbucket').map_groups: one
+        filtered parquet read + Arrow hash join per bucket per round."""
+        store_dir = self.store_dir
+
+        def fetch_group(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return group
+            b = int(group.column("fbucket")[0].as_py())
+            urls = group.column("url")
+            dset = pads.dataset(os.path.join(store_dir, f"bucket={b}"))
+            right = dset.to_table(columns=["url", "html", "warc_ts"],
+                                  filter=pc.field("url").isin(urls))
+            return group.join(right, keys="url", join_type="inner")
+
+        return fetch_group
+
+    def attach_html(self, ds, cfg: CrawlConfig):
+        """Dataset-level html fetch for the saved rows of one round."""
+        if not self.bucketed:
+            return ds.map_batches(self.fetch_html_broadcast_fn(),
+                                  batch_format="pyarrow",
+                                  batch_size=cfg.parse_batch_size)
+        B = self.cfg.pages_store_buckets
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            bk = (stable_hash64_batch(batch.column("url").to_pylist()) % B)
+            return batch.append_column("fbucket",
+                                       pa.array(bk.astype(np.int64), pa.int64()))
+
+        ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+        ds = ds.groupby("fbucket").map_groups(self.fetch_html_bucket_fn(),
+                                              batch_format="pyarrow")
+        return ds.map_batches(lambda t: t.drop_columns(["fbucket"]),
+                              batch_format="pyarrow")

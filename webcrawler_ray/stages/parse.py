@@ -1,0 +1,78 @@
+"""Parse stage (M6-M10): html -> visible text, title, first-N words,
+fixed-up outlinks. An actor-pool ``map_batches`` stage: per-document
+parsing is the CPU-bound hot path of the crawl, so it runs as a callable
+class with small batches (wide binary rows — SURVEY.md §4 memory row).
+
+Per-row cost is inherent (an HTML parse); everything around it is
+columnar: inputs arrive as zero-copy Arrow binary, outputs are built as
+Arrow arrays once per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.htmlparse import parse_page
+from ..functions.urls import fixup_hrefs
+
+
+class ParseHtmlBatch:
+    """map_batches callable: adds extracted_text, title, first_n, links,
+    n_links. Reproduces Parser.py:8-72 semantics via the shared extractor
+    (the byte-identical invariant path)."""
+
+    def __init__(self, first_n_words: int = 20, keep_html: bool = True):
+        self.first_n_words = first_n_words
+        self.keep_html = keep_html
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        n = len(urls)
+        texts = np.empty(n, dtype=object)
+        titles = np.empty(n, dtype=object)
+        firsts = np.empty(n, dtype=object)
+        links: list[list[str]] = [None] * n  # type: ignore[list-item]
+        for i in range(n):
+            p = parse_page(htmls[i])
+            texts[i] = p.visible_text
+            titles[i] = p.title
+            firsts[i] = p.first_n_words(self.first_n_words)
+            links[i] = fixup_hrefs(p.hrefs, hosts[i])
+        out = batch if self.keep_html else batch.drop_columns(["html"])
+        out = out.append_column("extracted_text", pa.array(texts, pa.string()))
+        out = out.append_column("title", pa.array(titles, pa.string()))
+        out = out.append_column("first_n", pa.array(firsts, pa.string()))
+        out = out.append_column("links", pa.array(links, pa.list_(pa.string())))
+        out = out.append_column(
+            "n_links", pa.array([len(l) for l in links], pa.int32()))
+        return out
+
+
+SEQ_SHIFT = 20  # must match oracle/crawler.py
+
+
+def explode_links(batch: pa.Table) -> pa.Table:
+    """Explode the links list column into candidate rows (url, seq) where
+    seq = (parent fetch_seq << SEQ_SHIFT) | rank-in-sorted-page-links —
+    the canonical discovery key (oracle/crawler.py docstring)."""
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "seq": pa.array([], pa.int64())})
+    if batch.num_rows == 0:
+        return empty
+    import pyarrow.compute as pc
+
+    la = batch.column("links").combine_chunks()
+    flat = pc.list_flatten(la)
+    if len(flat) == 0:
+        return empty
+    lengths = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
+    parent_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    # rank within each parent's (already sorted) link list
+    starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+    ranks = np.arange(len(flat), dtype=np.int64) - starts
+    fseq = batch.column("fetch_seq").to_numpy(zero_copy_only=False).astype(np.int64)
+    seq = (fseq[parent_idx] << SEQ_SHIFT) | ranks
+    return pa.table({"url": flat, "seq": pa.array(seq, pa.int64())})
