@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline — a full frontier crawl of the
+deterministic synthetic web at sf0.001 scale — and returns the saved-page
+corpus as a Dataset. ``queries()`` exposes every implemented operator
+family (SURVEY.md §2 + the training-data operators); ``oracle_sql()``
+carries the DuckDB equivalents for the SQL-expressible ones.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in webcrawler_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -21,24 +18,22 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from webcrawler_ray.pipelines.registry import crawl_corpus
+
+    return crawl_corpus("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from webcrawler_ray.pipelines.registry import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each SQL-expressible entry of queries();
+    non-SQL-expressible ops (multi-round crawl, LSH/sketch dedup, IVF ANN,
+    model-style scoring, codec stub) are omitted -> rows-only checks."""
+    from webcrawler_ray.pipelines.registry import ORACLE_SQL
+
+    return {k: v for k, v in ORACLE_SQL.items() if v}

@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline metric: wall seconds of the flagship crawl — a full frontier
+crawl (seen-set, politeness scheduling, sort, budget cut, fetch join,
+parse) over the deterministic synthetic bench web — plus per-query
+seconds for representative operator pipelines over $GRAFT_SF_DIR tables.
+
+    python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh 8-CPU and 32-CPU processes on the
+                                 # same input; reports scaling efficiency
+
+The synthetic web and its bucketed pages store are cached under
+/tmp/webcrawler_ray_bench (build is one-time; the timed crawl always
+starts from a FRESH workdir so nothing crawl-related is reused).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_BASE = "/tmp/webcrawler_ray_bench"
+
+# bench web spec: heavy Common-Crawl-like pages so the crawl is
+# parse/compute-bound (the realistic regime), not driver-bound
+BENCH_WEB = dict(n_hosts=400, pages_per_host=60, seed=11, mega_factor=10,
+                 text_words=1200, max_outdegree=10, n_seeds=120)
+BENCH_LIMIT = 18_000
+
+QUERY_NAMES = [
+    "q1_pricing_summary", "events_windowed", "events_sessionize",
+    "doc_token_counts", "dedup_exact", "dedup_minhash_lsh", "knn_cosine",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from webcrawler_ray.config import CrawlConfig
+    from webcrawler_ray.pipelines.crawl import RayCrawler
+    from webcrawler_ray.pipelines.registry import build_queries
+    from webcrawler_ray.webgen import WebSpec, generate_web
+
+    web = generate_web(os.path.join(BENCH_BASE, "web"), WebSpec(**BENCH_WEB))
+
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    with open(web["pages"], "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    cfg = CrawlConfig(limit=BENCH_LIMIT, store_html=False, debug_log=False,
+                      num_seen_shards=8, num_politeness_shards=8,
+                      parse_batch_size=64,
+                      fetch_broadcast_max_bytes=64 * 1024 * 1024)
+    wd = os.path.join(BENCH_BASE, f"wd_{os.getpid()}")
+    shutil.rmtree(wd, ignore_errors=True)
+    crawler = RayCrawler(web["pages"], web["robots"], wd, cfg)
+    seeds = open(web["seeds"]).read().splitlines()
+
+    t0 = time.perf_counter()
+    summary = crawler.crawl(seeds)
+    crawl_sec = time.perf_counter() - t0
+    crawler.shutdown_services()
+    pages_per_sec = summary["saved_total"] / crawl_sec
+
+    queries = build_queries()
+    qtimes = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        res = queries[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()  # drive lazy datasets to completion
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(wd, ignore_errors=True)
+    out = {
+        "metric": "flagship crawl wall time (synthetic bench web, "
+                  f"limit={BENCH_LIMIT})",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl_pages_saved": summary["saved_total"],
+        "crawl_pages_per_sec": round(pages_per_sec, 2),
+        "crawl_rounds": summary["round"],
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "crawl scaling efficiency 8->32 CPUs",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "pages_per_sec_8": lo["crawl_pages_per_sec"],
+        "pages_per_sec_32": hi["crawl_pages_per_sec"],
+        "queries_8": lo["queries"], "queries_32": hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

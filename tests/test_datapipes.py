@@ -1,0 +1,144 @@
+"""Tests for the training-data pipelines (dedup / similarity / text /
+relational / multimodal) — DuckDB cross-checks at sf0.001 plus
+invariant checks for the non-SQL operators."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def queries(ray_session):
+    from webcrawler_ray.pipelines.registry import ORACLE_SQL, build_queries
+
+    return build_queries(), ORACLE_SQL
+
+
+def _to_df(res):
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL_CHECKED = [
+    "doc_token_counts", "doc_first20", "doc_lang_counts", "doc_quality",
+    "doc_fingerprint", "q1_pricing_summary", "top_customers",
+    "events_by_type", "events_windowed", "events_sessionize",
+    "events_asof_order", "dedup_exact", "dedup_embedding_cosine",
+    "knn_cosine",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_matches_duckdb_oracle(name, queries, ddb):
+    q, sql = queries
+    got = _canon(_to_df(q[name](SF_DIR)))
+    want = _canon(ddb.execute(sql[name]).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestRowsOnly:
+    def test_langid_predicts_known_langs(self, queries):
+        q, _ = queries
+        df = _to_df(q["doc_langid"](SF_DIR))
+        assert set(df.columns) == {"doc_id", "lang_pred", "n_stopword_hits"}
+        assert len(df) > 0
+        assert set(df["lang_pred"]) <= {"en", "pt", "es", "unk"}
+
+    def test_winnow_deterministic(self, queries):
+        q, _ = queries
+        a = _canon(_to_df(q["doc_winnow"](SF_DIR)))
+        b = _canon(_to_df(q["doc_winnow"](SF_DIR)))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_minhash_finds_exact_dups_and_self_consistency(self, ray_session,
+                                                           tmp_path):
+        # build a tiny corpus with a known near-dup pair and a far pair
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = ("the quick brown fox jumps over the lazy dog and runs far "
+                "away into the deep green forest tonight") * 3
+        near = base + " extra token"
+        far = "completely different content about ray data pipelines " * 5
+        tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                        "text": pa.array([base, near, far], pa.string()),
+                        "lang": pa.array(["en"] * 3),
+                        "source": pa.array(["s"] * 3),
+                        "n_chars": pa.array([len(base), len(near), len(far)],
+                                            pa.int64())})
+        d = tmp_path / "mini"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        from webcrawler_ray.pipelines.dedup import minhash_lsh_pairs
+        import ray
+
+        df = _to_df(minhash_lsh_pairs(ray, str(d), threshold=0.5))
+        pairs = set(zip(df["doc_a"], df["doc_b"]))
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_simhash_pairs_symmetric_free(self, queries):
+        q, _ = queries
+        df = _to_df(q["dedup_simhash"](SF_DIR))
+        assert (df["doc_a"] < df["doc_b"]).all()
+
+    def test_knn_ivf_recall_vs_brute(self, queries):
+        q, _ = queries
+        brute = _to_df(q["knn_cosine"](SF_DIR))
+        ivf = _to_df(q["knn_ivf"](SF_DIR))
+        b = set(zip(brute["query_id"], brute["neighbor_id"]))
+        v = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+        recall = len(b & v) / len(b)
+        assert recall >= 0.5  # nprobe=3 of ~n labels; sanity floor
+
+    def test_multimodal_header_roundtrip(self, queries):
+        q, _ = queries
+        df = _to_df(q["multimodal_decode"](SF_DIR))
+        assert df["decode_ok"].all()
+        assert (df["width"] == 16 + (df["doc_id"] % 32) * 8).all()
+        assert (df["n_bytes"] > 16).all()
+
+    def test_multimodal_pixel_decode_is_stubbed(self):
+        from webcrawler_ray.pipelines.multimodal import DecodeStage
+
+        with pytest.raises(NotImplementedError):
+            DecodeStage.decode_pixels(b"FIMG" + b"\x00" * 32)
+
+
+class TestEntryContract:
+    def test_entry_runs_and_returns_rows(self, ray_session):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "__ray_entry__", "/root/repo/__ray_entry__.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        res = mod.entry()
+        df = _to_df(res)
+        assert len(df) > 0
+        assert "extracted_text" in df.columns
+        qs, osql = mod.queries(), mod.oracle_sql()
+        assert set(osql) <= set(qs)
+        assert len(osql) >= 12
+        assert all(isinstance(v, str) and "SELECT" in v.upper()
+                   for v in osql.values())

@@ -85,8 +85,9 @@ class RayCrawler:
         self.robots_path = robots_path
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
-        self.store = PagesStore(pages_path, self.cfg,
-                                os.path.join(workdir, "pages_store"))
+        # the bucketed store is derived data of the pages table: co-locate
+        # it with the table so repeated runs (and fresh workdirs) reuse it
+        self.store = PagesStore(pages_path, self.cfg, pages_path + "_store")
         self._services_up = False
         self.seen = []
         self.pol = []

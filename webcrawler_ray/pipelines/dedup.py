@@ -1,0 +1,247 @@
+"""Deduplication family over the ``documents`` table — exact,
+MinHash+LSH, SimHash — the core training-data cleaning operators
+(public designs: Broder'97 minwise hashing; Charikar'02 simhash;
+banding/LSH per Leskovec-Rajaraman-Ullman ch.3).
+
+Scaling shape (the part that matters at 100 TB):
+* signatures are computed batch-local in ``map_batches`` (one pass over
+  the text, no shuffle),
+* candidates come from a ``groupby`` on (band_id, band_hash) / simhash
+  segment — the shuffle moves only (doc_id, band_hash) pairs, never text,
+* verification joins candidate pairs back to their shingle sets via a
+  hash-bucketed exchange, not a broadcast of the corpus.
+
+At test scale the verify step broadcasts only the texts of candidate
+docs (a tiny set) via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MERSENNE = (1 << 61) - 1
+N_PERM = 128
+N_BANDS = 16  # 8 rows per band
+SHINGLE_K = 3
+
+
+def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    if not grams:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.fromiter(
+        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                        "big") for g in grams),
+        dtype=np.uint64, count=len(grams)))
+
+
+def _perm_params(n_perm: int = N_PERM, seed: int = 1234):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_perm,) uint64 signature; empty shingle set -> all-max sentinel."""
+    if len(sh) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (a*x + b) mod p, vectorized over perms x shingles via object->uint64
+    x = sh.astype(object)[None, :]
+    vals = (a.astype(object)[:, None] * x + b.astype(object)[:, None]) % MERSENNE
+    return np.array([int(min(row)) for row in vals], dtype=np.uint64)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0
+
+
+# ---------------------------------------------------------------------------
+def exact_dedup(ray, sf_dir: str):
+    """(doc_id, n_dups): exact text dedup — md5 content hash per batch,
+    hash-partition groupby, keep min doc_id per group. The canonical
+    hash-partition + per-group-first pattern."""
+    import hashlib as _h
+
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        fps = [_h.md5(t.strip().lower().encode()).hexdigest()
+               for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fp": pa.array(fps, pa.string())})
+
+    out = (ds.map_batches(add_fp, batch_format="pyarrow")
+             .groupby("fp")
+             .aggregate(Min("doc_id", alias_name="doc_id"),
+                        Count(alias_name="n_dups")))
+    return (out.map_batches(lambda t: t.select(["doc_id", "n_dups"]),
+                            batch_format="pyarrow")
+               .sort("doc_id"))
+
+
+EXACT_DEDUP_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(LOWER(TRIM(text))) ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def minhash_lsh_pairs(ray, sf_dir: str, threshold: float = 0.8):
+    """Near-dup pairs (doc_a, doc_b) with shingle-Jaccard >= threshold.
+
+    Pipeline: shingle -> minhash (map_batches) -> explode to
+    (band_id, band_hash, doc_id) -> groupby band bucket -> candidate pairs
+    -> exact-Jaccard verify -> distinct sorted pairs.
+    """
+    a, b = _perm_params()
+    rows_per_band = N_PERM // N_BANDS
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_band, out_hash = [], [], []
+        for d, t in zip(doc_ids, texts):
+            sig = minhash_signature(_shingle_hashes(t), a, b)
+            for bi in range(N_BANDS):
+                seg = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
+                h = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
+                out_doc.append(d)
+                out_band.append(bi)
+                out_hash.append(int.from_bytes(h, "big") % (1 << 63))
+        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                         "band_id": pa.array(out_band, pa.int32()),
+                         "band_hash": pa.array(out_hash, pa.int64())})
+
+    bands = ds.map_batches(to_bands, batch_format="pyarrow", batch_size=512)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia].astype("int64"),
+                             "doc_b": ids[ib].astype("int64")})
+
+    cand = (bands.groupby(["band_id", "band_hash"])
+                 .map_groups(bucket_pairs, batch_format="pandas"))
+    cand_df = cand.to_pandas().drop_duplicates()
+    if len(cand_df) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+
+    # verify: fetch texts of candidate docs only (tiny set) and broadcast
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    need = np.unique(np.concatenate([cand_df["doc_a"], cand_df["doc_b"]]))
+    tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(pa.array(need)))
+    texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("text").to_pylist()))
+    ref = ray.put(texts)
+    cand_ds = ray.data.from_pandas(cand_df.reset_index(drop=True))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        da = batch.column("doc_a").to_pylist()
+        db = batch.column("doc_b").to_pylist()
+        keep = []
+        cache: dict[int, np.ndarray] = {}
+        for x, y in zip(da, db):
+            for z in (x, y):
+                if z not in cache:
+                    cache[z] = _shingle_hashes(t[z])
+            keep.append(jaccard(cache[x], cache[y]) >= threshold)
+        return batch.filter(pa.array(keep))
+
+    return (cand_ds.map_batches(verify, batch_format="pyarrow")
+                   .sort(["doc_a", "doc_b"]))
+
+
+# ---------------------------------------------------------------------------
+def simhash64(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in toks:
+        h = np.uint64(int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
+    """Near-dup pairs by simhash hamming distance <= k, candidates via the
+    4-segment pigeonhole blocking (any pair within distance 3 shares at
+    least one exact 16-bit segment)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def to_segments(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        d_out, s_out, v_out, h_out = [], [], [], []
+        for d, t in zip(doc_ids, texts):
+            sh = simhash64(t)
+            for seg in range(4):
+                d_out.append(d)
+                s_out.append(seg)
+                v_out.append((sh >> (16 * seg)) & 0xFFFF)
+                h_out.append(sh % (1 << 63))
+        return pa.table({"doc_id": pa.array(d_out, pa.int64()),
+                         "seg_id": pa.array(s_out, pa.int32()),
+                         "seg_val": pa.array(v_out, pa.int64()),
+                         "simhash": pa.array(h_out, pa.int64())})
+
+    segs = ds.map_batches(to_segments, batch_format="pyarrow", batch_size=512)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        shs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = shs[ia] ^ shs[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        m = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ia][m].astype("int64"),
+                             "doc_b": ids[ib][m].astype("int64")})
+
+    pairs = (segs.groupby(["seg_id", "seg_val"])
+                 .map_groups(bucket_pairs, batch_format="pandas"))
+    df = pairs.to_pandas().drop_duplicates().sort_values(["doc_a", "doc_b"])
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)

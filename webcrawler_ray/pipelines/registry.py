@@ -1,0 +1,186 @@
+"""Query registry: one entry per implemented operator/pipeline
+(SURVEY.md §2 coverage + the training-data operator families), consumed by
+``__ray_entry__.py``. Each callable takes ``sf_dir`` and returns a Dataset
+/ DataFrame / Arrow table; ``ORACLE_SQL`` holds the DuckDB-equivalent SQL
+for every SQL-expressible entry (same column names — the driver's
+value-hash compare requires it)."""
+
+from __future__ import annotations
+
+import os
+
+from . import relational, textpipe
+
+
+def _ray():
+    import ray
+
+    return ray
+
+
+# --- crawl-engine queries (no SQL oracle: stateful multi-round pipeline) ---
+_CRAWL_SCALES = {  # sf_dir basename -> synthetic web spec + budget
+    "sf0.001": dict(n_hosts=5, pages_per_host=20, seed=42, limit=60),
+    "sf0.01": dict(n_hosts=20, pages_per_host=40, seed=7, limit=200),
+    "sf0.1": dict(n_hosts=60, pages_per_host=120, seed=11, limit=2000),
+}
+
+
+def _crawl_workdir(sf_dir: str):
+    """Run (or reuse a finished) crawl for this scale; returns the crawler.
+
+    The synthetic web is derived deterministically from the sf scale (the
+    pages-table input shape is fixed by BASELINE.json input_hint; testdata
+    carries no pages table, so it is synthesized seeded — no external
+    data)."""
+    from ..config import CrawlConfig
+    from ..pipelines.crawl import RayCrawler
+    from ..webgen import WebSpec, generate_web
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    spec = dict(_CRAWL_SCALES.get(name, _CRAWL_SCALES["sf0.01"]))
+    limit = spec.pop("limit")
+    base = f"/tmp/webcrawler_ray_cache/{name}"
+    web = generate_web(os.path.join(base, "web"),
+                       WebSpec(n_seeds=5, **spec))
+    cfg = CrawlConfig(limit=limit)
+    crawler = RayCrawler(web["pages"], web["robots"],
+                         os.path.join(base, "crawl_wd"), cfg)
+    summary_file = os.path.join(base, "crawl_wd", "summary.json")
+    if not os.path.exists(summary_file):
+        seeds = open(web["seeds"]).read().splitlines()
+        crawler.crawl(seeds, resume=True)
+        crawler.shutdown_services()
+    return crawler
+
+
+def crawl_flagship(sf_dir: str):
+    """The flagship pipeline: full frontier crawl; returns the attempts log
+    (total crawl order: url, host, ts, status, round, fetch_seq)."""
+    c = _crawl_workdir(sf_dir)
+    return (c.attempts_dataset()
+             .map_batches(lambda t: t.select(
+                 ["fetch_seq", "url", "host", "ts", "status", "round", "seq"]),
+                 batch_format="pyarrow")
+             .sort("fetch_seq"))
+
+
+def crawl_corpus(sf_dir: str):
+    """Saved-pages corpus with byte-identical extracted text."""
+    c = _crawl_workdir(sf_dir)
+    return (c.crawled_dataset()
+             .map_batches(lambda t: t.select(
+                 ["fetch_seq", "url", "host", "extracted_text", "title",
+                  "first_n", "n_links"]), batch_format="pyarrow")
+             .sort("fetch_seq"))
+
+
+def crawl_host_counts(sf_dir: str):
+    """S7 host->attempts stats (groupby-count over the attempts log)."""
+    c = _crawl_workdir(sf_dir)
+    import pyarrow as pa
+
+    return (c.host_counts()
+             .map_batches(lambda t: pa.table(
+                 {"host": t.column("host"), "n_pages": t.column("count()")}),
+                 batch_format="pyarrow")
+             .sort("host"))
+
+
+# --- registry --------------------------------------------------------------
+def build_queries() -> dict:
+    ray = _ray()
+    q = {
+        # crawl engine (rows-only checks: stateful multi-round pipelines)
+        "crawl_flagship": crawl_flagship,
+        "crawl_corpus": crawl_corpus,
+        "crawl_host_counts": crawl_host_counts,
+        # text analysis over documents
+        "doc_token_counts": lambda sf: textpipe.token_counts(ray, sf),
+        "doc_first20": lambda sf: textpipe.first_n_words(ray, sf),
+        "doc_lang_counts": lambda sf: textpipe.lang_counts(ray, sf),
+        "doc_quality": lambda sf: textpipe.quality_counts(ray, sf),
+        "doc_fingerprint": lambda sf: textpipe.md5_fingerprints(ray, sf),
+        "doc_langid": lambda sf: textpipe.langid(ray, sf),
+        "doc_winnow": lambda sf: textpipe.winnow_fingerprints(ray, sf),
+        # relational / windowed / as-of
+        "q1_pricing_summary": lambda sf: relational.q1_pricing_summary(ray, sf),
+        "top_customers": lambda sf: relational.top_customers(ray, sf),
+        "events_by_type": lambda sf: relational.events_by_type(ray, sf),
+        "events_windowed": lambda sf: relational.events_windowed(ray, sf),
+        "events_sessionize": lambda sf: relational.sessionize(ray, sf),
+        "events_asof_order": lambda sf: relational.events_asof_order(ray, sf),
+    }
+    try:
+        from . import dedup, similarity, multimodal
+
+        q.update({
+            "dedup_exact": lambda sf: dedup.exact_dedup(ray, sf),
+            "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(ray, sf),
+            "dedup_simhash": lambda sf: dedup.simhash_pairs(ray, sf),
+            "dedup_embedding_cosine": lambda sf: similarity.cosine_dup_pairs(ray, sf),
+            "knn_cosine": lambda sf: similarity.knn_brute_force(ray, sf),
+            "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
+            "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),
+        })
+    except ImportError:
+        pass
+    return q
+
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_token_counts": """
+SELECT doc_id,
+       CASE WHEN TRIM(text) = '' THEN 0
+            ELSE CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT)
+       END AS n_tokens
+FROM documents ORDER BY doc_id
+""",
+    "doc_first20": """
+SELECT doc_id,
+       array_to_string(regexp_split_to_array(TRIM(text), '\\s+')[1:20], ' ')
+           AS first20
+FROM documents ORDER BY doc_id
+""",
+    "doc_lang_counts": """
+SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+""",
+    "doc_quality": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars2,
+       CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
+       CASE WHEN TRIM(text) = '' THEN 0
+            ELSE CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT)
+       END AS n_tokens2
+FROM documents ORDER BY doc_id
+""",
+    "doc_fingerprint": """
+SELECT doc_id, md5(LOWER(TRIM(text))) AS fp FROM documents ORDER BY doc_id
+""",
+    "q1_pricing_summary": relational.Q1_SQL,
+    "dedup_exact": """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(LOWER(TRIM(text))) ORDER BY doc_id
+""",
+    "dedup_embedding_cosine": """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+ORDER BY vec_id_a, vec_id_b
+""",
+    "knn_cosine": None,  # filled below (module constant)
+    "top_customers": relational.TOP_CUSTOMERS_SQL,
+    "events_by_type": relational.EVENTS_BY_TYPE_SQL,
+    "events_windowed": relational.EVENTS_WINDOWED_SQL,
+    "events_sessionize": relational.SESSIONIZE_SQL,
+    "events_asof_order": relational.EVENTS_ASOF_SQL,
+}
+
+try:
+    from . import similarity as _sim
+
+    ORACLE_SQL["knn_cosine"] = _sim.KNN_SQL
+except ImportError:
+    ORACLE_SQL.pop("knn_cosine", None)

@@ -1,0 +1,291 @@
+"""Relational / streaming-shaped operators over the TPC-H-ish tables:
+grouped aggregation with partial pre-aggregation, hash join, broadcast
+join, top-k, tumbling windows, sessionization, as-of join.
+
+Money sums use integer cents (floor(x*100) as int64) so Ray and the DuckDB
+oracle agree bit-for-bit — double summation is order-dependent, int64
+summation is not (this is the float-determinism rule for every
+SQL-checked aggregate in this repo).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(ray, sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate over lineitem with per-batch
+    PARTIAL pre-aggregation before the shuffle (the combiner pattern:
+    the groupby sees one row per key per batch, not every row)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_shipdate"] <= cutoff]
+        if len(b) == 0:
+            return pd.DataFrame({"l_returnflag": pd.Series([], dtype=str),
+                                 "l_linestatus": pd.Series([], dtype=str),
+                                 "sum_qty": pd.Series([], dtype="int64"),
+                                 "base_cents": pd.Series([], dtype="int64"),
+                                 "disc_cents": pd.Series([], dtype="int64"),
+                                 "count_order": pd.Series([], dtype="int64")})
+        g = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": b["l_quantity"].astype("int64"),
+            "base_cents": np.floor(b["l_extendedprice"] * 100).astype("int64"),
+            "disc_cents": np.floor(b["l_extendedprice"]
+                                   * (1 - b["l_discount"]) * 100).astype("int64"),
+            "count_order": np.ones(len(b), dtype="int64"),
+        })
+        return (g.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+                 .sum())
+
+    ds = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("base_cents", alias_name="base_cents"),
+        Sum("disc_cents", alias_name="disc_cents"),
+        Sum("count_order", alias_name="count_order"))
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS base_cents,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+def top_customers(ray, sf_dir: str, k: int = 10):
+    """Revenue top-k customers: lineitem partial-agg -> HASH JOIN orders
+    (Dataset.join) -> groupby customer -> broadcast-join customer names
+    (small side via ray.put) -> sort desc -> limit k."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"],
+            "revenue_cents": np.floor(batch["l_extendedprice"]
+                                      * (1 - batch["l_discount"]) * 100
+                                      ).astype("int64")})
+        return g.groupby("l_orderkey", as_index=False).sum()
+
+    li_agg = (li.map_batches(li_partial, batch_format="pandas",
+                             batch_size=65536)
+                .groupby("l_orderkey")
+                .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+
+    joined = li_agg.join(orders, join_type="inner", on=("l_orderkey",),
+                         num_partitions=8)
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"]).to_pandas()
+    name_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    def add_name(batch: pa.Table) -> pa.Table:
+        names = _ray.get(name_ref)
+        keys = batch.column("o_custkey").to_pylist()
+        return pa.table({
+            "c_custkey": pa.array(keys, pa.int64()),
+            "c_name": pa.array([names.get(c) for c in keys], pa.string()),
+            "revenue_cents": batch.column("revenue_cents")})
+
+    out = per_cust.map_batches(add_name, batch_format="pyarrow")
+    return out.sort(["revenue_cents", "c_custkey"],
+                    descending=[True, False]).limit(k)
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+def events_by_type(ray, sf_dir: str):
+    """(event_type, n_events, first_event_id, last_event_id)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "event_id"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Min("event_id", alias_name="first_event_id"),
+        Max("event_id", alias_name="last_event_id"))
+    return out.sort("event_type")
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+WINDOW_US = 300_000_000  # 5-minute tumbling window
+
+
+def events_windowed(ray, sf_dir: str):
+    """Tumbling 5-min windows per event_type: (event_type, window_start_us,
+    n_events, min_event_id). Ray Data has no event-time windows; the window
+    key is computed per batch and the window IS a groupby key (guide
+    'streaming-shaped workloads' pattern)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "event_id"])
+
+    def win(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (us // WINDOW_US) * WINDOW_US
+        return pa.table({"event_type": batch.column("event_type"),
+                         "window_start_us": pa.array(w, pa.int64()),
+                         "event_id": batch.column("event_id")})
+
+    out = (ds.map_batches(win, batch_format="pyarrow")
+             .groupby(["event_type", "window_start_us"])
+             .aggregate(Count(alias_name="n_events"),
+                        Min("event_id", alias_name="min_event_id")))
+    return out.sort(["event_type", "window_start_us"])
+
+
+EVENTS_WINDOWED_SQL = f"""
+SELECT event_type,
+       (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
+       COUNT(*) AS n_events, MIN(event_id) AS min_event_id
+FROM events GROUP BY 1, 2 ORDER BY event_type, window_start_us
+"""
+
+
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+def sessionize(ray, sf_dir: str):
+    """(user_id, n_sessions, n_events): session = events of one user with
+    gaps < 30 min. groupby(user).map_groups over ts-sorted groups — the
+    partition-by-key + in-group window pattern for stream-shaped data."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > SESSION_GAP_US).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": np.array([n_sessions], dtype="int64"),
+                             "n_events": np.array([len(ts)], dtype="int64")})
+
+    return (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+              .sort("user_id"))
+
+
+SESSIONIZE_SQL = f"""
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, CAST(1 + SUM(new_sess) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM gaps GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def events_asof_order(ray, sf_dir: str):
+    """As-of join: for each event, the user's most recent order with
+    o_orderdate <= ts (tie-break: max o_orderkey). The small side (orders,
+    sorted per user) is BROADCAST once via ray.put; each event batch does a
+    vectorized searchsorted — no shuffle. Events without a matching order
+    are dropped (inner as-of)."""
+    import ray as _ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders["date_us"] = orders["o_orderdate"].astype("int64")
+    # per user: order by (date, orderkey) so the last match is the tie-win
+    by_user: dict[int, tuple] = {}
+    for uid, g in orders.groupby("o_custkey"):
+        g = g.sort_values(["date_us", "o_orderkey"])
+        by_user[int(uid)] = (g["date_us"].to_numpy(),
+                             g["o_orderkey"].to_numpy())
+    ref = _ray.put(by_user)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def asof(batch: pa.Table) -> pa.Table:
+        bu = _ray.get(ref)
+        uids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        out_e, out_o = [], []
+        for i in range(len(uids)):
+            g = bu.get(int(uids[i]))
+            if g is None:
+                continue
+            dates, keys = g
+            j = np.searchsorted(dates, ts[i], side="right") - 1
+            if j < 0:
+                continue
+            # ties on date: take max orderkey among equal dates
+            d = dates[j]
+            while j + 1 < len(dates) and dates[j + 1] == d:
+                j += 1
+            out_e.append(int(eids[i]))
+            out_o.append(int(keys[j]))
+        return pa.table({"event_id": pa.array(out_e, pa.int64()),
+                         "last_orderkey": pa.array(out_o, pa.int64())})
+
+    return ds.map_batches(asof, batch_format="pyarrow").sort("event_id")
+
+
+EVENTS_ASOF_SQL = """
+SELECT event_id, o_orderkey AS last_orderkey
+FROM events e JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+ORDER BY event_id
+"""

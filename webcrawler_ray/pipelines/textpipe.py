@@ -1,0 +1,167 @@
+"""Text-analysis operators over the ``documents`` table — the language-ID /
+quality-scoring / token-counting / fingerprinting stages a training-data
+pipeline runs over crawled text (repo brief: first-class components beside
+the crawl engine; they reuse the crawl's extraction conventions, e.g.
+whitespace ``split()`` tokenization == `Parser.py:48-55`).
+
+All stages are vectorized ``map_batches`` over pruned column reads; no
+driver-side loops. SQL-checkable outputs use only exact types (ints,
+strings) so the DuckDB oracle hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _docs(ray, sf_dir: str, columns):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+def token_counts(ray, sf_dir: str):
+    """(doc_id, n_tokens): whitespace split() token count (M10 tokenizer)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = np.fromiter((len(t.split()) for t in texts), dtype=np.int64,
+                        count=len(texts))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def first_n_words(ray, sf_dir: str, n: int = 20):
+    """(doc_id, first20): first-N-words projection (M10, Parser.py:48-55)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = [" ".join(t.split()[:n]) for t in texts]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "first20": pa.array(out, pa.string())})
+
+    return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def lang_counts(ray, sf_dir: str):
+    """(lang, n_docs): per-language document counts (groupby-count)."""
+    ds = _docs(ray, sf_dir, ["lang"]).groupby("lang").count()
+    return ds.map_batches(
+        lambda t: pa.table({"lang": t.column("lang"),
+                            "n_docs": t.column("count()")}),
+        batch_format="pyarrow")
+
+
+def quality_counts(ray, sf_dir: str):
+    """(doc_id, n_chars2, n_alpha, n_digit, n_space, n_tokens2): exact
+    integer quality signals (length / char-class counts). Ratio-style
+    quality scores derive from these; integers keep the oracle hash exact."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_chars2": s.str.len().astype("int64"),
+            "n_alpha": s.str.count(r"[A-Za-z]").astype("int64"),
+            "n_digit": s.str.count(r"[0-9]").astype("int64"),
+            "n_space": s.str.count(r" ").astype("int64"),
+            "n_tokens2": s.str.split().str.len().astype("int64"),
+        })
+
+    return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def md5_fingerprints(ray, sf_dir: str):
+    """(doc_id, fp): md5 document fingerprint of the normalized
+    (lower+strip) text — the exact-dedup key."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fps = [hashlib.md5(t.strip().lower().encode("utf-8")).hexdigest()
+               for t in texts]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fp": pa.array(fps, pa.string())})
+
+    return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+# --- language-ID heuristic (no SQL oracle: model-style scoring) ------------
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "pt": {"de", "a", "o", "que", "e", "do", "da", "em", "um", "para"},
+    "es": {"de", "la", "que", "el", "en", "y", "los", "del", "se", "las"},
+}
+
+
+class LangIdStage:
+    """Actor-pool stage: stopword-overlap language scorer (stateful setup:
+    tables built once per actor in __init__ — the model-load pattern)."""
+
+    def __init__(self):
+        self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds, scores = [], []
+        for t in texts:
+            toks = t.lower().split()
+            best, best_n = "unk", 0
+            for lang, tbl in sorted(self.tables.items()):
+                n = sum(1 for w in toks if w in tbl)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+            scores.append(best_n)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang_pred": pa.array(preds, pa.string()),
+                         "n_stopword_hits": pa.array(scores, pa.int64())})
+
+
+def langid(ray, sf_dir: str, concurrency: int = 2):
+    return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
+        LangIdStage, batch_format="pyarrow", batch_size=1024,
+        concurrency=concurrency)
+
+
+def winnow_fingerprints(ray, sf_dir: str, k: int = 5, w: int = 8):
+    """(doc_id, n_fps, min_fp, max_fp): winnowing document fingerprints
+    (Schleimer et al., SIGMOD'03): rolling k-gram hashes, window-minimum
+    selection; summarized to exact ints per doc."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_fps, mins, maxs = [], [], []
+        for t in texts:
+            toks = t.split()
+            grams = [" ".join(toks[i:i + k]) for i in range(max(0, len(toks) - k + 1))]
+            hs = np.array([int.from_bytes(
+                hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+                for g in grams], dtype=np.uint64)
+            if len(hs) == 0:
+                n_fps.append(0)
+                mins.append(0)
+                maxs.append(0)
+                continue
+            sel = set()
+            for i in range(max(1, len(hs) - w + 1)):
+                win = hs[i:i + w]
+                sel.add(int(win.min()))
+            n_fps.append(len(sel))
+            mins.append(min(sel) % (1 << 63))
+            maxs.append(max(sel) % (1 << 63))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_fps": pa.array(n_fps, pa.int64()),
+                         "min_fp": pa.array(mins, pa.int64()),
+                         "max_fp": pa.array(maxs, pa.int64())})
+
+    return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
