@@ -55,6 +55,15 @@ from ..stages.parse import ParseHtmlBatch, explode_links
 from ..state.politeness import STATUS_SAVED, make_politeness_shard_actor
 from ..state.seen import make_seen_shard_actor
 
+def _nblocks(rows: int, rows_per_block: int = 4000, cap: int = 64) -> int:
+    """Right-size a tiny-to-medium dataset's block count: Ray's default
+    read splitting gives ~CPU-count blocks, which turns every downstream
+    sort/groupby of a small round into a 64-partition shuffle of near-empty
+    blocks — pure scheduling overhead. Sized blocks keep shuffle partition
+    counts proportional to data."""
+    return max(1, min(cap, rows // rows_per_block + 1))
+
+
 FRONTIER_SCHEMA = pa.schema([
     ("url", pa.string()), ("host", pa.string()),
     ("resource", pa.string()), ("seq", pa.int64()),
@@ -177,8 +186,17 @@ class RayCrawler:
         t0 = time.perf_counter()
         rdir = self._round_dir(rnd)
         os.makedirs(rdir, exist_ok=True)
+        stage_secs: dict[str, float] = {}
+        _last = [t0]
 
-        ds = ray.data.read_parquet(st["frontier_path"])
+        def _mark(stage: str) -> None:
+            now = time.perf_counter()
+            stage_secs[stage] = round(now - _last[0], 3)
+            _last[0] = now
+
+        ds = ray.data.read_parquet(
+            st["frontier_path"],
+            override_num_blocks=_nblocks(st["n_frontier"]))
 
         # ---- flags (HEAD-equivalent) + politeness shard key -------------
         ds = ds.map_batches(self.store.add_flags_fn(), batch_format="pyarrow",
@@ -207,6 +225,10 @@ class RayCrawler:
 
         # ---- canonical total order --------------------------------------
         sorted_ds = ds.sort(["ts", "host", "seq"]).materialize()
+        _mark("schedule_sort")
+        # politeness state is final for this round: checkpoint it async,
+        # overlapped with the fetch/parse work below
+        pol_futs = [a.dump.remote() for a in self.pol]
 
         # ---- distributed ordered prefix sum -> budget cut ---------------
         def block_summary(batch: pa.Table) -> pa.Table:
@@ -227,6 +249,7 @@ class RayCrawler:
 
         summ = sorted_ds.map_batches(block_summary, batch_size=None,
                                      batch_format="pyarrow").to_pandas()
+        _mark("block_summaries")
         summ = summ.sort_values(["first_ts", "first_host", "first_seq"])
         budget_left = st["budget_left"]
         block_info: dict[tuple, tuple] = {}
@@ -298,6 +321,10 @@ class RayCrawler:
              [c for c in ("in_table", "is_html", "will_save")
               if c in t.column_names]), batch_format="pyarrow")
          .write_parquet(att_dir))
+        _mark("cut_insert_write")
+        # the attempts write ran every seen-shard insert: seen state is
+        # final for this round -> checkpoint async too
+        seen_futs = [a.dump.remote() for a in self.seen]
 
         # ---- round stats (driver-side columnar scan of two columns) -----
         import pyarrow.dataset as pads
@@ -316,12 +343,15 @@ class RayCrawler:
             import pyarrow.compute as pc
 
             saved = ray.data.read_parquet(
-                att_dir, filter=(pc.field("status") == STATUS_SAVED))
-            fetched = self.store.attach_html(saved, cfg)
+                att_dir, filter=(pc.field("status") == STATUS_SAVED),
+                override_num_blocks=_nblocks(n_saved,
+                                             rows_per_block=2 * cfg.parse_batch_size))
+            fetched = self.store.attach_html(saved, cfg, n_rows=n_saved)
             parsed = fetched.map_batches(
                 ParseHtmlBatch(cfg.first_n_words, keep_html=cfg.store_html),
                 batch_format="pyarrow",
                 batch_size=cfg.parse_batch_size).materialize()
+            _mark("fetch_parse")
 
             crawled_dir = os.path.join(rdir, "crawled")
             drop = ["links", "in_table", "is_html", "will_save"]
@@ -335,6 +365,7 @@ class RayCrawler:
             except TypeError:  # older write_parquet API
                 crawled.write_parquet(crawled_dir,
                                       num_rows_per_file=cfg.pages_per_file)
+            _mark("crawled_write")
 
             if cfg.debug_log:
                 # S6 debug record: URL/Title/Text(first-20)/Timestamp
@@ -391,15 +422,20 @@ class RayCrawler:
                 n_candidates = pads.dataset(nf_dir).count_rows()
             except Exception:
                 n_candidates = 0
+            _mark("frontier_build")
         # ---- checkpoint --------------------------------------------------
         state_dir = os.path.join(rdir, "state")
         os.makedirs(state_dir, exist_ok=True)
-        for i, blob in enumerate(ray.get([a.dump.remote() for a in self.seen])):
+        seen_blobs = ray.get(seen_futs)
+        _mark("dump_seen_get")
+        for i, blob in enumerate(seen_blobs):
             with open(os.path.join(state_dir, f"seen_{i}.bin"), "wb") as f:
                 f.write(blob)
-        for i, blob in enumerate(ray.get([a.dump.remote() for a in self.pol])):
+        _mark("dump_seen_write")
+        for i, blob in enumerate(ray.get(pol_futs)):
             with open(os.path.join(state_dir, f"pol_{i}.bin"), "wb") as f:
                 f.write(blob)
+        _mark("dump_pol")
 
         budget_next = st["budget_left"] - n_saved
         stopped = budget_next <= 0
@@ -411,11 +447,13 @@ class RayCrawler:
             "frontier_path": os.path.join(rdir, "next_frontier"),
             "n_frontier": n_candidates, "stopped": stopped,
         }
+        _mark("checkpoint_state")
         metrics = dict(new_state)
         metrics.update({
             "this_round": rnd, "n_attempted": n_attempted, "n_saved": n_saved,
             "n_frontier_in": st["n_frontier"],
             "wall_sec": time.perf_counter() - t0,
+            "stage_secs": stage_secs,
         })
         with open(os.path.join(rdir, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=1)

@@ -23,7 +23,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-MERSENNE = (1 << 61) - 1
 N_PERM = 128
 N_BANDS = 16  # 8 rows per band
 SHINGLE_K = 3
@@ -44,9 +43,12 @@ def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
 
 
 def _perm_params(n_perm: int = N_PERM, seed: int = 1234):
+    """Multiply-shift universal hash family over uint64 (Dietzfelbinger et
+    al.): perm_i(x) = (a_i * x + b_i) mod 2^64 with odd a_i — fully
+    vectorizable (uint64 wraparound is the modulus)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(0, 1 << 62, size=n_perm).astype(np.uint64) * 2 + 1
+    b = rng.randint(0, 1 << 62, size=n_perm).astype(np.uint64)
     return a, b
 
 
@@ -54,10 +56,9 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     """(n_perm,) uint64 signature; empty shingle set -> all-max sentinel."""
     if len(sh) == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (a*x + b) mod p, vectorized over perms x shingles via object->uint64
-    x = sh.astype(object)[None, :]
-    vals = (a.astype(object)[:, None] * x + b.astype(object)[:, None]) % MERSENNE
-    return np.array([int(min(row)) for row in vals], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        vals = a[:, None] * sh[None, :] + b[:, None]  # uint64 wraparound
+    return vals.min(axis=1)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

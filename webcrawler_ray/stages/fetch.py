@@ -177,12 +177,51 @@ class PagesStore:
 
         return fetch_group
 
-    def attach_html(self, ds, cfg: CrawlConfig):
+    def fetch_html_direct_fn(self):
+        """Per-batch bucketed lookup WITHOUT a shuffle: each task groups its
+        own rows by bucket and does one filtered read per touched bucket.
+        Right for small/medium rounds (each bucket re-opened once per task);
+        above ``direct_fetch_max_rows`` the groupby route reads each bucket
+        exactly once per round instead."""
+        store_dir = self.store_dir
+        B = self.cfg.pages_store_buckets
+
+        def _bucket_dset(b: int):
+            key = ("pads", store_dir, b)
+            d = _PROC_CACHE.get(key)
+            if d is None:  # parquet metadata parse amortized per process
+                d = pads.dataset(os.path.join(store_dir, f"bucket={b}"))
+                _PROC_CACHE[key] = d
+            return d
+
+        def fetch_direct(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column(
+                    "html", pa.array([], pa.binary())).append_column(
+                    "warc_ts", pa.array([], pa.timestamp("us")))
+            urls = batch.column("url")
+            bk = stable_hash64_batch(urls.to_pylist()) % B
+            parts = []
+            for b in np.unique(bk):
+                m = bk == b
+                parts.append(_bucket_dset(int(b)).to_table(
+                    columns=["url", "html", "warc_ts"],
+                    filter=pc.field("url").isin(urls.filter(pa.array(m)))))
+            right = pa.concat_tables(parts)
+            return batch.join(right, keys="url", join_type="inner")
+
+        return fetch_direct
+
+    def attach_html(self, ds, cfg: CrawlConfig, n_rows: int | None = None):
         """Dataset-level html fetch for the saved rows of one round."""
         if not self.bucketed:
             return ds.map_batches(self.fetch_html_broadcast_fn(),
                                   batch_format="pyarrow",
                                   batch_size=cfg.parse_batch_size)
+        direct_max = cfg.extra.get("direct_fetch_max_rows", 200_000)
+        if n_rows is not None and n_rows <= direct_max:
+            return ds.map_batches(self.fetch_html_direct_fn(),
+                                  batch_format="pyarrow", batch_size=4096)
         B = self.cfg.pages_store_buckets
 
         def add_bucket(batch: pa.Table) -> pa.Table:
