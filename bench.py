@@ -27,11 +27,13 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_BASE = "/tmp/webcrawler_ray_bench"
 
-# bench web spec: heavy Common-Crawl-like pages so the crawl is
-# parse/compute-bound (the realistic regime), not driver-bound
-BENCH_WEB = dict(n_hosts=400, pages_per_host=60, seed=11, mega_factor=10,
-                 text_words=1200, max_outdegree=10, n_seeds=120)
-BENCH_LIMIT = 18_000
+# bench web spec: Common-Crawl-like pages (tens of KB, large vocabulary)
+# generated in parallel; wide seed list keeps rounds fat so the crawl is
+# compute-bound (parse + crawl-time enrichment), not driver-bound
+BENCH_WEB = dict(n_hosts=1000, pages_per_host=90, seed=11, mega_factor=10,
+                 text_words=6000, max_outdegree=12, n_seeds=1000,
+                 parallel=True, vocab_size=4096)
+BENCH_LIMIT = 80_000
 
 QUERY_NAMES = [
     "q1_pricing_summary", "events_windowed", "events_sessionize",
@@ -54,16 +56,23 @@ def run_bench() -> dict:
     from webcrawler_ray.pipelines.registry import build_queries
     from webcrawler_ray.webgen import WebSpec, generate_web
 
-    web = generate_web(os.path.join(BENCH_BASE, "web"), WebSpec(**BENCH_WEB))
+    web = generate_web(os.path.join(BENCH_BASE, "webL"), WebSpec(**BENCH_WEB))
 
     # warm the page cache so we measure compute + shuffle, not cold disk
-    with open(web["pages"], "rb") as f:
-        while f.read(1 << 24):
-            pass
+    def _warm(path):
+        if os.path.isdir(path):
+            for f in os.listdir(path):
+                _warm(os.path.join(path, f))
+        else:
+            with open(path, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+    _warm(web["pages"])
 
     cfg = CrawlConfig(limit=BENCH_LIMIT, store_html=False, debug_log=False,
                       num_seen_shards=8, num_politeness_shards=8,
-                      parse_batch_size=64,
+                      parse_batch_size=256, enrich=True,
                       fetch_broadcast_max_bytes=64 * 1024 * 1024)
     wd = os.path.join(BENCH_BASE, f"wd_{os.getpid()}")
     shutil.rmtree(wd, ignore_errors=True)

@@ -44,5 +44,8 @@ class CrawlConfig:
     # --- output ----------------------------------------------------------
     store_html: bool = True          # keep html bytes in the crawled corpus
     debug_log: bool = True           # emit the crawl_log dataset (S6)
+    enrich: bool = False             # crawl-time content enrichment
+    #                                  (token count, simhash/minhash
+    #                                  fingerprints) in the parse stage
 
     extra: dict = field(default_factory=dict)

@@ -339,18 +339,34 @@ class RayCrawler:
 
         # ---- fetch + parse + sinks --------------------------------------
         n_candidates = 0
+        fetch_route = "none"
         if n_saved > 0:
             import pyarrow.compute as pc
 
-            saved = ray.data.read_parquet(
-                att_dir, filter=(pc.field("status") == STATUS_SAVED),
-                override_num_blocks=_nblocks(n_saved,
-                                             rows_per_block=2 * cfg.parse_batch_size))
-            fetched = self.store.attach_html(saved, cfg, n_rows=n_saved)
+            meta_max = cfg.extra.get("fetch_meta_broadcast_max_bytes", 1 << 30)
+            if self.store.bucketed and n_saved * 200 <= meta_max:
+                # bucketwise broadcast fetch: saved metadata is small ->
+                # ship it to one task per bucket; each bucket read once
+                fetch_route = "bucketwise"
+                meta_tbl = pads.dataset(att_dir).to_table(
+                    filter=(pc.field("status") == STATUS_SAVED))
+                fetched = self.store.attach_html_bucketwise(ray, meta_tbl)
+            else:
+                fetch_route = "dataset"
+                saved = ray.data.read_parquet(
+                    att_dir, filter=(pc.field("status") == STATUS_SAVED),
+                    override_num_blocks=_nblocks(
+                        n_saved, rows_per_block=2 * cfg.parse_batch_size))
+                fetched = self.store.attach_html(saved, cfg, n_rows=n_saved)
+            # bucketwise: batch_size=None keeps one fused task per bucket
+            # block (a row-batch size here would merge the 1-row bucket
+            # blocks into one serial task before fetch_bucket runs)
+            parse_bs = (None if fetch_route == "bucketwise"
+                        else cfg.parse_batch_size)
             parsed = fetched.map_batches(
-                ParseHtmlBatch(cfg.first_n_words, keep_html=cfg.store_html),
-                batch_format="pyarrow",
-                batch_size=cfg.parse_batch_size).materialize()
+                ParseHtmlBatch(cfg.first_n_words, keep_html=cfg.store_html,
+                               enrich=cfg.enrich),
+                batch_format="pyarrow", batch_size=parse_bs).materialize()
             _mark("fetch_parse")
 
             crawled_dir = os.path.join(rdir, "crawled")
@@ -454,6 +470,7 @@ class RayCrawler:
             "n_frontier_in": st["n_frontier"],
             "wall_sec": time.perf_counter() - t0,
             "stage_secs": stage_secs,
+            "fetch_route": fetch_route,
         })
         with open(os.path.join(rdir, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=1)

@@ -23,50 +23,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-N_PERM = 128
-N_BANDS = 16  # 8 rows per band
-SHINGLE_K = 3
-
-
-def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    if not grams:
-        return np.zeros(0, dtype=np.uint64)
-    return np.unique(np.fromiter(
-        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                        "big") for g in grams),
-        dtype=np.uint64, count=len(grams)))
-
-
-def _perm_params(n_perm: int = N_PERM, seed: int = 1234):
-    """Multiply-shift universal hash family over uint64 (Dietzfelbinger et
-    al.): perm_i(x) = (a_i * x + b_i) mod 2^64 with odd a_i — fully
-    vectorizable (uint64 wraparound is the modulus)."""
-    rng = np.random.RandomState(seed)
-    a = rng.randint(0, 1 << 62, size=n_perm).astype(np.uint64) * 2 + 1
-    b = rng.randint(0, 1 << 62, size=n_perm).astype(np.uint64)
-    return a, b
-
-
-def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(n_perm,) uint64 signature; empty shingle set -> all-max sentinel."""
-    if len(sh) == 0:
-        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        vals = a[:, None] * sh[None, :] + b[:, None]  # uint64 wraparound
-    return vals.min(axis=1)
-
-
-def jaccard(a: np.ndarray, b: np.ndarray) -> float:
-    if len(a) == 0 and len(b) == 0:
-        return 1.0
-    inter = len(np.intersect1d(a, b, assume_unique=True))
-    union = len(a) + len(b) - inter
-    return inter / union if union else 1.0
+from ..functions.hashing import (
+    N_BANDS,
+    N_PERM,
+    jaccard,
+    minhash_perm_params as _perm_params,
+    minhash_signature,
+    shingle_hashes as _shingle_hashes,
+    simhash64,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -181,24 +146,6 @@ def minhash_lsh_pairs(ray, sf_dir: str, threshold: float = 0.8):
 
 
 # ---------------------------------------------------------------------------
-def simhash64(text: str) -> int:
-    toks = text.split()
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for w in toks:
-        h = np.uint64(int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
-
-
 def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
     """Near-dup pairs by simhash hamming distance <= k, candidates via the
     4-segment pigeonhole blocking (any pair within distance 3 shares at

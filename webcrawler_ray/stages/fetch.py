@@ -54,13 +54,29 @@ def _cached_get(ref):
     return v
 
 
+def _table_size_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+    return os.path.getsize(path)
+
+
+def _table_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(os.path.join(path, f) for f in os.listdir(path)
+                      if f.endswith(".parquet"))
+    return [path]
+
+
 class PagesStore:
     def __init__(self, pages_path: str, cfg: CrawlConfig, store_dir: str):
-        self.pages_path = pages_path
+        self.pages_path = pages_path  # a parquet file OR a directory of them
         self.cfg = cfg
         self.store_dir = store_dir
-        size = os.path.getsize(pages_path)
-        self.bucketed = size > cfg.fetch_broadcast_max_bytes
+        self.bucketed = _table_size_bytes(pages_path) > cfg.fetch_broadcast_max_bytes
         self._flags_ref = None
         self._html_ref = None
 
@@ -69,10 +85,10 @@ class PagesStore:
         """Build broadcast refs and (if bucketed) the partitioned layout."""
         self._build_flags(ray)
         if self.bucketed:
-            self._build_buckets()
+            self._build_buckets(ray)
         else:
-            tbl = pq.read_table(self.pages_path,
-                                columns=["url", "html", "warc_ts", "lang"])
+            tbl = pads.dataset(self.pages_path).to_table(
+                columns=["url", "html", "warc_ts"])
             d = {}
             urls = tbl.column("url").to_pylist()
             htmls = tbl.column("html").to_pylist()
@@ -82,7 +98,7 @@ class PagesStore:
             self._html_ref = ray.put(d)
 
     def _build_flags(self, ray) -> None:
-        tbl = pq.read_table(self.pages_path, columns=["url", "lang"])
+        tbl = pads.dataset(self.pages_path).to_table(columns=["url", "lang"])
         urls = tbl.column("url").to_pylist()
         hashes = stable_hash64_batch(urls)
         is_html = np.array([l in self.cfg.html_langs
@@ -90,34 +106,71 @@ class PagesStore:
         order = np.argsort(hashes)
         self._flags_ref = ray.put((hashes[order], is_html[order]))
 
-    def _build_buckets(self) -> None:
+    def _build_buckets(self, ray=None) -> None:
+        """One-time hash-partitioned layout: bucket=i/ directories. Runs as
+        parallel Ray tasks (one per input file) when a session is up —
+        each task writes its own part files, so no cross-task writer state."""
         done = os.path.join(self.store_dir, "_STORE_DONE")
         if os.path.exists(done):
             return
         os.makedirs(self.store_dir, exist_ok=True)
         B = self.cfg.pages_store_buckets
-        pf = pq.ParquetFile(self.pages_path)
-        writers: dict[int, pq.ParquetWriter] = {}
-        try:
-            for rb in pf.iter_batches(batch_size=8192):
-                t = pa.Table.from_batches([rb])
-                bk = (stable_hash64_batch(t.column("url").to_pylist()) % B).astype(np.int64)
-                t = t.append_column("bucket", pa.array(bk, pa.int64()))
-                for b in np.unique(bk):
-                    part = t.filter(pc.equal(t.column("bucket"), pa.scalar(int(b))))
-                    part = part.drop_columns(["bucket"])
-                    w = writers.get(int(b))
-                    if w is None:
-                        os.makedirs(os.path.join(self.store_dir, f"bucket={int(b)}"),
-                                    exist_ok=True)
-                        w = pq.ParquetWriter(
-                            os.path.join(self.store_dir, f"bucket={int(b)}", "part.parquet"),
-                            part.schema)
-                        writers[int(b)] = w
-                    w.write_table(part)
-        finally:
-            for w in writers.values():
-                w.close()
+        store_dir = self.store_dir
+        files = _table_files(self.pages_path)
+
+        def partition_file(args) -> int:
+            fidx, path = args
+            pf = pq.ParquetFile(path)
+            writers: dict[int, pq.ParquetWriter] = {}
+            try:
+                for rb in pf.iter_batches(batch_size=8192):
+                    t = pa.Table.from_batches([rb])
+                    bk = (stable_hash64_batch(t.column("url").to_pylist())
+                          % B).astype(np.int64)
+                    mask_col = pa.array(bk, pa.int64())
+                    for b in np.unique(bk):
+                        part = t.filter(pc.equal(mask_col, pa.scalar(int(b))))
+                        w = writers.get(int(b))
+                        if w is None:
+                            bdir = os.path.join(store_dir, f"bucket={int(b)}")
+                            os.makedirs(bdir, exist_ok=True)
+                            w = pq.ParquetWriter(
+                                os.path.join(bdir, f"part-{fidx}.parquet"),
+                                part.schema)
+                            writers[int(b)] = w
+                        w.write_table(part)
+            finally:
+                for w in writers.values():
+                    w.close()
+            return fidx
+
+        def compact_bucket(b: int) -> int:
+            """Merge a bucket's per-task part files into one file with few
+            row groups — lookups open ONE file instead of len(files)."""
+            bdir = os.path.join(store_dir, f"bucket={b}")
+            parts = sorted(os.listdir(bdir))
+            if len(parts) <= 1:
+                return b
+            t = pads.dataset(bdir).to_table()
+            tmp = os.path.join(bdir, "_compact.tmp")
+            pq.write_table(t, tmp, row_group_size=16384)
+            for p in parts:
+                os.remove(os.path.join(bdir, p))
+            os.rename(tmp, os.path.join(bdir, "part.parquet"))
+            return b
+
+        if ray is not None and ray.is_initialized() and len(files) > 1:
+            task = ray.remote(partition_file)
+            ray.get([task.remote((i, f)) for i, f in enumerate(files)])
+            ctask = ray.remote(compact_bucket)
+            ray.get([ctask.remote(b) for b in range(B)
+                     if os.path.isdir(os.path.join(store_dir, f"bucket={b}"))])
+        else:
+            for i, f in enumerate(files):
+                partition_file((i, f))
+            for b in range(B):
+                if os.path.isdir(os.path.join(store_dir, f"bucket={b}")):
+                    compact_bucket(b)
         with open(done, "w") as f:
             f.write("ok")
 
@@ -212,13 +265,52 @@ class PagesStore:
 
         return fetch_direct
 
+    def attach_html_bucketwise(self, ray, saved_meta: pa.Table):
+        """Bucketwise broadcast fetch: the round's saved-row METADATA
+        (no html — a few bytes/row) is broadcast once; one task per store
+        bucket reads that bucket ONCE (url-isin filtered) and joins its
+        slice of the metadata. No shuffle; round read volume = the touched
+        buckets, each exactly once. This is the default bucketed path —
+        above ``fetch_meta_broadcast_max_bytes`` (cluster-scale rounds) the
+        groupby-exchange route takes over."""
+        B = self.cfg.pages_store_buckets
+        store_dir = self.store_dir
+        bk = stable_hash64_batch(saved_meta.column("url").to_pylist()) % B
+        meta_ref = ray.put((saved_meta, bk))
+        touched = [int(b) for b in np.unique(bk)]
+
+        def fetch_bucket(batch: pa.Table) -> pa.Table:
+            meta, bks = _cached_get(meta_ref)
+            out = []
+            for b in batch.column("bucket").to_pylist():
+                mine = meta.filter(pa.array(bks == b))
+                if mine.num_rows == 0:
+                    continue
+                dset = pads.dataset(os.path.join(store_dir, f"bucket={b}"))
+                right = dset.to_table(
+                    columns=["url", "html", "warc_ts"],
+                    filter=pc.field("url").isin(mine.column("url")))
+                out.append(mine.join(right, keys="url", join_type="inner"))
+            if not out:
+                sch = meta.schema.append(pa.field("html", pa.binary()))
+                sch = sch.append(pa.field("warc_ts", pa.timestamp("us")))
+                return sch.empty_table()
+            return pa.concat_tables(out, promote_options="default")
+
+        return (ray.data.from_arrow(
+                    pa.table({"bucket": pa.array(touched, pa.int64())}))
+                .repartition(len(touched))
+                .map_batches(fetch_bucket, batch_format="pyarrow",
+                             batch_size=1))
+
     def attach_html(self, ds, cfg: CrawlConfig, n_rows: int | None = None):
-        """Dataset-level html fetch for the saved rows of one round."""
+        """Dataset-level html fetch for the saved rows of one round (used
+        when the metadata-broadcast route doesn't apply)."""
         if not self.bucketed:
             return ds.map_batches(self.fetch_html_broadcast_fn(),
                                   batch_format="pyarrow",
                                   batch_size=cfg.parse_batch_size)
-        direct_max = cfg.extra.get("direct_fetch_max_rows", 200_000)
+        direct_max = cfg.extra.get("direct_fetch_max_rows", 2000)
         if n_rows is not None and n_rows <= direct_max:
             return ds.map_batches(self.fetch_html_direct_fn(),
                                   batch_format="pyarrow", batch_size=4096)

@@ -20,11 +20,23 @@ from ..functions.urls import fixup_hrefs
 class ParseHtmlBatch:
     """map_batches callable: adds extracted_text, title, first_n, links,
     n_links. Reproduces Parser.py:8-72 semantics via the shared extractor
-    (the byte-identical invariant path)."""
+    (the byte-identical invariant path).
 
-    def __init__(self, first_n_words: int = 20, keep_html: bool = True):
+    ``enrich=True`` additionally computes the crawl-time enrichment a
+    training-data corpus wants per page (token count, 16-perm MinHash
+    band minimum + SimHash content fingerprints for downstream near-dup
+    detection, stopword language score) — one pass over the text while it
+    is already hot in cache."""
+
+    def __init__(self, first_n_words: int = 20, keep_html: bool = True,
+                 enrich: bool = False):
         self.first_n_words = first_n_words
         self.keep_html = keep_html
+        self.enrich = enrich
+        if enrich:
+            from ..functions.hashing import minhash_perm_params
+
+            self._perm_a, self._perm_b = minhash_perm_params(16)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -48,7 +60,31 @@ class ParseHtmlBatch:
         out = out.append_column("links", pa.array(links, pa.list_(pa.string())))
         out = out.append_column(
             "n_links", pa.array([len(l) for l in links], pa.int32()))
+        if self.enrich:
+            out = self._enrich(out, texts)
         return out
+
+    def _enrich(self, out: pa.Table, texts: np.ndarray) -> pa.Table:
+        from ..functions.hashing import (
+            minhash_signature,
+            shingle_hashes,
+            simhash64,
+        )
+
+        n = len(texts)
+        n_tokens = np.empty(n, dtype=np.int64)
+        sim = np.empty(n, dtype=np.int64)
+        mh = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            t = texts[i]
+            n_tokens[i] = len(t.split())
+            sim[i] = simhash64(t) - (1 << 63)  # center into int64
+            sig = minhash_signature(shingle_hashes(t),
+                                    self._perm_a, self._perm_b)
+            mh[i] = int(sig.min()) - (1 << 63)
+        out = out.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+        out = out.append_column("simhash", pa.array(sim, pa.int64()))
+        return out.append_column("minhash_min", pa.array(mh, pa.int64()))
 
 
 SEQ_SHIFT = 20  # must match oracle/crawler.py

@@ -65,7 +65,8 @@ class WebSpec:
                  seed: int = 42, max_outdegree: int = 12,
                  cross_host_frac: float = 0.3, dead_link_frac: float = 0.05,
                  mega_factor: int = 10, n_decoys: int = 3,
-                 n_seeds: int = 3, text_words: int = 60):
+                 n_seeds: int = 3, text_words: int = 60,
+                 parallel: bool = False, vocab_size: int = 0):
         self.n_hosts = n_hosts
         self.pages_per_host = pages_per_host
         self.seed = seed
@@ -76,6 +77,12 @@ class WebSpec:
         self.n_decoys = n_decoys
         self.n_seeds = n_seeds
         self.text_words = text_words
+        # parallel=True: generate pages with Ray (per-page seeded rngs, a
+        # large synthetic vocabulary, output = DIRECTORY of parquet files).
+        # A different deterministic corpus from the sequential path — the
+        # mode is part of the cache signature.
+        self.parallel = parallel
+        self.vocab_size = vocab_size  # 0 -> the small builtin vocab
 
     def hosts(self) -> list[str]:
         return [f"host{i}.test" for i in range(self.n_hosts)]
@@ -95,10 +102,12 @@ def generate_web(out_dir: str, spec: WebSpec | None = None, **kw) -> dict:
     spec = spec or WebSpec(**kw)
     sig = (f"v3:{spec.n_hosts}:{spec.pages_per_host}:{spec.seed}:"
            f"{spec.max_outdegree}:{spec.cross_host_frac}:{spec.dead_link_frac}:"
-           f"{spec.mega_factor}:{spec.n_decoys}:{spec.n_seeds}:{spec.text_words}")
+           f"{spec.mega_factor}:{spec.n_decoys}:{spec.n_seeds}:{spec.text_words}"
+           f":{int(spec.parallel)}:{spec.vocab_size}")
     done = os.path.join(out_dir, "_WEBGEN_DONE")
     meta = {
-        "pages": os.path.join(out_dir, "pages.parquet"),
+        "pages": os.path.join(out_dir,
+                              "pages" if spec.parallel else "pages.parquet"),
         "robots": os.path.join(out_dir, "robots.parquet"),
         "seeds": os.path.join(out_dir, "seeds.txt"),
         "sig": sig,
@@ -108,6 +117,11 @@ def generate_web(out_dir: str, spec: WebSpec | None = None, **kw) -> dict:
             if f.read().strip() == sig:
                 return meta
     os.makedirs(out_dir, exist_ok=True)
+    if spec.parallel:
+        _generate_parallel(out_dir, spec, meta)
+        with open(done, "w") as f:
+            f.write(sig)
+        return meta
 
     rng = random.Random(spec.seed)
     hosts = spec.hosts()
@@ -247,3 +261,143 @@ def generate_web(out_dir: str, spec: WebSpec | None = None, **kw) -> dict:
         f.write(sig)
     meta["n_pages"] = len(p_url)
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Parallel (Ray) generation path — for bench-scale webs. Per-page rngs
+# seeded by (seed, row_idx) keep it deterministic regardless of batch
+# boundaries or task placement; the page corpus is a directory of parquet
+# files written by Ray Data.
+# ---------------------------------------------------------------------------
+def _generate_parallel(out_dir: str, spec: WebSpec, meta: dict) -> None:
+    import ray
+
+    assert ray.is_initialized(), "parallel webgen requires a Ray session"
+    rng = random.Random(spec.seed)
+    hosts = spec.hosts()
+    counts = spec.host_page_counts()
+    vocab = ([f"w{k:04d}" for k in range(spec.vocab_size)]
+             if spec.vocab_size else list(_VOCAB))
+
+    urls_by_host: list[list[str]] = []
+    rows_url, rows_host_idx = [], []
+    for hi, (h, n) in enumerate(zip(hosts, counts)):
+        us = []
+        for j in range(n):
+            sec = rng.choice([0, 0, 0, 1, 2])
+            us.append(_page_url(h, sec, j))
+        urls_by_host.append(us)
+        rows_url.extend(us)
+        rows_host_idx.extend([hi] * n)
+
+    # robots + seeds (same shapes as the sequential path)
+    r_hosts, r_dis, r_cd, r_fe = [], [], [], []
+    for i, h in enumerate(hosts):
+        dis = []
+        if rng.random() < 0.3:
+            dis.append(f"/s{rng.choice([1, 2])}/")
+        if rng.random() < 0.1:
+            dis.append("/admin/")
+        r_hosts.append(f"https://{h}")
+        r_dis.append(dis)
+        r_cd.append(rng.choice([None, None, None, 0.05, 0.5, 2.0, 5.0]))
+        r_fe.append(rng.random() > 0.1)
+    pq.write_table(pa.table({
+        "host": pa.array(r_hosts, pa.string()),
+        "disallow": pa.array(r_dis, pa.list_(pa.string())),
+        "crawl_delay": pa.array(r_cd, pa.float64()),
+        "fetchable": pa.array(r_fe, pa.bool_()),
+    }), meta["robots"])
+
+    seeds = [urls_by_host[i][0] for i in range(min(spec.n_seeds, spec.n_hosts))]
+    seeds.append(f"https://missing{spec.seed}.test/nope")
+    with open(meta["seeds"], "w") as f:
+        f.write("\n".join(seeds) + "\n")
+
+    ubh_ref = ray.put((hosts, urls_by_host, vocab))
+    n_pages = len(rows_url)
+    base_seed = spec.seed
+    cross = spec.cross_host_frac
+    dead = spec.dead_link_frac
+    maxdeg = spec.max_outdegree
+    words = spec.text_words
+
+    rows = pa.table({
+        "row_idx": pa.array(range(n_pages), pa.int64()),
+        "url": pa.array(rows_url, pa.string()),
+        "host_idx": pa.array(rows_host_idx, pa.int64()),
+    })
+
+    def gen_batch(batch: pa.Table) -> pa.Table:
+        from .functions.htmlparse import extract_visible_text as _evt
+
+        _hosts, _ubh, _vocab = ray.get(ubh_ref)
+        urls, his = batch.column("url").to_pylist(), \
+            batch.column("host_idx").to_pylist()
+        idxs = batch.column("row_idx").to_pylist()
+        o_html, o_text, o_ts, o_lang = [], [], [], []
+        for ri, url, hi in zip(idxs, urls, his):
+            prng = random.Random(f"{base_seed}:{ri}")
+            my_urls = _ubh[hi]
+            hrefs = []
+            for _ in range(prng.randint(0, maxdeg)):
+                r = prng.random()
+                if r < dead:
+                    hrefs.append(f"/dead/p{prng.randint(0, 10_000)}")
+                elif r < dead + cross:
+                    th = prng.randrange(len(_hosts))
+                    tu = _ubh[th][prng.randrange(len(_ubh[th]))]
+                    if prng.random() < 0.25:
+                        tu = "http" + tu[5:]
+                    hrefs.append(tu)
+                else:
+                    tu = my_urls[prng.randrange(len(my_urls))]
+                    k = prng.random()
+                    if k < 0.5:
+                        hrefs.append("/" + tu.split("/", 3)[3])
+                    elif k < 0.6:
+                        hrefs.append(tu + "#sec" + str(prng.randint(0, 5)))
+                    else:
+                        hrefs.append(tu)
+            if prng.random() < 0.1:
+                hrefs.append(prng.choice(_EDGE_HREFS))
+            title = f"Page {ri} of {_hosts[hi]} " + prng.choice(_vocab)
+            paras = []
+            n_paras = prng.randint(2, 4)
+            for p in range(n_paras):
+                body = " ".join(prng.choice(_vocab)
+                                for _ in range(words // n_paras))
+                para = f"<p>{body}"
+                for href in hrefs[p::n_paras]:
+                    para += (f' <a href="{href}">anchor '
+                             f"{prng.choice(_vocab)}</a> "
+                             + " ".join(prng.choice(_vocab) for _ in range(3)))
+                para += "</p>"
+                paras.append(para)
+            html = (
+                "<!DOCTYPE html>\n<html><head><title>" + title + "</title>\n"
+                '<meta charset="utf-8">\n'
+                "<style>body { color: #222; }</style>\n"
+                "<script>var x = 1; // not visible</script>\n"
+                "</head>\n<body>\n<h1>" + title + "</h1>\n"
+                "<!-- hidden comment -->\n" + "\n".join(paras)
+                + "\n</body></html>\n").encode("utf-8")
+            o_html.append(html)
+            o_text.append(_evt(html))
+            o_ts.append(WARC_TS_BASE_US + ri * 1_000_000)
+            o_lang.append(HTML_LANGS[prng.randrange(len(HTML_LANGS))])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(o_ts, pa.timestamp("us")),
+            "html": pa.array(o_html, pa.binary()),
+            "text": pa.array(o_text, pa.string()),
+            "lang": pa.array(o_lang, pa.string()),
+        })
+
+    pages_dir = meta["pages"]
+    os.makedirs(pages_dir, exist_ok=True)
+    (ray.data.from_arrow(rows)
+        .repartition(max(8, min(256, n_pages // 2000)))
+        .map_batches(gen_batch, batch_format="pyarrow", batch_size=1024)
+        .write_parquet(pages_dir))
+    meta["n_pages"] = n_pages
