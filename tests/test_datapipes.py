@@ -43,8 +43,9 @@ def _canon(df):
 SQL_CHECKED = [
     "doc_token_counts", "doc_first20", "doc_lang_counts", "doc_quality",
     "doc_fingerprint", "q1_pricing_summary", "top_customers",
-    "events_by_type", "events_windowed", "events_sessionize",
-    "events_asof_order", "dedup_exact", "dedup_embedding_cosine",
+    "revenue_by_nation", "events_by_type", "events_windowed",
+    "events_sessionize", "events_asof_order", "events_topk_users",
+    "docs_topk_longest", "dedup_exact", "dedup_embedding_cosine",
     "knn_cosine",
 ]
 

@@ -87,6 +87,65 @@ def crawl_host_counts(sf_dir: str):
              .sort("host"))
 
 
+def url_algebra(sf_dir: str):
+    """M1-M4/M8 URL algebra applied over the crawl's attempted URLs:
+    (url, host, resource, passes_blocklist, url_hash63) — rows-only
+    (the scalar semantics are unit-tested against the reference rules)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.urls import (
+        passes_extension_blocklist_batch,
+        split_host_resource,
+        stable_hash64_batch,
+    )
+
+    c = _crawl_workdir(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts, ress = [], []
+        for u in urls:
+            h, r = split_host_resource(u)
+            hosts.append(h)
+            ress.append(r)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "host2": pa.array(hosts, pa.string()),
+            "resource2": pa.array(ress, pa.string()),
+            "passes_blocklist": pa.array(
+                passes_extension_blocklist_batch(urls), pa.bool_()),
+            "url_hash63": pa.array(
+                (stable_hash64_batch(urls) >> np.uint64(1)).astype(np.int64),
+                pa.int64()),
+        })
+
+    return (c.attempts_dataset()
+             .map_batches(lambda t: t.select(["url"]), batch_format="pyarrow")
+             .map_batches(f, batch_format="pyarrow")
+             .sort("url"))
+
+
+def crawl_log(sf_dir: str):
+    """S6 debug-log dataset (URL/Title/Text/Timestamp per saved page,
+    DebugPrinter.py:9-18 fields)."""
+    import glob
+    import os as _os
+
+    c = _crawl_workdir(sf_dir)
+    import ray
+
+    files = []
+    rounds_dir = _os.path.join(c.workdir, "rounds")
+    for d in sorted(_os.listdir(rounds_dir)):
+        files.extend(sorted(glob.glob(
+            _os.path.join(rounds_dir, d, "crawl_log", "*.parquet"))))
+    # columns pinned: the r=NNNNN path component would otherwise be
+    # inferred as a hive partition column
+    return ray.data.read_parquet(
+        files, columns=["URL", "Title", "Text", "Timestamp"]).sort("URL")
+
+
 # --- registry --------------------------------------------------------------
 def build_queries() -> dict:
     ray = _ray()
@@ -106,6 +165,11 @@ def build_queries() -> dict:
         # relational / windowed / as-of
         "q1_pricing_summary": lambda sf: relational.q1_pricing_summary(ray, sf),
         "top_customers": lambda sf: relational.top_customers(ray, sf),
+        "revenue_by_nation": lambda sf: relational.revenue_by_nation(ray, sf),
+        "events_topk_users": lambda sf: relational.events_topk_users(ray, sf),
+        "docs_topk_longest": lambda sf: relational.docs_topk_longest(ray, sf),
+        "url_algebra": url_algebra,
+        "crawl_log": crawl_log,
         "events_by_type": lambda sf: relational.events_by_type(ray, sf),
         "events_windowed": lambda sf: relational.events_windowed(ray, sf),
         "events_sessionize": lambda sf: relational.sessionize(ray, sf),
@@ -160,6 +224,9 @@ FROM documents ORDER BY doc_id
 SELECT doc_id, md5(LOWER(TRIM(text))) AS fp FROM documents ORDER BY doc_id
 """,
     "q1_pricing_summary": relational.Q1_SQL,
+    "revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
+    "events_topk_users": relational.EVENTS_TOPK_SQL,
+    "docs_topk_longest": relational.DOCS_TOPK_SQL,
     "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
 FROM documents GROUP BY md5(LOWER(TRIM(text))) ORDER BY doc_id

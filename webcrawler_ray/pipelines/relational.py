@@ -139,6 +139,101 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+def revenue_by_nation(ray, sf_dir: str):
+    """Multi-way join rollup: lineitem -> orders -> customer -> nation ->
+    region, revenue per (region, nation). The three dimension maps
+    (orders->cust, cust->nation, nation->(name, region name)) are built
+    once driver-side from pruned column reads and broadcast; lineitem
+    partial-aggregates by orderkey per batch before any lookup, so the
+    only shuffle is the final tiny groupby."""
+    import pyarrow.dataset as pads
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    orders = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+        columns=["o_orderkey", "o_custkey"])
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_nationkey"])
+    nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pads.dataset(f"{sf_dir}/region.parquet").to_table(
+        columns=["r_regionkey", "r_name"])
+    o2c = dict(zip(orders.column("o_orderkey").to_pylist(),
+                   orders.column("o_custkey").to_pylist()))
+    c2n = dict(zip(cust.column("c_custkey").to_pylist(),
+                   cust.column("c_nationkey").to_pylist()))
+    rname = dict(zip(region.column("r_regionkey").to_pylist(),
+                     region.column("r_name").to_pylist()))
+    n2names = {k: (nm, rname[rk]) for k, nm, rk in
+               zip(nation.column("n_nationkey").to_pylist(),
+                   nation.column("n_name").to_pylist(),
+                   nation.column("n_regionkey").to_pylist())}
+    ref = _ray.put((o2c, c2n, n2names))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        o2c_, c2n_, n2_ = _ray.get(ref)
+        cents = np.floor(batch["l_extendedprice"]
+                         * (1 - batch["l_discount"]) * 100).astype("int64")
+        nk = batch["l_orderkey"].map(o2c_).map(c2n_)
+        names = nk.map(lambda k: n2_[k])
+        g = pd.DataFrame({
+            "r_name": names.str[1],
+            "n_name": names.str[0],
+            "revenue_cents": cents,
+        })
+        return g.groupby(["r_name", "n_name"], as_index=False).sum()
+
+    out = (li.map_batches(per_batch, batch_format="pandas", batch_size=65536)
+             .groupby(["r_name", "n_name"])
+             .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+    return out.sort(["r_name", "n_name"])
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT r_name, n_name,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+     JOIN nation ON c_nationkey = n_nationkey
+     JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+def events_topk_users(ray, sf_dir: str, k: int = 10):
+    """Top-k users by event count (groupby + sort + limit)."""
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    out = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    return out.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
+
+
+EVENTS_TOPK_SQL = """
+SELECT user_id, COUNT(*) AS n_events FROM events
+GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+
+def docs_topk_longest(ray, sf_dir: str, k: int = 20):
+    """Top-k longest documents (sort + limit over a projection)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+DOCS_TOPK_SQL = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+
 def events_by_type(ray, sf_dir: str):
     """(event_type, n_events, first_event_id, last_event_id)."""
     from ray.data.aggregate import Count, Max, Min
