@@ -67,6 +67,32 @@ class TestResume:
         rounds = sorted(os.listdir(os.path.join(c2.workdir, "rounds")))
         assert len(rounds) > 2
 
+    def test_midround_kill_partial_dir_cleaned(self, ray_session, tiny_web,
+                                               tmp_path_factory):
+        """A kill DURING a round leaves a partial round dir without
+        _SUCCESS; resume must wipe and re-run it, not append to it."""
+        import shutil
+
+        seeds = open(tiny_web["seeds"]).read().splitlines()
+        wd = str(tmp_path_factory.mktemp("midround") / "wd")
+        c1 = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd,
+                        _cfg(max_rounds=2))
+        c1.crawl(seeds)
+        c1.shutdown_services()
+        # simulate the mid-round kill: round 2 partially written
+        r2 = os.path.join(wd, "rounds", "r=00002")
+        os.makedirs(os.path.join(r2, "attempts"), exist_ok=True)
+        with open(os.path.join(r2, "attempts", "stale.parquet"), "w") as f:
+            f.write("not parquet")
+        c2 = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd, _cfg())
+        s2 = c2.crawl(seeds, resume=True)
+        c2.shutdown_services()
+        assert not os.path.exists(
+            os.path.join(r2, "attempts", "stale.parquet"))
+        att = c2.attempts_dataset().to_pandas()
+        assert att["url"].is_unique
+        assert s2["saved_total"] == LIMIT + 1
+
     def test_resume_on_fresh_workdir_returns_none(self, ray_session, tiny_web,
                                                   tmp_path):
         c = RayCrawler(tiny_web["pages"], tiny_web["robots"],

@@ -185,6 +185,13 @@ class RayCrawler:
         T = st["T"]
         t0 = time.perf_counter()
         rdir = self._round_dir(rnd)
+        if os.path.isdir(rdir) and not os.path.exists(
+                os.path.join(rdir, "_SUCCESS")):
+            # partial output of a killed run: wipe it so re-running the
+            # round cannot mix stale part files into its parquet dirs
+            import shutil
+
+            shutil.rmtree(rdir)
         os.makedirs(rdir, exist_ok=True)
         stage_secs: dict[str, float] = {}
         _last = [t0]
@@ -394,8 +401,15 @@ class RayCrawler:
                     batch_format="pyarrow").write_parquet(log_dir)
 
             # ---- next frontier ------------------------------------------
+            # dedup-by-min-seq over up to |frontier| * out-degree candidate
+            # urls: a many-group aggregate -> bucketed vectorized combine
+            from ..stages.aggregates import hash_bucket_aggregate
+
             cand = parsed.map_batches(explode_links, batch_format="pyarrow")
-            cand = cand.groupby("url").min("seq")
+            cand = hash_bucket_aggregate(
+                cand, ["url"],
+                lambda df: df.groupby("url", as_index=False)["seq"].min(),
+                num_buckets=max(8, cfg.num_seen_shards))
 
             def finish_candidates(batch: pa.Table) -> pa.Table:
                 import ray as _ray

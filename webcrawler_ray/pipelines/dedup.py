@@ -37,11 +37,11 @@ from ..functions.hashing import (
 # ---------------------------------------------------------------------------
 def exact_dedup(ray, sf_dir: str):
     """(doc_id, n_dups): exact text dedup — md5 content hash per batch,
-    hash-partition groupby, keep min doc_id per group. The canonical
-    hash-partition + per-group-first pattern."""
+    hash-bucketed vectorized groupby, keep min doc_id per group. The
+    canonical hash-partition + per-group-first pattern."""
     import hashlib as _h
 
-    from ray.data.aggregate import Count, Min
+    from ..stages.aggregates import hash_bucket_aggregate
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
@@ -50,12 +50,15 @@ def exact_dedup(ray, sf_dir: str):
         fps = [_h.md5(t.strip().lower().encode()).hexdigest()
                for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "fp": pa.array(fps, pa.string())})
+                         "fp": pa.array(fps, pa.string()),
+                         "n_dups": pa.array(np.ones(batch.num_rows,
+                                                    dtype=np.int64))})
 
-    out = (ds.map_batches(add_fp, batch_format="pyarrow")
-             .groupby("fp")
-             .aggregate(Min("doc_id", alias_name="doc_id"),
-                        Count(alias_name="n_dups")))
+    out = hash_bucket_aggregate(
+        ds.map_batches(add_fp, batch_format="pyarrow"),
+        ["fp"],
+        lambda df: df.groupby("fp", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum")))
     return (out.map_batches(lambda t: t.select(["doc_id", "n_dups"]),
                             batch_format="pyarrow")
                .sort("doc_id"))
@@ -99,17 +102,32 @@ def minhash_lsh_pairs(ray, sf_dir: str, threshold: float = 0.8):
 
     bands = ds.map_batches(to_bands, batch_format="pyarrow", batch_size=512)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia].astype("int64"),
-                             "doc_b": ids[ib].astype("int64")})
+    # band buckets are MANY tiny groups -> coarse-bucket shuffle, then
+    # vectorized duplicate detection inside each coarse bucket; only the
+    # (rare) multi-doc band buckets are expanded into pairs
+    def add_cbucket(batch: pa.Table) -> pa.Table:
+        cb = (batch.column("band_hash").to_numpy(zero_copy_only=False)
+              % 64).astype(np.int64)
+        return batch.append_column("cbucket", pa.array(cb, pa.int64()))
 
-    cand = (bands.groupby(["band_id", "band_hash"])
-                 .map_groups(bucket_pairs, batch_format="pandas"))
+    def coarse_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["band_id", "band_hash", "doc_id"])
+        d = g[g.duplicated(["band_id", "band_hash"], keep=False)]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for _, sub in d.groupby(["band_id", "band_hash"]):
+            ids = np.sort(sub["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.extend(ids[ia])
+            out_b.extend(ids[ib])
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
+
+    cand = (bands.map_batches(add_cbucket, batch_format="pyarrow")
+                 .groupby("cbucket")
+                 .map_groups(coarse_pairs, batch_format="pandas"))
     cand_df = cand.to_pandas().drop_duplicates()
     if len(cand_df) == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
@@ -171,25 +189,39 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
 
     segs = ds.map_batches(to_segments, batch_format="pyarrow", batch_size=512)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        shs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = shs[ia] ^ shs[ib]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        m = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[ia][m].astype("int64"),
-                             "doc_b": ids[ib][m].astype("int64")})
+    def add_cbucket(batch: pa.Table) -> pa.Table:
+        sv = batch.column("seg_val").to_numpy(zero_copy_only=False)
+        si = batch.column("seg_id").to_numpy(zero_copy_only=False)
+        cb = ((sv * 4 + si) % 64).astype(np.int64)
+        return batch.append_column("cbucket", pa.array(cb, pa.int64()))
 
-    pairs = (segs.groupby(["seg_id", "seg_val"])
-                 .map_groups(bucket_pairs, batch_format="pandas"))
+    def coarse_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["seg_id", "seg_val", "doc_id"])
+        d = g[g.duplicated(["seg_id", "seg_val"], keep=False)]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for _, sub in d.groupby(["seg_id", "seg_val"]):
+            sub = sub.sort_values("doc_id")
+            ids = sub["doc_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            shs = (sub["simhash"].to_numpy().astype(np.int64)
+                   .astype(np.uint64))
+            ia, ib = np.triu_indices(len(ids), k=1)
+            x = shs[ia] ^ shs[ib]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for _ in range(64):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            m = ham <= max_hamming
+            out_a.extend(ids[ia][m])
+            out_b.extend(ids[ib][m])
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
+
+    pairs = (segs.map_batches(add_cbucket, batch_format="pyarrow")
+                 .groupby("cbucket")
+                 .map_groups(coarse_pairs, batch_format="pandas"))
     df = pairs.to_pandas().drop_duplicates().sort_values(["doc_a", "doc_b"])
     return pa.Table.from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)

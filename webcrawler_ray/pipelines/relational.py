@@ -75,28 +75,29 @@ ORDER BY l_returnflag, l_linestatus
 
 # ---------------------------------------------------------------------------
 def top_customers(ray, sf_dir: str, k: int = 10):
-    """Revenue top-k customers: lineitem partial-agg -> HASH JOIN orders
-    (Dataset.join) -> groupby customer -> broadcast-join customer names
-    (small side via ray.put) -> sort desc -> limit k."""
+    """Revenue top-k customers: lineitem bucketed partial-agg -> HASH JOIN
+    orders (Dataset.join) -> bucketed groupby customer -> broadcast-join
+    customer names (small side via ray.put) -> sort desc -> limit k.
+    Many-group rollups use hash_bucket_aggregate (vectorized combine)."""
     import ray as _ray
-    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import hash_bucket_aggregate
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame({
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
             "l_orderkey": batch["l_orderkey"],
             "revenue_cents": np.floor(batch["l_extendedprice"]
                                       * (1 - batch["l_discount"]) * 100
                                       ).astype("int64")})
-        return g.groupby("l_orderkey", as_index=False).sum()
 
-    li_agg = (li.map_batches(li_partial, batch_format="pandas",
-                             batch_size=65536)
-                .groupby("l_orderkey")
-                .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+    li_agg = hash_bucket_aggregate(
+        li.map_batches(to_cents, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", as_index=False).sum())
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey"])
@@ -106,8 +107,10 @@ def top_customers(ray, sf_dir: str, k: int = 10):
 
     joined = li_agg.join(orders, join_type="inner", on=("l_orderkey",),
                          num_partitions=8)
-    per_cust = joined.groupby("o_custkey").aggregate(
-        Sum("revenue_cents", alias_name="revenue_cents"))
+    per_cust = hash_bucket_aggregate(
+        joined, ["o_custkey"],
+        lambda df: df[["o_custkey", "revenue_cents"]]
+        .groupby("o_custkey", as_index=False).sum())
 
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_name"]).to_pandas()

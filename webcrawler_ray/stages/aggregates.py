@@ -1,0 +1,66 @@
+"""Many-group aggregation that scales: hash-bucket the keys into a FEW
+coarse partitions, then run a VECTORIZED (pandas/arrow) combine inside
+each bucket.
+
+Ray Data's native ``groupby(key).aggregate(...)`` keeps per-group Python
+accumulator objects — ~1 ms per group — which is fine for tens of groups
+and catastrophic for 10^4..10^9 groups (15k-group Sum measured 21 s on one
+core). Bucketing by ``stable_hash(key) % num_buckets`` turns the shuffle
+into a num_buckets-way exchange and the per-bucket work into one pandas
+``groupby`` call, which is C-speed regardless of group count. This is the
+default aggregation path for every many-group operator in this repo
+(frontier dedup, per-orderkey rollups, LSH band buckets)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.urls import stable_hash64_batch
+
+
+_FIB = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(df_or_tbl, keys: list[str], num_buckets: int) -> np.ndarray:
+    """Stable bucket id per row from the key columns (vectorized for
+    integer keys; blake2b for strings/composites)."""
+    if isinstance(df_or_tbl, pa.Table):
+        cols = [df_or_tbl.column(k).to_pandas() for k in keys]
+    else:
+        cols = [df_or_tbl[k] for k in keys]
+    if len(cols) == 1 and cols[0].dtype.kind in "iu":
+        h = cols[0].to_numpy().astype(np.uint64) * _FIB
+        return (h % np.uint64(num_buckets)).astype(np.int64)
+    if len(cols) == 1:
+        h = stable_hash64_batch([str(v) for v in cols[0]])
+        return (h % num_buckets).astype(np.int64)
+    joined = ["\x1f".join(str(v) for v in row) for row in zip(*cols)]
+    return (stable_hash64_batch(joined) % num_buckets).astype(np.int64)
+
+
+def hash_bucket_aggregate(ds, keys: list[str], combine, num_buckets: int = 16,
+                          batch_format: str = "pandas", merge=None):
+    """``combine(df) -> df``: a vectorized pandas aggregation over ``keys``
+    (e.g. ``df.groupby(keys, as_index=False).sum()``), applied once per
+    input batch (partial pre-aggregation). ``merge(df) -> df`` re-combines
+    partials inside each bucket; defaults to ``combine`` (correct for
+    sum/min/max). Aggregations whose merge differs from their map — e.g.
+    count (merge = sum of partial counts) — must pass ``merge``."""
+    merge = merge or combine
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch
+        out = combine(batch)
+        out["__bucket"] = _bucket_of(out, keys, num_buckets)
+        return out
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns=["__bucket"])
+        return merge(g)
+
+    return (ds.map_batches(partial, batch_format=batch_format)
+              .groupby("__bucket")
+              .map_groups(per_bucket, batch_format="pandas"))
