@@ -98,3 +98,30 @@ class TestConformance:
         crawled = crawler.crawled_dataset().to_pandas()
         want = {r.url: r.n_links for r in oracle.saved_records}
         assert dict(zip(crawled["url"], crawled["n_links"])) == want
+
+
+class TestSmallWebConformance:
+    """Same exact-order conformance at the 'small' scale (more hosts,
+    deeper rounds, different seed — FIXTURES.md §5)."""
+
+    def test_total_order_and_seen_match(self, ray_session, small_web,
+                                        tmp_path_factory):
+        limit = 300
+        wd = str(tmp_path_factory.mktemp("crawlS") / "wd")
+        cfg = CrawlConfig(limit=limit, num_seen_shards=5,
+                          num_politeness_shards=3)
+        crawler = RayCrawler(small_web["pages"], small_web["robots"], wd, cfg)
+        seeds = open(small_web["seeds"]).read().splitlines()
+        summary = crawler.crawl(seeds)
+        oracle = oracle_run(small_web, limit)
+        try:
+            att = crawler.attempts_dataset().to_pandas().sort_values("fetch_seq")
+            got = list(zip(att["fetch_seq"], att["url"], att["status"],
+                           att["round"]))
+            want = [(r.fetch_seq, r.url, r.status, r.round)
+                    for r in oracle.records]
+            assert got == want
+            assert set(att["url"]) == oracle.seen
+            assert summary["saved_total"] == len(oracle.saved_records)
+        finally:
+            crawler.shutdown_services()

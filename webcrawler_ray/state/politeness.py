@@ -133,7 +133,7 @@ def make_politeness_shard_actor():
     """Actor factory (deferred import so module import needs no Ray session)."""
     import ray
 
-    @ray.remote(num_cpus=0.25)
+    @ray.remote(num_cpus=0.1)
     class PolitenessShard:
         def __init__(self, shard_id: int, robots_ref):
             robots = ray.get(robots_ref) if not isinstance(robots_ref, RobotsTable) else robots_ref

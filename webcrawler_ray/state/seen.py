@@ -244,7 +244,7 @@ def make_seen_shard_actor():
     live Ray session)."""
     import ray
 
-    @ray.remote(num_cpus=0.25)
+    @ray.remote(num_cpus=0.1)
     class SeenShard:
         def __init__(self, shard_id: int, capacity: int, exact_confirm: bool):
             self.state = SeenShardState(capacity=capacity,
