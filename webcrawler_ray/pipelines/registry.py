@@ -174,6 +174,7 @@ def build_queries() -> dict:
         "events_windowed": lambda sf: relational.events_windowed(ray, sf),
         "events_sessionize": lambda sf: relational.sessionize(ray, sf),
         "events_asof_order": lambda sf: relational.events_asof_order(ray, sf),
+        "events_running_index": lambda sf: relational.events_running_index(ray, sf),
     }
     try:
         from . import dedup, similarity, multimodal
@@ -181,6 +182,8 @@ def build_queries() -> dict:
         q.update({
             "dedup_exact": lambda sf: dedup.exact_dedup(ray, sf),
             "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(ray, sf),
+            "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(ray, sf),
+            "dedup_clusters": lambda sf: dedup.dedup_clusters(ray, sf),
             "dedup_simhash": lambda sf: dedup.simhash_pairs(ray, sf),
             "dedup_embedding_cosine": lambda sf: similarity.cosine_dup_pairs(ray, sf),
             "knn_cosine": lambda sf: similarity.knn_brute_force(ray, sf),
@@ -243,6 +246,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_windowed": relational.EVENTS_WINDOWED_SQL,
     "events_sessionize": relational.SESSIONIZE_SQL,
     "events_asof_order": relational.EVENTS_ASOF_SQL,
+    "events_running_index": relational.EVENTS_RUNNING_INDEX_SQL,
 }
 
 try:

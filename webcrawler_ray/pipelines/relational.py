@@ -330,6 +330,30 @@ FROM gaps GROUP BY user_id ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+def events_running_index(ray, sf_dir: str):
+    """(event_id, k): per-user running event index ordered by (ts,
+    event_id) — the partition-by-key ordered-window pattern
+    (groupby(user).map_groups over ts-sorted groups)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "k": np.arange(1, len(g) + 1, dtype="int64")})
+
+    return (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+              .sort("event_id"))
+
+
+EVENTS_RUNNING_INDEX_SQL = """
+SELECT event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+FROM events ORDER BY event_id
+"""
+
+
 def events_asof_order(ray, sf_dir: str):
     """As-of join: for each event, the user's most recent order with
     o_orderdate <= ts (tie-break: max o_orderkey). The small side (orders,
