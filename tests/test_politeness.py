@@ -94,6 +94,18 @@ class TestSchedule:
         ts = dict(zip(out.column("url").to_pylist(), out.column("ts").to_pylist()))
         assert ts[f"{H}/early"] == 0.0 and ts[f"{H}/late"] == 1.0
 
+    def test_unreachable_robots_ignores_disallow(self):
+        # Host.py:85-86: couldNotAccessRobots => allow-all even if the
+        # table carries disallow rows (regression: the gate must check
+        # fetchable before applying prefixes)
+        rt = robots(**{H: HostRules(host=H, disallow=("/x/",),
+                                    fetchable=False)})
+        st = PolitenessShardState(0, rt)
+        out = st.schedule(make_batch([
+            (f"{H}/x/a", H, "/x/a", 0, True, True),
+        ]), T=0.0)
+        assert out.column("status").to_pylist() == [STATUS_SAVED]
+
     def test_unknown_host_allow_all_min_delay(self):
         st = PolitenessShardState(0, RobotsTable(rules={}))
         out = st.schedule(make_batch([

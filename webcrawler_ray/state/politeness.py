@@ -22,7 +22,6 @@ import pickle
 import numpy as np
 import pyarrow as pa
 
-from ..functions.urls import passes_extension_blocklist
 from ..robots import RobotsTable
 
 STATUS_SAVED = 200
@@ -70,47 +69,81 @@ class PolitenessShardState:
             else:
                 self._last_round_id = round_id
                 self._pre_round = dict(self.next_allowed)
+        import pandas as pd
+
         n = batch.num_rows
-        urls = batch.column("url").to_pylist()
-        hosts = batch.column("host").to_pylist()
-        resources = batch.column("resource").to_pylist()
+        if n == 0:
+            out = batch.append_column("ts", pa.array([], pa.float64()))
+            out = out.append_column("status", pa.array([], pa.int16()))
+            return out.append_column("will_save", pa.array([], pa.bool_()))
+        urls = pd.Series(batch.column("url").to_pylist(), dtype=object)
+        hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
+        resources = pd.Series(batch.column("resource").to_pylist(),
+                              dtype=object)
         seqs = batch.column("seq").to_numpy(zero_copy_only=False)
         in_table = batch.column("in_table").to_numpy(zero_copy_only=False)
         is_html = batch.column("is_html").to_numpy(zero_copy_only=False)
 
-        ts = np.zeros(n, dtype=np.float64)
-        status = np.zeros(n, dtype=np.int16)
+        # ---- gates, fully vectorized ------------------------------------
+        # M4 blocklist (Worker.py:13-30 semantics)
+        from ..functions.urls import BLOCKED_EXT3, BLOCKED_EXT4
 
-        # group rows by host, process each host's rows in seq order
-        order = sorted(range(n), key=lambda i: (hosts[i], seqs[i]))
-        i = 0
-        while i < len(order):
-            j = i
-            host = hosts[order[i]]
-            while j < len(order) and hosts[order[j]] == host:
-                j += 1
-            delay, disallow, _fetchable = self._rules_for(host)
-            base = max(T, self.next_allowed.get(host, 0.0))
-            k = 0
-            for oi in order[i:j]:
-                res = resources[oi]
-                if any(p and res.startswith(p) for p in disallow):
-                    st = STATUS_ROBOTS_DENIED
-                elif not passes_extension_blocklist(urls[oi]):
-                    st = STATUS_BLOCKLISTED
-                elif not in_table[oi]:
-                    st = STATUS_MISSING
-                elif not is_html[oi]:
-                    st = STATUS_NON_HTML
-                else:
-                    st = STATUS_SAVED
-                ts[oi] = base + k * delay
-                status[oi] = st
-                if st == STATUS_SAVED:
-                    k += 1
-            if k > 0:
-                self.next_allowed[host] = base + k * delay
-            i = j
+        ulen = urls.str.len()
+        blocked = (((ulen > 3) & urls.str.slice(-3).isin(BLOCKED_EXT3))
+                   | ((ulen > 4)
+                      & urls.str.slice(-4).isin(BLOCKED_EXT4))).to_numpy()
+
+        # M5 robots: per host, vectorized prefix match over its slice
+        codes, uniq_hosts = pd.factorize(hosts)
+        robots_denied = np.zeros(n, dtype=bool)
+        delays = np.empty(len(uniq_hosts), dtype=np.float64)
+        bases = np.empty(len(uniq_hosts), dtype=np.float64)
+        for hc, host in enumerate(uniq_hosts):
+            delay, disallow, fetchable = self._rules_for(host)
+            delays[hc] = delay
+            bases[hc] = max(T, self.next_allowed.get(host, 0.0))
+            # unreachable robots => allow-all (Host.py:85-86), regardless
+            # of any disallow rules in the table
+            if disallow and fetchable:
+                m = codes == hc
+                res_slice = resources[m]
+                denied = np.zeros(int(m.sum()), dtype=bool)
+                for p in disallow:
+                    if p:
+                        denied |= res_slice.str.startswith(p).to_numpy()
+                robots_denied[m] = denied
+
+        # gate precedence: robots -> blocklist -> miss -> content-type
+        status = np.select(
+            [robots_denied, blocked, ~in_table, ~is_html],
+            [STATUS_ROBOTS_DENIED, STATUS_BLOCKLISTED, STATUS_MISSING,
+             STATUS_NON_HTML],
+            default=STATUS_SAVED).astype(np.int16)
+        will_save = status == STATUS_SAVED
+
+        # ---- slot assignment: segmented cumsum in (host, seq) order -----
+        order = np.lexsort((seqs, codes))
+        codes_s = codes[order]
+        ws_s = will_save[order].astype(np.int64)
+        starts_mask = np.r_[True, np.diff(codes_s) != 0]
+        seg_start = np.flatnonzero(starts_mask)
+        seg_id = np.cumsum(starts_mask) - 1
+        cum = np.cumsum(ws_s)
+        # k = saves before me within my host segment
+        start_cum = np.r_[0, cum[seg_start[1:] - 1]]
+        k_s = (cum - ws_s) - start_cum[seg_id]
+        host_code_s = codes_s[seg_start]
+        ts_s = (bases[codes_s] + k_s * delays[codes_s])
+        ts = np.empty(n, dtype=np.float64)
+        ts[order] = ts_s
+
+        # next_allowed advances for hosts that made >=1 request
+        seg_end = np.r_[seg_start[1:] - 1, n - 1]
+        k_tot = cum[seg_end] - start_cum
+        for si, hc in enumerate(host_code_s):
+            if k_tot[si] > 0:
+                self.next_allowed[uniq_hosts[hc]] = \
+                    bases[hc] + k_tot[si] * delays[hc]
 
         out = batch.append_column("ts", pa.array(ts, pa.float64()))
         out = out.append_column("status", pa.array(status, pa.int16()))
