@@ -36,8 +36,10 @@ BENCH_WEB = dict(n_hosts=1000, pages_per_host=90, seed=11, mega_factor=10,
 BENCH_LIMIT = 80_000
 
 QUERY_NAMES = [
-    "q1_pricing_summary", "events_windowed", "events_sessionize",
-    "doc_token_counts", "dedup_exact", "dedup_minhash_lsh", "knn_cosine",
+    "q1_pricing_summary", "top_customers", "revenue_by_nation",
+    "events_windowed", "events_sessionize", "events_asof_order",
+    "doc_token_counts", "doc_langid", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "knn_cosine", "knn_ivf", "multimodal_decode",
 ]
 
 

@@ -100,6 +100,38 @@ class TestConformance:
         assert dict(zip(crawled["url"], crawled["n_links"])) == want
 
 
+class TestExchangeFetchRoute:
+    """Force the cluster-scale fetch paths (bucketed store + groupby
+    exchange instead of metadata broadcast) and verify identical results —
+    the 100 TB route must produce the same crawl as the test route."""
+
+    def test_forced_exchange_route_matches_oracle(self, ray_session,
+                                                  tiny_web,
+                                                  tmp_path_factory):
+        limit = 40
+        wd = str(tmp_path_factory.mktemp("exch") / "wd")
+        cfg = CrawlConfig(limit=limit, num_seen_shards=3,
+                          num_politeness_shards=2,
+                          fetch_broadcast_max_bytes=0,  # force bucketed store
+                          pages_store_buckets=8)
+        cfg.extra["fetch_meta_broadcast_max_bytes"] = 0  # force exchange
+        cfg.extra["direct_fetch_max_rows"] = 0
+        crawler = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd, cfg)
+        seeds = open(tiny_web["seeds"]).read().splitlines()
+        summary = crawler.crawl(seeds)
+        oracle = oracle_run(tiny_web, limit)
+        try:
+            att = crawler.attempts_dataset().to_pandas().sort_values("fetch_seq")
+            assert list(att["url"]) == [r.url for r in oracle.records]
+            assert summary["saved_total"] == len(oracle.saved_records)
+            crawled = crawler.crawled_dataset().to_pandas()
+            want = {r.url: r.extracted_text for r in oracle.saved_records}
+            assert dict(zip(crawled["url"],
+                            crawled["extracted_text"])) == want
+        finally:
+            crawler.shutdown_services()
+
+
 class TestSmallWebConformance:
     """Same exact-order conformance at the 'small' scale (more hosts,
     deeper rounds, different seed — FIXTURES.md §5)."""

@@ -95,3 +95,42 @@ def decode_meta(ray, sf_dir: str, concurrency: int = 2):
     out = ds.map_batches(DecodeStage, batch_format="pyarrow",
                          batch_size=256, concurrency=concurrency)
     return out.sort("doc_id")
+
+
+class FrameSampleStage:
+    """Actor-pool frame-sampling stage: explode each media payload into
+    one row per sampled frame with its byte range — the video-pipeline
+    plumbing (schema, explode, offsets); the pixel decode of a frame is
+    the same stub as DecodeStage.decode_pixels."""
+
+    def __init__(self, every_nth: int = 1):
+        self.every_nth = every_nth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs = batch.column("media").to_pylist()
+        o_id, o_fi, o_start, o_len = [], [], [], []
+        for d, blob in zip(ids, blobs):
+            if len(blob) < HEADER_SIZE or blob[:4] != MAGIC:
+                continue
+            _, w, h, nf = struct.unpack(HEADER_FMT, blob[:HEADER_SIZE])
+            body = len(blob) - HEADER_SIZE
+            per = max(1, body // max(nf, 1))
+            for fi in range(0, nf, self.every_nth):
+                o_id.append(d)
+                o_fi.append(fi)
+                o_start.append(HEADER_SIZE + fi * per)
+                o_len.append(per)
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "frame_idx": pa.array(o_fi, pa.int64()),
+                         "byte_start": pa.array(o_start, pa.int64()),
+                         "byte_len": pa.array(o_len, pa.int64())})
+
+
+def frame_samples(ray, sf_dir: str, concurrency: int = 2):
+    """(doc_id, frame_idx, byte_start, byte_len): sampled-frame explode
+    over the binary media column."""
+    ds = synthesize_payloads(ray, sf_dir)
+    out = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=concurrency)
+    return out.sort(["doc_id", "frame_idx"])

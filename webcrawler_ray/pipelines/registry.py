@@ -189,6 +189,7 @@ def build_queries() -> dict:
             "knn_cosine": lambda sf: similarity.knn_brute_force(ray, sf),
             "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
             "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),
+            "multimodal_frames": lambda sf: multimodal.frame_samples(ray, sf),
         })
     except ImportError:
         pass
