@@ -24,16 +24,33 @@ def hash_tokens(tokens) -> np.ndarray:
          for t in tokens), dtype=np.uint64, count=len(tokens))
 
 
+_POLY = np.uint64(1099511628211)  # FNV prime — shingle combiner
+
+
 def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """Unique uint64 hashes of the word k-shingles of ``text``."""
+    """Unique uint64 hashes of the word k-shingles of ``text``.
+
+    Tokens are blake2b-hashed ONCE; k-shingle hashes are the vectorized
+    polynomial combination of the token-hash windows (no per-shingle
+    string building — that allocation storm dominated the kernel and
+    destroyed multi-core scaling)."""
     toks = text.split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    if not grams:
+    if not toks:
         return np.zeros(0, dtype=np.uint64)
-    return np.unique(hash_tokens(grams))
+    th = hash_tokens(toks)
+    if len(th) < k:
+        with np.errstate(over="ignore"):
+            acc = np.uint64(0)
+            for v in th:
+                acc = acc * _POLY + v
+        return np.array([acc], dtype=np.uint64)
+    m = len(th) - k + 1
+    with np.errstate(over="ignore"):
+        acc = th[:m].copy()
+        for j in range(1, k):
+            acc *= _POLY
+            acc += th[j:m + j]
+    return np.unique(acc)
 
 
 def minhash_perm_params(n_perm: int = N_PERM, seed: int = 1234):
@@ -46,13 +63,23 @@ def minhash_perm_params(n_perm: int = N_PERM, seed: int = 1234):
     return a, b
 
 
+_MH_CHUNK = 1024  # keep the (n_perm x chunk) temporary inside L2 — the
+#                   unchunked matrix (n_perm x n_shingles, ~6 MB for a 6k-word
+#                   doc) turns the kernel DRAM-bandwidth-bound and kills
+#                   multi-core scaling
+
+
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(n_perm,) uint64 signature; empty shingle set -> all-max sentinel."""
     if len(sh) == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    out = np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        vals = a[:, None] * sh[None, :] + b[:, None]  # uint64 wraparound
-    return vals.min(axis=1)
+        for i in range(0, len(sh), _MH_CHUNK):
+            chunk = sh[i:i + _MH_CHUNK]
+            vals = a[:, None] * chunk[None, :] + b[:, None]
+            np.minimum(out, vals.min(axis=1), out=out)
+    return out
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -68,14 +95,21 @@ _SHIFTS = np.arange(64, dtype=np.uint64)
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over word unigrams, weighted by token count (each
-    unique token hashed once — the standard counted-token formulation)."""
+    unique token hashed once — the standard counted-token formulation).
+    Chunked like minhash to keep temporaries cache-resident."""
     toks = text.split()
     if not toks:
         return 0
-    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-    hs = hash_tokens(list(uniq))
-    bits = ((hs[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
-    acc = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    # hash every token once, unique on uint64 (C-speed) with counts —
+    # same counted-token weighting, no python-object sorting
+    hs_all = hash_tokens(toks)
+    hs, counts = np.unique(hs_all, return_counts=True)
+    acc = np.zeros(64, dtype=np.int64)
+    for i in range(0, len(hs), _MH_CHUNK):
+        h = hs[i:i + _MH_CHUNK]
+        c = counts[i:i + _MH_CHUNK].astype(np.int64)
+        bits = ((h[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+        acc += ((bits * 2 - 1) * c[:, None]).sum(axis=0)
     out = np.uint64(0)
     for i in range(64):
         if acc[i] > 0:

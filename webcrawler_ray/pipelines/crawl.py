@@ -201,6 +201,10 @@ class RayCrawler:
             stage_secs[stage] = round(now - _last[0], 3)
             _last[0] = now
 
+        # zstd on every sink: disk bandwidth is the one resource that does
+        # NOT scale with CPUs — trade (parallel) compression cpu for it
+        pq_args = {"compression": cfg.extra.get("parquet_compression", "zstd")}
+
         ds = ray.data.read_parquet(
             st["frontier_path"],
             override_num_blocks=_nblocks(st["n_frontier"]))
@@ -327,7 +331,7 @@ class RayCrawler:
          .map_batches(lambda t: t.drop_columns(
              [c for c in ("in_table", "is_html", "will_save")
               if c in t.column_names]), batch_format="pyarrow")
-         .write_parquet(att_dir))
+         .write_parquet(att_dir, **pq_args))
         _mark("cut_insert_write")
         # the attempts write ran every seen-shard insert: seen state is
         # final for this round -> checkpoint async too
@@ -384,10 +388,12 @@ class RayCrawler:
                 batch_format="pyarrow")
             try:
                 crawled.write_parquet(crawled_dir,
-                                      min_rows_per_file=cfg.pages_per_file)
+                                      min_rows_per_file=cfg.pages_per_file,
+                                      **pq_args)
             except TypeError:  # older write_parquet API
                 crawled.write_parquet(crawled_dir,
-                                      num_rows_per_file=cfg.pages_per_file)
+                                      num_rows_per_file=cfg.pages_per_file,
+                                      **pq_args)
             _mark("crawled_write")
 
             if cfg.debug_log:
@@ -398,7 +404,8 @@ class RayCrawler:
                         "URL": t.column("url"), "Title": t.column("title"),
                         "Text": t.column("first_n"),
                         "Timestamp": t.column("ts")}),
-                    batch_format="pyarrow").write_parquet(log_dir)
+                    batch_format="pyarrow").write_parquet(
+                        log_dir, **pq_args)
 
             # ---- next frontier ------------------------------------------
             # dedup-by-min-seq over up to |frontier| * out-degree candidate
@@ -447,7 +454,8 @@ class RayCrawler:
 
             nf_dir = os.path.join(rdir, "next_frontier")
             cand.map_batches(finish_candidates,
-                             batch_format="pyarrow").write_parquet(nf_dir)
+                             batch_format="pyarrow").write_parquet(
+                                 nf_dir, **pq_args)
             try:
                 n_candidates = pads.dataset(nf_dir).count_rows()
             except Exception:
