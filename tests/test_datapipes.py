@@ -126,6 +126,29 @@ class TestRowsOnly:
         with pytest.raises(NotImplementedError):
             DecodeStage.decode_pixels(b"FIMG" + b"\x00" * 32)
 
+    def test_multimodal_frame_samples(self, queries):
+        q, _ = queries
+        frames = _to_df(q["multimodal_frames"](SF_DIR))
+        meta = _to_df(q["multimodal_decode"](SF_DIR))
+        # one row per frame; frame counts match the decoded header
+        per_doc = frames.groupby("doc_id").size()
+        want = meta.set_index("doc_id")["n_frames"]
+        assert (per_doc == want.loc[per_doc.index]).all()
+        assert (frames["byte_start"] >= 16).all()
+
+    def test_ngram_jaccard_pct_bounds(self, queries):
+        q, _ = queries
+        df = _to_df(q["dedup_ngram_jaccard"](SF_DIR))
+        if len(df):
+            assert df["jaccard_pct"].between(50, 100).all()
+
+    def test_dedup_clusters_labels_are_min_member(self, queries):
+        q, _ = queries
+        df = _to_df(q["dedup_clusters"](SF_DIR))
+        if len(df):
+            mins = df.groupby("cluster_id")["doc_id"].min()
+            assert (mins.index == mins.values).all()
+
 
 class TestEntryContract:
     def test_entry_runs_and_returns_rows(self, ray_session):
