@@ -17,6 +17,8 @@ docs (a tiny set) via ``ray.put``.
 
 from __future__ import annotations
 
+from ..io_utils import read_parquet_clean as _rpq
+
 import hashlib
 
 import numpy as np
@@ -43,7 +45,7 @@ def exact_dedup(ray, sf_dir: str):
 
     from ..stages.aggregates import hash_bucket_aggregate
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def add_fp(batch: pa.Table) -> pa.Table:
@@ -81,7 +83,7 @@ def minhash_lsh_pairs(ray, sf_dir: str, threshold: float = 0.8):
     a, b = _perm_params()
     rows_per_band = N_PERM // N_BANDS
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -248,7 +250,7 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
     """Near-dup pairs by simhash hamming distance <= k, candidates via the
     4-segment pigeonhole blocking (any pair within distance 3 shares at
     least one exact 16-bit segment)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def to_segments(batch: pa.Table) -> pa.Table:

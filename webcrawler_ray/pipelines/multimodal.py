@@ -18,6 +18,8 @@ column away immediately after decode (SURVEY.md §4 wide-binary rule).
 
 from __future__ import annotations
 
+from ..io_utils import read_parquet_clean as _rpq
+
 import struct
 
 import numpy as np
@@ -30,7 +32,7 @@ HEADER_SIZE = struct.calcsize(HEADER_FMT)  # 16
 
 def synthesize_payloads(ray, sf_dir: str):
     """documents -> (doc_id, media: binary) with a parseable fake header."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def synth(batch: pa.Table) -> pa.Table:

@@ -10,6 +10,8 @@ SQL-checked aggregate in this repo).
 
 from __future__ import annotations
 
+from ..io_utils import read_parquet_clean as _rpq
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -23,7 +25,7 @@ def q1_pricing_summary(ray, sf_dir: str):
     the groupby sees one row per key per batch, not every row)."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = _rpq(ray, 
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"])
@@ -62,9 +64,9 @@ def q1_pricing_summary(ray, sf_dir: str):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS base_cents,
-       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS disc_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS disc_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -83,7 +85,7 @@ def top_customers(ray, sf_dir: str, k: int = 10):
 
     from ..stages.aggregates import hash_bucket_aggregate
 
-    li = ray.data.read_parquet(
+    li = _rpq(ray, 
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -99,7 +101,7 @@ def top_customers(ray, sf_dir: str, k: int = 10):
         ["l_orderkey"],
         lambda df: df.groupby("l_orderkey", as_index=False).sum())
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey"])
     orders = orders.map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
@@ -112,27 +114,39 @@ def top_customers(ray, sf_dir: str, k: int = 10):
         lambda df: df[["o_custkey", "revenue_cents"]]
         .groupby("o_custkey", as_index=False).sum())
 
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_name"]).to_pandas()
-    name_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    # top-k cut FIRST, then a name lookup for only those k custkeys — the
+    # customer table is never materialized anywhere (a k-row filtered
+    # parquet read per batch of the k winners, not a full-table broadcast)
+    topk = per_cust.sort(["revenue_cents", "o_custkey"],
+                         descending=[True, False]).limit(k)
+
+    cust_path = f"{sf_dir}/customer.parquet"
 
     def add_name(batch: pa.Table) -> pa.Table:
-        names = _ray.get(name_ref)
-        keys = batch.column("o_custkey").to_pylist()
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        keys = batch.column("o_custkey")
+        t = pads.dataset(cust_path).to_table(
+            columns=["c_custkey", "c_name"],
+            filter=pc.field("c_custkey").isin(keys))
+        names = dict(zip(t.column("c_custkey").to_pylist(),
+                         t.column("c_name").to_pylist()))
         return pa.table({
-            "c_custkey": pa.array(keys, pa.int64()),
-            "c_name": pa.array([names.get(c) for c in keys], pa.string()),
+            "c_custkey": keys.cast(pa.int64()),
+            "c_name": pa.array([names.get(c) for c in keys.to_pylist()],
+                               pa.string()),
             "revenue_cents": batch.column("revenue_cents")})
 
-    out = per_cust.map_batches(add_name, batch_format="pyarrow")
+    out = topk.map_batches(add_name, batch_format="pyarrow")
     return out.sort(["revenue_cents", "c_custkey"],
-                    descending=[True, False]).limit(k)
+                    descending=[True, False])
 
 
 TOP_CUSTOMERS_SQL = """
 SELECT c_custkey, c_name,
-       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-           AS revenue_cents
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
@@ -144,62 +158,88 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 def revenue_by_nation(ray, sf_dir: str):
     """Multi-way join rollup: lineitem -> orders -> customer -> nation ->
-    region, revenue per (region, nation). The three dimension maps
-    (orders->cust, cust->nation, nation->(name, region name)) are built
-    once driver-side from pruned column reads and broadcast; lineitem
-    partial-aggregates by orderkey per batch before any lookup, so the
-    only shuffle is the final tiny groupby."""
+    region, revenue per (region, nation).
+
+    Scale shape: the two FACT-scale sides (orders, customer) go through
+    distributed hash joins (``Dataset.join``) — never a driver dict; only
+    the genuinely tiny dimensions (nation x region: ~25 rows) are
+    broadcast via ``ray.put``. lineitem partial-aggregates by orderkey
+    per batch before the first join, so the exchanges move one row per
+    orderkey / custkey, not one per lineitem."""
     import pyarrow.dataset as pads
     import ray as _ray
     from ray.data.aggregate import Sum
 
-    orders = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
-        columns=["o_orderkey", "o_custkey"])
-    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
-        columns=["c_custkey", "c_nationkey"])
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    # tiny dimensions only: nation (25 rows) x region (5 rows)
     nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
         columns=["n_nationkey", "n_name", "n_regionkey"])
     region = pads.dataset(f"{sf_dir}/region.parquet").to_table(
         columns=["r_regionkey", "r_name"])
-    o2c = dict(zip(orders.column("o_orderkey").to_pylist(),
-                   orders.column("o_custkey").to_pylist()))
-    c2n = dict(zip(cust.column("c_custkey").to_pylist(),
-                   cust.column("c_nationkey").to_pylist()))
     rname = dict(zip(region.column("r_regionkey").to_pylist(),
                      region.column("r_name").to_pylist()))
     n2names = {k: (nm, rname[rk]) for k, nm, rk in
                zip(nation.column("n_nationkey").to_pylist(),
                    nation.column("n_name").to_pylist(),
                    nation.column("n_regionkey").to_pylist())}
-    ref = _ray.put((o2c, c2n, n2names))
+    ref = _ray.put(n2names)
 
-    li = ray.data.read_parquet(
+    li = _rpq(ray, 
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        o2c_, c2n_, n2_ = _ray.get(ref)
-        cents = np.floor(batch["l_extendedprice"]
-                         * (1 - batch["l_discount"]) * 100).astype("int64")
-        nk = batch["l_orderkey"].map(o2c_).map(c2n_)
-        names = nk.map(lambda k: n2_[k])
-        g = pd.DataFrame({
-            "r_name": names.str[1],
-            "n_name": names.str[0],
-            "revenue_cents": cents,
-        })
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"],
+            "revenue_cents": np.floor(batch["l_extendedprice"]
+                                      * (1 - batch["l_discount"]) * 100
+                                      ).astype("int64")})
+
+    li_agg = hash_bucket_aggregate(
+        li.map_batches(to_cents, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", as_index=False).sum())
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    joined = li_agg.join(orders, join_type="inner", on=("l_orderkey",),
+                         num_partitions=8)
+    per_cust = hash_bucket_aggregate(
+        joined, ["o_custkey"],
+        lambda df: df[["o_custkey", "revenue_cents"]]
+        .groupby("o_custkey", as_index=False).sum())
+
+    cust = _rpq(ray, f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow")
+    per_cust = per_cust.join(cust, join_type="inner", on=("o_custkey",),
+                             num_partitions=8)
+
+    def add_names(batch: pd.DataFrame) -> pd.DataFrame:
+        n2_ = _ray.get(ref)
+        names = batch["c_nationkey"].map(lambda k: n2_[k])
+        g = pd.DataFrame({"r_name": names.str[1], "n_name": names.str[0],
+                          "revenue_cents": batch["revenue_cents"]})
+        # partial pre-aggregation: the final groupby sees <=25 rows/batch
         return g.groupby(["r_name", "n_name"], as_index=False).sum()
 
-    out = (li.map_batches(per_batch, batch_format="pandas", batch_size=65536)
-             .groupby(["r_name", "n_name"])
-             .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+    out = (per_cust.map_batches(add_names, batch_format="pandas")
+                   .groupby(["r_name", "n_name"])
+                   .aggregate(Sum("revenue_cents",
+                                  alias_name="revenue_cents")))
     return out.sort(["r_name", "n_name"])
 
 
 REVENUE_BY_NATION_SQL = """
 SELECT r_name, n_name,
-       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-           AS revenue_cents
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
      JOIN customer ON o_custkey = c_custkey
      JOIN nation ON c_nationkey = n_nationkey
@@ -212,7 +252,7 @@ def events_topk_users(ray, sf_dir: str, k: int = 10):
     """Top-k users by event count (groupby + sort + limit)."""
     from ray.data.aggregate import Count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
                                columns=["user_id"])
     out = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
     return out.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
@@ -226,7 +266,7 @@ GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
 
 def docs_topk_longest(ray, sf_dir: str, k: int = 20):
     """Top-k longest documents (sort + limit over a projection)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "n_chars"])
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
 
@@ -241,7 +281,7 @@ def events_by_type(ray, sf_dir: str):
     """(event_type, n_events, first_event_id, last_event_id)."""
     from ray.data.aggregate import Count, Max, Min
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
                                columns=["event_type", "event_id"])
     out = ds.groupby("event_type").aggregate(
         Count(alias_name="n_events"),
@@ -268,7 +308,7 @@ def events_windowed(ray, sf_dir: str):
     'streaming-shaped workloads' pattern)."""
     from ray.data.aggregate import Count, Min
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts", "event_id"])
 
     def win(batch: pa.Table) -> pa.Table:
@@ -301,7 +341,7 @@ def sessionize(ray, sf_dir: str):
     """(user_id, n_sessions, n_events): session = events of one user with
     gaps < 30 min. groupby(user).map_groups over ts-sorted groups — the
     partition-by-key + in-group window pattern for stream-shaped data."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
@@ -334,7 +374,7 @@ def events_running_index(ray, sf_dir: str):
     """(event_id, k): per-user running event index ordered by (ts,
     event_id) — the partition-by-key ordered-window pattern
     (groupby(user).map_groups over ts-sorted groups)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
@@ -356,51 +396,59 @@ FROM events ORDER BY event_id
 
 def events_asof_order(ray, sf_dir: str):
     """As-of join: for each event, the user's most recent order with
-    o_orderdate <= ts (tie-break: max o_orderkey). The small side (orders,
-    sorted per user) is BROADCAST once via ray.put; each event batch does a
-    vectorized searchsorted — no shuffle. Events without a matching order
-    are dropped (inner as-of)."""
-    import ray as _ray
+    o_orderdate <= ts (tie-break: max o_orderkey). Events without a
+    matching order are dropped (inner as-of).
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    orders["date_us"] = orders["o_orderdate"].astype("int64")
-    # per user: order by (date, orderkey) so the last match is the tie-win
-    by_user: dict[int, tuple] = {}
-    for uid, g in orders.groupby("o_custkey"):
-        g = g.sort_values(["date_us", "o_orderkey"])
-        by_user[int(uid)] = (g["date_us"].to_numpy(),
-                             g["o_orderkey"].to_numpy())
-    ref = _ray.put(by_user)
-
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    Scale shape: a PARTITIONED as-of join — both sides are normalized to
+    one union schema and hash-partitioned by ``user_id`` (one groupby
+    shuffle); inside each user group one vectorized ``np.searchsorted``
+    matches every event at once. Sorting orders by (date, orderkey) makes
+    ``side="right"`` land on the max-orderkey row of a tied date, so no
+    per-row tie walk and no driver-side state of any size."""
+    ev = _rpq(ray, f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts"])
+    od = _rpq(ray, 
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def asof(batch: pa.Table) -> pa.Table:
-        bu = _ray.get(ref)
-        uids = batch.column("user_id").to_numpy(zero_copy_only=False)
-        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eids = batch.column("event_id").to_numpy(zero_copy_only=False)
-        out_e, out_o = [], []
-        for i in range(len(uids)):
-            g = bu.get(int(uids[i]))
-            if g is None:
-                continue
-            dates, keys = g
-            j = np.searchsorted(dates, ts[i], side="right") - 1
-            if j < 0:
-                continue
-            # ties on date: take max orderkey among equal dates
-            d = dates[j]
-            while j + 1 < len(dates) and dates[j + 1] == d:
-                j += 1
-            out_e.append(int(eids[i]))
-            out_o.append(int(keys[j]))
-        return pa.table({"event_id": pa.array(out_e, pa.int64()),
-                         "last_orderkey": pa.array(out_o, pa.int64())})
+    def ev_norm(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "t_us": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id"),
+            "o_orderkey": pa.array(np.full(n, -1, dtype=np.int64),
+                                   pa.int64())})
 
-    return ds.map_batches(asof, batch_format="pyarrow").sort("event_id")
+    def od_norm(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "user_id": b.column("o_custkey"),
+            "t_us": b.column("o_orderdate").cast(pa.int64()),
+            "event_id": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+            "o_orderkey": b.column("o_orderkey")})
+
+    both = (ev.map_batches(ev_norm, batch_format="pyarrow")
+              .union(od.map_batches(od_norm, batch_format="pyarrow")))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        is_order = g["o_orderkey"].to_numpy() >= 0
+        odf = g[is_order].sort_values(["t_us", "o_orderkey"])
+        edf = g[~is_order]
+        if len(odf) == 0 or len(edf) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "last_orderkey": pd.Series([], dtype="int64")})
+        dates = odf["t_us"].to_numpy()
+        keys = odf["o_orderkey"].to_numpy()
+        j = np.searchsorted(dates, edf["t_us"].to_numpy(), side="right") - 1
+        m = j >= 0
+        return pd.DataFrame({
+            "event_id": edf["event_id"].to_numpy()[m].astype("int64"),
+            "last_orderkey": keys[j[m]].astype("int64")})
+
+    return (both.groupby("user_id").map_groups(per_user,
+                                               batch_format="pandas")
+                .sort("event_id"))
 
 
 EVENTS_ASOF_SQL = """

@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+from ..io_utils import read_parquet_clean as _rpq
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -56,7 +58,7 @@ def knn_brute_force(ray, sf_dir: str, n_queries: int = N_QUERIES,
     qids, qm = _load_queries(ray, sf_dir, n_queries)
     qref = ray.put((qids, qm))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -148,7 +150,7 @@ def knn_ivf(ray, sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
         probe_mask[i, np.argsort(-csim[i])[:nprobe]] = True
     pref = ray.put((qids, qm, cents, probe_mask))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -202,7 +204,7 @@ def cosine_dup_pairs(ray, sf_dir: str, threshold: float = 0.45,
     ids, m = _emb_matrix(t)
     ref = ray.put((ids, _normalize(m)))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     ds = ds.map_batches(
         lambda b: b.filter(pc.less(b.column("vec_id"),

@@ -11,6 +11,8 @@ strings) so the DuckDB oracle hashes match bit-for-bit.
 
 from __future__ import annotations
 
+from ..io_utils import read_parquet_clean as _rpq
+
 import hashlib
 
 import numpy as np
@@ -19,7 +21,7 @@ import pyarrow as pa
 
 
 def _docs(ray, sf_dir: str, columns):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _rpq(ray, f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -34,7 +36,7 @@ def token_counts(ray, sf_dir: str):
                          "n_tokens": pa.array(n, pa.int64())})
 
     return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow")
+        f, batch_format="pyarrow").sort("doc_id")
 
 
 def first_n_words(ray, sf_dir: str, n: int = 20):
@@ -47,7 +49,7 @@ def first_n_words(ray, sf_dir: str, n: int = 20):
                          "first20": pa.array(out, pa.string())})
 
     return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow")
+        f, batch_format="pyarrow").sort("doc_id")
 
 
 def lang_counts(ray, sf_dir: str):
@@ -56,7 +58,7 @@ def lang_counts(ray, sf_dir: str):
     return ds.map_batches(
         lambda t: pa.table({"lang": t.column("lang"),
                             "n_docs": t.column("count()")}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").sort("lang")
 
 
 def quality_counts(ray, sf_dir: str):
@@ -76,7 +78,7 @@ def quality_counts(ray, sf_dir: str):
         })
 
     return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pandas")
+        f, batch_format="pandas").sort("doc_id")
 
 
 def md5_fingerprints(ray, sf_dir: str):
@@ -91,7 +93,7 @@ def md5_fingerprints(ray, sf_dir: str):
                          "fp": pa.array(fps, pa.string())})
 
     return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow")
+        f, batch_format="pyarrow").sort("doc_id")
 
 
 # --- language-ID heuristic (no SQL oracle: model-style scoring) ------------
@@ -129,7 +131,7 @@ class LangIdStage:
 def langid(ray, sf_dir: str, concurrency: int = 2):
     return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
         LangIdStage, batch_format="pyarrow", batch_size=1024,
-        concurrency=concurrency)
+        concurrency=concurrency).sort("doc_id")
 
 
 def winnow_fingerprints(ray, sf_dir: str, k: int = 5, w: int = 8):
@@ -164,4 +166,4 @@ def winnow_fingerprints(ray, sf_dir: str, k: int = 5, w: int = 8):
                          "max_fp": pa.array(maxs, pa.int64())})
 
     return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow")
+        f, batch_format="pyarrow").sort("doc_id")

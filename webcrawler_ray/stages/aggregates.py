@@ -50,16 +50,22 @@ def hash_bucket_aggregate(ds, keys: list[str], combine, num_buckets: int = 16,
     count (merge = sum of partial counts) — must pass ``merge``."""
     merge = merge or combine
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    # outputs go back to arrow with schema metadata STRIPPED: pandas->arrow
+    # conversion attaches a `pandas` metadata dict that makes pa.Schema
+    # unhashable and defeats Ray's block-schema dedup (io_utils docstring)
+    def partial(batch: pd.DataFrame):
         if len(batch) == 0:
-            return batch
+            return pa.Table.from_pandas(
+                batch, preserve_index=False).replace_schema_metadata(None)
         out = combine(batch)
         out["__bucket"] = _bucket_of(out, keys, num_buckets)
-        return out
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop(columns=["__bucket"])
-        return merge(g)
+    def per_bucket(group: pd.DataFrame):
+        g = merge(group.drop(columns=["__bucket"]))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     return (ds.map_batches(partial, batch_format=batch_format)
               .groupby("__bucket")
