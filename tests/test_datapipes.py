@@ -113,6 +113,42 @@ class TestRowsOnly:
         recall = len(b & v) / len(b)
         assert recall >= 0.5  # nprobe=3 of ~n labels; sanity floor
 
+    def test_cosine_dup_pairs_uncapped_beyond_4096(self, ray_session,
+                                                   tmp_path):
+        # the old implementation silently capped both sides at vec_id <
+        # 4096; this fixture plants near-dup pairs ACROSS that boundary
+        # and checks exact agreement with a numpy brute-force reference
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        rng = np.random.default_rng(7)
+        n, d = 5000, 16
+        m = rng.normal(size=(n, d)).astype(np.float32)
+        m[4500] = m[100] + 0.01 * rng.normal(size=d).astype(np.float32)
+        m[4999] = m[4998] + 0.01 * rng.normal(size=d).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32())})
+        dd = tmp_path / "emb"
+        dd.mkdir()
+        pq.write_table(tbl, str(dd / "embeddings.parquet"))
+
+        from webcrawler_ray.pipelines.similarity import (
+            _normalize,
+            cosine_dup_pairs,
+        )
+
+        got = _to_df(cosine_dup_pairs(ray, str(dd), threshold=0.9))
+        mn = _normalize(m.astype(np.float64))
+        sims = mn @ mn.T
+        idx = np.arange(n)
+        ia, ib = np.nonzero((sims >= 0.9) & (idx[None, :] > idx[:, None]))
+        want = set(zip(ia.tolist(), ib.tolist()))
+        assert (100, 4500) in want and (4998, 4999) in want
+        assert set(zip(got["vec_id_a"], got["vec_id_b"])) == want
+
     def test_multimodal_header_roundtrip(self, queries):
         q, _ = queries
         df = _to_df(q["multimodal_decode"](SF_DIR))

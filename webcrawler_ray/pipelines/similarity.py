@@ -5,11 +5,12 @@
   emits only its local top-k per query; a final tiny per-query reduce
   keeps the global top-k. Data moved: O(batches x queries x k), never the
   embedding corpus.
-* ``knn_ivf`` — the scale path: coarse quantization by the ``label``
-  partition (centroid = per-label mean via distributed groupby), probe the
-  nprobe nearest centroids, exact search only inside probed partitions.
-* ``cosine_dup_pairs`` — embedding near-duplicate pairs above a cosine
-  threshold via block-wise matmul.
+* ``knn_ivf`` — the scale path: coarse cells from a deterministic cosine
+  k-means trained on a BOUNDED driver-side sample; every batch assigns
+  its vectors to cells locally and searches only cells probed by the
+  query (nprobe nearest centroids).
+* ``cosine_dup_pairs`` — UNCAPPED exact near-duplicate pairs above a
+  cosine threshold via blocked pairwise matmul (one task per block pair).
 """
 
 from __future__ import annotations
@@ -73,11 +74,20 @@ def knn_brute_force(ray, sf_dir: str, n_queries: int = N_QUERIES,
             if len(cand_ids) == 0:
                 continue
             take = min(k, len(cand_ids))
-            # partial select then deterministic (-sim, id) order
-            part = np.argpartition(-cand_s, take - 1)[:take]
+            # partial select INCLUDING boundary ties, then deterministic
+            # (-sim, id) order — plain argpartition keeps an arbitrary
+            # subset of candidates tied at the k-th similarity
+            if take < len(cand_ids):
+                part = np.argpartition(-cand_s, take - 1)
+                kth = cand_s[part[take - 1]]
+                sel = np.nonzero(cand_s >= kth)[0]
+            else:
+                sel = np.arange(len(cand_ids))
+            order = np.lexsort((cand_ids[sel], -cand_s[sel]))[:take]
+            idx = sel[order]
             out_q.extend([int(_qids[qi])] * take)
-            out_n.extend(cand_ids[part].astype(int))
-            out_s.extend(cand_s[part])
+            out_n.extend(cand_ids[idx].astype(int))
+            out_s.extend(cand_s[idx])
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "neighbor_id": pa.array(out_n, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
@@ -166,10 +176,17 @@ def knn_ivf(ray, sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
             s = mn[mask] @ _qm[qi]
             cid = ids[mask]
             take = min(k, len(cid))
-            part = np.argpartition(-s, take - 1)[:take]
+            if take < len(cid):  # boundary-tie-safe partial select
+                part = np.argpartition(-s, take - 1)
+                kth = s[part[take - 1]]
+                sel = np.nonzero(s >= kth)[0]
+            else:
+                sel = np.arange(len(cid))
+            order = np.lexsort((cid[sel], -s[sel]))[:take]
+            idx = sel[order]
             out_q.extend([int(q)] * take)
-            out_n.extend(cid[part].astype(int))
-            out_s.extend(s[part])
+            out_n.extend(cid[idx].astype(int))
+            out_s.extend(s[idx])
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "neighbor_id": pa.array(out_n, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
@@ -190,42 +207,87 @@ def knn_ivf(ray, sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
 
 
 # ---------------------------------------------------------------------------
+def _vec_id_bounds(path: str) -> tuple[int, int]:
+    """(min, max) of vec_id from parquet row-group statistics — a
+    footer-only read; falls back to a single-column scan if a writer
+    omitted stats."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            if c.path_in_schema == "vec_id" and c.statistics is not None \
+                    and c.statistics.has_min_max:
+                lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+    if lo is None:
+        import pyarrow.dataset as pads
+
+        ids = pads.dataset(path).to_table(columns=["vec_id"]).column("vec_id")
+        import pyarrow.compute as pc
+
+        lo, hi = pc.min(ids).as_py(), pc.max(ids).as_py()
+    return int(lo), int(hi)
+
+
 def cosine_dup_pairs(ray, sf_dir: str, threshold: float = 0.45,
-                     max_side: int = 4096):
+                     block_rows: int = 4096):
     """(vec_id_a, vec_id_b): embedding near-duplicate pairs with cosine >=
-    threshold, a < b. Block-wise matmul over a capped id range (the LSH
-    route replaces the cap at full scale)."""
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
+    threshold, a < b — UNCAPPED exact all-pairs.
 
-    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding"],
-        filter=pc.field("vec_id") < max_side)
-    ids, m = _emb_matrix(t)
-    ref = ray.put((ids, _normalize(m)))
+    Scale shape: blocked pairwise matmul. The id range is split into
+    fixed blocks; ONE task per block pair (i <= j) reads its two
+    column-pruned, id-range-filtered slices straight from parquet and
+    emits pairs from a single vectorized matmul + nonzero. No corpus
+    broadcast, no driver materialization, no silent cap; the task grid is
+    the inherent O((N/B)^2) of the exact operator — the LSH/banded route
+    (``dedup.py``) is the sub-quadratic path at 100 TB."""
+    path = f"{sf_dir}/embeddings.parquet"
+    lo, hi = _vec_id_bounds(path)
+    n_blocks = (hi - lo) // block_rows + 1
+    block_pairs = [(i, j) for i in range(n_blocks)
+                   for j in range(i, n_blocks)]
+    grid = ray.data.from_items(
+        [{"bi": i, "bj": j} for i, j in block_pairs],
+        override_num_blocks=len(block_pairs))
 
-    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    ds = ds.map_batches(
-        lambda b: b.filter(pc.less(b.column("vec_id"),
-                                   pa.scalar(max_side, pa.int64()))),
-        batch_format="pyarrow")
+    def one(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_m = ray.get(ref)
-        ids_b, mb = _emb_matrix(batch)
-        sims = _normalize(mb) @ all_m.T
-        out_a, out_b = [], []
-        for i in range(len(ids_b)):
-            hits = np.nonzero((sims[i] >= threshold) & (all_ids > ids_b[i]))[0]
-            for j in hits:
-                out_a.append(int(ids_b[i]))
-                out_b.append(int(all_ids[j]))
-        return pa.table({"vec_id_a": pa.array(out_a, pa.int64()),
-                         "vec_id_b": pa.array(out_b, pa.int64())})
+        dset = pads.dataset(path)
 
-    return (ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048)
-              .sort(["vec_id_a", "vec_id_b"]))
+        def read_block(b: int):
+            s, e = lo + b * block_rows, lo + (b + 1) * block_rows
+            t = dset.to_table(columns=["vec_id", "embedding"],
+                              filter=(pc.field("vec_id") >= s)
+                              & (pc.field("vec_id") < e))
+            ids, m = _emb_matrix(t)
+            return ids, _normalize(m)
+
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for bi, bj in zip(batch.column("bi").to_pylist(),
+                          batch.column("bj").to_pylist()):
+            ida, ma = read_block(bi)
+            idb, mb = (ida, ma) if bj == bi else read_block(bj)
+            if len(ida) == 0 or len(idb) == 0:
+                continue
+            sims = ma @ mb.T
+            cond = (sims >= threshold) & (idb[None, :] > ida[:, None])
+            ia, ib = np.nonzero(cond)
+            out_a.append(ida[ia])
+            out_b.append(idb[ib])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        return pa.table({"vec_id_a": pa.array(a.astype(np.int64), pa.int64()),
+                         "vec_id_b": pa.array(b.astype(np.int64), pa.int64())})
+
+    return (grid.map_batches(one, batch_format="pyarrow", batch_size=None)
+                .sort(["vec_id_a", "vec_id_b"]))
 
 
 COSINE_DUP_SQL = """
