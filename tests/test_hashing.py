@@ -112,3 +112,28 @@ class TestHashTokens:
         b = hash_tokens(["x", "y"])
         assert np.array_equal(a, b)
         assert a.dtype == np.uint64
+
+
+class TestSimhashInt64Encoding:
+    def test_centered_encoding_preserves_bit63_hamming(self):
+        # the dedup pipeline stores simhash as centered int64
+        # (sh - 2**63) and decodes by int64 -> uint64 cast; the cast
+        # flips bit 63 of every value CONSISTENTLY, so xor-hamming must
+        # equal the true hamming — including bit-63 differences (the old
+        # `% 2**63` encoding zeroed that bit)
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        raw = rng.integers(0, 1 << 63, size=64, dtype=np.uint64) * 2 \
+            + rng.integers(0, 2, size=64, dtype=np.uint64)
+        # force some pairs that differ ONLY in bit 63
+        raw[1] = raw[0] ^ np.uint64(1 << 63)
+        enc = np.array([int(v) - (1 << 63) for v in raw], dtype=np.int64)
+        dec = enc.astype(np.uint64)
+        for i in range(0, len(raw), 2):
+            a, b = raw[i], raw[i + 1]
+            true_ham = bin(int(a) ^ int(b)).count("1")
+            x = int(dec[i]) ^ int(dec[i + 1])
+            assert bin(x).count("1") == true_ham
+        # the pair differing only in bit 63 has hamming exactly 1
+        assert bin(int(dec[0]) ^ int(dec[1])).count("1") == 1

@@ -73,18 +73,21 @@ FROM documents GROUP BY md5(LOWER(TRIM(text))) ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-def minhash_lsh_pairs(ray, sf_dir: str, threshold: float = 0.8):
-    """Near-dup pairs (doc_a, doc_b) with shingle-Jaccard >= threshold.
+def _lsh_candidate_pairs(ray, sf_dir: str):
+    """Distributed candidate (doc_a, doc_b) pairs from MinHash banding:
+    shingle -> minhash (map_batches) -> explode to (band_id, band_hash,
+    doc_id) -> coarse-bucket groupby (the shuffle moves only id/band-hash
+    triples, never text) -> in-bucket vectorized pair expansion ->
+    distinct pairs via a bucketed aggregate. Returns a Dataset; shared by
+    the MinHash and n-gram verifiers (computed ONCE, no threshold-0
+    rerun)."""
+    from ..stages.aggregates import hash_bucket_aggregate
 
-    Pipeline: shingle -> minhash (map_batches) -> explode to
-    (band_id, band_hash, doc_id) -> groupby band bucket -> candidate pairs
-    -> exact-Jaccard verify -> distinct sorted pairs.
-    """
     a, b = _perm_params()
     rows_per_band = N_PERM // N_BANDS
 
     ds = _rpq(ray, f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+              columns=["doc_id", "text"])
 
     def to_bands(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -130,89 +133,100 @@ def minhash_lsh_pairs(ray, sf_dir: str, threshold: float = 0.8):
     cand = (bands.map_batches(add_cbucket, batch_format="pyarrow")
                  .groupby("cbucket")
                  .map_groups(coarse_pairs, batch_format="pandas"))
-    cand_df = cand.to_pandas().drop_duplicates()
-    if len(cand_df) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64())})
+    # a pair can surface from several bands (-> several coarse buckets):
+    # distinct via a bucketed vectorized aggregate, still distributed
+    return hash_bucket_aggregate(
+        cand, ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]))
 
-    # verify: fetch texts of candidate docs only (tiny set) and broadcast
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
 
-    need = np.unique(np.concatenate([cand_df["doc_a"], cand_df["doc_b"]]))
-    tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
-        columns=["doc_id", "text"],
-        filter=pc.field("doc_id").isin(pa.array(need)))
-    texts = dict(zip(tbl.column("doc_id").to_pylist(),
-                     tbl.column("text").to_pylist()))
-    ref = ray.put(texts)
-    cand_ds = ray.data.from_pandas(cand_df.reset_index(drop=True))
+def _shingle_table(ray, sf_dir: str):
+    """(doc_id, sh: binary) — each document's unique (sorted) shingle
+    hashes as raw uint64 bytes. Binary, not list<uint64>: Acero's hash
+    join (behind ``Dataset.join``) rejects list-typed payload columns but
+    carries var-length binary fine; the bytes round-trip through
+    ``np.frombuffer`` zero-copy. This is the verify-side exchange
+    payload."""
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet",
+              columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        blobs = [_shingle_hashes(t).tobytes() for t in texts]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "sh": pa.array(blobs, pa.binary())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
+
+
+def _sh_rows(col: pa.ChunkedArray):
+    """Yield each row of the binary shingle column as a uint64 ndarray."""
+    for b in col.to_pylist():
+        yield np.frombuffer(b, dtype=np.uint64)
+
+
+def _verify_pairs_exchange(ray, sf_dir: str, cand, threshold: float,
+                           with_pct: bool):
+    """Exact-Jaccard verification via a HASH-BUCKETED EXCHANGE: candidate
+    pairs are joined back to their shingle sets with two distributed
+    ``Dataset.join``s (keyed on doc_a, then doc_b) — texts and shingle
+    sets move through the shuffle, never through the driver or a
+    broadcast, so one hot band bucket cannot OOM anything."""
+    empty_cols = {"doc_a": pa.array([], pa.int64()),
+                  "doc_b": pa.array([], pa.int64())}
+    if with_pct:
+        empty_cols["jaccard_pct"] = pa.array([], pa.int64())
+    cand = cand.materialize()  # pair IDS only — bounded by banding
+    if cand.count() == 0:
+        return pa.table(empty_cols)
+
+    sh = _shingle_table(ray, sf_dir)  # lazy: re-executed per join side
+    sh_a = sh.map_batches(lambda t: t.rename_columns(["doc_a", "sh_a"]),
+                          batch_format="pyarrow")
+    sh_b = sh.map_batches(lambda t: t.rename_columns(["doc_b", "sh_b"]),
+                          batch_format="pyarrow")
+    j = cand.join(sh_a, join_type="inner", on=("doc_a",), num_partitions=8)
+    j = j.join(sh_b, join_type="inner", on=("doc_b",), num_partitions=8)
 
     def verify(batch: pa.Table) -> pa.Table:
-        t = ray.get(ref)
-        da = batch.column("doc_a").to_pylist()
-        db = batch.column("doc_b").to_pylist()
-        keep = []
-        cache: dict[int, np.ndarray] = {}
-        for x, y in zip(da, db):
-            for z in (x, y):
-                if z not in cache:
-                    cache[z] = _shingle_hashes(t[z])
-            keep.append(jaccard(cache[x], cache[y]) >= threshold)
-        return batch.filter(pa.array(keep))
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        keep_a, keep_b, jp = [], [], []
+        for x, y, sa, sb in zip(da, db, _sh_rows(batch.column("sh_a")),
+                                _sh_rows(batch.column("sh_b"))):
+            jac = jaccard(sa, sb)
+            if jac >= threshold:
+                keep_a.append(int(x))
+                keep_b.append(int(y))
+                jp.append(int(jac * 100))
+        out = {"doc_a": pa.array(keep_a, pa.int64()),
+               "doc_b": pa.array(keep_b, pa.int64())}
+        if with_pct:
+            out["jaccard_pct"] = pa.array(jp, pa.int64())
+        return pa.table(out)
 
-    return (cand_ds.map_batches(verify, batch_format="pyarrow")
-                   .sort(["doc_a", "doc_b"]))
+    return (j.map_batches(verify, batch_format="pyarrow")
+             .sort(["doc_a", "doc_b"]))
+
+
+def minhash_lsh_pairs(ray, sf_dir: str, threshold: float = 0.8):
+    """Near-dup pairs (doc_a, doc_b) with shingle-Jaccard >= threshold:
+    MinHash+LSH banding candidates -> hash-bucketed-exchange exact
+    verification (no corpus/candidate-text broadcast anywhere)."""
+    cand = _lsh_candidate_pairs(ray, sf_dir)
+    return _verify_pairs_exchange(ray, sf_dir, cand, threshold,
+                                  with_pct=False)
 
 
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs(ray, sf_dir: str, threshold: float = 0.5):
-    """(doc_a, doc_b, jaccard_pct): candidate pairs from the MinHash bands
-    verified with EXACT word-3-gram Jaccard, reported as an integer percent
-    (floor) for deterministic comparison. The n-gram-Jaccard dedup operator
-    of the brief: LSH candidates -> exact set verification."""
-    pairs = minhash_lsh_pairs(ray, sf_dir, threshold=0.0)  # all candidates
-    df = pairs if isinstance(pairs, pd.DataFrame) else pairs.to_pandas() \
-        if hasattr(pairs, "to_pandas") else pairs
-    if isinstance(df, pa.Table):
-        df = df.to_pandas()
-    if len(df) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard_pct": pa.array([], pa.int64())})
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
-
-    need = np.unique(np.concatenate([df["doc_a"], df["doc_b"]]))
-    tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
-        columns=["doc_id", "text"],
-        filter=pc.field("doc_id").isin(pa.array(need)))
-    texts = dict(zip(tbl.column("doc_id").to_pylist(),
-                     tbl.column("text").to_pylist()))
-    ref = ray.put(texts)
-    cand_ds = ray.data.from_pandas(df.reset_index(drop=True))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        t = ray.get(ref)
-        da = batch.column("doc_a").to_pylist()
-        db = batch.column("doc_b").to_pylist()
-        cache: dict[int, np.ndarray] = {}
-        keep_a, keep_b, jp = [], [], []
-        for x, y in zip(da, db):
-            for z in (x, y):
-                if z not in cache:
-                    cache[z] = _shingle_hashes(t[z])
-            j = jaccard(cache[x], cache[y])
-            if j >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-                jp.append(int(j * 100))
-        return pa.table({"doc_a": pa.array(keep_a, pa.int64()),
-                         "doc_b": pa.array(keep_b, pa.int64()),
-                         "jaccard_pct": pa.array(jp, pa.int64())})
-
-    return (cand_ds.map_batches(verify, batch_format="pyarrow")
-                   .sort(["doc_a", "doc_b"]))
+    """(doc_a, doc_b, jaccard_pct): the SAME banding candidates as
+    ``minhash_lsh_pairs`` (computed once, not re-run at threshold 0)
+    verified with EXACT word-3-gram Jaccard, reported as an integer
+    percent (floor) for deterministic comparison."""
+    cand = _lsh_candidate_pairs(ray, sf_dir)
+    return _verify_pairs_exchange(ray, sf_dir, cand, threshold,
+                                  with_pct=True)
 
 
 def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8):
@@ -263,7 +277,11 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
                 d_out.append(d)
                 s_out.append(seg)
                 v_out.append((sh >> (16 * seg)) & 0xFFFF)
-                h_out.append(sh % (1 << 63))
+                # centered int64 encoding keeps ALL 64 bits (the old
+                # `% (1 << 63)` zeroed bit 63, so hamming ignored it);
+                # the uint64 re-cast downstream flips bit 63 of every
+                # value consistently — XOR/hamming is unaffected
+                h_out.append(int(sh) - (1 << 63))
         return pa.table({"doc_id": pa.array(d_out, pa.int64()),
                          "seg_id": pa.array(s_out, pa.int32()),
                          "seg_val": pa.array(v_out, pa.int64()),

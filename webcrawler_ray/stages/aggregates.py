@@ -58,7 +58,7 @@ def hash_bucket_aggregate(ds, keys: list[str], combine, num_buckets: int = 16,
             return pa.Table.from_pandas(
                 batch, preserve_index=False).replace_schema_metadata(None)
         out = combine(batch)
-        out["__bucket"] = _bucket_of(out, keys, num_buckets)
+        out = out.assign(__bucket=_bucket_of(out, keys, num_buckets))
         return pa.Table.from_pandas(
             out, preserve_index=False).replace_schema_metadata(None)
 
