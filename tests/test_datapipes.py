@@ -153,14 +153,40 @@ class TestRowsOnly:
         q, _ = queries
         df = _to_df(q["multimodal_decode"](SF_DIR))
         assert df["decode_ok"].all()
-        assert (df["width"] == 16 + (df["doc_id"] % 32) * 8).all()
-        assert (df["n_bytes"] > 16).all()
+        assert (df["width"] == 8 + (df["doc_id"] % 16) * 2).all()
+        assert (df["n_bytes"] == 16 + df["width"] * df["height"]
+                * df["n_frames"]).all()
 
-    def test_multimodal_pixel_decode_is_stubbed(self):
+    def test_multimodal_pixel_decode_golden(self, queries):
+        # the decode is REAL: pixel stats must equal a regeneration of
+        # the deterministic payload for a few doc_ids
+        import numpy as np
+
+        from webcrawler_ray.pipelines.multimodal import (
+            DecodeStage,
+            make_payload,
+            payload_dims,
+        )
+
+        q, _ = queries
+        df = _to_df(q["multimodal_decode"](SF_DIR)).set_index("doc_id")
+        for d in (0, 7, 123, 499):
+            w, h, nf = payload_dims(d)
+            px = DecodeStage.decode_pixels(make_payload(d))
+            assert px.shape == (nf, h, w)
+            row = df.loc[d]
+            assert row["px_sum"] == int(px.sum(dtype=np.int64))
+            assert row["px_min"] == int(px.min())
+            assert row["px_max"] == int(px.max())
+            assert row["px_mean"] == px.sum(dtype=np.int64) / px.size
+
+    def test_multimodal_decode_rejects_garbage(self):
         from webcrawler_ray.pipelines.multimodal import DecodeStage
 
-        with pytest.raises(NotImplementedError):
-            DecodeStage.decode_pixels(b"FIMG" + b"\x00" * 32)
+        with pytest.raises(ValueError):
+            DecodeStage.decode_pixels(b"NOPE" + b"\x00" * 32)
+        with pytest.raises(ValueError):
+            DecodeStage.decode_pixels(b"FI")  # short
 
     def test_multimodal_frame_samples(self, queries):
         q, _ = queries
@@ -171,6 +197,10 @@ class TestRowsOnly:
         want = meta.set_index("doc_id")["n_frames"]
         assert (per_doc == want.loc[per_doc.index]).all()
         assert (frames["byte_start"] >= 16).all()
+        # per-frame sums add up to the per-doc sum
+        fsums = frames.groupby("doc_id")["frame_px_sum"].sum()
+        dsums = meta.set_index("doc_id")["px_sum"]
+        assert (fsums == dsums.loc[fsums.index]).all()
 
     def test_ngram_jaccard_pct_bounds(self, queries):
         q, _ = queries

@@ -1,98 +1,124 @@
-"""Multimodal column plumbing — image/audio/video as opaque ``binary``
+"""Multimodal column pipeline — image/video payloads as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-The image/audio codec libraries are NOT in this container, so the codec
-call itself is STUBBED (`DecodeStage.decode_pixels` raises
-NotImplementedError; `decode_meta` parses a deterministic fake header
-instead). Everything around the stub — schema, small-batch actor-pool
-stage, binary-column handling, output layout — is the real Ray-side
-plumbing and is tested.
+The payload format is a self-contained uncompressed raster (PPM-style:
+fixed header + raw pixel bytes) so the decode is REAL with no codec
+library: a 16-byte header (magic, width, height, n_frames) followed by
+``n_frames`` frames of ``height x width`` grayscale bytes. Pixels are
+synthesized deterministically per doc_id (seeded PCG64), so tests can
+regenerate the exact expected arrays.
 
-The synthetic payload is derived deterministically from the documents
-table: a 16-byte header (magic, width, height, n_frames) + the utf-8 text
-bytes as the "pixel" body. At real scale the payload column dominates
-block size: the stage uses small ``batch_size`` and projects the binary
-column away immediately after decode (SURVEY.md §4 wide-binary rule).
+At real scale the payload column dominates block size: the stages use
+small ``batch_size`` and project the binary column away immediately
+after decode (SURVEY.md §4 wide-binary rule). A compressed codec
+(JPEG/H.264) would slot into ``DecodeStage.decode_pixels`` unchanged —
+the Ray-side plumbing (schema, actor pool, explode, early projection) is
+codec-agnostic.
 """
 
 from __future__ import annotations
-
-from ..io_utils import read_parquet_clean as _rpq
 
 import struct
 
 import numpy as np
 import pyarrow as pa
 
+from ..io_utils import read_parquet_clean as _rpq
+
 MAGIC = b"FIMG"
 HEADER_FMT = "<4sIII"  # magic, width, height, n_frames
 HEADER_SIZE = struct.calcsize(HEADER_FMT)  # 16
 
 
+def payload_dims(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) for a doc — small enough that payload
+    bytes stay O(KB) per row at any sf."""
+    return 8 + (doc_id % 16) * 2, 8 + (doc_id % 12) * 2, 1 + doc_id % 4
+
+
+def make_payload(doc_id: int) -> bytes:
+    """Header + deterministic raw grayscale frames (seeded by doc_id)."""
+    w, h, nf = payload_dims(doc_id)
+    rng = np.random.Generator(np.random.PCG64(doc_id))
+    body = rng.integers(0, 256, size=nf * h * w, dtype=np.uint8)
+    return struct.pack(HEADER_FMT, MAGIC, w, h, nf) + body.tobytes()
+
+
 def synthesize_payloads(ray, sf_dir: str):
-    """documents -> (doc_id, media: binary) with a parseable fake header."""
-    ds = _rpq(ray, f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    """documents -> (doc_id, media: binary) with real decodable pixels."""
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        blobs = []
-        for d, t in zip(ids, texts):
-            w = 16 + (d % 32) * 8
-            h = 16 + (d % 24) * 8
-            nf = 1 + d % 4
-            blobs.append(struct.pack(HEADER_FMT, MAGIC, w, h, nf)
-                         + t.encode("utf-8"))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "media": pa.array(blobs, pa.binary())})
+                         "media": pa.array([make_payload(d) for d in ids],
+                                           pa.binary())})
 
     return ds.map_batches(synth, batch_format="pyarrow", batch_size=512)
 
 
 class DecodeStage:
-    """Actor-pool decode stage: header parse is real; pixel decode is the
-    clearly-marked stub for the absent codec libraries."""
+    """Actor-pool decode stage: parses the header AND decodes the raw
+    pixel body into an (n_frames, h, w) uint8 array, emitting exact
+    integer pixel statistics plus the float mean."""
 
     def __init__(self):
-        self.header_fmt = HEADER_FMT  # "codec init" happens once per actor
+        self.header_fmt = HEADER_FMT  # "codec init" once per actor
 
     @staticmethod
-    def decode_pixels(blob: bytes) -> "np.ndarray":
-        raise NotImplementedError(
-            "image codec not available in this environment; the real "
-            "implementation decodes blob[16:] into an HxWxC array")
+    def decode_pixels(blob: bytes) -> np.ndarray:
+        """blob -> (n_frames, height, width) uint8 pixel array."""
+        if len(blob) < HEADER_SIZE or blob[:4] != MAGIC:
+            raise ValueError("bad magic/short payload")
+        _, w, h, nf = struct.unpack_from(HEADER_FMT, blob)
+        px = np.frombuffer(blob, dtype=np.uint8, count=nf * h * w,
+                           offset=HEADER_SIZE)
+        return px.reshape(nf, h, w)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column("media").to_pylist()
         ws, hs, fs, nb, ok = [], [], [], [], []
+        psum, pmin, pmax, pmean = [], [], [], []
         for blob in blobs:
             nb.append(len(blob))
-            if len(blob) >= HEADER_SIZE and blob[:4] == MAGIC:
-                _, w, h, nf = struct.unpack(self.header_fmt,
-                                            blob[:HEADER_SIZE])
+            try:
+                px = self.decode_pixels(blob)
+                nf, h, w = px.shape
                 ws.append(w)
                 hs.append(h)
                 fs.append(nf)
                 ok.append(True)
-            else:
+                psum.append(int(px.sum(dtype=np.int64)))
+                pmin.append(int(px.min()))
+                pmax.append(int(px.max()))
+                pmean.append(psum[-1] / px.size)
+            except ValueError:
                 ws.append(0)
                 hs.append(0)
                 fs.append(0)
                 ok.append(False)
+                psum.append(0)
+                pmin.append(0)
+                pmax.append(0)
+                pmean.append(0.0)
         # project the wide binary column away as early as possible
         return pa.table({"doc_id": batch.column("doc_id"),
                          "width": pa.array(ws, pa.int64()),
                          "height": pa.array(hs, pa.int64()),
                          "n_frames": pa.array(fs, pa.int64()),
                          "n_bytes": pa.array(nb, pa.int64()),
-                         "decode_ok": pa.array(ok, pa.bool_())})
+                         "decode_ok": pa.array(ok, pa.bool_()),
+                         "px_sum": pa.array(psum, pa.int64()),
+                         "px_min": pa.array(pmin, pa.int64()),
+                         "px_max": pa.array(pmax, pa.int64()),
+                         "px_mean": pa.array(pmean, pa.float64())})
 
 
 def decode_meta(ray, sf_dir: str, concurrency: int = 2):
-    """(doc_id, width, height, n_frames, n_bytes, decode_ok) via the
-    actor-pool decode stage over the synthesized binary column."""
+    """(doc_id, width, height, n_frames, n_bytes, decode_ok, px_sum,
+    px_min, px_max, px_mean) via the actor-pool decode stage over the
+    synthesized binary column."""
     ds = synthesize_payloads(ray, sf_dir)
     out = ds.map_batches(DecodeStage, batch_format="pyarrow",
                          batch_size=256, concurrency=concurrency)
@@ -101,9 +127,9 @@ def decode_meta(ray, sf_dir: str, concurrency: int = 2):
 
 class FrameSampleStage:
     """Actor-pool frame-sampling stage: explode each media payload into
-    one row per sampled frame with its byte range — the video-pipeline
-    plumbing (schema, explode, offsets); the pixel decode of a frame is
-    the same stub as DecodeStage.decode_pixels."""
+    one row per sampled frame with its byte range AND the decoded
+    per-frame pixel statistics — the video-pipeline shape (schema,
+    explode, offsets, per-frame decode)."""
 
     def __init__(self, every_nth: int = 1):
         self.every_nth = every_nth
@@ -111,27 +137,33 @@ class FrameSampleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         blobs = batch.column("media").to_pylist()
-        o_id, o_fi, o_start, o_len = [], [], [], []
+        o_id, o_fi, o_start, o_len, o_sum, o_mean = [], [], [], [], [], []
         for d, blob in zip(ids, blobs):
             if len(blob) < HEADER_SIZE or blob[:4] != MAGIC:
                 continue
-            _, w, h, nf = struct.unpack(HEADER_FMT, blob[:HEADER_SIZE])
-            body = len(blob) - HEADER_SIZE
-            per = max(1, body // max(nf, 1))
+            px = DecodeStage.decode_pixels(blob)
+            nf, h, w = px.shape
+            per = h * w
             for fi in range(0, nf, self.every_nth):
                 o_id.append(d)
                 o_fi.append(fi)
                 o_start.append(HEADER_SIZE + fi * per)
                 o_len.append(per)
+                s = int(px[fi].sum(dtype=np.int64))
+                o_sum.append(s)
+                o_mean.append(s / per)
         return pa.table({"doc_id": pa.array(o_id, pa.int64()),
                          "frame_idx": pa.array(o_fi, pa.int64()),
                          "byte_start": pa.array(o_start, pa.int64()),
-                         "byte_len": pa.array(o_len, pa.int64())})
+                         "byte_len": pa.array(o_len, pa.int64()),
+                         "frame_px_sum": pa.array(o_sum, pa.int64()),
+                         "frame_px_mean": pa.array(o_mean, pa.float64())})
 
 
 def frame_samples(ray, sf_dir: str, concurrency: int = 2):
-    """(doc_id, frame_idx, byte_start, byte_len): sampled-frame explode
-    over the binary media column."""
+    """(doc_id, frame_idx, byte_start, byte_len, frame_px_sum,
+    frame_px_mean): sampled-frame explode + per-frame decode over the
+    binary media column."""
     ds = synthesize_payloads(ray, sf_dir)
     out = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
                          batch_size=256, concurrency=concurrency)
