@@ -39,7 +39,7 @@ class TestCrawlQueries:
         assert len(df) > 0
         # host2 + resource2 losslessly recompose the url (M2/M3 invariant)
         assert (df["host2"] + df["resource2"] == df["url"]).all()
-        assert df["url_hash63"].ge(0).all()
+        assert df["passes_blocklist"].dtype == bool
 
     def test_crawl_log_fields(self, queries):
         df = _df(queries["crawl_log"](SF_DIR))

@@ -130,3 +130,76 @@ class TestSchedule:
         st2 = PolitenessShardState(4, rt)
         st2.load_next_allowed(st.dump())
         assert st2.next_allowed == st.next_allowed
+
+
+class TestRobotsRFC9309:
+    """Allow/Disallow longest-match precedence + * / $ wildcards
+    (RFC 9309 §2.2.2 semantics, the behavior reppy implements for the
+    reference at WebAccesser.py:51-71 / Host.py:83-93)."""
+
+    def _hr(self, disallow=(), allow=(), fetchable=True):
+        from webcrawler_ray.robots import HostRules
+
+        return HostRules(host="https://h.test", disallow=tuple(disallow),
+                         allow=tuple(allow), fetchable=fetchable)
+
+    def test_plain_prefix_still_denies(self):
+        r = self._hr(disallow=["/s1/"])
+        assert not r.allowed("/s1/p3")
+        assert r.allowed("/s2/p3")
+
+    def test_allow_carveout_longest_match_wins(self):
+        r = self._hr(disallow=["/s1/"], allow=["/s1/p1"])
+        assert not r.allowed("/s1/p3")
+        assert r.allowed("/s1/p1")       # longer Allow overrides
+        assert r.allowed("/s1/p12")      # prefix semantics of the Allow
+        assert r.allowed("/other")
+
+    def test_disallow_more_specific_than_allow(self):
+        r = self._hr(disallow=["/s1/p1/secret"], allow=["/s1/p1"])
+        assert r.allowed("/s1/p1")
+        assert not r.allowed("/s1/p1/secret/x")
+
+    def test_tie_length_allow_wins(self):
+        r = self._hr(disallow=["/abc"], allow=["/ab*"])  # both length 4
+        assert r.allowed("/abc")
+
+    def test_wildcard_star(self):
+        r = self._hr(disallow=["/s*/tmp"])
+        assert not r.allowed("/s1/tmp")
+        assert not r.allowed("/s22/tmp")
+        assert r.allowed("/q1/tmp")
+
+    def test_dollar_anchor(self):
+        r = self._hr(disallow=["/*5$"])
+        assert not r.allowed("/p5")
+        assert not r.allowed("/s1/p15")
+        assert r.allowed("/p51")
+
+    def test_unreachable_robots_allows_everything(self):
+        r = self._hr(disallow=["/"], allow=(), fetchable=False)
+        assert r.allowed("/s1/p1")
+
+    def test_denied_batch_matches_scalar_path(self):
+        import numpy as np
+        import pandas as pd
+
+        rules = [
+            self._hr(disallow=["/s1/"]),                       # pure prefix
+            self._hr(disallow=["/s1/"], allow=["/s1/p1"]),     # general
+            self._hr(disallow=["/*5$"]),                       # wildcard
+        ]
+        paths = pd.Series(["/s1/p1", "/s1/p3", "/s2/p5", "/p15", "/x"],
+                          dtype=object)
+        for r in rules:
+            want = np.array([not r.allowed(p) for p in paths])
+            got = r.denied_batch(paths)
+            assert (got == want).all(), (r.disallow, r.allow)
+
+    def test_hostrules_pickle_roundtrip(self):
+        import pickle
+
+        r = self._hr(disallow=["/s1/", "/*5$"], allow=["/s1/p1"])
+        r2 = pickle.loads(pickle.dumps(r))
+        for p in ("/s1/p1", "/s1/p3", "/p5", "/x"):
+            assert r2.allowed(p) == r.allowed(p)

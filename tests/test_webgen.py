@@ -46,4 +46,5 @@ class TestGenerate:
 
     def test_robots_schema(self, tiny_web):
         s = pq.read_schema(tiny_web["robots"])
-        assert s.names == ["host", "disallow", "crawl_delay", "fetchable"]
+        assert s.names == ["host", "disallow", "allow", "crawl_delay",
+                           "fetchable"]

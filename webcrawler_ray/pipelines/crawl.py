@@ -205,8 +205,12 @@ class RayCrawler:
         # NOT scale with CPUs — trade (parallel) compression cpu for it
         pq_args = {"compression": cfg.extra.get("parquet_compression", "zstd")}
 
+        # partitioning=None everywhere under workdir: the r=NNNNN round
+        # path component must never be inferred as a hive column (it
+        # would leak an `r` column into every written attempts/crawled
+        # file downstream)
         ds = ray.data.read_parquet(
-            st["frontier_path"],
+            st["frontier_path"], partitioning=None,
             override_num_blocks=_nblocks(st["n_frontier"]))
 
         # ---- flags (HEAD-equivalent) + politeness shard key -------------
@@ -337,16 +341,32 @@ class RayCrawler:
         # final for this round -> checkpoint async too
         seen_futs = [a.dump.remote() for a in self.seen]
 
-        # ---- round stats (driver-side columnar scan of two columns) -----
+        # ---- round stats: distributed per-block summaries; the driver
+        # sees one row per block (O(blocks), never O(attempts))
         import pyarrow.dataset as pads
 
-        att_cols = pads.dataset(att_dir).to_table(columns=["status", "ts"])
-        status_np = att_cols.column("status").to_numpy(zero_copy_only=False)
-        ts_np = att_cols.column("ts").to_numpy(zero_copy_only=False)
-        saved_mask = status_np == STATUS_SAVED
-        n_attempted = len(status_np)
-        n_saved = int(saved_mask.sum())
-        T_next = max(T, float(ts_np[saved_mask].max())) if n_saved > 0 else T
+        def _round_summ(t: pa.Table) -> pa.Table:
+            s = t.column("status").to_numpy(zero_copy_only=False)
+            tsv = t.column("ts").to_numpy(zero_copy_only=False)
+            m = s == STATUS_SAVED
+            return pa.table({
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "n_saved": pa.array([int(m.sum())], pa.int64()),
+                "max_ts": pa.array(
+                    [float(tsv[m].max()) if m.any() else float("-inf")],
+                    pa.float64())})
+
+        # NOTE: partitioning=None + columns= together trip an
+        # UnboundLocalError in ray 2.49's parquet datasource; with an
+        # explicit column list the inferred hive column is never
+        # selected, so the default partitioning is safe here
+        summ_att = (ray.data.read_parquet(att_dir,
+                                          columns=["status", "ts"])
+                    .map_batches(_round_summ, batch_size=None,
+                                 batch_format="pyarrow").to_pandas())
+        n_attempted = int(summ_att["n_rows"].sum())
+        n_saved = int(summ_att["n_saved"].sum())
+        T_next = max(T, float(summ_att["max_ts"].max())) if n_saved > 0 else T
 
         # ---- fetch + parse + sinks --------------------------------------
         n_candidates = 0
@@ -365,7 +385,8 @@ class RayCrawler:
             else:
                 fetch_route = "dataset"
                 saved = ray.data.read_parquet(
-                    att_dir, filter=(pc.field("status") == STATUS_SAVED),
+                    att_dir, partitioning=None,
+                    filter=(pc.field("status") == STATUS_SAVED),
                     override_num_blocks=_nblocks(
                         n_saved, rows_per_block=2 * cfg.parse_batch_size))
                 fetched = self.store.attach_html(saved, cfg, n_rows=n_saved)
@@ -541,14 +562,19 @@ class RayCrawler:
         return files
 
     def crawled_dataset(self):
-        """Union of all rounds' crawled partitions, as one Dataset."""
+        """Union of all rounds' crawled partitions, as one Dataset.
+        ``partitioning=None``: the ``r=NNNNN`` round path component must
+        NOT be inferred as a hive partition column (schema mismatch
+        across rounds otherwise)."""
         dirs = self._round_subdirs("crawled")
-        return self.ray.data.read_parquet(dirs) if dirs else None
+        return (self.ray.data.read_parquet(dirs, partitioning=None)
+                if dirs else None)
 
     def attempts_dataset(self):
         """Union of all rounds' attempt logs (the total crawl order)."""
         dirs = self._round_subdirs("attempts")
-        return self.ray.data.read_parquet(dirs) if dirs else None
+        return (self.ray.data.read_parquet(dirs, partitioning=None)
+                if dirs else None)
 
     def host_counts(self):
         """S7 final stats (`WorkersPipeline.py:281-291` / `main.py:92`):

@@ -44,14 +44,44 @@ def _crawl_workdir(sf_dir: str):
     web = generate_web(os.path.join(base, "web"),
                        WebSpec(n_seeds=5, **spec))
     cfg = CrawlConfig(limit=limit)
+    # crawl workdir is keyed by the webgen signature: a regenerated web
+    # (webgen version bump) must never pair with a stale crawl checkpoint
+    import hashlib
+
+    sig8 = hashlib.blake2b(web["sig"].encode(), digest_size=4).hexdigest()
     crawler = RayCrawler(web["pages"], web["robots"],
-                         os.path.join(base, "crawl_wd"), cfg)
-    summary_file = os.path.join(base, "crawl_wd", "summary.json")
+                         os.path.join(base, f"crawl_wd_{sig8}"), cfg)
+    summary_file = os.path.join(crawler.workdir, "summary.json")
     if not os.path.exists(summary_file):
         seeds = open(web["seeds"]).read().splitlines()
         crawler.crawl(seeds, resume=True)
         crawler.shutdown_services()
+    _dump_attempts(crawler, os.path.join(base, "attempts_dump.parquet"))
     return crawler
+
+
+def _dump_attempts(crawler, path: str) -> None:
+    """One-file dump of the attempts log at a STABLE path so the DuckDB
+    oracle SQL (a static string) can read the same rows the Ray queries
+    read — this is what turns crawl_host_counts / url_algebra from
+    rows-only checks into value-hashed ones. Atomic (tmp+rename),
+    rewritten whenever the crawl workdir regenerates."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    sig_file = path + ".sig"
+    if os.path.exists(path) and os.path.exists(sig_file):
+        with open(sig_file) as f:
+            if f.read().strip() == crawler.workdir:
+                return
+    files = crawler._round_subdirs("attempts")
+    tbl = pads.dataset(files).to_table(
+        columns=["fetch_seq", "url", "host", "ts", "status", "round", "seq"])
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    with open(sig_file, "w") as f:
+        f.write(crawler.workdir)
 
 
 def crawl_flagship(sf_dir: str):
@@ -89,15 +119,15 @@ def crawl_host_counts(sf_dir: str):
 
 def url_algebra(sf_dir: str):
     """M1-M4/M8 URL algebra applied over the crawl's attempted URLs:
-    (url, host, resource, passes_blocklist, url_hash63) — rows-only
-    (the scalar semantics are unit-tested against the reference rules)."""
-    import numpy as np
+    (url, host2, resource2, passes_blocklist) — SQL-checked against an
+    independent DuckDB reimplementation of the naive split + suffix
+    blocklist over the attempts dump (the blake2b url hash is covered by
+    unit tests; md5/blake are not portable to the SQL side)."""
     import pyarrow as pa
 
     from ..functions.urls import (
         passes_extension_blocklist_batch,
         split_host_resource,
-        stable_hash64_batch,
     )
 
     c = _crawl_workdir(sf_dir)
@@ -115,9 +145,6 @@ def url_algebra(sf_dir: str):
             "resource2": pa.array(ress, pa.string()),
             "passes_blocklist": pa.array(
                 passes_extension_blocklist_batch(urls), pa.bool_()),
-            "url_hash63": pa.array(
-                (stable_hash64_batch(urls) >> np.uint64(1)).astype(np.int64),
-                pa.int64()),
         })
 
     return (c.attempts_dataset()
@@ -196,7 +223,31 @@ def build_queries() -> dict:
     return q
 
 
+# the crawl queries dump their attempts log to this STABLE path (see
+# _dump_attempts) so the static oracle SQL strings can read the exact
+# rows the Ray side aggregated; the driver runs oracles at sf=0.01
+_ATTEMPTS_DUMP = "/tmp/webcrawler_ray_cache/sf0.01/attempts_dump.parquet"
+
+_BLOCK3 = "'pdf','csv','png','svg','jpg','gif','raw','cr2','nef','orf','sr2','bmp','tif','ogv'"
+_BLOCK4 = "'tiff','jpeg'"
+
 ORACLE_SQL: dict[str, str] = {
+    "crawl_host_counts": f"""
+SELECT host, COUNT(*) AS n_pages
+FROM read_parquet('{_ATTEMPTS_DUMP}')
+GROUP BY host ORDER BY host
+""",
+    "url_algebra": f"""
+SELECT url,
+       string_split(url, '/')[1] || '//' || string_split(url, '/')[3]
+           AS host2,
+       '/' || array_to_string(string_split(url, '/')[4:], '/') AS resource2,
+       NOT ((length(url) > 3 AND right(url, 3) IN ({_BLOCK3}))
+            OR (length(url) > 4 AND right(url, 4) IN ({_BLOCK4})))
+           AS passes_blocklist
+FROM read_parquet('{_ATTEMPTS_DUMP}')
+ORDER BY url
+""",
     "doc_token_counts": """
 SELECT doc_id,
        CASE WHEN TRIM(text) = '' THEN 0

@@ -7,20 +7,42 @@ The reference fetches live ``robots.txt`` per host via reppy
 (`Host.py:83-93`) and clamps the agent ``*`` crawl-delay to [0.1 s, 3 s]
 with a 0.1 s default (`Host.py:95-114`).
 
-In this sandbox the "web" is a Parquet table, so robots rules come from the
-synthetic ``robots`` table (FIXTURES.md §3): per host a list of disallowed
-path *prefixes* for agent ``*``, a nullable crawl_delay, and a ``fetchable``
-flag (False == robots-unreachable -> allow-all, min delay). Prefix matching
-is exact for this corpus (the generator only emits prefix rules — no
-wildcards), which makes the model faithful to reppy on every input it sees.
+Rule matching implements the full RFC 9309 semantics reppy implements:
+
+* both **Allow** and **Disallow** rules;
+* ``*`` matches any character sequence, ``$`` anchors the pattern end;
+* a rule matches when its pattern matches a PREFIX of the path;
+* among all matching rules the MOST SPECIFIC (longest pattern, by octet
+  count) wins; on a specificity tie Allow wins (least-restrictive rule);
+* no matching rule, an empty Disallow, or unreachable robots => allowed.
+
+In this sandbox the "web" is a Parquet table, so rules come from the
+synthetic ``robots`` table (FIXTURES.md §3): per host the agent-``*``
+disallow and allow pattern lists, a nullable crawl_delay, and a
+``fetchable`` flag (False == robots-unreachable -> allow-all, min delay).
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+
+import numpy as np
 
 MIN_DELAY_SECONDS = 0.1  # Host.py:96 / spec politeness floor
 MAX_DELAY_SECONDS = 3.0  # Host.py:97
+
+
+def _compile_pattern(p: str) -> "re.Pattern[str]":
+    """robots.txt path pattern -> compiled regex matched from the path
+    start (``re.match``): ``*`` -> ``.*``; trailing ``$`` -> end anchor;
+    everything else literal."""
+    anchored = p.endswith("$")
+    body = p[:-1] if anchored else p
+    rx = ".*".join(re.escape(seg) for seg in body.split("*"))
+    if anchored:
+        rx += "$"
+    return re.compile(rx)
 
 
 @dataclass(frozen=True)
@@ -29,17 +51,52 @@ class HostRules:
 
     host: str  # host with schema, e.g. "https://host0.test"
     disallow: tuple[str, ...] = ()
+    allow: tuple[str, ...] = ()
     crawl_delay: float | None = None
     fetchable: bool = True  # False == robots unreachable (couldNotAccessRobots)
 
+    def __post_init__(self):
+        rules = []
+        for is_allow, pats in ((False, self.disallow), (True, self.allow)):
+            for p in pats:
+                if not p:
+                    continue  # empty pattern = no-op rule (RFC 9309)
+                rules.append((len(p), is_allow, _compile_pattern(p)))
+        # longest pattern first; on equal length Allow first — so the
+        # FIRST matching rule is the RFC winner
+        rules.sort(key=lambda r: (-r[0], not r[1]))
+        object.__setattr__(self, "_rules", tuple(rules))
+        object.__setattr__(
+            self, "_pure_prefix",
+            not self.allow and all("*" not in p and "$" not in p
+                                   for p in self.disallow))
+
     def allowed(self, resource: str) -> bool:
-        """M5: robots-allowed predicate on the resource path."""
+        """M5: robots-allowed predicate on the resource path (RFC 9309
+        longest-match precedence)."""
         if not self.fetchable:
             return True  # Host.py:85-86 — unreachable robots => allow all
-        for prefix in self.disallow:
-            if prefix and resource.startswith(prefix):
-                return False
+        for _len, is_allow, rx in self._rules:
+            if rx.match(resource):
+                return is_allow
         return True
+
+    def denied_batch(self, resources) -> np.ndarray:
+        """Vectorized denial over a pandas Series of resource paths (the
+        politeness hot path). Pure-prefix Disallow-only rule sets use the
+        pandas ``startswith`` kernel; rule sets with Allow or wildcards
+        fall back to the per-row longest-match (regexes compiled once at
+        rule build)."""
+        if not self.fetchable or not self._rules:
+            return np.zeros(len(resources), dtype=bool)
+        if self._pure_prefix:
+            denied = np.zeros(len(resources), dtype=bool)
+            for p in self.disallow:
+                if p:
+                    denied |= resources.str.startswith(p).to_numpy()
+            return denied
+        return np.fromiter((not self.allowed(r) for r in resources),
+                           dtype=bool, count=len(resources))
 
     def delay_seconds(self) -> float:
         """ST3: crawl-delay clamped to [0.1, 3], default 0.1 (Host.py:95-114)."""
@@ -69,14 +126,21 @@ class RobotsTable:
     @classmethod
     def from_arrow(cls, table) -> "RobotsTable":
         """Build from a pyarrow.Table with columns
-        (host, disallow: list<string>, crawl_delay: double?, fetchable: bool)."""
+        (host, disallow: list<string>, crawl_delay: double?, fetchable:
+        bool[, allow: list<string>]) — ``allow`` optional for tables
+        written before wildcard/Allow support."""
         d = {}
         hosts = table.column("host").to_pylist()
         dis = table.column("disallow").to_pylist()
         cd = table.column("crawl_delay").to_pylist()
         fe = table.column("fetchable").to_pylist()
-        for h, dl, c, f in zip(hosts, dis, cd, fe):
-            d[h] = HostRules(host=h, disallow=tuple(dl or ()), crawl_delay=c,
+        if "allow" in table.column_names:
+            al = table.column("allow").to_pylist()
+        else:
+            al = [None] * len(hosts)
+        for h, dl, a, c, f in zip(hosts, dis, al, cd, fe):
+            d[h] = HostRules(host=h, disallow=tuple(dl or ()),
+                             allow=tuple(a or ()), crawl_delay=c,
                              fetchable=bool(f))
         return cls(rules=d)
 

@@ -38,7 +38,7 @@ class PolitenessShardState:
         self.shard_id = shard_id
         self.robots = robots
         self.next_allowed: dict[str, float] = {}
-        self._rule_cache: dict[str, tuple] = {}  # host -> (delay, disallow, fetchable)
+        self._rule_cache: dict[str, tuple] = {}  # host -> (delay, HostRules)
         self._last_round_id: int | None = None
         self._pre_round: dict[str, float] | None = None
 
@@ -46,7 +46,7 @@ class PolitenessShardState:
         r = self._rule_cache.get(host)
         if r is None:
             hr = self.robots.get(host)
-            r = (hr.delay_seconds(), hr.disallow, hr.fetchable)
+            r = (hr.delay_seconds(), hr)
             self._rule_cache[host] = r
         return r
 
@@ -93,25 +93,21 @@ class PolitenessShardState:
                    | ((ulen > 4)
                       & urls.str.slice(-4).isin(BLOCKED_EXT4))).to_numpy()
 
-        # M5 robots: per host, vectorized prefix match over its slice
+        # M5 robots: per host, RFC 9309 longest-match (HostRules picks the
+        # vectorized prefix kernel when the rule set allows it)
         codes, uniq_hosts = pd.factorize(hosts)
         robots_denied = np.zeros(n, dtype=bool)
         delays = np.empty(len(uniq_hosts), dtype=np.float64)
         bases = np.empty(len(uniq_hosts), dtype=np.float64)
         for hc, host in enumerate(uniq_hosts):
-            delay, disallow, fetchable = self._rules_for(host)
+            delay, hr = self._rules_for(host)
             delays[hc] = delay
             bases[hc] = max(T, self.next_allowed.get(host, 0.0))
             # unreachable robots => allow-all (Host.py:85-86), regardless
-            # of any disallow rules in the table
-            if disallow and fetchable:
+            # of any rules in the table (denied_batch handles this)
+            if hr.fetchable and (hr.disallow or hr.allow):
                 m = codes == hc
-                res_slice = resources[m]
-                denied = np.zeros(int(m.sum()), dtype=bool)
-                for p in disallow:
-                    if p:
-                        denied |= res_slice.str.startswith(p).to_numpy()
-                robots_denied[m] = denied
+                robots_denied[m] = hr.denied_batch(resources[m])
 
         # gate precedence: robots -> blocklist -> miss -> content-type
         status = np.select(

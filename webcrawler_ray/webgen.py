@@ -52,6 +52,27 @@ _EDGE_HREFS = (
 )
 
 
+def _robots_rules(rng: random.Random) -> tuple[list[str], list[str]]:
+    """Seeded (disallow, allow) rule lists for one host — mixes plain
+    prefixes with RFC 9309 Allow carve-outs and ``*``/``$`` wildcards so
+    the longest-match matcher is exercised by every corpus."""
+    dis: list[str] = []
+    al: list[str] = []
+    if rng.random() < 0.3:
+        sec = rng.choice([1, 2])
+        dis.append(f"/s{sec}/")
+        if rng.random() < 0.5:
+            # Allow carve-out: longer pattern -> overrides the section ban
+            al.append(f"/s{sec}/p1")
+    if rng.random() < 0.1:
+        dis.append("/admin/")
+    if rng.random() < 0.15:
+        dis.append("/*5$")  # wildcard+anchor: any path ending in 5
+    if rng.random() < 0.1:
+        al.append("/s*/p2")  # wildcard Allow across sections
+    return dis, al
+
+
 def _page_url(host: str, sec: int, j: int) -> str:
     if sec == 0:
         return f"https://{host}/p{j}"
@@ -100,7 +121,7 @@ def generate_web(out_dir: str, spec: WebSpec | None = None, **kw) -> dict:
     signature, generation is skipped (cache for bench runs).
     """
     spec = spec or WebSpec(**kw)
-    sig = (f"v3:{spec.n_hosts}:{spec.pages_per_host}:{spec.seed}:"
+    sig = (f"v4:{spec.n_hosts}:{spec.pages_per_host}:{spec.seed}:"
            f"{spec.max_outdegree}:{spec.cross_host_frac}:{spec.dead_link_frac}:"
            f"{spec.mega_factor}:{spec.n_decoys}:{spec.n_seeds}:{spec.text_words}"
            f":{int(spec.parallel)}:{spec.vocab_size}")
@@ -116,6 +137,18 @@ def generate_web(out_dir: str, spec: WebSpec | None = None, **kw) -> dict:
         with open(done) as f:
             if f.read().strip() == sig:
                 return meta
+    # stale or fresh generation: wipe every artifact derived from the old
+    # corpus (pages file/dir, the bucketed pages store, robots, seeds) —
+    # parallel page writes use fresh file names, so leftovers from an
+    # older corpus would otherwise survive inside the pages directory
+    import shutil as _sh
+
+    for p in (meta["pages"], meta["pages"] + "_store", meta["robots"],
+              meta["seeds"], done):
+        if os.path.isdir(p):
+            _sh.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
     os.makedirs(out_dir, exist_ok=True)
     if spec.parallel:
         _generate_parallel(out_dir, spec, meta)
@@ -139,23 +172,21 @@ def generate_web(out_dir: str, spec: WebSpec | None = None, **kw) -> dict:
         all_urls.extend(us)
 
     # --- robots ----------------------------------------------------------
-    r_hosts, r_dis, r_cd, r_fe = [], [], [], []
+    r_hosts, r_dis, r_al, r_cd, r_fe = [], [], [], [], []
     for i, h in enumerate(hosts):
         hws = f"https://{h}"
-        dis: list[str] = []
-        if rng.random() < 0.3:
-            dis.append(f"/s{rng.choice([1, 2])}/")
-        if rng.random() < 0.1:
-            dis.append("/admin/")
+        dis, al = _robots_rules(rng)
         cd = rng.choice([None, None, None, 0.05, 0.5, 2.0, 5.0])
         fe = rng.random() > 0.1  # ~10% robots-unreachable
         r_hosts.append(hws)
         r_dis.append(dis)
+        r_al.append(al)
         r_cd.append(cd)
         r_fe.append(fe)
     robots_tbl = pa.table({
         "host": pa.array(r_hosts, pa.string()),
         "disallow": pa.array(r_dis, pa.list_(pa.string())),
+        "allow": pa.array(r_al, pa.list_(pa.string())),
         "crawl_delay": pa.array(r_cd, pa.float64()),
         "fetchable": pa.array(r_fe, pa.bool_()),
     })
@@ -291,20 +322,18 @@ def _generate_parallel(out_dir: str, spec: WebSpec, meta: dict) -> None:
         rows_host_idx.extend([hi] * n)
 
     # robots + seeds (same shapes as the sequential path)
-    r_hosts, r_dis, r_cd, r_fe = [], [], [], []
+    r_hosts, r_dis, r_al, r_cd, r_fe = [], [], [], [], []
     for i, h in enumerate(hosts):
-        dis = []
-        if rng.random() < 0.3:
-            dis.append(f"/s{rng.choice([1, 2])}/")
-        if rng.random() < 0.1:
-            dis.append("/admin/")
+        dis, al = _robots_rules(rng)
         r_hosts.append(f"https://{h}")
         r_dis.append(dis)
+        r_al.append(al)
         r_cd.append(rng.choice([None, None, None, 0.05, 0.5, 2.0, 5.0]))
         r_fe.append(rng.random() > 0.1)
     pq.write_table(pa.table({
         "host": pa.array(r_hosts, pa.string()),
         "disallow": pa.array(r_dis, pa.list_(pa.string())),
+        "allow": pa.array(r_al, pa.list_(pa.string())),
         "crawl_delay": pa.array(r_cd, pa.float64()),
         "fetchable": pa.array(r_fe, pa.bool_()),
     }), meta["robots"])
