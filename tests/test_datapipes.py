@@ -232,3 +232,38 @@ class TestEntryContract:
         assert len(osql) >= 12
         assert all(isinstance(v, str) and "SELECT" in v.upper()
                    for v in osql.values())
+
+
+class TestWhitespaceSemantics:
+    """The Python tokenizers and the DuckDB oracle SQL must agree on the
+    EXACT whitespace class — including tabs, newlines, \\x0b/\\x0c and
+    (negatively) unicode nbsp, which str.split() would strip but SQL
+    TRIM would not (ADVICE r1)."""
+
+    TEXTS = ["  plain  ", "\ttabbed\tstart", "line\nbreaks\r\nhere",
+             "\x0b\x0cweird", "nbsp\xa0inside", "\xa0lead nbsp", ""]
+
+    def test_token_counts_agree_on_adversarial_whitespace(self):
+        import hashlib
+
+        import duckdb
+
+        from webcrawler_ray.pipelines import textpipe as T
+
+        df = pd.DataFrame({"doc_id": range(len(self.TEXTS)),
+                           "text": self.TEXTS})
+        con = duckdb.connect()
+        con.register("documents", df)
+        sql = (f"SELECT CASE WHEN {T.SQL_TRIM_TEXT} = '' THEN 0 ELSE "
+               f"CAST(len(regexp_split_to_array({T.SQL_TRIM_TEXT}, "
+               f"'{T.SQL_WS_CLASS}+')) AS BIGINT) END AS n "
+               f"FROM documents ORDER BY doc_id")
+        want = [r[0] for r in con.execute(sql).fetchall()]
+        got = [len(T.tokenize(t)) for t in self.TEXTS]
+        assert want == got
+        fsql = (f"SELECT md5(LOWER({T.SQL_TRIM_TEXT})) "
+                f"FROM documents ORDER BY doc_id")
+        wf = [r[0] for r in con.execute(fsql).fetchall()]
+        gf = [hashlib.md5(t.strip(T.WS_CHARS).lower().encode()).hexdigest()
+              for t in self.TEXTS]
+        assert wf == gf

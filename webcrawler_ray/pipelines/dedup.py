@@ -9,10 +9,8 @@ Scaling shape (the part that matters at 100 TB):
 * candidates come from a ``groupby`` on (band_id, band_hash) / simhash
   segment — the shuffle moves only (doc_id, band_hash) pairs, never text,
 * verification joins candidate pairs back to their shingle sets via a
-  hash-bucketed exchange, not a broadcast of the corpus.
-
-At test scale the verify step broadcasts only the texts of candidate
-docs (a tiny set) via ``ray.put``.
+  hash-bucketed exchange (two distributed ``Dataset.join``s), not a
+  broadcast of the corpus or any driver materialization of texts.
 """
 
 from __future__ import annotations
@@ -49,7 +47,9 @@ def exact_dedup(ray, sf_dir: str):
                                columns=["doc_id", "text"])
 
     def add_fp(batch: pa.Table) -> pa.Table:
-        fps = [_h.md5(t.strip().lower().encode()).hexdigest()
+        from .textpipe import WS_CHARS
+
+        fps = [_h.md5(t.strip(WS_CHARS).lower().encode()).hexdigest()
                for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "fp": pa.array(fps, pa.string()),
@@ -68,7 +68,10 @@ def exact_dedup(ray, sf_dir: str):
 
 EXACT_DEDUP_SQL = """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
-FROM documents GROUP BY md5(LOWER(TRIM(text))) ORDER BY doc_id
+FROM documents
+GROUP BY md5(LOWER(regexp_replace(text,
+    '^[ \t\n\r\x0b\x0c]+|[ \t\n\r\x0b\x0c]+$', '', 'g')))
+ORDER BY doc_id
 """
 
 

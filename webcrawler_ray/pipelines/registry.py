@@ -248,43 +248,46 @@ SELECT url,
 FROM read_parquet('{_ATTEMPTS_DUMP}')
 ORDER BY url
 """,
-    "doc_token_counts": """
+    "doc_token_counts": f"""
 SELECT doc_id,
-       CASE WHEN TRIM(text) = '' THEN 0
-            ELSE CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT)
+       CASE WHEN {textpipe.SQL_TRIM_TEXT} = '' THEN 0
+            ELSE CAST(len(regexp_split_to_array({textpipe.SQL_TRIM_TEXT},
+                 '{textpipe.SQL_WS_CLASS}+')) AS BIGINT)
        END AS n_tokens
 FROM documents ORDER BY doc_id
 """,
-    "doc_first20": """
+    "doc_first20": f"""
 SELECT doc_id,
-       array_to_string(regexp_split_to_array(TRIM(text), '\\s+')[1:20], ' ')
-           AS first20
+       array_to_string(regexp_split_to_array({textpipe.SQL_TRIM_TEXT},
+           '{textpipe.SQL_WS_CLASS}+')[1:20], ' ') AS first20
 FROM documents ORDER BY doc_id
 """,
     "doc_lang_counts": """
 SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
 """,
-    "doc_quality": """
+    "doc_quality": f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars2,
        CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
        CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
-       CASE WHEN TRIM(text) = '' THEN 0
-            ELSE CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT)
+       CASE WHEN {textpipe.SQL_TRIM_TEXT} = '' THEN 0
+            ELSE CAST(len(regexp_split_to_array({textpipe.SQL_TRIM_TEXT},
+                 '{textpipe.SQL_WS_CLASS}+')) AS BIGINT)
        END AS n_tokens2
 FROM documents ORDER BY doc_id
 """,
-    "doc_fingerprint": """
-SELECT doc_id, md5(LOWER(TRIM(text))) AS fp FROM documents ORDER BY doc_id
+    "doc_fingerprint": f"""
+SELECT doc_id, md5(LOWER({textpipe.SQL_TRIM_TEXT})) AS fp
+FROM documents ORDER BY doc_id
 """,
     "q1_pricing_summary": relational.Q1_SQL,
     "revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
     "events_topk_users": relational.EVENTS_TOPK_SQL,
     "docs_topk_longest": relational.DOCS_TOPK_SQL,
-    "dedup_exact": """
+    "dedup_exact": f"""
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
-FROM documents GROUP BY md5(LOWER(TRIM(text))) ORDER BY doc_id
+FROM documents GROUP BY md5(LOWER({textpipe.SQL_TRIM_TEXT})) ORDER BY doc_id
 """,
     "dedup_embedding_cosine": """
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b

@@ -14,10 +14,30 @@ from __future__ import annotations
 from ..io_utils import read_parquet_clean as _rpq
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+# Canonical whitespace for every SQL-checked text operator: the ASCII
+# class both sides can express EXACTLY — Python str.strip()/split() use
+# all of Unicode whitespace while DuckDB's TRIM strips spaces only, so
+# each side gets this explicit class instead (ADVICE r1: texts with
+# tabs/newlines/nbsp would otherwise diverge).
+WS_CHARS = " \t\n\r\v\f"
+WS_RE = re.compile(r"[ \t\n\r\v\f]+")
+# the same class spelled for DuckDB/RE2 (literal in the SQL string)
+SQL_WS_CLASS = r"[ \t\n\r\x0b\x0c]"
+SQL_TRIM_TEXT = (f"regexp_replace(text, '^{SQL_WS_CLASS}+|"
+                 f"{SQL_WS_CLASS}+$', '', 'g')")
+
+
+def tokenize(t: str) -> list[str]:
+    """Whitespace tokenizer over WS_CHARS (M10 split semantics, pinned
+    to the SQL-expressible class)."""
+    t = t.strip(WS_CHARS)
+    return WS_RE.split(t) if t else []
 
 
 def _docs(ray, sf_dir: str, columns):
@@ -30,7 +50,7 @@ def token_counts(ray, sf_dir: str):
 
     def f(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        n = np.fromiter((len(t.split()) for t in texts), dtype=np.int64,
+        n = np.fromiter((len(tokenize(t)) for t in texts), dtype=np.int64,
                         count=len(texts))
         return pa.table({"doc_id": batch.column("doc_id"),
                          "n_tokens": pa.array(n, pa.int64())})
@@ -44,7 +64,7 @@ def first_n_words(ray, sf_dir: str, n: int = 20):
 
     def f(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        out = [" ".join(t.split()[:n]) for t in texts]
+        out = [" ".join(tokenize(t)[:n]) for t in texts]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "first20": pa.array(out, pa.string())})
 
@@ -74,7 +94,7 @@ def quality_counts(ray, sf_dir: str):
             "n_alpha": s.str.count(r"[A-Za-z]").astype("int64"),
             "n_digit": s.str.count(r"[0-9]").astype("int64"),
             "n_space": s.str.count(r" ").astype("int64"),
-            "n_tokens2": s.str.split().str.len().astype("int64"),
+            "n_tokens2": s.map(lambda t: len(tokenize(t))).astype("int64"),
         })
 
     return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
@@ -87,7 +107,7 @@ def md5_fingerprints(ray, sf_dir: str):
 
     def f(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        fps = [hashlib.md5(t.strip().lower().encode("utf-8")).hexdigest()
+        fps = [hashlib.md5(t.strip(WS_CHARS).lower().encode("utf-8")).hexdigest()
                for t in texts]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "fp": pa.array(fps, pa.string())})
