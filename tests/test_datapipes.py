@@ -267,3 +267,40 @@ class TestWhitespaceSemantics:
         gf = [hashlib.md5(t.strip(T.WS_CHARS).lower().encode()).hexdigest()
               for t in self.TEXTS]
         assert wf == gf
+
+
+class TestClusterPropagation:
+    def test_chain_components_collapse_to_min_label(self, ray_session,
+                                                    tmp_path):
+        # docs are sliding windows over a token sequence: ADJACENT docs
+        # are near-dups (j ~ 0.82 > 0.8) but 2-hop docs are NOT
+        # (j ~ 0.67) — so the component is a PATH and min-label
+        # propagation must walk the full diameter, which a single
+        # grouped-min round cannot do
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        seq = [f"tok{i:04d}" for i in range(1000)]
+        texts = [" ".join(seq[i * 30: i * 30 + 300]) for i in range(5)]
+        texts.append(" ".join(f"zz{i}" for i in range(200)))  # isolate
+        d = tmp_path / "chain"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 6), "source": pa.array(["s"] * 6),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+            str(d / "documents.parquet"))
+
+        from webcrawler_ray.pipelines.dedup import (
+            dedup_clusters,
+            minhash_lsh_pairs,
+        )
+
+        pairs = _to_df(minhash_lsh_pairs(ray, str(d), threshold=0.8))
+        got_pairs = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        assert got_pairs == {(0, 1), (1, 2), (2, 3), (3, 4)}, got_pairs
+        df = _to_df(dedup_clusters(ray, str(d), threshold=0.8))
+        assert dict(zip(df["doc_id"], df["cluster_id"])) == {
+            0: 0, 1: 0, 2: 0, 3: 0, 4: 0}

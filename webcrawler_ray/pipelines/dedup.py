@@ -179,17 +179,26 @@ def _verify_pairs_exchange(ray, sf_dir: str, cand, threshold: float,
                   "doc_b": pa.array([], pa.int64())}
     if with_pct:
         empty_cols["jaccard_pct"] = pa.array([], pa.int64())
-    cand = cand.materialize()  # pair IDS only — bounded by banding
-    if cand.count() == 0:
-        return pa.table(empty_cols)
+    from ..stages.aggregates import normalize_for_join
 
+    cand = normalize_for_join(
+        cand, pa.schema([("doc_a", pa.int64()),
+                         ("doc_b", pa.int64())])).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return pa.table(empty_cols)
+    from ..stages.aggregates import join_partitions_for
+
+    nparts = join_partitions_for(n_cand)
     sh = _shingle_table(ray, sf_dir)  # lazy: re-executed per join side
     sh_a = sh.map_batches(lambda t: t.rename_columns(["doc_a", "sh_a"]),
                           batch_format="pyarrow")
     sh_b = sh.map_batches(lambda t: t.rename_columns(["doc_b", "sh_b"]),
                           batch_format="pyarrow")
-    j = cand.join(sh_a, join_type="inner", on=("doc_a",), num_partitions=8)
-    j = j.join(sh_b, join_type="inner", on=("doc_b",), num_partitions=8)
+    j = cand.join(sh_a, join_type="inner", on=("doc_a",),
+                  num_partitions=nparts)
+    j = j.join(sh_b, join_type="inner", on=("doc_b",),
+               num_partitions=nparts)
 
     def verify(batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_numpy(zero_copy_only=False)
@@ -232,35 +241,98 @@ def ngram_jaccard_pairs(ray, sf_dir: str, threshold: float = 0.5):
                                   with_pct=True)
 
 
-def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8):
-    """(doc_id, cluster_id): near-duplicate clusters = connected components
-    of the verified MinHash pair graph, via iterative min-label propagation
-    (guide pattern: a few rounds of grouped min; union-find driver-side
-    only because the verified pair set is provably small — candidates
-    already passed banding + exact-Jaccard)."""
+def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
+                   max_iters: int = 50):
+    """(doc_id, cluster_id): near-duplicate clusters = connected
+    components of the verified MinHash pair graph, via DISTRIBUTED
+    grouped min-label propagation — no driver-side union-find, so the
+    pair graph can be arbitrarily large.
+
+    Each round: join edges to both endpoints' labels, emit min(label)
+    messages to both endpoints, take the grouped min of (own label,
+    incoming messages). Labels only decrease, so the monotone label sum
+    detects convergence; rounds needed = component diameter (near-dup
+    clusters from banding are near-cliques, so 2-3 in practice)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
     pairs = minhash_lsh_pairs(ray, sf_dir, threshold=threshold)
     if isinstance(pairs, pa.Table):
-        df = pairs.to_pandas()
-    else:
-        df = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
-    parent: dict[int, int] = {}
+        return empty
+    edges = pairs.materialize()  # pair IDS only, bounded by verification
+    n_edges = edges.count()
+    if n_edges == 0:
+        return empty
+    from ..stages.aggregates import join_partitions_for
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    nparts = join_partitions_for(n_edges)
 
-    for a, b in zip(df.get("doc_a", []), df.get("doc_b", [])):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    members = sorted({int(v) for v in df.get("doc_a", [])}
-                     | {int(v) for v in df.get("doc_b", [])})
-    out_doc = [m for m in members]
-    out_cl = [find(m) for m in members]
-    return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
-                     "cluster_id": pa.array(out_cl, pa.int64())})
+    def nodes(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            t.column("doc_a").to_numpy(zero_copy_only=False),
+            t.column("doc_b").to_numpy(zero_copy_only=False)])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "cluster_id": pa.array(ids, pa.int64())})
+
+    def _min_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False).min()
+
+    from ..stages.aggregates import normalize_for_join
+
+    _LBL = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+
+    def _typed(names):
+        def f(t: pa.Table) -> pa.Table:
+            if "doc_id" not in t.column_names:
+                return pa.table({names[0]: pa.array([], pa.int64()),
+                                 names[1]: pa.array([], pa.int64())})
+            return (t.select(["doc_id", "cluster_id"])
+                     .rename_columns(list(names)))
+        return f
+
+    def _agg_labels(ds):
+        # normalize_for_join scrubs the column-less empty blocks that
+        # map_groups emits — required before every Dataset.join
+        return normalize_for_join(
+            hash_bucket_aggregate(ds, ["doc_id"], _min_combine),
+            _LBL).materialize()
+
+    labels = _agg_labels(edges.map_batches(nodes, batch_format="pyarrow"))
+
+    def _lsum(ds) -> int:
+        return int(ds.aggregate(Sum("cluster_id"))["sum(cluster_id)"])
+
+    prev = _lsum(labels)
+    for _ in range(max_iters):
+        la = labels.map_batches(_typed(("doc_a", "lbl_a")),
+                                batch_format="pyarrow")
+        lb = labels.map_batches(_typed(("doc_b", "lbl_b")),
+                                batch_format="pyarrow")
+        j = edges.join(la, join_type="inner", on=("doc_a",),
+                       num_partitions=nparts)
+        j = j.join(lb, join_type="inner", on=("doc_b",),
+                   num_partitions=nparts)
+
+        def msgs(t: pa.Table) -> pa.Table:
+            a = t.column("doc_a").to_numpy(zero_copy_only=False)
+            b = t.column("doc_b").to_numpy(zero_copy_only=False)
+            m = np.minimum(
+                t.column("lbl_a").to_numpy(zero_copy_only=False),
+                t.column("lbl_b").to_numpy(zero_copy_only=False))
+            return pa.table({
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "cluster_id": pa.array(np.concatenate([m, m]), pa.int64())})
+
+        labels = _agg_labels(
+            labels.union(j.map_batches(msgs, batch_format="pyarrow")))
+        cur = _lsum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.sort("doc_id")
 
 
 def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):

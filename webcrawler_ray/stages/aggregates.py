@@ -70,3 +70,32 @@ def hash_bucket_aggregate(ds, keys: list[str], combine, num_buckets: int = 16,
     return (ds.map_batches(partial, batch_format=batch_format)
               .groupby("__bucket")
               .map_groups(per_bucket, batch_format="pandas"))
+
+
+def join_partitions_for(n_rows: int, cap: int = 16) -> int:
+    """Safe ``num_partitions`` for ``Dataset.join``: ray 2.49 CRASHES
+    when a join hash-partition receives zero rows on either side (its
+    empty-partition table has no columns, so pyarrow's join can't find
+    the key field). One partition is always safe; scale up only when
+    every partition is statistically certain to see rows (>=4096 rows
+    per partition makes an empty one impossible in practice)."""
+    return max(1, min(cap, n_rows // 4096))
+
+
+def normalize_for_join(ds, schema: pa.Schema, num_blocks: int = 8):
+    """Coerce every block of ``ds`` to exactly ``schema`` and rebalance.
+
+    ``groupby().map_groups`` emits COLUMN-LESS empty pandas blocks for
+    empty partitions; datasets carrying them break ``Dataset.join``
+    ("No match ... for key field on right side") even when a map stage
+    retypes each block — the join's partition build needs uniform block
+    schemas, which only a repartition after the typed map guarantees.
+    Use on any BOUNDED dataset headed into a join/union."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or set(schema.names) - set(t.column_names):
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return (ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+              .repartition(num_blocks))
