@@ -47,3 +47,48 @@ class TestCrawlQueries:
         assert len(df) > 0
         corpus = _df(queries["crawl_corpus"](SF_DIR))
         assert len(df) == len(corpus)
+
+
+class TestWarcSink:
+    def test_warc_roundtrip_bytes_and_members(self, queries):
+        import glob
+        import os
+
+        summ = _df(queries["crawl_warc"](SF_DIR))
+        assert len(summ) >= 1
+        assert (summ["n_records"] > 0).all()
+
+        from webcrawler_ray.sinks.warc import (
+            count_gzip_members,
+            iter_warc_records,
+        )
+
+        corpus = _df(queries["crawl_corpus"](SF_DIR))
+        # locate the warc dir written by the query for THIS scale
+        name = os.path.basename(SF_DIR)
+        cache = sorted(glob.glob(
+            f"/tmp/webcrawler_ray_cache/{name}/crawl_wd_*/warc"))
+        assert cache
+        wdir = cache[-1]
+        got = {}
+        total_members = 0
+        for f in summ["warc_file"]:
+            path = os.path.join(wdir, f)
+            n = 0
+            for headers, body in iter_warc_records(path):
+                assert headers["WARC-Type"] == "response"
+                assert headers["WARC-Record-ID"].startswith("<urn:uuid:")
+                got[headers["WARC-Target-URI"]] = body
+                n += 1
+            # the standard .warc.gz layout: one gzip MEMBER per record
+            assert count_gzip_members(path) == n
+            total_members += n
+        assert total_members == int(summ["n_records"].sum())
+        # every crawled page round-trips byte-identically
+        assert set(got) == set(corpus["url"])
+        texts = dict(zip(corpus["url"], corpus["extracted_text"]))
+        # spot-check html bytes decode to pages whose extracted text
+        # matches the corpus golden text
+        from webcrawler_ray.functions.htmlparse import extract_visible_text
+        for u in list(got)[:20]:
+            assert extract_visible_text(got[u]) == texts[u]

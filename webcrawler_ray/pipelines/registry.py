@@ -153,6 +153,22 @@ def url_algebra(sf_dir: str):
              .sort("url"))
 
 
+def crawl_warc(sf_dir: str):
+    """S5 in the TRUE byte format: crawled corpus -> gzipped WARC
+    response records, 1000/file (`WarcFileSave.py:20-54` parity);
+    returns the per-file summary (rows-only — binary sink)."""
+    import pyarrow as pa
+
+    from ..sinks.warc import write_warc
+
+    c = _crawl_workdir(sf_dir)
+    out = os.path.join(c.workdir, "warc")
+    ds = c.crawled_dataset().map_batches(
+        lambda t: t.select(["url", "html", "warc_ts"]),
+        batch_format="pyarrow")
+    return write_warc(ds, out).sort("warc_file")
+
+
 def crawl_log(sf_dir: str):
     """S6 debug-log dataset (URL/Title/Text/Timestamp per saved page,
     DebugPrinter.py:9-18 fields)."""
@@ -181,6 +197,7 @@ def build_queries() -> dict:
         "crawl_flagship": crawl_flagship,
         "crawl_corpus": crawl_corpus,
         "crawl_host_counts": crawl_host_counts,
+        "crawl_warc": crawl_warc,
         # text analysis over documents
         "doc_token_counts": lambda sf: textpipe.token_counts(ray, sf),
         "doc_first20": lambda sf: textpipe.first_n_words(ray, sf),
@@ -217,10 +234,72 @@ def build_queries() -> dict:
             "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
             "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),
             "multimodal_frames": lambda sf: multimodal.frame_samples(ray, sf),
+            "multimodal_meta": multimodal_meta,
         })
     except ImportError:
         pass
     return q
+
+
+def multimodal_meta(sf_dir: str):
+    """Decoded header+size metadata of the multimodal payloads — the
+    END-TO-END check of the binary decode path: the Ray side parses the
+    actual payload bytes, the oracle derives the same values from the
+    deterministic doc_id arithmetic (pixel stats stay rows-only: the
+    oracle cannot run PCG64)."""
+    import pyarrow as pa
+
+    from . import multimodal
+
+    ray = _ray()
+    ds = multimodal.decode_meta(ray, sf_dir)
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "width", "height", "n_frames",
+                            "n_bytes", "decode_ok"]),
+        batch_format="pyarrow")
+
+
+def _langid_sql() -> str:
+    """DuckDB reimplementation of LangIdStage: same tokenizer class,
+    same stopword tables, same strict-> tie rule over sorted langs."""
+    from .textpipe import _STOPWORDS, SQL_WS_CLASS
+
+    def inlist(lang):
+        return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+    trim = (f"regexp_replace(lower(text), '^{SQL_WS_CLASS}+|"
+            f"{SQL_WS_CLASS}+$', '', 'g')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         str_split_regex({trim}, '{SQL_WS_CLASS}+') AS tk
+  FROM documents),
+counts AS (
+  SELECT doc_id,
+    CAST(len(list_filter(tk, x -> x IN ({inlist('en')}))) AS BIGINT) AS n_en,
+    CAST(len(list_filter(tk, x -> x IN ({inlist('es')}))) AS BIGINT) AS n_es,
+    CAST(len(list_filter(tk, x -> x IN ({inlist('pt')}))) AS BIGINT) AS n_pt
+  FROM toks)
+SELECT doc_id,
+  CASE WHEN n_en = 0 AND n_es = 0 AND n_pt = 0 THEN 'unk'
+       WHEN n_en >= n_es AND n_en >= n_pt THEN 'en'
+       WHEN n_es >= n_pt THEN 'es'
+       ELSE 'pt' END AS lang_pred,
+  CAST(greatest(n_en, n_es, n_pt) AS BIGINT) AS n_stopword_hits
+FROM counts ORDER BY doc_id
+"""
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+  CAST(8 + (doc_id % 16) * 2 AS BIGINT) AS width,
+  CAST(8 + (doc_id % 12) * 2 AS BIGINT) AS height,
+  CAST(1 + doc_id % 4 AS BIGINT) AS n_frames,
+  CAST(16 + (8 + (doc_id % 16) * 2) * (8 + (doc_id % 12) * 2)
+       * (1 + doc_id % 4) AS BIGINT) AS n_bytes,
+  TRUE AS decode_ok
+FROM documents ORDER BY doc_id
+"""
 
 
 # the crawl queries dump their attempts log to this STABLE path (see
@@ -302,6 +381,8 @@ ORDER BY vec_id_a, vec_id_b
     "events_sessionize": relational.SESSIONIZE_SQL,
     "events_asof_order": relational.EVENTS_ASOF_SQL,
     "events_running_index": relational.EVENTS_RUNNING_INDEX_SQL,
+    "doc_langid": _langid_sql(),
+    "multimodal_meta": MULTIMODAL_META_SQL,
 }
 
 try:

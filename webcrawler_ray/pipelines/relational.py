@@ -428,25 +428,42 @@ def events_asof_order(ray, sf_dir: str):
             "event_id": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
             "o_orderkey": b.column("o_orderkey")})
 
-    both = (ev.map_batches(ev_norm, batch_format="pyarrow")
-              .union(od.map_batches(od_norm, batch_format="pyarrow")))
+    # COARSE user buckets, not one group per user: groupby.map_groups
+    # pays per-group python overhead, so 10^4 users would cost seconds;
+    # ~64 buckets each run ONE C-speed pd.merge_asof(by=user_id) over
+    # thousands of users at once
+    N_BUCKETS = 64
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(N_BUCKETS)).astype(np.int64)
+        return t.append_column("ubucket", pa.array(b, pa.int64()))
+
+    both = (ev.map_batches(ev_norm, batch_format="pyarrow")
+              .union(od.map_batches(od_norm, batch_format="pyarrow"))
+              .map_batches(add_bucket, batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         is_order = g["o_orderkey"].to_numpy() >= 0
-        odf = g[is_order].sort_values(["t_us", "o_orderkey"])
-        edf = g[~is_order]
+        # right side sorted by (t_us, o_orderkey): merge_asof matches the
+        # LAST right row <= the event time, so equal-date ties resolve to
+        # the max orderkey with no per-row walk
+        odf = g[is_order].sort_values(["t_us", "o_orderkey"],
+                                      kind="mergesort")
+        edf = g[~is_order].sort_values("t_us", kind="mergesort")
         if len(odf) == 0 or len(edf) == 0:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "last_orderkey": pd.Series([], dtype="int64")})
-        dates = odf["t_us"].to_numpy()
-        keys = odf["o_orderkey"].to_numpy()
-        j = np.searchsorted(dates, edf["t_us"].to_numpy(), side="right") - 1
-        m = j >= 0
+        m = pd.merge_asof(edf[["user_id", "t_us", "event_id"]],
+                          odf[["user_id", "t_us", "o_orderkey"]],
+                          on="t_us", by="user_id", direction="backward")
+        m = m.dropna(subset=["o_orderkey"])
         return pd.DataFrame({
-            "event_id": edf["event_id"].to_numpy()[m].astype("int64"),
-            "last_orderkey": keys[j[m]].astype("int64")})
+            "event_id": m["event_id"].astype("int64"),
+            "last_orderkey": m["o_orderkey"].astype("int64")})
 
-    return (both.groupby("user_id").map_groups(per_user,
+    return (both.groupby("ubucket").map_groups(per_bucket,
                                                batch_format="pandas")
                 .sort("event_id"))
 

@@ -126,7 +126,10 @@ _STOPWORDS = {
 
 class LangIdStage:
     """Actor-pool stage: stopword-overlap language scorer (stateful setup:
-    tables built once per actor in __init__ — the model-load pattern)."""
+    tables built once per actor in __init__ — the model-load pattern).
+    Tokenization uses the shared ``tokenize`` so the DuckDB oracle can
+    reproduce the exact counts; ties resolve to the lexicographically
+    first language (strict > while scanning sorted langs)."""
 
     def __init__(self):
         self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
@@ -135,7 +138,7 @@ class LangIdStage:
         texts = batch.column("text").to_pylist()
         preds, scores = [], []
         for t in texts:
-            toks = t.lower().split()
+            toks = tokenize(t.lower())
             best, best_n = "unk", 0
             for lang, tbl in sorted(self.tables.items()):
                 n = sum(1 for w in toks if w in tbl)

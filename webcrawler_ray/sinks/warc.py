@@ -1,0 +1,146 @@
+"""WARC/1.0 byte-format sink (ISO 28500 / WARC 1.1 record layout).
+
+Closes the reference's last output-format gap: `WarcFileSave.py:20-54`
+writes real gzipped WARC ``response`` records (1000 per file) via the
+``warc`` library; this sink produces the same interchange format from a
+crawled Dataset with nothing but stdlib ``gzip`` — one gzip MEMBER per
+record, members concatenated, which is the standard ``.warc.gz`` layout
+the Common Crawl toolchain (warcio et al.) expects.
+
+Determinism: record ids are uuid-shaped blake2b digests of
+(url, timestamp), dates come from the corpus ``warc_ts`` column, and
+file names derive from the first record's digest — re-running the sink
+over the same corpus produces byte-identical files (gzip mtime pinned
+to 0), so output is resumable/idempotent per file.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+
+import pyarrow as pa
+
+WARC_VERSION = b"WARC/1.0"
+RECORDS_PER_FILE = 1000  # WarcFileSave.py rotation size
+
+
+def _record_id(url: str, ts_us: int) -> str:
+    h = hashlib.blake2b(f"{url}\x1f{ts_us}".encode(), digest_size=16)
+    x = h.hexdigest()
+    return (f"<urn:uuid:{x[0:8]}-{x[8:12]}-{x[12:16]}-{x[16:20]}-"
+            f"{x[20:32]}>")
+
+
+def _warc_date(ts_us: int) -> str:
+    import datetime as dt
+
+    t = dt.datetime.fromtimestamp(ts_us / 1e6, tz=dt.timezone.utc)
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def build_record(url: str, html: bytes, ts_us: int) -> bytes:
+    """One uncompressed WARC ``response`` record (headers + HTTP block)."""
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Length: {len(html)}\r\n\r\n".encode()) + html
+    headers = (
+        WARC_VERSION + b"\r\n"
+        + b"WARC-Type: response\r\n"
+        + f"WARC-Record-ID: {_record_id(url, ts_us)}\r\n".encode()
+        + f"WARC-Date: {_warc_date(ts_us)}\r\n".encode()
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + b"\r\n")
+    return headers + http + b"\r\n\r\n"
+
+
+def _gzip_member(payload: bytes) -> bytes:
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(payload)
+    return buf.getvalue()
+
+
+def write_warc(ds, out_dir: str,
+               records_per_file: int = RECORDS_PER_FILE):
+    """Write a crawled Dataset (url, html, warc_ts|ts columns) as
+    ``.warc.gz`` files, ``records_per_file`` records each, one file per
+    task — fully parallel, no driver materialization. Returns the
+    summary Dataset (warc_file, n_records, n_bytes), one row per file."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"warc_file": pa.array([], pa.string()),
+                             "n_records": pa.array([], pa.int64()),
+                             "n_bytes": pa.array([], pa.int64())})
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        ts_col = "warc_ts" if "warc_ts" in batch.column_names else "ts"
+        ts = batch.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        elif pa.types.is_floating(ts.type):
+            ts = ts.cast(pa.int64())
+        ts_us = ts.to_pylist()
+        members = [_gzip_member(build_record(u, h or b"", int(t)))
+                   for u, h, t in zip(urls, htmls, ts_us)]
+        name = (hashlib.blake2b(
+            f"{urls[0]}\x1f{len(urls)}".encode(), digest_size=8).hexdigest()
+            + f"-{len(urls)}.warc.gz")
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        payload = b"".join(members)
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pa.table({"warc_file": pa.array([name], pa.string()),
+                         "n_records": pa.array([len(urls)], pa.int64()),
+                         "n_bytes": pa.array([len(payload)], pa.int64())})
+
+    return ds.map_batches(write_batch, batch_format="pyarrow",
+                          batch_size=records_per_file)
+
+
+def count_gzip_members(path: str) -> int:
+    """Exact gzip member count via zlib's unused_data walk (verifies the
+    one-member-per-record .warc.gz property)."""
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    n = 0
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(data)
+        n += 1
+        data = d.unused_data
+    return n
+
+
+def iter_warc_records(path: str):
+    """Read-back parser: yields (headers: dict, http_body: bytes) per
+    record of a ``.warc.gz`` file (test/interop aid). gzip reads the
+    concatenated members as one stream; records are walked by their
+    Content-Length."""
+    with gzip.open(path, "rb") as f:
+        raw = f.read()
+    pos = 0
+    while pos < len(raw):
+        head_end = raw.index(b"\r\n\r\n", pos)
+        lines = raw[pos:head_end].split(b"\r\n")
+        assert lines[0] == WARC_VERSION, lines[0]
+        headers = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b": ")
+            headers[k.decode()] = v.decode()
+        clen = int(headers["Content-Length"])
+        body_start = head_end + 4
+        http = raw[body_start:body_start + clen]
+        _, _, body = http.partition(b"\r\n\r\n")
+        yield headers, body
+        pos = body_start + clen + 4  # skip the record's trailing CRLFCRLF
