@@ -46,7 +46,8 @@ SQL_CHECKED = [
     "revenue_by_nation", "events_by_type", "events_windowed",
     "events_sessionize", "events_asof_order", "events_topk_users",
     "docs_topk_longest", "dedup_exact", "dedup_embedding_cosine",
-    "knn_cosine", "doc_langid", "multimodal_meta",
+    "knn_cosine", "doc_langid", "multimodal_meta", "events_hopping",
+    "events_user_topk",
 ]
 
 

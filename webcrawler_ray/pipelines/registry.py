@@ -216,6 +216,8 @@ def build_queries() -> dict:
         "crawl_log": crawl_log,
         "events_by_type": lambda sf: relational.events_by_type(ray, sf),
         "events_windowed": lambda sf: relational.events_windowed(ray, sf),
+        "events_hopping": lambda sf: relational.events_hopping(ray, sf),
+        "events_user_topk": lambda sf: relational.events_user_topk(ray, sf),
         "events_sessionize": lambda sf: relational.sessionize(ray, sf),
         "events_asof_order": lambda sf: relational.events_asof_order(ray, sf),
         "events_running_index": lambda sf: relational.events_running_index(ray, sf),
@@ -378,6 +380,8 @@ ORDER BY vec_id_a, vec_id_b
     "top_customers": relational.TOP_CUSTOMERS_SQL,
     "events_by_type": relational.EVENTS_BY_TYPE_SQL,
     "events_windowed": relational.EVENTS_WINDOWED_SQL,
+    "events_hopping": relational.EVENTS_HOPPING_SQL,
+    "events_user_topk": relational.EVENTS_USER_TOPK_SQL,
     "events_sessionize": relational.SESSIONIZE_SQL,
     "events_asof_order": relational.EVENTS_ASOF_SQL,
     "events_running_index": relational.EVENTS_RUNNING_INDEX_SQL,

@@ -334,6 +334,106 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, window_start_us
 
 
 # ---------------------------------------------------------------------------
+HOP_W_US = 600_000_000  # 10-minute hopping window ...
+HOP_S_US = 300_000_000  # ... sliding every 5 minutes (each event in W/S=2)
+
+
+def events_hopping(ray, sf_dir: str):
+    """HOPPING (sliding) windows per event_type: (event_type,
+    window_start_us, n_events, min_event_id) for 10-min windows every
+    5 min — each event lands in W/S windows via a vectorized explode,
+    then partial pre-aggregation + a bucketed merge (many windows ->
+    hash_bucket_aggregate, not the python-accumulator groupby)."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_type", "ts", "event_id"])
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        lo = (us - HOP_W_US) // HOP_S_US + 1  # first covering window idx
+        hi = us // HOP_S_US                   # last covering window idx
+        n = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(us)), n)
+        # window index per exploded row: lo[i] + position-within-event
+        offs = np.concatenate([np.arange(k) for k in n]) if len(n) else \
+            np.array([], dtype=np.int64)
+        wi = lo[idx] + offs
+        et = np.asarray(batch.column("event_type").to_pylist(),
+                        dtype=object)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "event_type": et[idx],
+            "window_start_us": (wi * HOP_S_US).astype("int64"),
+            "n_events": np.ones(len(idx), dtype="int64"),
+            "min_event_id": eid[idx].astype("int64")})
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "window_start_us"],
+                          as_index=False).agg(
+            n_events=("n_events", "sum"),
+            min_event_id=("min_event_id", "min"))
+
+    out = hash_bucket_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["event_type", "window_start_us"], comb)
+    return out.sort(["event_type", "window_start_us"])
+
+
+EVENTS_HOPPING_SQL = f"""
+WITH x AS (
+  SELECT event_type, event_id,
+         unnest(generate_series((epoch_us(ts) - {HOP_W_US}) // {HOP_S_US} + 1,
+                                epoch_us(ts) // {HOP_S_US})) AS wi
+  FROM events)
+SELECT event_type, CAST(wi * {HOP_S_US} AS BIGINT) AS window_start_us,
+       COUNT(*) AS n_events, MIN(event_id) AS min_event_id
+FROM x GROUP BY 1, 2 ORDER BY event_type, window_start_us
+"""
+
+
+def events_user_topk(ray, sf_dir: str, k: int = 3):
+    """Per-group top-k: each user's k highest-value events,
+    (user_id, event_id, rnk) with ties broken by event_id — COARSE user
+    buckets, vectorized sort + groupby-head + cumcount inside each."""
+    N_BUCKETS = 64
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "event_id", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(N_BUCKETS)).astype(np.int64)
+        return t.append_column("ubucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("user_id").head(k).copy()
+        top["rnk"] = top.groupby("user_id").cumcount() + 1
+        return pd.DataFrame({"user_id": top["user_id"].astype("int64"),
+                             "event_id": top["event_id"].astype("int64"),
+                             "rnk": top["rnk"].astype("int64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort(["user_id", "rnk"]))
+
+
+EVENTS_USER_TOPK_SQL = """
+SELECT user_id, event_id, rnk FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events)
+WHERE rnk <= 3 ORDER BY user_id, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
 SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
