@@ -47,7 +47,7 @@ SQL_CHECKED = [
     "events_sessionize", "events_asof_order", "events_topk_users",
     "docs_topk_longest", "dedup_exact", "dedup_embedding_cosine",
     "knn_cosine", "doc_langid", "multimodal_meta", "events_hopping",
-    "events_user_topk",
+    "events_user_topk", "docs_sample", "doc_normalize", "doc_top_terms",
 ]
 
 

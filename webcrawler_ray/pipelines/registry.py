@@ -206,6 +206,9 @@ def build_queries() -> dict:
         "doc_fingerprint": lambda sf: textpipe.md5_fingerprints(ray, sf),
         "doc_langid": lambda sf: textpipe.langid(ray, sf),
         "doc_winnow": lambda sf: textpipe.winnow_fingerprints(ray, sf),
+        "docs_sample": lambda sf: textpipe.docs_sample(ray, sf),
+        "doc_normalize": lambda sf: textpipe.doc_normalize(ray, sf),
+        "doc_top_terms": lambda sf: textpipe.doc_top_terms(ray, sf),
         # relational / windowed / as-of
         "q1_pricing_summary": lambda sf: relational.q1_pricing_summary(ray, sf),
         "top_customers": lambda sf: relational.top_customers(ray, sf),
@@ -386,6 +389,9 @@ ORDER BY vec_id_a, vec_id_b
     "events_asof_order": relational.EVENTS_ASOF_SQL,
     "events_running_index": relational.EVENTS_RUNNING_INDEX_SQL,
     "doc_langid": _langid_sql(),
+    "docs_sample": textpipe.DOCS_SAMPLE_SQL,
+    "doc_normalize": textpipe.DOC_NORMALIZE_SQL,
+    "doc_top_terms": textpipe.DOC_TOP_TERMS_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }
 

@@ -190,3 +190,101 @@ def winnow_fingerprints(ray, sf_dir: str, k: int = 5, w: int = 8):
 
     return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow").sort("doc_id")
+
+
+# --- deterministic sampling (corpus subsetting) ----------------------------
+SAMPLE_MULT = 48271     # MINSTD multiplier — stable arithmetic both sides
+SAMPLE_MOD = 100
+SAMPLE_KEEP = 10        # ~10% deterministic sample
+
+
+def docs_sample(ray, sf_dir: str):
+    """(doc_id, n_chars): seeded deterministic ~10% corpus sample via
+    modular arithmetic on doc_id — the reproducible-subsample operator
+    (no RNG state, any worker agrees); numpy mask, zero-copy filter."""
+    ds = _docs(ray, sf_dir, ["doc_id", "n_chars"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids * SAMPLE_MULT) % SAMPLE_MOD < SAMPLE_KEEP
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+DOCS_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD} < {SAMPLE_KEEP}
+ORDER BY doc_id
+"""
+
+
+# --- normalization (cleaning) ----------------------------------------------
+_PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
+
+
+def doc_normalize(ray, sf_dir: str):
+    """(doc_id, norm_text): canonical cleaning transform — lowercase,
+    strip ASCII punctuation, collapse whitespace runs, trim. The exact
+    regex classes are mirrored in the DuckDB oracle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            t = _PUNCT_RE.sub("", t.lower())
+            t = WS_RE.sub(" ", t).strip(WS_CHARS)
+            out.append(t)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "norm_text": pa.array(out, pa.string())})
+
+    return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow").sort("doc_id")
+
+
+DOC_NORMALIZE_SQL = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+           lower(text), '[!-/:-@[-`{{-~]', '', 'g'),
+           '{SQL_WS_CLASS}+', ' ', 'g'),
+           '^ +| +$', '', 'g') AS norm_text
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- corpus term frequencies (wordcount) -----------------------------------
+def doc_top_terms(ray, sf_dir: str, k: int = 20):
+    """(token, n): global top-k corpus term frequencies — the canonical
+    wordcount: per-batch Counter partials (one row per distinct token
+    per batch), bucketed vectorized merge, then a tiny top-k sort."""
+    from collections import Counter
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _docs(ray, sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tokenize(t.lower()))
+        return pd.DataFrame({"token": list(c.keys()),
+                             "n": pd.Series(list(c.values()),
+                                            dtype="int64")})
+
+    out = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        lambda df: df.groupby("token", as_index=False).agg(n=("n", "sum")))
+    return out.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+DOC_TOP_TERMS_SQL = f"""
+WITH t AS (
+  SELECT unnest(str_split_regex(
+      regexp_replace(lower(text), '^{SQL_WS_CLASS}+|{SQL_WS_CLASS}+$',
+                     '', 'g'),
+      '{SQL_WS_CLASS}+')) AS token
+  FROM documents)
+SELECT token, COUNT(*) AS n FROM t WHERE token != ''
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
