@@ -92,3 +92,43 @@ class TestWarcSink:
         from webcrawler_ray.functions.htmlparse import extract_visible_text
         for u in list(got)[:20]:
             assert extract_visible_text(got[u]) == texts[u]
+
+
+class TestFetcherSeam:
+    def test_table_fetcher_matches_pages(self, ray_session, tmp_path):
+        import ray
+
+        from webcrawler_ray.stages.fetcher import FetchStage, TableFetcher
+        from webcrawler_ray.webgen import WebSpec, generate_web
+
+        web = generate_web(str(tmp_path / "w"),
+                           WebSpec(n_hosts=2, pages_per_host=5, seed=3))
+        import pyarrow.parquet as pq
+
+        pages = pq.read_table(web["pages"])
+        urls = pages.column("url").to_pylist()
+        htmls = dict(zip(urls, pages.column("html").to_pylist()))
+
+        f = TableFetcher(web["pages"])
+        exists, is_html = f.head(urls + ["https://nope.test/x"])
+        assert exists[:-1].all() and not exists[-1]
+        got = f.get(urls[:3] + ["https://nope.test/x"])
+        assert got[:3] == [htmls[u] for u in urls[:3]]
+        assert got[3] is None
+
+        # the actor-pool stage drives the same seam through Ray Data
+        ds = ray.data.from_items([{"url": u} for u in urls])
+        out = ds.map_batches(
+            FetchStage, fn_constructor_args=(
+                lambda p=web["pages"]: TableFetcher(p),),
+            batch_format="pyarrow", concurrency=1).to_pandas()
+        assert out["fetched"].all()
+        assert dict(zip(out["url"], out["html"])) == htmls
+
+    def test_http_fetcher_constructs_without_network(self):
+        # the live seam builds its pool with the reference's settings;
+        # no request is made (sandbox has no network)
+        from webcrawler_ray.stages.fetcher import HttpFetcher
+
+        f = HttpFetcher(timeout_s=1.0)
+        assert hasattr(f, "get") and hasattr(f, "head")
