@@ -85,18 +85,28 @@ class HostRules:
         """Vectorized denial over a pandas Series of resource paths (the
         politeness hot path). Pure-prefix Disallow-only rule sets use the
         pandas ``startswith`` kernel; rule sets with Allow or wildcards
-        fall back to the per-row longest-match (regexes compiled once at
-        rule build)."""
+        run one vectorized ``str.match`` PER RULE in precedence order
+        (rules are sorted longest-first / Allow-first, so the first rule
+        to match a row decides it) — never a per-row Python loop."""
+        n = len(resources)
         if not self.fetchable or not self._rules:
-            return np.zeros(len(resources), dtype=bool)
+            return np.zeros(n, dtype=bool)
         if self._pure_prefix:
-            denied = np.zeros(len(resources), dtype=bool)
+            denied = np.zeros(n, dtype=bool)
             for p in self.disallow:
                 if p:
                     denied |= resources.str.startswith(p).to_numpy()
             return denied
-        return np.fromiter((not self.allowed(r) for r in resources),
-                           dtype=bool, count=len(resources))
+        denied = np.zeros(n, dtype=bool)
+        undecided = np.ones(n, dtype=bool)
+        for _len, is_allow, rx in self._rules:
+            if not undecided.any():
+                break
+            m = resources.str.match(rx).to_numpy() & undecided
+            if not is_allow:
+                denied |= m
+            undecided &= ~m
+        return denied
 
     def delay_seconds(self) -> float:
         """ST3: crawl-delay clamped to [0.1, 3], default 0.1 (Host.py:95-114)."""
