@@ -48,6 +48,7 @@ SQL_CHECKED = [
     "docs_topk_longest", "dedup_exact", "dedup_embedding_cosine",
     "knn_cosine", "doc_langid", "multimodal_meta", "events_hopping",
     "events_user_topk", "docs_sample", "doc_normalize", "doc_top_terms",
+    "emb_label_sums",
 ]
 
 

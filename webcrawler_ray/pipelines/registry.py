@@ -198,6 +198,7 @@ def build_queries() -> dict:
         "crawl_corpus": crawl_corpus,
         "crawl_host_counts": crawl_host_counts,
         "crawl_warc": crawl_warc,
+        "crawl_round_stats": crawl_round_stats,
         # text analysis over documents
         "doc_token_counts": lambda sf: textpipe.token_counts(ray, sf),
         "doc_first20": lambda sf: textpipe.first_n_words(ray, sf),
@@ -237,6 +238,7 @@ def build_queries() -> dict:
             "dedup_embedding_cosine": lambda sf: similarity.cosine_dup_pairs(ray, sf),
             "knn_cosine": lambda sf: similarity.knn_brute_force(ray, sf),
             "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
+            "emb_label_sums": lambda sf: similarity.emb_label_sums(ray, sf),
             "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),
             "multimodal_frames": lambda sf: multimodal.frame_samples(ray, sf),
             "multimodal_meta": multimodal_meta,
@@ -399,5 +401,46 @@ try:
     from . import similarity as _sim
 
     ORACLE_SQL["knn_cosine"] = _sim.KNN_SQL
+    ORACLE_SQL["emb_label_sums"] = _sim.EMB_LABEL_SUMS_SQL
 except ImportError:
     ORACLE_SQL.pop("knn_cosine", None)
+
+
+def crawl_round_stats(sf_dir: str):
+    """(round, n_attempted, n_saved): per-round crawl progress — the
+    driver-metrics view as a distributed aggregate over the attempts
+    log, SQL-checked against the dump."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from ..state.politeness import STATUS_SAVED
+
+    c = _crawl_workdir(sf_dir)
+
+    def flag(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t.column("status").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "round": t.column("round").cast(pa.int64()),
+            "saved": pa.array((s == STATUS_SAVED).astype(np.int64),
+                              pa.int64())})
+
+    return (c.attempts_dataset()
+             .map_batches(lambda t: t.select(["round", "status"]),
+                          batch_format="pyarrow")
+             .map_batches(flag, batch_format="pyarrow")
+             .groupby("round")
+             .aggregate(Count(alias_name="n_attempted"),
+                        Sum("saved", alias_name="n_saved"))
+             .sort("round"))
+
+
+CRAWL_ROUND_STATS_SQL = f"""
+SELECT CAST(round AS BIGINT) AS round, COUNT(*) AS n_attempted,
+       CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_saved
+FROM read_parquet('{_ATTEMPTS_DUMP}')
+GROUP BY round ORDER BY round
+"""
+ORACLE_SQL["crawl_round_stats"] = CRAWL_ROUND_STATS_SQL

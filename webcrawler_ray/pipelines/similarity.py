@@ -296,3 +296,56 @@ FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 ORDER BY vec_id_a, vec_id_b
 """
+
+
+# ---------------------------------------------------------------------------
+Q_SCALE = 1_000_000  # centroid quantization: floor(x * 1e6) as int64
+
+
+def emb_label_sums(ray, sf_dir: str):
+    """(label, dim, qsum, n): per-label embedding aggregates — the class
+    centroid building block (centroid = qsum / (n * Q_SCALE)). Values are
+    quantized to int64 BEFORE summing so the result is exact and
+    order-independent (float sums depend on reduction order and can never
+    hash-match an oracle). Per-batch numpy partial sums -> tiny groupby."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet",
+              columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        col = batch.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // max(len(labels), 1)
+        q = np.floor(flat.astype(np.float64) * Q_SCALE).astype(np.int64)
+        m = q.reshape(len(labels), dim)
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lb in np.unique(labels):
+            rows = m[labels == lb]
+            s = rows.sum(axis=0, dtype=np.int64)
+            out_l.extend([int(lb)] * dim)
+            out_d.extend(range(1, dim + 1))
+            out_s.extend(s.tolist())
+            out_n.extend([rows.shape[0]] * dim)
+        return pd.DataFrame({"label": pd.Series(out_l, dtype="int64"),
+                             "dim": pd.Series(out_d, dtype="int64"),
+                             "qsum": pd.Series(out_s, dtype="int64"),
+                             "n": pd.Series(out_n, dtype="int64")})
+
+    out = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        lambda df: df.groupby(["label", "dim"], as_index=False).agg(
+            qsum=("qsum", "sum"), n=("n", "sum")))
+    return out.sort(["label", "dim"])
+
+
+EMB_LABEL_SUMS_SQL = f"""
+SELECT CAST(label AS BIGINT) AS label, i AS dim,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {Q_SCALE})
+                     AS BIGINT)) AS BIGINT) AS qsum,
+       COUNT(*) AS n
+FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+GROUP BY label, i ORDER BY label, dim
+"""
