@@ -48,7 +48,7 @@ SQL_CHECKED = [
     "docs_topk_longest", "dedup_exact", "dedup_embedding_cosine",
     "knn_cosine", "doc_langid", "multimodal_meta", "events_hopping",
     "events_user_topk", "docs_sample", "doc_normalize", "doc_top_terms",
-    "emb_label_sums",
+    "emb_label_sums", "doc_token_counts_bpe",
 ]
 
 
@@ -306,3 +306,24 @@ class TestClusterPropagation:
         df = _to_df(dedup_clusters(ray, str(d), threshold=0.8))
         assert dict(zip(df["doc_id"], df["cluster_id"])) == {
             0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
+
+
+class TestMultimodalResize:
+    def test_resize_stats_golden(self, queries):
+        import numpy as np
+
+        from webcrawler_ray.pipelines.multimodal import (
+            DecodeStage,
+            ResizeStage,
+            make_payload,
+        )
+
+        q, _ = queries
+        df = _to_df(q["multimodal_resize"](SF_DIR)).set_index("doc_id")
+        st = ResizeStage(8, 8)
+        for d in (0, 11, 255):
+            r = st.resize(DecodeStage.decode_pixels(make_payload(d)))
+            assert r.shape[1:] == (8, 8)
+            row = df.loc[d]
+            assert row["r_px_sum"] == int(r.sum(dtype=np.int64))
+            assert row["r_px_mean"] == r.sum(dtype=np.int64) / r.size

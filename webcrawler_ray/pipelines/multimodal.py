@@ -168,3 +168,48 @@ def frame_samples(ray, sf_dir: str, concurrency: int = 2):
     out = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
                          batch_size=256, concurrency=concurrency)
     return out.sort(["doc_id", "frame_idx"])
+
+
+class ResizeStage:
+    """Actor-pool resize stage: decode each payload and nearest-neighbor
+    downsample every frame to ``out_w x out_h`` (pure-numpy strided
+    index — a real pixel transform, deterministic). Emits the resized
+    pixel stats; a deployment would emit the resized payload instead."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def resize(self, px: np.ndarray) -> np.ndarray:
+        nf, h, w = px.shape
+        yi = (np.arange(self.out_h) * h) // self.out_h
+        xi = (np.arange(self.out_w) * w) // self.out_w
+        return px[:, yi[:, None], xi[None, :]]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs = batch.column("media").to_pylist()
+        o_id, o_sum, o_mean = [], [], []
+        for d, blob in zip(ids, blobs):
+            if len(blob) < HEADER_SIZE or blob[:4] != MAGIC:
+                continue
+            r = self.resize(DecodeStage.decode_pixels(blob))
+            s = int(r.sum(dtype=np.int64))
+            o_id.append(d)
+            o_sum.append(s)
+            o_mean.append(s / r.size)
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "r_px_sum": pa.array(o_sum, pa.int64()),
+                         "r_px_mean": pa.array(o_mean, pa.float64())})
+
+
+def resize_stats(ray, sf_dir: str, out_w: int = 8, out_h: int = 8,
+                 concurrency: int = 2):
+    """(doc_id, r_px_sum, r_px_mean): decode + per-frame nearest-neighbor
+    resize over the binary media column (rows-only: pixel arithmetic)."""
+    ds = synthesize_payloads(ray, sf_dir)
+    out = ds.map_batches(ResizeStage,
+                         fn_constructor_args=(out_w, out_h),
+                         batch_format="pyarrow", batch_size=256,
+                         concurrency=concurrency)
+    return out.sort("doc_id")

@@ -210,6 +210,7 @@ def build_queries() -> dict:
         "docs_sample": lambda sf: textpipe.docs_sample(ray, sf),
         "doc_normalize": lambda sf: textpipe.doc_normalize(ray, sf),
         "doc_top_terms": lambda sf: textpipe.doc_top_terms(ray, sf),
+        "doc_token_counts_bpe": lambda sf: textpipe.token_counts_bpe(ray, sf),
         # relational / windowed / as-of
         "q1_pricing_summary": lambda sf: relational.q1_pricing_summary(ray, sf),
         "top_customers": lambda sf: relational.top_customers(ray, sf),
@@ -242,6 +243,7 @@ def build_queries() -> dict:
             "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),
             "multimodal_frames": lambda sf: multimodal.frame_samples(ray, sf),
             "multimodal_meta": multimodal_meta,
+            "multimodal_resize": lambda sf: multimodal.resize_stats(ray, sf),
         })
     except ImportError:
         pass
@@ -394,6 +396,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_sample": textpipe.DOCS_SAMPLE_SQL,
     "doc_normalize": textpipe.DOC_NORMALIZE_SQL,
     "doc_top_terms": textpipe.DOC_TOP_TERMS_SQL,
+    "doc_token_counts_bpe": textpipe.TOKEN_COUNTS_BPE_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }
 

@@ -288,3 +288,35 @@ WITH t AS (
 SELECT token, COUNT(*) AS n FROM t WHERE token != ''
 GROUP BY token ORDER BY n DESC, token LIMIT 20
 """
+
+
+# --- BPE-ish regex tokenization --------------------------------------------
+# letters-run | digits-run | single non-alnum-non-ws — the RE2-safe
+# simplification of the GPT-2 pre-tokenizer (no lookaheads, so DuckDB
+# runs the IDENTICAL pattern)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\v\f]"
+_BPE_RE = re.compile(BPE_PATTERN)
+BPE_PATTERN_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\x0b\x0c]"
+
+
+def token_counts_bpe(ray, sf_dir: str):
+    """(doc_id, n_bpe_tokens): BPE-style pre-tokenizer counts — the
+    token-budget estimate a training pipeline runs before packing."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = np.fromiter((len(_BPE_RE.findall(t)) for t in texts),
+                        dtype=np.int64, count=len(texts))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_bpe_tokens": pa.array(n, pa.int64())})
+
+    return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow").sort("doc_id")
+
+
+TOKEN_COUNTS_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN_SQL}')) AS BIGINT)
+           AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
