@@ -132,3 +132,16 @@ class TestFetcherSeam:
 
         f = HttpFetcher(timeout_s=1.0)
         assert hasattr(f, "get") and hasattr(f, "head")
+
+
+class TestQueryCLI:
+    def test_query_list_and_run(self, ray_session, capsys):
+        from webcrawler_ray.__main__ import main
+
+        assert main(["query", "list"]) == 0
+        out = capsys.readouterr().out
+        assert "dedup_exact\tsql-checked" in out
+        assert main(["query", "doc_lang_counts", "--sf-dir", SF_DIR]) == 0
+        out = capsys.readouterr().out
+        assert '"rows": 5' in out
+        assert main(["query", "no_such_query"]) == 2

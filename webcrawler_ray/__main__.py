@@ -6,6 +6,13 @@ pages/robots tables that stand in for the live web).
         --pages web/pages.parquet --robots web/robots.parquet \
         --workdir /tmp/crawl [-d] [--resume] [--num-cpus 32]
 
+plus the standalone query runner over the registry (every operator a
+reference user runs is one name away):
+
+    python -m webcrawler_ray query list
+    python -m webcrawler_ray query doc_top_terms --sf-dir /root/testdata/sf0.01
+    python -m webcrawler_ray query dedup_exact --sf-dir ... --out /tmp/out.parquet
+
 Prints the run summary JSON and the per-host stats (S7,
 `main.py:92` / `WorkersPipeline.py:281-291`) at the end. This entry point
 OWNS its Ray session (guarded init), unlike the library code.
@@ -18,7 +25,71 @@ import json
 import sys
 
 
+def _init_ray(num_cpus=None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def query_main(argv) -> int:
+    ap = argparse.ArgumentParser(prog="webcrawler_ray query")
+    ap.add_argument("name", help="registry query name, or 'list'")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None,
+                    help="write the result as parquet here instead of "
+                         "printing")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--head", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    from .pipelines.registry import ORACLE_SQL, build_queries
+
+    if args.name == "list":
+        for k in sorted(build_queries()):
+            kind = "sql-checked" if ORACLE_SQL.get(k) else "rows-only"
+            print(f"{k}\t{kind}")
+        return 0
+
+    import ray as _ray_probe
+
+    owned = not _ray_probe.is_initialized()  # embedded callers keep theirs
+    ray = _init_ray(args.num_cpus)
+    q = build_queries()
+    if args.name not in q:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    res = q[args.name](args.sf_dir)
+    if args.out:
+        if hasattr(res, "write_parquet"):
+            res.write_parquet(args.out)
+        else:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            t = res if isinstance(res, pa.Table) else \
+                pa.Table.from_pandas(res, preserve_index=False)
+            pq.write_table(t, args.out)
+        print(json.dumps({"query": args.name, "out": args.out}))
+    else:
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        print(df.head(args.head).to_string(index=False))
+        print(json.dumps({"query": args.name, "rows": int(len(df))}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "query":
+        return query_main(argv[1:])
     ap = argparse.ArgumentParser(prog="webcrawler_ray")
     ap.add_argument("-s", "--seeds", required=True,
                     help="seed URL file, one per line")
