@@ -75,10 +75,20 @@ def _dump_attempts(crawler, path: str) -> None:
             if f.read().strip() == crawler.workdir:
                 return
     files = crawler._round_subdirs("attempts")
-    tbl = pads.dataset(files).to_table(
-        columns=["fetch_seq", "url", "host", "ts", "status", "round", "seq"])
+    cols = ["fetch_seq", "url", "host", "ts", "status", "round", "seq"]
     tmp = path + ".tmp"
-    pq.write_table(tbl, tmp)
+    writer = None
+    try:
+        # STREAMED batch-at-a-time copy — the dump never materializes
+        # the attempts log in driver memory
+        for b in pads.dataset(files).to_batches(columns=cols):
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, b.schema)
+            if b.num_rows:
+                writer.write_batch(b)
+    finally:
+        if writer is not None:
+            writer.close()
     os.replace(tmp, path)
     with open(sig_file, "w") as f:
         f.write(crawler.workdir)
