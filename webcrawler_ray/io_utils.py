@@ -31,9 +31,39 @@ def clean_schema(path, columns=None) -> pa.Schema:
     return sch
 
 
+_SMALL_ROWS_PER_BLOCK = 32_768
+_SMALL_TABLE_BLOCKS_CAP = 64
+
+
+def _num_rows(path) -> int:
+    """Total rows from parquet footers only (no data read)."""
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"),
+                                     recursive=True))
+        else:
+            files = [p]
+        for f in files:
+            total += pq.read_metadata(f).num_rows
+    return total
+
+
 def read_parquet_clean(ray, path, columns=None, **kw):
     """``ray.data.read_parquet`` with a metadata-free schema (see module
-    docstring). Drop-in replacement for every table read in this repo."""
+    docstring) and RIGHT-SIZED block counts for small tables: the
+    default splitting gives ~CPU-count blocks, which turns every
+    downstream sort/groupby of a small table into a 64-partition
+    shuffle of near-empty blocks — each all-to-all then costs ~3 s of
+    pure scheduling. Tables large enough to fill the default blocks
+    keep Ray's own splitting. Drop-in replacement for every table read
+    in this repo."""
     if "schema" not in kw:
         kw["schema"] = clean_schema(path, columns)
+    if "override_num_blocks" not in kw:
+        rows = _num_rows(path)
+        if rows < _SMALL_TABLE_BLOCKS_CAP * _SMALL_ROWS_PER_BLOCK:
+            kw["override_num_blocks"] = max(
+                1, rows // _SMALL_ROWS_PER_BLOCK)
     return ray.data.read_parquet(path, columns=columns, **kw)

@@ -249,13 +249,26 @@ GROUP BY r_name, n_name ORDER BY r_name, n_name
 
 
 def events_topk_users(ray, sf_dir: str, k: int = 10):
-    """Top-k users by event count (groupby + sort + limit)."""
-    from ray.data.aggregate import Count
+    """Top-k users by event count — per-user counts are a MANY-group
+    aggregate, so partial counts per batch + bucketed vectorized merge
+    (native groupby.aggregate costs ~1 ms of python accumulator per
+    group), then a tiny sort+limit."""
+    from ..stages.aggregates import hash_bucket_aggregate
 
-    ds = _rpq(ray, f"{sf_dir}/events.parquet",
-                               columns=["user_id"])
-    out = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
-    return out.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
+    ds = _rpq(ray, f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("user_id", as_index=False).size()
+        return pd.DataFrame({"user_id": g["user_id"].astype("int64"),
+                             "n_events": g["size"].astype("int64")})
+
+    out = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum")))
+    return out.sort(["n_events", "user_id"],
+                    descending=[True, False]).limit(k)
 
 
 EVENTS_TOPK_SQL = """
@@ -306,22 +319,35 @@ def events_windowed(ray, sf_dir: str):
     n_events, min_event_id). Ray Data has no event-time windows; the window
     key is computed per batch and the window IS a groupby key (guide
     'streaming-shaped workloads' pattern)."""
-    from ray.data.aggregate import Count, Min
-
     ds = _rpq(ray, f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts", "event_id"])
 
-    def win(batch: pa.Table) -> pa.Table:
-        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        w = (us // WINDOW_US) * WINDOW_US
-        return pa.table({"event_type": batch.column("event_type"),
-                         "window_start_us": pa.array(w, pa.int64()),
-                         "event_id": batch.column("event_id")})
+    from ..stages.aggregates import hash_bucket_aggregate
 
-    out = (ds.map_batches(win, batch_format="pyarrow")
-             .groupby(["event_type", "window_start_us"])
-             .aggregate(Count(alias_name="n_events"),
-                        Min("event_id", alias_name="min_event_id")))
+    def win_partial(batch: pa.Table) -> pd.DataFrame:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        w = (us // WINDOW_US) * WINDOW_US
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "window_start_us": w.astype("int64"),
+            "n_events": np.ones(len(w), dtype="int64"),
+            "min_event_id": batch.column("event_id").to_numpy(
+                zero_copy_only=False).astype("int64")})
+        return df.groupby(["event_type", "window_start_us"],
+                          as_index=False).agg(
+            n_events=("n_events", "sum"),
+            min_event_id=("min_event_id", "min"))
+
+    # thousands of (type, window) groups -> bucketed vectorized merge,
+    # not the per-group python-accumulator groupby
+    out = hash_bucket_aggregate(
+        ds.map_batches(win_partial, batch_format="pyarrow"),
+        ["event_type", "window_start_us"],
+        lambda df: df.groupby(["event_type", "window_start_us"],
+                              as_index=False).agg(
+            n_events=("n_events", "sum"),
+            min_event_id=("min_event_id", "min")))
     return out.sort(["event_type", "window_start_us"])
 
 
@@ -439,20 +465,39 @@ SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 def sessionize(ray, sf_dir: str):
     """(user_id, n_sessions, n_events): session = events of one user with
-    gaps < 30 min. groupby(user).map_groups over ts-sorted groups — the
-    partition-by-key + in-group window pattern for stream-shaped data."""
+    gaps < 30 min — the partition-by-key + in-group window pattern, run
+    over COARSE user buckets so each group call is one vectorized
+    segmented pass over thousands of users (a per-user map_groups pays
+    python overhead per user)."""
+    N_BUCKETS = 64
+
     ds = _rpq(ray, f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("int64").to_numpy())
-        gaps = np.diff(ts)
-        n_sessions = 1 + int((gaps > SESSION_GAP_US).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": np.array([n_sessions], dtype="int64"),
-                             "n_events": np.array([len(ts)], dtype="int64")})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(N_BUCKETS)).astype(np.int64)
+        return pa.table({"user_id": t.column("user_id"),
+                         "t_us": t.column("ts").cast(pa.int64()),
+                         "ubucket": pa.array(b, pa.int64())})
 
-    return (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_us"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["t_us"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        new_sess = same & (np.r_[0, np.diff(ts)] > SESSION_GAP_US)
+        out = (g.assign(ns=new_sess.astype("int64"))
+                .groupby("user_id", as_index=False)
+                .agg(n_sessions=("ns", "sum"), n_events=("ns", "size")))
+        out["n_sessions"] = (out["n_sessions"] + 1).astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "n_sessions", "n_events"]]
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
               .sort("user_id"))
 
 
@@ -472,18 +517,29 @@ FROM gaps GROUP BY user_id ORDER BY user_id
 # ---------------------------------------------------------------------------
 def events_running_index(ray, sf_dir: str):
     """(event_id, k): per-user running event index ordered by (ts,
-    event_id) — the partition-by-key ordered-window pattern
-    (groupby(user).map_groups over ts-sorted groups)."""
+    event_id) — partition-by-key ordered window over COARSE user
+    buckets; inside each bucket one vectorized sort + cumcount covers
+    thousands of users."""
+    N_BUCKETS = 64
+
     ds = _rpq(ray, f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        return pd.DataFrame({
-            "event_id": g["event_id"].astype("int64"),
-            "k": np.arange(1, len(g) + 1, dtype="int64")})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(N_BUCKETS)).astype(np.int64)
+        return t.append_column("ubucket", pa.array(b, pa.int64()))
 
-    return (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        k = g.groupby("user_id").cumcount().to_numpy() + 1
+        return pd.DataFrame({"event_id": g["event_id"].astype("int64"),
+                             "k": k.astype("int64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
               .sort("event_id"))
 
 
