@@ -327,3 +327,34 @@ class TestMultimodalResize:
             row = df.loc[d]
             assert row["r_px_sum"] == int(r.sum(dtype=np.int64))
             assert row["r_px_mean"] == r.sum(dtype=np.int64) / r.size
+
+
+class TestHotBandAdversarial:
+    def test_hot_band_bucket_completes_distributed(self, ray_session,
+                                                   tmp_path):
+        # ALL docs near-identical -> one hot band bucket, candidate set
+        # = C(n,2) ~ corpus^2: the exchange-based verify must complete
+        # and return every pair (the old text-broadcast design was
+        # flagged as the driver-OOM path for exactly this input)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        n = 100
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 20
+        texts = [base] * n  # identical -> every pair is j=1.0, so the
+        # candidate set is deterministically the full C(n,2)
+        d = tmp_path / "hot"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n), "source": pa.array(["s"] * n),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+            str(d / "documents.parquet"))
+
+        from webcrawler_ray.pipelines.dedup import minhash_lsh_pairs
+
+        df = _to_df(minhash_lsh_pairs(ray, str(d), threshold=0.8))
+        assert len(df) == n * (n - 1) // 2
+        assert (df["doc_a"] < df["doc_b"]).all()

@@ -203,3 +203,58 @@ class TestRobotsRFC9309:
         r2 = pickle.loads(pickle.dumps(r))
         for p in ("/s1/p1", "/s1/p3", "/p5", "/x"):
             assert r2.allowed(p) == r.allowed(p)
+
+
+class TestRobotsPropertyBased:
+    """hypothesis: the compiled-regex matcher must agree with an
+    INDEPENDENT naive recursive wildcard matcher on random rule sets."""
+
+    @staticmethod
+    def _naive_match(pattern: str, path: str) -> bool:
+        # prefix match with * (any seq) and trailing $ (end anchor),
+        # implemented by recursion — no regexes anywhere
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+
+        def rec(p: int, s: int) -> bool:
+            if p == len(body):
+                return s == len(path) if anchored else True
+            if body[p] == "*":
+                return any(rec(p + 1, i) for i in range(s, len(path) + 1))
+            return (s < len(path) and path[s] == body[p]
+                    and rec(p + 1, s + 1))
+
+        return rec(0, 0)
+
+    @classmethod
+    def _naive_allowed(cls, disallow, allow, path) -> bool:
+        best_len, best_allow = -1, True
+        for is_allow, pats in ((False, disallow), (True, allow)):
+            for pat in pats:
+                if not pat or not cls._naive_match(pat, path):
+                    continue
+                if len(pat) > best_len or (len(pat) == best_len
+                                           and is_allow):
+                    best_len, best_allow = len(pat), is_allow
+        return best_allow
+
+    def test_matches_naive_reference(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from webcrawler_ray.robots import HostRules
+
+        seg = st.text(alphabet="ab*/$5", min_size=0, max_size=6)
+        pats = st.lists(seg.map(lambda s: "/" + s), max_size=3)
+        path = st.text(alphabet="ab/5", min_size=0, max_size=10).map(
+            lambda s: "/" + s)
+
+        @settings(max_examples=300, deadline=None)
+        @given(dis=pats, al=pats, p=path)
+        def run(dis, al, p):
+            hr = HostRules(host="https://h.test", disallow=tuple(dis),
+                           allow=tuple(al))
+            assert hr.allowed(p) == self._naive_allowed(dis, al, p), \
+                (dis, al, p)
+
+        run()
