@@ -53,6 +53,30 @@ def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
     return np.unique(acc)
 
 
+def kgram_hashes_ordered(text: str, k: int) -> np.ndarray:
+    """ORDERED (non-deduped) uint64 hashes of the word k-grams — the
+    winnowing front-end: tokens are blake2b-hashed once, k-gram hashes
+    are the vectorized polynomial combination of token-hash windows
+    (same kernel as ``shingle_hashes`` minus the unique)."""
+    toks = text.split()
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    th = hash_tokens(toks)
+    if len(th) < k:
+        with np.errstate(over="ignore"):
+            acc = np.uint64(0)
+            for v in th:
+                acc = acc * _POLY + v
+        return np.array([acc], dtype=np.uint64)
+    m = len(th) - k + 1
+    with np.errstate(over="ignore"):
+        acc = th[:m].copy()
+        for j in range(1, k):
+            acc *= _POLY
+            acc += th[j:m + j]
+    return acc
+
+
 def minhash_perm_params(n_perm: int = N_PERM, seed: int = 1234):
     """Multiply-shift universal hash family over uint64 (Dietzfelbinger et
     al.): perm_i(x) = (a_i * x + b_i) mod 2^64 with odd a_i — fully

@@ -162,27 +162,29 @@ def winnow_fingerprints(ray, sf_dir: str, k: int = 5, w: int = 8):
     (Schleimer et al., SIGMOD'03): rolling k-gram hashes, window-minimum
     selection; summarized to exact ints per doc."""
 
+    from ..functions.hashing import kgram_hashes_ordered
+
     def f(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         n_fps, mins, maxs = [], [], []
         for t in texts:
-            toks = t.split()
-            grams = [" ".join(toks[i:i + k]) for i in range(max(0, len(toks) - k + 1))]
-            hs = np.array([int.from_bytes(
-                hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-                for g in grams], dtype=np.uint64)
+            # vectorized winnow: polynomial k-gram hashes (tokens
+            # blake2b-hashed once) + one sliding-window min — no
+            # per-gram string building or per-window python loop
+            hs = kgram_hashes_ordered(t, k)
             if len(hs) == 0:
                 n_fps.append(0)
                 mins.append(0)
                 maxs.append(0)
                 continue
-            sel = set()
-            for i in range(max(1, len(hs) - w + 1)):
-                win = hs[i:i + w]
-                sel.add(int(win.min()))
+            if len(hs) <= w:
+                sel = np.array([hs.min()], dtype=np.uint64)
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(hs, w)
+                sel = np.unique(win.min(axis=1))
             n_fps.append(len(sel))
-            mins.append(min(sel) % (1 << 63))
-            maxs.append(max(sel) % (1 << 63))
+            mins.append(int(sel.min()) % (1 << 63))
+            maxs.append(int(sel.max()) % (1 << 63))
         return pa.table({"doc_id": batch.column("doc_id"),
                          "n_fps": pa.array(n_fps, pa.int64()),
                          "min_fp": pa.array(mins, pa.int64()),
