@@ -78,11 +78,10 @@ ORDER BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 def top_customers(ray, sf_dir: str, k: int = 10):
     """Revenue top-k customers: lineitem bucketed partial-agg -> HASH JOIN
-    orders (Dataset.join) -> bucketed groupby customer -> broadcast-join
-    customer names (small side via ray.put) -> sort desc -> limit k.
+    orders (Dataset.join) -> bucketed groupby customer -> sort desc ->
+    limit k -> name lookup for ONLY the k winners (filtered parquet
+    read; the customer table is never materialized anywhere).
     Many-group rollups use hash_bucket_aggregate (vectorized combine)."""
-    import ray as _ray
-
     from ..stages.aggregates import hash_bucket_aggregate
 
     li = _rpq(ray, 
