@@ -397,6 +397,14 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
     pairs = (segs.map_batches(add_cbucket, batch_format="pyarrow")
                  .groupby("cbucket")
                  .map_groups(coarse_pairs, batch_format="pandas"))
-    df = pairs.to_pandas().drop_duplicates().sort_values(["doc_a", "doc_b"])
-    return pa.Table.from_pandas(df.reset_index(drop=True),
-                                preserve_index=False)
+    # a pair within hamming distance can share up to 4 segments -> may
+    # surface from several coarse buckets: distinct via the bucketed
+    # DISTRIBUTED aggregate + distributed sort (never a driver
+    # drop_duplicates — an all-near-identical corpus would put the full
+    # C(n,2) pair set on the driver otherwise)
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    return hash_bucket_aggregate(
+        pairs, ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"])
+    ).sort(["doc_a", "doc_b"])
