@@ -48,7 +48,7 @@ SQL_CHECKED = [
     "docs_topk_longest", "dedup_exact", "dedup_embedding_cosine",
     "knn_cosine", "doc_langid", "multimodal_meta", "events_hopping",
     "events_user_topk", "docs_sample", "doc_normalize", "doc_top_terms",
-    "emb_label_sums", "doc_token_counts_bpe",
+    "emb_label_sums", "doc_token_counts_bpe", "events_value_percentiles",
 ]
 
 
@@ -358,3 +358,44 @@ class TestHotBandAdversarial:
         df = _to_df(minhash_lsh_pairs(ray, str(d), threshold=0.8))
         assert len(df) == n * (n - 1) // 2
         assert (df["doc_a"] < df["doc_b"]).all()
+
+
+class TestSketches:
+    def test_hll_distinct_users_within_error_bound(self, queries, ddb):
+        q, _ = queries
+        est = _to_df(q["events_distinct_users_hll"](SF_DIR))
+        assert list(est.columns) == ["n_distinct_est", "n_registers"]
+        exact = ddb.execute(
+            "SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+        got = int(est["n_distinct_est"][0])
+        # 4096 registers -> ~1.6% std error; assert a 3-sigma-ish bound
+        assert abs(got - exact) / exact < 0.05, (got, exact)
+
+    def test_hll_distinct_texts_counts_dups_once(self, queries, ddb):
+        q, _ = queries
+        est = int(_to_df(q["docs_distinct_texts_hll"](SF_DIR))
+                  ["n_distinct_est"][0])
+        exact = ddb.execute(
+            "SELECT COUNT(DISTINCT text) FROM documents").fetchone()[0]
+        assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    def test_hll_merge_is_register_max(self):
+        import numpy as np
+
+        from webcrawler_ray.pipelines.sketches import (
+            _M,
+            _fold_registers,
+            hll_estimate,
+        )
+
+        rng = np.random.default_rng(5)
+        h = rng.integers(0, 1 << 63, size=20000, dtype=np.uint64) * 2
+        a = np.zeros(_M, dtype=np.uint8)
+        b = np.zeros(_M, dtype=np.uint8)
+        full = np.zeros(_M, dtype=np.uint8)
+        _fold_registers(h[:10000], a)
+        _fold_registers(h[10000:], b)
+        _fold_registers(h, full)
+        assert (np.maximum(a, b) == full).all()
+        est = hll_estimate(full)
+        assert abs(est - 20000) / 20000 < 0.05

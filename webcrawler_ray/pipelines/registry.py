@@ -233,12 +233,14 @@ def build_queries() -> dict:
         "events_windowed": lambda sf: relational.events_windowed(ray, sf),
         "events_hopping": lambda sf: relational.events_hopping(ray, sf),
         "events_user_topk": lambda sf: relational.events_user_topk(ray, sf),
+        "events_value_percentiles":
+            lambda sf: relational.events_value_percentiles(ray, sf),
         "events_sessionize": lambda sf: relational.sessionize(ray, sf),
         "events_asof_order": lambda sf: relational.events_asof_order(ray, sf),
         "events_running_index": lambda sf: relational.events_running_index(ray, sf),
     }
     try:
-        from . import dedup, similarity, multimodal
+        from . import dedup, similarity, multimodal, sketches
 
         q.update({
             "dedup_exact": lambda sf: dedup.exact_dedup(ray, sf),
@@ -250,6 +252,10 @@ def build_queries() -> dict:
             "knn_cosine": lambda sf: similarity.knn_brute_force(ray, sf),
             "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
             "emb_label_sums": lambda sf: similarity.emb_label_sums(ray, sf),
+            "events_distinct_users_hll":
+                lambda sf: sketches.events_distinct_users_hll(ray, sf),
+            "docs_distinct_texts_hll":
+                lambda sf: sketches.docs_distinct_texts_hll(ray, sf),
             "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),
             "multimodal_frames": lambda sf: multimodal.frame_samples(ray, sf),
             "multimodal_meta": multimodal_meta,
@@ -399,6 +405,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_windowed": relational.EVENTS_WINDOWED_SQL,
     "events_hopping": relational.EVENTS_HOPPING_SQL,
     "events_user_topk": relational.EVENTS_USER_TOPK_SQL,
+    "events_value_percentiles": relational.EVENTS_PERCENTILES_SQL,
     "events_sessionize": relational.SESSIONIZE_SQL,
     "events_asof_order": relational.EVENTS_ASOF_SQL,
     "events_running_index": relational.EVENTS_RUNNING_INDEX_SQL,

@@ -631,3 +631,81 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
                            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+PCTS = (25, 50, 75)
+
+
+def events_value_percentiles(ray, sf_dir: str):
+    """(pct, value): EXACT discrete percentiles of events.value via
+    distributed rank-select — global sort by (value, event_id), one
+    summary row per block (first key, row count), a tiny driver cumsum
+    locates the target block+offset for each rank, and one final
+    map extracts exactly those rows. No block is ever materialized on
+    the driver; the selected element is bit-identical to the SQL
+    window-rank oracle (rank k = ceil(n * pct/100))."""
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "value"])
+    n = ds.count()  # parquet metadata, no read
+    ranks = {p: max(1, int(np.ceil(n * p / 100))) for p in PCTS}
+
+    s = ds.sort(["value", "event_id"]).materialize()
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_value": pa.array([], pa.float64()),
+                             "first_eid": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        return pa.table({
+            "first_value": pa.array([t.column("value")[0].as_py()],
+                                    pa.float64()),
+            "first_eid": pa.array([t.column("event_id")[0].as_py()],
+                                  pa.int64()),
+            "n_rows": pa.array([t.num_rows], pa.int64())})
+
+    summ = (s.map_batches(summarize, batch_size=None,
+                          batch_format="pyarrow")
+             .to_pandas()
+             .sort_values(["first_value", "first_eid"])
+             .reset_index(drop=True))
+    starts = np.r_[0, summ["n_rows"].cumsum().to_numpy()[:-1]]
+    # (block first key) -> list of (pct, offset-in-block)
+    want: dict[tuple, list] = {}
+    for p, k in ranks.items():
+        bi = int(np.searchsorted(starts, k - 1, side="right") - 1)
+        key = (float(summ["first_value"][bi]), int(summ["first_eid"][bi]))
+        want.setdefault(key, []).append((p, int(k - 1 - starts[bi])))
+
+    def extract(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pct": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64())})
+        key = (t.column("value")[0].as_py(),
+               t.column("event_id")[0].as_py())
+        hits = want.get(key, [])
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pct": pa.array([p for p, _ in hits], pa.int64()),
+            "value": pa.array([float(vals[o]) for _, o in hits],
+                              pa.float64())})
+
+    return (s.map_batches(extract, batch_size=None,
+                          batch_format="pyarrow")
+             .sort("pct"))
+
+
+EVENTS_PERCENTILES_SQL = """
+WITH o AS (
+  SELECT value,
+         ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events)
+SELECT pct, value FROM (
+  SELECT CAST(25 AS BIGINT) AS pct, value FROM o WHERE rn = CAST(ceil(n * 0.25) AS BIGINT)
+  UNION ALL
+  SELECT CAST(50 AS BIGINT) AS pct, value FROM o WHERE rn = CAST(ceil(n * 0.50) AS BIGINT)
+  UNION ALL
+  SELECT CAST(75 AS BIGINT) AS pct, value FROM o WHERE rn = CAST(ceil(n * 0.75) AS BIGINT))
+ORDER BY pct
+"""

@@ -1,0 +1,95 @@
+"""Distributed probabilistic sketches — HyperLogLog distinct counting
+(Flajolet-Fuchs-Gandouet-Meunier 2007, the standard bias-corrected
+variant with linear-counting small-range correction).
+
+Scale shape: each batch folds its values into one 2^P-register array
+(one binary row out per batch — constant-size partials regardless of
+batch size); the final merge is an elementwise register MAX over the
+O(#blocks) partial rows. The exchange moves kilobytes however large the
+input is — this is the sketch pattern the 100 TB counting path needs
+(exact COUNT DISTINCT would shuffle every key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.urls import stable_hash64_batch
+from ..io_utils import read_parquet_clean as _rpq
+
+HLL_P = 12                      # 4096 registers, ~1.04/sqrt(m) = 1.6% err
+_M = 1 << HLL_P
+_ALPHA = 0.7213 / (1 + 1.079 / _M)
+
+
+def _fold_registers(hashes: np.ndarray, regs: np.ndarray) -> None:
+    """Fold uint64 hashes into the uint8 register array in place."""
+    idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = hashes & np.uint64((1 << (64 - HLL_P)) - 1)
+    m_bits = 64 - HLL_P
+    # bit_length via float64 log2 — exact: w < 2^52 <= 2^53
+    bl = np.zeros(len(w), dtype=np.int64)
+    nz = w > 0
+    bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+    rho = (m_bits - bl + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with linear-counting correction."""
+    est = _ALPHA * _M * _M / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * _M and zeros > 0:
+        est = _M * np.log(_M / zeros)
+    return float(est)
+
+
+def distinct_hll(ray, path: str, column: str, int_key: bool = True):
+    """Single-row (n_distinct_est, n_registers) HLL distinct count of
+    ``column`` in the parquet at ``path``."""
+    ds = _rpq(ray, path, columns=[column])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(_M, dtype=np.uint8)
+        col = batch.column(column)
+        if int_key:
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            # splitmix64-style scramble of the integer key
+            h = v.astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = (h + np.uint64(0x9E3779B97F4A7C15))
+                h ^= h >> np.uint64(30)
+                h *= np.uint64(0xBF58476D1CE4E5B9)
+                h ^= h >> np.uint64(27)
+                h *= np.uint64(0x94D049BB133111EB)
+                h ^= h >> np.uint64(31)
+        else:
+            h = stable_hash64_batch([str(x) for x in col.to_pylist()])
+        _fold_registers(h, regs)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(_M, dtype=np.uint8)
+    for blob in parts["regs"]:  # O(#blocks) constant-size partials
+        np.maximum(merged, np.frombuffer(blob, dtype=np.uint8),
+                   out=merged)
+    return pa.table({
+        "n_distinct_est": pa.array([int(round(hll_estimate(merged)))],
+                                   pa.int64()),
+        "n_registers": pa.array([_M], pa.int64())})
+
+
+def events_distinct_users_hll(ray, sf_dir: str):
+    """HLL estimate of COUNT(DISTINCT user_id) over events (rows-only:
+    approximate by design; the relative-error bound is unit-tested
+    against the exact count)."""
+    return distinct_hll(ray, f"{sf_dir}/events.parquet", "user_id")
+
+
+def docs_distinct_texts_hll(ray, sf_dir: str):
+    """HLL estimate of distinct document texts (string keys hashed with
+    the repo's stable blake2b)."""
+    return distinct_hll(ray, f"{sf_dir}/documents.parquet", "text",
+                        int_key=False)
