@@ -709,3 +709,34 @@ SELECT pct, value FROM (
   SELECT CAST(75 AS BIGINT) AS pct, value FROM o WHERE rn = CAST(ceil(n * 0.75) AS BIGINT))
 ORDER BY pct
 """
+
+
+def customers_no_events(ray, sf_dir: str):
+    """(c_custkey): customers with NO event activity — the ANTI-JOIN
+    operator, expressed natively (``Dataset.join(join_type="left_anti")``
+    hash-partitions both sides; the events side is first reduced to its
+    distinct user ids by a bucketed aggregate so the exchange moves one
+    row per active user, not one per event)."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    cust = _rpq(ray, f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    ev = _rpq(ray, f"{sf_dir}/events.parquet", columns=["user_id"])
+    active = hash_bucket_aggregate(
+        ev.map_batches(
+            lambda df: df.drop_duplicates(["user_id"]),
+            batch_format="pandas"),
+        ["user_id"],
+        lambda df: df.drop_duplicates(["user_id"]))
+    active = active.map_batches(
+        lambda t: t.select(["user_id"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow")
+    out = cust.join(active, join_type="left_anti", on=("c_custkey",),
+                    num_partitions=8)
+    return out.sort("c_custkey")
+
+
+CUSTOMERS_NO_EVENTS_SQL = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+ORDER BY c_custkey
+"""
