@@ -13,7 +13,6 @@ input is — this is the sketch pattern the 100 TB counting path needs
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..functions.urls import stable_hash64_batch
