@@ -248,9 +248,10 @@ def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
     grouped min-label propagation — no driver-side union-find, so the
     pair graph can be arbitrarily large.
 
-    Each round: join edges to both endpoints' labels, emit min(label)
-    messages to both endpoints, take the grouped min of (own label,
-    incoming messages). Labels only decrease, so the monotone label sum
+    Each round: ONE hash join of the (pre-built, bidirectional) edge
+    list against the label table sends every endpoint's label to its
+    neighbor; the grouped min of (own label, incoming messages) becomes
+    the new labels. Labels only decrease, so the monotone label sum
     detects convergence; rounds needed = component diameter (near-dup
     clusters from banding are near-cliques, so 2-3 in practice)."""
     from ray.data.aggregate import Sum
@@ -302,29 +303,31 @@ def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
 
     labels = _agg_labels(edges.map_batches(nodes, batch_format="pyarrow"))
 
+    # bidirectional edge list built ONCE: each round needs only a single
+    # join (src -> its label), with the joined label forwarded to dst
+    def bidir(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    bi = edges.map_batches(bidir, batch_format="pyarrow").materialize()
+
     def _lsum(ds) -> int:
         return int(ds.aggregate(Sum("cluster_id"))["sum(cluster_id)"])
 
     prev = _lsum(labels)
     for _ in range(max_iters):
-        la = labels.map_batches(_typed(("doc_a", "lbl_a")),
+        la = labels.map_batches(_typed(("src", "lbl")),
                                 batch_format="pyarrow")
-        lb = labels.map_batches(_typed(("doc_b", "lbl_b")),
-                                batch_format="pyarrow")
-        j = edges.join(la, join_type="inner", on=("doc_a",),
-                       num_partitions=nparts)
-        j = j.join(lb, join_type="inner", on=("doc_b",),
-                   num_partitions=nparts)
+        j = bi.join(la, join_type="inner", on=("src",),
+                    num_partitions=nparts)
 
         def msgs(t: pa.Table) -> pa.Table:
-            a = t.column("doc_a").to_numpy(zero_copy_only=False)
-            b = t.column("doc_b").to_numpy(zero_copy_only=False)
-            m = np.minimum(
-                t.column("lbl_a").to_numpy(zero_copy_only=False),
-                t.column("lbl_b").to_numpy(zero_copy_only=False))
             return pa.table({
-                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
-                "cluster_id": pa.array(np.concatenate([m, m]), pa.int64())})
+                "doc_id": t.column("dst").cast(pa.int64()),
+                "cluster_id": t.column("lbl").cast(pa.int64())})
 
         labels = _agg_labels(
             labels.union(j.map_batches(msgs, batch_format="pyarrow")))
