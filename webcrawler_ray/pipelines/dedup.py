@@ -76,28 +76,28 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-def _lsh_candidate_pairs(ray, sf_dir: str):
+def _lsh_candidate_pairs(ray, sf_dir: str, sh_ds=None):
     """Distributed candidate (doc_a, doc_b) pairs from MinHash banding:
     shingle -> minhash (map_batches) -> explode to (band_id, band_hash,
     doc_id) -> coarse-bucket groupby (the shuffle moves only id/band-hash
     triples, never text) -> in-bucket vectorized pair expansion ->
     distinct pairs via a bucketed aggregate. Returns a Dataset; shared by
     the MinHash and n-gram verifiers (computed ONCE, no threshold-0
-    rerun)."""
+    rerun). Pass the (materialized) ``_shingle_table`` dataset as
+    ``sh_ds`` so shingling runs once for banding AND verification."""
     from ..stages.aggregates import hash_bucket_aggregate
 
     a, b = _perm_params()
     rows_per_band = N_PERM // N_BANDS
 
-    ds = _rpq(ray, f"{sf_dir}/documents.parquet",
-              columns=["doc_id", "text"])
+    if sh_ds is None:
+        sh_ds = _shingle_table(ray, sf_dir)
 
     def to_bands(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
         out_doc, out_band, out_hash = [], [], []
-        for d, t in zip(doc_ids, texts):
-            sig = minhash_signature(_shingle_hashes(t), a, b)
+        for d, sh in zip(doc_ids, _sh_rows(batch.column("sh"))):
+            sig = minhash_signature(sh, a, b)
             for bi in range(N_BANDS):
                 seg = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
                 h = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
@@ -108,7 +108,8 @@ def _lsh_candidate_pairs(ray, sf_dir: str):
                          "band_id": pa.array(out_band, pa.int32()),
                          "band_hash": pa.array(out_hash, pa.int64())})
 
-    bands = ds.map_batches(to_bands, batch_format="pyarrow", batch_size=512)
+    bands = sh_ds.map_batches(to_bands, batch_format="pyarrow",
+                              batch_size=512)
 
     # band buckets are MANY tiny groups -> coarse-bucket shuffle, then
     # vectorized duplicate detection inside each coarse bucket; only the
@@ -169,7 +170,7 @@ def _sh_rows(col: pa.ChunkedArray):
 
 
 def _verify_pairs_exchange(ray, sf_dir: str, cand, threshold: float,
-                           with_pct: bool):
+                           with_pct: bool, sh_ds=None):
     """Exact-Jaccard verification via a HASH-BUCKETED EXCHANGE: candidate
     pairs are joined back to their shingle sets with two distributed
     ``Dataset.join``s (keyed on doc_a, then doc_b) — texts and shingle
@@ -190,7 +191,7 @@ def _verify_pairs_exchange(ray, sf_dir: str, cand, threshold: float,
     from ..stages.aggregates import join_partitions_for
 
     nparts = join_partitions_for(n_cand)
-    sh = _shingle_table(ray, sf_dir)  # lazy: re-executed per join side
+    sh = sh_ds if sh_ds is not None else _shingle_table(ray, sf_dir)
     sh_a = sh.map_batches(lambda t: t.rename_columns(["doc_a", "sh_a"]),
                           batch_format="pyarrow")
     sh_b = sh.map_batches(lambda t: t.rename_columns(["doc_b", "sh_b"]),
@@ -224,10 +225,13 @@ def _verify_pairs_exchange(ray, sf_dir: str, cand, threshold: float,
 def minhash_lsh_pairs(ray, sf_dir: str, threshold: float = 0.8):
     """Near-dup pairs (doc_a, doc_b) with shingle-Jaccard >= threshold:
     MinHash+LSH banding candidates -> hash-bucketed-exchange exact
-    verification (no corpus/candidate-text broadcast anywhere)."""
-    cand = _lsh_candidate_pairs(ray, sf_dir)
+    verification (no corpus/candidate-text broadcast anywhere). The
+    corpus is shingled ONCE (materialized, object-store backed) and
+    shared by banding and both verify join sides."""
+    sh = _shingle_table(ray, sf_dir).materialize()
+    cand = _lsh_candidate_pairs(ray, sf_dir, sh_ds=sh)
     return _verify_pairs_exchange(ray, sf_dir, cand, threshold,
-                                  with_pct=False)
+                                  with_pct=False, sh_ds=sh)
 
 
 # ---------------------------------------------------------------------------
@@ -236,9 +240,10 @@ def ngram_jaccard_pairs(ray, sf_dir: str, threshold: float = 0.5):
     ``minhash_lsh_pairs`` (computed once, not re-run at threshold 0)
     verified with EXACT word-3-gram Jaccard, reported as an integer
     percent (floor) for deterministic comparison."""
-    cand = _lsh_candidate_pairs(ray, sf_dir)
+    sh = _shingle_table(ray, sf_dir).materialize()
+    cand = _lsh_candidate_pairs(ray, sf_dir, sh_ds=sh)
     return _verify_pairs_exchange(ray, sf_dir, cand, threshold,
-                                  with_pct=True)
+                                  with_pct=True, sh_ds=sh)
 
 
 def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
