@@ -1,6 +1,7 @@
 """Relational / streaming-shaped operators over the TPC-H-ish tables:
-grouped aggregation with partial pre-aggregation, hash join, broadcast
-join, top-k, tumbling windows, sessionization, as-of join.
+grouped aggregation with partial pre-aggregation, hash / anti joins,
+top-k (global and per-group), tumbling + hopping windows,
+sessionization, partitioned as-of join, exact distributed percentiles.
 
 Money sums use integer cents (floor(x*100) as int64) so Ray and the DuckDB
 oracle agree bit-for-bit — double summation is order-dependent, int64
