@@ -651,6 +651,10 @@ def events_value_percentiles(ray, sf_dir: str):
     n = ds.count()  # parquet metadata, no read
     ranks = {p: max(1, int(np.ceil(n * p / 100))) for p in PCTS}
 
+    # the sorted dataset is consumed twice (block summaries, then the
+    # rank extraction); materialize keeps the blocks in the (spillable)
+    # object store so the sort runs once — re-executing a full sort for
+    # the second consumer would cost more than holding the blocks
     s = ds.sort(["value", "event_id"]).materialize()
 
     def summarize(t: pa.Table) -> pa.Table:
