@@ -61,6 +61,39 @@ def test_matches_duckdb_oracle(name, queries, ddb):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_windowed_incremental_resume(ray_session, ddb, monkeypatch, tmp_path):
+    """A killed incremental job resumes from the last complete epoch: the
+    resumed run reads ONLY the remaining chunk and the final state is
+    bit-identical to the one-shot oracle."""
+    import os
+
+    import ray
+
+    import webcrawler_ray.pipelines.relational as rel
+
+    state_dir = str(tmp_path / "win_state")
+    calls = []
+    orig = rel._rpq
+
+    def counting(ray_, path, **kw):
+        calls.append(path)
+        return orig(ray_, path, **kw)
+
+    monkeypatch.setattr(rel, "_rpq", counting)
+    # simulated kill after 2 of 3 epochs
+    assert rel.events_windowed_incremental(
+        ray, SF_DIR, state_dir=state_dir, stop_after=2) is None
+    assert len(calls) == 2
+    assert os.path.isdir(os.path.join(state_dir, "epoch_1"))
+
+    calls.clear()
+    out = rel.events_windowed_incremental(ray, SF_DIR, state_dir=state_dir)
+    assert len(calls) == 1  # resumed from epoch 1: only chunk 2 was read
+    got = _canon(_to_df(out))
+    want = _canon(ddb.execute(rel.EVENTS_WINDOWED_SQL).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 class TestRowsOnly:
     def test_langid_predicts_known_langs(self, queries):
         q, _ = queries

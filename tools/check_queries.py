@@ -24,7 +24,10 @@ sys.path.insert(0, "/root/repo")
 import __ray_entry__ as E  # noqa: E402
 
 qs = E.queries()
-oracle = E.oracle_sql()
+from webcrawler_ray.pipelines.registry import oracle_sql_for  # noqa: E402
+
+# crawl oracles read the per-scale attempts dump: bind them to sf_dir
+oracle = {k: v for k, v in oracle_sql_for(sf_dir).items() if v}
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",

@@ -63,11 +63,10 @@ def kgram_hashes_ordered(text: str, k: int) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     th = hash_tokens(toks)
     if len(th) < k:
-        with np.errstate(over="ignore"):
-            acc = np.uint64(0)
-            for v in th:
-                acc = acc * _POLY + v
-        return np.array([acc], dtype=np.uint64)
+        # Schleimer'03: a doc shorter than one k-gram has NO fingerprints
+        # (shingle_hashes' whole-doc fallback only makes sense for dedup,
+        # where every doc must map to a non-empty set)
+        return np.zeros(0, dtype=np.uint64)
     m = len(th) - k + 1
     with np.errstate(over="ignore"):
         acc = th[:m].copy()

@@ -86,6 +86,17 @@ def _dump_attempts(crawler, path: str) -> None:
                 writer = pq.ParquetWriter(tmp, b.schema)
             if b.num_rows:
                 writer.write_batch(b)
+        if writer is None:
+            # zero attempt rows (empty crawl): still write an empty file
+            # with the expected schema so the oracle SQL can read it
+            import pyarrow as pa
+
+            schema = pa.schema([
+                ("fetch_seq", pa.int64()), ("url", pa.string()),
+                ("host", pa.string()), ("ts", pa.float64()),
+                ("status", pa.int16()), ("round", pa.int32()),
+                ("seq", pa.int64())])
+            writer = pq.ParquetWriter(tmp, schema)
     finally:
         if writer is not None:
             writer.close()
@@ -331,18 +342,25 @@ FROM documents ORDER BY doc_id
 """
 
 
-# the crawl queries dump their attempts log to this STABLE path (see
-# _dump_attempts) so the static oracle SQL strings can read the exact
-# rows the Ray side aggregated; the driver runs oracles at sf=0.01
-_ATTEMPTS_DUMP = "/tmp/webcrawler_ray_cache/sf0.01/attempts_dump.parquet"
+# the crawl queries dump their attempts log to a per-scale STABLE path
+# (see _dump_attempts) so the oracle SQL can read the exact rows the Ray
+# side aggregated. The crawl oracles are TEMPLATES over that path:
+# ``oracle_sql_for(sf_dir)`` formats them for any scale; the module-level
+# ``ORACLE_SQL`` is pinned to sf0.01 (the scale the external driver runs
+# oracles at).
+def _attempts_dump_path(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/webcrawler_ray_cache/{name}/attempts_dump.parquet"
+
 
 _BLOCK3 = "'pdf','csv','png','svg','jpg','gif','raw','cr2','nef','orf','sr2','bmp','tif','ogv'"
 _BLOCK4 = "'tiff','jpeg'"
 
-ORACLE_SQL: dict[str, str] = {
-    "crawl_host_counts": f"""
+# {dump} = the attempts-dump parquet path for the scale under test
+_CRAWL_ORACLE_TEMPLATES: dict[str, str] = {
+    "crawl_host_counts": """
 SELECT host, COUNT(*) AS n_pages
-FROM read_parquet('{_ATTEMPTS_DUMP}')
+FROM read_parquet('{dump}')
 GROUP BY host ORDER BY host
 """,
     "url_algebra": f"""
@@ -353,9 +371,31 @@ SELECT url,
        NOT ((length(url) > 3 AND right(url, 3) IN ({_BLOCK3}))
             OR (length(url) > 4 AND right(url, 4) IN ({_BLOCK4})))
            AS passes_blocklist
-FROM read_parquet('{_ATTEMPTS_DUMP}')
+FROM read_parquet('{{dump}}')
 ORDER BY url
 """,
+    "crawl_round_stats": """
+SELECT CAST(round AS BIGINT) AS round, COUNT(*) AS n_attempted,
+       CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_saved
+FROM read_parquet('{dump}')
+GROUP BY round ORDER BY round
+""",
+}
+
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """The full oracle dict with the crawl oracles bound to ``sf_dir``'s
+    attempts dump (the non-crawl oracles are scale-independent: they read
+    the pre-registered table views)."""
+    out = dict(ORACLE_SQL)
+    dump = _attempts_dump_path(sf_dir)
+    for name, tmpl in _CRAWL_ORACLE_TEMPLATES.items():
+        out[name] = tmpl.format(dump=dump)
+    return out
+
+
+ORACLE_SQL: dict[str, str] = {
     "doc_token_counts": f"""
 SELECT doc_id,
        CASE WHEN {textpipe.SQL_TRIM_TEXT} = '' THEN 0
@@ -462,11 +502,9 @@ def crawl_round_stats(sf_dir: str):
              .sort("round"))
 
 
-CRAWL_ROUND_STATS_SQL = f"""
-SELECT CAST(round AS BIGINT) AS round, COUNT(*) AS n_attempted,
-       CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_saved
-FROM read_parquet('{_ATTEMPTS_DUMP}')
-GROUP BY round ORDER BY round
-"""
-ORACLE_SQL["crawl_round_stats"] = CRAWL_ROUND_STATS_SQL
+# driver contract: the external driver runs oracles at sf0.01, so the
+# module-level dict carries the crawl oracles bound to that scale; any
+# other scale goes through oracle_sql_for(sf_dir)
+_DRIVER_DUMP = _attempts_dump_path("/root/testdata/sf0.01")
+for _name, _tmpl in _CRAWL_ORACLE_TEMPLATES.items():
+    ORACLE_SQL[_name] = _tmpl.format(dump=_DRIVER_DUMP)

@@ -747,19 +747,30 @@ ORDER BY c_custkey
 """
 
 
-def events_windowed_incremental(ray, sf_dir: str, n_chunks: int = 3):
+def events_windowed_incremental(ray, sf_dir: str, n_chunks: int = 3,
+                                state_dir: str | None = None,
+                                stop_after: int | None = None):
     """STREAMING-shaped incremental windowed aggregate: events "arrive"
     in ``n_chunks`` micro-batches (deterministic id-partitioned); each
     epoch folds its window partials into a CHECKPOINTED parquet state
-    (atomic per-epoch directory — a killed job resumes from the last
-    epoch). The final state is bit-identical to the one-shot batch
-    aggregate, so it shares events_windowed's oracle.
+    (atomic per-epoch directory). A killed job RESUMES from the last
+    complete epoch: epochs are deterministic (chunk ci = events with
+    event_id % n_chunks == ci), so re-running from epoch k reproduces
+    the exact same final state. The final state is bit-identical to the
+    one-shot batch aggregate, so it shares events_windowed's oracle.
+
+    ``state_dir`` must be a SHARED filesystem path on a multi-node
+    cluster (it holds the cross-epoch state every epoch's read tasks
+    consume); the default is the per-scale cache dir — fine single-node,
+    override with e.g. an NFS/S3-fuse path when distributed. A stale
+    signature (different input / chunking) wipes the state first.
+    ``stop_after`` (test hook) stops after that many epochs, simulating
+    a mid-stream kill; the next call resumes from the checkpoint.
 
     This is the micro-batch pattern for unbounded inputs: state size is
     O(open windows), each epoch touches only its arrivals + state."""
     import os
     import shutil
-    import tempfile
 
     from ..stages.aggregates import hash_bucket_aggregate
 
@@ -784,31 +795,65 @@ def events_windowed_incremental(ray, sf_dir: str, n_chunks: int = 3):
             n_events=("n_events", "sum"),
             min_event_id=("min_event_id", "min"))
 
-    base = tempfile.mkdtemp(prefix="win_state_")
-    try:
-        state = None
-        for ci in range(n_chunks):
-            chunk = _rpq(ray, f"{sf_dir}/events.parquet",
-                         columns=["event_type", "ts", "event_id"])
-            def pick(t: pa.Table, ci=ci) -> pa.Table:
-                eid = t.column("event_id").to_numpy(zero_copy_only=False)
-                return t.filter(pa.array(eid % n_chunks == ci))
+    if state_dir is None:
+        name = os.path.basename(os.path.normpath(sf_dir))
+        state_dir = f"/tmp/webcrawler_ray_cache/{name}/win_state"
+    os.makedirs(state_dir, exist_ok=True)
 
-            chunk = chunk.map_batches(pick, batch_format="pyarrow")
-            part = chunk.map_batches(win_partial, batch_format="pyarrow")
-            inp = part if state is None else state.union(part)
-            new_state = hash_bucket_aggregate(
-                inp, ["event_type", "window_start_us"], merge)
-            # checkpoint the epoch state atomically (tmp dir + rename)
-            tmp = os.path.join(base, f"epoch_{ci}.tmp")
-            out = os.path.join(base, f"epoch_{ci}")
-            new_state.write_parquet(tmp)
-            os.replace(tmp, out)
-            state = ray.data.read_parquet(out, partitioning=None)
-        return state.sort(["event_type", "window_start_us"])
-    finally:
-        # epochs < last are no longer needed; the last is consumed by
-        # the returned dataset lazily, so leave cleanup to /tmp
-        for ci in range(n_chunks - 1):
-            shutil.rmtree(os.path.join(base, f"epoch_{ci}"),
-                          ignore_errors=True)
+    # signature gates reuse: different input path or chunking must not
+    # resume from a foreign checkpoint
+    sig = f"{os.path.abspath(sf_dir)}|{n_chunks}|{WINDOW_US}"
+    sig_file = os.path.join(state_dir, "_SIG")
+    have_sig = (os.path.exists(sig_file)
+                and open(sig_file).read().strip() == sig)
+    if not have_sig:
+        for d in os.listdir(state_dir):
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+        with open(sig_file, "w") as f:
+            f.write(sig)
+
+    def _epoch_dir(ci: int) -> str:
+        return os.path.join(state_dir, f"epoch_{ci}")
+
+    # a COMPLETE previous run (final epoch present) means that stream
+    # ended: a fresh invocation starts a new stream instead of silently
+    # replaying the cached result
+    if os.path.isdir(_epoch_dir(n_chunks - 1)):
+        for ci in range(n_chunks):
+            shutil.rmtree(_epoch_dir(ci), ignore_errors=True)
+
+    # resume: the highest complete epoch directory (the atomic rename IS
+    # the completion marker) seeds the state
+    state, start = None, 0
+    for ci in reversed(range(n_chunks)):
+        if os.path.isdir(_epoch_dir(ci)):
+            state = ray.data.read_parquet(_epoch_dir(ci), partitioning=None)
+            start = ci + 1
+            break
+
+    for ci in range(start, n_chunks):
+        chunk = _rpq(ray, f"{sf_dir}/events.parquet",
+                     columns=["event_type", "ts", "event_id"])
+
+        def pick(t: pa.Table, ci=ci) -> pa.Table:
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(eid % n_chunks == ci))
+
+        chunk = chunk.map_batches(pick, batch_format="pyarrow")
+        part = chunk.map_batches(win_partial, batch_format="pyarrow")
+        inp = part if state is None else state.union(part)
+        new_state = hash_bucket_aggregate(
+            inp, ["event_type", "window_start_us"], merge)
+        # checkpoint the epoch state atomically (tmp dir + rename); the
+        # write executes the epoch's pipeline, so the previous epoch is
+        # fully consumed and safe to drop
+        tmp = _epoch_dir(ci) + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        new_state.write_parquet(tmp)
+        os.replace(tmp, _epoch_dir(ci))
+        if ci > 0:
+            shutil.rmtree(_epoch_dir(ci - 1), ignore_errors=True)
+        state = ray.data.read_parquet(_epoch_dir(ci), partitioning=None)
+        if stop_after is not None and ci + 1 >= stop_after:
+            return None  # simulated kill (test hook)
+    return state.sort(["event_type", "window_start_us"])

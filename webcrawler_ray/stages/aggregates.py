@@ -93,8 +93,17 @@ def normalize_for_join(ds, schema: pa.Schema, num_blocks: int = 8):
     Use on any BOUNDED dataset headed into a join/union."""
 
     def f(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or set(schema.names) - set(t.column_names):
+        if t.num_rows == 0:
             return schema.empty_table()
+        missing = set(schema.names) - set(t.column_names)
+        if missing:
+            # only EMPTY blocks may legitimately lack columns (map_groups'
+            # column-less empties); a non-empty block missing an expected
+            # column is an upstream rename/typo — dropping its rows here
+            # would silently vanish data into the join
+            raise ValueError(
+                f"normalize_for_join: non-empty block is missing columns "
+                f"{sorted(missing)} (has {t.column_names})")
         return t.select(schema.names).cast(schema)
 
     return (ds.map_batches(f, batch_format="pyarrow", batch_size=None)
