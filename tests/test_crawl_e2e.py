@@ -132,6 +132,40 @@ class TestExchangeFetchRoute:
             crawler.shutdown_services()
 
 
+class TestBucketedFlagsRoute:
+    """flags_bucketed=True: HEAD flags answered from the bucketed store's
+    (url, lang) projection — the 10^10-URL mode. The crawl must be
+    IDENTICAL to the broadcast-index route, and no driver-built flag
+    index may exist anywhere on the path."""
+
+    def test_flags_bucketed_matches_oracle(self, ray_session, tiny_web,
+                                           tmp_path_factory):
+        limit = 40
+        wd = str(tmp_path_factory.mktemp("fbuck") / "wd")
+        cfg = CrawlConfig(limit=limit, num_seen_shards=3,
+                          num_politeness_shards=2,
+                          fetch_broadcast_max_bytes=0,  # force bucketed store
+                          pages_store_buckets=8,
+                          flags_bucketed=True)
+        crawler = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd, cfg)
+        seeds = open(tiny_web["seeds"]).read().splitlines()
+        summary = crawler.crawl(seeds)
+        oracle = oracle_run(tiny_web, limit)
+        try:
+            # the driver-built broadcast index must NOT exist on this path
+            assert crawler.store._flags_ref is None
+            att = crawler.attempts_dataset().to_pandas().sort_values(
+                "fetch_seq")
+            got = list(zip(att["fetch_seq"], att["url"], att["status"],
+                           att["round"]))
+            want = [(r.fetch_seq, r.url, r.status, r.round)
+                    for r in oracle.records]
+            assert got == want
+            assert summary["saved_total"] == len(oracle.saved_records)
+        finally:
+            crawler.shutdown_services()
+
+
 class TestSmallWebConformance:
     """Same exact-order conformance at the 'small' scale (more hosts,
     deeper rounds, different seed — FIXTURES.md §5)."""

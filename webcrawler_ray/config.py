@@ -34,6 +34,16 @@ class CrawlConfig:
     #                                  broadcast via ray.put; larger ones use
     #                                  the hash-bucketed PagesStore
     pages_store_buckets: int = 64    # buckets for the partitioned store
+    flags_bucketed: bool = False     # answer HEAD flags from the bucketed
+    #                                  store (url+lang projection, filtered
+    #                                  reads) instead of a driver-built
+    #                                  broadcast hash index. REQUIRED at the
+    #                                  10^10-URL design point: the broadcast
+    #                                  index is ~9 bytes/URL (~90 GB) and is
+    #                                  built by materializing every URL on
+    #                                  the driver; the bucketed path never
+    #                                  holds more than one filtered bucket
+    #                                  projection per task
 
     # --- seen-set sizing -------------------------------------------------
     seen_capacity_per_shard: int = 1 << 20  # cuckoo slots per shard

@@ -17,9 +17,12 @@ modes, chosen by table size (CrawlConfig.fetch_broadcast_max_bytes):
   of the whole web. Failed lookups are 404-equivalents, recorded and never
   retried (reference disables retries, `WebAccesser.py:45`, report §5).
 
-Flag lookups always use the broadcast hash index: 10^10 URLs x 9 bytes =
-~90 GB cluster-wide — at that scale set ``flags_bucketed=True`` to route
-flags through the bucketed store too (same join path, lang column only).
+Flag lookups default to the broadcast hash index (compact: 9 bytes/URL,
+right up to ~10^8 URLs); ``CrawlConfig.flags_bucketed=True`` routes flags
+through the bucketed store instead (url+lang projection, one filtered
+column-pruned read per touched bucket per batch) — the required mode at
+the 10^10-URL design point, where the index would be ~90 GB and its
+construction a driver-side materialization of the whole key space.
 """
 
 from __future__ import annotations
@@ -64,6 +67,21 @@ def _table_size_bytes(path: str) -> int:
     return os.path.getsize(path)
 
 
+def _bucket_dataset(store_dir: str, b: int):
+    """Per-process-cached pyarrow dataset handle for one store bucket
+    (amortizes the parquet footer parse); None if the bucket never
+    received a row (possible for tiny webs / missing-URL lookups)."""
+    key = ("pads", store_dir, int(b))
+    d = _PROC_CACHE.get(key)
+    if d is None:
+        bdir = os.path.join(store_dir, f"bucket={int(b)}")
+        if not os.path.isdir(bdir):
+            return None
+        d = pads.dataset(bdir)
+        _PROC_CACHE[key] = d
+    return d
+
+
 def _table_files(path: str) -> list[str]:
     if os.path.isdir(path):
         return sorted(os.path.join(path, f) for f in os.listdir(path)
@@ -82,11 +100,15 @@ class PagesStore:
 
     # -- one-time preparation --------------------------------------------
     def prepare(self, ray) -> None:
-        """Build broadcast refs and (if bucketed) the partitioned layout."""
-        self._build_flags(ray)
-        if self.bucketed:
+        """Build broadcast refs and (if bucketed) the partitioned layout.
+        With ``flags_bucketed`` the driver-built flag index is SKIPPED —
+        no step of preparation (or of the crawl) materializes the full
+        URL key space on the driver on that path."""
+        if self.cfg.flags_bucketed or self.bucketed:
             self._build_buckets(ray)
-        else:
+        if not self.cfg.flags_bucketed:
+            self._build_flags(ray)
+        if not self.bucketed:
             tbl = pads.dataset(self.pages_path).to_table(
                 columns=["url", "html", "warc_ts"])
             d = {}
@@ -176,8 +198,16 @@ class PagesStore:
 
     # -- flag lookup (HEAD-equivalent) ------------------------------------
     def add_flags_fn(self):
-        """Plain map_batches fn adding in_table/is_html from the broadcast
-        sorted-hash index (per-process cached, zero-copy numpy)."""
+        """Plain map_batches fn adding in_table/is_html. Two modes:
+
+        * broadcast (default): the driver-built sorted-hash index
+          (per-process cached, zero-copy numpy searchsorted);
+        * ``flags_bucketed``: no driver index exists — each batch hashes
+          its URLs to store buckets and does one filtered (url, lang)
+          column-pruned read per touched bucket. O(batch) + matching row
+          groups, nothing driver-side, nothing O(corpus) anywhere."""
+        if self.cfg.flags_bucketed:
+            return self._add_flags_bucketed_fn()
         flags_ref = self._flags_ref
 
         def add_flags(batch: pa.Table) -> pa.Table:
@@ -190,6 +220,38 @@ class PagesStore:
             ih = np.zeros(len(h), dtype=bool)
             if len(hashes):
                 ih[found] = is_html[idx_c[found]]
+            out = batch.append_column("in_table", pa.array(found, pa.bool_()))
+            return out.append_column("is_html", pa.array(ih, pa.bool_()))
+
+        return add_flags
+
+    def _add_flags_bucketed_fn(self):
+        store_dir = self.store_dir
+        B = self.cfg.pages_store_buckets
+        html_langs = frozenset(self.cfg.html_langs)
+
+        def add_flags(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            found = np.zeros(n, dtype=bool)
+            ih = np.zeros(n, dtype=bool)
+            if n:
+                urls = batch.column("url").to_pylist()
+                bk = stable_hash64_batch(urls) % B
+                lut: dict[str, str] = {}
+                for b in np.unique(bk):
+                    d = _bucket_dataset(store_dir, int(b))
+                    if d is None:  # bucket never received a page
+                        continue
+                    sub = batch.column("url").filter(pa.array(bk == b))
+                    t = d.to_table(columns=["url", "lang"],
+                                   filter=pc.field("url").isin(sub))
+                    lut.update(zip(t.column("url").to_pylist(),
+                                   t.column("lang").to_pylist()))
+                for i, u in enumerate(urls):
+                    lang = lut.get(u)
+                    if lang is not None:
+                        found[i] = True
+                        ih[i] = lang in html_langs
             out = batch.append_column("in_table", pa.array(found, pa.bool_()))
             return out.append_column("is_html", pa.array(ih, pa.bool_()))
 
@@ -239,14 +301,6 @@ class PagesStore:
         store_dir = self.store_dir
         B = self.cfg.pages_store_buckets
 
-        def _bucket_dset(b: int):
-            key = ("pads", store_dir, b)
-            d = _PROC_CACHE.get(key)
-            if d is None:  # parquet metadata parse amortized per process
-                d = pads.dataset(os.path.join(store_dir, f"bucket={b}"))
-                _PROC_CACHE[key] = d
-            return d
-
         def fetch_direct(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return batch.append_column(
@@ -257,7 +311,7 @@ class PagesStore:
             parts = []
             for b in np.unique(bk):
                 m = bk == b
-                parts.append(_bucket_dset(int(b)).to_table(
+                parts.append(_bucket_dataset(store_dir, int(b)).to_table(
                     columns=["url", "html", "warc_ts"],
                     filter=pc.field("url").isin(urls.filter(pa.array(m)))))
             right = pa.concat_tables(parts)
