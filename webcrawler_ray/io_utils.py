@@ -50,6 +50,12 @@ def _num_rows(path) -> int:
     return total
 
 
+def parquet_num_rows(path) -> int:
+    """Public alias: exact row count from footers only — the cheap input
+    for sizing shuffle fan-outs (buckets_for / join_partitions_for)."""
+    return _num_rows(path)
+
+
 def read_parquet_clean(ray, path, columns=None, **kw):
     """``ray.data.read_parquet`` with a metadata-free schema (see module
     docstring) and RIGHT-SIZED block counts for small tables: the

@@ -431,13 +431,17 @@ class RayCrawler:
             # ---- next frontier ------------------------------------------
             # dedup-by-min-seq over up to |frontier| * out-degree candidate
             # urls: a many-group aggregate -> bucketed vectorized combine
-            from ..stages.aggregates import hash_bucket_aggregate
+            from ..stages.aggregates import buckets_for, hash_bucket_aggregate
 
             cand = parsed.map_batches(explode_links, batch_format="pyarrow")
+            # fan-out sized from the round's saved pages x a generous
+            # out-degree bound (not a constant): at web out-degrees one
+            # dedup task never holds more than ~one bucket of links
             cand = hash_bucket_aggregate(
                 cand, ["url"],
                 lambda df: df.groupby("url", as_index=False)["seq"].min(),
-                num_buckets=max(8, cfg.num_seen_shards))
+                num_buckets=buckets_for(32 * n_saved,
+                                        lo=max(8, cfg.num_seen_shards)))
 
             def finish_candidates(batch: pa.Table) -> pa.Table:
                 import ray as _ray

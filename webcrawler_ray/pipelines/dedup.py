@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..io_utils import parquet_num_rows as _nrows
 from ..functions.hashing import (
     N_BANDS,
     N_PERM,
@@ -60,7 +61,8 @@ def exact_dedup(ray, sf_dir: str):
         ds.map_batches(add_fp, batch_format="pyarrow"),
         ["fp"],
         lambda df: df.groupby("fp", as_index=False).agg(
-            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum")))
+            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum")),
+        n_rows=_nrows(f"{sf_dir}/documents.parquet"))
     return (out.map_batches(lambda t: t.select(["doc_id", "n_dups"]),
                             batch_format="pyarrow")
                .sort("doc_id"))
@@ -85,10 +87,13 @@ def _lsh_candidate_pairs(ray, sf_dir: str, sh_ds=None):
     the MinHash and n-gram verifiers (computed ONCE, no threshold-0
     rerun). Pass the (materialized) ``_shingle_table`` dataset as
     ``sh_ds`` so shingling runs once for banding AND verification."""
-    from ..stages.aggregates import hash_bucket_aggregate
+    from ..stages.aggregates import buckets_for, hash_bucket_aggregate
 
     a, b = _perm_params()
     rows_per_band = N_PERM // N_BANDS
+    # coarse-bucket fan-out sized from the banded row count (N_BANDS rows
+    # per doc), not a constant — one map_groups task holds ~one bucket
+    n_cbuckets = buckets_for(N_BANDS * _nrows(f"{sf_dir}/documents.parquet"))
 
     if sh_ds is None:
         sh_ds = _shingle_table(ray, sf_dir)
@@ -116,7 +121,7 @@ def _lsh_candidate_pairs(ray, sf_dir: str, sh_ds=None):
     # (rare) multi-doc band buckets are expanded into pairs
     def add_cbucket(batch: pa.Table) -> pa.Table:
         cb = (batch.column("band_hash").to_numpy(zero_copy_only=False)
-              % 64).astype(np.int64)
+              % n_cbuckets).astype(np.int64)
         return batch.append_column("cbucket", pa.array(cb, pa.int64()))
 
     def coarse_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -141,7 +146,8 @@ def _lsh_candidate_pairs(ray, sf_dir: str, sh_ds=None):
     # distinct via a bucketed vectorized aggregate, still distributed
     return hash_bucket_aggregate(
         cand, ["doc_a", "doc_b"],
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"]))
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        n_rows=_nrows(f"{sf_dir}/documents.parquet"))
 
 
 def _shingle_table(ray, sf_dir: str):
@@ -301,9 +307,11 @@ def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
 
     def _agg_labels(ds):
         # normalize_for_join scrubs the column-less empty blocks that
-        # map_groups emits — required before every Dataset.join
+        # map_groups emits — required before every Dataset.join;
+        # fan-out sized from the edge count (nodes <= 2 * edges)
         return normalize_for_join(
-            hash_bucket_aggregate(ds, ["doc_id"], _min_combine),
+            hash_bucket_aggregate(ds, ["doc_id"], _min_combine,
+                                  n_rows=2 * n_edges),
             _LBL).materialize()
 
     labels = _agg_labels(edges.map_batches(nodes, batch_format="pyarrow"))
@@ -347,6 +355,10 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
     """Near-dup pairs by simhash hamming distance <= k, candidates via the
     4-segment pigeonhole blocking (any pair within distance 3 shares at
     least one exact 16-bit segment)."""
+    from ..stages.aggregates import buckets_for
+
+    n_docs = _nrows(f"{sf_dir}/documents.parquet")
+    n_cbuckets = buckets_for(4 * n_docs)  # 4 segment rows per doc
     ds = _rpq(ray, f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
@@ -375,7 +387,7 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
     def add_cbucket(batch: pa.Table) -> pa.Table:
         sv = batch.column("seg_val").to_numpy(zero_copy_only=False)
         si = batch.column("seg_id").to_numpy(zero_copy_only=False)
-        cb = ((sv * 4 + si) % 64).astype(np.int64)
+        cb = ((sv * 4 + si) % n_cbuckets).astype(np.int64)
         return batch.append_column("cbucket", pa.array(cb, pa.int64()))
 
     def coarse_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -414,5 +426,6 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
 
     return hash_bucket_aggregate(
         pairs, ["doc_a", "doc_b"],
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"])
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        n_rows=n_docs
     ).sort(["doc_a", "doc_b"])

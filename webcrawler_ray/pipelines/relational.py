@@ -11,6 +11,7 @@ SQL-checked aggregate in this repo).
 
 from __future__ import annotations
 
+from ..io_utils import parquet_num_rows as _nrows
 from ..io_utils import read_parquet_clean as _rpq
 
 import numpy as np
@@ -82,10 +83,13 @@ def top_customers(ray, sf_dir: str, k: int = 10):
     orders (Dataset.join) -> bucketed groupby customer -> sort desc ->
     limit k -> name lookup for ONLY the k winners (filtered parquet
     read; the customer table is never materialized anywhere).
-    Many-group rollups use hash_bucket_aggregate (vectorized combine)."""
-    from ..stages.aggregates import hash_bucket_aggregate
+    Many-group rollups use hash_bucket_aggregate (vectorized combine);
+    every shuffle fan-out is sized from footer row counts, never a
+    constant."""
+    from ..stages.aggregates import hash_bucket_aggregate, join_partitions_for
 
-    li = _rpq(ray, 
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    li = _rpq(ray,
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -99,7 +103,8 @@ def top_customers(ray, sf_dir: str, k: int = 10):
     li_agg = hash_bucket_aggregate(
         li.map_batches(to_cents, batch_format="pandas", batch_size=65536),
         ["l_orderkey"],
-        lambda df: df.groupby("l_orderkey", as_index=False).sum())
+        lambda df: df.groupby("l_orderkey", as_index=False).sum(),
+        n_rows=n_orders)  # post-partial rows ~= one per orderkey
 
     orders = _rpq(ray, f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey"])
@@ -108,11 +113,12 @@ def top_customers(ray, sf_dir: str, k: int = 10):
         batch_format="pyarrow")
 
     joined = li_agg.join(orders, join_type="inner", on=("l_orderkey",),
-                         num_partitions=8)
+                         num_partitions=join_partitions_for(n_orders))
     per_cust = hash_bucket_aggregate(
         joined, ["o_custkey"],
         lambda df: df[["o_custkey", "revenue_cents"]]
-        .groupby("o_custkey", as_index=False).sum())
+        .groupby("o_custkey", as_index=False).sum(),
+        n_rows=n_orders)
 
     # top-k cut FIRST, then a name lookup for only those k custkeys — the
     # customer table is never materialized anywhere (a k-row filtered
@@ -170,7 +176,10 @@ def revenue_by_nation(ray, sf_dir: str):
     import ray as _ray
     from ray.data.aggregate import Sum
 
-    from ..stages.aggregates import hash_bucket_aggregate
+    from ..stages.aggregates import hash_bucket_aggregate, join_partitions_for
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
 
     # tiny dimensions only: nation (25 rows) x region (5 rows)
     nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
@@ -199,7 +208,8 @@ def revenue_by_nation(ray, sf_dir: str):
     li_agg = hash_bucket_aggregate(
         li.map_batches(to_cents, batch_format="pandas", batch_size=65536),
         ["l_orderkey"],
-        lambda df: df.groupby("l_orderkey", as_index=False).sum())
+        lambda df: df.groupby("l_orderkey", as_index=False).sum(),
+        n_rows=n_orders)
 
     orders = _rpq(ray, f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey"])
@@ -207,11 +217,12 @@ def revenue_by_nation(ray, sf_dir: str):
         lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
         batch_format="pyarrow")
     joined = li_agg.join(orders, join_type="inner", on=("l_orderkey",),
-                         num_partitions=8)
+                         num_partitions=join_partitions_for(n_orders))
     per_cust = hash_bucket_aggregate(
         joined, ["o_custkey"],
         lambda df: df[["o_custkey", "revenue_cents"]]
-        .groupby("o_custkey", as_index=False).sum())
+        .groupby("o_custkey", as_index=False).sum(),
+        n_rows=n_orders)
 
     cust = _rpq(ray, f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_nationkey"])
@@ -219,7 +230,7 @@ def revenue_by_nation(ray, sf_dir: str):
         lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
         batch_format="pyarrow")
     per_cust = per_cust.join(cust, join_type="inner", on=("o_custkey",),
-                             num_partitions=8)
+                             num_partitions=join_partitions_for(n_cust))
 
     def add_names(batch: pd.DataFrame) -> pd.DataFrame:
         n2_ = _ray.get(ref)
@@ -255,6 +266,7 @@ def events_topk_users(ray, sf_dir: str, k: int = 10):
     group), then a tiny sort+limit."""
     from ..stages.aggregates import hash_bucket_aggregate
 
+    n_events = _nrows(f"{sf_dir}/events.parquet")
     ds = _rpq(ray, f"{sf_dir}/events.parquet", columns=["user_id"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -266,7 +278,8 @@ def events_topk_users(ray, sf_dir: str, k: int = 10):
         ds.map_batches(partial, batch_format="pandas"),
         ["user_id"],
         lambda df: df.groupby("user_id", as_index=False).agg(
-            n_events=("n_events", "sum")))
+            n_events=("n_events", "sum")),
+        n_rows=n_events)
     return out.sort(["n_events", "user_id"],
                     descending=[True, False]).limit(k)
 
@@ -347,7 +360,8 @@ def events_windowed(ray, sf_dir: str):
         lambda df: df.groupby(["event_type", "window_start_us"],
                               as_index=False).agg(
             n_events=("n_events", "sum"),
-            min_event_id=("min_event_id", "min")))
+            min_event_id=("min_event_id", "min")),
+        n_rows=_nrows(f"{sf_dir}/events.parquet"))
     return out.sort(["event_type", "window_start_us"])
 
 
@@ -403,7 +417,8 @@ def events_hopping(ray, sf_dir: str):
 
     out = hash_bucket_aggregate(
         ds.map_batches(explode, batch_format="pyarrow"),
-        ["event_type", "window_start_us"], comb)
+        ["event_type", "window_start_us"], comb,
+        n_rows=2 * _nrows(f"{sf_dir}/events.parquet"))  # W/S = 2 copies
     return out.sort(["event_type", "window_start_us"])
 
 
@@ -422,8 +437,11 @@ FROM x GROUP BY 1, 2 ORDER BY event_type, window_start_us
 def events_user_topk(ray, sf_dir: str, k: int = 3):
     """Per-group top-k: each user's k highest-value events,
     (user_id, event_id, rnk) with ties broken by event_id — COARSE user
-    buckets, vectorized sort + groupby-head + cumcount inside each."""
-    N_BUCKETS = 64
+    buckets (count sized from the footer row count), vectorized sort +
+    groupby-head + cumcount inside each."""
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
 
     ds = _rpq(ray, f"{sf_dir}/events.parquet",
               columns=["user_id", "event_id", "value"])
@@ -466,10 +484,12 @@ SESSION_GAP_US = 1_800_000_000  # 30 minutes
 def sessionize(ray, sf_dir: str):
     """(user_id, n_sessions, n_events): session = events of one user with
     gaps < 30 min — the partition-by-key + in-group window pattern, run
-    over COARSE user buckets so each group call is one vectorized
-    segmented pass over thousands of users (a per-user map_groups pays
-    python overhead per user)."""
-    N_BUCKETS = 64
+    over COARSE user buckets (count sized from the footer row count) so
+    each group call is one vectorized segmented pass over thousands of
+    users (a per-user map_groups pays python overhead per user)."""
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
 
     ds = _rpq(ray, f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
@@ -518,9 +538,11 @@ FROM gaps GROUP BY user_id ORDER BY user_id
 def events_running_index(ray, sf_dir: str):
     """(event_id, k): per-user running event index ordered by (ts,
     event_id) — partition-by-key ordered window over COARSE user
-    buckets; inside each bucket one vectorized sort + cumcount covers
-    thousands of users."""
-    N_BUCKETS = 64
+    buckets (count sized from the footer row count); inside each bucket
+    one vectorized sort + cumcount covers thousands of users."""
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
 
     ds = _rpq(ray, f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts"])
@@ -586,9 +608,12 @@ def events_asof_order(ray, sf_dir: str):
 
     # COARSE user buckets, not one group per user: groupby.map_groups
     # pays per-group python overhead, so 10^4 users would cost seconds;
-    # ~64 buckets each run ONE C-speed pd.merge_asof(by=user_id) over
-    # thousands of users at once
-    N_BUCKETS = 64
+    # coarse buckets (sized from the two footer row counts) each run ONE
+    # C-speed pd.merge_asof(by=user_id) over thousands of users at once
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet")
+                            + _nrows(f"{sf_dir}/orders.parquet"))
 
     def add_bucket(t: pa.Table) -> pa.Table:
         u = t.column("user_id").to_numpy(zero_copy_only=False)
@@ -722,8 +747,9 @@ def customers_no_events(ray, sf_dir: str):
     hash-partitions both sides; the events side is first reduced to its
     distinct user ids by a bucketed aggregate so the exchange moves one
     row per active user, not one per event)."""
-    from ..stages.aggregates import hash_bucket_aggregate
+    from ..stages.aggregates import hash_bucket_aggregate, join_partitions_for
 
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
     cust = _rpq(ray, f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     ev = _rpq(ray, f"{sf_dir}/events.parquet", columns=["user_id"])
     active = hash_bucket_aggregate(
@@ -731,12 +757,13 @@ def customers_no_events(ray, sf_dir: str):
             lambda df: df.drop_duplicates(["user_id"]),
             batch_format="pandas"),
         ["user_id"],
-        lambda df: df.drop_duplicates(["user_id"]))
+        lambda df: df.drop_duplicates(["user_id"]),
+        n_rows=n_cust)  # distinct users <= customer keyspace
     active = active.map_batches(
         lambda t: t.select(["user_id"]).rename_columns(["c_custkey"]),
         batch_format="pyarrow")
     out = cust.join(active, join_type="left_anti", on=("c_custkey",),
-                    num_partitions=8)
+                    num_partitions=join_partitions_for(n_cust))
     return out.sort("c_custkey")
 
 
@@ -843,7 +870,8 @@ def events_windowed_incremental(ray, sf_dir: str, n_chunks: int = 3,
         part = chunk.map_batches(win_partial, batch_format="pyarrow")
         inp = part if state is None else state.union(part)
         new_state = hash_bucket_aggregate(
-            inp, ["event_type", "window_start_us"], merge)
+            inp, ["event_type", "window_start_us"], merge,
+            n_rows=_nrows(f"{sf_dir}/events.parquet") // n_chunks)
         # checkpoint the epoch state atomically (tmp dir + rename); the
         # write executes the epoch's pipeline, so the previous epoch is
         # fully consumed and safe to drop

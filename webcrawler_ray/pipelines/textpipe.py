@@ -273,10 +273,13 @@ def doc_top_terms(ray, sf_dir: str, k: int = 20):
                              "n": pd.Series(list(c.values()),
                                             dtype="int64")})
 
+    from ..io_utils import parquet_num_rows
+
     out = hash_bucket_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["token"],
-        lambda df: df.groupby("token", as_index=False).agg(n=("n", "sum")))
+        lambda df: df.groupby("token", as_index=False).agg(n=("n", "sum")),
+        n_rows=parquet_num_rows(f"{sf_dir}/documents.parquet"))
     return out.sort(["n", "token"], descending=[True, False]).limit(k)
 
 

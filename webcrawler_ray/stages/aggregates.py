@@ -40,15 +40,37 @@ def _bucket_of(df_or_tbl, keys: list[str], num_buckets: int) -> np.ndarray:
     return (stable_hash64_batch(joined) % num_buckets).astype(np.int64)
 
 
-def hash_bucket_aggregate(ds, keys: list[str], combine, num_buckets: int = 16,
-                          batch_format: str = "pandas", merge=None):
+def buckets_for(n_rows: int | None, rows_per_bucket: int = 32_768,
+                lo: int = 8, hi: int = 1024) -> int:
+    """Shuffle fan-out sized from DATA, not a constant: each coarse
+    bucket's map_groups task holds ~``rows_per_bucket`` rows in one
+    pandas frame, so the per-task heap stays bounded as the input grows
+    (a fixed 16/64-way fan-out makes one task hold 1/16..1/64 of the
+    post-partial data — an OOM at 100x on a fat key column). ``n_rows``
+    is the cheap parquet-footer count of the stage's INPUT — an upper
+    bound on the post-partial rows actually shuffled, which is the safe
+    direction. None (count genuinely unknown) falls back to 16."""
+    if n_rows is None:
+        return 16
+    return int(max(lo, min(hi, n_rows // rows_per_bucket + 1)))
+
+
+def hash_bucket_aggregate(ds, keys: list[str], combine,
+                          num_buckets: int | None = None,
+                          batch_format: str = "pandas", merge=None,
+                          n_rows: int | None = None):
     """``combine(df) -> df``: a vectorized pandas aggregation over ``keys``
     (e.g. ``df.groupby(keys, as_index=False).sum()``), applied once per
     input batch (partial pre-aggregation). ``merge(df) -> df`` re-combines
     partials inside each bucket; defaults to ``combine`` (correct for
     sum/min/max). Aggregations whose merge differs from their map — e.g.
-    count (merge = sum of partial counts) — must pass ``merge``."""
+    count (merge = sum of partial counts) — must pass ``merge``.
+    ``num_buckets`` defaults to ``buckets_for(n_rows)`` — pass the input
+    row count (parquet_num_rows is footer-only) so the fan-out scales
+    with data instead of being a constant."""
     merge = merge or combine
+    if num_buckets is None:
+        num_buckets = buckets_for(n_rows)
 
     # outputs go back to arrow with schema metadata STRIPPED: pandas->arrow
     # conversion attaches a `pandas` metadata dict that makes pa.Schema
@@ -72,14 +94,17 @@ def hash_bucket_aggregate(ds, keys: list[str], combine, num_buckets: int = 16,
               .map_groups(per_bucket, batch_format="pandas"))
 
 
-def join_partitions_for(n_rows: int, cap: int = 16) -> int:
-    """Safe ``num_partitions`` for ``Dataset.join``: ray 2.49 CRASHES
-    when a join hash-partition receives zero rows on either side (its
-    empty-partition table has no columns, so pyarrow's join can't find
-    the key field). One partition is always safe; scale up only when
-    every partition is statistically certain to see rows (>=4096 rows
-    per partition makes an empty one impossible in practice)."""
-    return max(1, min(cap, n_rows // 4096))
+def join_partitions_for(n_rows: int, cap: int = 2048,
+                        rows_per_partition: int = 16_384) -> int:
+    """Safe, DATA-SIZED ``num_partitions`` for ``Dataset.join``: ray 2.49
+    CRASHES when a join hash-partition receives zero rows on either side
+    (its empty-partition table has no columns, so pyarrow's join can't
+    find the key field). One partition is always safe; scaling as
+    n_rows // 16384 keeps every partition statistically certain to see
+    rows (the crash needs an empty one) while the partition count — and
+    so the per-task join heap — tracks the input instead of a constant.
+    ``n_rows`` should be the SMALLER side's (footer-cheap) row count."""
+    return max(1, min(cap, n_rows // rows_per_partition))
 
 
 def normalize_for_join(ds, schema: pa.Schema, num_blocks: int = 8):
