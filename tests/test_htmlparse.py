@@ -102,3 +102,64 @@ class TestRobustness:
 
     def test_binary_garbage_no_crash(self):
         parse_page(bytes(range(256)))
+
+
+class TestCharsetHook:
+    """M6 charset strategy hook (reference Parser.py:8-9 best-guess slot)."""
+
+    def test_detect_latin1_page(self):
+        from webcrawler_ray.functions.htmlparse import decode_html
+
+        html = "<body>café con açúcar</body>".encode("latin-1")
+        assert "café con açúcar" in decode_html(
+            html, decoder="detect")
+
+    def test_detect_cp1252_curly_quotes(self):
+        from webcrawler_ray.functions.htmlparse import decode_html
+
+        html = b"<p>\x93smart\x94 quotes \x97 dash</p>"  # cp1252-only bytes
+        out = decode_html(html, decoder="detect")
+        assert "“smart” quotes — dash" in out
+
+    def test_detect_honors_meta_charset(self):
+        from webcrawler_ray.functions.htmlparse import decode_html
+
+        body = "preße €".encode("iso-8859-15")
+        html = (b'<head><meta charset="iso-8859-15"></head><body>'
+                + body + b"</body>")
+        assert "preße €" in decode_html(html, decoder="detect")
+
+    def test_detect_passes_clean_utf8_through(self):
+        from webcrawler_ray.functions.htmlparse import decode_html
+
+        s = "<body>élève 你好</body>"
+        assert decode_html(s.encode("utf-8"), decoder="detect") == s
+
+    def test_global_strategy_hook_roundtrip(self):
+        from webcrawler_ray.functions import htmlparse as hp
+
+        html = "café".encode("latin-1")
+        # pinned default: latin-1 fallback happens to match here
+        assert hp.decode_html(html) == "café"
+        hp.set_decode_strategy("detect")
+        try:
+            assert hp.decode_html(html) == "café"
+            assert hp.parse_page(
+                b"<p>\x93q\x94</p>").visible_text == "“q”"
+        finally:
+            hp.set_decode_strategy("pinned")
+        import pytest
+
+        with pytest.raises(ValueError):
+            hp.set_decode_strategy("nope")
+
+    def test_parse_stage_carries_decoder(self):
+        import pyarrow as pa
+
+        from webcrawler_ray.stages.parse import ParseHtmlBatch
+
+        batch = pa.table({
+            "url": ["http://h/a"], "host": ["http://h"],
+            "html": [b"<body>\x93x\x94</body>"]})
+        out = ParseHtmlBatch(decode="detect")(batch)
+        assert out.column("extracted_text")[0].as_py() == "“x”"

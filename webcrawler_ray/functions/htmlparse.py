@@ -118,14 +118,93 @@ class _Collector(_StdHTMLParser):
         return self._title_datas[0]
 
 
-def decode_html(html: bytes | str) -> str:
-    """M6 decode: pinned-UTF-8 corpus (SURVEY.md §7); latin-1 never fails."""
-    if isinstance(html, str):
-        return html
+def _decode_pinned(html: bytes) -> str:
+    """Default strategy: pinned-UTF-8 corpus (SURVEY.md §7 — the synthetic
+    web is clean UTF-8, and pinning avoids detector version-skew between
+    the Ray side and the oracle); latin-1 never fails."""
     try:
         return html.decode("utf-8")
     except UnicodeDecodeError:
         return html.decode("latin-1")
+
+
+_META_CHARSET_RE = None
+
+
+def detect_decode(html: bytes) -> str:
+    """Best-guess charset decode for real-world (non-UTF-8) corpora — the
+    behavior slot of the reference's charset_normalizer best-guess
+    (`Parser.py:8-9`), reimplemented from public heuristics only:
+
+    1. Unicode BOMs (utf-8-sig / utf-16 / utf-32);
+    2. strict UTF-8 (a valid UTF-8 document is almost never mislabeled);
+    3. an HTML ``<meta charset=...>`` / ``http-equiv`` declaration in the
+       first 1024 bytes (the HTML standard's pre-scan window);
+    4. cp1252 (the web's de-facto latin-1: 0x80-0x9F are punctuation),
+       falling back to latin-1 (total: never fails) on cp1252's five
+       unmapped bytes.
+    """
+    import codecs
+    import re
+
+    global _META_CHARSET_RE
+    for bom, enc in ((codecs.BOM_UTF8, "utf-8-sig"),
+                     (codecs.BOM_UTF32_LE, "utf-32"),
+                     (codecs.BOM_UTF32_BE, "utf-32"),
+                     (codecs.BOM_UTF16_LE, "utf-16"),
+                     (codecs.BOM_UTF16_BE, "utf-16")):
+        if html.startswith(bom):
+            return html.decode(enc)
+    try:
+        return html.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    if _META_CHARSET_RE is None:
+        _META_CHARSET_RE = re.compile(
+            rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE)
+    m = _META_CHARSET_RE.search(html[:1024])
+    if m:
+        try:
+            return html.decode(m.group(1).decode("ascii").lower())
+        except (LookupError, UnicodeDecodeError):
+            pass
+    try:
+        return html.decode("cp1252")
+    except UnicodeDecodeError:
+        return html.decode("latin-1")
+
+
+_DECODERS = {"pinned": _decode_pinned, "detect": detect_decode}
+_decode_strategy = "pinned"
+
+
+def set_decode_strategy(name_or_fn) -> None:
+    """Charset-decode hook: ``"pinned"`` (default), ``"detect"`` (the
+    best-guess detector above), or any ``bytes -> str`` callable. Both
+    the Ray parse stage and the conformance oracle decode through
+    ``decode_html``, so the hook keeps them in lockstep."""
+    global _decode_strategy
+    if callable(name_or_fn):
+        _decode_strategy = name_or_fn
+    elif name_or_fn in _DECODERS:
+        _decode_strategy = name_or_fn
+    else:
+        raise ValueError(f"unknown decode strategy: {name_or_fn!r} "
+                         f"(have {sorted(_DECODERS)} or a callable)")
+
+
+def decode_html(html: bytes | str, decoder=None) -> str:
+    """M6 decode via ``decoder`` (a strategy name or ``bytes -> str``
+    callable) or, when None, the module-wide active strategy (see
+    ``set_decode_strategy``). The explicit parameter exists for
+    distributed stages: a pickled map_batches callable carries its
+    decoder with it instead of relying on a driver-process global."""
+    if isinstance(html, str):
+        return html
+    fn = decoder if decoder is not None else _decode_strategy
+    if not callable(fn):
+        fn = _DECODERS[fn]
+    return fn(html)
 
 
 class ParsedPage:
@@ -143,13 +222,14 @@ class ParsedPage:
         return " ".join(self.visible_text.split()[:n])
 
 
-def parse_page(html: bytes | str) -> ParsedPage:
+def parse_page(html: bytes | str, decoder=None) -> ParsedPage:
     """Parse a page: one pass -> (visible_text, hrefs, title).
 
     visible_text reproduces `Parser.py:57-72` byte-for-byte on well-formed
-    UTF-8 documents (the invariant target).
+    UTF-8 documents (the invariant target). ``decoder`` overrides the
+    charset strategy (see ``decode_html``).
     """
-    text = decode_html(html)
+    text = decode_html(html, decoder)
     c = _Collector()
     try:
         c.feed(text)

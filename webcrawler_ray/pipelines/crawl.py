@@ -397,7 +397,8 @@ class RayCrawler:
                         else cfg.parse_batch_size)
             parsed = fetched.map_batches(
                 ParseHtmlBatch(cfg.first_n_words, keep_html=cfg.store_html,
-                               enrich=cfg.enrich),
+                               enrich=cfg.enrich,
+                               decode=cfg.extra.get("decode_strategy")),
                 batch_format="pyarrow", batch_size=parse_bs).materialize()
             _mark("fetch_parse")
 

@@ -29,10 +29,15 @@ class ParseHtmlBatch:
     is already hot in cache."""
 
     def __init__(self, first_n_words: int = 20, keep_html: bool = True,
-                 enrich: bool = False):
+                 enrich: bool = False, decode=None):
         self.first_n_words = first_n_words
         self.keep_html = keep_html
         self.enrich = enrich
+        # charset strategy name ("pinned"/"detect") or bytes->str callable;
+        # carried IN the pickled callable so every worker process decodes
+        # the same way (a driver-side set_decode_strategy would not
+        # propagate to map_batches workers)
+        self.decode = decode
         if enrich:
             from ..functions.hashing import minhash_perm_params
 
@@ -48,7 +53,7 @@ class ParseHtmlBatch:
         firsts = np.empty(n, dtype=object)
         links: list[list[str]] = [None] * n  # type: ignore[list-item]
         for i in range(n):
-            p = parse_page(htmls[i])
+            p = parse_page(htmls[i], decoder=self.decode)
             texts[i] = p.visible_text
             titles[i] = p.title
             firsts[i] = p.first_n_words(self.first_n_words)
