@@ -49,7 +49,7 @@ SQL_CHECKED = [
     "knn_cosine", "doc_langid", "multimodal_meta", "events_hopping",
     "events_user_topk", "docs_sample", "doc_normalize", "doc_top_terms",
     "emb_label_sums", "doc_token_counts_bpe", "events_value_percentiles",
-    "customers_no_events", "events_windowed_incremental",
+    "customers_no_events", "events_windowed_incremental", "frames_meta",
 ]
 
 

@@ -274,6 +274,7 @@ def build_queries() -> dict:
             "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),
             "multimodal_frames": lambda sf: multimodal.frame_samples(ray, sf),
             "multimodal_meta": multimodal_meta,
+            "frames_meta": frames_meta,
             "multimodal_resize": lambda sf: multimodal.resize_stats(ray, sf),
         })
     except ImportError:
@@ -297,6 +298,37 @@ def multimodal_meta(sf_dir: str):
         lambda t: t.select(["doc_id", "width", "height", "n_frames",
                             "n_bytes", "decode_ok"]),
         batch_format="pyarrow")
+
+
+def frames_meta(sf_dir: str):
+    """Frame-explode metadata of the multimodal payloads — the END-TO-END
+    check of the frame-sampling path: the Ray side decodes the ACTUAL
+    payload bytes and emits each frame's byte range; the oracle derives
+    the same values from the deterministic doc_id arithmetic (per-frame
+    pixel stats stay rows-only: the oracle cannot run PCG64)."""
+    from . import multimodal
+
+    ray = _ray()
+    ds = multimodal.frame_samples(ray, sf_dir)
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "frame_idx", "byte_start",
+                            "byte_len"]),
+        batch_format="pyarrow")
+
+
+FRAMES_META_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         (8 + (doc_id % 16) * 2) * (8 + (doc_id % 12) * 2) AS per,
+         1 + doc_id % 4 AS nf
+  FROM documents),
+x AS (
+  SELECT doc_id, per, unnest(generate_series(0, nf - 1)) AS fi FROM d)
+SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+       CAST(16 + fi * per AS BIGINT) AS byte_start,
+       CAST(per AS BIGINT) AS byte_len
+FROM x ORDER BY doc_id, frame_idx
+"""
 
 
 def _langid_sql() -> str:
@@ -461,6 +493,7 @@ ORDER BY vec_id_a, vec_id_b
     "doc_top_terms": textpipe.DOC_TOP_TERMS_SQL,
     "doc_token_counts_bpe": textpipe.TOKEN_COUNTS_BPE_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
+    "frames_meta": FRAMES_META_SQL,
 }
 
 try:
