@@ -264,9 +264,12 @@ def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
     neighbor; the grouped min of (own label, incoming messages) becomes
     the new labels. Labels only decrease, so the monotone label sum
     detects convergence; rounds needed = component diameter (near-dup
-    clusters from banding are near-cliques, so 2-3 in practice)."""
-    from ray.data.aggregate import Sum
+    clusters from banding are near-cliques, so 2-3 in practice).
 
+    The convergence sum PIGGYBACKS on the label aggregate (each bucket's
+    merge task ships its partial label sum to a tiny accumulator actor,
+    keyed by (round, bucket) so retries cannot double-count) — one
+    dataset execution per round, no separate aggregate(Sum) probe."""
     from ..stages.aggregates import hash_bucket_aggregate
 
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -305,16 +308,41 @@ def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
                      .rename_columns(list(names)))
         return f
 
-    def _agg_labels(ds):
+    # tiny accumulator actor: per-(round, bucket) partial label sums,
+    # written synchronously from each bucket's merge task (idempotent —
+    # a retried bucket task overwrites its own slot)
+    import ray as _ray
+
+    @_ray.remote(num_cpus=0)
+    class _LabelSumAcc:
+        def __init__(self):
+            self._rounds: dict[int, dict[int, int]] = {}
+
+        def put(self, rnd: int, bucket: int, s: int) -> None:
+            self._rounds.setdefault(rnd, {})[bucket] = s
+
+        def total(self, rnd: int) -> int:
+            return sum(self._rounds.get(rnd, {}).values())
+
+    acc = _LabelSumAcc.remote()
+
+    def _agg_labels(ds, rnd: int):
         # normalize_for_join scrubs the column-less empty blocks that
         # map_groups emits — required before every Dataset.join;
         # fan-out sized from the edge count (nodes <= 2 * edges)
+        def sidecar(bucket: int, g: pd.DataFrame) -> None:
+            # blocking get: when materialize() returns, every bucket's
+            # sum is already recorded
+            _ray.get(acc.put.remote(rnd, bucket,
+                                    int(g["cluster_id"].sum())))
+
         return normalize_for_join(
             hash_bucket_aggregate(ds, ["doc_id"], _min_combine,
-                                  n_rows=2 * n_edges),
+                                  n_rows=2 * n_edges, sidecar=sidecar),
             _LBL).materialize()
 
-    labels = _agg_labels(edges.map_batches(nodes, batch_format="pyarrow"))
+    labels = _agg_labels(edges.map_batches(nodes, batch_format="pyarrow"),
+                         rnd=0)
 
     # bidirectional edge list built ONCE: each round needs only a single
     # join (src -> its label), with the joined label forwarded to dst
@@ -327,11 +355,8 @@ def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
 
     bi = edges.map_batches(bidir, batch_format="pyarrow").materialize()
 
-    def _lsum(ds) -> int:
-        return int(ds.aggregate(Sum("cluster_id"))["sum(cluster_id)"])
-
-    prev = _lsum(labels)
-    for _ in range(max_iters):
+    prev = ray.get(acc.total.remote(0))
+    for it in range(max_iters):
         la = labels.map_batches(_typed(("src", "lbl")),
                                 batch_format="pyarrow")
         j = bi.join(la, join_type="inner", on=("src",),
@@ -343,11 +368,13 @@ def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
                 "cluster_id": t.column("lbl").cast(pa.int64())})
 
         labels = _agg_labels(
-            labels.union(j.map_batches(msgs, batch_format="pyarrow")))
-        cur = _lsum(labels)
+            labels.union(j.map_batches(msgs, batch_format="pyarrow")),
+            rnd=it + 1)
+        cur = ray.get(acc.total.remote(it + 1))
         if cur == prev:
             break
         prev = cur
+    ray.kill(acc)
     return labels.sort("doc_id")
 
 

@@ -58,7 +58,7 @@ def buckets_for(n_rows: int | None, rows_per_bucket: int = 32_768,
 def hash_bucket_aggregate(ds, keys: list[str], combine,
                           num_buckets: int | None = None,
                           batch_format: str = "pandas", merge=None,
-                          n_rows: int | None = None):
+                          n_rows: int | None = None, sidecar=None):
     """``combine(df) -> df``: a vectorized pandas aggregation over ``keys``
     (e.g. ``df.groupby(keys, as_index=False).sum()``), applied once per
     input batch (partial pre-aggregation). ``merge(df) -> df`` re-combines
@@ -67,7 +67,14 @@ def hash_bucket_aggregate(ds, keys: list[str], combine,
     count (merge = sum of partial counts) — must pass ``merge``.
     ``num_buckets`` defaults to ``buckets_for(n_rows)`` — pass the input
     row count (parquet_num_rows is footer-only) so the fan-out scales
-    with data instead of being a constant."""
+    with data instead of being a constant.
+
+    ``sidecar(bucket_id, merged_df)`` (optional) runs inside each
+    bucket's merge task on its final frame — the piggyback slot for
+    per-bucket summaries (e.g. a convergence metric shipped to an
+    accumulator actor) that would otherwise cost a separate aggregation
+    pass over the result. It must be idempotent per bucket (keyed by
+    bucket_id) so a retried task cannot double-count."""
     merge = merge or combine
     if num_buckets is None:
         num_buckets = buckets_for(n_rows)
@@ -86,6 +93,8 @@ def hash_bucket_aggregate(ds, keys: list[str], combine,
 
     def per_bucket(group: pd.DataFrame):
         g = merge(group.drop(columns=["__bucket"]))
+        if sidecar is not None and len(group):
+            sidecar(int(group["__bucket"].iloc[0]), g)
         return pa.Table.from_pandas(
             g, preserve_index=False).replace_schema_metadata(None)
 
