@@ -663,66 +663,125 @@ ORDER BY event_id
 PCTS = (25, 50, 75)
 
 
+_PCT_BINS = 512          # histogram fan-in per refinement pass
+_PCT_COLLECT_MAX = 65_536  # max in-range rows pulled for the final exact cut
+
+
 def events_value_percentiles(ray, sf_dir: str):
     """(pct, value): EXACT discrete percentiles of events.value via
-    distributed rank-select — global sort by (value, event_id), one
-    summary row per block (first key, row count), a tiny driver cumsum
-    locates the target block+offset for each rank, and one final
-    map extracts exactly those rows. No block is ever materialized on
-    the driver; the selected element is bit-identical to the SQL
-    window-rank oracle (rank k = ceil(n * pct/100))."""
-    ds = _rpq(ray, f"{sf_dir}/events.parquet",
-              columns=["event_id", "value"])
-    n = ds.count()  # parquet metadata, no read
+    ITERATIVE partition-count rank-select — no total sort, no
+    materialization of the dataset, ever:
+
+    1. one streamed pass for global (min, max);
+    2. refinement passes: per-block value histograms over each active
+       rank's current range (one shared pass covers all ranks); the
+       driver sums the tiny per-bin (count, realized-min, realized-max)
+       tables and descends into the bin containing the target rank.
+       Bin membership is a monotone function of value, so the realized
+       [vmin, vmax] of the chosen bin is EXACTLY its member set — no
+       float-boundary ambiguity — and the rank base advances by the
+       bins below. A bin with vmin == vmax pins the answer (ties in
+       (value, event_id) order share the value, so the tie-break never
+       affects the output);
+    3. when every remaining range holds <= ~65k rows, one collect pass
+       pulls just those rows and cuts the exact rank on the driver.
+
+    Passes are O(log_B n) streamed re-reads of two pruned columns; the
+    driver only ever holds B-bin summaries and the final bounded range —
+    the 100-TB-safe replacement for sort-the-world percentiles."""
+    path = f"{sf_dir}/events.parquet"
+    n = _nrows(path)  # parquet footers, no read
+    if n == 0:
+        return pd.DataFrame({"pct": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    ds = _rpq(ray, path, columns=["event_id", "value"])
     ranks = {p: max(1, int(np.ceil(n * p / 100))) for p in PCTS}
 
-    # the sorted dataset is consumed twice (block summaries, then the
-    # rank extraction); materialize keeps the blocks in the (spillable)
-    # object store so the sort runs once — re-executing a full sort for
-    # the second consumer would cost more than holding the blocks
-    s = ds.sort(["value", "event_id"]).materialize()
+    from ray.data.aggregate import Max, Min
 
-    def summarize(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"first_value": pa.array([], pa.float64()),
-                             "first_eid": pa.array([], pa.int64()),
-                             "n_rows": pa.array([], pa.int64())})
-        return pa.table({
-            "first_value": pa.array([t.column("value")[0].as_py()],
-                                    pa.float64()),
-            "first_eid": pa.array([t.column("event_id")[0].as_py()],
-                                  pa.int64()),
-            "n_rows": pa.array([t.num_rows], pa.int64())})
+    mm = ds.aggregate(Min("value"), Max("value"))
+    gmin, gmax = float(mm["min(value)"]), float(mm["max(value)"])
 
-    summ = (s.map_batches(summarize, batch_size=None,
-                          batch_format="pyarrow")
-             .to_pandas()
-             .sort_values(["first_value", "first_eid"])
-             .reset_index(drop=True))
-    starts = np.r_[0, summ["n_rows"].cumsum().to_numpy()[:-1]]
-    # (block first key) -> list of (pct, offset-in-block)
-    want: dict[tuple, list] = {}
-    for p, k in ranks.items():
-        bi = int(np.searchsorted(starts, k - 1, side="right") - 1)
-        key = (float(summ["first_value"][bi]), int(summ["first_eid"][bi]))
-        want.setdefault(key, []).append((p, int(k - 1 - starts[bi])))
+    states = {p: {"lo": gmin, "hi": gmax, "base": 0, "count": n,
+                  "done": gmin == gmax, "value": gmin} for p in PCTS}
 
-    def extract(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"pct": pa.array([], pa.int64()),
-                             "value": pa.array([], pa.float64())})
-        key = (t.column("value")[0].as_py(),
-               t.column("event_id")[0].as_py())
-        hits = want.get(key, [])
-        vals = t.column("value").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "pct": pa.array([p for p, _ in hits], pa.int64()),
-            "value": pa.array([float(vals[o]) for _, o in hits],
-                              pa.float64())})
+    B = _PCT_BINS
 
-    return (s.map_batches(extract, batch_size=None,
-                          batch_format="pyarrow")
-             .sort("pct"))
+    def hist_pass(snapshot):
+        def f(t: pa.Table) -> pa.Table:
+            v = t.column("value").to_numpy(zero_copy_only=False)
+            o_p, o_b, o_c, o_lo, o_hi = [], [], [], [], []
+            for p, st in snapshot.items():
+                lo, hi = st["lo"], st["hi"]
+                x = v[(v >= lo) & (v <= hi)]
+                if len(x) == 0:
+                    continue
+                b = np.clip(((x - lo) / (hi - lo) * B).astype(np.int64),
+                            0, B - 1)
+                for bi in np.unique(b):
+                    xs = x[b == bi]
+                    o_p.append(p)
+                    o_b.append(int(bi))
+                    o_c.append(len(xs))
+                    o_lo.append(float(xs.min()))
+                    o_hi.append(float(xs.max()))
+            return pa.table({"pct": pa.array(o_p, pa.int64()),
+                             "bin": pa.array(o_b, pa.int64()),
+                             "cnt": pa.array(o_c, pa.int64()),
+                             "vmin": pa.array(o_lo, pa.float64()),
+                             "vmax": pa.array(o_hi, pa.float64())})
+        return f
+
+    # each pass either strictly shrinks the chosen range's row count or
+    # pins a single value (realized min == max), so this terminates in
+    # O(log_B n) passes; the cap is a pure safety net
+    for _ in range(64):
+        snap = {p: dict(st) for p, st in states.items()
+                if not st["done"] and st["count"] > _PCT_COLLECT_MAX}
+        if not snap:
+            break
+        hist = ds.map_batches(hist_pass(snap),
+                              batch_format="pyarrow").to_pandas()
+        for p in snap:
+            sub = (hist[hist["pct"] == p]
+                   .groupby("bin")
+                   .agg(cnt=("cnt", "sum"), vmin=("vmin", "min"),
+                        vmax=("vmax", "max"))
+                   .sort_index())
+            st = states[p]
+            kk = ranks[p] - st["base"]
+            cum = sub["cnt"].cumsum().to_numpy()
+            j = int(np.searchsorted(cum, kk))
+            st["base"] += int(cum[j - 1]) if j else 0
+            st["lo"] = float(sub["vmin"].iloc[j])
+            st["hi"] = float(sub["vmax"].iloc[j])
+            st["count"] = int(sub["cnt"].iloc[j])
+            if st["lo"] == st["hi"]:
+                st["done"] = True
+                st["value"] = st["lo"]
+
+    snap = {p: dict(st) for p, st in states.items() if not st["done"]}
+    if snap:
+        def collect(t: pa.Table) -> pa.Table:
+            v = t.column("value").to_numpy(zero_copy_only=False)
+            o_p, o_v = [], []
+            for p, st in snap.items():
+                xs = v[(v >= st["lo"]) & (v <= st["hi"])]
+                o_p.extend([p] * len(xs))
+                o_v.extend(xs.tolist())
+            return pa.table({"pct": pa.array(o_p, pa.int64()),
+                             "value": pa.array(o_v, pa.float64())})
+
+        # bounded by ranks x _PCT_COLLECT_MAX rows — O(threshold), not O(n)
+        coll = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+        for p, st in snap.items():
+            xs = np.sort(coll.loc[coll["pct"] == p, "value"].to_numpy())
+            states[p]["value"] = float(xs[ranks[p] - st["base"] - 1])
+
+    return pd.DataFrame({
+        "pct": pd.Series(sorted(PCTS), dtype="int64"),
+        "value": pd.Series([states[p]["value"] for p in sorted(PCTS)],
+                           dtype="float64")})
 
 
 EVENTS_PERCENTILES_SQL = """
