@@ -166,6 +166,49 @@ class TestBucketedFlagsRoute:
             crawler.shutdown_services()
 
 
+class TestWidePolitenessStage:
+    """The politeness stage must provably widen: P=16 shards (4x the
+    default) and cluster-derived sizing both preserve exact conformance —
+    the shard count is pure parallelism, never semantics."""
+
+    def test_p16_matches_oracle(self, ray_session, tiny_web,
+                                tmp_path_factory):
+        limit = 40
+        wd = str(tmp_path_factory.mktemp("p16") / "wd")
+        cfg = CrawlConfig(limit=limit, num_seen_shards=3,
+                          num_politeness_shards=16)
+        crawler = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd, cfg)
+        seeds = open(tiny_web["seeds"]).read().splitlines()
+        summary = crawler.crawl(seeds)
+        oracle = oracle_run(tiny_web, limit)
+        try:
+            att = crawler.attempts_dataset().to_pandas().sort_values(
+                "fetch_seq")
+            got = list(zip(att["fetch_seq"], att["url"], att["status"],
+                           att["round"]))
+            want = [(r.fetch_seq, r.url, r.status, r.round)
+                    for r in oracle.records]
+            assert got == want
+            assert summary["saved_total"] == len(oracle.saved_records)
+        finally:
+            crawler.shutdown_services()
+
+    def test_cluster_derived_shard_count(self, ray_session, tiny_web,
+                                         tmp_path_factory):
+        import ray
+
+        wd = str(tmp_path_factory.mktemp("pauto") / "wd")
+        cfg = CrawlConfig(limit=5, num_politeness_shards=None)
+        crawler = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd, cfg)
+        crawler._start_services()
+        try:
+            want = max(4, int(ray.cluster_resources().get("CPU", 4)) // 2)
+            assert cfg.num_politeness_shards == want
+            assert len(crawler.pol) == want
+        finally:
+            crawler.shutdown_services()
+
+
 class TestSmallWebConformance:
     """Same exact-order conformance at the 'small' scale (more hosts,
     deeper rounds, different seed — FIXTURES.md §5)."""

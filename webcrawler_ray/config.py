@@ -24,7 +24,15 @@ class CrawlConfig:
 
     # --- scale knobs -----------------------------------------------------
     num_seen_shards: int = 8         # URL-seen actor shards (ST1)
-    num_politeness_shards: int = 4   # politeness/robots actor shards (ST2-ST4)
+    num_politeness_shards: int | None = 4
+    #                                  politeness/robots actor shards
+    #                                  (ST2-ST4). None -> sized from the
+    #                                  cluster at service start
+    #                                  (max(4, CPUs // 2)): each shard
+    #                                  handles its whole round slice in
+    #                                  ONE schedule RPC, so P is the
+    #                                  politeness stage's parallelism and
+    #                                  must widen with the cluster
     parse_concurrency: int = 4       # parse actor pool size
     parse_batch_size: int = 128      # html rows per parse batch (wide binary!)
     url_batch_size: int = 8192       # rows per batch in URL-algebra stages

@@ -107,6 +107,14 @@ class RayCrawler:
             return
         ray = self.ray
         cfg = self.cfg
+        if cfg.num_politeness_shards is None:
+            # sizing rule: a politeness shard serves its whole round slice
+            # in one schedule RPC (sched_group blocks on it), so shard
+            # count IS that stage's parallelism — derive it from the
+            # cluster rather than a constant. CPUs//2 leaves headroom for
+            # the map_groups tasks doing the calling.
+            cpus = ray.cluster_resources().get("CPU", 4)
+            cfg.num_politeness_shards = max(4, int(cpus) // 2)
         robots_ref = ray.put(RobotsTable.from_parquet(self.robots_path))
         Seen = make_seen_shard_actor()
         Pol = make_politeness_shard_actor()
