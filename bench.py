@@ -38,10 +38,11 @@ BENCH_LIMIT = 80_000
 QUERY_NAMES = [
     "q1_pricing_summary", "top_customers", "revenue_by_nation",
     "events_windowed", "events_hopping", "events_sessionize",
-    "events_asof_order", "events_user_topk", "doc_token_counts",
-    "doc_top_terms", "doc_langid", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_clusters", "dedup_simhash", "knn_cosine", "knn_ivf",
-    "emb_label_sums", "multimodal_decode", "multimodal_resize",
+    "events_asof_order", "events_user_topk", "events_value_percentiles",
+    "doc_token_counts", "doc_top_terms", "doc_langid",
+    "docs_quality_filter", "dedup_exact", "dedup_filtered_corpus",
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash", "knn_cosine",
+    "knn_ivf", "emb_label_sums", "multimodal_decode", "multimodal_resize",
 ]
 
 

@@ -50,6 +50,7 @@ SQL_CHECKED = [
     "events_user_topk", "docs_sample", "doc_normalize", "doc_top_terms",
     "emb_label_sums", "doc_token_counts_bpe", "events_value_percentiles",
     "customers_no_events", "events_windowed_incremental", "frames_meta",
+    "docs_quality_filter", "dedup_filtered_corpus",
 ]
 
 

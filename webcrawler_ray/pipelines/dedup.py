@@ -68,6 +68,54 @@ def exact_dedup(ray, sf_dir: str):
                .sort("doc_id"))
 
 
+def dedup_filtered_corpus(ray, sf_dir: str):
+    """(doc_id, n_chars): the DEDUPLICATED corpus materialization —
+    keep-first (min doc_id) per exact-content group. Same
+    hash-partitioned shape as exact_dedup, but the winner's payload
+    columns ride THROUGH the bucketed aggregate (sort + drop_duplicates
+    per bucket), so no join back to the documents table is needed to
+    emit the surviving rows."""
+    import hashlib as _h
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet",
+              columns=["doc_id", "text", "n_chars"])
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        from .textpipe import WS_CHARS
+
+        fps = [_h.md5(t.strip(WS_CHARS).lower().encode()).hexdigest()
+               for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_chars": batch.column("n_chars"),
+                         "fp": pa.array(fps, pa.string())})
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values("doc_id", kind="mergesort")
+                  .drop_duplicates("fp", keep="first"))
+
+    out = hash_bucket_aggregate(
+        ds.map_batches(add_fp, batch_format="pyarrow"),
+        ["fp"], keep_first,
+        n_rows=_nrows(f"{sf_dir}/documents.parquet"))
+    return (out.map_batches(lambda t: t.select(["doc_id", "n_chars"]),
+                            batch_format="pyarrow")
+               .sort("doc_id"))
+
+
+DEDUP_FILTERED_SQL = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (
+             PARTITION BY md5(LOWER(regexp_replace(text,
+                 '^[ \t\n\r\x0b\x0c]+|[ \t\n\r\x0b\x0c]+$', '', 'g')))
+             ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 EXACT_DEDUP_SQL = """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
 FROM documents

@@ -232,6 +232,7 @@ def build_queries() -> dict:
         "doc_normalize": lambda sf: textpipe.doc_normalize(ray, sf),
         "doc_top_terms": lambda sf: textpipe.doc_top_terms(ray, sf),
         "doc_token_counts_bpe": lambda sf: textpipe.token_counts_bpe(ray, sf),
+        "docs_quality_filter": lambda sf: textpipe.quality_filter(ray, sf),
         # relational / windowed / as-of
         "q1_pricing_summary": lambda sf: relational.q1_pricing_summary(ray, sf),
         "top_customers": lambda sf: relational.top_customers(ray, sf),
@@ -259,6 +260,8 @@ def build_queries() -> dict:
 
         q.update({
             "dedup_exact": lambda sf: dedup.exact_dedup(ray, sf),
+            "dedup_filtered_corpus":
+                lambda sf: dedup.dedup_filtered_corpus(ray, sf),
             "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(ray, sf),
             "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(ray, sf),
             "dedup_clusters": lambda sf: dedup.dedup_clusters(ray, sf),
@@ -465,6 +468,7 @@ FROM documents ORDER BY doc_id
     "revenue_by_nation": relational.REVENUE_BY_NATION_SQL,
     "events_topk_users": relational.EVENTS_TOPK_SQL,
     "docs_topk_longest": relational.DOCS_TOPK_SQL,
+    "dedup_filtered_corpus": None,  # filled below (module import order)
     "dedup_exact": f"""
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
 FROM documents GROUP BY md5(LOWER({textpipe.SQL_TRIM_TEXT})) ORDER BY doc_id
@@ -492,6 +496,7 @@ ORDER BY vec_id_a, vec_id_b
     "doc_normalize": textpipe.DOC_NORMALIZE_SQL,
     "doc_top_terms": textpipe.DOC_TOP_TERMS_SQL,
     "doc_token_counts_bpe": textpipe.TOKEN_COUNTS_BPE_SQL,
+    "docs_quality_filter": textpipe.QUALITY_FILTER_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
     "frames_meta": FRAMES_META_SQL,
 }
@@ -503,6 +508,13 @@ try:
     ORACLE_SQL["emb_label_sums"] = _sim.EMB_LABEL_SUMS_SQL
 except ImportError:
     ORACLE_SQL.pop("knn_cosine", None)
+
+try:
+    from . import dedup as _dedup
+
+    ORACLE_SQL["dedup_filtered_corpus"] = _dedup.DEDUP_FILTERED_SQL
+except ImportError:
+    ORACLE_SQL.pop("dedup_filtered_corpus", None)
 
 
 def crawl_round_stats(sf_dir: str):

@@ -101,6 +101,48 @@ def quality_counts(ray, sf_dir: str):
         f, batch_format="pandas").sort("doc_id")
 
 
+def quality_filter(ray, sf_dir: str):
+    """(doc_id, n_tokens): the corpus QUALITY-FILTER operator — keep
+    documents passing the classic training-data gates (min length,
+    alpha-ratio floor, digit-ratio ceiling). All predicates are integer
+    cross-multiplications (n_alpha * 1000 >= n_chars * 810, not a float
+    ratio) so the DuckDB oracle matches bit-for-bit. A pure streamed
+    map_batches filter: no shuffle, prunes to two output columns."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"]
+        n_chars = s.str.len().astype("int64")
+        n_alpha = s.str.count(r"[A-Za-z]").astype("int64")
+        n_digit = s.str.count(r"[0-9]").astype("int64")
+        n_tokens = s.map(lambda t: len(tokenize(t))).astype("int64")
+        keep = ((n_tokens >= 30)
+                & (n_alpha * 1000 >= n_chars * 810)
+                & (n_digit * 10 <= n_chars * 2))
+        return pd.DataFrame({"doc_id": batch["doc_id"][keep],
+                             "n_tokens": n_tokens[keep]})
+
+    return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas").sort("doc_id")
+
+
+QUALITY_FILTER_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         CASE WHEN {SQL_TRIM_TEXT} = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array({SQL_TRIM_TEXT},
+                   '{SQL_WS_CLASS}+')) AS BIGINT)
+         END AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens FROM q
+WHERE n_tokens >= 30 AND n_alpha * 1000 >= n_chars * 810
+  AND n_digit * 10 <= n_chars * 2
+ORDER BY doc_id
+"""
+
+
 def md5_fingerprints(ray, sf_dir: str):
     """(doc_id, fp): md5 document fingerprint of the normalized
     (lower+strip) text — the exact-dedup key."""
