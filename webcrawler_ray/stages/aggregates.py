@@ -40,8 +40,8 @@ def _bucket_of(df_or_tbl, keys: list[str], num_buckets: int) -> np.ndarray:
     return (stable_hash64_batch(joined) % num_buckets).astype(np.int64)
 
 
-def buckets_for(n_rows: int | None, rows_per_bucket: int = 32_768,
-                lo: int = 8, hi: int = 1024) -> int:
+def buckets_for(n_rows: int | None, rows_per_bucket: int = 4096,
+                lo: int | None = None, hi: int = 1024) -> int:
     """Shuffle fan-out sized from DATA, not a constant: each coarse
     bucket's map_groups task holds ~``rows_per_bucket`` rows in one
     pandas frame, so the per-task heap stays bounded as the input grows
@@ -49,9 +49,27 @@ def buckets_for(n_rows: int | None, rows_per_bucket: int = 32_768,
     post-partial data — an OOM at 100x on a fat key column). ``n_rows``
     is the cheap parquet-footer count of the stage's INPUT — an upper
     bound on the post-partial rows actually shuffled, which is the safe
-    direction. None (count genuinely unknown) falls back to 16."""
+    direction. None (count genuinely unknown) falls back to 16.
+
+    rows_per_bucket trades per-task heap against parallelism: 4096-row
+    buckets keep mid-size inputs wide enough to fill a 32-CPU node
+    (measured: 32k-row buckets collapsed the sf0.1 LSH band exchange to
+    3 tasks and doubled its wall time) while the cap still bounds the
+    task count at cluster scale. ``lo=None`` derives the floor from the
+    cluster (2 x CPUs, clamped to [16, 128]) so the merge stage can
+    always fill the machine even on small inputs."""
+    if lo is None:
+        lo = 16
+        try:
+            import ray
+
+            if ray.is_initialized():
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                lo = max(16, min(128, 2 * cpus))
+        except Exception:
+            pass
     if n_rows is None:
-        return 16
+        return max(lo, 16)
     return int(max(lo, min(hi, n_rows // rows_per_bucket + 1)))
 
 
