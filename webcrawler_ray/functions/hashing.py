@@ -34,10 +34,16 @@ def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
     polynomial combination of the token-hash windows (no per-shingle
     string building — that allocation storm dominated the kernel and
     destroyed multi-core scaling)."""
-    toks = text.split()
-    if not toks:
+    return shingle_hashes_from_token_hashes(hash_tokens(text.split()), k)
+
+
+def shingle_hashes_from_token_hashes(th: np.ndarray,
+                                     k: int = SHINGLE_K) -> np.ndarray:
+    """``shingle_hashes`` over pre-computed token hashes — lets a caller
+    that needs several per-doc signatures (crawl-time enrichment: shingle
+    minhash AND simhash) pay the blake2b token pass ONCE."""
+    if len(th) == 0:
         return np.zeros(0, dtype=np.uint64)
-    th = hash_tokens(toks)
     if len(th) < k:
         with np.errstate(over="ignore"):
             acc = np.uint64(0)
@@ -120,12 +126,16 @@ def simhash64(text: str) -> int:
     """64-bit SimHash over word unigrams, weighted by token count (each
     unique token hashed once — the standard counted-token formulation).
     Chunked like minhash to keep temporaries cache-resident."""
-    toks = text.split()
-    if not toks:
+    return simhash64_from_token_hashes(hash_tokens(text.split()))
+
+
+def simhash64_from_token_hashes(hs_all: np.ndarray) -> int:
+    """``simhash64`` over pre-computed token hashes (see
+    ``shingle_hashes_from_token_hashes``)."""
+    if len(hs_all) == 0:
         return 0
-    # hash every token once, unique on uint64 (C-speed) with counts —
-    # same counted-token weighting, no python-object sorting
-    hs_all = hash_tokens(toks)
+    # unique on uint64 (C-speed) with counts — same counted-token
+    # weighting, no python-object sorting
     hs, counts = np.unique(hs_all, return_counts=True)
     acc = np.zeros(64, dtype=np.int64)
     for i in range(0, len(hs), _MH_CHUNK):

@@ -71,9 +71,10 @@ class ParseHtmlBatch:
 
     def _enrich(self, out: pa.Table, texts: np.ndarray) -> pa.Table:
         from ..functions.hashing import (
+            hash_tokens,
             minhash_signature,
-            shingle_hashes,
-            simhash64,
+            shingle_hashes_from_token_hashes,
+            simhash64_from_token_hashes,
         )
 
         n = len(texts)
@@ -81,10 +82,13 @@ class ParseHtmlBatch:
         sim = np.empty(n, dtype=np.int64)
         mh = np.empty(n, dtype=np.int64)
         for i in range(n):
-            t = texts[i]
-            n_tokens[i] = len(t.split())
-            sim[i] = simhash64(t) - (1 << 63)  # center into int64
-            sig = minhash_signature(shingle_hashes(t),
+            toks = texts[i].split()
+            # ONE blake2b pass per document feeds simhash AND the shingle
+            # minhash (hashing tokens twice dominated the enrich kernel)
+            th = hash_tokens(toks)
+            n_tokens[i] = len(toks)
+            sim[i] = simhash64_from_token_hashes(th) - (1 << 63)
+            sig = minhash_signature(shingle_hashes_from_token_hashes(th),
                                     self._perm_a, self._perm_b)
             mh[i] = int(sig.min()) - (1 << 63)
         out = out.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
