@@ -42,7 +42,8 @@ QUERY_NAMES = [
     "doc_token_counts", "doc_top_terms", "doc_langid",
     "docs_quality_filter", "dedup_exact", "dedup_filtered_corpus",
     "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash", "knn_cosine",
-    "knn_ivf", "emb_label_sums", "multimodal_decode", "multimodal_resize",
+    "knn_ivf", "knn_lsh", "emb_label_sums", "multimodal_decode",
+    "multimodal_resize",
 ]
 
 

@@ -150,6 +150,21 @@ class TestRowsOnly:
         recall = len(b & v) / len(b)
         assert recall >= 0.5  # nprobe=3 of ~n labels; sanity floor
 
+    def test_knn_lsh_recall_vs_brute(self, queries):
+        q, _ = queries
+        brute = _to_df(q["knn_cosine"](SF_DIR))
+        lsh = _to_df(q["knn_lsh"](SF_DIR))
+        b = set(zip(brute["query_id"], brute["neighbor_id"]))
+        v = set(zip(lsh["query_id"], lsh["neighbor_id"]))
+        recall = len(b & v) / len(b)
+        assert recall >= 0.5  # 4 tables x 8-bit codes, radius-2 multiprobe
+
+    def test_knn_lsh_deterministic(self, queries):
+        q, _ = queries
+        a = _canon(_to_df(q["knn_lsh"](SF_DIR)))
+        b = _canon(_to_df(q["knn_lsh"](SF_DIR)))
+        pd.testing.assert_frame_equal(a, b)
+
     def test_cosine_dup_pairs_uncapped_beyond_4096(self, ray_session,
                                                    tmp_path):
         # the old implementation silently capped both sides at vec_id <

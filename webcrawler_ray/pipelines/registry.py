@@ -269,6 +269,7 @@ def build_queries() -> dict:
             "dedup_embedding_cosine": lambda sf: similarity.cosine_dup_pairs(ray, sf),
             "knn_cosine": lambda sf: similarity.knn_brute_force(ray, sf),
             "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
+            "knn_lsh": lambda sf: similarity.knn_lsh(ray, sf),
             "emb_label_sums": lambda sf: similarity.emb_label_sums(ray, sf),
             "events_distinct_users_hll":
                 lambda sf: sketches.events_distinct_users_hll(ray, sf),

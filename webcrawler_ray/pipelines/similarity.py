@@ -207,6 +207,105 @@ def knn_ivf(ray, sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
 
 
 # ---------------------------------------------------------------------------
+LSH_BITS = 8       # per-table random-hyperplane signature width (256 buckets)
+LSH_TABLES = 4     # independent tables; candidates = union (Gionis'99)
+LSH_RADIUS = 2     # per-table multi-probe hamming radius
+
+
+def _hyperplanes(dim: int, nbits: int = LSH_BITS, ntables: int = LSH_TABLES,
+                 seed: int = 4242) -> np.ndarray:
+    """Deterministic random hyperplane tensor (Charikar'02 hyperplane
+    hash for cosine): sign(x @ H[t]) is table t's nbits-bit bucket
+    code. Shape (ntables, dim, nbits)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((ntables, dim, nbits))
+
+
+def _codes(m: np.ndarray, Ht: np.ndarray) -> np.ndarray:
+    bits = (m @ Ht) > 0
+    return (bits @ (1 << np.arange(Ht.shape[1]))).astype(np.int64)
+
+
+def knn_lsh(ray, sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
+            nbits: int = LSH_BITS, ntables: int = LSH_TABLES,
+            radius: int = LSH_RADIUS):
+    """Random-hyperplane LSH approximate top-k — the bucketed ANN scale
+    path beside ``knn_ivf``: every vector hashes to one sign-bit bucket
+    code per table locally (one matmul per batch per table, no training
+    step at all); a query multi-probes every bucket within hamming
+    ``radius`` of its own code in each of the ``ntables`` independent
+    tables (Gionis/Indyk/Motwani'99 multi-table scheme — the candidate
+    set is the union), so each batch scores only the probed fraction of
+    its rows. Same broadcast-once / local-top-k / tiny-final-reduce
+    shape as the exact path. Approximate => rows-only oracle; recall vs
+    brute force is asserted in tests."""
+    qids, qm = _load_queries(ray, sf_dir, n_queries)
+    H = _hyperplanes(qm.shape[1], nbits, ntables)
+    # per-table probe masks: (ntables, n_queries, 2^nbits) booleans
+    all_codes = np.arange(1 << nbits, dtype=np.int64)
+    probe_mask = np.zeros((ntables, len(qids), 1 << nbits), dtype=bool)
+    for t in range(ntables):
+        qcodes = _codes(qm, H[t])
+        for i, qc in enumerate(qcodes):
+            x = all_codes ^ qc
+            ham = np.zeros(len(x), dtype=np.int64)
+            for _ in range(nbits):
+                ham += (x & 1)
+                x >>= 1
+            probe_mask[t, i] = ham <= radius
+    pref = ray.put((qids, qm, H, probe_mask))
+
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        _qids, _qm, _H, _probe = ray.get(pref)
+        ids, m = _emb_matrix(batch)
+        mn = _normalize(m)
+        # local bucket assignment per table, no shuffle
+        codes = np.stack([_codes(mn, _H[t]) for t in range(len(_H))])
+        out_q, out_n, out_s = [], [], []
+        for qi, q in enumerate(_qids):
+            mask = np.zeros(len(ids), dtype=bool)
+            for t in range(len(_H)):
+                mask |= _probe[t, qi][codes[t]]
+            mask &= ids != q
+            if not mask.any():
+                continue
+            s = mn[mask] @ _qm[qi]
+            cid = ids[mask]
+            take = min(k, len(cid))
+            if take < len(cid):  # boundary-tie-safe partial select
+                part = np.argpartition(-s, take - 1)
+                kth = s[part[take - 1]]
+                sel = np.nonzero(s >= kth)[0]
+            else:
+                sel = np.arange(len(cid))
+            order = np.lexsort((cid[sel], -s[sel]))[:take]
+            idx = sel[order]
+            out_q.extend([int(q)] * take)
+            out_n.extend(cid[idx].astype(int))
+            out_s.extend(s[idx])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=4096)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({"query_id": g["query_id"].astype("int64"),
+                             "neighbor_id": g["neighbor_id"].astype("int64"),
+                             "rnk": np.arange(1, len(g) + 1, dtype="int64")})
+
+    return (local.groupby("query_id").map_groups(final_topk,
+                                                 batch_format="pandas")
+                 .sort(["query_id", "rnk"]))
+
+
+# ---------------------------------------------------------------------------
 def _vec_id_bounds(path: str) -> tuple[int, int]:
     """(min, max) of vec_id from parquet row-group statistics — a
     footer-only read; falls back to a single-column scan if a writer
