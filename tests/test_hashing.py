@@ -114,6 +114,35 @@ class TestHashTokens:
         assert a.dtype == np.uint64
 
 
+class TestTokenHashCache:
+    def test_bit_identical_to_hash_tokens(self):
+        from webcrawler_ray.functions.hashing import TokenHashCache
+
+        rng = np.random.RandomState(7)
+        vocab = [f"tok{i}" for i in range(50)]
+        docs = [[vocab[j] for j in
+                 rng.randint(0, 50, size=rng.randint(0, 40))]
+                for _ in range(20)] + [[]]
+        c = TokenHashCache()
+        for _ in range(2):  # second pass = all cache hits, same values
+            for toks, th in zip(docs, c.hash_token_lists(docs)):
+                assert th.dtype == np.uint64
+                assert np.array_equal(hash_tokens(toks), th)
+
+    def test_full_cache_stops_admitting_but_stays_correct(self):
+        from webcrawler_ray.functions.hashing import TokenHashCache
+
+        c = TokenHashCache(max_entries=2)
+        docs = [["a", "b", "c"], ["d", "e", "a"]]
+        first = c.hash_token_lists(docs)
+        n_cached = len(c._cache)
+        again = c.hash_token_lists(docs)
+        assert len(c._cache) == n_cached  # no growth past the bound
+        for toks, th, th2 in zip(docs, first, again):
+            assert np.array_equal(hash_tokens(toks), th)
+            assert np.array_equal(th, th2)
+
+
 class TestSimhashInt64Encoding:
     def test_centered_encoding_preserves_bit63_hamming(self):
         # the dedup pipeline stores simhash as centered int64

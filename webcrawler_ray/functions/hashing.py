@@ -24,6 +24,61 @@ def hash_tokens(tokens) -> np.ndarray:
          for t in tokens), dtype=np.uint64, count=len(tokens))
 
 
+class TokenHashCache:
+    """Memoized ``hash_tokens``: blake2b runs only on first-seen tokens.
+
+    Real webtext vocabulary is Zipf-distributed, so an actor-resident
+    cache (built once per actor in ``__init__``, reused across batches)
+    turns the per-token blake2b pass — the enrichment kernel's dominant
+    cost — into a C-speed ``pandas.factorize`` plus a handful of misses.
+    Values are bit-identical to ``hash_tokens``; the cache is bounded and
+    simply stops admitting new entries when full (checked per call, so
+    the bound is loose by at most one batch's uniques; the hot head of
+    the Zipf curve is cached long before that)."""
+
+    def __init__(self, max_entries: int = 1 << 21):
+        self._cache: dict[str, int] = {}
+        self._max = max_entries
+
+    def hash_unique(self, uniques) -> np.ndarray:
+        """uint64 blake2b-8 hashes of an array of UNIQUE tokens."""
+        c = self._cache
+        admit = len(c) < self._max
+        b = hashlib.blake2b
+        out = np.empty(len(uniques), dtype=np.uint64)
+        for i, t in enumerate(uniques):
+            v = c.get(t)
+            if v is None:
+                v = int.from_bytes(b(t.encode(), digest_size=8).digest(),
+                                   "big")
+                if admit:
+                    c[t] = v
+            out[i] = v
+        return out
+
+    def hash_token_lists(self, token_lists):
+        """One factorize over every token of the batch, one cache probe
+        per unique -> list of per-doc uint64 hash arrays (each the exact
+        ``hash_tokens`` output for that doc)."""
+        import pandas as pd
+
+        lengths = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                              count=len(token_lists))
+        total = int(lengths.sum())
+        if total == 0:
+            return [np.zeros(0, dtype=np.uint64) for _ in token_lists]
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in token_lists:
+            flat[pos:pos + len(toks)] = toks
+            pos += len(toks)
+        codes, uniques = pd.factorize(flat)
+        th_all = self.hash_unique(uniques)[codes]
+        bounds = np.cumsum(lengths)
+        return [th_all[s:e] for s, e in
+                zip(bounds - lengths, bounds)]
+
+
 _POLY = np.uint64(1099511628211)  # FNV prime — shingle combiner
 
 

@@ -39,9 +39,13 @@ class ParseHtmlBatch:
         # propagate to map_batches workers)
         self.decode = decode
         if enrich:
-            from ..functions.hashing import minhash_perm_params
+            from ..functions.hashing import TokenHashCache, minhash_perm_params
 
             self._perm_a, self._perm_b = minhash_perm_params(16)
+            # actor-resident memoized token hashing: Zipf vocabulary means
+            # almost every token of a batch is already cached, so the
+            # per-token blake2b pass collapses to one factorize per batch
+            self._tok_cache = TokenHashCache()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -71,7 +75,6 @@ class ParseHtmlBatch:
 
     def _enrich(self, out: pa.Table, texts: np.ndarray) -> pa.Table:
         from ..functions.hashing import (
-            hash_tokens,
             minhash_signature,
             shingle_hashes_from_token_hashes,
             simhash64_from_token_hashes,
@@ -81,12 +84,13 @@ class ParseHtmlBatch:
         n_tokens = np.empty(n, dtype=np.int64)
         sim = np.empty(n, dtype=np.int64)
         mh = np.empty(n, dtype=np.int64)
+        # ONE memoized blake2b pass over the whole batch feeds simhash AND
+        # the shingle minhash (values identical to per-doc hash_tokens)
+        toks_list = [t.split() for t in texts]
+        ths = self._tok_cache.hash_token_lists(toks_list)
         for i in range(n):
-            toks = texts[i].split()
-            # ONE blake2b pass per document feeds simhash AND the shingle
-            # minhash (hashing tokens twice dominated the enrich kernel)
-            th = hash_tokens(toks)
-            n_tokens[i] = len(toks)
+            th = ths[i]
+            n_tokens[i] = len(toks_list[i])
             sim[i] = simhash64_from_token_hashes(th) - (1 << 63)
             sig = minhash_signature(shingle_hashes_from_token_hashes(th),
                                     self._perm_a, self._perm_b)
