@@ -114,6 +114,44 @@ class TestHashTokens:
         assert a.dtype == np.uint64
 
 
+class TestSimhashBatch:
+    def test_matches_per_doc_on_both_routes(self):
+        import webcrawler_ray.functions.hashing as H
+        from webcrawler_ray.functions.hashing import (
+            TokenHashCache,
+            simhash64_from_token_hashes,
+        )
+
+        rng = np.random.RandomState(11)
+        vocab = [f"w{i}" for i in range(200)]
+        docs = [[vocab[j] for j in
+                 rng.randint(0, 200, size=rng.randint(0, 80))]
+                for _ in range(40)]
+        docs[3] = []  # empty doc -> simhash 0
+        c = TokenHashCache()
+        codes, lengths, uh = c.encode_token_lists(docs)
+        ref = np.array([simhash64_from_token_hashes(hash_tokens(d))
+                        for d in docs], dtype=np.uint64)
+        assert np.array_equal(H.simhash64_batch(codes, lengths, uh), ref)
+        old = H._SIMHASH_DENSE_MAX
+        try:
+            H._SIMHASH_DENSE_MAX = 1  # force the gather route
+            assert np.array_equal(H.simhash64_batch(codes, lengths, uh), ref)
+        finally:
+            H._SIMHASH_DENSE_MAX = old
+
+    def test_all_empty(self):
+        from webcrawler_ray.functions.hashing import (
+            TokenHashCache,
+            simhash64_batch,
+        )
+
+        c = TokenHashCache()
+        codes, lengths, uh = c.encode_token_lists([[], []])
+        assert np.array_equal(simhash64_batch(codes, lengths, uh),
+                              np.zeros(2, dtype=np.uint64))
+
+
 class TestTokenHashCache:
     def test_bit_identical_to_hash_tokens(self):
         from webcrawler_ray.functions.hashing import TokenHashCache

@@ -56,24 +56,36 @@ class TokenHashCache:
             out[i] = v
         return out
 
-    def hash_token_lists(self, token_lists):
+    def encode_token_lists(self, token_lists):
         """One factorize over every token of the batch, one cache probe
-        per unique -> list of per-doc uint64 hash arrays (each the exact
-        ``hash_tokens`` output for that doc)."""
+        per unique -> ``(codes, lengths, uniq_hashes)`` where
+        ``uniq_hashes[codes]`` reconstructs the concatenated per-doc
+        ``hash_tokens`` outputs. The factorized form feeds
+        ``simhash64_batch`` directly."""
         import pandas as pd
 
         lengths = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
                               count=len(token_lists))
         total = int(lengths.sum())
         if total == 0:
-            return [np.zeros(0, dtype=np.uint64) for _ in token_lists]
+            return (np.zeros(0, dtype=np.int64), lengths,
+                    np.zeros(0, dtype=np.uint64))
         flat = np.empty(total, dtype=object)
         pos = 0
         for toks in token_lists:
             flat[pos:pos + len(toks)] = toks
             pos += len(toks)
         codes, uniques = pd.factorize(flat)
-        th_all = self.hash_unique(uniques)[codes]
+        return (codes.astype(np.int64, copy=False), lengths,
+                self.hash_unique(uniques))
+
+    def hash_token_lists(self, token_lists):
+        """List of per-doc uint64 hash arrays (each the exact
+        ``hash_tokens`` output for that doc), via one batch factorize."""
+        codes, lengths, uh = self.encode_token_lists(token_lists)
+        if len(codes) == 0:
+            return [np.zeros(0, dtype=np.uint64) for _ in token_lists]
+        th_all = uh[codes]
         bounds = np.cumsum(lengths)
         return [th_all[s:e] for s, e in
                 zip(bounds - lengths, bounds)]
@@ -182,6 +194,55 @@ def simhash64(text: str) -> int:
     unique token hashed once — the standard counted-token formulation).
     Chunked like minhash to keep temporaries cache-resident."""
     return simhash64_from_token_hashes(hash_tokens(text.split()))
+
+
+_SIMHASH_DENSE_MAX = 4_000_000  # docs x uniques cells for the dense route
+
+
+def simhash64_batch(codes: np.ndarray, lengths: np.ndarray,
+                    uniq_hashes: np.ndarray) -> np.ndarray:
+    """Per-doc 64-bit SimHash over FACTORIZED tokens — the
+    batch-vectorized form of ``simhash64_from_token_hashes``.
+
+    The counted-token formulation is a count-weighted sum over unique
+    hashes, which equals the plain sum over every token instance — so
+    the per-doc ``np.unique`` disappears and the bit matrix is unpacked
+    once for the batch's UNIQUE hashes only. Two exact routes, picked by
+    shape: a dense per-doc count matrix + one BLAS matmul (small
+    vocabularies — counts are integers < 2^53, so float64 sums are
+    exact), else a per-doc bit-row gather+sum whose cost is independent
+    of vocabulary size (the Zipf-tail case). Returns uint64 per doc;
+    empty docs hash to 0."""
+    n = len(lengths)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0 or len(codes) == 0 or len(uniq_hashes) == 0:
+        return out
+    lengths = np.asarray(lengths, dtype=np.int64)
+    starts = np.cumsum(lengths) - lengths
+    U = len(uniq_hashes)
+    bits_u = np.unpackbits(
+        np.ascontiguousarray(uniq_hashes).view(np.uint8).reshape(-1, 8),
+        axis=1, bitorder="little")
+    ones = np.zeros((n, 64), dtype=np.int64)
+    if n * U <= _SIMHASH_DENSE_MAX:
+        cnt = np.zeros((n, U))
+        for i in range(n):
+            if lengths[i]:
+                cnt[i] = np.bincount(codes[starts[i]:starts[i] + lengths[i]],
+                                     minlength=U)
+        ones = np.rint(cnt @ bits_u.astype(np.float64)).astype(np.int64)
+    else:
+        for i in range(n):
+            if lengths[i]:
+                ones[i] = bits_u[
+                    codes[starts[i]:starts[i] + lengths[i]]].sum(
+                        axis=0, dtype=np.int64)
+    # bit j set  <=>  acc_j = sum(2*bit - 1) > 0  <=>  2*ones_j > n_tokens
+    set_bits = (2 * ones) > lengths[:, None]
+    codes64 = (set_bits.astype(np.uint64)
+               << _SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+    out[:] = codes64
+    return out
 
 
 def simhash64_from_token_hashes(hs_all: np.ndarray) -> int:

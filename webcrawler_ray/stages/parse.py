@@ -77,21 +77,23 @@ class ParseHtmlBatch:
         from ..functions.hashing import (
             minhash_signature,
             shingle_hashes_from_token_hashes,
-            simhash64_from_token_hashes,
+            simhash64_batch,
         )
 
         n = len(texts)
-        n_tokens = np.empty(n, dtype=np.int64)
-        sim = np.empty(n, dtype=np.int64)
         mh = np.empty(n, dtype=np.int64)
         # ONE memoized blake2b pass over the whole batch feeds simhash AND
-        # the shingle minhash (values identical to per-doc hash_tokens)
+        # the shingle minhash (values identical to per-doc hash_tokens);
+        # simhash reduces batch-wide over the factorized form
         toks_list = [t.split() for t in texts]
-        ths = self._tok_cache.hash_token_lists(toks_list)
+        codes, n_tokens, uh = self._tok_cache.encode_token_lists(toks_list)
+        # centered int64 encoding (v - 2^63) == flip bit 63 then wrap-cast
+        sim = (simhash64_batch(codes, n_tokens, uh)
+               ^ np.uint64(1 << 63)).astype(np.int64)
+        th_all = uh[codes] if len(codes) else np.zeros(0, np.uint64)
+        bounds = np.cumsum(n_tokens)
         for i in range(n):
-            th = ths[i]
-            n_tokens[i] = len(toks_list[i])
-            sim[i] = simhash64_from_token_hashes(th) - (1 << 63)
+            th = th_all[bounds[i] - n_tokens[i]:bounds[i]]
             sig = minhash_signature(shingle_hashes_from_token_hashes(th),
                                     self._perm_a, self._perm_b)
             mh[i] = int(sig.min()) - (1 << 63)
