@@ -27,12 +27,17 @@ from ..io_utils import parquet_num_rows as _nrows
 from ..functions.hashing import (
     N_BANDS,
     N_PERM,
+    TokenHashCache,
     jaccard,
     minhash_perm_params as _perm_params,
     minhash_signature,
-    shingle_hashes as _shingle_hashes,
-    simhash64,
+    shingle_hashes_from_token_hashes as _sh_from_th,
 )
+
+# worker-process-resident memoized token hashing: stateless map_batches
+# tasks reuse the same worker processes, so the Zipf head of the corpus
+# vocabulary is blake2b-hashed once per worker, not once per document
+_TOKEN_CACHE = TokenHashCache()
 
 
 # ---------------------------------------------------------------------------
@@ -210,7 +215,8 @@ def _shingle_table(ray, sf_dir: str):
 
     def f(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        blobs = [_shingle_hashes(t).tobytes() for t in texts]
+        ths = _TOKEN_CACHE.hash_token_lists([t.split() for t in texts])
+        blobs = [_sh_from_th(th).tobytes() for th in ths]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "sh": pa.array(blobs, pa.binary())})
 
@@ -438,22 +444,28 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
                                columns=["doc_id", "text"])
 
     def to_segments(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+        from ..functions.hashing import simhash64_batch
+
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(),
+                             dtype=np.int64)
         texts = batch.column("text").to_pylist()
-        d_out, s_out, v_out, h_out = [], [], [], []
-        for d, t in zip(doc_ids, texts):
-            sh = simhash64(t)
-            for seg in range(4):
-                d_out.append(d)
-                s_out.append(seg)
-                v_out.append((sh >> (16 * seg)) & 0xFFFF)
-                # centered int64 encoding keeps ALL 64 bits (the old
-                # `% (1 << 63)` zeroed bit 63, so hamming ignored it);
-                # the uint64 re-cast downstream flips bit 63 of every
-                # value consistently — XOR/hamming is unaffected
-                h_out.append(int(sh) - (1 << 63))
+        codes, lengths, uh = _TOKEN_CACHE.encode_token_lists(
+            [t.split() for t in texts])
+        sh = simhash64_batch(codes, lengths, uh)
+        n = len(doc_ids)
+        segs = np.arange(4, dtype=np.int64)
+        d_out = np.repeat(doc_ids, 4)
+        s_out = np.tile(segs, n)
+        v_out = ((sh[:, None] >> (np.uint64(16) * segs.astype(np.uint64)))
+                 & np.uint64(0xFFFF)).astype(np.int64).ravel()
+        # centered int64 encoding keeps ALL 64 bits (the old
+        # `% (1 << 63)` zeroed bit 63, so hamming ignored it); the
+        # uint64 re-cast downstream flips bit 63 of every value
+        # consistently — XOR/hamming is unaffected
+        h_out = np.repeat((sh ^ np.uint64(1 << 63)).astype(np.int64), 4)
         return pa.table({"doc_id": pa.array(d_out, pa.int64()),
-                         "seg_id": pa.array(s_out, pa.int32()),
+                         "seg_id": pa.array(s_out.astype(np.int32),
+                                            pa.int32()),
                          "seg_val": pa.array(v_out, pa.int64()),
                          "simhash": pa.array(h_out, pa.int64())})
 
