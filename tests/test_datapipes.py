@@ -267,6 +267,20 @@ class TestRowsOnly:
             mins = df.groupby("cluster_id")["doc_id"].min()
             assert (mins.index == mins.values).all()
 
+    def test_cluster_embedding_cosine_consistent_with_pairs(self, queries):
+        # every cosine-dup pair's endpoints share a cluster label, and
+        # each cluster_id is its component's minimum vec_id (the oracle
+        # checks exact values; this checks the structural invariants)
+        q, _ = queries
+        pairs = _to_df(q["dedup_embedding_cosine"](SF_DIR))
+        labels = _to_df(q["cluster_embedding_cosine"](SF_DIR))
+        lab = dict(zip(labels["vec_id"], labels["cluster_id"]))
+        for a, b in zip(pairs["vec_id_a"], pairs["vec_id_b"]):
+            assert lab[a] == lab[b]
+        if len(labels):
+            mins = labels.groupby("cluster_id")["vec_id"].min()
+            assert (mins.index == mins.values).all()
+
 
 class TestEntryContract:
     def test_entry_runs_and_returns_rows(self, ray_session):

@@ -309,9 +309,25 @@ def ngram_jaccard_pairs(ray, sf_dir: str, threshold: float = 0.5):
 def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
                    max_iters: int = 50):
     """(doc_id, cluster_id): near-duplicate clusters = connected
-    components of the verified MinHash pair graph, via DISTRIBUTED
-    grouped min-label propagation — no driver-side union-find, so the
-    pair graph can be arbitrarily large.
+    components of the verified MinHash pair graph, via the distributed
+    min-label propagation in ``propagate_min_labels``."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+    pairs = minhash_lsh_pairs(ray, sf_dir, threshold=threshold)
+    if isinstance(pairs, pa.Table):
+        return empty
+    edges = pairs.materialize()  # pair IDS only, bounded by verification
+    if edges.count() == 0:
+        return empty
+    return propagate_min_labels(ray, edges, max_iters=max_iters)
+
+
+def propagate_min_labels(ray, edges, max_iters: int = 50):
+    """Connected components of an undirected pair graph — a MATERIALIZED
+    Dataset of ``(doc_a, doc_b)`` int64 edges — as ``(doc_id,
+    cluster_id)`` with ``cluster_id`` = the component's minimum id, via
+    DISTRIBUTED grouped min-label propagation: no driver-side
+    union-find, so the pair graph can be arbitrarily large.
 
     Each round: ONE hash join of the (pre-built, bidirectional) edge
     list against the label table sends every endpoint's label to its
@@ -326,15 +342,7 @@ def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
     dataset execution per round, no separate aggregate(Sum) probe."""
     from ..stages.aggregates import hash_bucket_aggregate
 
-    empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                      "cluster_id": pa.array([], pa.int64())})
-    pairs = minhash_lsh_pairs(ray, sf_dir, threshold=threshold)
-    if isinstance(pairs, pa.Table):
-        return empty
-    edges = pairs.materialize()  # pair IDS only, bounded by verification
     n_edges = edges.count()
-    if n_edges == 0:
-        return empty
     from ..stages.aggregates import join_partitions_for
 
     nparts = join_partitions_for(n_edges)

@@ -267,6 +267,8 @@ def build_queries() -> dict:
             "dedup_clusters": lambda sf: dedup.dedup_clusters(ray, sf),
             "dedup_simhash": lambda sf: dedup.simhash_pairs(ray, sf),
             "dedup_embedding_cosine": lambda sf: similarity.cosine_dup_pairs(ray, sf),
+            "cluster_embedding_cosine":
+                lambda sf: similarity.cluster_embedding_cosine(ray, sf),
             "knn_cosine": lambda sf: similarity.knn_brute_force(ray, sf),
             "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
             "knn_lsh": lambda sf: similarity.knn_lsh(ray, sf),
@@ -507,6 +509,7 @@ try:
 
     ORACLE_SQL["knn_cosine"] = _sim.KNN_SQL
     ORACLE_SQL["emb_label_sums"] = _sim.EMB_LABEL_SUMS_SQL
+    ORACLE_SQL["cluster_embedding_cosine"] = _sim.CLUSTER_COSINE_SQL
 except ImportError:
     ORACLE_SQL.pop("knn_cosine", None)
 

@@ -397,6 +397,52 @@ ORDER BY vec_id_a, vec_id_b
 """
 
 
+def cluster_embedding_cosine(ray, sf_dir: str, threshold: float = 0.45):
+    """(vec_id, cluster_id): connected components of the exact
+    embedding-cosine near-duplicate graph; cluster_id = the component's
+    minimum vec_id. The pair set is the hash-verified
+    ``cosine_dup_pairs`` output; components come from the distributed
+    min-label propagation shared with ``dedup_clusters`` — which makes
+    this the clusters family's VALUE-CHECKED representative: the oracle
+    recomputes the same components in SQL via a recursive-CTE
+    transitive closure (feasible because the verified pair graph is
+    tiny relative to the corpus; the Ray side never assumes that)."""
+    from .dedup import propagate_min_labels
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+    pairs = cosine_dup_pairs(ray, sf_dir, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b"]),
+        batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return empty
+    return (propagate_min_labels(ray, edges)
+            .map_batches(lambda t: t.select(["doc_id", "cluster_id"])
+                         .rename_columns(["vec_id", "cluster_id"]),
+                         batch_format="pyarrow")
+            .sort("vec_id"))
+
+
+CLUSTER_COSINE_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+), reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS vec_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 Q_SCALE = 1_000_000  # centroid quantization: floor(x * 1e6) as int64
 
