@@ -41,8 +41,7 @@ QUERY_NAMES = [
     "events_asof_order", "events_user_topk", "events_value_percentiles",
     "doc_token_counts", "doc_top_terms", "doc_langid",
     "docs_quality_filter", "dedup_exact", "dedup_filtered_corpus",
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
-    "cluster_embedding_cosine", "knn_cosine",
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash", "knn_cosine",
     "knn_ivf", "knn_lsh", "emb_label_sums", "multimodal_decode",
     "multimodal_resize",
 ]

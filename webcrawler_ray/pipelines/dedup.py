@@ -429,6 +429,13 @@ def propagate_min_labels(ray, edges, max_iters: int = 50):
                 "doc_id": t.column("dst").cast(pa.int64()),
                 "cluster_id": t.column("lbl").cast(pa.int64())})
 
+        # NOTE: a pointer-jumping (label-of-label) shortcut join was
+        # measured here and REVERTED: it halves the round count on
+        # chain-shaped components but doubles the per-round DAG depth,
+        # and at bench scale rounds are scheduling-cost-dominated — the
+        # shortcut variant ran ~1.9x SLOWER end-to-end. Plain neighbor
+        # propagation (rounds = component diameter) is the better
+        # trade until per-round work, not round count, dominates.
         labels = _agg_labels(
             labels.union(j.map_batches(msgs, batch_format="pyarrow")),
             rnd=it + 1)
