@@ -234,3 +234,24 @@ class TestSmallWebConformance:
             assert summary["saved_total"] == len(oracle.saved_records)
         finally:
             crawler.shutdown_services()
+
+
+class TestMetaBroadcastThreshold:
+    def test_explicit_value_wins(self):
+        from webcrawler_ray.pipelines.crawl import _meta_broadcast_max
+
+        cfg = CrawlConfig()
+        cfg.extra["fetch_meta_broadcast_max_bytes"] = 12345
+        assert _meta_broadcast_max(cfg) == 12345
+        cfg.extra["fetch_meta_broadcast_max_bytes"] = 0  # force exchange
+        assert _meta_broadcast_max(cfg) == 0
+
+    def test_default_derives_from_object_store(self, ray_session):
+        import ray as _ray
+
+        from webcrawler_ray.pipelines.crawl import _meta_broadcast_max
+
+        got = _meta_broadcast_max(CrawlConfig())
+        oss = int(_ray.cluster_resources().get("object_store_memory", 0))
+        assert got == min(1 << 30, oss // 32)
+        assert 0 < got <= 1 << 30

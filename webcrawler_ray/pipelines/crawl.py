@@ -64,6 +64,26 @@ def _nblocks(rows: int, rows_per_block: int = 4000, cap: int = 64) -> int:
     return max(1, min(cap, rows // rows_per_block + 1))
 
 
+def _meta_broadcast_max(cfg) -> int:
+    """Byte ceiling for the bucketwise fetch's broadcast metadata table
+    (``ray.put`` once, read by every bucket task). Explicit
+    ``fetch_meta_broadcast_max_bytes`` wins; the default derives from
+    the CLUSTER's object store — 1/32 of it, capped at 1 GiB — so on a
+    small-memory node the broadcast route steps aside for the
+    groupby-exchange route before the metadata table can crowd the
+    pipeline's own blocks out of the store."""
+    explicit = cfg.extra.get("fetch_meta_broadcast_max_bytes")
+    if explicit is not None:
+        return int(explicit)
+    try:
+        import ray as _ray
+
+        oss = int(_ray.cluster_resources().get("object_store_memory", 0))
+    except Exception:
+        oss = 0
+    return min(1 << 30, oss // 32) if oss else 1 << 30
+
+
 FRONTIER_SCHEMA = pa.schema([
     ("url", pa.string()), ("host", pa.string()),
     ("resource", pa.string()), ("seq", pa.int64()),
@@ -382,7 +402,7 @@ class RayCrawler:
         if n_saved > 0:
             import pyarrow.compute as pc
 
-            meta_max = cfg.extra.get("fetch_meta_broadcast_max_bytes", 1 << 30)
+            meta_max = _meta_broadcast_max(cfg)
             if self.store.bucketed and n_saved * 200 <= meta_max:
                 # bucketwise broadcast fetch: saved metadata is small ->
                 # ship it to one task per bucket; each bucket read once
