@@ -154,7 +154,13 @@ def detect_decode(html: bytes) -> str:
                      (codecs.BOM_UTF16_LE, "utf-16"),
                      (codecs.BOM_UTF16_BE, "utf-16")):
         if html.startswith(bom):
-            return html.decode(enc)
+            try:
+                return html.decode(enc)
+            except UnicodeDecodeError:
+                # malformed payload behind a BOM (truncated UTF-16/32,
+                # lone surrogate): fall through to the byte heuristics
+                # so the never-fails contract holds
+                break
     try:
         return html.decode("utf-8")
     except UnicodeDecodeError:
@@ -203,7 +209,11 @@ def decode_html(html: bytes | str, decoder=None) -> str:
         return html
     fn = decoder if decoder is not None else _decode_strategy
     if not callable(fn):
-        fn = _DECODERS[fn]
+        try:
+            fn = _DECODERS[fn]
+        except KeyError:
+            raise ValueError(f"unknown decode strategy: {fn!r} "
+                             f"(have {sorted(_DECODERS)} or a callable)")
     return fn(html)
 
 

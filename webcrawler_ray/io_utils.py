@@ -56,6 +56,30 @@ def parquet_num_rows(path) -> int:
     return _num_rows(path)
 
 
+def parquet_column_bytes(path, column: str) -> int:
+    """Total UNCOMPRESSED bytes of one column from parquet footers only
+    (no data read) — the cheap size proxy for sizing fan-outs whose
+    shuffled row count tracks CONTENT volume (e.g. token partials) rather
+    than the input row count."""
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"),
+                                     recursive=True))
+        else:
+            files = [p]
+        for f in files:
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema == column:
+                        total += col.total_uncompressed_size
+    return total
+
+
 def read_parquet_clean(ray, path, columns=None, **kw):
     """``ray.data.read_parquet`` with a metadata-free schema (see module
     docstring) and RIGHT-SIZED block counts for small tables: the

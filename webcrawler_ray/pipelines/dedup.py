@@ -40,23 +40,32 @@ from ..functions.hashing import (
 _TOKEN_CACHE = TokenHashCache()
 
 
+def _exact_fps(texts: list[str]) -> list[str]:
+    """Canonical exact-dedup fingerprint: md5 of the lowercased,
+    WS_CHARS-trimmed text. ONE definition shared by every exact-dedup
+    consumer — the SQL spelling below derives from the same
+    textpipe.SQL_TRIM_TEXT constant so the Ray side and the oracle
+    cannot drift apart (the r1 whitespace-divergence class)."""
+    import hashlib as _h
+
+    from .textpipe import WS_CHARS
+
+    return [_h.md5(t.strip(WS_CHARS).lower().encode()).hexdigest()
+            for t in texts]
+
+
 # ---------------------------------------------------------------------------
 def exact_dedup(ray, sf_dir: str):
     """(doc_id, n_dups): exact text dedup — md5 content hash per batch,
     hash-bucketed vectorized groupby, keep min doc_id per group. The
     canonical hash-partition + per-group-first pattern."""
-    import hashlib as _h
-
     from ..stages.aggregates import hash_bucket_aggregate
 
     ds = _rpq(ray, f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def add_fp(batch: pa.Table) -> pa.Table:
-        from .textpipe import WS_CHARS
-
-        fps = [_h.md5(t.strip(WS_CHARS).lower().encode()).hexdigest()
-               for t in batch.column("text").to_pylist()]
+        fps = _exact_fps(batch.column("text").to_pylist())
         return pa.table({"doc_id": batch.column("doc_id"),
                          "fp": pa.array(fps, pa.string()),
                          "n_dups": pa.array(np.ones(batch.num_rows,
@@ -80,18 +89,13 @@ def dedup_filtered_corpus(ray, sf_dir: str):
     columns ride THROUGH the bucketed aggregate (sort + drop_duplicates
     per bucket), so no join back to the documents table is needed to
     emit the surviving rows."""
-    import hashlib as _h
-
     from ..stages.aggregates import hash_bucket_aggregate
 
     ds = _rpq(ray, f"{sf_dir}/documents.parquet",
               columns=["doc_id", "text", "n_chars"])
 
     def add_fp(batch: pa.Table) -> pa.Table:
-        from .textpipe import WS_CHARS
-
-        fps = [_h.md5(t.strip(WS_CHARS).lower().encode()).hexdigest()
-               for t in batch.column("text").to_pylist()]
+        fps = _exact_fps(batch.column("text").to_pylist())
         return pa.table({"doc_id": batch.column("doc_id"),
                          "n_chars": batch.column("n_chars"),
                          "fp": pa.array(fps, pa.string())})
@@ -109,23 +113,23 @@ def dedup_filtered_corpus(ray, sf_dir: str):
                .sort("doc_id"))
 
 
-DEDUP_FILTERED_SQL = """
+from .textpipe import SQL_TRIM_TEXT as _SQL_TRIM_TEXT  # noqa: E402
+
+DEDUP_FILTERED_SQL = f"""
 SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars,
          ROW_NUMBER() OVER (
-             PARTITION BY md5(LOWER(regexp_replace(text,
-                 '^[ \t\n\r\x0b\x0c]+|[ \t\n\r\x0b\x0c]+$', '', 'g')))
+             PARTITION BY md5(LOWER({_SQL_TRIM_TEXT}))
              ORDER BY doc_id) AS rn
   FROM documents)
 WHERE rn = 1 ORDER BY doc_id
 """
 
 
-EXACT_DEDUP_SQL = """
+EXACT_DEDUP_SQL = f"""
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
 FROM documents
-GROUP BY md5(LOWER(regexp_replace(text,
-    '^[ \t\n\r\x0b\x0c]+|[ \t\n\r\x0b\x0c]+$', '', 'g')))
+GROUP BY md5(LOWER({_SQL_TRIM_TEXT}))
 ORDER BY doc_id
 """
 
@@ -197,10 +201,16 @@ def _lsh_candidate_pairs(ray, sf_dir: str, sh_ds=None):
                  .map_groups(coarse_pairs, batch_format="pandas"))
     # a pair can surface from several bands (-> several coarse buckets):
     # distinct via a bucketed vectorized aggregate, still distributed
+    # sized from the BANDED row count (N_BANDS rows/doc), not the doc
+    # count: the shuffled rows here are candidate PAIRS, one per shared
+    # band membership, so the doc count alone undersizes the fan-out by
+    # ~N_BANDS at a realistic duplication rate (adversarially hot band
+    # buckets can still exceed any footer-derived bound; the in-bucket
+    # expansion is where that quadratic lives, and it is vectorized)
     return hash_bucket_aggregate(
         cand, ["doc_a", "doc_b"],
         lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
-        n_rows=_nrows(f"{sf_dir}/documents.parquet"))
+        n_rows=N_BANDS * _nrows(f"{sf_dir}/documents.parquet"))
 
 
 def _shingle_table(ray, sf_dir: str):
@@ -417,33 +427,39 @@ def propagate_min_labels(ray, edges, max_iters: int = 50):
 
     bi = edges.map_batches(bidir, batch_format="pyarrow").materialize()
 
-    prev = ray.get(acc.total.remote(0))
-    for it in range(max_iters):
-        la = labels.map_batches(_typed(("src", "lbl")),
-                                batch_format="pyarrow")
-        j = bi.join(la, join_type="inner", on=("src",),
-                    num_partitions=nparts)
+    # try/finally: a failed round (join crash, worker OOM) must not leak
+    # the accumulator actor — without the kill it would outlive every
+    # failed invocation for the whole session
+    try:
+        prev = ray.get(acc.total.remote(0))
+        for it in range(max_iters):
+            la = labels.map_batches(_typed(("src", "lbl")),
+                                    batch_format="pyarrow")
+            j = bi.join(la, join_type="inner", on=("src",),
+                        num_partitions=nparts)
 
-        def msgs(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "doc_id": t.column("dst").cast(pa.int64()),
-                "cluster_id": t.column("lbl").cast(pa.int64())})
+            def msgs(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "doc_id": t.column("dst").cast(pa.int64()),
+                    "cluster_id": t.column("lbl").cast(pa.int64())})
 
-        # NOTE: a pointer-jumping (label-of-label) shortcut join was
-        # measured here and REVERTED: it halves the round count on
-        # chain-shaped components but doubles the per-round DAG depth,
-        # and at bench scale rounds are scheduling-cost-dominated — the
-        # shortcut variant ran ~1.9x SLOWER end-to-end. Plain neighbor
-        # propagation (rounds = component diameter) is the better
-        # trade until per-round work, not round count, dominates.
-        labels = _agg_labels(
-            labels.union(j.map_batches(msgs, batch_format="pyarrow")),
-            rnd=it + 1)
-        cur = ray.get(acc.total.remote(it + 1))
-        if cur == prev:
-            break
-        prev = cur
-    ray.kill(acc)
+            # NOTE: a pointer-jumping (label-of-label) shortcut join was
+            # measured here and REVERTED: it halves the round count on
+            # chain-shaped components but doubles the per-round DAG
+            # depth, and at bench scale rounds are scheduling-cost-
+            # dominated — the shortcut variant ran ~1.9x SLOWER
+            # end-to-end. Plain neighbor propagation (rounds = component
+            # diameter) is the better trade until per-round work, not
+            # round count, dominates.
+            labels = _agg_labels(
+                labels.union(j.map_batches(msgs, batch_format="pyarrow")),
+                rnd=it + 1)
+            cur = ray.get(acc.total.remote(it + 1))
+            if cur == prev:
+                break
+            prev = cur
+    finally:
+        ray.kill(acc)
     return labels.sort("doc_id")
 
 
@@ -529,5 +545,7 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
     return hash_bucket_aggregate(
         pairs, ["doc_a", "doc_b"],
         lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
-        n_rows=n_docs
+        # shuffled rows are pairs, <= 4 segment co-memberships each, so
+        # bound by the segment row count (4/doc), not the doc count
+        n_rows=4 * n_docs
     ).sort(["doc_a", "doc_b"])

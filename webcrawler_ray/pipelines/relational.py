@@ -686,7 +686,7 @@ def events_value_percentiles(ray, sf_dir: str):
     3. when every remaining range holds <= ~65k rows, one collect pass
        pulls just those rows and cuts the exact rank on the driver.
 
-    Passes are O(log_B n) streamed re-reads of two pruned columns; the
+    Passes are O(log_B n) streamed re-reads of ONE pruned column; the
     driver only ever holds B-bin summaries and the final bounded range —
     the 100-TB-safe replacement for sort-the-world percentiles."""
     path = f"{sf_dir}/events.parquet"
@@ -694,7 +694,9 @@ def events_value_percentiles(ray, sf_dir: str):
     if n == 0:
         return pd.DataFrame({"pct": pd.Series([], dtype="int64"),
                              "value": pd.Series([], dtype="float64")})
-    ds = _rpq(ray, path, columns=["event_id", "value"])
+    # value ONLY: the tie-break column never affects the output (see 2.
+    # above), so every histogram / collect re-scan moves one column
+    ds = _rpq(ray, path, columns=["value"])
     ranks = {p: max(1, int(np.ceil(n * p / 100))) for p in PCTS}
 
     from ray.data.aggregate import Max, Min
@@ -820,9 +822,16 @@ def customers_no_events(ray, sf_dir: str):
         n_rows=n_cust)  # distinct users <= customer keyspace
     active = active.map_batches(
         lambda t: t.select(["user_id"]).rename_columns(["c_custkey"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    # partition count MUST follow the SMALLER side (join_partitions_for's
+    # contract: an empty hash-partition on either side crashes ray 2.49's
+    # join) — the distinct-user table can be far smaller than the
+    # customer keyspace, so size from its REAL count. Materializing it is
+    # scale-safe: it is one row per active user, the join's small side by
+    # construction, and count() on a materialized dataset is metadata-only.
     out = cust.join(active, join_type="left_anti", on=("c_custkey",),
-                    num_partitions=join_partitions_for(n_cust))
+                    num_partitions=join_partitions_for(
+                        min(n_cust, active.count())))
     return out.sort("c_custkey")
 
 
@@ -886,14 +895,46 @@ def events_windowed_incremental(ray, sf_dir: str, n_chunks: int = 3,
         state_dir = f"/tmp/webcrawler_ray_cache/{name}/win_state"
     os.makedirs(state_dir, exist_ok=True)
 
+    # SINGLE-WRITER lock for the shared state dir: two concurrent
+    # invocations (bench + check run, parallel test sessions) would
+    # otherwise interleave wipes/renames of each other's epoch dirs and
+    # fold a state from mixed chunk sets. flock serializes them and
+    # auto-releases if the holder dies. (On network filesystems where
+    # flock is advisory-only across nodes, single-writer-per-state_dir
+    # is the caller's contract.)
+    import fcntl
+
+    lock_fd = os.open(os.path.join(state_dir, "_LOCK"),
+                      os.O_CREAT | os.O_RDWR)
+    fcntl.flock(lock_fd, fcntl.LOCK_EX)
+    try:
+        return _windowed_incremental_locked(
+            ray, sf_dir, n_chunks, state_dir, stop_after, win_partial,
+            merge)
+    finally:
+        fcntl.flock(lock_fd, fcntl.LOCK_UN)
+        os.close(lock_fd)
+
+
+def _windowed_incremental_locked(ray, sf_dir, n_chunks, state_dir,
+                                 stop_after, win_partial, merge):
+    import os
+    import shutil
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
     # signature gates reuse: different input path or chunking must not
     # resume from a foreign checkpoint
     sig = f"{os.path.abspath(sf_dir)}|{n_chunks}|{WINDOW_US}"
     sig_file = os.path.join(state_dir, "_SIG")
-    have_sig = (os.path.exists(sig_file)
-                and open(sig_file).read().strip() == sig)
+    have_sig = False
+    if os.path.exists(sig_file):
+        with open(sig_file) as f:
+            have_sig = f.read().strip() == sig
     if not have_sig:
         for d in os.listdir(state_dir):
+            if d == "_LOCK":
+                continue
             shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
         with open(sig_file, "w") as f:
             f.write(sig)

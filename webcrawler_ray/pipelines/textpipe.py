@@ -315,13 +315,19 @@ def doc_top_terms(ray, sf_dir: str, k: int = 20):
                              "n": pd.Series(list(c.values()),
                                             dtype="int64")})
 
-    from ..io_utils import parquet_num_rows
+    from ..io_utils import parquet_column_bytes
 
     out = hash_bucket_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["token"],
         lambda df: df.groupby("token", as_index=False).agg(n=("n", "sum")),
-        n_rows=parquet_num_rows(f"{sf_dir}/documents.parquet"))
+        # the shuffled rows are per-batch (token, n) partials — bounded
+        # by token INSTANCES, not document count (which undersizes the
+        # fan-out by the tokens-per-doc factor). Token instances <=
+        # text bytes / 2 (a token plus its separator is >= 2 bytes);
+        # footer-only uncompressed column size gives that bound cheaply.
+        n_rows=parquet_column_bytes(f"{sf_dir}/documents.parquet",
+                                    "text") // 2)
     return out.sort(["n", "token"], descending=[True, False]).limit(k)
 
 

@@ -97,6 +97,7 @@ class PagesStore:
         self.bucketed = _table_size_bytes(pages_path) > cfg.fetch_broadcast_max_bytes
         self._flags_ref = None
         self._html_ref = None
+        self._store_B: int | None = None  # bucket count of the ON-DISK store
 
     # -- one-time preparation --------------------------------------------
     def prepare(self, ray) -> None:
@@ -134,6 +135,7 @@ class PagesStore:
         each task writes its own part files, so no cross-task writer state."""
         done = os.path.join(self.store_dir, "_STORE_DONE")
         if os.path.exists(done):
+            self.store_buckets()  # resolve the recorded bucket count
             return
         os.makedirs(self.store_dir, exist_ok=True)
         B = self.cfg.pages_store_buckets
@@ -193,8 +195,29 @@ class PagesStore:
             for b in range(B):
                 if os.path.isdir(os.path.join(store_dir, f"bucket={b}")):
                     compact_bucket(b)
+        # record the bucket count the layout was built with: every lookup
+        # MUST hash with this B, not the current config's — a config
+        # changed between runs would otherwise read the wrong bucket=i
+        # dirs and silently report every URL as not-in-table
         with open(done, "w") as f:
-            f.write("ok")
+            f.write(str(B))
+        self._store_B = B
+
+    def store_buckets(self) -> int:
+        """Bucket count of the on-disk layout (recorded in _STORE_DONE at
+        build time). Falls back to the config value for legacy markers."""
+        if self._store_B is None:
+            B = self.cfg.pages_store_buckets
+            done = os.path.join(self.store_dir, "_STORE_DONE")
+            if os.path.exists(done):
+                with open(done) as f:
+                    content = f.read().strip()
+                try:
+                    B = int(content)
+                except ValueError:
+                    pass  # pre-recording marker ("ok"): assume config B
+            self._store_B = B
+        return self._store_B
 
     # -- flag lookup (HEAD-equivalent) ------------------------------------
     def add_flags_fn(self):
@@ -227,7 +250,7 @@ class PagesStore:
 
     def _add_flags_bucketed_fn(self):
         store_dir = self.store_dir
-        B = self.cfg.pages_store_buckets
+        B = self.store_buckets()
         html_langs = frozenset(self.cfg.html_langs)
 
         def add_flags(batch: pa.Table) -> pa.Table:
@@ -299,7 +322,7 @@ class PagesStore:
         above ``direct_fetch_max_rows`` the groupby route reads each bucket
         exactly once per round instead."""
         store_dir = self.store_dir
-        B = self.cfg.pages_store_buckets
+        B = self.store_buckets()
 
         def fetch_direct(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
@@ -327,7 +350,7 @@ class PagesStore:
         buckets, each exactly once. This is the default bucketed path —
         above ``fetch_meta_broadcast_max_bytes`` (cluster-scale rounds) the
         groupby-exchange route takes over."""
-        B = self.cfg.pages_store_buckets
+        B = self.store_buckets()
         store_dir = self.store_dir
         bk = stable_hash64_batch(saved_meta.column("url").to_pylist()) % B
         meta_ref = ray.put((saved_meta, bk))
@@ -368,7 +391,7 @@ class PagesStore:
         if n_rows is not None and n_rows <= direct_max:
             return ds.map_batches(self.fetch_html_direct_fn(),
                                   batch_format="pyarrow", batch_size=4096)
-        B = self.cfg.pages_store_buckets
+        B = self.store_buckets()
 
         def add_bucket(batch: pa.Table) -> pa.Table:
             bk = (stable_hash64_batch(batch.column("url").to_pylist()) % B)

@@ -37,6 +37,13 @@ class ParseHtmlBatch:
         # carried IN the pickled callable so every worker process decodes
         # the same way (a driver-side set_decode_strategy would not
         # propagate to map_batches workers)
+        if decode is not None and not callable(decode):
+            from ..functions.htmlparse import _DECODERS
+            if decode not in _DECODERS:
+                # fail at pipeline build, not with a KeyError deep inside
+                # the first map_batches task on a worker
+                raise ValueError(f"unknown decode strategy: {decode!r} "
+                                 f"(have {sorted(_DECODERS)} or a callable)")
         self.decode = decode
         if enrich:
             from ..functions.hashing import TokenHashCache, minhash_perm_params
