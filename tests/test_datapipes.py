@@ -51,6 +51,7 @@ SQL_CHECKED = [
     "emb_label_sums", "doc_token_counts_bpe", "events_value_percentiles",
     "customers_no_events", "events_windowed_incremental", "frames_meta",
     "docs_quality_filter", "dedup_filtered_corpus",
+    "docs_sample_bottomk",
 ]
 
 
@@ -442,6 +443,62 @@ class TestSketches:
         exact = ddb.execute(
             "SELECT COUNT(DISTINCT text) FROM documents").fetchone()[0]
         assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    def test_tdigest_percentiles_within_rank_error(self, queries, ddb):
+        import numpy as np
+
+        q, _ = queries
+        got = _to_df(q["events_value_percentiles_tdigest"](SF_DIR))
+        assert list(got.columns) == ["pct", "value"]
+        vals = np.sort(ddb.execute(
+            "SELECT value FROM events").fetchdf()["value"].to_numpy())
+        n = len(vals)
+        for _, row in got.iterrows():
+            # rank of the estimate must be within ~1/delta of the target
+            rank = np.searchsorted(vals, row["value"]) / n
+            assert abs(rank - row["pct"] / 100.0) < 0.02, (row, rank)
+
+    def test_tdigest_merge_matches_single_pass_bound(self):
+        import numpy as np
+
+        from webcrawler_ray.pipelines.sketches import (
+            TD_DELTA,
+            _td_cluster,
+            td_merge,
+            td_quantile,
+        )
+
+        rng = np.random.default_rng(11)
+        x = np.sort(rng.lognormal(0.0, 2.0, 50_000))
+        blobs_m, blobs_w = [], []
+        for chunk in np.array_split(rng.permutation(x), 23):
+            c = np.sort(chunk)
+            m, w = _td_cluster(c, np.ones(len(c)))
+            blobs_m.append(m.tobytes())
+            blobs_w.append(w.tobytes())
+        m, w = td_merge(blobs_m, blobs_w)
+        assert len(m) <= TD_DELTA  # constant-size result
+        assert w.sum() == len(x)  # no mass lost in the merge
+        for qq in (0.01, 0.25, 0.5, 0.75, 0.99):
+            est = td_quantile(m, w, qq)
+            rank = np.searchsorted(x, est) / len(x)
+            assert abs(rank - qq) < 2.0 / TD_DELTA, (qq, rank)
+
+    def test_bottomk_is_exact_k_and_hash_uniform(self, queries, ddb):
+        import hashlib
+
+        from webcrawler_ray.pipelines.textpipe import BOTTOMK_K
+
+        q, _ = queries
+        got = _to_df(q["docs_sample_bottomk"](SF_DIR))
+        n_docs = ddb.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+        assert len(got) == min(BOTTOMK_K, n_docs)
+        # reference: the k smallest md5-of-id priorities, computed directly
+        ids = ddb.execute(
+            "SELECT doc_id FROM documents").fetchdf()["doc_id"].tolist()
+        pri = sorted(ids, key=lambda i: hashlib.md5(str(i).encode())
+                     .hexdigest())[:BOTTOMK_K]
+        assert sorted(got["doc_id"].tolist()) == sorted(pri)
 
     def test_hll_merge_is_register_max(self):
         import numpy as np

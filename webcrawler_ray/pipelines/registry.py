@@ -229,6 +229,8 @@ def build_queries() -> dict:
         "doc_langid": lambda sf: textpipe.langid(ray, sf),
         "doc_winnow": lambda sf: textpipe.winnow_fingerprints(ray, sf),
         "docs_sample": lambda sf: textpipe.docs_sample(ray, sf),
+        "docs_sample_bottomk":
+            lambda sf: textpipe.docs_sample_bottomk(ray, sf),
         "doc_normalize": lambda sf: textpipe.doc_normalize(ray, sf),
         "doc_top_terms": lambda sf: textpipe.doc_top_terms(ray, sf),
         "doc_token_counts_bpe": lambda sf: textpipe.token_counts_bpe(ray, sf),
@@ -277,6 +279,9 @@ def build_queries() -> dict:
                 lambda sf: sketches.events_distinct_users_hll(ray, sf),
             "docs_distinct_texts_hll":
                 lambda sf: sketches.docs_distinct_texts_hll(ray, sf),
+            "events_value_percentiles_tdigest":
+                lambda sf: sketches.events_value_percentiles_tdigest(
+                    ray, sf),
             "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),
             "multimodal_frames": lambda sf: multimodal.frame_samples(ray, sf),
             "multimodal_meta": multimodal_meta,
@@ -496,6 +501,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_running_index": relational.EVENTS_RUNNING_INDEX_SQL,
     "doc_langid": _langid_sql(),
     "docs_sample": textpipe.DOCS_SAMPLE_SQL,
+    "docs_sample_bottomk": textpipe.DOCS_SAMPLE_BOTTOMK_SQL,
     "doc_normalize": textpipe.DOC_NORMALIZE_SQL,
     "doc_top_terms": textpipe.DOC_TOP_TERMS_SQL,
     "doc_token_counts_bpe": textpipe.TOKEN_COUNTS_BPE_SQL,

@@ -92,3 +92,96 @@ def docs_distinct_texts_hll(ray, sf_dir: str):
     the repo's stable blake2b)."""
     return distinct_hll(ray, f"{sf_dir}/documents.parquet", "text",
                         int_key=False)
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantiles (Dunning & Ertl, "Computing Extremely Accurate
+# Quantiles Using t-Digests", 2019 — the clustering variant with the
+# k1 arcsin scale function, fully vectorized).
+#
+# Scale shape: one constant-size (means, weights) centroid row per
+# batch; merge = concatenate + sort + one vectorized re-cluster over
+# O(blocks * delta) centroids. Like the HLL above, the exchange moves
+# kilobytes regardless of input size — the mergeable-quantile path for
+# inputs where the exact rank-select's O(log n) full re-scans
+# (relational.events_value_percentiles) cost more than a ~1/delta rank
+# error is worth.
+
+TD_DELTA = 200  # <= ~delta/2+1 centroids; rank error O(1/delta), tighter at tails
+
+
+def _td_cluster(v: np.ndarray, w: np.ndarray,
+                delta: int = TD_DELTA) -> tuple[np.ndarray, np.ndarray]:
+    """One vectorized t-digest clustering pass over value/weight arrays
+    SORTED by value: each point lands in the cell floor(k1(q_mid)) of the
+    arcsin scale function; cells are group-averaged with reduceat. The
+    scale function's derivative blows up at q=0/1, so tail cells hold
+    O(1) points — the property that makes extreme quantiles accurate."""
+    total = w.sum()
+    cum = np.cumsum(w)
+    q = (cum - w / 2.0) / total
+    k = (delta / (2.0 * np.pi)) * np.arcsin(2.0 * q - 1.0)
+    cell = np.floor(k).astype(np.int64)
+    # first index of each run of equal cell ids (input sorted => cells
+    # are non-decreasing)
+    starts = np.flatnonzero(np.diff(cell, prepend=cell[0] - 1))
+    cw = np.add.reduceat(w, starts)
+    cm = np.add.reduceat(v * w, starts) / cw
+    return cm, cw
+
+
+def _td_partial_fn(column: str, delta: int = TD_DELTA):
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(column).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        x = x[~np.isnan(x)]
+        if len(x) == 0:
+            return pa.table({"means": pa.array([], pa.binary()),
+                             "weights": pa.array([], pa.binary())})
+        x = np.sort(x)
+        m, w = _td_cluster(x, np.ones(len(x)), delta)
+        return pa.table({"means": pa.array([m.tobytes()], pa.binary()),
+                         "weights": pa.array([w.tobytes()], pa.binary())})
+
+    return partial
+
+
+def td_merge(parts_means, parts_weights,
+             delta: int = TD_DELTA) -> tuple[np.ndarray, np.ndarray]:
+    """Merge partial digests: concatenate centroids, sort by mean, one
+    clustering pass. Deterministic (mergesort keeps equal means in blob
+    order, and equal means are interchangeable under weighted average)."""
+    m = np.concatenate([np.frombuffer(b, dtype=np.float64)
+                        for b in parts_means])
+    w = np.concatenate([np.frombuffer(b, dtype=np.float64)
+                        for b in parts_weights])
+    order = np.argsort(m, kind="mergesort")
+    return _td_cluster(m[order], w[order], delta)
+
+
+def td_quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Linear interpolation between centroid means at the target rank
+    (centroid i sits at the midpoint of its weight span)."""
+    cum = np.cumsum(weights) - weights / 2.0
+    return float(np.interp(q * weights.sum(), cum, means))
+
+
+def events_value_percentiles_tdigest(ray, sf_dir: str):
+    """(pct, value): APPROXIMATE p25/p50/p75 of events.value via a
+    distributed t-digest (rows-only: rank error <= ~1/delta by design;
+    the bound is unit-tested against the exact rank-select result).
+    Output schema matches events_value_percentiles."""
+    import pandas as pd
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet", columns=["value"])
+    parts = ds.map_batches(_td_partial_fn("value"),
+                           batch_format="pyarrow").to_pandas()
+    parts = parts[parts["means"].map(len) > 0]
+    if len(parts) == 0:
+        return pd.DataFrame({"pct": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    m, w = td_merge(parts["means"], parts["weights"])
+    return pd.DataFrame({
+        "pct": pd.Series([25, 50, 75], dtype="int64"),
+        "value": pd.Series([td_quantile(m, w, p / 100.0)
+                            for p in (25, 50, 75)], dtype="float64")})

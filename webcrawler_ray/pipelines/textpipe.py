@@ -263,6 +263,46 @@ ORDER BY doc_id
 """
 
 
+BOTTOMK_K = 100
+
+
+def docs_sample_bottomk(ray, sf_dir: str, k: int = BOTTOMK_K):
+    """(doc_id, n_chars): EXACT-k uniform sample without replacement via
+    bottom-k by hash priority (md5 of the decimal doc_id — SQL-sharable,
+    so this sampler is value-checked against DuckDB). docs_sample's
+    Bernoulli filter keeps ~p*n rows; bottom-k keeps exactly k whatever
+    the input size, which is what a "give me 100k docs from 100 TB"
+    request needs. Scale shape: per-batch LOCAL bottom-k (O(batch)
+    priorities, one argsort), then a global sort+limit over the
+    O(blocks * k) surviving candidates — the full corpus never moves.
+    (The kept priorities also form the classic bottom-k sketch: the
+    k-th smallest priority estimates the distinct count as (k-1)/h_k.)"""
+    import hashlib as _h
+
+    ds = _docs(ray, sf_dir, ["doc_id", "n_chars"])
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        pri = np.array([_h.md5(str(i).encode()).hexdigest() for i in ids])
+        keep = np.argsort(pri, kind="mergesort")[:k]
+        t = batch.take(pa.array(keep, pa.int64()))
+        return t.append_column("pri", pa.array(pri[keep], pa.string()))
+
+    out = (ds.map_batches(local_bottomk, batch_format="pyarrow")
+             .sort(["pri", "doc_id"]).limit(k)
+             .map_batches(lambda t: t.drop_columns(["pri"]),
+                          batch_format="pyarrow"))
+    return out.sort("doc_id")
+
+
+DOCS_SAMPLE_BOTTOMK_SQL = f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {BOTTOMK_K})
+ORDER BY doc_id
+"""
+
+
 # --- normalization (cleaning) ----------------------------------------------
 _PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
 
