@@ -51,7 +51,7 @@ SQL_CHECKED = [
     "emb_label_sums", "doc_token_counts_bpe", "events_value_percentiles",
     "customers_no_events", "events_windowed_incremental", "frames_meta",
     "docs_quality_filter", "dedup_filtered_corpus",
-    "docs_sample_bottomk",
+    "docs_sample_bottomk", "docs_per_source_cap",
 ]
 
 

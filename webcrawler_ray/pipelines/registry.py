@@ -231,6 +231,8 @@ def build_queries() -> dict:
         "docs_sample": lambda sf: textpipe.docs_sample(ray, sf),
         "docs_sample_bottomk":
             lambda sf: textpipe.docs_sample_bottomk(ray, sf),
+        "docs_per_source_cap":
+            lambda sf: textpipe.docs_per_source_cap(ray, sf),
         "doc_normalize": lambda sf: textpipe.doc_normalize(ray, sf),
         "doc_top_terms": lambda sf: textpipe.doc_top_terms(ray, sf),
         "doc_token_counts_bpe": lambda sf: textpipe.token_counts_bpe(ray, sf),
@@ -502,6 +504,7 @@ ORDER BY vec_id_a, vec_id_b
     "doc_langid": _langid_sql(),
     "docs_sample": textpipe.DOCS_SAMPLE_SQL,
     "docs_sample_bottomk": textpipe.DOCS_SAMPLE_BOTTOMK_SQL,
+    "docs_per_source_cap": textpipe.DOCS_PER_SOURCE_CAP_SQL,
     "doc_normalize": textpipe.DOC_NORMALIZE_SQL,
     "doc_top_terms": textpipe.DOC_TOP_TERMS_SQL,
     "doc_token_counts_bpe": textpipe.TOKEN_COUNTS_BPE_SQL,

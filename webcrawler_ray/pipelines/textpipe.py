@@ -303,6 +303,70 @@ ORDER BY doc_id
 """
 
 
+SOURCE_CAP_K = 10
+
+
+def docs_per_source_cap(ray, sf_dir: str, k: int = SOURCE_CAP_K):
+    """(doc_id, source, rnk): corpus-curation cap — at most ``k`` docs
+    per source, chosen uniformly (md5-of-id priority, so the winner set
+    is deterministic AND SQL-sharable). This is the anti-domination
+    operator a web-scale corpus needs (one mega-host must not swamp the
+    training mix). Scale shape: a per-batch LOCAL per-source head-k
+    combiner prunes before the exchange (a row outside its batch's own
+    per-source bottom-k can never be in the global one), so the shuffle
+    moves <= k rows per source per batch; the bucketed merge then does
+    one vectorized sort + groupby-head per coarse source bucket."""
+    import hashlib as _h
+
+    from ..io_utils import parquet_num_rows
+    from ..stages.aggregates import buckets_for
+    from ..functions.urls import stable_hash64_batch
+
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    n_buckets = buckets_for(n_docs)
+    ds = _docs(ray, sf_dir, ["doc_id", "source"])
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        pri = [_h.md5(str(i).encode()).hexdigest() for i in ids]
+        df = pd.DataFrame({"doc_id": batch.column("doc_id").to_numpy(
+                               zero_copy_only=False).astype("int64"),
+                           "source": batch.column("source").to_pylist(),
+                           "pri": pri})
+        df = df.sort_values(["source", "pri", "doc_id"], kind="mergesort")
+        df = df.groupby("source").head(k)
+        b = (stable_hash64_batch(df["source"].tolist())
+             % n_buckets).astype(np.int64)
+        return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                         "source": pa.array(df["source"], pa.string()),
+                         "pri": pa.array(df["pri"], pa.string()),
+                         "sbucket": pa.array(b, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "pri", "doc_id"], kind="mergesort")
+        top = g.groupby("source").head(k).copy()
+        top["rnk"] = top.groupby("source").cumcount() + 1
+        return pd.DataFrame({"doc_id": top["doc_id"].astype("int64"),
+                             "source": top["source"],
+                             "rnk": top["rnk"].astype("int64")})
+
+    return (ds.map_batches(local_prune, batch_format="pyarrow")
+              .groupby("sbucket")
+              .map_groups(per_bucket, batch_format="pandas")
+              .sort(["source", "rnk"]))
+
+
+DOCS_PER_SOURCE_CAP_SQL = f"""
+SELECT doc_id, source, rnk FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+  FROM documents)
+WHERE rnk <= {SOURCE_CAP_K} ORDER BY source, rnk
+"""
+
+
 # --- normalization (cleaning) ----------------------------------------------
 _PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
 
