@@ -43,7 +43,8 @@ QUERY_NAMES = [
     "docs_quality_filter", "dedup_exact", "dedup_filtered_corpus",
     "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash", "knn_cosine",
     "knn_ivf", "knn_lsh", "emb_label_sums", "multimodal_decode",
-    "multimodal_resize",
+    "multimodal_resize", "docs_sample_bottomk", "docs_per_source_cap",
+    "events_value_percentiles_tdigest", "events_semijoin_bloom",
 ]
 
 

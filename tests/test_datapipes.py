@@ -51,7 +51,7 @@ SQL_CHECKED = [
     "emb_label_sums", "doc_token_counts_bpe", "events_value_percentiles",
     "customers_no_events", "events_windowed_incremental", "frames_meta",
     "docs_quality_filter", "dedup_filtered_corpus",
-    "docs_sample_bottomk", "docs_per_source_cap",
+    "docs_sample_bottomk", "docs_per_source_cap", "events_semijoin_bloom",
 ]
 
 
@@ -499,6 +499,36 @@ class TestSketches:
         pri = sorted(ids, key=lambda i: hashlib.md5(str(i).encode())
                      .hexdigest())[:BOTTOMK_K]
         assert sorted(got["doc_id"].tolist()) == sorted(pri)
+
+    def test_bloom_no_false_negatives_and_low_fp(self):
+        import numpy as np
+
+        from webcrawler_ray.pipelines.relational import (
+            _bloom_hash_idx,
+            _bloom_params,
+        )
+
+        rng = np.random.default_rng(3)
+        keys = rng.choice(10_000_000, size=5000, replace=False)
+        m, k = _bloom_params(len(keys))
+        arr = np.zeros(m // 8, dtype=np.uint8)
+        idx = _bloom_hash_idx(keys, m, k).ravel()
+        np.bitwise_or.at(arr, idx >> 3,
+                         np.uint8(1) << (idx & 7).astype(np.uint8))
+
+        def probe(q):
+            ix = _bloom_hash_idx(q, m, k)
+            hit = np.ones(len(q), dtype=bool)
+            for i in range(k):
+                hit &= ((arr[ix[i] >> 3]
+                         >> (ix[i] & 7).astype(np.uint8)) & 1).astype(bool)
+            return hit
+
+        assert probe(keys).all()  # NEVER a false negative
+        others = np.setdiff1d(rng.choice(10_000_000, size=20_000),
+                              keys)
+        fp = probe(others).mean()
+        assert fp < 0.03, fp  # ~1% design point, 3% guard
 
     def test_hll_merge_is_register_max(self):
         import numpy as np

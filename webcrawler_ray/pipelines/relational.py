@@ -842,6 +842,114 @@ ORDER BY c_custkey
 """
 
 
+BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_params(n_keys: int) -> tuple[int, int]:
+    """(m_bits, k_hashes) for ~1% FP: m = next power of two >= 10n bits,
+    k = 7 (optimal for 10 bits/key)."""
+    m = 1 << max(10, int(np.ceil(np.log2(max(1, 10 * n_keys)))))
+    return m, 7
+
+
+def _bloom_hash_idx(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(k, n) bit indices via double hashing over a splitmix64 scramble
+    (Kirsch-Mitzenmacher: h1 + i*h2 simulates k independent hashes)."""
+    h = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = h + np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd => full-period step
+        i = np.arange(k, dtype=np.uint64)[:, None]
+        return ((h[None, :] + i * h2[None, :]) % np.uint64(m)).astype(
+            np.int64)
+
+
+def events_semijoin_bloom(ray, sf_dir: str, segment: str = BLOOM_SEGMENT):
+    """(event_id, user_id): events of customers in one market segment —
+    the SEMI-JOIN PUSHDOWN pattern for a huge fact table x small
+    dimension. Scale shape: the dimension side folds its qualifying keys
+    into constant-size bloom partials (one bit-array row per batch,
+    O(blocks) OR-merge — the HLL exchange shape), the merged filter is
+    broadcast once (~10 bits/key, 6x+ smaller than an exact key set),
+    and the fact scan drops non-members with a vectorized k-probe BEFORE
+    any exchange. The ~1% false positives are then removed exactly by a
+    distributed join of the (tiny) surviving candidates against the real
+    key table — bloom prunes the data motion, the join restores
+    exactness. The fact table itself is never shuffled."""
+    from ..stages.aggregates import join_partitions_for, normalize_for_join
+
+    cust = _rpq(ray, f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_mktsegment"])
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+    m, k = _bloom_params(n_cust)  # key count <= customer rows
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t.column("c_mktsegment"), pa.scalar(segment))
+        return t.filter(mask).select(["c_custkey"])
+
+    keys_ds = cust.map_batches(seg_keys, batch_format="pyarrow")
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        arr = np.zeros(m // 8, dtype=np.uint8)
+        kk = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        if len(kk):
+            idx = _bloom_hash_idx(kk, m, k).ravel()
+            np.bitwise_or.at(arr, idx >> 3,
+                             np.uint8(1) << (idx & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([arr.tobytes()], pa.binary())})
+
+    parts = keys_ds.map_batches(bloom_partial,
+                                batch_format="pyarrow").to_pandas()
+    bloom = np.zeros(m // 8, dtype=np.uint8)
+    for blob in parts["bits"]:  # O(blocks) constant-size partials
+        np.bitwise_or(bloom, np.frombuffer(blob, dtype=np.uint8),
+                      out=bloom)
+    bloom_ref = ray.put(bloom)
+
+    ev = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        from ..stages.fetch import _cached_get
+
+        bl = _cached_get(bloom_ref)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return t
+        idx = _bloom_hash_idx(u, m, k)
+        hit = np.ones(len(u), dtype=bool)
+        for i in range(k):
+            hit &= ((bl[idx[i] >> 3]
+                     >> (idx[i] & 7).astype(np.uint8)) & 1).astype(bool)
+        return t.filter(pa.array(hit))
+
+    candidates = ev.map_batches(probe, batch_format="pyarrow")
+
+    # exact FP removal: join the tiny candidate set against the real keys
+    keyset = normalize_for_join(
+        keys_ds.map_batches(
+            lambda t: t.rename_columns(["user_id"]),
+            batch_format="pyarrow"),
+        pa.schema([("user_id", pa.int64())])).materialize()
+    nparts = join_partitions_for(min(n_cust, keyset.count()))
+    out = candidates.join(keyset, join_type="inner", on=("user_id",),
+                          num_partitions=nparts)
+    return out.sort("event_id")
+
+
+EVENTS_SEMIJOIN_BLOOM_SQL = f"""
+SELECT event_id, user_id FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer
+                  WHERE c_mktsegment = '{BLOOM_SEGMENT}')
+ORDER BY event_id
+"""
+
+
 def events_windowed_incremental(ray, sf_dir: str, n_chunks: int = 3,
                                 state_dir: str | None = None,
                                 stop_after: int | None = None):
