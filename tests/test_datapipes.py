@@ -500,6 +500,33 @@ class TestSketches:
                      .hexdigest())[:BOTTOMK_K]
         assert sorted(got["doc_id"].tolist()) == sorted(pri)
 
+    def test_misra_gries_containment_and_lower_bounds(self, queries, ddb):
+        from collections import Counter
+
+        from webcrawler_ray.pipelines.sketches import MG_K
+        from webcrawler_ray.pipelines.textpipe import tokenize
+
+        q, _ = queries
+        got = _to_df(q["doc_top_terms_mg"](SF_DIR))
+        assert list(got.columns) == ["token", "n_min"]
+        texts = ddb.execute(
+            "SELECT text FROM documents").fetchdf()["text"]
+        exact: Counter = Counter()
+        for t in texts:
+            exact.update(tokenize(t.lower()))
+        n = sum(exact.values())
+        eps = n // (MG_K + 1) + 1
+        reported = dict(zip(got["token"], got["n_min"]))
+        for tok, c in reported.items():
+            # lower bound within the mergeable-summary error
+            assert c <= exact[tok] <= c + eps, (tok, c, exact[tok])
+        # containment: a term whose LOWER bound beats the weakest
+        # reported entry must have displaced it into the top-20
+        floor = min(reported.values())
+        for tok, c in exact.most_common(20):
+            if c - eps > floor:
+                assert tok in reported, (tok, c, eps, floor)
+
     def test_bloom_no_false_negatives_and_low_fp(self):
         import numpy as np
 

@@ -286,6 +286,8 @@ def build_queries() -> dict:
             "events_value_percentiles_tdigest":
                 lambda sf: sketches.events_value_percentiles_tdigest(
                     ray, sf),
+            "doc_top_terms_mg":
+                lambda sf: sketches.doc_top_terms_mg(ray, sf),
             "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),
             "multimodal_frames": lambda sf: multimodal.frame_samples(ray, sf),
             "multimodal_meta": multimodal_meta,

@@ -185,3 +185,70 @@ def events_value_percentiles_tdigest(ray, sf_dir: str):
         "pct": pd.Series([25, 50, 75], dtype="int64"),
         "value": pd.Series([td_quantile(m, w, p / 100.0)
                             for p in (25, 50, 75)], dtype="float64")})
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982; merge rule from
+# Agarwal et al., "Mergeable Summaries", PODS 2012).
+#
+# Scale shape: each batch emits one k-counter summary (constant size);
+# the merge concatenates summaries, sums counts per key, and subtracts
+# the (k+1)-th largest count from every survivor (the mergeable-summary
+# offset rule). Guarantee after any merge tree: every key with true
+# frequency > n/(k+1) is present, and each reported count understates
+# the true one by at most n/(k+1). The sketch path for "top terms over
+# 100 TB" where doc_top_terms' exact token exchange is not worth it.
+
+MG_K = 256  # counters per summary; error <= n/(k+1)
+
+
+def _mg_truncate(tokens: np.ndarray, counts: np.ndarray,
+                 k: int = MG_K) -> tuple[np.ndarray, np.ndarray]:
+    """Keep the top-k entries by count, subtracting the (k+1)-th count
+    (vectorized Misra-Gries decrement: equivalent to pairing each
+    dropped occurrence with k surviving ones)."""
+    if len(tokens) <= k:
+        return tokens, counts
+    order = np.argsort(counts, kind="mergesort")[::-1]
+    thresh = counts[order[k]]
+    keep = order[:k]
+    out_c = counts[keep] - thresh
+    pos = out_c > 0
+    return tokens[keep][pos], out_c[pos]
+
+
+def doc_top_terms_mg(ray, sf_dir: str, k_counters: int = MG_K,
+                     k_out: int = 20):
+    """(token, n_min): approximate top-k corpus terms via mergeable
+    Misra-Gries summaries — counts are LOWER BOUNDS within n/(k+1) of
+    the truth (rows-only: the containment + error bound are
+    property-tested against the exact doc_top_terms). One constant-size
+    summary row per batch; the driver merge touches O(blocks * k)
+    counters, never the token stream."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from .textpipe import tokenize
+
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tokenize(t.lower()))
+        toks = np.array(list(c.keys()), dtype=object)
+        cnts = np.array(list(c.values()), dtype=np.int64)
+        toks, cnts = _mg_truncate(toks, cnts, k_counters)
+        return pa.table({"token": pa.array(list(toks), pa.string()),
+                         "n": pa.array(cnts, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("token", as_index=False).agg(n=("n", "sum"))
+    toks, cnts = _mg_truncate(g["token"].to_numpy(),
+                              g["n"].to_numpy().astype(np.int64),
+                              k_counters)
+    out = pd.DataFrame({"token": toks, "n_min": cnts})
+    out = out.sort_values(["n_min", "token"],
+                          ascending=[False, True]).head(k_out)
+    return out.reset_index(drop=True)
