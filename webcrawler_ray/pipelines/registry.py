@@ -257,6 +257,8 @@ def build_queries() -> dict:
             lambda sf: relational.customers_no_events(ray, sf),
         "events_semijoin_bloom":
             lambda sf: relational.events_semijoin_bloom(ray, sf),
+        "orders_reorder_window":
+            lambda sf: relational.orders_reorder_window(ray, sf),
         "events_sessionize": lambda sf: relational.sessionize(ray, sf),
         "events_asof_order": lambda sf: relational.events_asof_order(ray, sf),
         "events_running_index": lambda sf: relational.events_running_index(ray, sf),
@@ -503,6 +505,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_value_percentiles": relational.EVENTS_PERCENTILES_SQL,
     "customers_no_events": relational.CUSTOMERS_NO_EVENTS_SQL,
     "events_semijoin_bloom": relational.EVENTS_SEMIJOIN_BLOOM_SQL,
+    "orders_reorder_window": relational.ORDERS_REORDER_SQL,
     "events_sessionize": relational.SESSIONIZE_SQL,
     "events_asof_order": relational.EVENTS_ASOF_SQL,
     "events_running_index": relational.EVENTS_RUNNING_INDEX_SQL,

@@ -950,6 +950,67 @@ ORDER BY event_id
 """
 
 
+REORDER_WINDOW_US = 30 * 24 * 3_600_000_000  # 30 days
+
+
+def orders_reorder_window(ray, sf_dir: str):
+    """(o_custkey, first_order, repeat_order): the RANGE JOIN — pairs of
+    orders by the same customer where the second falls inside a 30-day
+    window after the first (repeat-purchase detection). Ray Data has no
+    band-predicate join; the keyed-interval composition is: hash-bucket
+    ONE shuffle by the equi-key (custkey), then inside each coarse
+    bucket a vectorized self-merge on the key with the band predicate
+    applied to the merged frame. Partitioning assumption: all rows of
+    one key land in one bucket (guaranteed by the hash), and per-key
+    output is inherently quadratic in that key's in-window rows — the
+    semantics, not an implementation artifact; a hot key is bounded by
+    its own window occupancy, never by the table."""
+    from ..stages.aggregates import buckets_for
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    n_buckets = buckets_for(n_orders)
+    ds = _rpq(ray, f"{sf_dir}/orders.parquet",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("obucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "o_custkey": g["o_custkey"].astype("int64"),
+            "key": g["o_orderkey"].astype("int64"),
+            "ts": g["o_orderdate"].astype("int64")})
+        m = d.merge(d, on="o_custkey", suffixes=("_a", "_b"))
+        keep = ((m["ts_b"] >= m["ts_a"])
+                & (m["ts_b"] < m["ts_a"] + REORDER_WINDOW_US)
+                & (m["key_a"] != m["key_b"]))
+        m = m[keep]
+        return pd.DataFrame({
+            "o_custkey": m["o_custkey"].astype("int64"),
+            "first_order": m["key_a"].astype("int64"),
+            "repeat_order": m["key_b"].astype("int64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("obucket")
+              .map_groups(per_bucket, batch_format="pandas")
+              .sort(["o_custkey", "first_order", "repeat_order"]))
+
+
+ORDERS_REORDER_SQL = """
+SELECT a.o_custkey AS o_custkey, a.o_orderkey AS first_order,
+       b.o_orderkey AS repeat_order
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND b.o_orderdate >= a.o_orderdate
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+ AND a.o_orderkey <> b.o_orderkey
+ORDER BY o_custkey, first_order, repeat_order
+"""
+
+
 def events_windowed_incremental(ray, sf_dir: str, n_chunks: int = 3,
                                 state_dir: str | None = None,
                                 stop_after: int | None = None):
