@@ -166,6 +166,43 @@ class TestBucketedFlagsRoute:
             crawler.shutdown_services()
 
 
+class TestStoreBucketCountRecorded:
+    """The on-disk store records the bucket count it was built with; a
+    LATER config with a different pages_store_buckets must hash lookups
+    with the RECORDED value (else every URL silently misses)."""
+
+    def test_lookup_uses_recorded_buckets(self, ray_session, tiny_web,
+                                          tmp_path_factory):
+        import ray as _ray
+
+        import pyarrow as pa
+
+        from webcrawler_ray.config import CrawlConfig
+        from webcrawler_ray.stages.fetch import PagesStore
+
+        store_dir = str(tmp_path_factory.mktemp("storeB") / "store")
+        cfg8 = CrawlConfig(fetch_broadcast_max_bytes=0,
+                           pages_store_buckets=8, flags_bucketed=True)
+        s8 = PagesStore(tiny_web["pages"], cfg8, store_dir)
+        s8.prepare(_ray)
+        assert s8.store_buckets() == 8
+
+        # reopen the SAME layout with a different configured B
+        cfg4 = CrawlConfig(fetch_broadcast_max_bytes=0,
+                           pages_store_buckets=4, flags_bucketed=True)
+        s4 = PagesStore(tiny_web["pages"], cfg4, store_dir)
+        s4.prepare(_ray)
+        assert s4.store_buckets() == 8  # recorded, not configured
+
+        import pyarrow.dataset as pads
+
+        urls = (pads.dataset(tiny_web["pages"])
+                .to_table(columns=["url"]).column("url").to_pylist()[:50])
+        batch = pa.table({"url": pa.array(urls, pa.string())})
+        flagged = s4.add_flags_fn()(batch)
+        assert flagged.column("in_table").to_pylist() == [True] * len(urls)
+
+
 class TestWidePolitenessStage:
     """The politeness stage must provably widen: P=16 shards (4x the
     default) and cluster-derived sizing both preserve exact conformance —

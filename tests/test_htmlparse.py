@@ -129,6 +129,26 @@ class TestCharsetHook:
                 + body + b"</body>")
         assert "preße €" in decode_html(html, decoder="detect")
 
+    def test_detect_never_fails_on_malformed_bom(self):
+        from webcrawler_ray.functions.htmlparse import decode_html
+
+        # a UTF-16 BOM followed by an odd byte count / garbage: the BOM
+        # branch must fall through to the byte heuristics, not raise
+        for junk in (b"\xff\xfe<p>odd", b"\xfe\xff\x00", b"\xef\xbb\xbf\xff"):
+            out = decode_html(junk, decoder="detect")
+            assert isinstance(out, str)
+
+    def test_unknown_strategy_name_is_valueerror(self):
+        import pytest
+
+        from webcrawler_ray.functions.htmlparse import decode_html
+        from webcrawler_ray.stages.parse import ParseHtmlBatch
+
+        with pytest.raises(ValueError, match="unknown decode strategy"):
+            decode_html(b"<p>x</p>", decoder="auto")
+        with pytest.raises(ValueError, match="unknown decode strategy"):
+            ParseHtmlBatch(decode="auto")
+
     def test_detect_passes_clean_utf8_through(self):
         from webcrawler_ray.functions.htmlparse import decode_html
 
