@@ -872,9 +872,9 @@ def _bloom_hash_idx(keys: np.ndarray, m: int, k: int) -> np.ndarray:
 def events_semijoin_bloom(ray, sf_dir: str, segment: str = BLOOM_SEGMENT):
     """(event_id, user_id): events of customers in one market segment —
     the SEMI-JOIN PUSHDOWN pattern for a huge fact table x small
-    dimension. Scale shape: the dimension side folds its qualifying keys
-    into constant-size bloom partials (one bit-array row per batch,
-    O(blocks) OR-merge — the HLL exchange shape), the merged filter is
+    dimension. Scale shape: the dimension side emits its keys' bloom bit
+    indices (O(rows) per batch), the driver folds them streaming into
+    the one bitmap it must own to broadcast, and the merged filter is
     broadcast once (~10 bits/key, 6x+ smaller than an exact key set),
     and the fact scan drops non-members with a vectorized k-probe BEFORE
     any exchange. The ~1% false positives are then removed exactly by a
@@ -894,21 +894,26 @@ def events_semijoin_bloom(ray, sf_dir: str, segment: str = BLOOM_SEGMENT):
 
     keys_ds = cust.map_batches(seg_keys, batch_format="pyarrow")
 
+    # partials are the k bit INDICES per key (O(rows) bytes/batch), NOT
+    # per-batch bitmaps (O(m) bytes/batch — a multi-GB row per batch
+    # once the dimension has ~1e9 keys). The driver folds them
+    # STREAMING (iter_batches; one vectorized scatter per block, never
+    # holding the index stream) into the single bitmap it must own
+    # anyway to broadcast.
     def bloom_partial(t: pa.Table) -> pa.Table:
-        arr = np.zeros(m // 8, dtype=np.uint8)
         kk = t.column("c_custkey").to_numpy(zero_copy_only=False)
-        if len(kk):
-            idx = _bloom_hash_idx(kk, m, k).ravel()
-            np.bitwise_or.at(arr, idx >> 3,
-                             np.uint8(1) << (idx & 7).astype(np.uint8))
-        return pa.table({"bits": pa.array([arr.tobytes()], pa.binary())})
+        if len(kk) == 0:
+            return pa.table({"idx": pa.array([], pa.int64())})
+        idx = np.unique(_bloom_hash_idx(kk, m, k).ravel())
+        return pa.table({"idx": pa.array(idx, pa.int64())})
 
-    parts = keys_ds.map_batches(bloom_partial,
-                                batch_format="pyarrow").to_pandas()
     bloom = np.zeros(m // 8, dtype=np.uint8)
-    for blob in parts["bits"]:  # O(blocks) constant-size partials
-        np.bitwise_or(bloom, np.frombuffer(blob, dtype=np.uint8),
-                      out=bloom)
+    for b in keys_ds.map_batches(bloom_partial,
+                                 batch_format="pyarrow").iter_batches(
+                                     batch_format="pyarrow"):
+        idx = b.column("idx").to_numpy(zero_copy_only=False)
+        np.bitwise_or.at(bloom, idx >> 3,
+                         np.uint8(1) << (idx & 7).astype(np.uint8))
     bloom_ref = ray.put(bloom)
 
     ev = _rpq(ray, f"{sf_dir}/events.parquet",
