@@ -892,7 +892,14 @@ def events_semijoin_bloom(ray, sf_dir: str, segment: str = BLOOM_SEGMENT):
         mask = pc.equal(t.column("c_mktsegment"), pa.scalar(segment))
         return t.filter(mask).select(["c_custkey"])
 
-    keys_ds = cust.map_batches(seg_keys, batch_format="pyarrow")
+    # the dimension is scanned ONCE: the filtered keyset materializes
+    # first (it is the join's small side and must exist for exact FP
+    # removal anyway), and the bloom partials derive from it
+    keys_ds = normalize_for_join(
+        cust.map_batches(seg_keys, batch_format="pyarrow").map_batches(
+            lambda t: t.rename_columns(["user_id"]),
+            batch_format="pyarrow"),
+        pa.schema([("user_id", pa.int64())])).materialize()
 
     # partials are the k bit INDICES per key (O(rows) bytes/batch), NOT
     # per-batch bitmaps (O(m) bytes/batch — a multi-GB row per batch
@@ -901,7 +908,7 @@ def events_semijoin_bloom(ray, sf_dir: str, segment: str = BLOOM_SEGMENT):
     # holding the index stream) into the single bitmap it must own
     # anyway to broadcast.
     def bloom_partial(t: pa.Table) -> pa.Table:
-        kk = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        kk = t.column("user_id").to_numpy(zero_copy_only=False)
         if len(kk) == 0:
             return pa.table({"idx": pa.array([], pa.int64())})
         idx = np.unique(_bloom_hash_idx(kk, m, k).ravel())
@@ -936,13 +943,8 @@ def events_semijoin_bloom(ray, sf_dir: str, segment: str = BLOOM_SEGMENT):
     candidates = ev.map_batches(probe, batch_format="pyarrow")
 
     # exact FP removal: join the tiny candidate set against the real keys
-    keyset = normalize_for_join(
-        keys_ds.map_batches(
-            lambda t: t.rename_columns(["user_id"]),
-            batch_format="pyarrow"),
-        pa.schema([("user_id", pa.int64())])).materialize()
-    nparts = join_partitions_for(min(n_cust, keyset.count()))
-    out = candidates.join(keyset, join_type="inner", on=("user_id",),
+    nparts = join_partitions_for(min(n_cust, keys_ds.count()))
+    out = candidates.join(keys_ds, join_type="inner", on=("user_id",),
                           num_partitions=nparts)
     return out.sort("event_id")
 
@@ -964,12 +966,14 @@ def orders_reorder_window(ray, sf_dir: str):
     window after the first (repeat-purchase detection). Ray Data has no
     band-predicate join; the keyed-interval composition is: hash-bucket
     ONE shuffle by the equi-key (custkey), then inside each coarse
-    bucket a vectorized self-merge on the key with the band predicate
-    applied to the merged frame. Partitioning assumption: all rows of
-    one key land in one bucket (guaranteed by the hash), and per-key
-    output is inherently quadratic in that key's in-window rows — the
-    semantics, not an implementation artifact; a hot key is bounded by
-    its own window occupancy, never by the table."""
+    bucket a vectorized sorted-window walk: rows sort by (key, ts), each
+    row's partners are the CONTIGUOUS run of same-key rows inside its
+    band, found by searchsorted over a monotone (key-rank, relative-ts)
+    composite, and expanded with one ragged-range gather. Partitioning
+    assumption: all rows of one key land in one bucket (guaranteed by
+    the hash). The intermediate is O(output), i.e. bounded by each key's
+    actual window occupancy — never the per-key cross product a naive
+    self-merge would materialize before filtering."""
     from ..stages.aggregates import buckets_for
 
     n_orders = _nrows(f"{sf_dir}/orders.parquet")
@@ -981,22 +985,61 @@ def orders_reorder_window(ray, sf_dir: str):
         u = t.column("o_custkey").to_numpy(zero_copy_only=False)
         b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
              % np.uint64(n_buckets)).astype(np.int64)
+        # explicit us cast HERE (arrow side): a pandas .astype('int64')
+        # on a datetime column is unit-dependent across pandas/pyarrow
+        # versions — the as-of join (events_asof_order) pins the same way
+        t = t.set_column(t.schema.get_field_index("o_orderdate"), "ts_us",
+                         t.column("o_orderdate").cast(pa.int64()))
         return t.append_column("obucket", pa.array(b, pa.int64()))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        d = pd.DataFrame({
-            "o_custkey": g["o_custkey"].astype("int64"),
-            "key": g["o_orderkey"].astype("int64"),
-            "ts": g["o_orderdate"].astype("int64")})
-        m = d.merge(d, on="o_custkey", suffixes=("_a", "_b"))
-        keep = ((m["ts_b"] >= m["ts_a"])
-                & (m["ts_b"] < m["ts_a"] + REORDER_WINDOW_US)
-                & (m["key_a"] != m["key_b"]))
-        m = m[keep]
+        empty = pd.DataFrame({
+            "o_custkey": pd.Series([], dtype="int64"),
+            "first_order": pd.Series([], dtype="int64"),
+            "repeat_order": pd.Series([], dtype="int64")})
+        if len(g) == 0:
+            return empty
+        cust = g["o_custkey"].to_numpy().astype(np.int64)
+        key = g["o_orderkey"].to_numpy().astype(np.int64)
+        ts = g["ts_us"].to_numpy().astype(np.int64)
+        order = np.lexsort((ts, cust))
+        cust, key, ts = cust[order], key[order], ts[order]
+        # monotone composite: per-key dense rank * STRIDE + ts relative
+        # to the key segment's first ts. Within a key the composite is
+        # its sorted relative ts; across keys the rank jumps by STRIDE >
+        # any relative ts + window, so a band probe never crosses keys.
+        seg_first = np.flatnonzero(np.diff(cust, prepend=cust[0] - 1))
+        rank = np.cumsum(np.diff(cust, prepend=cust[0] - 1) != 0) - 1
+        rel = ts - ts[np.repeat(seg_first, np.diff(
+            np.append(seg_first, len(cust))))]
+        stride = int(rel.max()) + REORDER_WINDOW_US + 1
+        if (len(seg_first)) * stride >= np.iinfo(np.int64).max // 2:
+            # composite would overflow (astronomical spans): per-segment
+            # searchsorted fallback, python cost per KEY, not per row
+            lo = np.empty(len(cust), dtype=np.int64)
+            hi = np.empty(len(cust), dtype=np.int64)
+            bounds = np.append(seg_first, len(cust))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e], "left")
+                hi[s:e] = s + np.searchsorted(
+                    ts[s:e], ts[s:e] + REORDER_WINDOW_US, "left")
+        else:
+            comp = rank * stride + rel
+            lo = np.searchsorted(comp, comp, "left")
+            hi = np.searchsorted(comp, comp + REORDER_WINDOW_US, "left")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        i_rep = np.repeat(np.arange(len(cust)), cnt)
+        j = (np.repeat(lo, cnt)
+             + np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        keep = j != i_rep  # distinct orders (o_orderkey unique per row)
+        i_rep, j = i_rep[keep], j[keep]
         return pd.DataFrame({
-            "o_custkey": m["o_custkey"].astype("int64"),
-            "first_order": m["key_a"].astype("int64"),
-            "repeat_order": m["key_b"].astype("int64")})
+            "o_custkey": pd.Series(cust[i_rep], dtype="int64"),
+            "first_order": pd.Series(key[i_rep], dtype="int64"),
+            "repeat_order": pd.Series(key[j], dtype="int64")})
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
               .groupby("obucket")

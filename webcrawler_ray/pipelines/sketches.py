@@ -176,7 +176,6 @@ def events_value_percentiles_tdigest(ray, sf_dir: str):
     ds = _rpq(ray, f"{sf_dir}/events.parquet", columns=["value"])
     parts = ds.map_batches(_td_partial_fn("value"),
                            batch_format="pyarrow").to_pandas()
-    parts = parts[parts["means"].map(len) > 0]
     if len(parts) == 0:
         return pd.DataFrame({"pct": pd.Series([], dtype="int64"),
                              "value": pd.Series([], dtype="float64")})

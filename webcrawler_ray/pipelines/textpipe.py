@@ -266,6 +266,14 @@ ORDER BY doc_id
 BOTTOMK_K = 100
 
 
+def _md5_priorities(ids) -> list[str]:
+    """The ONE spelling of the hash-priority used by every sampling
+    operator: md5 hex of the DECIMAL doc id — chosen because DuckDB's
+    ``md5(CAST(doc_id AS VARCHAR))`` computes the identical string, so
+    each sampler's oracle shares it verbatim."""
+    return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+
+
 def docs_sample_bottomk(ray, sf_dir: str, k: int = BOTTOMK_K):
     """(doc_id, n_chars): EXACT-k uniform sample without replacement via
     bottom-k by hash priority (md5 of the decimal doc_id — SQL-sharable,
@@ -277,13 +285,11 @@ def docs_sample_bottomk(ray, sf_dir: str, k: int = BOTTOMK_K):
     O(blocks * k) surviving candidates — the full corpus never moves.
     (The kept priorities also form the classic bottom-k sketch: the
     k-th smallest priority estimates the distinct count as (k-1)/h_k.)"""
-    import hashlib as _h
-
     ds = _docs(ray, sf_dir, ["doc_id", "n_chars"])
 
     def local_bottomk(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        pri = np.array([_h.md5(str(i).encode()).hexdigest() for i in ids])
+        pri = np.array(_md5_priorities(ids))
         keep = np.argsort(pri, kind="mergesort")[:k]
         t = batch.take(pa.array(keep, pa.int64()))
         return t.append_column("pri", pa.array(pri[keep], pa.string()))
@@ -316,8 +322,6 @@ def docs_per_source_cap(ray, sf_dir: str, k: int = SOURCE_CAP_K):
     per-source bottom-k can never be in the global one), so the shuffle
     moves <= k rows per source per batch; the bucketed merge then does
     one vectorized sort + groupby-head per coarse source bucket."""
-    import hashlib as _h
-
     from ..io_utils import parquet_num_rows
     from ..stages.aggregates import buckets_for
     from ..functions.urls import stable_hash64_batch
@@ -328,7 +332,7 @@ def docs_per_source_cap(ray, sf_dir: str, k: int = SOURCE_CAP_K):
 
     def local_prune(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        pri = [_h.md5(str(i).encode()).hexdigest() for i in ids]
+        pri = _md5_priorities(ids)
         df = pd.DataFrame({"doc_id": batch.column("doc_id").to_numpy(
                                zero_copy_only=False).astype("int64"),
                            "source": batch.column("source").to_pylist(),
