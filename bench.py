@@ -45,7 +45,7 @@ QUERY_NAMES = [
     "knn_ivf", "knn_lsh", "emb_label_sums", "multimodal_decode",
     "multimodal_resize", "docs_sample_bottomk", "docs_per_source_cap",
     "events_value_percentiles_tdigest", "events_semijoin_bloom",
-    "doc_top_terms_mg", "orders_reorder_window",
+    "doc_top_terms_mg", "orders_reorder_window", "emb_kmeans",
 ]
 
 

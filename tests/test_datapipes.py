@@ -501,6 +501,42 @@ class TestSketches:
                      .hexdigest())[:BOTTOMK_K]
         assert sorted(got["doc_id"].tolist()) == sorted(pri)
 
+    def test_distributed_kmeans_matches_local_reference(self, queries,
+                                                        ddb):
+        """The int64-quantized partial sums make every iteration
+        order-independent, so the distributed run must equal a
+        single-process numpy Lloyd's EXACTLY (same init, same rounds)."""
+        import numpy as np
+
+        from webcrawler_ray.pipelines.similarity import (
+            Q_SCALE,
+            _normalize,
+        )
+
+        q, _ = queries
+        got = _to_df(q["emb_kmeans"](SF_DIR))
+        emb = ddb.execute(
+            "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+        ).fetchdf()
+        x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        k, iters = 8, 5
+        c = _normalize(x[:k])
+        for _ in range(iters):
+            assign = np.argmax(_normalize(x) @ c.T, axis=1)
+            qx = np.floor(x * Q_SCALE).astype(np.int64)
+            new = c.copy()
+            for j in range(k):
+                m = assign == j
+                if m.any():
+                    new[j] = _normalize(
+                        (qx[m].sum(axis=0, dtype=np.int64)
+                         / (m.sum() * Q_SCALE))[None, :])[0]
+            c = new
+        want = np.argmax(_normalize(x) @ c.T, axis=1)
+        assert (got.sort_values("vec_id")["cluster"].to_numpy()
+                == want).all()
+        assert len(np.unique(want)) > 1  # non-degenerate clustering
+
     def test_range_join_window_walk_matches_bruteforce(self, queries):
         """Adversarial in-bucket check: hot key with dense duplicate
         timestamps — the searchsorted walk must equal the naive

@@ -281,6 +281,7 @@ def build_queries() -> dict:
             "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
             "knn_lsh": lambda sf: similarity.knn_lsh(ray, sf),
             "emb_label_sums": lambda sf: similarity.emb_label_sums(ray, sf),
+            "emb_kmeans": lambda sf: similarity.emb_kmeans(ray, sf),
             "events_distinct_users_hll":
                 lambda sf: sketches.events_distinct_users_hll(ray, sf),
             "docs_distinct_texts_hll":

@@ -494,3 +494,96 @@ SELECT CAST(label AS BIGINT) AS label, i AS dim,
 FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
 GROUP BY label, i ORDER BY label, dim
 """
+
+
+# ---------------------------------------------------------------------------
+def emb_kmeans(ray, sf_dir: str, k: int = 8, iters: int = 5):
+    """(vec_id, cluster): FULLY DISTRIBUTED Lloyd's k-means over the
+    embedding table (cosine metric, unit-normalized). Unlike knn_ivf's
+    bounded driver-sample trainer, every iteration streams the whole
+    table: centroids broadcast once per round (ray.put, k x dim floats),
+    each batch emits one constant-size partial row per touched cluster
+    (int64-QUANTIZED partial sums + counts — exact and order-independent,
+    the emb_label_sums trick, so the result is bit-reproducible whatever
+    the batch/block split), and the driver folds O(blocks * k) partials
+    streaming into the next centroid set. State is k x dim regardless of
+    input size; passes are O(iters) streamed re-reads — the 100-TB
+    clustering shape. Init = vec_id 0..k-1 (deterministic).
+
+    rows-only: no SQL can express the iteration; instead the property
+    test asserts EXACT equality with a single-process numpy reference
+    (possible only because the quantized sums are order-independent)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = _rpq(ray, path, columns=["vec_id", "embedding"])
+
+    def batch_mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        col = batch.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // max(len(ids), 1)
+        return ids, flat.astype(np.float64).reshape(len(ids), dim)
+
+    # deterministic init: the k lowest vec_ids (one tiny filtered read)
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc_
+
+    seed_t = pads.dataset(path).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc_.field("vec_id") < k).sort_by("vec_id")
+    seed_flat = seed_t.column("embedding").combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(seed_flat) // max(seed_t.num_rows, 1)
+    cents = _normalize(seed_flat.reshape(seed_t.num_rows, dim))
+    k = len(cents)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table, cref=cref) -> pa.Table:
+            from ..stages.fetch import _cached_get
+
+            c = _cached_get(cref)
+            _, x = batch_mat(batch)
+            xn = _normalize(x)
+            assign = np.argmax(xn @ c.T, axis=1)
+            q = np.floor(x * Q_SCALE).astype(np.int64)
+            out_c, out_s, out_n = [], [], []
+            for j in np.unique(assign):
+                rows = q[assign == j]
+                out_c.append(int(j))
+                out_s.append(rows.sum(axis=0, dtype=np.int64).tobytes())
+                out_n.append(rows.shape[0])
+            return pa.table({"cluster": pa.array(out_c, pa.int64()),
+                             "qsum": pa.array(out_s, pa.binary()),
+                             "n": pa.array(out_n, pa.int64())})
+
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+            cl = b.column("cluster").to_numpy(zero_copy_only=False)
+            ns = b.column("n").to_numpy(zero_copy_only=False)
+            for row, j in enumerate(cl):  # O(k) rows per block
+                sums[j] += np.frombuffer(b.column("qsum")[row].as_py(),
+                                         dtype=np.int64)
+            np.add.at(counts, cl, ns)
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = _normalize(sums[nz].astype(np.float64)
+                             / (counts[nz, None] * Q_SCALE))
+        cents = new
+
+    cref = ray.put(cents)
+
+    def final_assign(batch: pa.Table, cref=cref) -> pa.Table:
+        from ..stages.fetch import _cached_get
+
+        c = _cached_get(cref)
+        ids, x = batch_mat(batch)
+        assign = np.argmax(_normalize(x) @ c.T, axis=1)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(assign.astype(np.int64),
+                                             pa.int64())})
+
+    return ds.map_batches(final_assign,
+                          batch_format="pyarrow").sort("vec_id")
