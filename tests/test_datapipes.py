@@ -52,7 +52,7 @@ SQL_CHECKED = [
     "customers_no_events", "events_windowed_incremental", "frames_meta",
     "docs_quality_filter", "dedup_filtered_corpus",
     "docs_sample_bottomk", "docs_per_source_cap", "events_semijoin_bloom",
-    "orders_reorder_window",
+    "orders_reorder_window", "events_distinct_users_exact",
 ]
 
 

@@ -291,6 +291,8 @@ def build_queries() -> dict:
                     ray, sf),
             "doc_top_terms_mg":
                 lambda sf: sketches.doc_top_terms_mg(ray, sf),
+            "events_distinct_users_exact":
+                lambda sf: sketches.events_distinct_users_exact(ray, sf),
             "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),
             "multimodal_frames": lambda sf: multimodal.frame_samples(ray, sf),
             "multimodal_meta": multimodal_meta,
@@ -537,6 +539,14 @@ try:
     ORACLE_SQL["dedup_filtered_corpus"] = _dedup.DEDUP_FILTERED_SQL
 except ImportError:
     ORACLE_SQL.pop("dedup_filtered_corpus", None)
+
+try:
+    from . import sketches as _sk
+
+    ORACLE_SQL["events_distinct_users_exact"] = \
+        _sk.EVENTS_DISTINCT_EXACT_SQL
+except ImportError:
+    pass
 
 
 def crawl_round_stats(sf_dir: str):

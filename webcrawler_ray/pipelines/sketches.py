@@ -251,3 +251,31 @@ def doc_top_terms_mg(ray, sf_dir: str, k_counters: int = MG_K,
     out = out.sort_values(["n_min", "token"],
                           ascending=[False, True]).head(k_out)
     return out.reset_index(drop=True)
+
+
+def events_distinct_users_exact(ray, sf_dir: str):
+    """(n_distinct): EXACT distributed COUNT DISTINCT — per-batch local
+    dedup (the combiner: one row per distinct key per batch leaves the
+    scan), bucketed distributed distinct, O(blocks) count fold. The
+    exact companion the HLL sketch above trades against: this one
+    shuffles one row per distinct key; the sketch shuffles kilobytes.
+    Value-checked against DuckDB's COUNT(DISTINCT ...)."""
+    import pandas as pd
+
+    from ..stages.aggregates import hash_bucket_aggregate
+    from ..io_utils import parquet_num_rows
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet", columns=["user_id"])
+    distinct = hash_bucket_aggregate(
+        ds.map_batches(lambda df: df.drop_duplicates(["user_id"]),
+                       batch_format="pandas"),
+        ["user_id"],
+        lambda df: df.drop_duplicates(["user_id"]),
+        n_rows=parquet_num_rows(f"{sf_dir}/events.parquet"))
+    return pd.DataFrame({"n_distinct": pd.Series([distinct.count()],
+                                                 dtype="int64")})
+
+
+EVENTS_DISTINCT_EXACT_SQL = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events
+"""
