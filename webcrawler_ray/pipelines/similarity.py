@@ -542,6 +542,10 @@ def emb_kmeans(ray, sf_dir: str, k: int = 8, iters: int = 5):
         def partial(batch: pa.Table, cref=cref) -> pa.Table:
             from ..stages.fetch import _cached_get
 
+            if batch.num_rows == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "qsum": pa.array([], pa.binary()),
+                                 "n": pa.array([], pa.int64())})
             c = _cached_get(cref)
             _, x = batch_mat(batch)
             xn = _normalize(x)
@@ -578,6 +582,9 @@ def emb_kmeans(ray, sf_dir: str, k: int = 8, iters: int = 5):
     def final_assign(batch: pa.Table, cref=cref) -> pa.Table:
         from ..stages.fetch import _cached_get
 
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
         c = _cached_get(cref)
         ids, x = batch_mat(batch)
         assign = np.argmax(_normalize(x) @ c.T, axis=1)
