@@ -808,18 +808,13 @@ def customers_no_events(ray, sf_dir: str):
     hash-partitions both sides; the events side is first reduced to its
     distinct user ids by a bucketed aggregate so the exchange moves one
     row per active user, not one per event)."""
-    from ..stages.aggregates import hash_bucket_aggregate, join_partitions_for
+    from ..stages.aggregates import distinct_keys, join_partitions_for
 
     n_cust = _nrows(f"{sf_dir}/customer.parquet")
     cust = _rpq(ray, f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     ev = _rpq(ray, f"{sf_dir}/events.parquet", columns=["user_id"])
-    active = hash_bucket_aggregate(
-        ev.map_batches(
-            lambda df: df.drop_duplicates(["user_id"]),
-            batch_format="pandas"),
-        ["user_id"],
-        lambda df: df.drop_duplicates(["user_id"]),
-        n_rows=n_cust)  # distinct users <= customer keyspace
+    # distinct users <= customer keyspace
+    active = distinct_keys(ev, "user_id", n_rows=n_cust)
     active = active.map_batches(
         lambda t: t.select(["user_id"]).rename_columns(["c_custkey"]),
         batch_format="pyarrow").materialize()
@@ -1020,9 +1015,11 @@ def orders_reorder_window(ray, sf_dir: str):
             hi = np.empty(len(cust), dtype=np.int64)
             bounds = np.append(seg_first, len(cust))
             for s, e in zip(bounds[:-1], bounds[1:]):
-                lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e], "left")
+                # probe with SEGMENT-RELATIVE ts: rel >= 0, so rel + W
+                # cannot wrap even when absolute ts sits near int64 max
+                lo[s:e] = s + np.searchsorted(rel[s:e], rel[s:e], "left")
                 hi[s:e] = s + np.searchsorted(
-                    ts[s:e], ts[s:e] + REORDER_WINDOW_US, "left")
+                    rel[s:e], rel[s:e] + REORDER_WINDOW_US, "left")
         else:
             comp = rank * stride + rel
             lo = np.searchsorted(comp, comp, "left")
@@ -1034,7 +1031,9 @@ def orders_reorder_window(ray, sf_dir: str):
         i_rep = np.repeat(np.arange(len(cust)), cnt)
         j = (np.repeat(lo, cnt)
              + np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt))
-        keep = j != i_rep  # distinct orders (o_orderkey unique per row)
+        # key-based distinctness, matching the oracle's a.key <> b.key
+        # exactly even if the input ever carries duplicate order keys
+        keep = key[j] != key[i_rep]
         i_rep, j = i_rep[keep], j[keep]
         return pd.DataFrame({
             "o_custkey": pd.Series(cust[i_rep], dtype="int64"),

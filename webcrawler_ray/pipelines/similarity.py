@@ -503,38 +503,41 @@ def emb_kmeans(ray, sf_dir: str, k: int = 8, iters: int = 5):
     bounded driver-sample trainer, every iteration streams the whole
     table: centroids broadcast once per round (ray.put, k x dim floats),
     each batch emits one constant-size partial row per touched cluster
-    (int64-QUANTIZED partial sums + counts — exact and order-independent,
-    the emb_label_sums trick, so the result is bit-reproducible whatever
-    the batch/block split), and the driver folds O(blocks * k) partials
-    streaming into the next centroid set. State is k x dim regardless of
-    input size; passes are O(iters) streamed re-reads — the 100-TB
-    clustering shape. Init = vec_id 0..k-1 (deterministic).
+    (int64-QUANTIZED partial sums + counts — the emb_label_sums trick:
+    centroid SUMS are exact and order-independent whatever the
+    batch/block split; the per-point argmax remains float and could in
+    principle flip on an exact tie under a different BLAS kernel, the
+    one caveat to full bit-reproducibility), and the driver folds
+    O(blocks * k) partials streaming into the next centroid set. State
+    is k x dim regardless of input size; passes are O(iters) streamed
+    re-reads — the 100-TB clustering shape. Init = the k lowest vec_ids
+    (deterministic).
 
     rows-only: no SQL can express the iteration; instead the property
     test asserts EXACT equality with a single-process numpy reference
-    (possible only because the quantized sums are order-independent)."""
+    (possible because the quantized sums are order-independent)."""
+    import pandas as pd
+
     path = f"{sf_dir}/embeddings.parquet"
     ds = _rpq(ray, path, columns=["vec_id", "embedding"])
+    batch_mat = _emb_matrix  # shared id/flatten/reshape decode
 
-    def batch_mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        col = batch.column("embedding").combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False)
-        dim = len(flat) // max(len(ids), 1)
-        return ids, flat.astype(np.float64).reshape(len(ids), dim)
+    # deterministic init: the k lowest vec_ids. _load_queries' vec_id<k
+    # filter covers the standard 0-based table; a table whose ids start
+    # elsewhere falls back to the first k rows in file order.
+    _, cents = _load_queries(ray, sf_dir, k)
+    if len(cents) == 0:
+        import pyarrow.dataset as pads
 
-    # deterministic init: the k lowest vec_ids (one tiny filtered read)
-    import pyarrow.dataset as pads
-    import pyarrow.compute as pc_
-
-    seed_t = pads.dataset(path).to_table(
-        columns=["vec_id", "embedding"],
-        filter=pc_.field("vec_id") < k).sort_by("vec_id")
-    seed_flat = seed_t.column("embedding").combine_chunks().flatten() \
-        .to_numpy(zero_copy_only=False).astype(np.float64)
-    dim = len(seed_flat) // max(seed_t.num_rows, 1)
-    cents = _normalize(seed_flat.reshape(seed_t.num_rows, dim))
+        head = pads.dataset(path).head(k, columns=["vec_id", "embedding"])
+        if head.num_rows == 0:  # empty table: empty result, no crash
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "cluster": pd.Series([], dtype="int64")})
+        _, m0 = _emb_matrix(head)
+        cents = _normalize(m0)
     k = len(cents)
+    dim = cents.shape[1]
 
     for _ in range(iters):
         cref = ray.put(cents)

@@ -262,16 +262,15 @@ def events_distinct_users_exact(ray, sf_dir: str):
     Value-checked against DuckDB's COUNT(DISTINCT ...)."""
     import pandas as pd
 
-    from ..stages.aggregates import hash_bucket_aggregate
+    from ..stages.aggregates import distinct_keys
     from ..io_utils import parquet_num_rows
 
     ds = _rpq(ray, f"{sf_dir}/events.parquet", columns=["user_id"])
-    distinct = hash_bucket_aggregate(
-        ds.map_batches(lambda df: df.drop_duplicates(["user_id"]),
-                       batch_format="pandas"),
-        ["user_id"],
-        lambda df: df.drop_duplicates(["user_id"]),
-        n_rows=parquet_num_rows(f"{sf_dir}/events.parquet"))
+    # tightest cheap distinct bound: user ids come from the customer
+    # keyspace, so the dimension's footer count beats the event count
+    bound = min(parquet_num_rows(f"{sf_dir}/events.parquet"),
+                parquet_num_rows(f"{sf_dir}/customer.parquet"))
+    distinct = distinct_keys(ds, "user_id", n_rows=bound)
     return pd.DataFrame({"n_distinct": pd.Series([distinct.count()],
                                                  dtype="int64")})
 

@@ -134,6 +134,21 @@ def join_partitions_for(n_rows: int, cap: int = 2048,
     return max(1, min(cap, n_rows // rows_per_partition))
 
 
+def distinct_keys(ds, col: str, n_rows: int | None = None):
+    """Distributed DISTINCT over one column: per-batch dedup combiner
+    (one row per distinct key per batch leaves the scan) + bucketed
+    distinct merge. ``n_rows`` should be the tightest cheap bound on the
+    DISTINCT key count (e.g. the referenced dimension's footer row
+    count), not the scanned table's total rows."""
+
+    def _dd(df):
+        return df.drop_duplicates([col])
+
+    return hash_bucket_aggregate(
+        ds.map_batches(_dd, batch_format="pandas"),
+        [col], _dd, n_rows=n_rows)
+
+
 def normalize_for_join(ds, schema: pa.Schema, num_blocks: int = 8):
     """Coerce every block of ``ds`` to exactly ``schema`` and rebalance.
 
