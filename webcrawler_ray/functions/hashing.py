@@ -178,6 +178,76 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return out
 
 
+_SLAB = 2048  # shingle columns per slab: the (n_perm x _SLAB) temporary
+#               stays ~2 MB (cache-resident) — one BIG (n_perm x
+#               batch-shingles) temporary measured 250x slower than
+#               slab-sized ones (same reason minhash_signature chunks)
+
+
+def minhash_signatures_batch(sh_rows: list, a: np.ndarray,
+                             b: np.ndarray) -> np.ndarray:
+    """(n_docs, n_perm) uint64 signatures for a BATCH of per-doc shingle
+    arrays — value-identical to calling ``minhash_signature`` per doc,
+    but the permute-and-min runs over doc-group SLABS of the
+    concatenated shingles with ``np.minimum.reduceat`` at segment starts
+    (one python iteration per ~2048 shingles, not per doc). Empty
+    shingle sets get the same all-max sentinel row."""
+    n = len(sh_rows)
+    nperm = len(a)
+    sig = np.full((n, nperm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    lens = np.array([len(s) for s in sh_rows], dtype=np.int64)
+    nz = np.flatnonzero(lens > 0)
+    if len(nz) == 0:
+        return sig
+    S = np.concatenate([sh_rows[i] for i in nz])
+    zlens = lens[nz]
+    starts = np.cumsum(zlens) - zlens
+    # slab boundaries on DOC edges: greedy fill to ~_SLAB shingles
+    cum = np.cumsum(zlens)
+    edges = [0]
+    target = _SLAB
+    for i_doc in range(len(nz)):
+        if cum[i_doc] >= target:
+            edges.append(i_doc + 1)
+            target = cum[i_doc] + _SLAB
+    if edges[-1] != len(nz):
+        edges.append(len(nz))
+    ac, bc = a[:, None], b[:, None]
+    with np.errstate(over="ignore"):
+        for i, j in zip(edges[:-1], edges[1:]):
+            pos = starts[i]
+            slab = S[pos:cum[j - 1]]
+            vals = ac * slab[None, :] + bc
+            sig[nz[i:j], :] = np.minimum.reduceat(
+                vals, starts[i:j] - pos, axis=1).T
+    return sig
+
+
+def band_hashes_batch(sig: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n_docs, n_bands) int64 band hashes from a (n_docs, n_perm)
+    signature matrix: each band's rows fold with the FNV polynomial and
+    a splitmix64 finalizer (vectorized over the batch — the per-doc
+    blake2b-per-band loop this replaces cost more than the minhash
+    itself). Identical signature segments collide under any
+    deterministic hash, which is the only property banding needs."""
+    n, nperm = sig.shape
+    rpb = nperm // n_bands
+    out = np.zeros((n, n_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for bi in range(n_bands):
+            acc = np.zeros(n, dtype=np.uint64)
+            for r in range(rpb):
+                acc = acc * _POLY + sig[:, bi * rpb + r]
+            acc += np.uint64(0x9E3779B97F4A7C15)
+            acc ^= acc >> np.uint64(30)
+            acc *= np.uint64(0xBF58476D1CE4E5B9)
+            acc ^= acc >> np.uint64(27)
+            acc *= np.uint64(0x94D049BB133111EB)
+            acc ^= acc >> np.uint64(31)
+            out[:, bi] = acc
+    return (out % np.uint64(1 << 63)).astype(np.int64)
+
+
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     if len(a) == 0 and len(b) == 0:
         return 1.0

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from ..io_utils import read_parquet_clean as _rpq
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -30,7 +29,6 @@ from ..functions.hashing import (
     TokenHashCache,
     jaccard,
     minhash_perm_params as _perm_params,
-    minhash_signature,
     shingle_hashes_from_token_hashes as _sh_from_th,
 )
 
@@ -156,19 +154,25 @@ def _lsh_candidate_pairs(ray, sf_dir: str, sh_ds=None):
         sh_ds = _shingle_table(ray, sf_dir)
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        out_doc, out_band, out_hash = [], [], []
-        for d, sh in zip(doc_ids, _sh_rows(batch.column("sh"))):
-            sig = minhash_signature(sh, a, b)
-            for bi in range(N_BANDS):
-                seg = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
-                h = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
-                out_doc.append(d)
-                out_band.append(bi)
-                out_hash.append(int.from_bytes(h, "big") % (1 << 63))
-        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
-                         "band_id": pa.array(out_band, pa.int32()),
-                         "band_hash": pa.array(out_hash, pa.int64())})
+        from ..functions.hashing import (
+            band_hashes_batch,
+            minhash_signatures_batch,
+        )
+
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(),
+                             dtype=np.int64)
+        n = len(doc_ids)
+        # batched segmented-min signatures + vectorized band fold (the
+        # per-doc blake2b-per-band loop this replaces spent more time in
+        # 16n hash calls and 3x16n list appends than in the minhash)
+        sig = minhash_signatures_batch(
+            list(_sh_rows(batch.column("sh"))), a, b)
+        bh = band_hashes_batch(sig, N_BANDS)  # (n, N_BANDS) int64
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids, N_BANDS), pa.int64()),
+            "band_id": pa.array(np.tile(
+                np.arange(N_BANDS, dtype=np.int32), n), pa.int32()),
+            "band_hash": pa.array(bh.ravel(), pa.int64())})
 
     bands = sh_ds.map_batches(to_bands, batch_format="pyarrow",
                               batch_size=512)
