@@ -145,7 +145,6 @@ def _lsh_candidate_pairs(ray, sf_dir: str, sh_ds=None):
     from ..stages.aggregates import buckets_for, hash_bucket_aggregate
 
     a, b = _perm_params()
-    rows_per_band = N_PERM // N_BANDS
     # coarse-bucket fan-out sized from the banded row count (N_BANDS rows
     # per doc), not a constant — one map_groups task holds ~one bucket
     n_cbuckets = buckets_for(N_BANDS * _nrows(f"{sf_dir}/documents.parquet"))
