@@ -178,48 +178,22 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return out
 
 
-_SLAB = 2048  # shingle columns per slab: the (n_perm x _SLAB) temporary
-#               stays ~2 MB (cache-resident) — one BIG (n_perm x
-#               batch-shingles) temporary measured 250x slower than
-#               slab-sized ones (same reason minhash_signature chunks)
-
-
 def minhash_signatures_batch(sh_rows: list, a: np.ndarray,
                              b: np.ndarray) -> np.ndarray:
-    """(n_docs, n_perm) uint64 signatures for a BATCH of per-doc shingle
-    arrays — value-identical to calling ``minhash_signature`` per doc,
-    but the permute-and-min runs over doc-group SLABS of the
-    concatenated shingles with ``np.minimum.reduceat`` at segment starts
-    (one python iteration per ~2048 shingles, not per doc). Empty
-    shingle sets get the same all-max sentinel row."""
+    """(n_docs, n_perm) uint64 signature matrix for a batch of per-doc
+    shingle arrays. Internally per-doc ``minhash_signature`` calls: the
+    cache-chunked kernel is already compute-bound (128 x n_shingles
+    multiplies dwarf the python call overhead), and the measured
+    alternatives lost — a whole-batch (n_perm x total_shingles)
+    broadcast ran ~250x slower than chunks (huge temporaries), and a
+    reduceat-over-doc-slabs variant was ~1.5x slower than this loop at
+    every doc size tried. The batch API exists for the BAND layer:
+    callers get one matrix to feed ``band_hashes_batch`` (where the
+    vectorization does pay) without re-deriving row layout."""
     n = len(sh_rows)
-    nperm = len(a)
-    sig = np.full((n, nperm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    lens = np.array([len(s) for s in sh_rows], dtype=np.int64)
-    nz = np.flatnonzero(lens > 0)
-    if len(nz) == 0:
-        return sig
-    S = np.concatenate([sh_rows[i] for i in nz])
-    zlens = lens[nz]
-    starts = np.cumsum(zlens) - zlens
-    # slab boundaries on DOC edges: greedy fill to ~_SLAB shingles
-    cum = np.cumsum(zlens)
-    edges = [0]
-    target = _SLAB
-    for i_doc in range(len(nz)):
-        if cum[i_doc] >= target:
-            edges.append(i_doc + 1)
-            target = cum[i_doc] + _SLAB
-    if edges[-1] != len(nz):
-        edges.append(len(nz))
-    ac, bc = a[:, None], b[:, None]
-    with np.errstate(over="ignore"):
-        for i, j in zip(edges[:-1], edges[1:]):
-            pos = starts[i]
-            slab = S[pos:cum[j - 1]]
-            vals = ac * slab[None, :] + bc
-            sig[nz[i:j], :] = np.minimum.reduceat(
-                vals, starts[i:j] - pos, axis=1).T
+    sig = np.empty((n, len(a)), dtype=np.uint64)
+    for i in range(n):
+        sig[i] = minhash_signature(sh_rows[i], a, b)
     return sig
 
 

@@ -82,13 +82,12 @@ class ParseHtmlBatch:
 
     def _enrich(self, out: pa.Table, texts: np.ndarray) -> pa.Table:
         from ..functions.hashing import (
-            minhash_signature,
+            minhash_signatures_batch,
             shingle_hashes_from_token_hashes,
             simhash64_batch,
         )
 
         n = len(texts)
-        mh = np.empty(n, dtype=np.int64)
         # ONE memoized blake2b pass over the whole batch feeds simhash AND
         # the shingle minhash (values identical to per-doc hash_tokens);
         # simhash reduces batch-wide over the factorized form
@@ -99,11 +98,16 @@ class ParseHtmlBatch:
                ^ np.uint64(1 << 63)).astype(np.int64)
         th_all = uh[codes] if len(codes) else np.zeros(0, np.uint64)
         bounds = np.cumsum(n_tokens)
-        for i in range(n):
-            th = th_all[bounds[i] - n_tokens[i]:bounds[i]]
-            sig = minhash_signature(shingle_hashes_from_token_hashes(th),
-                                    self._perm_a, self._perm_b)
-            mh[i] = int(sig.min()) - (1 << 63)
+        # per-doc shingle fold stays (cheap vector op per doc); the
+        # permute-and-min — the measured residual hot spot — runs once
+        # over the whole batch via the segmented slab kernel
+        sh_rows = [shingle_hashes_from_token_hashes(
+                       th_all[bounds[i] - n_tokens[i]:bounds[i]])
+                   for i in range(n)]
+        sig = minhash_signatures_batch(sh_rows, self._perm_a, self._perm_b)
+        # uint64 min then center into int64: v - 2^63 == flip bit 63
+        mh = (sig.min(axis=1) ^ np.uint64(1 << 63)).astype(np.int64) \
+            if n else np.zeros(0, np.int64)
         out = out.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
         out = out.append_column("simhash", pa.array(sim, pa.int64()))
         return out.append_column("minhash_min", pa.array(mh, pa.int64()))
