@@ -178,3 +178,53 @@ class TestWarcDeterminism:
         # same file NAMES and byte-identical contents: the sink is
         # deterministic, so a failed run can be re-run idempotently
         assert a == b and len(a) >= 2
+
+
+class TestPageRank:
+    def test_pagerank_matches_integer_reference_exactly(self, queries):
+        """Every per-round sum is integer, so the distributed power
+        iteration must equal a single-process reference EXACTLY."""
+        from collections import defaultdict
+
+        import ray
+
+        from webcrawler_ray.pipelines.graph import (
+            DAMP_DEN,
+            DAMP_NUM,
+            NODE_MASS,
+            crawl_link_edges,
+            pagerank,
+        )
+        from webcrawler_ray.pipelines.registry import _crawl_workdir
+
+        c = _crawl_workdir(SF_DIR)
+        got = _df(pagerank(ray, c).sort("url"))
+
+        edges_ds, n = crawl_link_edges(ray, c)
+        edges = _df(edges_ds)
+        nodes = _df(c.crawled_dataset().map_batches(
+            lambda t: t.select(["url"]), batch_format="pyarrow"))
+        rank = {u: NODE_MASS for u in nodes["url"]}
+        total = n * NODE_MASS
+        for _ in range(5):
+            contribs = [(d, (rank[s] * DAMP_NUM // DAMP_DEN) // int(dg))
+                        for s, d, dg in zip(edges["src"], edges["dst"],
+                                            edges["deg"])]
+            base = (total - sum(c for _, c in contribs)) // n
+            new = defaultdict(int)
+            for u in rank:
+                new[u] = base
+            for d, c in contribs:
+                new[d] += c
+            rank = dict(new)
+        want = pd.DataFrame(sorted(rank.items()),
+                            columns=["url", "rank"])
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False)
+
+    def test_pagerank_topk_shape(self, queries):
+        df = _df(queries["crawl_pagerank"](SF_DIR))
+        assert list(df.columns) == ["url", "rank"]
+        assert len(df) == 20
+        assert (df["rank"].to_numpy()[:-1]
+                >= df["rank"].to_numpy()[1:]).all()

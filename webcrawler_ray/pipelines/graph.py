@@ -1,0 +1,167 @@
+"""Graph analytics over the CRAWLED link graph — distributed PageRank
+(Brin & Page 1998) by power iteration, expressed in the repo's
+iterative join/aggregate shape (same skeleton as dedup's label
+propagation: one hash join + one bucketed aggregate per round, no
+driver-side graph).
+
+Determinism: rank mass is INTEGER (per-node starting mass 10^9); each
+edge carries floor(0.85 * rank / outdeg), and everything that does not
+flow along an edge — the (1-d) share, dangling nodes' damped mass, and
+the floor residue — redistributes uniformly as the exact leftover over
+n. Integer sums are order-independent, so the distributed result is
+bit-identical to a single-process reference whatever the block split —
+the same quantization trick as emb_kmeans / emb_label_sums — and total
+mass is conserved to < n units per round by construction.
+
+Scale shape per iteration: ranks (url, rank) join edges (src, dst, deg)
+on src — the edge list is the big side and is hash-partitioned once;
+contributions shuffle as (dst, int64) pairs into a bucketed sum; the
+leftover-mass base and the node count are O(1) driver scalars. State is
+one (url, rank) row per node, never materialized on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+DAMP_NUM, DAMP_DEN = 85, 100          # 0.85 damping as integer ratio
+NODE_MASS = 1_000_000_000             # starting integer mass per node
+
+_RANK = pa.schema([("url", pa.string()), ("rank", pa.int64())])
+_EDGE = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                   ("deg", pa.int64())])
+
+
+def crawl_link_edges(ray, crawler):
+    """(src, dst, deg): the crawled-to-crawled link graph. Outlinks are
+    re-derived from the stored html with the SAME parse/fixup kernel the
+    crawl used (ParseHtmlBatch), then inner-joined against the crawled
+    node set so dst is restricted to fetched pages; deg is the count of
+    those surviving outlinks per src (duplicates collapse — PageRank
+    over the simple graph)."""
+    from ..stages.aggregates import (
+        buckets_for,
+        hash_bucket_aggregate,
+        join_partitions_for,
+        normalize_for_join,
+    )
+    from ..stages.parse import ParseHtmlBatch
+
+    corpus = crawler.crawled_dataset()
+    n_nodes = corpus.count()
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        p = ParseHtmlBatch(keep_html=False)
+        parsed = p(batch.select(["url", "host", "html"]))
+        srcs, dsts = [], []
+        urls = parsed.column("url").to_pylist()
+        for u, links in zip(urls, parsed.column("links").to_pylist()):
+            for d in dict.fromkeys(links):  # per-page dedup, doc order
+                if d != u:  # self-loops carry no rank in the simple graph
+                    srcs.append(u)
+                    dsts.append(d)
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string())})
+
+    raw = corpus.map_batches(to_edges, batch_format="pyarrow")
+    nodes = normalize_for_join(
+        corpus.map_batches(lambda t: t.select(["url"]).rename_columns(
+            ["dst"]), batch_format="pyarrow"),
+        pa.schema([("dst", pa.string())])).materialize()
+    nparts = join_partitions_for(n_nodes)
+    kept = raw.join(nodes, join_type="inner", on=("dst",),
+                    num_partitions=nparts)
+
+    # per-src degree rides the edge rows (one bucketed pass): emit each
+    # edge once plus the src's surviving out-degree
+    def deg_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["src", "dst"])
+        df["deg"] = df.groupby("src")["dst"].transform("count")
+        return df[["src", "dst", "deg"]]
+
+    edges = hash_bucket_aggregate(kept, ["src"], deg_group,
+                                  n_rows=n_nodes * 12)
+    return normalize_for_join(edges, _EDGE).materialize(), n_nodes
+
+
+def pagerank(ray, crawler, iters: int = 5):
+    """(url, rank): integer-mass PageRank after ``iters`` power
+    iterations over the crawled link graph."""
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+        normalize_for_join,
+    )
+    from ray.data.aggregate import Sum
+
+    edges, n_nodes = crawl_link_edges(ray, crawler)
+    corpus = crawler.crawled_dataset()
+    nparts = join_partitions_for(n_nodes)
+
+    ranks = normalize_for_join(
+        corpus.map_batches(
+            lambda t: pa.table({
+                "url": t.column("url"),
+                "rank": pa.array(np.full(t.num_rows, NODE_MASS,
+                                         dtype=np.int64))}),
+            batch_format="pyarrow"),
+        _RANK).materialize()
+    total_mass = n_nodes * NODE_MASS
+
+    def sum_col(ds, col):
+        out = ds.aggregate(Sum(col))
+        return int(out[f"sum({col})"] or 0)
+
+    for _ in range(iters):
+        er = edges.join(
+            ranks.map_batches(
+                lambda t: t.rename_columns(["src", "rank"]),
+                batch_format="pyarrow"),
+            join_type="inner", on=("src",), num_partitions=nparts)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t.column("rank").to_numpy(zero_copy_only=False)
+            d = t.column("deg").to_numpy(zero_copy_only=False)
+            c = (r * DAMP_NUM // DAMP_DEN) // np.maximum(d, 1)
+            return pa.table({"url": t.column("dst"),
+                             "rank": pa.array(c.astype(np.int64))})
+
+        inflow = er.map_batches(contrib, batch_format="pyarrow") \
+                   .materialize()
+
+        # EVERYTHING that did not flow along an edge — the (1-d) share,
+        # the dangling nodes' damped mass, and the per-edge floor
+        # residue — redistributes uniformly: base = the exact leftover
+        # split over all nodes. One O(1) scalar per round (the inflow
+        # sum), no dangling-node join; total mass is conserved to < n
+        # units per round by construction.
+        base = (total_mass - sum_col(inflow, "rank")) // n_nodes
+
+        def seed(t: pa.Table, base=base) -> pa.Table:
+            return pa.table({
+                "url": t.column("url"),
+                "rank": pa.array(np.full(t.num_rows, base,
+                                         dtype=np.int64))})
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("url", as_index=False).agg(
+                rank=("rank", "sum"))
+
+        ranks = normalize_for_join(
+            hash_bucket_aggregate(
+                ranks.map_batches(seed, batch_format="pyarrow")
+                     .union(inflow),
+                ["url"], merge, n_rows=n_nodes * 13),
+            _RANK).materialize()
+    return ranks
+
+
+def crawl_pagerank(ray, crawler, iters: int = 5, k: int = 20):
+    """Top-k (url, rank) by PageRank over the crawled graph — rows-only
+    (iterative; no SQL equivalent) with an EXACT-equality property test
+    against a single-process integer reference (possible because every
+    per-round sum is integer and order-independent)."""
+    ranks = pagerank(ray, crawler, iters=iters)
+    return ranks.sort(["rank", "url"], descending=[True, False]).limit(k)

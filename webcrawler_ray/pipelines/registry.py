@@ -210,6 +210,16 @@ def crawl_log(sf_dir: str):
         files, columns=["URL", "Title", "Text", "Timestamp"]).sort("URL")
 
 
+def crawl_pagerank(sf_dir: str):
+    """Top-20 pages by integer-mass PageRank over the crawled link
+    graph (rows-only: iterative; exact-equality property test vs a
+    single-process integer reference in test_datapipes)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_pagerank(c.ray, c)
+
+
 # --- registry --------------------------------------------------------------
 def build_queries() -> dict:
     ray = _ray()
@@ -220,6 +230,7 @@ def build_queries() -> dict:
         "crawl_host_counts": crawl_host_counts,
         "crawl_warc": crawl_warc,
         "crawl_round_stats": crawl_round_stats,
+        "crawl_pagerank": crawl_pagerank,
         # text analysis over documents
         "doc_token_counts": lambda sf: textpipe.token_counts(ray, sf),
         "doc_first20": lambda sf: textpipe.first_n_words(ray, sf),
