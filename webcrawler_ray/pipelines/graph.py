@@ -72,17 +72,19 @@ def crawl_link_edges(ray, crawler):
         pa.schema([("dst", pa.string())])).materialize()
     nparts = join_partitions_for(n_nodes)
     kept = raw.join(nodes, join_type="inner", on=("dst",),
-                    num_partitions=nparts)
+                    num_partitions=nparts).materialize()
 
     # per-src degree rides the edge rows (one bucketed pass): emit each
-    # edge once plus the src's surviving out-degree
+    # edge once plus the src's surviving out-degree. kept is consumed by
+    # the aggregate anyway; materializing it first makes its REAL row
+    # count available for the fan-out instead of an outdegree guess.
     def deg_group(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["src", "dst"])
         df["deg"] = df.groupby("src")["dst"].transform("count")
         return df[["src", "dst", "deg"]]
 
     edges = hash_bucket_aggregate(kept, ["src"], deg_group,
-                                  n_rows=n_nodes * 12)
+                                  n_rows=kept.count())
     return normalize_for_join(edges, _EDGE).materialize(), n_nodes
 
 
@@ -153,7 +155,9 @@ def pagerank(ray, crawler, iters: int = 5):
             hash_bucket_aggregate(
                 ranks.map_batches(seed, batch_format="pyarrow")
                      .union(inflow),
-                ["url"], merge, n_rows=n_nodes * 13),
+                # shuffled rows = one seed per node + one per edge
+                # (edges is materialized: count() is metadata-only)
+                ["url"], merge, n_rows=n_nodes + edges.count()),
             _RANK).materialize()
     return ranks
 
