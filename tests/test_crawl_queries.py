@@ -191,21 +191,22 @@ class TestPageRank:
         from webcrawler_ray.pipelines.graph import (
             DAMP_DEN,
             DAMP_NUM,
-            NODE_MASS,
             crawl_link_edges,
+            node_mass,
             pagerank,
         )
         from webcrawler_ray.pipelines.registry import _crawl_workdir
 
         c = _crawl_workdir(SF_DIR)
-        got = _df(pagerank(ray, c).sort("url"))
+        pre = crawl_link_edges(ray, c)
+        got = _df(pagerank(ray, c, edges=pre).sort("url"))
 
-        edges_ds, n = crawl_link_edges(ray, c)
+        edges_ds, n = pre
         edges = _df(edges_ds)
         nodes = _df(c.crawled_dataset().map_batches(
             lambda t: t.select(["url"]), batch_format="pyarrow"))
-        rank = {u: NODE_MASS for u in nodes["url"]}
-        total = n * NODE_MASS
+        rank = {u: node_mass(n) for u in nodes["url"]}
+        total = n * node_mass(n)
         for _ in range(5):
             contribs = [(d, (rank[s] * DAMP_NUM // DAMP_DEN) // int(dg))
                         for s, d, dg in zip(edges["src"], edges["dst"],

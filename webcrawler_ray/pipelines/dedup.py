@@ -158,8 +158,8 @@ def _lsh_candidate_pairs(ray, sf_dir: str, sh_ds=None):
             minhash_signatures_batch,
         )
 
-        doc_ids = np.asarray(batch.column("doc_id").to_pylist(),
-                             dtype=np.int64)
+        doc_ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         n = len(doc_ids)
         # batched segmented-min signatures + vectorized band fold (the
         # per-doc blake2b-per-band loop this replaces spent more time in

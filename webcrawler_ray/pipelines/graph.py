@@ -29,6 +29,15 @@ import pyarrow as pa
 DAMP_NUM, DAMP_DEN = 85, 100          # 0.85 damping as integer ratio
 NODE_MASS = 1_000_000_000             # starting integer mass per node
 
+
+def node_mass(n_nodes: int) -> int:
+    """Per-node starting mass, capped so rank * DAMP_NUM can never wrap
+    int64 even if one sink hub accumulated the ENTIRE graph's mass:
+    total_mass * DAMP_NUM <= 2^62. The 10^9 default holds up to ~5e7
+    nodes; beyond that resolution trades down gracefully instead of
+    silently wrapping negative."""
+    return max(1, min(NODE_MASS, (1 << 62) // (DAMP_NUM * max(n_nodes, 1))))
+
 _RANK = pa.schema([("url", pa.string()), ("rank", pa.int64())])
 _EDGE = pa.schema([("src", pa.string()), ("dst", pa.string()),
                    ("deg", pa.int64())])
@@ -50,10 +59,17 @@ def crawl_link_edges(ray, crawler):
     from ..stages.parse import ParseHtmlBatch
 
     corpus = crawler.crawled_dataset()
+    if "html" not in corpus.schema().names:
+        raise ValueError(
+            "crawl_link_edges needs the stored html to re-derive "
+            "outlinks; this crawl ran with store_html=False")
     n_nodes = corpus.count()
+    # decode with the SAME strategy the crawl parsed with — a different
+    # charset decode would emit different hrefs than the crawl followed
+    decode = crawler.cfg.extra.get("decode_strategy")
 
     def to_edges(batch: pa.Table) -> pa.Table:
-        p = ParseHtmlBatch(keep_html=False)
+        p = ParseHtmlBatch(keep_html=False, decode=decode)
         parsed = p(batch.select(["url", "host", "html"]))
         srcs, dsts = [], []
         urls = parsed.column("url").to_pylist()
@@ -65,12 +81,17 @@ def crawl_link_edges(ray, crawler):
         return pa.table({"src": pa.array(srcs, pa.string()),
                          "dst": pa.array(dsts, pa.string())})
 
-    raw = corpus.map_batches(to_edges, batch_format="pyarrow")
+    # raw is joined next and then degree-aggregated; materializing gives
+    # its REAL count so the join partitions follow the SMALLER side
+    # (join_partitions_for's contract — an empty hash partition on
+    # either side crashes ray 2.49's join)
+    raw = corpus.map_batches(to_edges,
+                             batch_format="pyarrow").materialize()
     nodes = normalize_for_join(
         corpus.map_batches(lambda t: t.select(["url"]).rename_columns(
             ["dst"]), batch_format="pyarrow"),
         pa.schema([("dst", pa.string())])).materialize()
-    nparts = join_partitions_for(n_nodes)
+    nparts = join_partitions_for(min(n_nodes, raw.count()))
     kept = raw.join(nodes, join_type="inner", on=("dst",),
                     num_partitions=nparts).materialize()
 
@@ -88,9 +109,12 @@ def crawl_link_edges(ray, crawler):
     return normalize_for_join(edges, _EDGE).materialize(), n_nodes
 
 
-def pagerank(ray, crawler, iters: int = 5):
+def pagerank(ray, crawler, iters: int = 5, edges=None):
     """(url, rank): integer-mass PageRank after ``iters`` power
-    iterations over the crawled link graph."""
+    iterations over the crawled link graph. ``edges`` accepts a
+    precomputed ``crawl_link_edges`` result so callers that already
+    built the edge list (e.g. the exactness test) don't re-parse the
+    corpus."""
     from ..stages.aggregates import (
         hash_bucket_aggregate,
         join_partitions_for,
@@ -98,19 +122,24 @@ def pagerank(ray, crawler, iters: int = 5):
     )
     from ray.data.aggregate import Sum
 
-    edges, n_nodes = crawl_link_edges(ray, crawler)
+    if edges is None:
+        edges = crawl_link_edges(ray, crawler)
+    edges, n_nodes = edges
     corpus = crawler.crawled_dataset()
-    nparts = join_partitions_for(n_nodes)
+    # join partitions follow the SMALLER side (edges is materialized —
+    # count is metadata-only)
+    nparts = join_partitions_for(min(n_nodes, edges.count()))
+    mass = node_mass(n_nodes)
 
     ranks = normalize_for_join(
         corpus.map_batches(
             lambda t: pa.table({
                 "url": t.column("url"),
-                "rank": pa.array(np.full(t.num_rows, NODE_MASS,
+                "rank": pa.array(np.full(t.num_rows, mass,
                                          dtype=np.int64))}),
             batch_format="pyarrow"),
         _RANK).materialize()
-    total_mass = n_nodes * NODE_MASS
+    total_mass = n_nodes * mass
 
     def sum_col(ds, col):
         out = ds.aggregate(Sum(col))

@@ -213,7 +213,8 @@ def crawl_log(sf_dir: str):
 def crawl_pagerank(sf_dir: str):
     """Top-20 pages by integer-mass PageRank over the crawled link
     graph (rows-only: iterative; exact-equality property test vs a
-    single-process integer reference in test_datapipes)."""
+    single-process integer reference in
+    test_crawl_queries.TestPageRank)."""
     c = _crawl_workdir(sf_dir)
     from . import graph
 

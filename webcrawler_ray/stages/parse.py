@@ -106,8 +106,8 @@ class ParseHtmlBatch:
                    for i in range(n)]
         sig = minhash_signatures_batch(sh_rows, self._perm_a, self._perm_b)
         # uint64 min then center into int64: v - 2^63 == flip bit 63
-        mh = (sig.min(axis=1) ^ np.uint64(1 << 63)).astype(np.int64) \
-            if n else np.zeros(0, np.int64)
+        # (axis-1 reduction is over n_perm, so n == 0 yields (0,) safely)
+        mh = (sig.min(axis=1) ^ np.uint64(1 << 63)).astype(np.int64)
         out = out.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
         out = out.append_column("simhash", pa.array(sim, pa.int64()))
         return out.append_column("minhash_min", pa.array(mh, pa.int64()))
