@@ -51,7 +51,6 @@ def crawl_link_edges(ray, crawler):
     those surviving outlinks per src (duplicates collapse — PageRank
     over the simple graph)."""
     from ..stages.aggregates import (
-        buckets_for,
         hash_bucket_aggregate,
         join_partitions_for,
         normalize_for_join,
