@@ -223,6 +223,20 @@ class TestPageRank:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want, check_dtype=False)
 
+    def test_node_mass_never_wraps_int64(self):
+        from webcrawler_ray.pipelines.graph import (
+            DAMP_NUM,
+            NODE_MASS,
+            node_mass,
+        )
+
+        for n in (1, 61, 5_000, 10**7, 10**9, 10**12):
+            m = node_mass(n)
+            assert 1 <= m <= NODE_MASS
+            # even a sink hub holding ALL the mass stays shy of wrap
+            assert n * m * DAMP_NUM < (1 << 63)
+        assert node_mass(61) == NODE_MASS  # small graphs keep full res
+
     def test_pagerank_topk_shape(self, queries):
         df = _df(queries["crawl_pagerank"](SF_DIR))
         assert list(df.columns) == ["url", "rank"]

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 DAMP_NUM, DAMP_DEN = 85, 100          # 0.85 damping as integer ratio
 NODE_MASS = 1_000_000_000             # starting integer mass per node
@@ -70,15 +71,19 @@ def crawl_link_edges(ray, crawler):
     def to_edges(batch: pa.Table) -> pa.Table:
         p = ParseHtmlBatch(keep_html=False, decode=decode)
         parsed = p(batch.select(["url", "host", "html"]))
-        srcs, dsts = [], []
-        urls = parsed.column("url").to_pylist()
-        for u, links in zip(urls, parsed.column("links").to_pylist()):
-            for d in dict.fromkeys(links):  # per-page dedup, doc order
-                if d != u:  # self-loops carry no rank in the simple graph
-                    srcs.append(u)
-                    dsts.append(d)
-        return pa.table({"src": pa.array(srcs, pa.string()),
-                         "dst": pa.array(dsts, pa.string())})
+        links = parsed.column("links").combine_chunks()
+        # vectorized explode: flatten the list column, repeat each src
+        # by its list length; self-loops drop here, duplicate (src,dst)
+        # rows collapse in deg_group's global drop_duplicates
+        lens = pc.list_value_length(links).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dst = links.flatten()
+        src = pa.array(np.repeat(
+            parsed.column("url").to_numpy(zero_copy_only=False), lens),
+            pa.string())
+        t = pa.table({"src": src, "dst": dst.cast(pa.string())})
+        return t.filter(pc.invert(pc.equal(t.column("src"),
+                                           t.column("dst"))))
 
     # raw is joined next and then degree-aggregated; materializing gives
     # its REAL count so the join partitions follow the SMALLER side
