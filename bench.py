@@ -46,6 +46,7 @@ QUERY_NAMES = [
     "multimodal_resize", "docs_sample_bottomk", "docs_per_source_cap",
     "events_value_percentiles_tdigest", "events_semijoin_bloom",
     "doc_top_terms_mg", "orders_reorder_window", "emb_kmeans",
+    "dedup_incremental",
 ]
 
 

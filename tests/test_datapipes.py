@@ -53,6 +53,7 @@ SQL_CHECKED = [
     "docs_quality_filter", "dedup_filtered_corpus",
     "docs_sample_bottomk", "docs_per_source_cap", "events_semijoin_bloom",
     "orders_reorder_window", "events_distinct_users_exact",
+    "dedup_incremental",
 ]
 
 
@@ -500,6 +501,29 @@ class TestSketches:
         pri = sorted(ids, key=lambda i: hashlib.md5(str(i).encode())
                      .hexdigest())[:BOTTOMK_K]
         assert sorted(got["doc_id"].tolist()) == sorted(pri)
+
+    def test_incremental_dedup_reuses_persisted_state(self, ray_session,
+                                                      tmp_path, ddb):
+        """Second call with the same state dir must SKIP the state build
+        (the persisted fingerprints are reused) and return the same
+        survivors."""
+        import os
+
+        import ray
+
+        from webcrawler_ray.pipelines.dedup import dedup_incremental
+
+        sd = str(tmp_path / "ded_state")
+        a = _canon(_to_df(dedup_incremental(ray, SF_DIR, state_dir=sd)))
+        fp_dir = os.path.join(sd, "fps")
+        assert os.path.isdir(fp_dir)
+        mtimes = {f: os.path.getmtime(os.path.join(fp_dir, f))
+                  for f in os.listdir(fp_dir)}
+        b = _canon(_to_df(dedup_incremental(ray, SF_DIR, state_dir=sd)))
+        pd.testing.assert_frame_equal(a, b)
+        # state untouched on the second call: no rebuild happened
+        assert mtimes == {f: os.path.getmtime(os.path.join(fp_dir, f))
+                          for f in os.listdir(fp_dir)}
 
     def test_distributed_kmeans_matches_local_reference(self, queries,
                                                         ddb):

@@ -552,3 +552,130 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
         # bound by the segment row count (4/doc), not the doc count
         n_rows=4 * n_docs
     ).sort(["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+def dedup_incremental(ray, sf_dir: str, state_dir: str | None = None):
+    """(doc_id, n_chars): INCREMENTAL exact dedup — the corpus-update
+    path a production pipeline runs daily: a batch of NEW arrivals is
+    deduplicated against a PERSISTED fingerprint state (everything
+    ingested before) AND against itself, and the survivors' fingerprints
+    are appended to the state for the next batch.
+
+    The driver-checkable simulation splits the documents table
+    deterministically: doc_id % 2 == 0 is the already-ingested corpus
+    (the state is (re)built from it when absent or stale), doc_id % 2
+    == 1 is the arriving batch. Output = arrivals that survive both
+    checks, so the whole call is SQL-expressible and value-checked.
+
+    Scale shape: the state is hash-bucketed parquet of FINGERPRINTS
+    only (16 bytes/doc, never text); arrivals shed exact in-batch dups
+    with the keep-first bucketed aggregate, then drop state-matches via
+    one ``left_anti`` join against the state's fp column — the arrivals
+    side is the small side of a daily update, the state side streams
+    from disk. Same single-writer flock + signature protocol as
+    events_windowed_incremental."""
+    import fcntl
+    import os
+    import shutil
+
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+        normalize_for_join,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    if state_dir is None:
+        name = os.path.basename(os.path.normpath(sf_dir))
+        state_dir = f"/tmp/webcrawler_ray_cache/{name}/dedup_state"
+    os.makedirs(state_dir, exist_ok=True)
+    lock_fd = os.open(os.path.join(state_dir, "_LOCK"),
+                      os.O_CREAT | os.O_RDWR)
+    fcntl.flock(lock_fd, fcntl.LOCK_EX)
+    try:
+        sig = os.path.abspath(path)
+        sig_file = os.path.join(state_dir, "_SIG")
+        fp_dir = os.path.join(state_dir, "fps")
+        have = False
+        if os.path.exists(sig_file):
+            with open(sig_file) as f:
+                have = f.read().strip() == sig and os.path.isdir(fp_dir)
+        if not have:
+            # (re)build the state from the already-ingested half:
+            # fingerprints ONLY, written hash-partitioned
+            shutil.rmtree(fp_dir, ignore_errors=True)
+            base = _rpq(ray, path, columns=["doc_id", "text"])
+
+            def fp_even(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                t = t.filter(pa.array(ids % 2 == 0))
+                return pa.table({"fp": pa.array(
+                    _exact_fps(t.column("text").to_pylist()),
+                    pa.string())})
+
+            tmp = fp_dir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            hash_bucket_aggregate(
+                base.map_batches(fp_even, batch_format="pyarrow"),
+                ["fp"], lambda df: df.drop_duplicates(["fp"]),
+                n_rows=_nrows(path)).write_parquet(tmp)
+            os.replace(tmp, fp_dir)
+            with open(sig_file, "w") as f:
+                f.write(sig)
+
+        arrivals = _rpq(ray, path, columns=["doc_id", "text", "n_chars"])
+
+        def fp_odd(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % 2 == 1))
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars"),
+                "fp": pa.array(_exact_fps(t.column("text").to_pylist()),
+                               pa.string())})
+
+        def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.sort_values("doc_id", kind="mergesort")
+                      .drop_duplicates("fp", keep="first"))
+
+        new = hash_bucket_aggregate(
+            arrivals.map_batches(fp_odd, batch_format="pyarrow"),
+            ["fp"], keep_first, n_rows=_nrows(path))
+        new = normalize_for_join(
+            new, pa.schema([("doc_id", pa.int64()),
+                            ("n_chars", pa.int64()),
+                            ("fp", pa.string())]))
+        state = normalize_for_join(
+            ray.data.read_parquet(fp_dir, partitioning=None),
+            pa.schema([("fp", pa.string())])).materialize()
+        survivors = new.join(
+            state, join_type="left_anti", on=("fp",),
+            num_partitions=join_partitions_for(
+                min(_nrows(path), state.count())))
+        return (survivors.map_batches(
+                    lambda t: t.select(["doc_id", "n_chars"]),
+                    batch_format="pyarrow")
+                         .sort("doc_id"))
+    finally:
+        fcntl.flock(lock_fd, fcntl.LOCK_UN)
+        os.close(lock_fd)
+
+
+_D_TRIM = _SQL_TRIM_TEXT.replace("regexp_replace(text,",
+                                 "regexp_replace(d.text,")
+_E_TRIM = _SQL_TRIM_TEXT.replace("regexp_replace(text,",
+                                 "regexp_replace(e.text,")
+
+DEDUP_INCREMENTAL_SQL = f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (
+             PARTITION BY md5(LOWER({_D_TRIM}))
+             ORDER BY doc_id) AS rn
+  FROM documents d WHERE doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM documents e WHERE e.doc_id % 2 = 0
+    AND md5(LOWER({_E_TRIM})) = md5(LOWER({_D_TRIM}))))
+WHERE rn = 1 ORDER BY doc_id
+"""

@@ -287,6 +287,8 @@ def build_queries() -> dict:
             "dedup_clusters": lambda sf: dedup.dedup_clusters(ray, sf),
             "dedup_simhash": lambda sf: dedup.simhash_pairs(ray, sf),
             "dedup_embedding_cosine": lambda sf: similarity.cosine_dup_pairs(ray, sf),
+            "dedup_incremental":
+                lambda sf: dedup.dedup_incremental(ray, sf),
             "cluster_embedding_cosine":
                 lambda sf: similarity.cluster_embedding_cosine(ray, sf),
             "knn_cosine": lambda sf: similarity.knn_brute_force(ray, sf),
@@ -549,6 +551,7 @@ try:
     from . import dedup as _dedup
 
     ORACLE_SQL["dedup_filtered_corpus"] = _dedup.DEDUP_FILTERED_SQL
+    ORACLE_SQL["dedup_incremental"] = _dedup.DEDUP_INCREMENTAL_SQL
 except ImportError:
     ORACLE_SQL.pop("dedup_filtered_corpus", None)
 
