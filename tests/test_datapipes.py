@@ -524,6 +524,13 @@ class TestSketches:
         # state untouched on the second call: no rebuild happened
         assert mtimes == {f: os.path.getmtime(os.path.join(fp_dir, f))
                           for f in os.listdir(fp_dir)}
+        # stream-advancing mode: survivors' fps ingested, so replaying
+        # the same batch dedups to zero
+        c = _to_df(dedup_incremental(ray, SF_DIR, state_dir=sd,
+                                     ingest_survivors=True))
+        pd.testing.assert_frame_equal(_canon(c), a)
+        d = _to_df(dedup_incremental(ray, SF_DIR, state_dir=sd))
+        assert len(d) == 0
 
     def test_distributed_kmeans_matches_local_reference(self, queries,
                                                         ddb):

@@ -555,12 +555,17 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
 
 
 # ---------------------------------------------------------------------------
-def dedup_incremental(ray, sf_dir: str, state_dir: str | None = None):
+def dedup_incremental(ray, sf_dir: str, state_dir: str | None = None,
+                      ingest_survivors: bool = False):
     """(doc_id, n_chars): INCREMENTAL exact dedup — the corpus-update
     path a production pipeline runs daily: a batch of NEW arrivals is
     deduplicated against a PERSISTED fingerprint state (everything
-    ingested before) AND against itself, and the survivors' fingerprints
-    are appended to the state for the next batch.
+    ingested before) AND against itself. With ``ingest_survivors`` the
+    survivors' fingerprints are appended to the state so the NEXT batch
+    dedups against them too (the real stream-advancing mode; a re-run
+    of the same batch then returns zero rows). The registry query keeps
+    the default read-only mode so repeated driver checks stay
+    deterministic.
 
     The driver-checkable simulation splits the documents table
     deterministically: doc_id % 2 == 0 is the already-ingested corpus
@@ -653,6 +658,16 @@ def dedup_incremental(ray, sf_dir: str, state_dir: str | None = None):
             state, join_type="left_anti", on=("fp",),
             num_partitions=join_partitions_for(
                 min(_nrows(path), state.count())))
+        if ingest_survivors:
+            # advance the stream: append the survivors' fingerprints so
+            # the next batch dedups against them too (the state read
+            # above globs fp_dir recursively, so appended files join the
+            # state on the next call). Materialize once; both the fp
+            # write (under the flock) and the returned result reuse it.
+            survivors = survivors.materialize()
+            survivors.map_batches(lambda t: t.select(["fp"]),
+                                  batch_format="pyarrow") \
+                     .write_parquet(os.path.join(fp_dir, "ingested"))
         return (survivors.map_batches(
                     lambda t: t.select(["doc_id", "n_chars"]),
                     batch_format="pyarrow")
