@@ -692,3 +692,48 @@ class TestSketches:
         assert (np.maximum(a, b) == full).all()
         est = hll_estimate(full)
         assert abs(est - 20000) / 20000 < 0.05
+
+
+class TestPartitionedSink:
+    def test_write_resume_skips_finished_partitions(self, ray_session,
+                                                    tmp_path):
+        """The brief's resumable-output contract: one dir per key range
+        with _SUCCESS markers; a re-run after losing one partition
+        rewrites ONLY that partition."""
+        import os
+        import shutil
+        import time
+
+        import ray
+
+        from webcrawler_ray.io_utils import read_parquet_clean
+        from webcrawler_ray.sinks.partitioned import (
+            read_partitioned,
+            write_partitioned,
+        )
+
+        src = read_parquet_clean(ray, f"{SF_DIR}/events.parquet",
+                                 columns=["event_id", "user_id", "value"])
+        out = str(tmp_path / "sink")
+        s1 = write_partitioned(src, out, key="user_id", num_partitions=8)
+        assert sorted(s1["written"]) == list(range(8))
+        back = _canon(read_partitioned(ray, out).to_pandas())
+        want = _canon(src.to_pandas())
+        pd.testing.assert_frame_equal(back, want, check_dtype=False)
+
+        # finished sink: re-run is a no-op
+        s2 = write_partitioned(src, out, key="user_id", num_partitions=8)
+        assert s2["written"] == [] and sorted(s2["skipped"]) == list(range(8))
+
+        # kill one partition; resume rewrites only it
+        shutil.rmtree(os.path.join(out, "part=3"))
+        mt = {d: os.path.getmtime(os.path.join(out, d))
+              for d in os.listdir(out)}
+        time.sleep(0.05)
+        s3 = write_partitioned(src, out, key="user_id", num_partitions=8)
+        assert s3["written"] == [3]
+        for d in os.listdir(out):
+            if d != "part=3":
+                assert os.path.getmtime(os.path.join(out, d)) == mt[d]
+        back2 = _canon(read_partitioned(ray, out).to_pandas())
+        pd.testing.assert_frame_equal(back2, want, check_dtype=False)
