@@ -54,6 +54,9 @@ SQL_CHECKED = [
     "docs_sample_bottomk", "docs_per_source_cap", "events_semijoin_bloom",
     "orders_reorder_window", "events_distinct_users_exact",
     "dedup_incremental",
+    "docs_dup_ngrams", "docs_contamination", "docs_length_histogram",
+    "events_user_value_delta", "lineitem_q6", "revenue_rollup",
+    "events_daily_stats", "events_by_segment",
 ]
 
 

@@ -249,6 +249,11 @@ def build_queries() -> dict:
         "doc_top_terms": lambda sf: textpipe.doc_top_terms(ray, sf),
         "doc_token_counts_bpe": lambda sf: textpipe.token_counts_bpe(ray, sf),
         "docs_quality_filter": lambda sf: textpipe.quality_filter(ray, sf),
+        "docs_dup_ngrams": lambda sf: textpipe.docs_dup_ngrams(ray, sf),
+        "docs_contamination":
+            lambda sf: textpipe.docs_contamination(ray, sf),
+        "docs_length_histogram":
+            lambda sf: textpipe.docs_length_histogram(ray, sf),
         # relational / windowed / as-of
         "q1_pricing_summary": lambda sf: relational.q1_pricing_summary(ray, sf),
         "top_customers": lambda sf: relational.top_customers(ray, sf),
@@ -272,6 +277,14 @@ def build_queries() -> dict:
         "orders_reorder_window":
             lambda sf: relational.orders_reorder_window(ray, sf),
         "events_sessionize": lambda sf: relational.sessionize(ray, sf),
+        "events_user_value_delta":
+            lambda sf: relational.events_user_value_delta(ray, sf),
+        "lineitem_q6": lambda sf: relational.lineitem_q6(ray, sf),
+        "revenue_rollup": lambda sf: relational.revenue_rollup(ray, sf),
+        "events_daily_stats":
+            lambda sf: relational.events_daily_stats(ray, sf),
+        "events_by_segment":
+            lambda sf: relational.events_by_segment(ray, sf),
         "events_asof_order": lambda sf: relational.events_asof_order(ray, sf),
         "events_running_index": lambda sf: relational.events_running_index(ray, sf),
     }
@@ -526,6 +539,14 @@ ORDER BY vec_id_a, vec_id_b
     "events_sessionize": relational.SESSIONIZE_SQL,
     "events_asof_order": relational.EVENTS_ASOF_SQL,
     "events_running_index": relational.EVENTS_RUNNING_INDEX_SQL,
+    "events_user_value_delta": relational.EVENTS_USER_DELTA_SQL,
+    "lineitem_q6": relational.LINEITEM_Q6_SQL,
+    "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
+    "events_daily_stats": relational.EVENTS_DAILY_SQL,
+    "events_by_segment": relational.EVENTS_BY_SEGMENT_SQL,
+    "docs_dup_ngrams": textpipe.DOCS_DUP_NGRAMS_SQL,
+    "docs_contamination": textpipe.DOCS_CONTAMINATION_SQL,
+    "docs_length_histogram": textpipe.DOCS_LENGTH_HISTOGRAM_SQL,
     "doc_langid": _langid_sql(),
     "docs_sample": textpipe.DOCS_SAMPLE_SQL,
     "docs_sample_bottomk": textpipe.DOCS_SAMPLE_BOTTOMK_SQL,

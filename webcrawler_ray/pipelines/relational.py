@@ -1201,3 +1201,257 @@ def _windowed_incremental_locked(ray, sf_dir, n_chunks, state_dir,
         if stop_after is not None and ci + 1 >= stop_after:
             return None  # simulated kill (test hook)
     return state.sort(["event_type", "window_start_us"])
+
+
+# ---------------------------------------------------------------------------
+def events_user_value_delta(ray, sf_dir: str):
+    """(event_id, delta): each event's value minus the same user's
+    previous value in (ts, event_id) order; a user's first event has no
+    predecessor and is dropped (the LAG window op). The delta is a SINGLE
+    IEEE-754 subtraction of two stored doubles — bit-identical in numpy
+    and DuckDB — so the oracle hash matches without quantization. Same
+    COARSE-user-bucket shape as events_running_index: one shuffle keyed
+    by user, one vectorized sort + diff per bucket."""
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(N_BUCKETS)).astype(np.int64)
+        return t.append_column("ubucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        val = g["value"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        delta = np.empty_like(val)
+        delta[1:] = val[1:] - val[:-1]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[same].astype("int64"),
+            "delta": delta[same]})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort("event_id"))
+
+
+EVENTS_USER_DELTA_SQL = """
+SELECT event_id, delta FROM (
+  SELECT event_id,
+         value - LAG(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS delta
+  FROM events)
+WHERE delta IS NOT NULL ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def lineitem_q6(ray, sf_dir: str):
+    """(n_rows, revenue_e4): TPC-H Q6-shaped filtered single-row
+    aggregate — the predicate-pushdown showcase: the scan reads ONLY the
+    four predicate/payload columns, each batch reduces to one partial
+    row (vectorized mask + int64 sums in 1e-4 units, the repo's
+    float-determinism rule), and the driver folds O(batches) partials."""
+    ds = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_shipdate", "l_discount", "l_quantity",
+                       "l_extendedprice"])
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+             & (b["l_discount"] >= 0.05) & (b["l_discount"] <= 0.07)
+             & (b["l_quantity"] < 24))
+        rev = np.floor(b["l_extendedprice"][m].to_numpy()
+                       * b["l_discount"][m].to_numpy() * 10000)
+        return pd.DataFrame({"n_rows": pd.Series([int(m.sum())], dtype="int64"),
+                             "revenue_e4": pd.Series([int(rev.sum())],
+                                                     dtype="int64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()  # O(batches) rows
+    return pd.DataFrame({"n_rows": [int(parts["n_rows"].sum())],
+                         "revenue_e4": [int(parts["revenue_e4"].sum())]})
+
+
+LINEITEM_Q6_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+def revenue_rollup(ray, sf_dir: str):
+    """(status, yr, sum_cents, n_orders) with ROLLUP subtotals (yr = -1:
+    per-status subtotal; status = 'ALL': grand total): the one pass over
+    the data is a distributed partial aggregation down to the fine
+    (status, year) grain — a FEW-group result whatever the input size —
+    and the rollup levels derive from that tiny grain table (O(#groups)
+    rows, the allowed small-result materialization)."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/orders.parquet",
+              columns=["o_orderstatus", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        yr = pd.DatetimeIndex(
+            t.column("o_orderdate").to_pandas()).year.astype("int64")
+        cents = np.floor(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100).astype("int64")
+        df = pd.DataFrame({
+            "status": t.column("o_orderstatus").to_pylist(),
+            "yr": yr, "sum_cents": cents,
+            "n_orders": np.ones(len(cents), dtype="int64")})
+        return df.groupby(["status", "yr"], as_index=False).sum()
+
+    # the grain cardinality is statuses x years — tiny at any scale, so
+    # one merge bucket is the correct fan-out
+    fine = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["status", "yr"],
+        lambda df: df.groupby(["status", "yr"], as_index=False).sum(),
+        num_buckets=1).to_pandas()
+
+    sub = (fine.groupby("status", as_index=False)
+               .agg(sum_cents=("sum_cents", "sum"),
+                    n_orders=("n_orders", "sum")))
+    sub["yr"] = np.int64(-1)
+    total = pd.DataFrame({
+        "status": ["ALL"], "yr": pd.Series([-1], dtype="int64"),
+        "sum_cents": pd.Series([fine["sum_cents"].sum()], dtype="int64"),
+        "n_orders": pd.Series([fine["n_orders"].sum()], dtype="int64")})
+    out = pd.concat(
+        [fine[["status", "yr", "sum_cents", "n_orders"]],
+         sub[["status", "yr", "sum_cents", "n_orders"]], total],
+        ignore_index=True)
+    out = out.astype({"yr": "int64", "sum_cents": "int64",
+                      "n_orders": "int64"})
+    return out.sort_values(["status", "yr"]).reset_index(drop=True)
+
+
+REVENUE_ROLLUP_SQL = """
+WITH base AS (
+  SELECT o_orderstatus AS status, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT COALESCE(status, 'ALL') AS status,
+       CAST(COALESCE(yr, -1) AS BIGINT) AS yr,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_orders
+FROM base GROUP BY ROLLUP(status, yr) ORDER BY status, yr
+"""
+
+
+# ---------------------------------------------------------------------------
+DAY_US = 86_400_000_000
+
+
+def events_daily_stats(ray, sf_dir: str):
+    """(day_us, n_events, n_users): daily activity rollup with an EXACT
+    distinct-user count. Counts come from a few-group aggregate; the
+    distinct side runs the dedup-combiner pattern (per-batch (day, user)
+    drop_duplicates, bucketed distinct merge) so the exchange moves at
+    most one row per (day, user) per batch — never the event stream.
+    The two O(#days)-row results merge driver-side."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["ts", "user_id"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        d = (t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // DAY_US) * DAY_US
+        return pa.table({"day_us": pa.array(d, pa.int64()),
+                         "user_id": t.column("user_id").cast(pa.int64())})
+
+    base = ds.map_batches(to_day, batch_format="pyarrow")
+    counts = base.groupby("day_us").count().to_pandas()  # O(#days) rows
+
+    def _dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["day_us", "user_id"])
+
+    dist = hash_bucket_aggregate(
+        base.map_batches(_dd, batch_format="pandas"),
+        ["day_us", "user_id"], _dd,
+        n_rows=_nrows(f"{sf_dir}/events.parquet"))
+    nu = dist.groupby("day_us").count().to_pandas()  # O(#days) rows
+
+    out = counts.rename(columns={"count()": "n_events"}).merge(
+        nu.rename(columns={"count()": "n_users"}), on="day_us")
+    out = out.astype({"day_us": "int64", "n_events": "int64",
+                      "n_users": "int64"})
+    return out.sort_values("day_us").reset_index(drop=True)
+
+
+EVENTS_DAILY_SQL = f"""
+SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS day_us,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+def events_by_segment(ray, sf_dir: str):
+    """(c_mktsegment, n_events, sum_value_cents): the BROADCAST-join
+    aggregate — events joined to the customer dimension without a
+    shuffle: the small side is read once, ray.put ONCE as (sorted keys,
+    segment codes), and every scan task reads the same object-store copy
+    zero-copy; lookup is one vectorized searchsorted per batch
+    (inner-join semantics: events with no matching customer drop). This
+    is the shape a 100-TB fact x small-dim join must take — the fact
+    table never moves."""
+    import pyarrow.parquet as pq
+    import ray as _r
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.column("c_custkey").to_numpy().astype(np.int64)
+    segs, codes = np.unique(np.asarray(cust.column("c_mktsegment")),
+                            return_inverse=True)
+    order = np.argsort(keys, kind="mergesort")
+    ref = _r.put((keys[order], codes[order].astype(np.int64), segs))
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        k, cod, sg = _r.get(ref)  # zero-copy arrays from the object store
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(k, u), 0, len(k) - 1)
+        hit = k[pos] == u
+        seg_codes = cod[pos[hit]]
+        cents = np.floor(t.column("value").to_numpy(
+            zero_copy_only=False)[hit] * 100).astype("int64")
+        df = pd.DataFrame({"c_mktsegment": sg[seg_codes],
+                           "n_events": np.ones(len(cents), dtype="int64"),
+                           "sum_value_cents": cents})
+        return df.groupby("c_mktsegment", as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("c_mktsegment")
+              .aggregate(Sum("n_events", alias_name="n_events"),
+                         Sum("sum_value_cents",
+                             alias_name="sum_value_cents"))
+              .sort("c_mktsegment"))
+
+
+EVENTS_BY_SEGMENT_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

@@ -451,6 +451,156 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 """
 
 
+# --- duplicate n-gram analysis (cross-doc repeated substrings) --------------
+DUP_NGRAM_N = 5         # token n-gram width
+DUP_NGRAM_MIN_DOCS = 2  # "duplicated" = appears in >= 2 distinct docs
+DUP_NGRAM_K = 20
+
+
+def docs_dup_ngrams(ray, sf_dir: str, n: int = DUP_NGRAM_N,
+                    k: int = DUP_NGRAM_K):
+    """(gram, n_docs): token n-grams shared by >= 2 distinct documents —
+    the cross-document repeated-substring signal behind training-data
+    dedup / benchmark-contamination audits (Lee et al., ACL'22 "dedup
+    training data"). Scale shape: each doc is one row, so a per-batch
+    per-doc DISTINCT gram set is globally correct for (doc, gram);
+    batches emit (gram, n_docs) partials and the bucketed merge sums
+    them — the shuffle moves one row per distinct gram per batch, never
+    the text. Fan-out is sized by token bytes (gram count ~ token count),
+    not doc count."""
+    from ..io_utils import parquet_column_bytes
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _docs(ray, sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = tokenize(t)
+            if len(toks) < n:
+                continue
+            c.update({" ".join(toks[i:i + n])
+                      for i in range(len(toks) - n + 1)})
+        return pd.DataFrame({"gram": list(c.keys()),
+                             "n_docs": pd.Series(list(c.values()),
+                                                 dtype="int64")})
+
+    out = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["gram"],
+        lambda df: df.groupby("gram", as_index=False).agg(
+            n_docs=("n_docs", "sum")),
+        n_rows=parquet_column_bytes(f"{sf_dir}/documents.parquet",
+                                    "text") // 2)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("n_docs"),
+                                         DUP_NGRAM_MIN_DOCS))
+
+    return (out.map_batches(keep, batch_format="pyarrow")
+               .sort(["n_docs", "gram"], descending=[True, False]).limit(k))
+
+
+DOCS_DUP_NGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+') AS tk
+  FROM documents),
+pos AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, len(tk) - {DUP_NGRAM_N - 1})) AS i
+  FROM toks WHERE len(tk) >= {DUP_NGRAM_N}),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(tk[i:i+{DUP_NGRAM_N - 1}], ' ') AS gram
+  FROM pos)
+SELECT gram, COUNT(*) AS n_docs FROM g
+GROUP BY gram HAVING COUNT(*) >= {DUP_NGRAM_MIN_DOCS}
+ORDER BY n_docs DESC, gram LIMIT {DUP_NGRAM_K}
+"""
+
+
+# --- benchmark-contamination scan --------------------------------------------
+# probe phrases a training pipeline checks the corpus against (eval-set
+# leakage); tiny fixed list — literal in the oracle SQL, broadcast to the
+# scan. Chosen from the synthetic vocabulary so the sf testdata has hits.
+CONTAM_PROBES = ("customer stream window", "key scan query",
+                 "slow fast table", "table table key")
+
+
+def docs_contamination(ray, sf_dir: str):
+    """(doc_id, probe): documents whose text CONTAINS a probe phrase —
+    the eval-set-leak scan. The probe list is tiny and ships in the task
+    closure (broadcast, never a shuffle); matching is pyarrow's
+    vectorized match_substring per batch, a pure streaming filter with
+    no exchange."""
+    import pyarrow.compute as pc
+
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids_out, probes_out = [], []
+        for p in CONTAM_PROBES:
+            hit = batch.filter(pc.match_substring(batch.column("text"), p))
+            if hit.num_rows:
+                ids_out.append(hit.column("doc_id"))
+                probes_out.extend([p] * hit.num_rows)
+        if not ids_out:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "probe": pa.array([], pa.string())})
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [c.combine_chunks() for c in ids_out]).cast(pa.int64()),
+            "probe": pa.array(probes_out, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort(["doc_id", "probe"])
+
+
+_PROBE_VALUES = ", ".join(f"('{p}')" for p in CONTAM_PROBES)
+DOCS_CONTAMINATION_SQL = f"""
+SELECT d.doc_id, p.probe
+FROM documents d, (VALUES {_PROBE_VALUES}) p(probe)
+WHERE contains(d.text, p.probe)
+ORDER BY doc_id, probe
+"""
+
+
+# --- length histogram ---------------------------------------------------------
+HIST_BUCKET = 100
+
+
+def docs_length_histogram(ray, sf_dir: str):
+    """(bucket_lo, n_docs): corpus length profile in 100-char buckets —
+    per-batch np.unique partial counts (one row per touched bucket per
+    batch leaves the scan), merged by a tiny groupby-sum: the histogram
+    never moves more than O(batches x buckets) rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(ray, sf_dir, ["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        lo = (nc // HIST_BUCKET) * HIST_BUCKET
+        u, c = np.unique(lo, return_counts=True)
+        return pa.table({"bucket_lo": pa.array(u.astype(np.int64), pa.int64()),
+                         "n_docs": pa.array(c.astype(np.int64), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket_lo")
+              .aggregate(Sum("n_docs", alias_name="n_docs"))
+              .sort("bucket_lo"))
+
+
+DOCS_LENGTH_HISTOGRAM_SQL = f"""
+SELECT (n_chars // {HIST_BUCKET}) * {HIST_BUCKET} AS bucket_lo,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 # --- BPE-ish regex tokenization --------------------------------------------
 # letters-run | digits-run | single non-alnum-non-ws — the RE2-safe
 # simplification of the GPT-2 pre-tokenizer (no lookaheads, so DuckDB
