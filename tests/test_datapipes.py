@@ -57,6 +57,7 @@ SQL_CHECKED = [
     "docs_dup_ngrams", "docs_contamination", "docs_length_histogram",
     "events_user_value_delta", "lineitem_q6", "revenue_rollup",
     "events_daily_stats", "events_by_segment",
+    "doc_tfidf_top", "events_type_median", "events_pivot",
 ]
 
 
@@ -428,6 +429,23 @@ class TestHotBandAdversarial:
         df = _to_df(minhash_lsh_pairs(ray, str(d), threshold=0.8))
         assert len(df) == n * (n - 1) // 2
         assert (df["doc_a"] < df["doc_b"]).all()
+
+
+class TestGroupedRankSelect:
+    def test_median_refinement_path_matches_oracle(self, ray_session, ddb,
+                                                   monkeypatch):
+        """At test scale every group fits the collect threshold, so the
+        histogram-refinement rounds never run; force them (collect only
+        below 64 rows) and require the same exact medians."""
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        monkeypatch.setattr(rel, "_MEDIAN_COLLECT", 64)
+        got = _canon(_to_df(rel.events_type_median(ray, SF_DIR)))
+        want = _canon(ddb.execute(
+            rel.EVENTS_TYPE_MEDIAN_SQL).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 class TestSketches:

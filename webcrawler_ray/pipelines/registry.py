@@ -254,6 +254,7 @@ def build_queries() -> dict:
             lambda sf: textpipe.docs_contamination(ray, sf),
         "docs_length_histogram":
             lambda sf: textpipe.docs_length_histogram(ray, sf),
+        "doc_tfidf_top": lambda sf: textpipe.doc_tfidf_top(ray, sf),
         # relational / windowed / as-of
         "q1_pricing_summary": lambda sf: relational.q1_pricing_summary(ray, sf),
         "top_customers": lambda sf: relational.top_customers(ray, sf),
@@ -285,6 +286,9 @@ def build_queries() -> dict:
             lambda sf: relational.events_daily_stats(ray, sf),
         "events_by_segment":
             lambda sf: relational.events_by_segment(ray, sf),
+        "events_type_median":
+            lambda sf: relational.events_type_median(ray, sf),
+        "events_pivot": lambda sf: relational.events_pivot(ray, sf),
         "events_asof_order": lambda sf: relational.events_asof_order(ray, sf),
         "events_running_index": lambda sf: relational.events_running_index(ray, sf),
     }
@@ -547,6 +551,9 @@ ORDER BY vec_id_a, vec_id_b
     "docs_dup_ngrams": textpipe.DOCS_DUP_NGRAMS_SQL,
     "docs_contamination": textpipe.DOCS_CONTAMINATION_SQL,
     "docs_length_histogram": textpipe.DOCS_LENGTH_HISTOGRAM_SQL,
+    "doc_tfidf_top": textpipe.DOC_TFIDF_SQL,
+    "events_type_median": relational.EVENTS_TYPE_MEDIAN_SQL,
+    "events_pivot": relational.EVENTS_PIVOT_SQL,
     "doc_langid": _langid_sql(),
     "docs_sample": textpipe.DOCS_SAMPLE_SQL,
     "docs_sample_bottomk": textpipe.DOCS_SAMPLE_BOTTOMK_SQL,

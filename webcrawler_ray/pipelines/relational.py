@@ -1455,3 +1455,162 @@ SELECT c_mktsegment, COUNT(*) AS n_events,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+_MEDIAN_BINS = 128
+_MEDIAN_COLLECT = 65536
+
+
+def events_type_median(ray, sf_dir: str):
+    """(event_type, median): EXACT per-group discrete median
+    (percentile_disc(0.5) — the value at rank ceil(n/2) of the group's
+    sorted values) via grouped ITERATIVE partition-count rank-select, the
+    per-group form of events_value_percentiles: each refinement round is
+    ONE shared streamed pass emitting per-(group, bin) (count,
+    realized-min, realized-max) partials; the driver folds the tiny
+    O(groups x bins x blocks) summary and descends each group's range.
+    Realized bin min/max make the descent exact (no float-boundary
+    ambiguity); when every active range holds <= ~65k rows, one collect
+    pass pulls just those rows. No total sort, no per-group
+    materialization of the dataset."""
+    from ray.data.aggregate import Max, Min
+
+    path = f"{sf_dir}/events.parquet"
+    ds = _rpq(ray, path, columns=["event_type", "value"])
+
+    cnt = ds.groupby("event_type").count().to_pandas()  # O(groups)
+    if len(cnt) == 0:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=str),
+                             "median": pd.Series([], dtype="float64")})
+    mm = (ds.groupby("event_type")
+            .aggregate(Min("value"), Max("value")).to_pandas())
+    mm = cnt.merge(mm, on="event_type")
+
+    states: dict = {}
+    for _, r in mm.iterrows():
+        n = int(r["count()"])
+        s = {"rank": int(np.ceil(n / 2)), "base": 0, "count": n,
+             "lo": float(r["min(value)"]), "hi": float(r["max(value)"]),
+             "done": False, "value": np.nan}
+        if s["lo"] == s["hi"]:
+            s["done"], s["value"] = True, s["lo"]
+        states[r["event_type"]] = s
+
+    B = _MEDIAN_BINS
+    while any(not s["done"] and s["count"] > _MEDIAN_COLLECT
+              for s in states.values()):
+        spec = {et: (s["lo"], s["hi"]) for et, s in states.items()
+                if not s["done"]}
+
+        def hist(t: pa.Table) -> pa.Table:
+            ets = np.asarray(t.column("event_type").to_pylist())
+            vals = t.column("value").to_numpy(zero_copy_only=False)
+            o_et, o_bin, o_n, o_mn, o_mx = [], [], [], [], []
+            for et, (lo, hi) in spec.items():
+                v = vals[(ets == et) & (vals >= lo) & (vals <= hi)]
+                if len(v) == 0:
+                    continue
+                bi = np.minimum(((v - lo) / (hi - lo) * B).astype(np.int64),
+                                B - 1)
+                for b in np.unique(bi):
+                    vb = v[bi == b]
+                    o_et.append(et)
+                    o_bin.append(int(b))
+                    o_n.append(len(vb))
+                    o_mn.append(float(vb.min()))
+                    o_mx.append(float(vb.max()))
+            return pa.table({"event_type": pa.array(o_et, pa.string()),
+                             "bin": pa.array(o_bin, pa.int64()),
+                             "n": pa.array(o_n, pa.int64()),
+                             "mn": pa.array(o_mn, pa.float64()),
+                             "mx": pa.array(o_mx, pa.float64())})
+
+        parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+        for et in spec:
+            s = states[et]
+            p = parts[parts["event_type"] == et]
+            agg = (p.groupby("bin")
+                    .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+                    .sort_index())
+            cum = 0
+            for b, row in agg.iterrows():
+                if s["base"] + cum + row["n"] >= s["rank"]:
+                    s["base"] += cum
+                    s["count"] = int(row["n"])
+                    s["lo"], s["hi"] = float(row["mn"]), float(row["mx"])
+                    if s["lo"] == s["hi"]:
+                        s["done"], s["value"] = True, s["lo"]
+                    break
+                cum += int(row["n"])
+
+    pend = {et: (s["lo"], s["hi"]) for et, s in states.items()
+            if not s["done"]}
+    if pend:
+        def collect(t: pa.Table) -> pa.Table:
+            ets = np.asarray(t.column("event_type").to_pylist())
+            vals = t.column("value").to_numpy(zero_copy_only=False)
+            keep = np.zeros(len(vals), dtype=bool)
+            for et, (lo, hi) in pend.items():
+                keep |= (ets == et) & (vals >= lo) & (vals <= hi)
+            return pa.table({"event_type": pa.array(ets[keep], pa.string()),
+                             "value": pa.array(vals[keep], pa.float64())})
+
+        rows = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+        for et in pend:
+            s = states[et]
+            v = np.sort(rows.loc[rows["event_type"] == et, "value"]
+                            .to_numpy())
+            s["value"] = float(v[s["rank"] - s["base"] - 1])
+            s["done"] = True
+
+    out = pd.DataFrame({"event_type": list(states.keys()),
+                        "median": [s["value"] for s in states.values()]})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_TYPE_MEDIAN_SQL = """
+SELECT event_type,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS median
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot over the PUBLISHED event-type column set (a crosstab needs a fixed
+# output schema; unknown types are ignored by design)
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(ray, sf_dir: str):
+    """(day_us, n_click, n_error, n_purchase, n_signup, n_view): the
+    PIVOT/crosstab — per-batch conditional-count partials (one row per
+    touched day per batch), few-group merge; the exchange never moves
+    the event stream."""
+    from ray.data.aggregate import Sum
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = (t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // DAY_US) * DAY_US
+        et = np.asarray(t.column("event_type").to_pylist())
+        df = pd.DataFrame({"day_us": d})
+        for name in EVENT_TYPES:
+            df[f"n_{name}"] = (et == name).astype("int64")
+        return df.groupby("day_us", as_index=False).sum()
+
+    aggs = [Sum(f"n_{n}", alias_name=f"n_{n}") for n in EVENT_TYPES]
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("day_us").aggregate(*aggs).sort("day_us"))
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{n}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_{n}" for n in EVENT_TYPES)
+EVENTS_PIVOT_SQL = f"""
+SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS day_us,
+       {_PIVOT_COLS}
+FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -631,3 +631,114 @@ SELECT doc_id,
            AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """
+
+
+# --- per-doc distinctive term (integer tf-idf) -------------------------------
+def doc_tfidf_top(ray, sf_dir: str):
+    """(doc_id, token, score): each document's most DISTINCTIVE term by
+    integer tf-idf — score = (tf * n_docs_total) // df, an exact integer
+    both engines compute identically (no float log). Scale shape: two
+    bucketed exchanges, each keyed so the needed context co-locates:
+
+      1. by TOKEN — every (doc_id, token, tf) row of a token lands in
+         one bucket, so df (the token's global row count: (doc, token)
+         rows are unique) is computable IN-bucket, with no vocab-sized
+         join or driver-built document-frequency table;
+      2. by DOC — per-doc argmax (score DESC, token ASC tie-break).
+
+    tf itself is exact after one map_batches: a document is one row, so
+    its term counts never split across batches. Docs with no tokens emit
+    nothing (inner semantics, mirrored by the oracle)."""
+    from ..io_utils import parquet_column_bytes, parquet_num_rows
+    from ..stages.aggregates import buckets_for
+    from ..functions.urls import stable_hash64_batch
+
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    tok_bound = parquet_column_bytes(f"{sf_dir}/documents.parquet",
+                                     "text") // 2
+    nb_tok = buckets_for(tok_bound)
+    nb_doc = buckets_for(n_docs)
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_tok, out_tf = [], [], []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            c = Counter(tokenize(t))
+            c.pop("", None)
+            out_id.extend([i] * len(c))
+            out_tok.extend(c.keys())
+            out_tf.extend(c.values())
+        tb = (stable_hash64_batch(out_tok) % nb_tok).astype(np.int64)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "token": pa.array(out_tok, pa.string()),
+                         "tf": pa.array(out_tf, pa.int64()),
+                         "tbucket": pa.array(tb, pa.int64())})
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "token": pd.Series([], dtype=str),
+                                 "score": pd.Series([], dtype="int64")})
+        df_tok = g.groupby("token")["doc_id"].transform("size").to_numpy()
+        score = (g["tf"].to_numpy() * n_docs) // df_tok
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "token": g["token"],
+                             "score": score.astype("int64")})
+
+    scored = (ds.map_batches(tf_rows, batch_format="pyarrow")
+                .groupby("tbucket")
+                .map_groups(score_bucket, batch_format="pandas"))
+
+    def add_dbucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "score": pa.array([], pa.int64()),
+                             "dbucket": pa.array([], pa.int64())})
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        b = (d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(nb_doc)).astype(np.int64)
+        return t.append_column("dbucket", pa.array(b, pa.int64()))
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "token": pd.Series([], dtype=str),
+                                 "score": pd.Series([], dtype="int64")})
+        g = g.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("doc_id", as_index=False).head(1)
+        return pd.DataFrame({"doc_id": top["doc_id"].astype("int64"),
+                             "token": top["token"],
+                             "score": top["score"].astype("int64")})
+
+    return (scored.map_batches(add_dbucket, batch_format="pyarrow")
+                  .groupby("dbucket")
+                  .map_groups(top1, batch_format="pandas")
+                  .sort("doc_id"))
+
+
+DOC_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token != ''
+  GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf * n.n_docs // df.df AS BIGINT) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n)
+SELECT doc_id, token, score FROM (
+  SELECT doc_id, token, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS r
+  FROM scored)
+WHERE r = 1 ORDER BY doc_id
+"""
