@@ -46,7 +46,8 @@ QUERY_NAMES = [
     "multimodal_resize", "docs_sample_bottomk", "docs_per_source_cap",
     "events_value_percentiles_tdigest", "events_semijoin_bloom",
     "doc_top_terms_mg", "orders_reorder_window", "emb_kmeans",
-    "dedup_incremental",
+    "dedup_incremental", "docs_dup_ngrams", "doc_tfidf_top",
+    "events_by_segment", "events_type_median", "docs_pack_sequences",
 ]
 
 

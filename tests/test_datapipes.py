@@ -58,6 +58,7 @@ SQL_CHECKED = [
     "events_user_value_delta", "lineitem_q6", "revenue_rollup",
     "events_daily_stats", "events_by_segment",
     "doc_tfidf_top", "events_type_median", "events_pivot",
+    "docs_pack_sequences",
 ]
 
 
@@ -445,6 +446,25 @@ class TestGroupedRankSelect:
         got = _canon(_to_df(rel.events_type_median(ray, SF_DIR)))
         want = _canon(ddb.execute(
             rel.EVENTS_TYPE_MEDIAN_SQL).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestPackSequences:
+    def test_multiblock_prefix_sum_matches_oracle(self, ray_session, ddb,
+                                                  monkeypatch):
+        """Force a many-block sorted dataset so the cross-block offset
+        arithmetic (driver exclusive scan over block summaries) is
+        actually exercised — a single-block run never consults it."""
+        import ray
+
+        import webcrawler_ray.pipelines.textpipe as tp
+
+        orig = tp._docs
+        monkeypatch.setattr(
+            tp, "_docs",
+            lambda r, sf, cols: orig(r, sf, cols).repartition(7))
+        got = _canon(_to_df(tp.docs_pack_sequences(ray, SF_DIR)))
+        want = _canon(ddb.execute(tp.DOCS_PACK_SQL).fetchdf())
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 

@@ -255,6 +255,8 @@ def build_queries() -> dict:
         "docs_length_histogram":
             lambda sf: textpipe.docs_length_histogram(ray, sf),
         "doc_tfidf_top": lambda sf: textpipe.doc_tfidf_top(ray, sf),
+        "docs_pack_sequences":
+            lambda sf: textpipe.docs_pack_sequences(ray, sf),
         # relational / windowed / as-of
         "q1_pricing_summary": lambda sf: relational.q1_pricing_summary(ray, sf),
         "top_customers": lambda sf: relational.top_customers(ray, sf),
@@ -552,6 +554,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_contamination": textpipe.DOCS_CONTAMINATION_SQL,
     "docs_length_histogram": textpipe.DOCS_LENGTH_HISTOGRAM_SQL,
     "doc_tfidf_top": textpipe.DOC_TFIDF_SQL,
+    "docs_pack_sequences": textpipe.DOCS_PACK_SQL,
     "events_type_median": relational.EVENTS_TYPE_MEDIAN_SQL,
     "events_pivot": relational.EVENTS_PIVOT_SQL,
     "doc_langid": _langid_sql(),

@@ -742,3 +742,79 @@ SELECT doc_id, token, score FROM (
   FROM scored)
 WHERE r = 1 ORDER BY doc_id
 """
+
+
+# --- sequence packing (token-budget corpus packing) --------------------------
+SEQ_LEN_TOKENS = 4096
+
+
+def docs_pack_sequences(ray, sf_dir: str):
+    """(doc_id, n_tokens, seq_id): greedy sequential packing of documents
+    into fixed 4096-token training sequences — seq_id = (EXCLUSIVE prefix
+    sum of n_tokens in doc_id order) // 4096, i.e. each doc starts in the
+    sequence its running token offset falls into. The prefix sum is
+    DISTRIBUTED via the crawl budget-cut idiom (crawl.py ST6): sort by
+    doc_id, one O(blocks) block-summary pass, a driver-side exclusive
+    scan over the tiny summary (one row PER BLOCK, never per doc), then
+    a second pass adds each block's offset to its local cumsum."""
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = np.fromiter((len(tokenize(t)) for t in texts),
+                        dtype=np.int64, count=len(texts))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    sorted_ds = (ds.map_batches(counts, batch_format="pyarrow")
+                   .sort("doc_id").materialize())
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first_doc": pa.array([], pa.int64()),
+                             "tok_sum": pa.array([], pa.int64())})
+        tok = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "first_doc": pa.array([batch.column("doc_id")[0].as_py()],
+                                  pa.int64()),
+            "tok_sum": pa.array([int(tok.sum())], pa.int64())})
+
+    summ = (sorted_ds.map_batches(block_summary, batch_size=None,
+                                  batch_format="pyarrow")
+                     .to_pandas().sort_values("first_doc"))
+    starts = np.r_[0, summ["tok_sum"].to_numpy()[:-1].cumsum()]
+    offsets = {int(d): int(o)
+               for d, o in zip(summ["first_doc"], starts)}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "seq_id": pa.array([], pa.int64())})
+        base = offsets[int(batch.column("doc_id")[0].as_py())]
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        excl = base + np.cumsum(n) - n
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": batch.column("n_tokens"),
+                         "seq_id": pa.array(excl // SEQ_LEN_TOKENS,
+                                            pa.int64())})
+
+    return (sorted_ds.map_batches(assign, batch_size=None,
+                                  batch_format="pyarrow")
+                     .sort("doc_id"))
+
+
+DOCS_PACK_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN {SQL_TRIM_TEXT} = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array({SQL_TRIM_TEXT},
+                  '{SQL_WS_CLASS}+')) AS BIGINT)
+         END AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens) // {SEQ_LEN_TOKENS} AS BIGINT) AS seq_id
+FROM c ORDER BY doc_id
+"""
