@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from ..io_utils import parquet_num_rows as _nrows
 from ..io_utils import read_parquet_clean as _rpq
+from ..stages.aggregates import int_bucket_column
 
 import numpy as np
 import pandas as pd
@@ -448,8 +449,7 @@ def events_user_topk(ray, sf_dir: str, k: int = 3):
 
     def add_bucket(t: pa.Table) -> pa.Table:
         u = t.column("user_id").to_numpy(zero_copy_only=False)
-        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             % np.uint64(N_BUCKETS)).astype(np.int64)
+        b = int_bucket_column(u, N_BUCKETS)
         return t.append_column("ubucket", pa.array(b, pa.int64()))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -496,8 +496,7 @@ def sessionize(ray, sf_dir: str):
 
     def add_bucket(t: pa.Table) -> pa.Table:
         u = t.column("user_id").to_numpy(zero_copy_only=False)
-        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             % np.uint64(N_BUCKETS)).astype(np.int64)
+        b = int_bucket_column(u, N_BUCKETS)
         return pa.table({"user_id": t.column("user_id"),
                          "t_us": t.column("ts").cast(pa.int64()),
                          "ubucket": pa.array(b, pa.int64())})
@@ -549,8 +548,7 @@ def events_running_index(ray, sf_dir: str):
 
     def add_bucket(t: pa.Table) -> pa.Table:
         u = t.column("user_id").to_numpy(zero_copy_only=False)
-        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             % np.uint64(N_BUCKETS)).astype(np.int64)
+        b = int_bucket_column(u, N_BUCKETS)
         return t.append_column("ubucket", pa.array(b, pa.int64()))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -617,8 +615,7 @@ def events_asof_order(ray, sf_dir: str):
 
     def add_bucket(t: pa.Table) -> pa.Table:
         u = t.column("user_id").to_numpy(zero_copy_only=False)
-        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             % np.uint64(N_BUCKETS)).astype(np.int64)
+        b = int_bucket_column(u, N_BUCKETS)
         return t.append_column("ubucket", pa.array(b, pa.int64()))
 
     both = (ev.map_batches(ev_norm, batch_format="pyarrow")
@@ -978,8 +975,7 @@ def orders_reorder_window(ray, sf_dir: str):
 
     def add_bucket(t: pa.Table) -> pa.Table:
         u = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             % np.uint64(n_buckets)).astype(np.int64)
+        b = int_bucket_column(u, n_buckets)
         # explicit us cast HERE (arrow side): a pandas .astype('int64')
         # on a datetime column is unit-dependent across pandas/pyarrow
         # versions — the as-of join (events_asof_order) pins the same way
@@ -1220,8 +1216,7 @@ def events_user_value_delta(ray, sf_dir: str):
 
     def add_bucket(t: pa.Table) -> pa.Table:
         u = t.column("user_id").to_numpy(zero_copy_only=False)
-        b = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             % np.uint64(N_BUCKETS)).astype(np.int64)
+        b = int_bucket_column(u, N_BUCKETS)
         return t.append_column("ubucket", pa.array(b, pa.int64()))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1380,9 +1375,10 @@ def events_daily_stats(ray, sf_dir: str):
     def _dd(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["day_us", "user_id"])
 
+    # hash_bucket_aggregate already applies _dd to every input batch as
+    # its partial stage — no separate per-batch dedup pass needed
     dist = hash_bucket_aggregate(
-        base.map_batches(_dd, batch_format="pandas"),
-        ["day_us", "user_id"], _dd,
+        base, ["day_us", "user_id"], _dd,
         n_rows=_nrows(f"{sf_dir}/events.parquet"))
     nu = dist.groupby("day_us").count().to_pandas()  # O(#days) rows
 
@@ -1430,6 +1426,13 @@ def events_by_segment(ray, sf_dir: str):
         u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.clip(np.searchsorted(k, u), 0, len(k) - 1)
         hit = k[pos] == u
+        if not hit.any():
+            # dtype-pinned empty frame (q1 convention): an untyped empty
+            # would emit a null-typed c_mktsegment block
+            return pd.DataFrame({
+                "c_mktsegment": pd.Series([], dtype=str),
+                "n_events": pd.Series([], dtype="int64"),
+                "sum_value_cents": pd.Series([], dtype="int64")})
         seg_codes = cod[pos[hit]]
         cents = np.floor(t.column("value").to_numpy(
             zero_copy_only=False)[hit] * 100).astype("int64")
@@ -1474,18 +1477,18 @@ def events_type_median(ray, sf_dir: str):
     ambiguity); when every active range holds <= ~65k rows, one collect
     pass pulls just those rows. No total sort, no per-group
     materialization of the dataset."""
-    from ray.data.aggregate import Max, Min
+    from ray.data.aggregate import Count, Max, Min
 
     path = f"{sf_dir}/events.parquet"
     ds = _rpq(ray, path, columns=["event_type", "value"])
 
-    cnt = ds.groupby("event_type").count().to_pandas()  # O(groups)
-    if len(cnt) == 0:
+    # ONE pass for all three per-group stats (count + min + max)
+    mm = (ds.groupby("event_type")
+            .aggregate(Count(alias_name="count()"),
+                       Min("value"), Max("value")).to_pandas())
+    if len(mm) == 0:
         return pd.DataFrame({"event_type": pd.Series([], dtype=str),
                              "median": pd.Series([], dtype="float64")})
-    mm = (ds.groupby("event_type")
-            .aggregate(Min("value"), Max("value")).to_pandas())
-    mm = cnt.merge(mm, on="event_type")
 
     states: dict = {}
     for _, r in mm.iterrows():
@@ -1498,10 +1501,24 @@ def events_type_median(ray, sf_dir: str):
         states[r["event_type"]] = s
 
     B = _MEDIAN_BINS
+    rounds = 0
     while any(not s["done"] and s["count"] > _MEDIAN_COLLECT
               for s in states.values()):
+        # pure safety net (sibling events_value_percentiles does the
+        # same): the realized-min/max descent shrinks every active range
+        # each round, so 64 rounds is unreachable on well-formed input —
+        # a NaN-poisoned column (histogram mass can never reach the
+        # rank) must fail loudly, not re-scan forever
+        rounds += 1
+        if rounds > 64:
+            raise RuntimeError(
+                "events_type_median: refinement did not converge "
+                "(NaN values in events.value?)")
+        # groups already small enough for the collect pass snap out of
+        # the refinement spec — they'd pay per-batch filtering for
+        # nothing (percentiles' _PCT_COLLECT_MAX filter, same rule)
         spec = {et: (s["lo"], s["hi"]) for et, s in states.items()
-                if not s["done"]}
+                if not s["done"] and s["count"] > _MEDIAN_COLLECT}
 
         def hist(t: pa.Table) -> pa.Table:
             ets = np.asarray(t.column("event_type").to_pylist())

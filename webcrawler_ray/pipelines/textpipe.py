@@ -650,7 +650,7 @@ def doc_tfidf_top(ray, sf_dir: str):
     its term counts never split across batches. Docs with no tokens emit
     nothing (inner semantics, mirrored by the oracle)."""
     from ..io_utils import parquet_column_bytes, parquet_num_rows
-    from ..stages.aggregates import buckets_for
+    from ..stages.aggregates import buckets_for, int_bucket_column
     from ..functions.urls import stable_hash64_batch
 
     n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
@@ -699,8 +699,7 @@ def doc_tfidf_top(ray, sf_dir: str):
                              "score": pa.array([], pa.int64()),
                              "dbucket": pa.array([], pa.int64())})
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
-        b = (d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             % np.uint64(nb_doc)).astype(np.int64)
+        b = int_bucket_column(d, nb_doc)
         return t.append_column("dbucket", pa.array(b, pa.int64()))
 
     def top1(g: pd.DataFrame) -> pd.DataFrame:

@@ -40,6 +40,15 @@ def _bucket_of(df_or_tbl, keys: list[str], num_buckets: int) -> np.ndarray:
     return (stable_hash64_batch(joined) % num_buckets).astype(np.int64)
 
 
+def int_bucket_column(values: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Stable coarse-bucket id for an INTEGER key column (Fibonacci
+    multiplicative hash) — the ONE spelling of the idiom every bucketed
+    window/exchange stage shares (a scheme change edits this line, not
+    N inlined copies)."""
+    return (values.astype(np.uint64) * _FIB
+            % np.uint64(num_buckets)).astype(np.int64)
+
+
 def buckets_for(n_rows: int | None, rows_per_bucket: int = 4096,
                 lo: int | None = None, hi: int = 1024) -> int:
     """Shuffle fan-out sized from DATA, not a constant: each coarse
