@@ -449,6 +449,41 @@ class TestGroupedRankSelect:
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+class TestCompressionRatio:
+    def test_repetitive_text_scores_lower(self, ray_session, queries):
+        """Invariant check (no SQL oracle: zlib): the signal separates
+        repetition from entropy — a repeated-phrase doc must compress
+        far better than random-word prose; ratios are deterministic and
+        self-consistent (n_comp matches a local zlib of the same text)."""
+        import zlib
+
+        import duckdb
+
+        q, _ = queries
+        df = _to_df(q["doc_compression_ratio"](SF_DIR))
+        assert (df["n_raw"] > 0).all()
+        assert (df["ratio_pct"] >= 1).all()
+        # self-consistency on a sample: same bytes -> same zlib size
+        texts = duckdb.execute(
+            f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' "
+            "ORDER BY doc_id LIMIT 20").fetchdf()
+        sub = df.set_index("doc_id")
+        for _, r in texts.iterrows():
+            assert sub.loc[r["doc_id"], "n_comp"] == len(
+                zlib.compress(r["text"].encode("utf-8"), 6))
+        # separation: synthetic word-soup docs (small vocab) sit well
+        # below the ratio of high-entropy text of the same length
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        noise = " ".join(
+            "".join(chr(97 + c) for c in rng.integers(0, 26, 8))
+            for _ in range(200))
+        noise_ratio = (len(zlib.compress(noise.encode(), 6)) * 100
+                       // len(noise.encode()))
+        assert df["ratio_pct"].median() < noise_ratio
+
+
 class TestPackSequences:
     def test_multiblock_prefix_sum_matches_oracle(self, ray_session, ddb,
                                                   monkeypatch):

@@ -257,6 +257,8 @@ def build_queries() -> dict:
         "doc_tfidf_top": lambda sf: textpipe.doc_tfidf_top(ray, sf),
         "docs_pack_sequences":
             lambda sf: textpipe.docs_pack_sequences(ray, sf),
+        "doc_compression_ratio":
+            lambda sf: textpipe.doc_compression_ratio(ray, sf),
         # relational / windowed / as-of
         "q1_pricing_summary": lambda sf: relational.q1_pricing_summary(ray, sf),
         "top_customers": lambda sf: relational.top_customers(ray, sf),

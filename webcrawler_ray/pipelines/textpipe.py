@@ -817,3 +817,34 @@ SELECT doc_id, n_tokens,
              - n_tokens) // {SEQ_LEN_TOKENS} AS BIGINT) AS seq_id
 FROM c ORDER BY doc_id
 """
+
+
+# --- compression-ratio quality signal ----------------------------------------
+def doc_compression_ratio(ray, sf_dir: str):
+    """(doc_id, n_raw, n_comp, ratio_pct): zlib-compressibility quality
+    signal — highly repetitive / boilerplate text compresses far better
+    than natural prose, so a LOW ratio_pct flags template spam and a
+    ~100+ ratio flags high-entropy noise (the classic training-data
+    gate alongside docs_quality_filter). ratio_pct is integer
+    (n_comp * 100 // n_raw) for determinism. Pure streaming
+    map_batches — per-doc zlib at a fixed level, no shuffle. Rows-only
+    (no SQL oracle: DuckDB cannot run zlib); invariant-tested instead."""
+    import zlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_raw = np.empty(len(texts), dtype=np.int64)
+        n_comp = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            b = t.encode("utf-8")
+            n_raw[i] = len(b)
+            n_comp[i] = len(zlib.compress(b, 6))
+        ratio = np.where(n_raw > 0, n_comp * 100 // np.maximum(n_raw, 1),
+                         np.int64(0))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_raw": pa.array(n_raw, pa.int64()),
+                         "n_comp": pa.array(n_comp, pa.int64()),
+                         "ratio_pct": pa.array(ratio, pa.int64())})
+
+    return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow").sort("doc_id")
