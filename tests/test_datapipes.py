@@ -58,7 +58,7 @@ SQL_CHECKED = [
     "events_user_value_delta", "lineitem_q6", "revenue_rollup",
     "events_daily_stats", "events_by_segment",
     "doc_tfidf_top", "events_type_median", "events_pivot",
-    "docs_pack_sequences",
+    "docs_pack_sequences", "events_user_profile", "users_retained",
 ]
 
 

@@ -293,6 +293,9 @@ def build_queries() -> dict:
         "events_type_median":
             lambda sf: relational.events_type_median(ray, sf),
         "events_pivot": lambda sf: relational.events_pivot(ray, sf),
+        "events_user_profile":
+            lambda sf: relational.events_user_profile(ray, sf),
+        "users_retained": lambda sf: relational.users_retained(ray, sf),
         "events_asof_order": lambda sf: relational.events_asof_order(ray, sf),
         "events_running_index": lambda sf: relational.events_running_index(ray, sf),
     }
@@ -559,6 +562,8 @@ ORDER BY vec_id_a, vec_id_b
     "docs_pack_sequences": textpipe.DOCS_PACK_SQL,
     "events_type_median": relational.EVENTS_TYPE_MEDIAN_SQL,
     "events_pivot": relational.EVENTS_PIVOT_SQL,
+    "events_user_profile": relational.EVENTS_USER_PROFILE_SQL,
+    "users_retained": relational.USERS_RETAINED_SQL,
     "doc_langid": _langid_sql(),
     "docs_sample": textpipe.DOCS_SAMPLE_SQL,
     "docs_sample_bottomk": textpipe.DOCS_SAMPLE_BOTTOMK_SQL,

@@ -1631,3 +1631,106 @@ SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS day_us,
        {_PIVOT_COLS}
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+def events_user_profile(ray, sf_dir: str):
+    """(user_id, n_events, first_us, last_us, n_types): the per-entity
+    FEATURE-TABLE materialization (first/last seen, activity count,
+    behavioral breadth) — one user-keyed coarse-bucket exchange, then a
+    single vectorized pandas groupby-agg per bucket (size/min/max/
+    nunique together). The same shape feeds feature stores at 10^9
+    users: per-task heap stays ~rows_per_bucket."""
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "t_us": t.column("ts").cast(pa.int64()),
+            "event_type": t.column("event_type"),
+            "ubucket": pa.array(int_bucket_column(u, N_BUCKETS),
+                                pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g.groupby("user_id")
+              .agg(n_events=("t_us", "size"), first_us=("t_us", "min"),
+                   last_us=("t_us", "max"),
+                   n_types=("event_type", "nunique"))
+              .reset_index())
+        return a.astype({"user_id": "int64", "n_events": "int64",
+                         "first_us": "int64", "last_us": "int64",
+                         "n_types": "int64"})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort("user_id"))
+
+
+EVENTS_USER_PROFILE_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+RETAIN_DAY_A = 0
+RETAIN_DAY_B = 29
+
+
+def users_retained(ray, sf_dir: str):
+    """(user_id): users active on BOTH day 0 and day 29 of the window —
+    the set-INTERSECTION / retention-cohort op. One O(1) pass finds the
+    window origin; then per-batch (user, in_w0, in_w3) boolean partials
+    OR-merge in user buckets — the exchange moves at most one row per
+    user per batch, never the event stream, and no driver-side set."""
+    from ray.data.aggregate import Min
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts"])
+    t0 = int(pd.Timestamp(
+        ds.aggregate(Min("ts"))["min(ts)"]).value) // 1000  # ns -> us
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        w = ((t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) - t0) // DAY_US)
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(zero_copy_only=False)
+                        .astype("int64"),
+            "in_w0": (w == RETAIN_DAY_A).astype("int64"),
+            "in_w3": (w == RETAIN_DAY_B).astype("int64")})
+        return df.groupby("user_id", as_index=False).max()
+
+    merged = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).max(),
+        n_rows=_nrows(f"{sf_dir}/events.parquet"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column("in_w0"), 1),
+                    pc.equal(t.column("in_w3"), 1))
+        return t.filter(m).select(["user_id"])
+
+    return merged.map_batches(keep, batch_format="pyarrow").sort("user_id")
+
+
+USERS_RETAINED_SQL = f"""
+WITH t0 AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events)
+SELECT user_id FROM (
+  SELECT DISTINCT user_id FROM events, t0
+  WHERE (epoch_us(ts) - t0) // {DAY_US} = {RETAIN_DAY_A}
+  INTERSECT
+  SELECT DISTINCT user_id FROM events, t0
+  WHERE (epoch_us(ts) - t0) // {DAY_US} = {RETAIN_DAY_B})
+ORDER BY user_id
+"""
