@@ -320,6 +320,8 @@ def build_queries() -> dict:
             "knn_lsh": lambda sf: similarity.knn_lsh(ray, sf),
             "emb_label_sums": lambda sf: similarity.emb_label_sums(ray, sf),
             "emb_kmeans": lambda sf: similarity.emb_kmeans(ray, sf),
+            "emb_gram_matrix":
+                lambda sf: similarity.emb_gram_matrix(ray, sf),
             "events_distinct_users_hll":
                 lambda sf: sketches.events_distinct_users_hll(ray, sf),
             "docs_distinct_texts_hll":
@@ -582,6 +584,7 @@ try:
     ORACLE_SQL["knn_cosine"] = _sim.KNN_SQL
     ORACLE_SQL["emb_label_sums"] = _sim.EMB_LABEL_SUMS_SQL
     ORACLE_SQL["cluster_embedding_cosine"] = _sim.CLUSTER_COSINE_SQL
+    ORACLE_SQL["emb_gram_matrix"] = _sim.EMB_GRAM_SQL
 except ImportError:
     ORACLE_SQL.pop("knn_cosine", None)
 

@@ -597,3 +597,70 @@ def emb_kmeans(ray, sf_dir: str, k: int = 8, iters: int = 5):
 
     return ds.map_batches(final_assign,
                           batch_format="pyarrow").sort("vec_id")
+
+
+# ---------------------------------------------------------------------------
+GRAM_SCALE = 1_000_000
+
+
+def emb_gram_matrix(ray, sf_dir: str):
+    """(i, j, g): the upper triangle of the embedding GRAM matrix
+    X^T X — the distributed-linear-algebra building block behind PCA /
+    whitening / least squares. Each per-row outer product is quantized
+    to int64 (floor(v_i * v_j * 1e6), float32 widened to float64 first)
+    BEFORE summing, so the sum is order-independent and exact — the
+    emb_label_sums float-determinism rule applied to second moments.
+    Per-batch partials are a CONSTANT-size d(d+1)/2 triangle whatever
+    the row count (the classic mergeable-moment shape: 100 TB of vectors
+    stream through, only tiny triangles shuffle); one single-bucket
+    merge folds them."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        if n == 0 or len(flat) == 0:
+            return pd.DataFrame({"i": pd.Series([], dtype="int64"),
+                                 "j": pd.Series([], dtype="int64"),
+                                 "g": pd.Series([], dtype="int64")})
+        d = len(flat) // n
+        X = flat.astype(np.float64).reshape(n, d)
+        iu, ju = np.triu_indices(d)
+        G = np.zeros(len(iu), dtype=np.int64)
+        # row-chunked accumulation keeps the (chunk x d x d) temporary
+        # bounded regardless of batch size
+        for s in range(0, n, 256):
+            c = X[s:s + 256]
+            G += np.floor((c[:, :, None] * c[:, None, :])
+                          * GRAM_SCALE).astype(np.int64)[:, iu, ju].sum(
+                              axis=0, dtype=np.int64)
+        return pd.DataFrame({"i": pd.Series(iu, dtype="int64"),
+                             "j": pd.Series(ju, dtype="int64"),
+                             "g": pd.Series(G, dtype="int64")})
+
+    out = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"],
+        lambda df: df.groupby(["i", "j"], as_index=False).agg(
+            g=("g", "sum")),
+        # the key space is the fixed d(d+1)/2 triangle — one merge bucket
+        # is the correct fan-out at any input size
+        num_buckets=1)
+    return out.sort(["i", "j"])
+
+
+EMB_GRAM_SQL = f"""
+WITH x AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings)
+SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+       CAST(SUM(CAST(FLOOR(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)
+            * {GRAM_SCALE}) AS BIGINT)) AS BIGINT) AS g
+FROM x a JOIN x b USING (vec_id)
+WHERE a.i <= b.i
+GROUP BY a.i, b.i ORDER BY i, j
+"""
