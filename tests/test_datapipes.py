@@ -462,8 +462,11 @@ class TestCompressionRatio:
 
         q, _ = queries
         df = _to_df(q["doc_compression_ratio"](SF_DIR))
-        assert (df["n_raw"] > 0).all()
-        assert (df["ratio_pct"] >= 1).all()
+        # contract (not a zlib invariant): empty docs map to ratio 0 and
+        # n_comp > 0 whenever there are bytes — NO lower ratio floor (a
+        # template doc can legitimately compress past 100:1 to ratio 0)
+        assert (df.loc[df["n_raw"] == 0, "ratio_pct"] == 0).all()
+        assert (df.loc[df["n_raw"] > 0, "n_comp"] > 0).all()
         # self-consistency on a sample: same bytes -> same zlib size
         texts = duckdb.execute(
             f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' "

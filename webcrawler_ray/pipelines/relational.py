@@ -1637,36 +1637,49 @@ FROM events GROUP BY 1 ORDER BY 1
 def events_user_profile(ray, sf_dir: str):
     """(user_id, n_events, first_us, last_us, n_types): the per-entity
     FEATURE-TABLE materialization (first/last seen, activity count,
-    behavioral breadth) — one user-keyed coarse-bucket exchange, then a
-    single vectorized pandas groupby-agg per bucket (size/min/max/
-    nunique together). The same shape feeds feature stores at 10^9
-    users: per-task heap stays ~rows_per_bucket."""
+    behavioral breadth) — per-batch COMBINER first (one partial row per
+    (user, event_type) per batch: count + min/max fold before any
+    exchange), then a user-keyed coarse-bucket merge whose shuffle
+    volume is bounded by users x types x batches, never the event
+    stream. The same shape feeds feature stores at 10^9 users:
+    per-task heap stays ~rows_per_bucket."""
     from ..stages.aggregates import buckets_for
 
     N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
     ds = _rpq(ray, f"{sf_dir}/events.parquet",
               columns=["user_id", "ts", "event_type"])
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "user_id": t.column("user_id"),
-            "t_us": t.column("ts").cast(pa.int64()),
-            "event_type": t.column("event_type"),
-            "ubucket": pa.array(int_bucket_column(u, N_BUCKETS),
-                                pa.int64())})
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(zero_copy_only=False)
+                        .astype("int64"),
+            "t_us": t.column("ts").cast(pa.int64())
+                     .to_numpy(zero_copy_only=False),
+            "event_type": t.column("event_type").to_pylist()})
+        a = (df.groupby(["user_id", "event_type"], as_index=False)
+               .agg(n_events=("t_us", "size"), first_us=("t_us", "min"),
+                    last_us=("t_us", "max")))
+        a["ubucket"] = int_bucket_column(a["user_id"].to_numpy(), N_BUCKETS)
+        return a
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        a = (g.groupby("user_id")
-              .agg(n_events=("t_us", "size"), first_us=("t_us", "min"),
-                   last_us=("t_us", "max"),
-                   n_types=("event_type", "nunique"))
+        # fold (user, type) partials from all batches, then the per-user
+        # profile: counts sum, first/last fold, n_types = distinct types
+        f = (g.groupby(["user_id", "event_type"], as_index=False)
+              .agg(n_events=("n_events", "sum"),
+                   first_us=("first_us", "min"),
+                   last_us=("last_us", "max")))
+        a = (f.groupby("user_id")
+              .agg(n_events=("n_events", "sum"),
+                   first_us=("first_us", "min"),
+                   last_us=("last_us", "max"),
+                   n_types=("event_type", "size"))
               .reset_index())
         return a.astype({"user_id": "int64", "n_events": "int64",
                          "first_us": "int64", "last_us": "int64",
                          "n_types": "int64"})
 
-    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("ubucket").map_groups(per_bucket,
                                              batch_format="pandas")
               .sort("user_id"))
@@ -1695,10 +1708,13 @@ def users_retained(ray, sf_dir: str):
 
     from ..stages.aggregates import hash_bucket_aggregate
 
+    # the t0 scan reads ONLY the ts column (the 2-column ds re-executes
+    # for the partial pass anyway)
+    t0 = int(pd.Timestamp(
+        _rpq(ray, f"{sf_dir}/events.parquet", columns=["ts"])
+        .aggregate(Min("ts"))["min(ts)"]).value) // 1000  # ns -> us
     ds = _rpq(ray, f"{sf_dir}/events.parquet",
               columns=["user_id", "ts"])
-    t0 = int(pd.Timestamp(
-        ds.aggregate(Min("ts"))["min(ts)"]).value) // 1000  # ns -> us
 
     def partial(t: pa.Table) -> pd.DataFrame:
         w = ((t.column("ts").cast(pa.int64()).to_numpy(
@@ -1708,6 +1724,9 @@ def users_retained(ray, sf_dir: str):
                         .astype("int64"),
             "in_w0": (w == RETAIN_DAY_A).astype("int64"),
             "in_w3": (w == RETAIN_DAY_B).astype("int64")})
+        # users active on NEITHER cohort day can never pass the final
+        # both-flags filter — drop them before the exchange
+        df = df[(df["in_w0"] + df["in_w3"]) > 0]
         return df.groupby("user_id", as_index=False).max()
 
     merged = hash_bucket_aggregate(

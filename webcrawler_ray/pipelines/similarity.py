@@ -630,13 +630,13 @@ def emb_gram_matrix(ray, sf_dir: str):
         X = flat.astype(np.float64).reshape(n, d)
         iu, ju = np.triu_indices(d)
         G = np.zeros(len(iu), dtype=np.int64)
-        # row-chunked accumulation keeps the (chunk x d x d) temporary
-        # bounded regardless of batch size
+        # row-chunked accumulation over the TRIANGLE only — gathering
+        # c[:, iu] * c[:, ju] does half the FLOPs/memory of the full
+        # (chunk, d, d) cube and is the bit-identical float product
         for s in range(0, n, 256):
             c = X[s:s + 256]
-            G += np.floor((c[:, :, None] * c[:, None, :])
-                          * GRAM_SCALE).astype(np.int64)[:, iu, ju].sum(
-                              axis=0, dtype=np.int64)
+            G += np.floor((c[:, iu] * c[:, ju]) * GRAM_SCALE).astype(
+                np.int64).sum(axis=0, dtype=np.int64)
         return pd.DataFrame({"i": pd.Series(iu, dtype="int64"),
                              "j": pd.Series(ju, dtype="int64"),
                              "g": pd.Series(G, dtype="int64")})
