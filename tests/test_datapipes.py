@@ -59,7 +59,7 @@ SQL_CHECKED = [
     "events_daily_stats", "events_by_segment",
     "doc_tfidf_top", "events_type_median", "events_pivot",
     "docs_pack_sequences", "events_user_profile", "users_retained",
-    "emb_gram_matrix",
+    "emb_gram_matrix", "docs_langid_mix", "order_line_stats",
 ]
 
 

@@ -259,6 +259,9 @@ def build_queries() -> dict:
             lambda sf: textpipe.docs_pack_sequences(ray, sf),
         "doc_compression_ratio":
             lambda sf: textpipe.doc_compression_ratio(ray, sf),
+        "docs_langid_mix": lambda sf: textpipe.docs_langid_mix(ray, sf),
+        "order_line_stats":
+            lambda sf: relational.order_line_stats(ray, sf),
         # relational / windowed / as-of
         "q1_pricing_summary": lambda sf: relational.q1_pricing_summary(ray, sf),
         "top_customers": lambda sf: relational.top_customers(ray, sf),
@@ -424,6 +427,39 @@ FROM counts ORDER BY doc_id
 """
 
 
+def _langid_mix_sql() -> str:
+    """Per-source language mix: the SAME scorer SQL as _langid_sql with
+    the source column carried through and a final (source, lang) count."""
+    from .textpipe import _STOPWORDS, SQL_WS_CLASS
+
+    def inlist(lang):
+        return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+    trim = (f"regexp_replace(lower(text), '^{SQL_WS_CLASS}+|"
+            f"{SQL_WS_CLASS}+$', '', 'g')")
+    return f"""
+WITH toks AS (
+  SELECT source,
+         str_split_regex({trim}, '{SQL_WS_CLASS}+') AS tk
+  FROM documents),
+counts AS (
+  SELECT source,
+    CAST(len(list_filter(tk, x -> x IN ({inlist('en')}))) AS BIGINT) AS n_en,
+    CAST(len(list_filter(tk, x -> x IN ({inlist('es')}))) AS BIGINT) AS n_es,
+    CAST(len(list_filter(tk, x -> x IN ({inlist('pt')}))) AS BIGINT) AS n_pt
+  FROM toks),
+pred AS (
+  SELECT source,
+    CASE WHEN n_en = 0 AND n_es = 0 AND n_pt = 0 THEN 'unk'
+         WHEN n_en >= n_es AND n_en >= n_pt THEN 'en'
+         WHEN n_es >= n_pt THEN 'es'
+         ELSE 'pt' END AS lang_pred
+  FROM counts)
+SELECT source, lang_pred, COUNT(*) AS n_docs
+FROM pred GROUP BY source, lang_pred ORDER BY source, lang_pred
+"""
+
+
 MULTIMODAL_META_SQL = """
 SELECT doc_id,
   CAST(8 + (doc_id % 16) * 2 AS BIGINT) AS width,
@@ -567,6 +603,8 @@ ORDER BY vec_id_a, vec_id_b
     "events_user_profile": relational.EVENTS_USER_PROFILE_SQL,
     "users_retained": relational.USERS_RETAINED_SQL,
     "doc_langid": _langid_sql(),
+    "docs_langid_mix": _langid_mix_sql(),
+    "order_line_stats": relational.ORDER_LINE_STATS_SQL,
     "docs_sample": textpipe.DOCS_SAMPLE_SQL,
     "docs_sample_bottomk": textpipe.DOCS_SAMPLE_BOTTOMK_SQL,
     "docs_per_source_cap": textpipe.DOCS_PER_SOURCE_CAP_SQL,

@@ -1753,3 +1753,52 @@ SELECT user_id FROM (
   WHERE (epoch_us(ts) - t0) // {DAY_US} = {RETAIN_DAY_B})
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+def order_line_stats(ray, sf_dir: str):
+    """(o_orderkey, o_orderstatus, n_lines, sum_qty): the FACT x FACT
+    co-partitioned equi-join — lineitem partial-aggregates to one row
+    per orderkey per batch BEFORE any exchange (combiner), the bucketed
+    merge reduces to one row per orderkey, and ONE distributed hash join
+    (partition count sized from the orders footer) attaches the order
+    status. Neither fact side is driver-materialized or broadcast —
+    the 100-TB shape for joining two big tables on a shared key."""
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].astype("int64"),
+            "n_lines": np.ones(len(b), dtype="int64"),
+            "sum_qty": b["l_quantity"].astype("int64")})
+        return g.groupby("o_orderkey", as_index=False).sum()
+
+    li_agg = hash_bucket_aggregate(
+        li.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["o_orderkey"],
+        lambda df: df.groupby("o_orderkey", as_index=False).sum(),
+        n_rows=n_orders)
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_orderstatus"])
+    joined = li_agg.join(orders, join_type="inner", on=("o_orderkey",),
+                         num_partitions=join_partitions_for(n_orders))
+    return joined.map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderstatus", "n_lines",
+                            "sum_qty"]),
+        batch_format="pyarrow").sort("o_orderkey")
+
+
+ORDER_LINE_STATS_SQL = """
+SELECT o_orderkey, o_orderstatus, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey
+"""

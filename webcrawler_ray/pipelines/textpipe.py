@@ -848,3 +848,40 @@ def doc_compression_ratio(ray, sf_dir: str):
 
     return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow").sort("doc_id")
+
+
+# --- per-source language mix (composed: scoring stage -> aggregate) ---------
+class LangIdMixStage(LangIdStage):
+    """LangIdStage variant that carries the source column and reduces
+    each batch to (source, lang_pred, n_docs) partials — the composed
+    model-score-then-aggregate pipeline."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        scored = super().__call__(
+            pa.table({"doc_id": batch.column("doc_id"),
+                      "text": batch.column("text")}))
+        df = pd.DataFrame({
+            "source": batch.column("source").to_pylist(),
+            "lang_pred": scored.column("lang_pred").to_pylist()})
+        g = (df.groupby(["source", "lang_pred"], as_index=False)
+               .size().rename(columns={"size": "n_docs"}))
+        return pa.table({"source": pa.array(g["source"], pa.string()),
+                         "lang_pred": pa.array(g["lang_pred"], pa.string()),
+                         "n_docs": pa.array(g["n_docs"].astype("int64"),
+                                            pa.int64())})
+
+
+def docs_langid_mix(ray, sf_dir: str, concurrency: int = 2):
+    """(source, lang_pred, n_docs): corpus language mix per source —
+    the actor-pool language scorer (stopword tables built once per
+    actor) CHAINED into a per-batch combiner and a tiny
+    (sources x langs)-group merge; the exchange moves partial counts,
+    never documents."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(ray, sf_dir, ["doc_id", "text", "source"])
+    return (ds.map_batches(LangIdMixStage, batch_format="pyarrow",
+                           batch_size=1024, concurrency=concurrency)
+              .groupby(["source", "lang_pred"])
+              .aggregate(Sum("n_docs", alias_name="n_docs"))
+              .sort(["source", "lang_pred"]))
