@@ -48,6 +48,7 @@ QUERY_NAMES = [
     "doc_top_terms_mg", "orders_reorder_window", "emb_kmeans",
     "dedup_incremental", "docs_dup_ngrams", "doc_tfidf_top",
     "events_by_segment", "events_type_median", "docs_pack_sequences",
+    "corpus_curation", "order_line_stats",
 ]
 
 

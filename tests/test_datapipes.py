@@ -60,6 +60,7 @@ SQL_CHECKED = [
     "doc_tfidf_top", "events_type_median", "events_pivot",
     "docs_pack_sequences", "events_user_profile", "users_retained",
     "emb_gram_matrix", "docs_langid_mix", "order_line_stats",
+    "corpus_curation",
 ]
 
 

@@ -260,6 +260,7 @@ def build_queries() -> dict:
         "doc_compression_ratio":
             lambda sf: textpipe.doc_compression_ratio(ray, sf),
         "docs_langid_mix": lambda sf: textpipe.docs_langid_mix(ray, sf),
+        "corpus_curation": lambda sf: textpipe.corpus_curation(ray, sf),
         "order_line_stats":
             lambda sf: relational.order_line_stats(ray, sf),
         # relational / windowed / as-of
@@ -598,6 +599,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_length_histogram": textpipe.DOCS_LENGTH_HISTOGRAM_SQL,
     "doc_tfidf_top": textpipe.DOC_TFIDF_SQL,
     "docs_pack_sequences": textpipe.DOCS_PACK_SQL,
+    "corpus_curation": textpipe.CORPUS_CURATION_SQL,
     "events_type_median": relational.EVENTS_TYPE_MEDIAN_SQL,
     "events_pivot": relational.EVENTS_PIVOT_SQL,
     "events_user_profile": relational.EVENTS_USER_PROFILE_SQL,

@@ -765,8 +765,19 @@ def docs_pack_sequences(ray, sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"),
                          "n_tokens": pa.array(n, pa.int64())})
 
-    sorted_ds = (ds.map_batches(counts, batch_format="pyarrow")
-                   .sort("doc_id").materialize())
+    return pack_sequences_over(
+        ds.map_batches(counts, batch_format="pyarrow"))
+
+
+def pack_sequences_over(ds_counts):
+    """The distributed exclusive-prefix-sum packer over ANY dataset
+    carrying (doc_id, n_tokens, ...extra columns): sort by doc_id,
+    one O(blocks) block-summary pass, a driver-side exclusive scan
+    over the tiny summary (one row PER BLOCK, never per doc), then a
+    second pass adds each block's offset to its local cumsum and
+    appends seq_id — extra columns ride through untouched. Shared by
+    docs_pack_sequences and corpus_curation."""
+    sorted_ds = ds_counts.sort("doc_id").materialize()
 
     def block_summary(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -787,16 +798,12 @@ def docs_pack_sequences(ray, sf_dir: str):
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "n_tokens": pa.array([], pa.int64()),
-                             "seq_id": pa.array([], pa.int64())})
+            return batch.append_column("seq_id", pa.array([], pa.int64()))
         base = offsets[int(batch.column("doc_id")[0].as_py())]
         n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
         excl = base + np.cumsum(n) - n
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "n_tokens": batch.column("n_tokens"),
-                         "seq_id": pa.array(excl // SEQ_LEN_TOKENS,
-                                            pa.int64())})
+        return batch.append_column(
+            "seq_id", pa.array(excl // SEQ_LEN_TOKENS, pa.int64()))
 
     return (sorted_ds.map_batches(assign, batch_size=None,
                                   batch_format="pyarrow")
@@ -885,3 +892,133 @@ def docs_langid_mix(ray, sf_dir: str, concurrency: int = 2):
               .groupby(["source", "lang_pred"])
               .aggregate(Sum("n_docs", alias_name="n_docs"))
               .sort(["source", "lang_pred"]))
+
+
+# --- end-to-end corpus curation (the composed flagship text pipeline) --------
+CURATION_CAP = 20
+
+
+def corpus_curation(ray, sf_dir: str):
+    """(doc_id, source, n_tokens, seq_id): the END-TO-END corpus
+    curation job a training run starts from, composed as ONE streaming
+    Dataset pipeline:
+
+      1. QUALITY FILTER — integer-exact gates (min tokens, alpha floor,
+         digit ceiling), a pure map_batches filter that also computes
+         the content fingerprint in the same pass over the text;
+      2. EXACT DEDUP, keep-first — fp-bucketed exchange of the (id,
+         source, n_tokens, fp) survivors only (text never shuffles),
+         min-doc_id row wins per fingerprint;
+      3. PER-SOURCE CAP — anti-domination: <= CURATION_CAP docs per
+         source by md5-of-id priority, with a local per-batch head-k
+         combiner pruning before the exchange;
+      4. SEQUENCE PACKING — greedy 4096-token packing via the shared
+         distributed exclusive prefix sum (pack_sequences_over).
+
+    Every stage's exchange is bounded by survivors (ids + small
+    columns); the documents themselves stream through stage 1 once."""
+    from ..io_utils import parquet_num_rows
+    from ..stages.aggregates import buckets_for, hash_bucket_aggregate
+    from ..functions.urls import stable_hash64_batch
+
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    ds = _docs(ray, sf_dir, ["doc_id", "source", "text"])
+
+    def _empty():
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "source": pd.Series([], dtype=str),
+                             "n_tokens": pd.Series([], dtype="int64"),
+                             "fp": pd.Series([], dtype=str)})
+
+    def stage1(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"]
+        n_chars = s.str.len().astype("int64")
+        n_alpha = s.str.count(r"[A-Za-z]").astype("int64")
+        n_digit = s.str.count(r"[0-9]").astype("int64")
+        n_tokens = s.map(lambda t: len(tokenize(t))).astype("int64")
+        keep = ((n_tokens >= 30)
+                & (n_alpha * 1000 >= n_chars * 810)
+                & (n_digit * 10 <= n_chars * 2))
+        if not keep.any():
+            return _empty()
+        kept = b[keep]
+        fps = [hashlib.md5(t.strip(WS_CHARS).lower().encode("utf-8"))
+               .hexdigest() for t in kept["text"]]
+        return pd.DataFrame({"doc_id": kept["doc_id"].astype("int64"),
+                             "source": kept["source"],
+                             "n_tokens": n_tokens[keep],
+                             "fp": fps})
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["fp", "doc_id"], kind="mergesort")
+        return df.groupby("fp", as_index=False).head(1)
+
+    deduped = hash_bucket_aggregate(
+        ds.map_batches(stage1, batch_format="pandas"),
+        ["fp"], keep_first, n_rows=n_docs)
+
+    nb = buckets_for(n_docs)
+
+    def cap_prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "pri": pa.array([], pa.string()),
+                             "sbucket": pa.array([], pa.int64())})
+        df = t.select(["doc_id", "source", "n_tokens"]).to_pandas()
+        df["pri"] = _md5_priorities(df["doc_id"].tolist())
+        df = df.sort_values(["source", "pri", "doc_id"], kind="mergesort")
+        df = df.groupby("source").head(CURATION_CAP)
+        b = (stable_hash64_batch(df["source"].tolist()) % nb).astype(
+            np.int64)
+        return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                         "source": pa.array(df["source"], pa.string()),
+                         "n_tokens": pa.array(df["n_tokens"], pa.int64()),
+                         "pri": pa.array(df["pri"], pa.string()),
+                         "sbucket": pa.array(b, pa.int64())})
+
+    def cap_final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "pri", "doc_id"], kind="mergesort")
+        top = g.groupby("source").head(CURATION_CAP)
+        return pd.DataFrame({"doc_id": top["doc_id"].astype("int64"),
+                             "source": top["source"],
+                             "n_tokens": top["n_tokens"].astype("int64")})
+
+    capped = (deduped.map_batches(cap_prune, batch_format="pyarrow")
+                     .groupby("sbucket")
+                     .map_groups(cap_final, batch_format="pandas"))
+    return pack_sequences_over(capped)
+
+
+CORPUS_CURATION_SQL = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CASE WHEN {SQL_TRIM_TEXT} = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array({SQL_TRIM_TEXT},
+                   '{SQL_WS_CLASS}+')) AS BIGINT)
+         END AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         md5(LOWER({SQL_TRIM_TEXT})) AS fp
+  FROM documents),
+f AS (
+  SELECT doc_id, source, n_tokens, fp FROM q
+  WHERE n_tokens >= 30 AND n_alpha * 1000 >= n_chars * 810
+    AND n_digit * 10 <= n_chars * 2),
+d AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM f) WHERE rn = 1),
+c AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM d) WHERE rk <= {CURATION_CAP})
+SELECT doc_id, source, n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens) // {SEQ_LEN_TOKENS} AS BIGINT) AS seq_id
+FROM c ORDER BY doc_id
+"""
