@@ -60,7 +60,7 @@ SQL_CHECKED = [
     "doc_tfidf_top", "events_type_median", "events_pivot",
     "docs_pack_sequences", "events_user_profile", "users_retained",
     "emb_gram_matrix", "docs_langid_mix", "order_line_stats",
-    "corpus_curation",
+    "corpus_curation", "events_value_ntile",
 ]
 
 
@@ -505,6 +505,24 @@ class TestPackSequences:
             lambda r, sf, cols: orig(r, sf, cols).repartition(7))
         got = _canon(_to_df(tp.docs_pack_sequences(ray, SF_DIR)))
         want = _canon(ddb.execute(tp.DOCS_PACK_SQL).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestNtile:
+    def test_multiblock_rank_bases_match_oracle(self, ray_session, ddb,
+                                                monkeypatch):
+        """Force a many-block sorted dataset so the per-(block, type)
+        base-offset arithmetic actually crosses block boundaries."""
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        orig = rel._rpq
+        monkeypatch.setattr(
+            rel, "_rpq",
+            lambda r, path, **kw: orig(r, path, **kw).repartition(7))
+        got = _canon(_to_df(rel.events_value_ntile(ray, SF_DIR)))
+        want = _canon(ddb.execute(rel.EVENTS_NTILE_SQL).fetchdf())
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 

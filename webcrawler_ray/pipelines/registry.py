@@ -263,6 +263,8 @@ def build_queries() -> dict:
         "corpus_curation": lambda sf: textpipe.corpus_curation(ray, sf),
         "order_line_stats":
             lambda sf: relational.order_line_stats(ray, sf),
+        "events_value_ntile":
+            lambda sf: relational.events_value_ntile(ray, sf),
         # relational / windowed / as-of
         "q1_pricing_summary": lambda sf: relational.q1_pricing_summary(ray, sf),
         "top_customers": lambda sf: relational.top_customers(ray, sf),
@@ -607,6 +609,7 @@ ORDER BY vec_id_a, vec_id_b
     "doc_langid": _langid_sql(),
     "docs_langid_mix": _langid_mix_sql(),
     "order_line_stats": relational.ORDER_LINE_STATS_SQL,
+    "events_value_ntile": relational.EVENTS_NTILE_SQL,
     "docs_sample": textpipe.DOCS_SAMPLE_SQL,
     "docs_sample_bottomk": textpipe.DOCS_SAMPLE_BOTTOMK_SQL,
     "docs_per_source_cap": textpipe.DOCS_PER_SOURCE_CAP_SQL,

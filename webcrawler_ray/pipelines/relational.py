@@ -1802,3 +1802,92 @@ SELECT o_orderkey, o_orderstatus, COUNT(*) AS n_lines,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+NTILE_K = 4
+
+
+def events_value_ntile(ray, sf_dir: str):
+    """(event_id, tile): NTILE(4) per event_type ordered by (value,
+    event_id) — the quantile-bucketing window function, distributed with
+    NO per-group materialization: sort by (type, value, id), ONE
+    O(blocks x types) block-summary pass, a driver-side exclusive scan
+    of per-type counts per block, then a second pass that turns each
+    row's local position into its global in-group rank and applies the
+    exact SQL NTILE split (remainder rows go to the EARLIER tiles).
+    The driver holds one row per (block, type), never per event."""
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "event_type", "value"])
+
+    sorted_ds = ds.sort(["event_type", "value", "event_id"]).materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_type": pa.array([], pa.string()),
+                             "first_val": pa.array([], pa.float64()),
+                             "first_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ets = np.asarray(t.column("event_type").to_pylist())
+        types, counts = np.unique(ets, return_counts=True)
+        m = len(types)
+        return pa.table({
+            "first_type": pa.array([ets[0]] * m, pa.string()),
+            "first_val": pa.array(
+                [t.column("value")[0].as_py()] * m, pa.float64()),
+            "first_id": pa.array(
+                [t.column("event_id")[0].as_py()] * m, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    summ = (sorted_ds.map_batches(block_summary, batch_size=None,
+                                  batch_format="pyarrow")
+                     .to_pandas()
+                     .sort_values(["first_type", "first_val", "first_id"]))
+    n_per_type = summ.groupby("event_type")["n"].sum().to_dict()
+    # exclusive per-type scan in block order -> each block's per-type base
+    summ["base"] = (summ.groupby("event_type")["n"].cumsum()
+                    - summ["n"])
+    bases: dict = {}
+    for _, r in summ.iterrows():
+        key = (r["first_type"], float(r["first_val"]), int(r["first_id"]))
+        bases.setdefault(key, {})[r["event_type"]] = int(r["base"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64())})
+        key = (t.column("event_type")[0].as_py(),
+               float(t.column("value")[0].as_py()),
+               int(t.column("event_id")[0].as_py()))
+        blk = bases[key]
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pylist()})
+        pos = df.groupby("event_type").cumcount().to_numpy()  # sorted block
+        rank = pos + df["event_type"].map(blk).to_numpy() + 1
+        n = df["event_type"].map(n_per_type).to_numpy()
+        # exact SQL NTILE: the first (n mod k) tiles get ceil(n/k) rows
+        k = NTILE_K
+        size_small = n // k
+        n_big = n % k
+        big_span = (size_small + 1) * n_big
+        tile = np.where(
+            rank <= big_span,
+            (rank - 1) // np.maximum(size_small + 1, 1),
+            n_big + (rank - big_span - 1) // np.maximum(size_small, 1),
+        ).astype(np.int64) + 1
+        return pa.table({"event_id": t.column("event_id").cast(pa.int64()),
+                         "tile": pa.array(tile, pa.int64())})
+
+    return (sorted_ds.map_batches(assign, batch_size=None,
+                                  batch_format="pyarrow")
+                     .sort("event_id"))
+
+
+EVENTS_NTILE_SQL = f"""
+SELECT event_id,
+       CAST(NTILE({NTILE_K}) OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS BIGINT)
+           AS tile
+FROM events ORDER BY event_id
+"""
