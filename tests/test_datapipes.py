@@ -61,6 +61,7 @@ SQL_CHECKED = [
     "docs_pack_sequences", "events_user_profile", "users_retained",
     "emb_gram_matrix", "docs_langid_mix", "order_line_stats",
     "corpus_curation", "events_value_ntile",
+    "q3_shipping_priority", "orders_priority_exists",
 ]
 
 

@@ -291,6 +291,10 @@ def build_queries() -> dict:
         "events_user_value_delta":
             lambda sf: relational.events_user_value_delta(ray, sf),
         "lineitem_q6": lambda sf: relational.lineitem_q6(ray, sf),
+        "q3_shipping_priority":
+            lambda sf: relational.q3_shipping_priority(ray, sf),
+        "orders_priority_exists":
+            lambda sf: relational.orders_priority_exists(ray, sf),
         "revenue_rollup": lambda sf: relational.revenue_rollup(ray, sf),
         "events_daily_stats":
             lambda sf: relational.events_daily_stats(ray, sf),
@@ -593,6 +597,8 @@ ORDER BY vec_id_a, vec_id_b
     "events_running_index": relational.EVENTS_RUNNING_INDEX_SQL,
     "events_user_value_delta": relational.EVENTS_USER_DELTA_SQL,
     "lineitem_q6": relational.LINEITEM_Q6_SQL,
+    "q3_shipping_priority": relational.Q3_SQL,
+    "orders_priority_exists": relational.Q4_EXISTS_SQL,
     "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
     "events_daily_stats": relational.EVENTS_DAILY_SQL,
     "events_by_segment": relational.EVENTS_BY_SEGMENT_SQL,

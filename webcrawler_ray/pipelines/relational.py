@@ -1891,3 +1891,157 @@ SELECT event_id,
            AS tile
 FROM events ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1997-06-30"
+
+
+def q3_shipping_priority(ray, sf_dir: str, k: int = 10):
+    """(o_orderkey, revenue_cents, o_orderdate): TPC-H Q3 shape — the
+    classic 3-table selective join (customer segment x order date x
+    late-shipping lineitems) ending in a global top-k. Scale shape:
+    lineitem partial-aggregates revenue per orderkey inside the scan
+    (combiner), BOTH joins are distributed hash joins sized from footer
+    counts (no side is driver-materialized or broadcast — the segment
+    filter keeps ~1/5 of ALL customers, far too big to broadcast at
+    100 TB), and only the top-k cut ships rows to the driver."""
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    cutoff = pd.Timestamp(Q3_DATE)
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cutoff]
+        g = pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].astype("int64"),
+            "revenue_cents": np.floor(b["l_extendedprice"]
+                                      * (1 - b["l_discount"]) * 100
+                                      ).astype("int64")})
+        return g.groupby("o_orderkey", as_index=False).sum()
+
+    li_agg = hash_bucket_aggregate(
+        li.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["o_orderkey"],
+        lambda df: df.groupby("o_orderkey", as_index=False).sum(),
+        n_rows=n_orders)
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    od_cut = pa.scalar(cutoff.to_pydatetime(), pa.timestamp("us"))
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate").cast(
+            pa.timestamp("us")), od_cut)),
+        batch_format="pyarrow")
+    joined = li_agg.join(orders, join_type="inner", on=("o_orderkey",),
+                         num_partitions=join_partitions_for(n_orders))
+
+    cust = _rpq(ray, f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), Q3_SEGMENT))
+                   .select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow")
+    joined = joined.join(cust, join_type="inner", on=("o_custkey",),
+                         num_partitions=join_partitions_for(n_cust))
+
+    # li_agg carries one row per orderkey and orders is unique on it, so
+    # the join output already IS the per-order revenue — no re-aggregate
+    out = joined.map_batches(
+        lambda t: t.select(["o_orderkey", "revenue_cents", "o_orderdate"]),
+        batch_format="pyarrow")
+    return (out.sort(["revenue_cents", "o_orderkey"],
+                     descending=[True, False]).limit(k)
+               .sort(["revenue_cents", "o_orderkey"],
+                     descending=[True, False]))
+
+
+Q3_SQL = f"""
+SELECT o_orderkey,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+Q4_START = "1997-07-01"
+Q4_END = "1997-10-01"
+
+
+def orders_priority_exists(ray, sf_dir: str):
+    """(o_orderpriority, n_orders): TPC-H Q4 shape — EXISTS decorrelated
+    into a distributed SEMI-JOIN: distinct l_orderkey with a returned
+    line (per-batch dedup combiner + bucketed distinct merge — at most
+    one row per orderkey leaves any stage), hash-joined against the
+    date-quartered orders, then a 5-group count. The EXISTS subquery
+    never runs per-row anywhere; the distinct keyset is never collected
+    on the driver."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import distinct_keys, join_partitions_for
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_returnflag"])
+    returned = li.map_batches(
+        lambda t: t.filter(pc.equal(t.column("l_returnflag"), "R"))
+                   .select(["l_orderkey"]).rename_columns(["o_orderkey"]),
+        batch_format="pyarrow")
+    returned = distinct_keys(returned, "o_orderkey", n_rows=n_orders)
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+    lo = pa.scalar(pd.Timestamp(Q4_START).to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(Q4_END).to_pydatetime(), pa.timestamp("us"))
+
+    def in_quarter(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(pa.timestamp("us"))
+        return t.filter(pc.and_(pc.greater_equal(od, lo), pc.less(od, hi)))
+
+    orders = orders.map_batches(in_quarter, batch_format="pyarrow")
+
+    joined = orders.join(returned, join_type="inner", on=("o_orderkey",),
+                         num_partitions=join_partitions_for(n_orders))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"o_orderpriority": b["o_orderpriority"],
+                          "n_orders": np.ones(len(b), dtype="int64")})
+        return g.groupby("o_orderpriority", as_index=False).sum()
+
+    out = (joined.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+                 .groupby("o_orderpriority")
+                 .aggregate(Sum("n_orders", alias_name="n_orders")))
+    return out.sort("o_orderpriority")
+
+
+Q4_EXISTS_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{Q4_START}'
+  AND o_orderdate <  TIMESTAMP '{Q4_END}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
