@@ -62,6 +62,7 @@ SQL_CHECKED = [
     "emb_gram_matrix", "docs_langid_mix", "order_line_stats",
     "corpus_curation", "events_value_ntile",
     "q3_shipping_priority", "orders_priority_exists",
+    "docs_pii_scrub", "docs_shuffle_seeded",
 ]
 
 

@@ -255,6 +255,9 @@ def build_queries() -> dict:
         "docs_length_histogram":
             lambda sf: textpipe.docs_length_histogram(ray, sf),
         "doc_tfidf_top": lambda sf: textpipe.doc_tfidf_top(ray, sf),
+        "docs_pii_scrub": lambda sf: textpipe.docs_pii_scrub(ray, sf),
+        "docs_shuffle_seeded":
+            lambda sf: textpipe.docs_shuffle_seeded(ray, sf),
         "docs_pack_sequences":
             lambda sf: textpipe.docs_pack_sequences(ray, sf),
         "doc_compression_ratio":
@@ -607,6 +610,8 @@ ORDER BY vec_id_a, vec_id_b
     "docs_length_histogram": textpipe.DOCS_LENGTH_HISTOGRAM_SQL,
     "doc_tfidf_top": textpipe.DOC_TFIDF_SQL,
     "docs_pack_sequences": textpipe.DOCS_PACK_SQL,
+    "docs_pii_scrub": textpipe.DOCS_PII_SCRUB_SQL,
+    "docs_shuffle_seeded": textpipe.DOCS_SHUFFLE_SQL,
     "corpus_curation": textpipe.CORPUS_CURATION_SQL,
     "events_type_median": relational.EVENTS_TYPE_MEDIAN_SQL,
     "events_pivot": relational.EVENTS_PIVOT_SQL,

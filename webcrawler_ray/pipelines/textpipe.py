@@ -1022,3 +1022,145 @@ SELECT doc_id, source, n_tokens,
              - n_tokens) // {SEQ_LEN_TOKENS} AS BIGINT) AS seq_id
 FROM c ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: the redaction pass every published web-corpus pipeline
+# runs before training (emails / phone numbers / IP addresses -> typed
+# placeholder tokens). RE2-safe patterns shared VERBATIM with the DuckDB
+# oracle (both engines are RE2-backed, so replacement semantics match).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def _pii_augment(ids: pd.Series, texts: pd.Series) -> pd.Series:
+    """Deterministic synthetic PII derived from doc_id, appended to the
+    text. The test corpus carries no digits at all, so without this the
+    scrubber would be a no-op and the oracle check vacuous; BOTH engines
+    run the same construction (same SQL expression), so the redaction
+    regexes are genuinely exercised row-by-row."""
+    s = ids.astype(str)
+    return (texts + " mail user" + s + "@mail-" + (ids % 7).astype(str)
+            + ".example ip 10." + (ids % 256).astype(str) + "."
+            + (ids % 100).astype(str) + "." + (ids % 250).astype(str)
+            + " call 555-" + (ids % 10000).astype(str).str.zfill(4)
+            + " end")
+
+
+def docs_pii_scrub(ray, sf_dir: str):
+    """(doc_id, n_pii, scrubbed): count then redact emails -> <EMAIL>,
+    IPv4s -> <IP>, phone numbers -> <PHONE>. Scale shape: pure
+    streaming — one pruned column read, vectorized RE2 kernels
+    (pyarrow.compute count/replace_substring_regex, no Python regex
+    loop over rows), no shuffle at all except the oracle's ORDER BY."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = pd.Series(batch.column("doc_id").to_numpy())
+        texts = pd.Series(batch.column("text").to_pylist())
+        t2 = pa.array(_pii_augment(ids, texts), pa.string())
+        n = pc.count_substring_regex(t2, PII_EMAIL_RE)
+        for pat in (PII_IP_RE, PII_PHONE_RE):
+            n = pc.add(n, pc.count_substring_regex(t2, pat))
+        out = pc.replace_substring_regex(t2, PII_EMAIL_RE, "<EMAIL>")
+        out = pc.replace_substring_regex(out, PII_IP_RE, "<IP>")
+        out = pc.replace_substring_regex(out, PII_PHONE_RE, "<PHONE>")
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                         "n_pii": n.cast(pa.int64()),
+                         "scrubbed": out})
+
+    return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow").sort("doc_id")
+
+
+_PII_AUG_SQL = (
+    "text || ' mail user' || CAST(doc_id AS VARCHAR) || '@mail-' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.example ip 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST(doc_id % 100 AS VARCHAR) || '.' || "
+    "CAST(doc_id % 250 AS VARCHAR) || ' call 555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end'"
+)
+
+DOCS_PII_SCRUB_SQL = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t2 FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t2, '{PII_EMAIL_RE}'))
+            + len(regexp_extract_all(t2, '{PII_IP_RE}'))
+            + len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS BIGINT)
+           AS n_pii,
+       regexp_replace(regexp_replace(regexp_replace(
+           t2, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IP_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM aug ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+SHUFFLE_SEED = 42
+
+
+def docs_shuffle_seeded(ray, sf_dir: str, seed: int = SHUFFLE_SEED):
+    """(pos, doc_id): DETERMINISTIC global training-data shuffle — every
+    epoch of LLM training needs the corpus in a reproducible pseudo-
+    random order, which ``random_shuffle()`` can't give (nondeterministic
+    across runs/cluster shapes). Order = md5(seed:doc_id) hash priority;
+    position = global rank. Scale shape: ONE all-to-all sort by the
+    hash (that IS the shuffle — unavoidable data movement), then the
+    O(blocks) block-offset prefix scan assigns positions; the driver
+    holds one row per block, never per doc."""
+    ds = _docs(ray, sf_dir, ["doc_id"])
+
+    def add_pri(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        pri = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+               for i in ids]
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                         "pri": pa.array(pri, pa.string())})
+
+    sorted_ds = (ds.map_batches(add_pri, batch_format="pyarrow")
+                   .sort(["pri", "doc_id"]).materialize())
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first_pri": pa.array([], pa.string()),
+                             "first_doc": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "first_pri": pa.array([batch.column("pri")[0].as_py()],
+                                  pa.string()),
+            "first_doc": pa.array([batch.column("doc_id")[0].as_py()],
+                                  pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64())})
+
+    summ = (sorted_ds.map_batches(block_summary, batch_size=None,
+                                  batch_format="pyarrow")
+                     .to_pandas().sort_values(["first_pri", "first_doc"]))
+    starts = np.r_[0, summ["n"].to_numpy()[:-1].cumsum()]
+    bases = {(p, int(d)): int(o) for p, d, o in
+             zip(summ["first_pri"], summ["first_doc"], starts)}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"pos": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        base = bases[(batch.column("pri")[0].as_py(),
+                      int(batch.column("doc_id")[0].as_py()))]
+        pos = base + np.arange(batch.num_rows, dtype=np.int64) + 1
+        return pa.table({"pos": pa.array(pos, pa.int64()),
+                         "doc_id": batch.column("doc_id").cast(pa.int64())})
+
+    return (sorted_ds.map_batches(assign, batch_size=None,
+                                  batch_format="pyarrow")
+                     .sort("pos"))
+
+
+DOCS_SHUFFLE_SQL = f"""
+SELECT ROW_NUMBER() OVER (
+           ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                    doc_id) AS pos,
+       doc_id
+FROM documents ORDER BY pos
+"""
