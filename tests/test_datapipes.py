@@ -63,6 +63,7 @@ SQL_CHECKED = [
     "corpus_curation", "events_value_ntile",
     "q3_shipping_priority", "orders_priority_exists",
     "docs_pii_scrub", "docs_shuffle_seeded",
+    "docs_repetition", "events_type_stats",
 ]
 
 

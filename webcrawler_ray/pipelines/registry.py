@@ -256,6 +256,7 @@ def build_queries() -> dict:
             lambda sf: textpipe.docs_length_histogram(ray, sf),
         "doc_tfidf_top": lambda sf: textpipe.doc_tfidf_top(ray, sf),
         "docs_pii_scrub": lambda sf: textpipe.docs_pii_scrub(ray, sf),
+        "docs_repetition": lambda sf: textpipe.docs_repetition(ray, sf),
         "docs_shuffle_seeded":
             lambda sf: textpipe.docs_shuffle_seeded(ray, sf),
         "docs_pack_sequences":
@@ -298,6 +299,8 @@ def build_queries() -> dict:
             lambda sf: relational.q3_shipping_priority(ray, sf),
         "orders_priority_exists":
             lambda sf: relational.orders_priority_exists(ray, sf),
+        "events_type_stats":
+            lambda sf: relational.events_type_stats(ray, sf),
         "revenue_rollup": lambda sf: relational.revenue_rollup(ray, sf),
         "events_daily_stats":
             lambda sf: relational.events_daily_stats(ray, sf),
@@ -602,6 +605,7 @@ ORDER BY vec_id_a, vec_id_b
     "lineitem_q6": relational.LINEITEM_Q6_SQL,
     "q3_shipping_priority": relational.Q3_SQL,
     "orders_priority_exists": relational.Q4_EXISTS_SQL,
+    "events_type_stats": relational.EVENTS_TYPE_STATS_SQL,
     "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
     "events_daily_stats": relational.EVENTS_DAILY_SQL,
     "events_by_segment": relational.EVENTS_BY_SEGMENT_SQL,
@@ -611,6 +615,7 @@ ORDER BY vec_id_a, vec_id_b
     "doc_tfidf_top": textpipe.DOC_TFIDF_SQL,
     "docs_pack_sequences": textpipe.DOCS_PACK_SQL,
     "docs_pii_scrub": textpipe.DOCS_PII_SCRUB_SQL,
+    "docs_repetition": textpipe.DOCS_REPETITION_SQL,
     "docs_shuffle_seeded": textpipe.DOCS_SHUFFLE_SQL,
     "corpus_curation": textpipe.CORPUS_CURATION_SQL,
     "events_type_median": relational.EVENTS_TYPE_MEDIAN_SQL,

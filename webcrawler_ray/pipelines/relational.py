@@ -2045,3 +2045,43 @@ WHERE o_orderdate >= TIMESTAMP '{Q4_START}'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+def events_type_stats(ray, sf_dir: str):
+    """(event_type, n, sum_cents, sumsq_cents): the exact distributed
+    VARIANCE family — count / sum / sum-of-squares in int64 cents, so
+    the merge is a plain commutative Sum (order-independent, unlike
+    float Welford) and mean/variance/stddev are driver-side arithmetic
+    on three integers. Combiner partial per batch, tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["value"] * 100).astype("int64")
+        g = pd.DataFrame({"event_type": b["event_type"],
+                          "n": np.ones(len(b), dtype="int64"),
+                          "sum_cents": cents,
+                          "sumsq_cents": cents * cents})
+        return g.groupby("event_type", as_index=False).sum()
+
+    out = (ds.map_batches(partial, batch_format="pandas",
+                          batch_size=65536)
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sum_cents", alias_name="sum_cents"),
+                        Sum("sumsq_cents", alias_name="sumsq_cents")))
+    return out.sort("event_type")
+
+
+EVENTS_TYPE_STATS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+                * CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           AS sumsq_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -1164,3 +1164,54 @@ SELECT ROW_NUMBER() OVER (
        doc_id
 FROM documents ORDER BY pos
 """
+
+
+# ---------------------------------------------------------------------------
+def docs_repetition(ray, sf_dir: str):
+    """(doc_id, n_bigrams, top_bigram_n): within-document repetition
+    signal — the Gopher-rules quality filter drops docs whose most
+    frequent n-gram covers too much of the text (Rae et al. 2021 §A1.1;
+    public rule, integerized so the DuckDB oracle hashes bit-for-bit:
+    the consumer computes top_bigram_n / n_bigrams itself). Scale
+    shape: embarrassingly parallel map_batches over a pruned read, one
+    Counter per doc (docs are independent — no shuffle)."""
+    from collections import Counter
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        tot = np.zeros(len(texts), dtype=np.int64)
+        top = np.zeros(len(texts), dtype=np.int64)
+        for j, t in enumerate(texts):
+            tk = tokenize(t)
+            if len(tk) < 2:
+                continue
+            c = Counter(zip(tk, tk[1:]))
+            tot[j] = len(tk) - 1
+            top[j] = max(c.values())
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                         "n_bigrams": pa.array(tot, pa.int64()),
+                         "top_bigram_n": pa.array(top, pa.int64())})
+
+    return _docs(ray, sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow").sort("doc_id")
+
+
+DOCS_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+') AS tk
+  FROM documents),
+pos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+  FROM toks WHERE len(tk) >= 2),
+c AS (
+  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS gram,
+         COUNT(*) AS cnt
+  FROM pos GROUP BY doc_id, gram)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+FROM documents d LEFT JOIN (
+  SELECT doc_id, SUM(cnt) AS n_bigrams, MAX(cnt) AS top_bigram_n
+  FROM c GROUP BY doc_id) s USING (doc_id)
+ORDER BY d.doc_id
+"""
