@@ -64,6 +64,7 @@ SQL_CHECKED = [
     "q3_shipping_priority", "orders_priority_exists",
     "docs_pii_scrub", "docs_shuffle_seeded",
     "docs_repetition", "events_type_stats",
+    "docs_inverted_index", "docs_lm_score",
 ]
 
 

@@ -257,6 +257,9 @@ def build_queries() -> dict:
         "doc_tfidf_top": lambda sf: textpipe.doc_tfidf_top(ray, sf),
         "docs_pii_scrub": lambda sf: textpipe.docs_pii_scrub(ray, sf),
         "docs_repetition": lambda sf: textpipe.docs_repetition(ray, sf),
+        "docs_inverted_index":
+            lambda sf: textpipe.docs_inverted_index(ray, sf),
+        "docs_lm_score": lambda sf: textpipe.docs_lm_score(ray, sf),
         "docs_shuffle_seeded":
             lambda sf: textpipe.docs_shuffle_seeded(ray, sf),
         "docs_pack_sequences":
@@ -616,6 +619,8 @@ ORDER BY vec_id_a, vec_id_b
     "docs_pack_sequences": textpipe.DOCS_PACK_SQL,
     "docs_pii_scrub": textpipe.DOCS_PII_SCRUB_SQL,
     "docs_repetition": textpipe.DOCS_REPETITION_SQL,
+    "docs_inverted_index": textpipe.DOCS_INVERTED_INDEX_SQL,
+    "docs_lm_score": textpipe.DOCS_LM_SCORE_SQL,
     "docs_shuffle_seeded": textpipe.DOCS_SHUFFLE_SQL,
     "corpus_curation": textpipe.CORPUS_CURATION_SQL,
     "events_type_median": relational.EVENTS_TYPE_MEDIAN_SQL,

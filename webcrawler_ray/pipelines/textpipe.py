@@ -1215,3 +1215,160 @@ FROM documents d LEFT JOIN (
   FROM c GROUP BY doc_id) s USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+def docs_inverted_index(ray, sf_dir: str):
+    """(token, df, postings): the INVERTED INDEX build — token ->
+    ordered posting list (comma-joined doc_ids) + document frequency,
+    the retrieval-side structure a corpus pipeline materializes for
+    contamination lookups / BM25. Scale shape: per-batch per-doc
+    DISTINCT explode (a doc contributes each token once, the combiner),
+    ONE exchange on a token-hash coarse bucket sized from the token-byte
+    bound, then a vectorized sort + groupby-join per bucket; no driver
+    state, postings build where the bucket lives."""
+    from ..functions.urls import stable_hash64_batch
+    from ..io_utils import parquet_column_bytes
+    from ..stages.aggregates import buckets_for
+
+    pair_bound = parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 2
+    n_buckets = buckets_for(pair_bound)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        toks, docs = [], []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            for tok in set(tokenize(t)):
+                toks.append(tok)
+                docs.append(i)
+        b = (stable_hash64_batch(toks) % np.uint64(n_buckets)
+             ).astype(np.int64) if toks else np.array([], dtype=np.int64)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "tbucket": pa.array(b, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        out = g.groupby("token", as_index=False).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(s.astype(str))))
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+    return (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("tbucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort("token"))
+
+
+DOCS_INVERTED_INDEX_SQL = f"""
+WITH t AS (
+  SELECT DISTINCT doc_id,
+         unnest(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+'))
+             AS token
+  FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+FROM t WHERE token != ''
+GROUP BY token ORDER BY token
+"""
+
+
+# ---------------------------------------------------------------------------
+def docs_lm_score(ray, sf_dir: str):
+    """(doc_id, commonness): unigram-LM document score — for each doc,
+    sum over its token INSTANCES of the corpus-wide frequency of that
+    token (the integerized analogue of a CCNet-style LM quality score:
+    high = stock phrasing, low = rare vocabulary; integer so the oracle
+    hashes exactly). Scale shape: the vocabulary table is built by the
+    wordcount combiner (never driver-held), per-doc tf partials explode
+    once, ONE distributed hash join tf x vocab on the token key, then a
+    per-doc re-aggregate — explode -> join -> regroup, the canonical
+    enrich-by-dimension pattern where BOTH sides are corpus-derived."""
+    from collections import Counter
+
+    from ..io_utils import parquet_column_bytes, parquet_num_rows
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    tok_bound = parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 2
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    ds = _docs(ray, sf_dir, ["doc_id", "text"]).materialize()
+
+    def tf_explode(batch: pa.Table) -> pa.Table:
+        ids_out, toks, tfs = [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for tok, c in Counter(tokenize(t)).items():
+                ids_out.append(i)
+                toks.append(tok)
+                tfs.append(c)
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    tf = ds.map_batches(tf_explode, batch_format="pyarrow").materialize()
+
+    vocab = hash_bucket_aggregate(
+        tf.map_batches(lambda t: t.select(["token", "tf"])
+                       .rename_columns(["token", "n"]),
+                       batch_format="pyarrow"),
+        ["token"],
+        lambda df: df.groupby("token", as_index=False).agg(n=("n", "sum")),
+        n_rows=tok_bound)
+
+    joined = tf.join(vocab, join_type="inner", on=("token",),
+                     num_partitions=join_partitions_for(tok_bound))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "commonness": (b["tf"] * b["n"]).astype("int64")})
+        return g.groupby("doc_id", as_index=False).sum()
+
+    scores = hash_bucket_aggregate(
+        joined.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+        ["doc_id"],
+        lambda df: df.groupby("doc_id", as_index=False).sum(),
+        n_rows=n_docs)
+
+    # docs whose text tokenizes to NOTHING never enter tf: anti-join the
+    # id column against the scored ids and union them back with score 0
+    ids = ds.map_batches(lambda t: t.select(["doc_id"]),
+                         batch_format="pyarrow")
+    scored_ids = scores.map_batches(lambda t: t.select(["doc_id"]),
+                                    batch_format="pyarrow")
+    missing = ids.join(scored_ids, join_type="left_anti", on=("doc_id",),
+                       num_partitions=1)
+    missing = missing.map_batches(
+        lambda t: t.append_column("commonness",
+                                  pa.array([0] * t.num_rows, pa.int64())),
+        batch_format="pyarrow")
+    return scores.union(missing).sort("doc_id")
+
+
+DOCS_LM_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+'))
+             AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM t
+  WHERE token != '' GROUP BY doc_id, token),
+vocab AS (
+  SELECT token, COUNT(*) AS n FROM t WHERE token != '' GROUP BY token)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(tf.tf * v.n), 0) AS BIGINT) AS commonness
+FROM documents d
+LEFT JOIN tf ON d.doc_id = tf.doc_id
+LEFT JOIN vocab v ON tf.token = v.token
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
