@@ -65,6 +65,7 @@ SQL_CHECKED = [
     "docs_pii_scrub", "docs_shuffle_seeded",
     "docs_repetition", "events_type_stats",
     "docs_inverted_index", "docs_lm_score",
+    "q5_local_supplier_volume", "part_min_supplier",
 ]
 
 

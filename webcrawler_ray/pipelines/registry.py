@@ -304,6 +304,10 @@ def build_queries() -> dict:
             lambda sf: relational.orders_priority_exists(ray, sf),
         "events_type_stats":
             lambda sf: relational.events_type_stats(ray, sf),
+        "q5_local_supplier_volume":
+            lambda sf: relational.q5_local_supplier_volume(ray, sf),
+        "part_min_supplier":
+            lambda sf: relational.part_min_supplier(ray, sf),
         "revenue_rollup": lambda sf: relational.revenue_rollup(ray, sf),
         "events_daily_stats":
             lambda sf: relational.events_daily_stats(ray, sf),
@@ -609,6 +613,8 @@ ORDER BY vec_id_a, vec_id_b
     "q3_shipping_priority": relational.Q3_SQL,
     "orders_priority_exists": relational.Q4_EXISTS_SQL,
     "events_type_stats": relational.EVENTS_TYPE_STATS_SQL,
+    "q5_local_supplier_volume": relational.Q5_SQL,
+    "part_min_supplier": relational.PART_MIN_SUPPLIER_SQL,
     "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
     "events_daily_stats": relational.EVENTS_DAILY_SQL,
     "events_by_segment": relational.EVENTS_BY_SEGMENT_SQL,

@@ -2085,3 +2085,197 @@ SELECT event_type, COUNT(*) AS n,
            AS sumsq_cents
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+Q5_REGION = "ASIA"
+Q5_START = "1996-01-01"
+Q5_END = "1998-01-01"
+
+
+def q5_local_supplier_volume(ray, sf_dir: str):
+    """(n_name, revenue_cents): TPC-H Q5 shape — the full six-table
+    join: lineitem x orders x customer x supplier with the LOCAL
+    constraint (customer and supplier in the SAME nation) and a region
+    cut. Scale shape: the two fact-fact joins (orders, supplier link)
+    are distributed hash joins sized from footers; the lineitem side
+    partial-aggregates per (orderkey, suppkey) inside the scan; ONLY
+    nation x region — a few hundred rows by definition of the dimension
+    — is driver-joined and broadcast as a lookup; the final rollup is
+    5-25 groups."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    n_supp = _nrows(f"{sf_dir}/supplier.parquet")
+
+    lo = pa.scalar(pd.Timestamp(Q5_START).to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(Q5_END).to_pydatetime(), pa.timestamp("us"))
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def in_window(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(pa.timestamp("us"))
+        keep = pc.and_(pc.greater_equal(od, lo), pc.less(od, hi))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(in_window, batch_format="pyarrow")
+
+    cust = _rpq(ray, f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow")
+    orders = orders.join(cust, join_type="inner", on=("o_custkey",),
+                         num_partitions=join_partitions_for(n_orders))
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"])
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].astype("int64"),
+            "l_suppkey": b["l_suppkey"].astype("int64"),
+            "revenue_cents": np.floor(b["l_extendedprice"]
+                                      * (1 - b["l_discount"]) * 100
+                                      ).astype("int64")})
+        return g.groupby(["o_orderkey", "l_suppkey"], as_index=False).sum()
+
+    li_agg = hash_bucket_aggregate(
+        li.map_batches(li_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["o_orderkey", "l_suppkey"],
+        lambda df: df.groupby(["o_orderkey", "l_suppkey"],
+                              as_index=False).sum(),
+        n_rows=n_orders * 4)  # ~lines per order bound for the pair count
+
+    joined = li_agg.join(orders, join_type="inner", on=("o_orderkey",),
+                         num_partitions=join_partitions_for(n_orders))
+
+    supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_nationkey"])
+    supp = supp.map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]),
+        batch_format="pyarrow")
+    joined = joined.join(supp, join_type="inner", on=("l_suppkey",),
+                         num_partitions=join_partitions_for(n_supp))
+
+    # nation x region: dimension-sized by construction -> broadcast map
+    import pyarrow.dataset as pads
+
+    nat = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pads.dataset(f"{sf_dir}/region.parquet").to_table(
+        columns=["r_regionkey", "r_name"])
+    rkeys = {reg.column("r_regionkey")[i].as_py()
+             for i in range(reg.num_rows)
+             if reg.column("r_name")[i].as_py() == Q5_REGION}
+    name_of = {nat.column("n_nationkey")[i].as_py():
+               nat.column("n_name")[i].as_py()
+               for i in range(nat.num_rows)
+               if nat.column("n_regionkey")[i].as_py() in rkeys}
+    name_ref = ray.put(name_of)
+
+    def local_only(t: pa.Table) -> pd.DataFrame:
+        names = ray.get(name_ref)
+        df = t.select(["c_nationkey", "s_nationkey",
+                       "revenue_cents"]).to_pandas()
+        df = df[df["c_nationkey"] == df["s_nationkey"]]
+        nn = df["c_nationkey"].map(names)
+        df = df.assign(n_name=nn)[nn.notna()]
+        g = pd.DataFrame({"n_name": df["n_name"].astype(str),
+                          "revenue_cents":
+                              df["revenue_cents"].astype("int64")})
+        return g.groupby("n_name", as_index=False).sum()
+
+    out = (joined.map_batches(local_only, batch_format="pyarrow")
+                 .groupby("n_name")
+                 .aggregate(Sum("revenue_cents",
+                                alias_name="revenue_cents")))
+    return out.sort(["revenue_cents", "n_name"], descending=[True, False])
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_START}'
+  AND o_orderdate <  TIMESTAMP '{Q5_END}'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+def part_min_supplier(ray, sf_dir: str):
+    """(p_partkey, p_name, s_suppkey, min_price_cents): distributed
+    ARGMIN — for every part, the supplier that shipped it cheapest
+    (tie -> lowest suppkey), the min-by aggregate Ray Data lacks
+    natively. The combiner keeps ONE (price, suppkey)-lexicographic
+    winner per part per batch, the bucketed merge re-applies the same
+    rule (min-by is idempotent/associative, so combine == merge), then
+    one distributed join attaches the part name — the argmin row, not
+    the whole group, is what crosses the wire."""
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    n_parts = _nrows(f"{sf_dir}/part.parquet")
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def argmin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["min_price_cents", "s_suppkey"],
+                            kind="mergesort")
+        return df.drop_duplicates("p_partkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "p_partkey": b["l_partkey"].astype("int64"),
+            "s_suppkey": b["l_suppkey"].astype("int64"),
+            "min_price_cents": np.floor(b["l_extendedprice"] * 100
+                                        ).astype("int64")})
+        return argmin(g)
+
+    winners = hash_bucket_aggregate(
+        li.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["p_partkey"], argmin, n_rows=n_parts)
+
+    part = _rpq(ray, f"{sf_dir}/part.parquet",
+                columns=["p_partkey", "p_name"])
+    out = winners.join(part, join_type="inner", on=("p_partkey",),
+                       num_partitions=join_partitions_for(n_parts))
+    return out.map_batches(
+        lambda t: t.select(["p_partkey", "p_name", "s_suppkey",
+                            "min_price_cents"]),
+        batch_format="pyarrow").sort("p_partkey")
+
+
+PART_MIN_SUPPLIER_SQL = """
+WITH ranked AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+             AS min_price_cents,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY FLOOR(l_extendedprice * 100),
+                                     l_suppkey) AS rn
+  FROM lineitem)
+SELECT p_partkey, p_name, s_suppkey, min_price_cents
+FROM ranked JOIN part USING (p_partkey)
+WHERE rn = 1 ORDER BY p_partkey
+"""
