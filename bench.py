@@ -49,6 +49,9 @@ QUERY_NAMES = [
     "dedup_incremental", "docs_dup_ngrams", "doc_tfidf_top",
     "events_by_segment", "events_type_median", "docs_pack_sequences",
     "corpus_curation", "order_line_stats",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "part_min_supplier", "docs_pii_scrub", "docs_shuffle_seeded",
+    "docs_lm_score", "docs_inverted_index",
 ]
 
 

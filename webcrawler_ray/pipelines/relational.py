@@ -1938,21 +1938,27 @@ def q3_shipping_priority(ray, sf_dir: str, k: int = 10):
     orders = _rpq(ray, f"{sf_dir}/orders.parquet",
                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
     od_cut = pa.scalar(cutoff.to_pydatetime(), pa.timestamp("us"))
+    # size each join from the REAL post-filter count of its smaller side
+    # (materialize is scale-safe: the join materializes inputs anyway and
+    # count() on a materialized dataset is metadata-only); the unfiltered
+    # footer count would multiply join-task overhead for nothing
     orders = orders.map_batches(
         lambda t: t.filter(pc.less(t.column("o_orderdate").cast(
             pa.timestamp("us")), od_cut)),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     joined = li_agg.join(orders, join_type="inner", on=("o_orderkey",),
-                         num_partitions=join_partitions_for(n_orders))
+                         num_partitions=join_partitions_for(
+                             min(n_orders, orders.count())))
 
     cust = _rpq(ray, f"{sf_dir}/customer.parquet",
                 columns=["c_custkey", "c_mktsegment"])
     cust = cust.map_batches(
         lambda t: t.filter(pc.equal(t.column("c_mktsegment"), Q3_SEGMENT))
                    .select(["c_custkey"]).rename_columns(["o_custkey"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     joined = joined.join(cust, join_type="inner", on=("o_custkey",),
-                         num_partitions=join_partitions_for(n_cust))
+                         num_partitions=join_partitions_for(
+                             min(n_cust, cust.count())))
 
     # li_agg carries one row per orderkey and orders is unique on it, so
     # the join output already IS the per-order revenue — no re-aggregate
@@ -2000,14 +2006,6 @@ def orders_priority_exists(ray, sf_dir: str):
 
     n_orders = _nrows(f"{sf_dir}/orders.parquet")
 
-    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
-              columns=["l_orderkey", "l_returnflag"])
-    returned = li.map_batches(
-        lambda t: t.filter(pc.equal(t.column("l_returnflag"), "R"))
-                   .select(["l_orderkey"]).rename_columns(["o_orderkey"]),
-        batch_format="pyarrow")
-    returned = distinct_keys(returned, "o_orderkey", n_rows=n_orders)
-
     orders = _rpq(ray, f"{sf_dir}/orders.parquet",
                   columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
     lo = pa.scalar(pd.Timestamp(Q4_START).to_pydatetime(),
@@ -2018,10 +2016,54 @@ def orders_priority_exists(ray, sf_dir: str):
         od = t.column("o_orderdate").cast(pa.timestamp("us"))
         return t.filter(pc.and_(pc.greater_equal(od, lo), pc.less(od, hi)))
 
-    orders = orders.map_batches(in_quarter, batch_format="pyarrow")
+    # the quarter cut leaves a SMALL orders side: materialize it (the
+    # join materializes its inputs anyway; count() is metadata-only) so
+    # (a) its bloom filter can prune the lineitem scan BEFORE the
+    # distinct exchange and (b) the join partitions size from its REAL
+    # count, not the unfiltered footer
+    orders = orders.map_batches(in_quarter,
+                                batch_format="pyarrow").materialize()
+    n_quarter = orders.count()
+
+    m, kh = _bloom_params(max(1, n_quarter))
+    bloom = np.zeros(m // 8, dtype=np.uint8)
+    for b in orders.map_batches(
+            lambda t: t.select(["o_orderkey"]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        kk = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        if len(kk):
+            idx = np.unique(_bloom_hash_idx(kk, m, kh).ravel())
+            np.bitwise_or.at(bloom, idx >> 3,
+                             np.uint8(1) << (idx & 7).astype(np.uint8))
+    bloom_ref = ray.put(bloom)
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_returnflag"])
+
+    def returned_probe(t: pa.Table) -> pa.Table:
+        from ..stages.fetch import _cached_get
+
+        bl = _cached_get(bloom_ref)
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        kk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        if len(kk) == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64())})
+        idx = _bloom_hash_idx(kk, m, kh)  # (k, n) bit indices
+        hit = ((bl[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+               ).all(axis=0)
+        return pa.table({"o_orderkey":
+                         pa.array(kk[hit].astype(np.int64), pa.int64())})
+
+    # bloom survivors ~= quarter's own lineitems (+~1% FPs, removed
+    # exactly by the inner join below) — the distinct exchange moves a
+    # quarter's worth of keys, not the whole returned-lineitem keyspace
+    returned = li.map_batches(returned_probe, batch_format="pyarrow")
+    returned = distinct_keys(returned, "o_orderkey",
+                             n_rows=max(1, n_quarter))
 
     joined = orders.join(returned, join_type="inner", on=("o_orderkey",),
-                         num_partitions=join_partitions_for(n_orders))
+                         num_partitions=join_partitions_for(
+                             min(n_orders, n_quarter)))
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({"o_orderpriority": b["o_orderpriority"],

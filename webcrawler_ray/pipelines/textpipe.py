@@ -1321,10 +1321,13 @@ def docs_lm_score(ray, sf_dir: str):
                        batch_format="pyarrow"),
         ["token"],
         lambda df: df.groupby("token", as_index=False).agg(n=("n", "sum")),
-        n_rows=tok_bound)
+        n_rows=tok_bound).materialize()
 
+    # the vocabulary (one row per DISTINCT token) is the join's small
+    # side — size partitions from its real count, not the instance bound
     joined = tf.join(vocab, join_type="inner", on=("token",),
-                     num_partitions=join_partitions_for(tok_bound))
+                     num_partitions=join_partitions_for(
+                         min(tok_bound, vocab.count())))
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({
