@@ -93,6 +93,34 @@ class TestWarcSink:
         for u in list(got)[:20]:
             assert extract_visible_text(got[u]) == texts[u]
 
+    def test_warc_source_roundtrip(self, queries):
+        """The Dataset-level WARC SOURCE re-ingests the sink's archives
+        byte-identically: every crawled page comes back with the exact
+        html payload and microsecond-truncated-to-second timestamp."""
+        import glob
+        import os
+
+        import ray
+
+        from webcrawler_ray.pipelines.registry import _crawl_workdir
+        from webcrawler_ray.sources.warc import read_warc
+
+        df = _df(queries["crawl_warc_read"](SF_DIR))
+        assert (df["n_bytes"] > 0).all()
+
+        name = os.path.basename(SF_DIR)
+        wdir = sorted(glob.glob(
+            f"/tmp/webcrawler_ray_cache/{name}/crawl_wd_*/warc"))[-1]
+        rb = read_warc(ray, wdir).to_pandas()
+        c = _crawl_workdir(SF_DIR)
+        orig = (c.crawled_dataset()
+                 .map_batches(lambda t: t.select(["url", "html"]),
+                              batch_format="pyarrow").to_pandas())
+        got = dict(zip(rb["url"], rb["html"]))
+        want = dict(zip(orig["url"], orig["html"]))
+        assert got == want
+        assert len(rb) == len(orig)
+
 
 class TestFetcherSeam:
     def test_table_fetcher_matches_pages(self, ray_session, tmp_path):

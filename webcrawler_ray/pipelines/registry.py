@@ -190,6 +190,34 @@ def crawl_warc(sf_dir: str):
     return write_warc(ds, out).sort("warc_file")
 
 
+def crawl_warc_read(sf_dir: str):
+    """WARC ROUND-TRIP: re-ingest the gzipped WARC archives the sink
+    wrote (sources/warc.py — one read task per archive) and return
+    (url, n_bytes) per record; rows-only (binary source) with the
+    byte-identity covered by the round-trip test."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..sinks.warc import write_warc
+    from ..sources.warc import read_warc
+
+    c = _crawl_workdir(sf_dir)
+    out = os.path.join(c.workdir, "warc")
+    if not (os.path.isdir(out)
+            and any(f.endswith(".warc.gz") for f in os.listdir(out))):
+        ds = c.crawled_dataset().map_batches(
+            lambda t: t.select(["url", "html", "warc_ts"]),
+            batch_format="pyarrow")
+        write_warc(ds, out).materialize()
+    rb = read_warc(ray, out)
+    return rb.map_batches(
+        lambda t: pa.table({"url": t.column("url"),
+                            "n_bytes": pc.binary_length(
+                                t.column("html")).cast(pa.int64())}),
+        batch_format="pyarrow").sort("url")
+
+
 def crawl_log(sf_dir: str):
     """S6 debug-log dataset (URL/Title/Text/Timestamp per saved page,
     DebugPrinter.py:9-18 fields)."""
@@ -230,6 +258,7 @@ def build_queries() -> dict:
         "crawl_corpus": crawl_corpus,
         "crawl_host_counts": crawl_host_counts,
         "crawl_warc": crawl_warc,
+        "crawl_warc_read": crawl_warc_read,
         "crawl_round_stats": crawl_round_stats,
         "crawl_pagerank": crawl_pagerank,
         # text analysis over documents
