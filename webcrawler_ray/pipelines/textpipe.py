@@ -1375,3 +1375,104 @@ LEFT JOIN tf ON d.doc_id = tf.doc_id
 LEFT JOIN vocab v ON tf.token = v.token
 GROUP BY d.doc_id ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# target language mix as integer weights (en-heavy, rest uniform) — the
+# data-mixing knob of a training run, integerized so both engines land
+# on identical quotas with no float rounding
+MIX_WEIGHTS = {"en": 4, "es": 1, "de": 1, "fr": 1, "zh": 1}
+MIX_WSUM = sum(MIX_WEIGHTS.values())
+
+
+def docs_mix_rebalance(ray, sf_dir: str):
+    """(doc_id, lang): CORPUS MIX REBALANCING — subsample each language
+    down to a target mixture (weights MIX_WEIGHTS), the data-mixing
+    step of corpus curation (e.g. the Pile / LLaMA per-source mixture
+    tables). Exact integer rule shared with the oracle: S = min over
+    langs of floor(avail*W/w) (the largest corpus the target mix
+    supports), quota(l) = floor(S*w/W), keep each lang's bottom-quota
+    by md5 priority. Scale shape: availability is ONE combiner-backed
+    groupby (rows = #langs, tiny by definition), quotas broadcast, then
+    the per-source-cap exchange: per-batch local bottom-quota prune,
+    one bucketed vectorized merge. For corpus-FRACTION quotas at 100 TB
+    (quota ~ corpus size, where candidate merge would be wide), swap
+    the exact head-k for a hash-threshold rank-select on the md5
+    priority (the events_value_percentiles idiom)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import buckets_for
+    from ..functions.urls import stable_hash64_batch
+    from ..io_utils import parquet_num_rows
+
+    ds = _docs(ray, sf_dir, ["doc_id", "lang"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"lang": b["lang"],
+                          "n": np.ones(len(b), dtype="int64")})
+        return g.groupby("lang", as_index=False).sum()
+
+    avail_df = (ds.map_batches(count_partial, batch_format="pandas")
+                  .groupby("lang").aggregate(Sum("n", alias_name="n"))
+                  .to_pandas())
+    avail = dict(zip(avail_df["lang"], avail_df["n"].astype(int)))
+    s_max = min((avail.get(l, 0) * MIX_WSUM) // w
+                for l, w in MIX_WEIGHTS.items())
+    quota = {l: (s_max * w) // MIX_WSUM for l, w in MIX_WEIGHTS.items()}
+    q_max = max(quota.values()) if quota else 0
+
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    n_buckets = buckets_for(n_docs)
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        df = pd.DataFrame({
+            "doc_id": batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype("int64"),
+            "lang": batch.column("lang").to_pylist(),
+            "pri": _md5_priorities(ids)})
+        df = df[df["lang"].isin(MIX_WEIGHTS)]
+        df = df.sort_values(["lang", "pri", "doc_id"], kind="mergesort")
+        # local head-q_max per lang: a row past its lang's global quota
+        # can never be in the global bottom-quota
+        df = df.groupby("lang").head(q_max)
+        df = df[df.groupby("lang").cumcount()
+                < df["lang"].map(quota).to_numpy()]
+        b = (stable_hash64_batch(df["lang"].tolist())
+             % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                         "lang": pa.array(df["lang"], pa.string()),
+                         "pri": pa.array(df["pri"], pa.string()),
+                         "lbucket": pa.array(b, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "pri", "doc_id"], kind="mergesort")
+        g = g[g.groupby("lang").cumcount()
+              < g["lang"].map(quota).to_numpy()]
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "lang": g["lang"]})
+
+    return (ds.map_batches(local_prune, batch_format="pyarrow")
+              .groupby("lbucket")
+              .map_groups(per_bucket, batch_format="pandas")
+              .sort("doc_id"))
+
+
+_MIX_VALUES = ", ".join(f"('{l}', {w})" for l, w in MIX_WEIGHTS.items())
+
+DOCS_MIX_REBALANCE_SQL = f"""
+WITH w(lang, wt) AS (VALUES {_MIX_VALUES}),
+avail AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+s AS (SELECT MIN((COALESCE(a.n, 0) * {MIX_WSUM}) // w.wt) AS smax
+      FROM w LEFT JOIN avail a USING (lang)),
+quota AS (SELECT w.lang, ((SELECT smax FROM s) * w.wt) // {MIX_WSUM} AS q
+          FROM w),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents WHERE lang IN (SELECT lang FROM w))
+SELECT doc_id, lang FROM ranked JOIN quota USING (lang)
+WHERE rn <= q ORDER BY doc_id
+"""
