@@ -335,6 +335,8 @@ def build_queries() -> dict:
             lambda sf: relational.orders_priority_exists(ray, sf),
         "events_type_stats":
             lambda sf: relational.events_type_stats(ray, sf),
+        "events_type_pairs":
+            lambda sf: relational.events_type_pairs(ray, sf),
         "q5_local_supplier_volume":
             lambda sf: relational.q5_local_supplier_volume(ray, sf),
         "part_min_supplier":
@@ -644,6 +646,7 @@ ORDER BY vec_id_a, vec_id_b
     "q3_shipping_priority": relational.Q3_SQL,
     "orders_priority_exists": relational.Q4_EXISTS_SQL,
     "events_type_stats": relational.EVENTS_TYPE_STATS_SQL,
+    "events_type_pairs": relational.EVENTS_TYPE_PAIRS_SQL,
     "q5_local_supplier_volume": relational.Q5_SQL,
     "part_min_supplier": relational.PART_MIN_SUPPLIER_SQL,
     "revenue_rollup": relational.REVENUE_ROLLUP_SQL,

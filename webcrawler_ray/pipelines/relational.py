@@ -2321,3 +2321,88 @@ SELECT p_partkey, p_name, s_suppkey, min_price_cents
 FROM ranked JOIN part USING (p_partkey)
 WHERE rn = 1 ORDER BY p_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+def events_type_pairs(ray, sf_dir: str):
+    """(type_a, type_b, n_user_days): CO-OCCURRENCE MINING — for every
+    unordered pair of event types, how many (user, day) combinations
+    saw both. The naive shape is a self-join of the distinct
+    (user, day, type) table with itself (quadratic in a user-day's
+    types); this implementation never joins: each user-day reduces to a
+    TYPE BITMASK (types are a small enumerable domain — discovered
+    first with a 5-row distinct), bitmasks OR-merge through a bucketed
+    exchange keyed on (user, day), the bitmask HISTOGRAM (<= 2^k rows)
+    is the only thing that leaves, and pairs expand from the histogram
+    at the end. For high-cardinality type domains swap the bitmask for
+    a per-group sorted pair explode."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import buckets_for, distinct_keys
+
+    n_events = _nrows(f"{sf_dir}/events.parquet")
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts", "event_type"])
+
+    types = sorted(
+        distinct_keys(ds.map_batches(lambda t: t.select(["event_type"]),
+                                     batch_format="pyarrow"),
+                      "event_type", n_rows=1024)
+        .to_pandas()["event_type"])
+    bit_of = {t: 1 << i for i, t in enumerate(types)}
+    if len(types) > 60:
+        raise ValueError("bitmask path needs a small type domain; use "
+                         f"pair explode for {len(types)} types")
+
+    N_BUCKETS = buckets_for(n_events)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "day": b["ts"].values.astype("datetime64[D]").astype("int64"),
+            "bits": b["event_type"].map(bit_of).astype("int64")})
+        g = g.groupby(["user_id", "day"], as_index=False)["bits"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        g["ubucket"] = int_bucket_column(g["user_id"].to_numpy(), N_BUCKETS)
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "day"], as_index=False)["bits"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        h = m.groupby("bits", as_index=False).size()
+        return pd.DataFrame({"bits": h["bits"].astype("int64"),
+                             "n": h["size"].astype("int64")})
+
+    hist = (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .groupby("bits").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())  # <= 2^k rows by construction
+
+    pairs = {}
+    for bits, n in zip(hist["bits"].astype(int), hist["n"].astype(int)):
+        present = [t for t in types if bits & bit_of[t]]
+        for i in range(len(present)):
+            for j in range(i + 1, len(present)):
+                k = (present[i], present[j])
+                pairs[k] = pairs.get(k, 0) + n
+    out = pd.DataFrame(
+        {"type_a": [k[0] for k in sorted(pairs)],
+         "type_b": [k[1] for k in sorted(pairs)],
+         "n_user_days": pd.Series([pairs[k] for k in sorted(pairs)],
+                                  dtype="int64")})
+    return out
+
+
+EVENTS_TYPE_PAIRS_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+  FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_user_days
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.d = b.d
+ AND a.event_type < b.event_type
+GROUP BY type_a, type_b ORDER BY type_a, type_b
+"""
