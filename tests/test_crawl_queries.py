@@ -97,7 +97,6 @@ class TestWarcSink:
         """The Dataset-level WARC SOURCE re-ingests the sink's archives
         byte-identically: every crawled page comes back with the exact
         html payload and microsecond-truncated-to-second timestamp."""
-        import glob
         import os
 
         import ray
@@ -108,11 +107,11 @@ class TestWarcSink:
         df = _df(queries["crawl_warc_read"](SF_DIR))
         assert (df["n_bytes"] > 0).all()
 
-        name = os.path.basename(SF_DIR)
-        wdir = sorted(glob.glob(
-            f"/tmp/webcrawler_ray_cache/{name}/crawl_wd_*/warc"))[-1]
-        rb = read_warc(ray, wdir).to_pandas()
         c = _crawl_workdir(SF_DIR)
+        # the workdir IS deterministic (webgen-signature keyed) — never
+        # glob for it, a stale sibling from an old webgen could win
+        wdir = os.path.join(c.workdir, "warc")
+        rb = read_warc(ray, wdir).to_pandas()
         orig = (c.crawled_dataset()
                  .map_batches(lambda t: t.select(["url", "html"]),
                               batch_format="pyarrow").to_pandas())

@@ -111,6 +111,26 @@ def test_windowed_incremental_resume(ray_session, ddb, monkeypatch, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_pii_scrub_overlap_counts_redactions_performed():
+    """An IP embedded in an email domain must count ONCE (the email
+    redaction consumes it) — n_pii is redactions performed, not
+    independent per-pattern matches on the raw text."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from webcrawler_ray.pipelines import textpipe as tp
+
+    out = pa.array(["contact user@10.1.2.3.example now"], pa.string())
+    n = None
+    for pat, tag in ((tp.PII_EMAIL_RE, "<EMAIL>"), (tp.PII_IP_RE, "<IP>"),
+                     (tp.PII_PHONE_RE, "<PHONE>")):
+        c = pc.count_substring_regex(out, pat)
+        n = c if n is None else pc.add(n, c)
+        out = pc.replace_substring_regex(out, pat, tag)
+    assert n.to_pylist() == [1]
+    assert out.to_pylist() == ["contact <EMAIL> now"]
+
+
 class TestRowsOnly:
     def test_langid_predicts_known_langs(self, queries):
         q, _ = queries

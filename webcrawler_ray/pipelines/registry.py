@@ -204,12 +204,21 @@ def crawl_warc_read(sf_dir: str):
 
     c = _crawl_workdir(sf_dir)
     out = os.path.join(c.workdir, "warc")
-    if not (os.path.isdir(out)
-            and any(f.endswith(".warc.gz") for f in os.listdir(out))):
+    # per-file writes are atomic but the SET is not: only a _SUCCESS
+    # marker written after the full sink pass proves completeness (the
+    # sinks/partitioned.py rule) — a killed prior write must regenerate
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        if os.path.isdir(out):
+            for f in os.listdir(out):
+                if f.endswith(".warc.gz"):
+                    os.unlink(os.path.join(out, f))
         ds = c.crawled_dataset().map_batches(
             lambda t: t.select(["url", "html", "warc_ts"]),
             batch_format="pyarrow")
         write_warc(ds, out).materialize()
+        with open(marker, "w") as f:
+            f.write("")
     rb = read_warc(ray, out)
     return rb.map_batches(
         lambda t: pa.table({"url": t.column("url"),

@@ -1059,13 +1059,17 @@ def docs_pii_scrub(ray, sf_dir: str):
     def scrub(batch: pa.Table) -> pa.Table:
         ids = pd.Series(batch.column("doc_id").to_numpy())
         texts = pd.Series(batch.column("text").to_pylist())
-        t2 = pa.array(_pii_augment(ids, texts), pa.string())
-        n = pc.count_substring_regex(t2, PII_EMAIL_RE)
-        for pat in (PII_IP_RE, PII_PHONE_RE):
-            n = pc.add(n, pc.count_substring_regex(t2, pat))
-        out = pc.replace_substring_regex(t2, PII_EMAIL_RE, "<EMAIL>")
-        out = pc.replace_substring_regex(out, PII_IP_RE, "<IP>")
-        out = pc.replace_substring_regex(out, PII_PHONE_RE, "<PHONE>")
+        out = pa.array(_pii_augment(ids, texts), pa.string())
+        # count each class on the text AS THE REPLACER SEES IT (after
+        # the previous class's redaction) so n_pii == redactions
+        # actually performed — counting all three on the raw text
+        # double-counts overlaps (an IP embedded in an email domain)
+        n = None
+        for pat, tag in ((PII_EMAIL_RE, "<EMAIL>"), (PII_IP_RE, "<IP>"),
+                         (PII_PHONE_RE, "<PHONE>")):
+            c = pc.count_substring_regex(out, pat)
+            n = c if n is None else pc.add(n, c)
+            out = pc.replace_substring_regex(out, pat, tag)
         return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
                          "n_pii": n.cast(pa.int64()),
                          "scrubbed": out})
@@ -1084,17 +1088,20 @@ _PII_AUG_SQL = (
 )
 
 DOCS_PII_SCRUB_SQL = f"""
-WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t2 FROM documents)
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t2 FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(t2, '{PII_EMAIL_RE}')) AS n1,
+              regexp_replace(t2, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t3
+       FROM aug),
+s2 AS (SELECT doc_id, n1,
+              len(regexp_extract_all(t3, '{PII_IP_RE}')) AS n2,
+              regexp_replace(t3, '{PII_IP_RE}', '<IP>', 'g') AS t4
+       FROM s1)
 SELECT doc_id,
-       CAST(len(regexp_extract_all(t2, '{PII_EMAIL_RE}'))
-            + len(regexp_extract_all(t2, '{PII_IP_RE}'))
-            + len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS BIGINT)
-           AS n_pii,
-       regexp_replace(regexp_replace(regexp_replace(
-           t2, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-           '{PII_IP_RE}', '<IP>', 'g'),
-           '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
-FROM aug ORDER BY doc_id
+       CAST(n1 + n2 + len(regexp_extract_all(t4, '{PII_PHONE_RE}'))
+            AS BIGINT) AS n_pii,
+       regexp_replace(t4, '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM s2 ORDER BY doc_id
 """
 
 
@@ -1349,7 +1356,7 @@ def docs_lm_score(ray, sf_dir: str):
     scored_ids = scores.map_batches(lambda t: t.select(["doc_id"]),
                                     batch_format="pyarrow")
     missing = ids.join(scored_ids, join_type="left_anti", on=("doc_id",),
-                       num_partitions=1)
+                       num_partitions=join_partitions_for(n_docs))
     missing = missing.map_batches(
         lambda t: t.append_column("commonness",
                                   pa.array([0] * t.num_rows, pa.int64())),
@@ -1419,7 +1426,6 @@ def docs_mix_rebalance(ray, sf_dir: str):
     s_max = min((avail.get(l, 0) * MIX_WSUM) // w
                 for l, w in MIX_WEIGHTS.items())
     quota = {l: (s_max * w) // MIX_WSUM for l, w in MIX_WEIGHTS.items()}
-    q_max = max(quota.values()) if quota else 0
 
     n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
     n_buckets = buckets_for(n_docs)
@@ -1433,9 +1439,8 @@ def docs_mix_rebalance(ray, sf_dir: str):
             "pri": _md5_priorities(ids)})
         df = df[df["lang"].isin(MIX_WEIGHTS)]
         df = df.sort_values(["lang", "pri", "doc_id"], kind="mergesort")
-        # local head-q_max per lang: a row past its lang's global quota
-        # can never be in the global bottom-quota
-        df = df.groupby("lang").head(q_max)
+        # local prune: a row past its lang's global quota in ITS OWN
+        # batch's priority order can never make the global bottom-quota
         df = df[df.groupby("lang").cumcount()
                 < df["lang"].map(quota).to_numpy()]
         b = (stable_hash64_batch(df["lang"].tolist())

@@ -122,18 +122,17 @@ def count_gzip_members(path: str) -> int:
     return n
 
 
-def iter_warc_records(path: str):
-    """Read-back parser: yields (headers: dict, http_body: bytes) per
-    record of a ``.warc.gz`` file (test/interop aid). gzip reads the
-    concatenated members as one stream; records are walked by their
-    Content-Length."""
-    with gzip.open(path, "rb") as f:
-        raw = f.read()
+def parse_warc_stream(raw: bytes):
+    """THE record walker (one copy — ``sources/warc.py`` imports it):
+    yields (headers: dict, http_body: bytes) per record from an
+    UNCOMPRESSED WARC byte stream, walked by Content-Length."""
     pos = 0
     while pos < len(raw):
         head_end = raw.index(b"\r\n\r\n", pos)
         lines = raw[pos:head_end].split(b"\r\n")
-        assert lines[0] == WARC_VERSION, lines[0]
+        if lines[0] != WARC_VERSION:
+            raise ValueError(f"not a WARC/1.0 record at byte {pos}: "
+                             f"{lines[0][:40]!r}")
         headers = {}
         for ln in lines[1:]:
             k, _, v = ln.partition(b": ")
@@ -144,3 +143,11 @@ def iter_warc_records(path: str):
         _, _, body = http.partition(b"\r\n\r\n")
         yield headers, body
         pos = body_start + clen + 4  # skip the record's trailing CRLFCRLF
+
+
+def iter_warc_records(path: str):
+    """Read-back parser over one ``.warc.gz`` file (test/interop aid).
+    gzip reads the concatenated members as one stream."""
+    with gzip.open(path, "rb") as f:
+        raw = f.read()
+    yield from parse_warc_stream(raw)

@@ -21,29 +21,7 @@ import os
 
 import pyarrow as pa
 
-from ..sinks.warc import WARC_VERSION
-
-
-def parse_warc_stream(raw: bytes):
-    """Yield (headers: dict, http_body: bytes) per record from an
-    UNCOMPRESSED WARC byte stream (records walked by Content-Length)."""
-    pos = 0
-    while pos < len(raw):
-        head_end = raw.index(b"\r\n\r\n", pos)
-        lines = raw[pos:head_end].split(b"\r\n")
-        if lines[0] != WARC_VERSION:
-            raise ValueError(f"not a WARC/1.0 record at byte {pos}: "
-                             f"{lines[0][:40]!r}")
-        headers = {}
-        for ln in lines[1:]:
-            k, _, v = ln.partition(b": ")
-            headers[k.decode()] = v.decode()
-        clen = int(headers["Content-Length"])
-        body_start = head_end + 4
-        http = raw[body_start:body_start + clen]
-        _, _, body = http.partition(b"\r\n\r\n")
-        yield headers, body
-        pos = body_start + clen + 4  # each record ends with CRLFCRLF
+from ..sinks.warc import parse_warc_stream
 
 
 def _warc_ts_us(date_str: str) -> int:
