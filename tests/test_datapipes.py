@@ -66,7 +66,7 @@ SQL_CHECKED = [
     "docs_repetition", "events_type_stats",
     "docs_inverted_index", "docs_lm_score",
     "q5_local_supplier_volume", "part_min_supplier",
-    "docs_mix_rebalance", "events_type_pairs",
+    "docs_mix_rebalance", "events_type_pairs", "events_funnel",
 ]
 
 

@@ -346,6 +346,7 @@ def build_queries() -> dict:
             lambda sf: relational.events_type_stats(ray, sf),
         "events_type_pairs":
             lambda sf: relational.events_type_pairs(ray, sf),
+        "events_funnel": lambda sf: relational.events_funnel(ray, sf),
         "q5_local_supplier_volume":
             lambda sf: relational.q5_local_supplier_volume(ray, sf),
         "part_min_supplier":
@@ -656,6 +657,7 @@ ORDER BY vec_id_a, vec_id_b
     "orders_priority_exists": relational.Q4_EXISTS_SQL,
     "events_type_stats": relational.EVENTS_TYPE_STATS_SQL,
     "events_type_pairs": relational.EVENTS_TYPE_PAIRS_SQL,
+    "events_funnel": relational.EVENTS_FUNNEL_SQL,
     "q5_local_supplier_volume": relational.Q5_SQL,
     "part_min_supplier": relational.PART_MIN_SUPPLIER_SQL,
     "revenue_rollup": relational.REVENUE_ROLLUP_SQL,

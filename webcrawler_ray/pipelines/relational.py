@@ -2423,3 +2423,74 @@ FROM ut a JOIN ut b
  AND a.event_type < b.event_type
 GROUP BY type_a, type_b ORDER BY type_a, type_b
 """
+
+
+# ---------------------------------------------------------------------------
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def events_funnel(ray, sf_dir: str):
+    """(stage, n_users): FUNNEL analysis — users whose events contain
+    view -> click -> purchase in STRICT timestamp order (each stage
+    strictly after the previous stage's first qualifying instant; the
+    product-analytics ordered-sequence operator). Scale shape: the scan
+    keeps only funnel-stage rows (columns + type pruned), ONE bucketed
+    exchange co-locates each user's events, the per-bucket kernel is
+    three vectorized min-reductions chained through a per-user map (no
+    Python loop over users), and only (stage, count) partials — 3 rows
+    per bucket — reach the final aggregate."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import buckets_for
+
+    n_events = _nrows(f"{sf_dir}/events.parquet")
+    N_BUCKETS = buckets_for(n_events)
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts", "event_type"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(FUNNEL_STAGES))
+        t = t.filter(keep)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u.astype(np.int64), N_BUCKETS)
+        return t.append_column("ubucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        prev = None  # per-user first qualifying ts of the previous stage
+        counts = []
+        for st in FUNNEL_STAGES:
+            e = g[g["event_type"] == st]
+            if prev is not None:
+                cut = e["user_id"].map(prev)
+                e = e[cut.notna() & (e["ts"] > cut)]
+            prev = e.groupby("user_id")["ts"].min()
+            counts.append(len(prev))
+        labels = [">".join(FUNNEL_STAGES[:i + 1])
+                  for i in range(len(FUNNEL_STAGES))]
+        return pd.DataFrame({"stage": labels,
+                             "n_users": pd.Series(counts, dtype="int64")})
+
+    out = (ds.map_batches(prune, batch_format="pyarrow")
+             .groupby("ubucket").map_groups(per_bucket,
+                                            batch_format="pandas")
+             .groupby("stage").aggregate(Sum("n_users",
+                                             alias_name="n_users")))
+    return out.sort("stage")
+
+
+EVENTS_FUNNEL_SQL = """
+WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.ts1
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+       JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.ts2
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 'view' AS stage, COUNT(*) AS n_users FROM t1
+UNION ALL SELECT 'view>click', COUNT(*) FROM t2
+UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM t3
+ORDER BY stage
+"""
