@@ -95,9 +95,13 @@ def run_bench() -> dict:
     # code, same data — see BASELINE.md's calibration note), and the min
     # of two runs is a far better estimator of the code's actual cost
     # than any single draw. Fresh workdir per crawl repetition.
+    # GRAFT_BENCH_REPS: the standalone bench defaults to best-of-2 (host
+    # noise); run_scaling pins it to 1 — its OWN interleaved best-of-reps
+    # already provides the min estimator, so inner repeats just burn time
+    n_reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
     crawl_sec = float("inf")
     summary = None
-    for rep in range(2):
+    for rep in range(n_reps):
         wd = os.path.join(BENCH_BASE, f"wd_{os.getpid()}_{rep}")
         shutil.rmtree(wd, ignore_errors=True)
         crawler = RayCrawler(web["pages"], web["robots"], wd, cfg)
@@ -112,7 +116,7 @@ def run_bench() -> dict:
 
     queries = build_queries()
     qtimes = {}
-    for rep in range(2):
+    for rep in range(n_reps):
         for name in QUERY_NAMES:
             t0 = time.perf_counter()
             res = queries[name](SF_DIR)
@@ -173,7 +177,8 @@ def run_scaling(lo: int, hi: int, reps: int = 2) -> dict:
     interleaved repetitions is the stable estimator."""
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_REPS="1")
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
