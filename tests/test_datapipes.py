@@ -67,6 +67,7 @@ SQL_CHECKED = [
     "docs_inverted_index", "docs_lm_score",
     "q5_local_supplier_volume", "part_min_supplier",
     "docs_mix_rebalance", "events_type_pairs", "events_funnel",
+    "events_latest",
 ]
 
 
@@ -427,6 +428,32 @@ class TestMultimodalResize:
             row = df.loc[d]
             assert row["r_px_sum"] == int(r.sum(dtype=np.int64))
             assert row["r_px_mean"] == r.sum(dtype=np.int64) / r.size
+
+
+class TestMultimodalChannelHist:
+    def test_channel_hist_exact_vs_local(self, queries):
+        """The distributed 256-bin histogram equals an independent local
+        regeneration over every doc's PCG64 pixels, bin by bin."""
+        import duckdb
+        import numpy as np
+
+        from webcrawler_ray.pipelines.multimodal import (
+            DecodeStage,
+            make_payload,
+        )
+
+        q, _ = queries
+        df = _to_df(q["multimodal_channel_hist"](SF_DIR))
+        assert list(df["bin"]) == list(range(256))
+
+        ids = duckdb.sql(
+            f"SELECT doc_id FROM '{SF_DIR}/documents.parquet'"
+        ).df()["doc_id"]
+        want = np.zeros(256, dtype=np.int64)
+        for d in ids:
+            px = DecodeStage.decode_pixels(make_payload(int(d)))
+            want += np.bincount(px.ravel(), minlength=256)
+        assert (df.sort_values("bin")["n"].to_numpy() == want).all()
 
 
 class TestHotBandAdversarial:

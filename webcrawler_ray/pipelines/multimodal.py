@@ -213,3 +213,37 @@ def resize_stats(ray, sf_dir: str, out_w: int = 8, out_h: int = 8,
                          batch_format="pyarrow", batch_size=256,
                          concurrency=concurrency)
     return out.sort("doc_id")
+
+
+class HistStage:
+    """Actor-pool stage: decode each payload and emit ONE 256-bin pixel
+    histogram partial per batch — the constant-size mergeable-summary
+    shape (like the HLL/t-digest sketches): whatever the corpus size,
+    a batch contributes 256 rows and the merge is a plain Sum."""
+
+    def __init__(self):
+        self.decode = DecodeStage.decode_pixels  # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hist = np.zeros(256, dtype=np.int64)
+        for blob in batch.column("media").to_pylist():
+            px = self.decode(blob)
+            hist += np.bincount(px.ravel(), minlength=256)
+        return pa.table({"bin": pa.array(np.arange(256, dtype=np.int64),
+                                         pa.int64()),
+                         "n": pa.array(hist, pa.int64())})
+
+
+def channel_hist(ray, sf_dir: str, concurrency: int = 2):
+    """(bin, n): corpus-wide pixel-intensity histogram over every frame
+    of every decoded payload — the dataset-statistics pass an image
+    pipeline runs before normalization (mean/std/clip points derive
+    from it). Rows-only (no SQL raster decode); EXACT-equality tested
+    against an independent local PCG64 regeneration."""
+    ds = synthesize_payloads(ray, sf_dir)
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(HistStage, batch_format="pyarrow",
+                          batch_size=256, concurrency=concurrency)
+             .groupby("bin").aggregate(Sum("n", alias_name="n")))
+    return out.sort("bin")

@@ -347,6 +347,7 @@ def build_queries() -> dict:
         "events_type_pairs":
             lambda sf: relational.events_type_pairs(ray, sf),
         "events_funnel": lambda sf: relational.events_funnel(ray, sf),
+        "events_latest": lambda sf: relational.events_latest(ray, sf),
         "q5_local_supplier_volume":
             lambda sf: relational.q5_local_supplier_volume(ray, sf),
         "part_min_supplier":
@@ -404,6 +405,8 @@ def build_queries() -> dict:
             "multimodal_meta": multimodal_meta,
             "frames_meta": frames_meta,
             "multimodal_resize": lambda sf: multimodal.resize_stats(ray, sf),
+            "multimodal_channel_hist":
+                lambda sf: multimodal.channel_hist(ray, sf),
         })
     except ImportError:
         pass
@@ -658,6 +661,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_type_stats": relational.EVENTS_TYPE_STATS_SQL,
     "events_type_pairs": relational.EVENTS_TYPE_PAIRS_SQL,
     "events_funnel": relational.EVENTS_FUNNEL_SQL,
+    "events_latest": relational.EVENTS_LATEST_SQL,
     "q5_local_supplier_volume": relational.Q5_SQL,
     "part_min_supplier": relational.PART_MIN_SUPPLIER_SQL,
     "revenue_rollup": relational.REVENUE_ROLLUP_SQL,

@@ -2494,3 +2494,43 @@ UNION ALL SELECT 'view>click', COUNT(*) FROM t2
 UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM t3
 ORDER BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+def events_latest(ray, sf_dir: str):
+    """(user_id, ts, event_type, value): LATEST-STATE SNAPSHOT — each
+    user's most recent event (max (ts, event_id)), the upsert/CDC
+    materialization every state table needs (argmax twin of
+    part_min_supplier's argmin). Combiner keeps one winner per user per
+    batch; the bucketed merge re-applies the same rule (max-by is
+    idempotent/associative); values pass through unselected — pure row
+    selection, so doubles stay bit-identical to the oracle."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")  # user keyspace bound
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts", "event_id", "event_type",
+                       "value"])
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        return df.drop_duplicates("user_id", keep="last")
+
+    winners = hash_bucket_aggregate(
+        ds.map_batches(argmax, batch_format="pandas", batch_size=65536),
+        ["user_id"], argmax, n_rows=n_cust)
+
+    return winners.map_batches(
+        lambda t: t.select(["user_id", "ts", "event_type", "value"]),
+        batch_format="pyarrow").sort("user_id")
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, ts, event_type, value FROM (
+  SELECT user_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
