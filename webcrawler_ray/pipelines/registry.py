@@ -348,6 +348,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_type_pairs(ray, sf),
         "events_funnel": lambda sf: relational.events_funnel(ray, sf),
         "events_latest": lambda sf: relational.events_latest(ray, sf),
+        "customer_order_counts":
+            lambda sf: relational.customer_order_counts(ray, sf),
         "q5_local_supplier_volume":
             lambda sf: relational.q5_local_supplier_volume(ray, sf),
         "part_min_supplier":
@@ -662,6 +664,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_type_pairs": relational.EVENTS_TYPE_PAIRS_SQL,
     "events_funnel": relational.EVENTS_FUNNEL_SQL,
     "events_latest": relational.EVENTS_LATEST_SQL,
+    "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
     "q5_local_supplier_volume": relational.Q5_SQL,
     "part_min_supplier": relational.PART_MIN_SUPPLIER_SQL,
     "revenue_rollup": relational.REVENUE_ROLLUP_SQL,

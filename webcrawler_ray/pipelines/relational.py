@@ -2534,3 +2534,62 @@ SELECT user_id, ts, event_type, value FROM (
   FROM events)
 WHERE rn = 1 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+def customer_order_counts(ray, sf_dir: str):
+    """(c_custkey, n_orders, spend_cents): per-customer order count and
+    spend INCLUDING zero-order customers — the LEFT OUTER join shape
+    (every other join here is inner/anti). Orders pre-aggregate to one
+    row per customer (combiner + bucketed merge), ONE distributed
+    left_outer join against the customer keyspace, and the null side
+    coalesces to 0 vectorized."""
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "c_custkey": b["o_custkey"].astype("int64"),
+            "n_orders": np.ones(len(b), dtype="int64"),
+            "spend_cents": np.floor(b["o_totalprice"] * 100
+                                    ).astype("int64")})
+        return g.groupby("c_custkey", as_index=False).sum()
+
+    per_cust = hash_bucket_aggregate(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+        ["c_custkey"],
+        lambda df: df.groupby("c_custkey", as_index=False).sum(),
+        n_rows=n_cust)
+
+    cust = _rpq(ray, f"{sf_dir}/customer.parquet",
+                columns=["c_custkey"])
+    joined = cust.join(per_cust, join_type="left_outer",
+                       on=("c_custkey",),
+                       num_partitions=join_partitions_for(n_cust))
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(t.column("n_orders"), pa.scalar(0, pa.int64()))
+        s = pc.coalesce(t.column("spend_cents"), pa.scalar(0, pa.int64()))
+        return pa.table({"c_custkey": t.column("c_custkey").cast(pa.int64()),
+                         "n_orders": n.cast(pa.int64()),
+                         "spend_cents": s.cast(pa.int64())})
+
+    return joined.map_batches(coalesce,
+                              batch_format="pyarrow").sort("c_custkey")
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c_custkey,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS spend_cents
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
