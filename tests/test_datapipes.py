@@ -67,7 +67,7 @@ SQL_CHECKED = [
     "docs_inverted_index", "docs_lm_score",
     "q5_local_supplier_volume", "part_min_supplier",
     "docs_mix_rebalance", "events_type_pairs", "events_funnel",
-    "events_latest", "customer_order_counts",
+    "events_latest", "customer_order_counts", "orders_monthly_series",
 ]
 
 

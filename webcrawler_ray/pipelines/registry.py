@@ -350,6 +350,8 @@ def build_queries() -> dict:
         "events_latest": lambda sf: relational.events_latest(ray, sf),
         "customer_order_counts":
             lambda sf: relational.customer_order_counts(ray, sf),
+        "orders_monthly_series":
+            lambda sf: relational.orders_monthly_series(ray, sf),
         "q5_local_supplier_volume":
             lambda sf: relational.q5_local_supplier_volume(ray, sf),
         "part_min_supplier":
@@ -665,6 +667,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_funnel": relational.EVENTS_FUNNEL_SQL,
     "events_latest": relational.EVENTS_LATEST_SQL,
     "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
+    "orders_monthly_series": relational.ORDERS_MONTHLY_SQL,
     "q5_local_supplier_volume": relational.Q5_SQL,
     "part_min_supplier": relational.PART_MIN_SUPPLIER_SQL,
     "revenue_rollup": relational.REVENUE_ROLLUP_SQL,

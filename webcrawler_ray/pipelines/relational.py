@@ -2167,7 +2167,11 @@ def q5_local_supplier_volume(ray, sf_dir: str):
         keep = pc.and_(pc.greater_equal(od, lo), pc.less(od, hi))
         return t.filter(keep).select(["o_orderkey", "o_custkey"])
 
-    orders = orders.map_batches(in_window, batch_format="pyarrow")
+    # size joins from the REAL post-filter orders count (the q3 rule:
+    # footer-count partitions multiply join-task overhead for nothing)
+    orders = orders.map_batches(in_window,
+                                batch_format="pyarrow").materialize()
+    n_window = max(1, orders.count())
 
     cust = _rpq(ray, f"{sf_dir}/customer.parquet",
                 columns=["c_custkey", "c_nationkey"])
@@ -2175,7 +2179,8 @@ def q5_local_supplier_volume(ray, sf_dir: str):
         lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
         batch_format="pyarrow")
     orders = orders.join(cust, join_type="inner", on=("o_custkey",),
-                         num_partitions=join_partitions_for(n_orders))
+                         num_partitions=join_partitions_for(
+                             min(n_orders, n_window)))
 
     li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
@@ -2199,7 +2204,8 @@ def q5_local_supplier_volume(ray, sf_dir: str):
         n_rows=n_orders * 4)  # ~lines per order bound for the pair count
 
     joined = li_agg.join(orders, join_type="inner", on=("o_orderkey",),
-                         num_partitions=join_partitions_for(n_orders))
+                         num_partitions=join_partitions_for(
+                             min(n_orders, n_window)))
 
     supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
                 columns=["s_suppkey", "s_nationkey"])
@@ -2592,4 +2598,55 @@ SELECT c_custkey,
             AS BIGINT) AS spend_cents
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+def orders_monthly_series(ray, sf_dir: str):
+    """(month, n_orders): dense monthly order counts WITH gap filling —
+    the time-series densification step (a calendar month with zero
+    orders must appear as 0, not vanish): per-batch month partials
+    (combiner) reduce the fact table to one row per month per batch, a
+    tiny month groupby merges them, and the month-granularity calendar
+    — O(years x 12) rows BY DEFINITION — densifies on the driver. The
+    fact table itself never moves unaggregated."""
+    from ray.data.aggregate import Sum
+
+    ds = _rpq(ray, f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["o_orderdate"].values.astype("datetime64[M]").astype(
+            "int64")
+        g = pd.DataFrame({"m": m, "n_orders": np.ones(len(b),
+                                                      dtype="int64")})
+        return g.groupby("m", as_index=False).sum()
+
+    agg = (ds.map_batches(partial, batch_format="pandas",
+                          batch_size=65536)
+             .groupby("m").aggregate(Sum("n_orders",
+                                         alias_name="n_orders"))
+             .to_pandas())  # one row per month with data — tiny
+    lo, hi = int(agg["m"].min()), int(agg["m"].max())
+    cal = pd.DataFrame({"m": np.arange(lo, hi + 1, dtype=np.int64)})
+    out = cal.merge(agg, on="m", how="left").fillna({"n_orders": 0})
+    return pd.DataFrame({
+        "month": out["m"].to_numpy().astype("datetime64[M]"
+                                            ).astype("datetime64[us]"),
+        "n_orders": out["n_orders"].astype("int64")})
+
+
+ORDERS_MONTHLY_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+         date_trunc('month', MAX(o_orderdate)) AS hi
+  FROM orders),
+cal AS (
+  SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                (SELECT hi FROM bounds),
+                                INTERVAL 1 MONTH)) AS month),
+m AS (
+  SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n
+  FROM orders GROUP BY 1)
+SELECT cal.month, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_orders
+FROM cal LEFT JOIN m USING (month) ORDER BY cal.month
 """
