@@ -85,3 +85,100 @@ def test_oracle_invariants_on_random_graphs(tmp_base, seed, n_hosts, ppH,
         if r.saved:
             assert passes_extension_blocklist(r.url)
             assert robots.get(r.host).allowed(r.resource)
+
+
+# --- vectorized-kernel properties (round-3 operators) -----------------------
+class TestOrByGroupKernel:
+    @given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 4),
+                              st.integers(1, 31)),
+                    min_size=0, max_size=200))
+    @settings(max_examples=40, deadline=None)
+    def test_matches_naive_or(self, rows):
+        import numpy as np
+        import pandas as pd
+
+        from webcrawler_ray.pipelines.relational import or_by_group
+
+        user = np.array([r[0] for r in rows], dtype=np.int64)
+        day = np.array([r[1] for r in rows], dtype=np.int64)
+        bits = np.array([r[2] for r in rows], dtype=np.int64)
+        got = (or_by_group(user, day, bits)
+               .sort_values(["user_id", "day"]).reset_index(drop=True))
+        want: dict = {}
+        for u, d, b in rows:
+            want[(u, d)] = want.get((u, d), 0) | b
+        want_df = pd.DataFrame(
+            {"user_id": pd.Series([k[0] for k in sorted(want)],
+                                  dtype="int64"),
+             "day": pd.Series([k[1] for k in sorted(want)], dtype="int64"),
+             "bits": pd.Series([want[k] for k in sorted(want)],
+                               dtype="int64")})
+        pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+
+
+class TestFunnelChaining:
+    @given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 30),
+                              st.sampled_from(["view", "click", "purchase",
+                                               "other"])),
+                    min_size=0, max_size=120))
+    @settings(max_examples=40, deadline=None)
+    def test_stage_counts_match_naive(self, rows):
+        """The vectorized per-bucket kernel equals a per-user brute-force
+        strict-order subsequence scan (ts ties NOT advancing a stage)."""
+        import pandas as pd
+
+        from webcrawler_ray.pipelines.relational import FUNNEL_STAGES
+
+        g = pd.DataFrame({"user_id": [r[0] for r in rows],
+                          "ts": [r[1] for r in rows],
+                          "event_type": [r[2] for r in rows]})
+
+        # replicate the operator's per-bucket kernel verbatim
+        prev = None
+        got = []
+        for stg in FUNNEL_STAGES:
+            e = g[g["event_type"] == stg]
+            if prev is not None:
+                cut = e["user_id"].map(prev)
+                e = e[cut.notna() & (e["ts"] > cut)]
+            prev = e.groupby("user_id")["ts"].min()
+            got.append(len(prev))
+
+        # naive reference: per user, chain strict minima
+        want = [0, 0, 0]
+        for u in set(r[0] for r in rows):
+            ev = sorted((r[1], r[2]) for r in rows if r[0] == u)
+            t_prev = None
+            for i, stg in enumerate(FUNNEL_STAGES):
+                cand = [t for t, e in ev if e == stg
+                        and (t_prev is None or t > t_prev)]
+                if not cand:
+                    break
+                t_prev = min(cand)
+                want[i] += 1
+        assert got == want
+
+
+class TestMixQuotaRule:
+    @given(st.dictionaries(st.sampled_from(["en", "es", "de", "fr", "zh"]),
+                           st.integers(0, 500), min_size=5, max_size=5))
+    @settings(max_examples=60, deadline=None)
+    def test_quota_never_exceeds_availability_and_mix_is_exact(self, avail):
+        from webcrawler_ray.pipelines.textpipe import MIX_WEIGHTS, MIX_WSUM
+
+        s_max = min((avail.get(l, 0) * MIX_WSUM) // w
+                    for l, w in MIX_WEIGHTS.items())
+        quota = {l: (s_max * w) // MIX_WSUM
+                 for l, w in MIX_WEIGHTS.items()}
+        for l, q in quota.items():
+            assert q <= avail.get(l, 0)  # feasible
+            # exact integer mixture: quota is the floor of the target
+            # share of the supported corpus size
+            assert q == (s_max * MIX_WEIGHTS[l]) // MIX_WSUM
+        # maximality: one more "row" of corpus would break some lang
+        if s_max + MIX_WSUM // max(MIX_WEIGHTS.values()) > 0:
+            bigger = s_max + 1
+            assert any((bigger * w + MIX_WSUM - 1) // MIX_WSUM
+                       > avail.get(l, 0) * 1 or
+                       (avail.get(l, 0) * MIX_WSUM) // w < bigger
+                       for l, w in MIX_WEIGHTS.items())

@@ -2330,6 +2330,27 @@ WHERE rn = 1 ORDER BY p_partkey
 
 
 # ---------------------------------------------------------------------------
+def or_by_group(user: np.ndarray, day: np.ndarray,
+                bits: np.ndarray) -> pd.DataFrame:
+    """Vectorized per-(user, day) bitmask OR: ONE sort + reduceat at
+    group boundaries — never a Python call per group (the aggregates.py
+    combiner rule: ~1 ms/group lambdas are catastrophic at fact-table
+    group counts). Module-level so the property suite can drive it
+    against a naive reference."""
+    if len(user) == 0:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "day": pd.Series([], dtype="int64"),
+                             "bits": pd.Series([], dtype="int64")})
+    order = np.lexsort((day, user))
+    u, d, v = user[order], day[order], bits[order]
+    starts = np.r_[0, np.flatnonzero((u[1:] != u[:-1])
+                                     | (d[1:] != d[:-1])) + 1]
+    return pd.DataFrame({
+        "user_id": u[starts],
+        "day": d[starts],
+        "bits": np.bitwise_or.reduceat(v, starts)})
+
+
 def events_type_pairs(ray, sf_dir: str):
     """(type_a, type_b, n_user_days): CO-OCCURRENCE MINING — for every
     unordered pair of event types, how many (user, day) combinations
@@ -2362,27 +2383,8 @@ def events_type_pairs(ray, sf_dir: str):
 
     N_BUCKETS = buckets_for(n_events)
 
-    def _or_by_group(user: np.ndarray, day: np.ndarray,
-                     bits: np.ndarray) -> pd.DataFrame:
-        """Vectorized per-(user, day) bitmask OR: ONE sort + reduceat at
-        group boundaries — never a Python call per group (the
-        aggregates.py combiner rule: ~1 ms/group lambdas are
-        catastrophic at fact-table group counts)."""
-        if len(user) == 0:
-            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
-                                 "day": pd.Series([], dtype="int64"),
-                                 "bits": pd.Series([], dtype="int64")})
-        order = np.lexsort((day, user))
-        u, d, v = user[order], day[order], bits[order]
-        starts = np.r_[0, np.flatnonzero((u[1:] != u[:-1])
-                                         | (d[1:] != d[:-1])) + 1]
-        return pd.DataFrame({
-            "user_id": u[starts],
-            "day": d[starts],
-            "bits": np.bitwise_or.reduceat(v, starts)})
-
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = _or_by_group(
+        g = or_by_group(
             b["user_id"].to_numpy().astype("int64"),
             b["ts"].values.astype("datetime64[D]").astype("int64"),
             b["event_type"].map(bit_of).to_numpy().astype("int64"))
@@ -2390,7 +2392,7 @@ def events_type_pairs(ray, sf_dir: str):
         return g
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        m = _or_by_group(g["user_id"].to_numpy(), g["day"].to_numpy(),
+        m = or_by_group(g["user_id"].to_numpy(), g["day"].to_numpy(),
                          g["bits"].to_numpy())
         h = m.groupby("bits", as_index=False).size()
         return pd.DataFrame({"bits": h["bits"].astype("int64"),
