@@ -121,6 +121,44 @@ class TestWarcSink:
         assert len(rb) == len(orig)
 
 
+class TestJsonlSink:
+    def test_jsonl_roundtrip_all_fields(self, queries):
+        """The gzipped-JSONL sink round-trips EVERY debug-log field
+        (URL/Title/Text/Timestamp) through ray.data.read_json, and the
+        files are byte-deterministic across rewrites."""
+        import hashlib
+        import os
+
+        import pandas as pd
+        import ray
+
+        from webcrawler_ray.pipelines.registry import _crawl_workdir
+        from webcrawler_ray.sinks.jsonl import read_jsonl
+
+        _df(queries["crawl_log_jsonl"](SF_DIR))  # ensures the sink ran
+        c = _crawl_workdir(SF_DIR)
+        out = os.path.join(c.workdir, "jsonl")
+        rb = read_jsonl(ray, out).to_pandas()
+        orig = _df(queries["crawl_log"](SF_DIR))
+        cols = ["URL", "Title", "Text", "Timestamp"]
+        got = rb[cols].sort_values("URL").reset_index(drop=True)
+        want = orig[cols].sort_values("URL").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        # byte determinism: rewrite after clearing the marker -> same
+        # file names, same digests
+        digests = {}
+        for f in sorted(os.listdir(out)):
+            if f.endswith(".jsonl.gz"):
+                with open(os.path.join(out, f), "rb") as fh:
+                    digests[f] = hashlib.blake2b(fh.read()).hexdigest()
+        os.unlink(os.path.join(out, "_SUCCESS"))
+        _df(queries["crawl_log_jsonl"](SF_DIR))
+        for f, d in digests.items():
+            with open(os.path.join(out, f), "rb") as fh:
+                assert hashlib.blake2b(fh.read()).hexdigest() == d
+
+
 class TestFetcherSeam:
     def test_table_fetcher_matches_pages(self, ray_session, tmp_path):
         import ray

@@ -247,6 +247,35 @@ def crawl_log(sf_dir: str):
         files, columns=["URL", "Title", "Text", "Timestamp"]).sort("URL")
 
 
+def crawl_log_jsonl(sf_dir: str):
+    """S6 in the TRUE byte format: debug log -> gzipped JSONL files
+    (sinks/jsonl.py), re-ingested through ray.data.read_json; returns
+    (URL, Timestamp) per record — rows-only (byte sink) with field
+    round-trip equality in tests."""
+    import pyarrow as pa
+    import ray
+
+    from ..sinks.jsonl import read_jsonl, write_jsonl
+
+    c = _crawl_workdir(sf_dir)
+    out = os.path.join(c.workdir, "jsonl")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        if os.path.isdir(out):
+            for f in os.listdir(out):
+                if f.endswith(".jsonl.gz"):
+                    os.unlink(os.path.join(out, f))
+        write_jsonl(crawl_log(sf_dir),
+                    out, ["URL", "Title", "Text", "Timestamp"]
+                    ).materialize()
+        with open(marker, "w") as f:
+            f.write("")
+    rb = read_jsonl(ray, out)
+    return rb.map_batches(
+        lambda t: t.select(["URL", "Timestamp"]),
+        batch_format="pyarrow").sort("URL")
+
+
 def crawl_pagerank(sf_dir: str):
     """Top-20 pages by integer-mass PageRank over the crawled link
     graph (rows-only: iterative; exact-equality property test vs a
@@ -320,6 +349,7 @@ def build_queries() -> dict:
         "docs_topk_longest": lambda sf: relational.docs_topk_longest(ray, sf),
         "url_algebra": url_algebra,
         "crawl_log": crawl_log,
+        "crawl_log_jsonl": crawl_log_jsonl,
         "events_by_type": lambda sf: relational.events_by_type(ray, sf),
         "events_windowed": lambda sf: relational.events_windowed(ray, sf),
         "events_hopping": lambda sf: relational.events_hopping(ray, sf),
