@@ -430,6 +430,41 @@ class TestMultimodalResize:
             assert row["r_px_mean"] == r.sum(dtype=np.int64) / r.size
 
 
+class TestWinnowPairs:
+    def test_planted_near_copy_found_far_absent(self, ray_session, tmp_path):
+        """A one-token edit of a long doc shares many winnow fingerprints
+        with its original; an unrelated doc shares none above threshold
+        (the MOSS property exact n-gram matching lacks)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import ray
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+                "psi omega one two three four five six seven eight nine") * 2
+        toks = base.split()
+        toks[len(toks) // 2] = "EDITED"
+        near = " ".join(toks)
+        far = "totally different words about ray data streaming engines " * 8
+        tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                        "text": pa.array([base, near, far], pa.string()),
+                        "lang": pa.array(["en"] * 3),
+                        "source": pa.array(["s"] * 3),
+                        "n_chars": pa.array(
+                            [len(base), len(near), len(far)], pa.int64())})
+        d = tmp_path / "wp"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        from webcrawler_ray.pipelines.textpipe import docs_winnow_pairs
+
+        df = _to_df(docs_winnow_pairs(ray, str(d)))
+        pairs = {(a, b): n for a, b, n in
+                 zip(df["doc_a"], df["doc_b"], df["n_shared"])}
+        assert pairs.get((1, 2), 0) >= 2
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 class TestMultimodalChannelHist:
     def test_channel_hist_exact_vs_local(self, queries):
         """The distributed 256-bin histogram equals an independent local

@@ -327,6 +327,8 @@ def build_queries() -> dict:
         "docs_inverted_index":
             lambda sf: textpipe.docs_inverted_index(ray, sf),
         "docs_lm_score": lambda sf: textpipe.docs_lm_score(ray, sf),
+        "docs_winnow_pairs":
+            lambda sf: textpipe.docs_winnow_pairs(ray, sf),
         "docs_mix_rebalance":
             lambda sf: textpipe.docs_mix_rebalance(ray, sf),
         "docs_shuffle_seeded":

@@ -1481,3 +1481,87 @@ ranked AS (
 SELECT doc_id, lang FROM ranked JOIN quota USING (lang)
 WHERE rn <= q ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+WINNOW_PAIR_MIN_SHARED = 2   # pair reported when >= this many shared fps
+WINNOW_PAIR_MAX_DF = 50      # MOSS rule: ignore overly-common fingerprints
+
+
+def docs_winnow_pairs(ray, sf_dir: str, k: int = 5, w: int = 8,
+                      min_shared: int = WINNOW_PAIR_MIN_SHARED,
+                      max_df: int = WINNOW_PAIR_MAX_DF):
+    """(doc_a, doc_b, n_shared): cross-document WINNOWING MATCH — the
+    plagiarism/near-copy detector Schleimer'03's fingerprints exist for
+    (MOSS): docs sharing >= ``min_shared`` winnow-selected fingerprints.
+    Robust to small edits where exact n-gram matching breaks. Scale
+    shape: per-doc fingerprints explode once (O(tokens/w) rows per
+    doc), ONE exchange on an fp-hash coarse bucket, pair expansion is a
+    bucket-local self-merge BOUNDED by the MOSS common-fp cut
+    (fingerprints in > ``max_df`` docs are boilerplate and dropped —
+    the hot-key guard), then a pair-keyed bucketed count merge."""
+    from ..io_utils import parquet_column_bytes, parquet_num_rows
+    from ..functions.hashing import kgram_hashes_ordered
+    from ..stages.aggregates import buckets_for, hash_bucket_aggregate
+
+    fp_bound = parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // (2 * max(1, w // 2))
+    n_buckets = buckets_for(max(1, fp_bound))
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            hs = kgram_hashes_ordered(t, k)
+            if len(hs) == 0:
+                continue
+            if len(hs) <= w:
+                sel = np.array([hs.min()], dtype=np.uint64)
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(hs, w)
+                sel = np.unique(win.min(axis=1))
+            ids.extend([i] * len(sel))
+            fps.extend((sel % np.uint64(1 << 63)).astype(np.int64))
+        fp_arr = np.asarray(fps, dtype=np.int64)
+        b = (fp_arr.astype(np.uint64) % np.uint64(n_buckets)
+             ).astype(np.int64) if len(fp_arr) else fp_arr
+        return pa.table({"fp": pa.array(fp_arr, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "fbucket": pa.array(b, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_fp = g.groupby("fp")["doc_id"].transform("size")
+        g = g[(df_per_fp >= 2) & (df_per_fp <= max_df)]
+        if len(g) == 0:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "n_shared": pd.Series([], dtype="int64")})
+        m = g.merge(g, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+                .size().rename(columns={"doc_id_x": "doc_a",
+                                        "doc_id_y": "doc_b",
+                                        "size": "n_shared"}))
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out
+
+    pair_partials = (_docs(ray, sf_dir, ["doc_id", "text"])
+                     .map_batches(explode, batch_format="pyarrow")
+                     .groupby("fbucket")
+                     .map_groups(per_bucket, batch_format="pandas"))
+
+    # the same pair can match in several fp buckets: one more bucketed
+    # count merge keyed on the pair, bounded by doc count x avg degree
+    pairs = hash_bucket_aggregate(
+        pair_partials, ["doc_a", "doc_b"],
+        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False).sum(),
+        n_rows=max(1, n_docs * 8))
+
+    def cut(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t.column("n_shared"),
+                                         min_shared))
+
+    return (pairs.map_batches(cut, batch_format="pyarrow")
+                 .sort(["doc_a", "doc_b"]))
