@@ -127,22 +127,17 @@ class TestFunnelChaining:
         strict-order subsequence scan (ts ties NOT advancing a stage)."""
         import pandas as pd
 
-        from webcrawler_ray.pipelines.relational import FUNNEL_STAGES
+        from webcrawler_ray.pipelines.relational import (
+            FUNNEL_STAGES,
+            funnel_stage_counts,
+        )
 
         g = pd.DataFrame({"user_id": [r[0] for r in rows],
                           "ts": [r[1] for r in rows],
                           "event_type": [r[2] for r in rows]})
 
-        # replicate the operator's per-bucket kernel verbatim
-        prev = None
-        got = []
-        for stg in FUNNEL_STAGES:
-            e = g[g["event_type"] == stg]
-            if prev is not None:
-                cut = e["user_id"].map(prev)
-                e = e[cut.notna() & (e["ts"] > cut)]
-            prev = e.groupby("user_id")["ts"].min()
-            got.append(len(prev))
+        # drive the PRODUCTION kernel, not a copy
+        got = funnel_stage_counts(g, FUNNEL_STAGES)
 
         # naive reference: per user, chain strict minima
         want = [0, 0, 0]
@@ -175,10 +170,12 @@ class TestMixQuotaRule:
             # exact integer mixture: quota is the floor of the target
             # share of the supported corpus size
             assert q == (s_max * MIX_WEIGHTS[l]) // MIX_WSUM
-        # maximality: one more "row" of corpus would break some lang
-        if s_max + MIX_WSUM // max(MIX_WEIGHTS.values()) > 0:
-            bigger = s_max + 1
-            assert any((bigger * w + MIX_WSUM - 1) // MIX_WSUM
-                       > avail.get(l, 0) * 1 or
-                       (avail.get(l, 0) * MIX_WSUM) // w < bigger
-                       for l, w in MIX_WEIGHTS.items())
+        # monotonicity: adding availability to any single language can
+        # only grow (never shrink) the supported corpus size — a
+        # regression that under-sizes s_max breaks this on the argmin
+        for bump in MIX_WEIGHTS:
+            a2 = dict(avail)
+            a2[bump] = a2.get(bump, 0) + 1
+            s2 = min((a2.get(l, 0) * MIX_WSUM) // w
+                     for l, w in MIX_WEIGHTS.items())
+            assert s2 >= s_max

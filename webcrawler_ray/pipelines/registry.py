@@ -180,14 +180,21 @@ def crawl_warc(sf_dir: str):
     returns the per-file summary (rows-only — binary sink)."""
     import pyarrow as pa
 
+    from ..sinks.complete import write_complete_set
     from ..sinks.warc import write_warc
 
     c = _crawl_workdir(sf_dir)
     out = os.path.join(c.workdir, "warc")
-    ds = c.crawled_dataset().map_batches(
-        lambda t: t.select(["url", "html", "warc_ts"]),
-        batch_format="pyarrow")
-    return write_warc(ds, out).sort("warc_file")
+
+    def _write():
+        ds = c.crawled_dataset().map_batches(
+            lambda t: t.select(["url", "html", "warc_ts"]),
+            batch_format="pyarrow")
+        return write_warc(ds, out).sort("warc_file").materialize()
+
+    # every writer of this dir goes through the set-completeness
+    # protocol, so crawl_warc_read's marker check stays honest
+    return write_complete_set(out, ".warc.gz", _write)
 
 
 def crawl_warc_read(sf_dir: str):
@@ -202,23 +209,18 @@ def crawl_warc_read(sf_dir: str):
     from ..sinks.warc import write_warc
     from ..sources.warc import read_warc
 
+    from ..sinks.complete import ensure_complete_set
+
     c = _crawl_workdir(sf_dir)
     out = os.path.join(c.workdir, "warc")
-    # per-file writes are atomic but the SET is not: only a _SUCCESS
-    # marker written after the full sink pass proves completeness (the
-    # sinks/partitioned.py rule) — a killed prior write must regenerate
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        if os.path.isdir(out):
-            for f in os.listdir(out):
-                if f.endswith(".warc.gz"):
-                    os.unlink(os.path.join(out, f))
+
+    def _write():
         ds = c.crawled_dataset().map_batches(
             lambda t: t.select(["url", "html", "warc_ts"]),
             batch_format="pyarrow")
-        write_warc(ds, out).materialize()
-        with open(marker, "w") as f:
-            f.write("")
+        return write_warc(ds, out).materialize()
+
+    ensure_complete_set(out, ".warc.gz", _write)
     rb = read_warc(ray, out)
     return rb.map_batches(
         lambda t: pa.table({"url": t.column("url"),
@@ -257,19 +259,15 @@ def crawl_log_jsonl(sf_dir: str):
 
     from ..sinks.jsonl import read_jsonl, write_jsonl
 
+    from ..sinks.complete import ensure_complete_set
+
     c = _crawl_workdir(sf_dir)
     out = os.path.join(c.workdir, "jsonl")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        if os.path.isdir(out):
-            for f in os.listdir(out):
-                if f.endswith(".jsonl.gz"):
-                    os.unlink(os.path.join(out, f))
-        write_jsonl(crawl_log(sf_dir),
-                    out, ["URL", "Title", "Text", "Timestamp"]
-                    ).materialize()
-        with open(marker, "w") as f:
-            f.write("")
+    ensure_complete_set(
+        out, ".jsonl.gz",
+        lambda: write_jsonl(crawl_log(sf_dir), out,
+                            ["URL", "Title", "Text", "Timestamp"]
+                            ).materialize())
     rb = read_jsonl(ray, out)
     return rb.map_batches(
         lambda t: t.select(["URL", "Timestamp"]),

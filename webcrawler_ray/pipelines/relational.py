@@ -2437,6 +2437,23 @@ GROUP BY type_a, type_b ORDER BY type_a, type_b
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
+def funnel_stage_counts(g: pd.DataFrame, stages) -> list:
+    """THE funnel kernel (module-level so the property suite drives the
+    production code, not a copy): per-user chained STRICT-order minima —
+    stage i counts users whose first qualifying stage-i event is
+    strictly after their first qualifying stage-(i-1) event."""
+    prev = None
+    counts = []
+    for st in stages:
+        e = g[g["event_type"] == st]
+        if prev is not None:
+            cut = e["user_id"].map(prev)
+            e = e[cut.notna() & (e["ts"] > cut)]
+        prev = e.groupby("user_id")["ts"].min()
+        counts.append(len(prev))
+    return counts
+
+
 def events_funnel(ray, sf_dir: str):
     """(stage, n_users): FUNNEL analysis — users whose events contain
     view -> click -> purchase in STRICT timestamp order (each stage
@@ -2466,15 +2483,7 @@ def events_funnel(ray, sf_dir: str):
         return t.append_column("ubucket", pa.array(b, pa.int64()))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        prev = None  # per-user first qualifying ts of the previous stage
-        counts = []
-        for st in FUNNEL_STAGES:
-            e = g[g["event_type"] == st]
-            if prev is not None:
-                cut = e["user_id"].map(prev)
-                e = e[cut.notna() & (e["ts"] > cut)]
-            prev = e.groupby("user_id")["ts"].min()
-            counts.append(len(prev))
+        counts = funnel_stage_counts(g, FUNNEL_STAGES)
         labels = [">".join(FUNNEL_STAGES[:i + 1])
                   for i in range(len(FUNNEL_STAGES))]
         return pd.DataFrame({"stage": labels,

@@ -1350,13 +1350,17 @@ def docs_lm_score(ray, sf_dir: str):
         n_rows=n_docs)
 
     # docs whose text tokenizes to NOTHING never enter tf: anti-join the
-    # id column against the scored ids and union them back with score 0
+    # id column against the scored ids and union them back with score 0.
+    # join_partitions_for's contract: size from the SMALLER side's REAL
+    # count (scored_ids can be far below n_docs on a degenerate corpus,
+    # and an empty hash partition on either side crashes ray 2.49)
     ids = ds.map_batches(lambda t: t.select(["doc_id"]),
                          batch_format="pyarrow")
     scored_ids = scores.map_batches(lambda t: t.select(["doc_id"]),
-                                    batch_format="pyarrow")
+                                    batch_format="pyarrow").materialize()
     missing = ids.join(scored_ids, join_type="left_anti", on=("doc_id",),
-                       num_partitions=join_partitions_for(n_docs))
+                       num_partitions=join_partitions_for(
+                           max(1, min(n_docs, scored_ids.count()))))
     missing = missing.map_batches(
         lambda t: t.append_column("commonness",
                                   pa.array([0] * t.num_rows, pa.int64())),

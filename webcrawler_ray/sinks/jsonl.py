@@ -47,9 +47,12 @@ def write_jsonl(ds, out_dir: str, fields: list[str],
         with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
             gz.write(payload)
         data = buf.getvalue()
-        name = (hashlib.blake2b(
-            f"{lines[0]}\x1f{len(lines)}".encode(), digest_size=8)
-            .hexdigest() + f"-{len(lines)}.jsonl.gz")
+        # name = digest of the FULL payload: distinct contents can
+        # never collide (128-bit), and re-runs stay byte-deterministic.
+        # Caveat: two batches with byte-identical content coalesce into
+        # one file (idempotent re-writes depend on exactly that).
+        name = (hashlib.blake2b(payload, digest_size=16).hexdigest()
+                + f"-{len(lines)}.jsonl.gz")
         path = os.path.join(out_dir, name)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -69,6 +72,10 @@ def read_jsonl(ray, paths):
     if isinstance(paths, str) and os.path.isdir(paths):
         paths = sorted(os.path.join(paths, f) for f in os.listdir(paths)
                        if f.endswith(".jsonl.gz"))
+        if not paths:
+            raise FileNotFoundError(
+                "no .jsonl.gz files in directory — the sink wrote "
+                "nothing (empty input)")
     import pyarrow.json as _  # noqa: F401  (fail fast if missing)
 
     return ray.data.read_json(paths)

@@ -35,6 +35,10 @@ def read_warc(ray, paths):
     if isinstance(paths, str) and os.path.isdir(paths):
         paths = sorted(os.path.join(paths, f) for f in os.listdir(paths)
                        if f.endswith(".warc.gz"))
+        if not paths:
+            raise FileNotFoundError(
+                "no .warc.gz files in directory — the sink wrote "
+                "nothing (empty input)")
     ds = ray.data.read_binary_files(paths, include_paths=True)
 
     def parse(batch: pa.Table) -> pa.Table:
