@@ -68,6 +68,7 @@ SQL_CHECKED = [
     "q5_local_supplier_volume", "part_min_supplier",
     "docs_mix_rebalance", "events_type_pairs", "events_funnel",
     "events_latest", "customer_order_counts", "orders_monthly_series",
+    "events_moving_sum", "events_attribution_window",
 ]
 
 

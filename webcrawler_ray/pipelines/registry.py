@@ -367,6 +367,10 @@ def build_queries() -> dict:
         "events_sessionize": lambda sf: relational.sessionize(ray, sf),
         "events_user_value_delta":
             lambda sf: relational.events_user_value_delta(ray, sf),
+        "events_moving_sum":
+            lambda sf: relational.events_moving_sum(ray, sf),
+        "events_attribution_window":
+            lambda sf: relational.events_attribution_window(ray, sf),
         "lineitem_q6": lambda sf: relational.lineitem_q6(ray, sf),
         "q3_shipping_priority":
             lambda sf: relational.q3_shipping_priority(ray, sf),
@@ -689,6 +693,8 @@ ORDER BY vec_id_a, vec_id_b
     "events_asof_order": relational.EVENTS_ASOF_SQL,
     "events_running_index": relational.EVENTS_RUNNING_INDEX_SQL,
     "events_user_value_delta": relational.EVENTS_USER_DELTA_SQL,
+    "events_moving_sum": relational.EVENTS_MOVING_SUM_SQL,
+    "events_attribution_window": relational.EVENTS_ATTRIB_SQL,
     "lineitem_q6": relational.LINEITEM_Q6_SQL,
     "q3_shipping_priority": relational.Q3_SQL,
     "orders_priority_exists": relational.Q4_EXISTS_SQL,

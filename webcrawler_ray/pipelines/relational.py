@@ -2661,3 +2661,174 @@ m AS (
 SELECT cal.month, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_orders
 FROM cal LEFT JOIN m USING (month) ORDER BY cal.month
 """
+
+
+# ---------------------------------------------------------------------------
+def events_moving_sum(ray, sf_dir: str, window: int = 5):
+    """Per-user MOVING-WINDOW sum (ROWS ``window-1`` PRECEDING..CURRENT):
+    each event's value plus the same user's previous ``window-1`` values
+    in (ts, event_id) order, in integer cents (the float-determinism
+    rule). The frame-based sliding window the reference lacks and a
+    training-data pipeline needs for rate features.
+
+    Scale shape: identical to events_user_value_delta — ONE shuffle keyed
+    by coarse user bucket, then a vectorized cumulative-sum difference
+    per bucket (no per-row loop, no per-user group dispatch): with the
+    bucket sorted by (user, ts, id), ``mov[i] = cum[i] - cum[i - w(i)]``
+    where ``w(i) = min(pos_in_user(i) + 1, window)`` — three numpy passes
+    regardless of user count."""
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u, N_BUCKETS)
+        return t.append_column("ubucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "mov_cents": pd.Series([], dtype="int64")})
+        # position within each user run: arange minus the run-start index
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        run_start = np.maximum.accumulate(
+            np.where(new_user, np.arange(n), 0))
+        pos = np.arange(n) - run_start
+        w = np.minimum(pos + 1, window)
+        cum = np.concatenate(([0], np.cumsum(cents)))
+        mov = cum[np.arange(1, n + 1)] - cum[np.arange(1, n + 1) - w]
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "mov_cents": mov})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort("event_id"))
+
+
+EVENTS_MOVING_SUM_SQL = """
+SELECT event_id,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS mov_cents
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+ATTRIB_WINDOW_HOURS = 24
+
+
+def events_attribution_window(ray, sf_dir: str,
+                              hours: int = ATTRIB_WINDOW_HOURS):
+    """INTERVAL (range) JOIN: for each ``purchase`` event, the count and
+    cents-sum of the SAME user's ``view`` events in the preceding
+    ``hours``-hour window (``p.ts - hours <= v.ts < p.ts``; purchases with
+    no view in the window are dropped — inner semantics). The
+    band-predicate join Ray Data's equi-``Dataset.join`` can't express;
+    the attribution window every conversion pipeline needs.
+
+    Scale shape: one pruned scan of events, exchanged ONCE keyed by
+    coarse user bucket (same partitioned shape as events_asof_order);
+    inside each bucket every purchase is answered by two
+    ``np.searchsorted`` calls against the bucket's views laid out on a
+    single composite (user_rank * time_span + t) int64 axis — no
+    per-purchase loop, no cross-product materialization. View cents ride
+    a cumulative sum so the window sum is a two-element difference. The
+    composite key needs user_ranks_per_bucket * time_span_us < 2^63 — at
+    10^10 users widen N_BUCKETS (buckets_for already scales it with
+    rows); the guard assert makes the failure loud, not silent."""
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "value", "event_type"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        keep = pc.or_(pc.equal(et, "view"), pc.equal(et, "purchase"))
+        b = b.filter(keep)
+        is_view = pc.equal(b.column("event_type"), "view")
+        cents = np.floor(
+            b.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "t_us": b.column("ts").cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "is_view": is_view.cast(pa.int8())})
+
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u, N_BUCKETS)
+        return t.append_column("ubucket", pa.array(b, pa.int64()))
+
+    wnd_us = hours * 3_600_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                              "n_views": pd.Series([], dtype="int64"),
+                              "view_cents": pd.Series([], dtype="int64")})
+        is_view = g["is_view"].to_numpy() == 1
+        if is_view.all() or not is_view.any():
+            return empty
+        v = g[is_view]
+        p = g[~is_view]
+        v_uid = v["user_id"].to_numpy()
+        v_t = v["t_us"].to_numpy()
+        order_ = np.lexsort((v_t, v_uid))
+        v_uid, v_t = v_uid[order_], v_t[order_]
+        v_cents = v["cents"].to_numpy()[order_]
+        # dense user ranks shared by both sides
+        users = np.unique(np.concatenate([v_uid, p["user_id"].to_numpy()]))
+        t_lo = int(v_t.min())
+        span = int(v_t.max()) - t_lo + 2
+        assert (len(users) + 1) * span < (1 << 63), \
+            "composite interval-join key would overflow: raise N_BUCKETS"
+        v_key = (np.searchsorted(users, v_uid).astype(np.int64) * span
+                 + (v_t - t_lo))
+        p_uid = np.searchsorted(users, p["user_id"].to_numpy()).astype(
+            np.int64)
+        # clip window bounds into [0, span): views only exist there, so
+        # clipping preserves counts and keeps keys inside the user's rank
+        p_t = p["t_us"].to_numpy()
+        lo_off = np.clip(p_t - wnd_us - t_lo, 0, span - 1)
+        hi_off = np.clip(p_t - t_lo, 0, span - 1)
+        lo_idx = np.searchsorted(v_key, p_uid * span + lo_off, side="left")
+        hi_idx = np.searchsorted(v_key, p_uid * span + hi_off, side="left")
+        n_v = (hi_idx - lo_idx).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(v_cents)))
+        keep = n_v > 0
+        return pd.DataFrame({
+            "event_id": p["event_id"].to_numpy()[keep],
+            "n_views": n_v[keep],
+            "view_cents": cum[hi_idx[keep]] - cum[lo_idx[keep]]})
+
+    return (ds.map_batches(norm, batch_format="pyarrow")
+              .map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort("event_id"))
+
+
+EVENTS_ATTRIB_SQL = f"""
+SELECT p.event_id AS event_id, COUNT(*) AS n_views,
+       CAST(SUM(CAST(FLOOR(v.value * 100) AS BIGINT)) AS BIGINT)
+       AS view_cents
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL {ATTRIB_WINDOW_HOURS} HOUR
+ AND v.ts < p.ts
+GROUP BY p.event_id ORDER BY p.event_id
+"""
