@@ -69,6 +69,7 @@ SQL_CHECKED = [
     "docs_mix_rebalance", "events_type_pairs", "events_funnel",
     "events_latest", "customer_order_counts", "orders_monthly_series",
     "events_moving_sum", "events_attribution_window",
+    "events_profile", "emb_quantize", "knn_cosine_q8",
 ]
 
 
@@ -196,6 +197,18 @@ class TestRowsOnly:
         v = set(zip(lsh["query_id"], lsh["neighbor_id"]))
         recall = len(b & v) / len(b)
         assert recall >= 0.5  # 4 tables x 8-bit codes, radius-2 multiprobe
+
+    def test_knn_q8_recall_vs_brute(self, queries):
+        # int8 quantization perturbs similarities but must preserve most
+        # true neighbors (it searches the FULL corpus, so the only loss
+        # is quantization noise — a far tighter floor than IVF/LSH)
+        q, _ = queries
+        brute = _to_df(q["knn_cosine"](SF_DIR))
+        q8 = _to_df(q["knn_cosine_q8"](SF_DIR))
+        b = set(zip(brute["query_id"], brute["neighbor_id"]))
+        v = set(zip(q8["query_id"], q8["neighbor_id"]))
+        recall = len(b & v) / len(b)
+        assert recall >= 0.8
 
     def test_knn_lsh_deterministic(self, queries):
         q, _ = queries

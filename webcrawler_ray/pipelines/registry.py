@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 
-from . import relational, textpipe
+from . import profile, relational, textpipe
 
 
 def _ray():
@@ -371,6 +371,7 @@ def build_queries() -> dict:
             lambda sf: relational.events_moving_sum(ray, sf),
         "events_attribution_window":
             lambda sf: relational.events_attribution_window(ray, sf),
+        "events_profile": lambda sf: profile.events_profile(ray, sf),
         "lineitem_q6": lambda sf: relational.lineitem_q6(ray, sf),
         "q3_shipping_priority":
             lambda sf: relational.q3_shipping_priority(ray, sf),
@@ -421,6 +422,8 @@ def build_queries() -> dict:
             "cluster_embedding_cosine":
                 lambda sf: similarity.cluster_embedding_cosine(ray, sf),
             "knn_cosine": lambda sf: similarity.knn_brute_force(ray, sf),
+            "knn_cosine_q8": lambda sf: similarity.knn_cosine_q8(ray, sf),
+            "emb_quantize": lambda sf: similarity.emb_quantize(ray, sf),
             "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
             "knn_lsh": lambda sf: similarity.knn_lsh(ray, sf),
             "emb_label_sums": lambda sf: similarity.emb_label_sums(ray, sf),
@@ -695,6 +698,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_user_value_delta": relational.EVENTS_USER_DELTA_SQL,
     "events_moving_sum": relational.EVENTS_MOVING_SUM_SQL,
     "events_attribution_window": relational.EVENTS_ATTRIB_SQL,
+    "events_profile": profile.EVENTS_PROFILE_SQL,
     "lineitem_q6": relational.LINEITEM_Q6_SQL,
     "q3_shipping_priority": relational.Q3_SQL,
     "orders_priority_exists": relational.Q4_EXISTS_SQL,
@@ -747,6 +751,8 @@ try:
     ORACLE_SQL["emb_label_sums"] = _sim.EMB_LABEL_SUMS_SQL
     ORACLE_SQL["cluster_embedding_cosine"] = _sim.CLUSTER_COSINE_SQL
     ORACLE_SQL["emb_gram_matrix"] = _sim.EMB_GRAM_SQL
+    ORACLE_SQL["emb_quantize"] = _sim.EMB_QUANTIZE_SQL
+    ORACLE_SQL["knn_cosine_q8"] = _sim.KNN_Q8_SQL
 except ImportError:
     ORACLE_SQL.pop("knn_cosine", None)
 

@@ -664,3 +664,156 @@ FROM x a JOIN x b USING (vec_id)
 WHERE a.i <= b.i
 GROUP BY a.i, b.i ORDER BY i, j
 """
+
+
+# ---------------------------------------------------------------------------
+def _quantize_rows(m: np.ndarray) -> np.ndarray:
+    """Per-vector symmetric int8 scalar quantization: q = floor(v * 127 /
+    max|v|) in float64 (a zero vector quantizes to zeros). Every op is an
+    IEEE float64 primitive in a fixed order, so DuckDB reproduces the
+    codes bit-for-bit — the quantizer itself is oracle-checkable."""
+    vmax = np.abs(m).max(axis=1, keepdims=True)
+    safe = np.where(vmax == 0.0, 1.0, vmax)
+    return np.floor(m * 127.0 / safe).astype(np.int64)
+
+
+def emb_quantize(ray, sf_dir: str):
+    """(vec_id, q_sum, q_min, q_max): int8 scalar quantization of every
+    embedding, summarized per vector (sum / min / max of the 64 codes).
+    The compression step a 100-TB vector corpus applies before ANN — 4x
+    smaller than float32, 8x smaller than float64 — kept exactly
+    SQL-reproducible by the floor/float64 discipline. Pure streaming
+    map_batches: no shuffle, no state."""
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        q = _quantize_rows(m)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "q_sum": pa.array(q.sum(axis=1), pa.int64()),
+            "q_min": pa.array(q.min(axis=1), pa.int64()),
+            "q_max": pa.array(q.max(axis=1), pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("vec_id")
+
+
+EMB_QUANTIZE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 /
+                (CASE WHEN vm = 0.0 THEN 1.0 ELSE vm END)) AS BIGINT))
+         AS code
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(
+                   embedding, x -> ABS(CAST(x AS DOUBLE)))) AS vm
+        FROM embeddings))
+SELECT vec_id,
+       CAST(list_sum(code) AS BIGINT) AS q_sum,
+       CAST(list_min(code) AS BIGINT) AS q_min,
+       CAST(list_max(code) AS BIGINT) AS q_max
+FROM q ORDER BY vec_id
+"""
+
+
+def knn_cosine_q8(ray, sf_dir: str, n_queries: int = N_QUERIES,
+                  k: int = TOP_K):
+    """(query_id, neighbor_id, rnk): exact cosine top-k over the
+    QUANTIZED (int8) vectors — the memory-bound scale path where the
+    corpus streams as 1-byte codes instead of 4-byte floats. All dot
+    products and squared norms are exact small integers (<= 127^2 * dim
+    << 2^53), so ``sim = dot / (sqrt(nq) * sqrt(nn))`` is bit-identical
+    under ANY summation order — numpy matmul and DuckDB's
+    list_dot_product agree exactly, which makes even this kNN variant
+    value-hashable (knn recall vs the float path is covered by a test).
+    Same broadcast-queries / per-batch-matmul / boundary-tie-safe local
+    top-k shape as knn_brute_force."""
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=_pc.field("vec_id") < n_queries)
+    qids, qm = _emb_matrix(t)
+    order = np.argsort(qids)
+    qids = qids[order]
+    qq = _quantize_rows(qm[order]).astype(np.float64)
+    qn = np.sqrt((qq * qq).sum(axis=1))
+    qref = ray.put((qids, qq, qn))
+
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        _qids, _qq, _qn = ray.get(qref)
+        ids, m = _emb_matrix(batch)
+        q = _quantize_rows(m).astype(np.float64)
+        nn = np.sqrt((q * q).sum(axis=1))
+        dots = q @ _qq.T  # exact integers in float64
+        out_q, out_n, out_s = [], [], []
+        nonzero = nn > 0
+        for qi in range(len(_qids)):
+            sim = dots[:, qi] / (_qn[qi] * nn + (nn == 0))
+            mask = nonzero & (ids != _qids[qi])
+            cand_ids, cand_s = ids[mask], sim[mask]
+            if len(cand_ids) == 0:
+                continue
+            take = min(k, len(cand_ids))
+            if take < len(cand_ids):
+                part = np.argpartition(-cand_s, take - 1)
+                kth = cand_s[part[take - 1]]
+                sel = np.nonzero(cand_s >= kth)[0]
+            else:
+                sel = np.arange(len(cand_ids))
+            order_ = np.lexsort((cand_ids[sel], -cand_s[sel]))[:take]
+            idx = sel[order_]
+            out_q.extend([int(_qids[qi])] * take)
+            out_n.extend(cand_ids[idx].astype(int))
+            out_s.extend(cand_s[idx])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=4096)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({"query_id": g["query_id"].astype("int64"),
+                             "neighbor_id": g["neighbor_id"].astype("int64"),
+                             "rnk": np.arange(1, len(g) + 1, dtype="int64")})
+
+    out = local.groupby("query_id").map_groups(final_topk,
+                                               batch_format="pandas")
+    return out.sort(["query_id", "rnk"])
+
+
+KNN_Q8_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 /
+                (CASE WHEN vm = 0.0 THEN 1.0 ELSE vm END)) AS DOUBLE))
+         AS code
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(
+                   embedding, x -> ABS(CAST(x AS DOUBLE)))) AS vm
+        FROM embeddings)),
+n AS (SELECT vec_id, code,
+             sqrt(list_dot_product(code, code)) AS nrm FROM q)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       ROW_NUMBER() OVER (
+         PARTITION BY a.vec_id
+         ORDER BY list_dot_product(a.code, b.code) / (a.nrm * b.nrm) DESC,
+                  b.vec_id) AS rnk
+FROM n a JOIN n b
+  ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id AND b.nrm > 0
+QUALIFY rnk <= {TOP_K}
+ORDER BY query_id, rnk
+"""
