@@ -69,7 +69,7 @@ SQL_CHECKED = [
     "docs_mix_rebalance", "events_type_pairs", "events_funnel",
     "events_latest", "customer_order_counts", "orders_monthly_series",
     "events_moving_sum", "events_attribution_window",
-    "events_profile", "emb_quantize", "knn_cosine_q8",
+    "events_profile", "emb_quantize", "knn_cosine_q8", "docs_split",
 ]
 
 

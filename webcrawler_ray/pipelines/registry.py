@@ -372,6 +372,7 @@ def build_queries() -> dict:
         "events_attribution_window":
             lambda sf: relational.events_attribution_window(ray, sf),
         "events_profile": lambda sf: profile.events_profile(ray, sf),
+        "docs_split": lambda sf: textpipe.docs_split(ray, sf),
         "lineitem_q6": lambda sf: relational.lineitem_q6(ray, sf),
         "q3_shipping_priority":
             lambda sf: relational.q3_shipping_priority(ray, sf),
@@ -699,6 +700,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_moving_sum": relational.EVENTS_MOVING_SUM_SQL,
     "events_attribution_window": relational.EVENTS_ATTRIB_SQL,
     "events_profile": profile.EVENTS_PROFILE_SQL,
+    "docs_split": textpipe.DOCS_SPLIT_SQL,
     "lineitem_q6": relational.LINEITEM_Q6_SQL,
     "q3_shipping_priority": relational.Q3_SQL,
     "orders_priority_exists": relational.Q4_EXISTS_SQL,

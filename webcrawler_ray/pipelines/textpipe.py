@@ -1569,3 +1569,46 @@ def docs_winnow_pairs(ray, sf_dir: str, k: int = 5, w: int = 8,
 
     return (pairs.map_batches(cut, batch_format="pyarrow")
                  .sort(["doc_a", "doc_b"]))
+
+
+# ---------------------------------------------------------------------------
+# train/val/test thresholds as md5-hex prefixes: byte-lexicographic
+# compare is identical in numpy and DuckDB, so the split is portable
+# without hex->int parsing. 'cc'/'e6' = 204/230 of 256 ~ 80/10/10.
+SPLIT_TRAIN_HI = "cc"
+SPLIT_VAL_HI = "e6"
+
+
+def docs_split(ray, sf_dir: str):
+    """(doc_id, split): DETERMINISTIC train/val/test assignment by
+    content-independent hash — md5('split:' + doc_id) bucketed ~80/10/10
+    by hex-prefix thresholds. The split every training pipeline needs:
+    stable under re-runs, re-shards and cluster shape (unlike
+    Dataset.split/random sampling), and joinable back to any derived
+    table because it is a pure function of the id. Pure streaming
+    map_batches — no shuffle, no state."""
+    ds = _docs(ray, sf_dir, ["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hx = np.array([hashlib.md5(f"split:{i}".encode()).hexdigest()
+                       for i in ids])
+        split = np.select(
+            [hx < SPLIT_TRAIN_HI, hx < SPLIT_VAL_HI],
+            ["train", "val"], default="test")
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+DOCS_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN h < '{SPLIT_TRAIN_HI}' THEN 'train'
+            WHEN h < '{SPLIT_VAL_HI}' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             md5('split:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents)
+ORDER BY doc_id
+"""
