@@ -70,6 +70,7 @@ SQL_CHECKED = [
     "events_latest", "customer_order_counts", "orders_monthly_series",
     "events_moving_sum", "events_attribution_window",
     "events_profile", "emb_quantize", "knn_cosine_q8", "docs_split",
+    "revenue_cube", "events_dedup_daily",
 ]
 
 

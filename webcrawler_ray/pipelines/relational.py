@@ -1347,6 +1347,37 @@ FROM base GROUP BY ROLLUP(status, yr) ORDER BY status, yr
 """
 
 
+def revenue_cube(ray, sf_dir: str):
+    """revenue_rollup extended to the full CUBE(status, yr): the rollup's
+    levels PLUS the per-year subtotal across statuses. Same scale shape —
+    the data is passed ONCE down to the fine (status, year) grain and
+    every subtotal level derives from that tiny grain table on the
+    driver, so the cube costs one extra O(#groups) pandas groupby, not a
+    second scan."""
+    fine = revenue_rollup(ray, sf_dir)
+    is_fine = (fine["status"] != "ALL") & (fine["yr"] != -1)
+    per_yr = (fine[is_fine].groupby("yr", as_index=False)
+              .agg(sum_cents=("sum_cents", "sum"),
+                   n_orders=("n_orders", "sum")))
+    per_yr.insert(0, "status", "ALL")
+    out = pd.concat([fine, per_yr], ignore_index=True)
+    out = out.astype({"yr": "int64", "sum_cents": "int64",
+                      "n_orders": "int64"})
+    return out.sort_values(["status", "yr"]).reset_index(drop=True)
+
+
+REVENUE_CUBE_SQL = """
+WITH base AS (
+  SELECT o_orderstatus AS status, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT COALESCE(status, 'ALL') AS status,
+       CAST(COALESCE(yr, -1) AS BIGINT) AS yr,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_orders
+FROM base GROUP BY CUBE(status, yr) ORDER BY status, yr
+"""
+
+
 # ---------------------------------------------------------------------------
 DAY_US = 86_400_000_000
 
@@ -2831,4 +2862,56 @@ FROM events p JOIN events v
  AND v.ts >= p.ts - INTERVAL {ATTRIB_WINDOW_HOURS} HOUR
  AND v.ts < p.ts
 GROUP BY p.event_id ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def events_dedup_daily(ray, sf_dir: str):
+    """(event_id, user_id, event_type, day_us): WINDOWED streaming dedup —
+    keep only the FIRST event per (user, type, day) in (ts, event_id)
+    order. The per-key-per-window keep-first every event-ingest pipeline
+    runs to collapse client retries before counting anything.
+
+    Scale shape: one shuffle keyed by coarse user bucket (the window key
+    is user-aligned, so a user's whole window history co-locates), then
+    one vectorized sort + drop_duplicates per bucket — per-task heap is
+    bounded by the bucket's rows, fan-out sized from the footer count."""
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "event_type", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = (t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US) * DAY_US
+        t = t.append_column("day_us", pa.array(day, pa.int64()))
+        return t.append_column(
+            "ubucket", pa.array(int_bucket_column(u, N_BUCKETS), pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g = g.drop_duplicates(["user_id", "event_type", "day_us"])
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "event_type": g["event_type"],
+            "day_us": g["day_us"].astype("int64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort("event_id"))
+
+
+EVENTS_DEDUP_DAILY_SQL = """
+SELECT event_id, user_id, event_type, day_us FROM (
+  SELECT event_id, user_id, event_type,
+         (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type,
+                        epoch_us(ts) // 86400000000
+           ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1 ORDER BY event_id
 """
