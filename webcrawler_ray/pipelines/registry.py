@@ -373,6 +373,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_attribution_window(ray, sf),
         "events_profile": lambda sf: profile.events_profile(ray, sf),
         "docs_split": lambda sf: textpipe.docs_split(ray, sf),
+        "docs_csv_roundtrip":
+            lambda sf: textpipe.docs_csv_roundtrip(ray, sf),
         "revenue_cube": lambda sf: relational.revenue_cube(ray, sf),
         "events_dedup_daily":
             lambda sf: relational.events_dedup_daily(ray, sf),
@@ -704,6 +706,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_attribution_window": relational.EVENTS_ATTRIB_SQL,
     "events_profile": profile.EVENTS_PROFILE_SQL,
     "docs_split": textpipe.DOCS_SPLIT_SQL,
+    "docs_csv_roundtrip": textpipe.DOCS_CSV_ROUNDTRIP_SQL,
     "revenue_cube": relational.REVENUE_CUBE_SQL,
     "events_dedup_daily": relational.EVENTS_DEDUP_DAILY_SQL,
     "lineitem_q6": relational.LINEITEM_Q6_SQL,

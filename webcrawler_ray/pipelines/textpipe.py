@@ -14,6 +14,7 @@ from __future__ import annotations
 from ..io_utils import read_parquet_clean as _rpq
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -1611,4 +1612,33 @@ FROM (SELECT doc_id,
              md5('split:' || CAST(doc_id AS VARCHAR)) AS h
       FROM documents)
 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def docs_csv_roundtrip(ray, sf_dir: str):
+    """(doc_id, lang, source, n_chars) exported through the gzipped-CSV
+    byte sink (sinks/csvsink.py) and re-ingested with ray.data.read_csv —
+    the third byte format (after WARC and JSONL), VALUE-CHECKED against
+    the documents table itself: ints and strings must survive the
+    encode/decode byte path exactly, so the oracle is plain SQL over the
+    source table. Write: one .csv.gz per batch inside map_batches (no
+    driver materialization); read: one task per file."""
+    from ..sinks.complete import ensure_complete_set
+    from ..sinks.csvsink import read_csv, write_csv
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/webcrawler_ray_cache/{name}/docs_csv"
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    ensure_complete_set(
+        out, ".csv.gz",
+        lambda: write_csv(_docs(ray, sf_dir, cols), out,
+                          cols).materialize())
+    return (read_csv(ray, out)
+            .map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+DOCS_CSV_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id
 """
