@@ -973,3 +973,19 @@ class TestCsvSink:
         for f, d in digests.items():
             assert hashlib.blake2b(
                 open(os.path.join(out, f), "rb").read()).hexdigest() == d
+
+
+def test_grouped_hll_error_bound(ray_session, ddb):
+    """Per-type HLL distinct-user estimates stay within 5x the 1.04/sqrt(m)
+    standard error of the exact counts (m=4096 -> 1.6%; 5 sigma ~ 8%)."""
+    import ray
+
+    from webcrawler_ray.pipelines.sketches import events_type_distinct_hll
+
+    got = events_type_distinct_hll(ray, SF_DIR)
+    exact = dict(ddb.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+    ).fetchall())
+    assert set(got["event_type"]) == set(exact)
+    for t, est in zip(got["event_type"], got["n_distinct_est"]):
+        assert abs(est - exact[t]) <= max(2, 0.08 * exact[t]), (t, est)

@@ -438,6 +438,8 @@ def build_queries() -> dict:
                 lambda sf: similarity.emb_gram_matrix(ray, sf),
             "events_distinct_users_hll":
                 lambda sf: sketches.events_distinct_users_hll(ray, sf),
+            "events_type_distinct_hll":
+                lambda sf: sketches.events_type_distinct_hll(ray, sf),
             "docs_distinct_texts_hll":
                 lambda sf: sketches.docs_distinct_texts_hll(ray, sf),
             "events_value_percentiles_tdigest":

@@ -278,3 +278,73 @@ def events_distinct_users_exact(ray, sf_dir: str):
 EVENTS_DISTINCT_EXACT_SQL = """
 SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+def grouped_distinct_hll(ray, path: str, group_col: str, value_col: str):
+    """(group, n_distinct_est): per-GROUP HLL distinct counting — one
+    2^P-register array per group per batch (constant-size in the input,
+    linear only in the batch's distinct groups), merged by elementwise
+    register MAX inside a tiny groupby. The per-key approximate-distinct
+    the exact path (events_distinct_users_exact) can't afford when the
+    group count x key count explodes at 100 TB."""
+    ds = _rpq(ray, path, columns=[group_col, value_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = batch.column(group_col).to_pylist()
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = v.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (h + np.uint64(0x9E3779B97F4A7C15))
+            h ^= h >> np.uint64(30)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(27)
+            h *= np.uint64(0x94D049BB133111EB)
+            h ^= h >> np.uint64(31)
+        out_g, out_r = [], []
+        for grp, idx in pd.Series(range(len(g))).groupby(g).groups.items():
+            regs = np.zeros(_M, dtype=np.uint8)
+            _fold_registers(h[np.asarray(idx)], regs)
+            out_g.append(grp)
+            out_r.append(regs.tobytes())
+        return pa.table({group_col: pa.array(out_g, pa.string()),
+                         "regs": pa.array(out_r, pa.binary())})
+
+    def merge(df):
+        import pandas as pd
+
+        rows = []
+        for grp, sub in df.groupby(group_col):
+            merged = np.zeros(_M, dtype=np.uint8)
+            for blob in sub["regs"]:
+                np.maximum(merged, np.frombuffer(blob, dtype=np.uint8),
+                           out=merged)
+            rows.append({group_col: grp, "regs": merged.tobytes()})
+        return pd.DataFrame(rows)
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    # fan-out = distinct groups, unknowable from footers; the default
+    # floor (2 x CPUs) is right — each bucket merges whole groups
+    merged = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col], merge).to_pandas()  # one row per group — small
+
+    import pandas as pd
+
+    est = [int(round(hll_estimate(np.frombuffer(b, dtype=np.uint8))))
+           for b in merged["regs"]]
+    out = pd.DataFrame({group_col: merged[group_col],
+                        "n_distinct_est": pd.Series(est, dtype="int64")})
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def events_type_distinct_hll(ray, sf_dir: str):
+    """(event_type, n_distinct_est): HLL distinct users per event type
+    (rows-only: approximate by design; per-group relative error is
+    bounded by a test against the exact per-type counts)."""
+    return grouped_distinct_hll(ray, f"{sf_dir}/events.parquet",
+                                "event_type", "user_id")
