@@ -199,6 +199,17 @@ class TestRowsOnly:
         recall = len(b & v) / len(b)
         assert recall >= 0.5  # 4 tables x 8-bit codes, radius-2 multiprobe
 
+    def test_knn_pq_recall_vs_brute(self, queries):
+        # 8-byte PQ codes: coarser than int8 but must still find most
+        # true neighbors at this corpus size
+        q, _ = queries
+        brute = _to_df(q["knn_cosine"](SF_DIR))
+        pq = _to_df(q["knn_pq"](SF_DIR))
+        b = set(zip(brute["query_id"], brute["neighbor_id"]))
+        v = set(zip(pq["query_id"], pq["neighbor_id"]))
+        recall = len(b & v) / len(b)
+        assert recall >= 0.5
+
     def test_knn_q8_recall_vs_brute(self, queries):
         # int8 quantization perturbs similarities but must preserve most
         # true neighbors (it searches the FULL corpus, so the only loss

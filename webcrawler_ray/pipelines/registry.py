@@ -432,6 +432,7 @@ def build_queries() -> dict:
             "emb_quantize": lambda sf: similarity.emb_quantize(ray, sf),
             "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
             "knn_lsh": lambda sf: similarity.knn_lsh(ray, sf),
+            "knn_pq": lambda sf: similarity.knn_pq(ray, sf),
             "emb_label_sums": lambda sf: similarity.emb_label_sums(ray, sf),
             "emb_kmeans": lambda sf: similarity.emb_kmeans(ray, sf),
             "emb_gram_matrix":
