@@ -378,6 +378,7 @@ def build_queries() -> dict:
         "revenue_cube": lambda sf: relational.revenue_cube(ray, sf),
         "events_dedup_daily":
             lambda sf: relational.events_dedup_daily(ray, sf),
+        "events_zorder": lambda sf: relational.events_zorder(ray, sf),
         "lineitem_q6": lambda sf: relational.lineitem_q6(ray, sf),
         "q3_shipping_priority":
             lambda sf: relational.q3_shipping_priority(ray, sf),
@@ -712,6 +713,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_csv_roundtrip": textpipe.DOCS_CSV_ROUNDTRIP_SQL,
     "revenue_cube": relational.REVENUE_CUBE_SQL,
     "events_dedup_daily": relational.EVENTS_DEDUP_DAILY_SQL,
+    "events_zorder": relational.EVENTS_ZORDER_SQL,
     "lineitem_q6": relational.LINEITEM_Q6_SQL,
     "q3_shipping_priority": relational.Q3_SQL,
     "orders_priority_exists": relational.Q4_EXISTS_SQL,

@@ -2915,3 +2915,98 @@ SELECT event_id, user_id, event_type, day_us FROM (
            ORDER BY ts, event_id) AS rn
   FROM events) WHERE rn = 1 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+def _spread_bits16(x: np.ndarray) -> np.ndarray:
+    """Interleave-ready bit spread of a 16-bit int into even positions
+    (the standard magic-mask expansion, identical arithmetic in SQL)."""
+    x = x.astype(np.int64) & 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def events_zorder(ray, sf_dir: str):
+    """(pos, event_id, zcode): the events table laid out in Z-ORDER
+    (Morton) on (user_id, day) — the multi-dimensional clustering a
+    100-TB table needs so range scans on EITHER user or time touch few
+    row groups instead of the whole table (the layout trick behind
+    Delta/Iceberg OPTIMIZE ZORDER, computed here with plain bit
+    arithmetic both engines share). zcode interleaves the low 16 bits of
+    user_id with the low 16 bits of the day index; pos is the row's rank
+    in the final layout.
+
+    Scale shape: one vectorized map computes codes, ONE all-to-all sort
+    by (zcode, event_id) — the unavoidable data movement of re-layout —
+    then an O(blocks) block-offset prefix scan assigns global positions
+    (block summaries on the driver, never rows)."""
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts"])
+
+    def add_z(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = (t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US)
+        z = _spread_bits16(u) | (_spread_bits16(day) << 1)
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "zcode": pa.array(z, pa.int64())})
+
+    laid = (ds.map_batches(add_z, batch_format="pyarrow")
+              .sort(["zcode", "event_id"]).materialize())
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"z0": pa.array([], pa.int64()),
+                             "e0": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "z0": pa.array([t.column("zcode")[0].as_py()], pa.int64()),
+            "e0": pa.array([t.column("event_id")[0].as_py()], pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    summ = (laid.map_batches(block_summary, batch_size=None,
+                             batch_format="pyarrow")
+                .to_pandas().sort_values(["z0", "e0"]))
+    starts = np.r_[0, summ["n"].to_numpy()[:-1].cumsum()]
+    bases = {(int(z), int(e)): int(o) for z, e, o in
+             zip(summ["z0"], summ["e0"], starts)}
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pos": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "zcode": pa.array([], pa.int64())})
+        base = bases[(int(t.column("zcode")[0].as_py()),
+                      int(t.column("event_id")[0].as_py()))]
+        pos = np.arange(base, base + t.num_rows, dtype=np.int64)
+        return pa.table({"pos": pa.array(pos, pa.int64()),
+                         "event_id": t.column("event_id"),
+                         "zcode": t.column("zcode")})
+
+    return (laid.map_batches(assign, batch_size=None,
+                             batch_format="pyarrow")
+                .sort("pos"))
+
+
+EVENTS_ZORDER_SQL = """
+WITH s AS (
+  SELECT event_id,
+         user_id & 65535 AS u,
+         (epoch_us(ts) // 86400000000) & 65535 AS d
+  FROM events),
+a AS (SELECT event_id, (u | (u << 8)) & 16711935 AS u,
+                       (d | (d << 8)) & 16711935 AS d FROM s),
+b AS (SELECT event_id, (u | (u << 4)) & 252645135 AS u,
+                       (d | (d << 4)) & 252645135 AS d FROM a),
+c AS (SELECT event_id, (u | (u << 2)) & 858993459 AS u,
+                       (d | (d << 2)) & 858993459 AS d FROM b),
+e AS (SELECT event_id, (u | (u << 1)) & 1431655765 AS u,
+                       (d | (d << 1)) & 1431655765 AS d FROM c)
+SELECT ROW_NUMBER() OVER (ORDER BY (u | (d << 1)), event_id) - 1 AS pos,
+       event_id, CAST(u | (d << 1) AS BIGINT) AS zcode
+FROM e ORDER BY pos
+"""
