@@ -71,7 +71,7 @@ SQL_CHECKED = [
     "events_moving_sum", "events_attribution_window",
     "events_profile", "emb_quantize", "knn_cosine_q8", "docs_split",
     "revenue_cube", "events_dedup_daily", "docs_csv_roundtrip",
-    "events_zorder",
+    "events_zorder", "events_props_extract",
 ]
 
 

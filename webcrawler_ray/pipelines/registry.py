@@ -379,6 +379,8 @@ def build_queries() -> dict:
         "events_dedup_daily":
             lambda sf: relational.events_dedup_daily(ray, sf),
         "events_zorder": lambda sf: relational.events_zorder(ray, sf),
+        "events_props_extract":
+            lambda sf: relational.events_props_extract(ray, sf),
         "lineitem_q6": lambda sf: relational.lineitem_q6(ray, sf),
         "q3_shipping_priority":
             lambda sf: relational.q3_shipping_priority(ray, sf),
@@ -714,6 +716,7 @@ ORDER BY vec_id_a, vec_id_b
     "revenue_cube": relational.REVENUE_CUBE_SQL,
     "events_dedup_daily": relational.EVENTS_DEDUP_DAILY_SQL,
     "events_zorder": relational.EVENTS_ZORDER_SQL,
+    "events_props_extract": relational.EVENTS_PROPS_SQL,
     "lineitem_q6": relational.LINEITEM_Q6_SQL,
     "q3_shipping_priority": relational.Q3_SQL,
     "orders_priority_exists": relational.Q4_EXISTS_SQL,

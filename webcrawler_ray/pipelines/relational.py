@@ -3010,3 +3010,54 @@ SELECT ROW_NUMBER() OVER (ORDER BY (u | (d << 1)), event_id) - 1 AS pos,
        event_id, CAST(u | (d << 1) AS BIGINT) AS zcode
 FROM e ORDER BY pos
 """
+
+
+# ---------------------------------------------------------------------------
+def events_props_extract(ray, sf_dir: str):
+    """(event_type, k_sum, k_min, k_max, n): SEMI-STRUCTURED extraction —
+    pull the integer field ``k`` out of the JSON ``props`` column with a
+    VECTORIZED RE2 field pull (pyarrow extract_regex — the fast path for
+    a known field in flat JSON; a full parser per row would be the
+    Python-loop anti-pattern), then a per-type combiner aggregate. The
+    schema-on-read step every event pipeline needs for property bags.
+
+    Scale shape: pure streaming scan + regex kernel + constant-size
+    per-batch partials into a tiny per-type groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pd.to_numeric(pd.Series(
+            pc.struct_field(m, "k").to_pandas())).astype("int64")
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "k_sum": k, "k_min": k, "k_max": k,
+            "n": np.ones(len(k), dtype="int64")})
+        return df.groupby("event_type", as_index=False).agg(
+            k_sum=("k_sum", "sum"), k_min=("k_min", "min"),
+            k_max=("k_max", "max"), n=("n", "sum"))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536)
+             .groupby("event_type")
+             .aggregate(Sum("k_sum", alias_name="k_sum"),
+                        Min("k_min", alias_name="k_min"),
+                        Max("k_max", alias_name="k_max"),
+                        Sum("n", alias_name="n")))
+    return out.sort("event_type")
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max,
+       COUNT(*) AS n
+FROM (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
