@@ -52,6 +52,10 @@ QUERY_NAMES = [
     "q3_shipping_priority", "q5_local_supplier_volume",
     "part_min_supplier", "docs_pii_scrub", "docs_shuffle_seeded",
     "docs_lm_score", "docs_inverted_index",
+    "events_moving_sum", "events_attribution_window", "events_profile",
+    "emb_quantize", "knn_cosine_q8", "knn_pq", "docs_split",
+    "revenue_cube", "events_dedup_daily", "docs_csv_roundtrip",
+    "events_zorder", "events_props_extract",
 ]
 
 

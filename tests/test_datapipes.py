@@ -71,7 +71,7 @@ SQL_CHECKED = [
     "events_moving_sum", "events_attribution_window",
     "events_profile", "emb_quantize", "knn_cosine_q8", "docs_split",
     "revenue_cube", "events_dedup_daily", "docs_csv_roundtrip",
-    "events_zorder", "events_props_extract",
+    "events_zorder", "events_props_extract", "audio_meta",
 ]
 
 
@@ -1001,3 +1001,37 @@ def test_grouped_hll_error_bound(ray_session, ddb):
     assert set(got["event_type"]) == set(exact)
     for t, est in zip(got["event_type"], got["n_distinct_est"]):
         assert abs(est - exact[t]) <= max(2, 0.08 * exact[t]), (t, est)
+
+
+class TestAudio:
+    def test_audio_windows_exact_vs_local(self, queries):
+        """Every window's integer energy and peak equals a local
+        regeneration over the doc's PCG64 PCM samples."""
+        import numpy as np
+
+        from webcrawler_ray.pipelines.multimodal import (
+            AUDIO_HOP,
+            AUDIO_WIN,
+            audio_n_windows,
+            make_audio_payload,
+        )
+        from webcrawler_ray.pipelines.multimodal import (
+            AUDIO_HEADER_SIZE,
+        )
+
+        q, _ = queries
+        df = _to_df(q["multimodal_audio_windows"](SF_DIR))
+        assert len(df) > 0
+        by_doc = {d: g for d, g in df.groupby("doc_id")}
+        for did in list(by_doc)[:25]:
+            blob = make_audio_payload(did)
+            s = np.frombuffer(blob, dtype="<i2",
+                              offset=AUDIO_HEADER_SIZE).astype(np.int64)
+            nw = audio_n_windows(len(s))
+            g = by_doc[did].sort_values("win_idx")
+            assert g["win_idx"].tolist() == list(range(nw))
+            for wi in range(nw):
+                w = s[wi * AUDIO_HOP: wi * AUDIO_HOP + AUDIO_WIN]
+                row = g.iloc[wi]
+                assert int(row["sq_sum"]) == int((w * w).sum())
+                assert int(row["peak"]) == int(np.abs(w).max())

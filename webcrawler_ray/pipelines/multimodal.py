@@ -247,3 +247,137 @@ def channel_hist(ray, sf_dir: str, concurrency: int = 2):
                           batch_size=256, concurrency=concurrency)
              .groupby("bin").aggregate(Sum("n", alias_name="n")))
     return out.sort("bin")
+
+
+# ---------------------------------------------------------------------------
+# Audio branch: PCM payloads as opaque binary — same plumbing rules as
+# the raster branch (tiny header + raw body, deterministic synth, actor
+# pool, early binary projection), exercising the 1-D windowed kernel a
+# speech pipeline needs instead of the 2-D frame one.
+AUDIO_MAGIC = b"FAUD"
+AUDIO_HEADER_FMT = "<4sII"  # magic, sample_rate, n_samples
+AUDIO_HEADER_SIZE = struct.calcsize(AUDIO_HEADER_FMT)  # 12
+AUDIO_WIN = 256
+AUDIO_HOP = 128
+
+
+def audio_dims(doc_id: int) -> tuple[int, int]:
+    """(sample_rate, n_samples) per doc — pure doc_id arithmetic, so the
+    window layout is SQL-checkable like the raster frames_meta."""
+    return 8000 + (doc_id % 3) * 4000, 512 + (doc_id % 7) * 128
+
+
+def audio_n_windows(n_samples: int) -> int:
+    return (n_samples - AUDIO_WIN) // AUDIO_HOP + 1
+
+
+def make_audio_payload(doc_id: int) -> bytes:
+    """Header + deterministic int16-LE PCM samples (seeded by doc_id)."""
+    sr, ns = audio_dims(doc_id)
+    rng = np.random.Generator(np.random.PCG64(doc_id ^ 0xA0D10))
+    body = rng.integers(-32768, 32768, size=ns, dtype=np.int16)
+    return (struct.pack(AUDIO_HEADER_FMT, AUDIO_MAGIC, sr, ns)
+            + body.astype("<i2").tobytes())
+
+
+def synthesize_audio(ray, sf_dir: str):
+    """documents -> (doc_id, audio: binary) with real decodable PCM."""
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "audio": pa.array([make_audio_payload(d) for d in ids],
+                              pa.binary())})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=512)
+
+
+class AudioWindowStage:
+    """Actor-pool windowing stage: decode PCM, slide a WIN-sample window
+    at HOP stride, emit per-window EXACT integer energy (sum of squared
+    samples — int64, order-independent) and peak |amplitude|. The
+    windowed feature extraction (RMS/VAD front-end) of a speech data
+    pipeline, minus only the codec."""
+
+    def __init__(self):
+        # stride-tricks window template built once per actor
+        self.win, self.hop = AUDIO_WIN, AUDIO_HOP
+
+    def decode(self, blob: bytes) -> np.ndarray:
+        if len(blob) < AUDIO_HEADER_SIZE or blob[:4] != AUDIO_MAGIC:
+            raise ValueError("bad audio magic/short payload")
+        _, sr, ns = struct.unpack_from(AUDIO_HEADER_FMT, blob)
+        return np.frombuffer(blob, dtype="<i2", count=ns,
+                             offset=AUDIO_HEADER_SIZE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_w, out_sq, out_pk = [], [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        for did, blob in zip(ids, batch.column("audio").to_pylist()):
+            s = self.decode(blob).astype(np.int64)
+            nw = audio_n_windows(len(s))
+            # vectorized windowing: (nw, win) view via sliding strides
+            idx = (np.arange(self.win)[None, :]
+                   + np.arange(nw)[:, None] * self.hop)
+            w = s[idx]
+            out_id.extend([did] * nw)
+            out_w.extend(range(nw))
+            out_sq.extend((w * w).sum(axis=1))
+            out_pk.extend(np.abs(w).max(axis=1))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "win_idx": pa.array(out_w, pa.int64()),
+            "sq_sum": pa.array([int(x) for x in out_sq], pa.int64()),
+            "peak": pa.array([int(x) for x in out_pk], pa.int64())})
+
+
+def audio_windows(ray, sf_dir: str, concurrency: int = 2):
+    """(doc_id, win_idx, sq_sum, peak) per sliding window over every
+    audio payload (rows-only: PCG64 samples; the exact-regeneration test
+    is the value gate, audio_meta is the SQL-checked layout gate)."""
+    ds = synthesize_audio(ray, sf_dir)
+    out = ds.map_batches(AudioWindowStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=concurrency)
+    return out.sort(["doc_id", "win_idx"])
+
+
+def audio_meta(ray, sf_dir: str, concurrency: int = 2):
+    """(doc_id, sample_rate, n_samples, n_windows, n_bytes) parsed from
+    the payload HEADERS by the actor pool — every field is doc_id
+    arithmetic, so the oracle recomputes it in SQL and value-checks the
+    whole synthesize->encode->decode chain."""
+    ds = synthesize_audio(ray, sf_dir)
+
+    class MetaStage:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            srs, nss, nws, nbs = [], [], [], []
+            for blob in batch.column("audio").to_pylist():
+                _, sr, ns = struct.unpack_from(AUDIO_HEADER_FMT, blob)
+                srs.append(sr)
+                nss.append(ns)
+                nws.append(audio_n_windows(ns))
+                nbs.append(len(blob))
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "sample_rate": pa.array(srs, pa.int64()),
+                "n_samples": pa.array(nss, pa.int64()),
+                "n_windows": pa.array(nws, pa.int64()),
+                "n_bytes": pa.array(nbs, pa.int64())})
+
+    return (ds.map_batches(MetaStage, batch_format="pyarrow",
+                           batch_size=256, concurrency=concurrency)
+              .sort("doc_id"))
+
+
+AUDIO_META_SQL = f"""
+SELECT doc_id,
+       CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(512 + (doc_id % 7) * 128 AS BIGINT) AS n_samples,
+       CAST((512 + (doc_id % 7) * 128 - {AUDIO_WIN}) // {AUDIO_HOP} + 1
+            AS BIGINT) AS n_windows,
+       CAST({AUDIO_HEADER_SIZE} + (512 + (doc_id % 7) * 128) * 2
+            AS BIGINT) AS n_bytes
+FROM documents ORDER BY doc_id
+"""

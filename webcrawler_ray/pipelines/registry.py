@@ -454,6 +454,9 @@ def build_queries() -> dict:
             "events_distinct_users_exact":
                 lambda sf: sketches.events_distinct_users_exact(ray, sf),
             "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),
+            "multimodal_audio_windows":
+                lambda sf: multimodal.audio_windows(ray, sf),
+            "audio_meta": lambda sf: multimodal.audio_meta(ray, sf),
             "multimodal_frames": lambda sf: multimodal.frame_samples(ray, sf),
             "multimodal_meta": multimodal_meta,
             "frames_meta": frames_meta,
@@ -760,6 +763,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_quality_filter": textpipe.QUALITY_FILTER_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
     "frames_meta": FRAMES_META_SQL,
+    "audio_meta": None,  # filled below
 }
 
 try:
@@ -771,6 +775,10 @@ try:
     ORACLE_SQL["emb_gram_matrix"] = _sim.EMB_GRAM_SQL
     ORACLE_SQL["emb_quantize"] = _sim.EMB_QUANTIZE_SQL
     ORACLE_SQL["knn_cosine_q8"] = _sim.KNN_Q8_SQL
+
+    from . import multimodal as _mm
+
+    ORACLE_SQL["audio_meta"] = _mm.AUDIO_META_SQL
 except ImportError:
     ORACLE_SQL.pop("knn_cosine", None)
 
