@@ -55,7 +55,8 @@ QUERY_NAMES = [
     "events_moving_sum", "events_attribution_window", "events_profile",
     "emb_quantize", "knn_cosine_q8", "knn_pq", "docs_split",
     "revenue_cube", "events_dedup_daily", "docs_csv_roundtrip",
-    "events_zorder", "events_props_extract",
+    "events_zorder", "events_props_extract", "events_range_sum",
+    "users_orders_full", "audio_meta",
 ]
 
 

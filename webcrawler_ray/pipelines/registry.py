@@ -381,6 +381,10 @@ def build_queries() -> dict:
         "events_zorder": lambda sf: relational.events_zorder(ray, sf),
         "events_props_extract":
             lambda sf: relational.events_props_extract(ray, sf),
+        "events_range_sum":
+            lambda sf: relational.events_range_sum(ray, sf),
+        "users_orders_full":
+            lambda sf: relational.users_orders_full(ray, sf),
         "lineitem_q6": lambda sf: relational.lineitem_q6(ray, sf),
         "q3_shipping_priority":
             lambda sf: relational.q3_shipping_priority(ray, sf),
@@ -720,6 +724,8 @@ ORDER BY vec_id_a, vec_id_b
     "events_dedup_daily": relational.EVENTS_DEDUP_DAILY_SQL,
     "events_zorder": relational.EVENTS_ZORDER_SQL,
     "events_props_extract": relational.EVENTS_PROPS_SQL,
+    "events_range_sum": relational.EVENTS_RANGE_SUM_SQL,
+    "users_orders_full": relational.USERS_ORDERS_FULL_SQL,
     "lineitem_q6": relational.LINEITEM_Q6_SQL,
     "q3_shipping_priority": relational.Q3_SQL,
     "orders_priority_exists": relational.Q4_EXISTS_SQL,

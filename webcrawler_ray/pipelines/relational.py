@@ -3061,3 +3061,131 @@ FROM (SELECT event_type,
       FROM events)
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+RANGE_WINDOW_HOURS = 1
+
+
+def events_range_sum(ray, sf_dir: str, hours: int = RANGE_WINDOW_HOURS):
+    """(event_id, rng_cents): per-user TIME-RANGE window frame — the sum
+    of the user's event cents in the trailing ``hours``-hour interval
+    ending at (and including) each event, i.e. SQL's ``RANGE BETWEEN
+    INTERVAL .. PRECEDING AND CURRENT ROW`` (peers at the same timestamp
+    included on both engines). The time-based sibling of the ROWS frame
+    in events_moving_sum — rate limiting / velocity features need the
+    interval form, not a row count.
+
+    Scale shape: one coarse-user-bucket exchange; inside each bucket the
+    events sit sorted on a composite (user_rank * span + t) int64 axis
+    and every frame is two ``np.searchsorted`` calls plus a cumsum
+    difference — no per-row loop (the events_attribution_window
+    kernel, self-anchored)."""
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u, N_BUCKETS)
+        return t.append_column("ubucket", pa.array(b, pa.int64()))
+
+    wnd_us = hours * 3_600_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "rng_cents": pd.Series([], dtype="int64")})
+        uid = g["user_id"].to_numpy()
+        t_us = g["ts"].astype("int64").to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100).astype(np.int64)
+        order_ = np.lexsort((t_us, uid))
+        uid, t_us, cents = uid[order_], t_us[order_], cents[order_]
+        eid = g["event_id"].to_numpy()[order_]
+        users = np.unique(uid)
+        t_lo = int(t_us.min())
+        span = int(t_us.max()) - t_lo + 2
+        assert (len(users) + 1) * span < (1 << 63), \
+            "composite range-frame key would overflow: raise N_BUCKETS"
+        rank = np.searchsorted(users, uid).astype(np.int64)
+        key = rank * span + (t_us - t_lo)
+        lo = np.searchsorted(key,
+                             rank * span + np.clip(t_us - wnd_us - t_lo,
+                                                   0, span - 1),
+                             side="left")
+        hi = np.searchsorted(key, key, side="right")
+        cum = np.concatenate(([0], np.cumsum(cents)))
+        return pd.DataFrame({"event_id": eid.astype("int64"),
+                             "rng_cents": cum[hi] - cum[lo]})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort("event_id"))
+
+
+EVENTS_RANGE_SUM_SQL = f"""
+SELECT event_id,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL {RANGE_WINDOW_HOURS} HOUR PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS rng_cents
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def users_orders_full(ray, sf_dir: str):
+    """(user_id, n_events, n_orders): FULL OUTER join of per-user event
+    activity against per-customer order counts — users active but never
+    ordering AND customers ordering without events both survive, with
+    zero-filled counts. Completes the join-type coverage (inner / left /
+    anti / semi / as-of / interval / full).
+
+    Scale shape: both sides pre-aggregate to one row per key inside
+    map_batches (combiner), then ONE bucketed exchange merges them with
+    outer semantics — no Dataset.join (ray 2.49 lacks full_outer), no
+    driver-side key set."""
+    from ..stages.aggregates import buckets_for, hash_bucket_aggregate
+
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+    ev = _rpq(ray, f"{sf_dir}/events.parquet", columns=["user_id"])
+    od = _rpq(ray, f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def ev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).size()
+        return pd.DataFrame({"user_id": g["user_id"].astype("int64"),
+                             "n_events": g["size"].astype("int64"),
+                             "n_orders": np.zeros(len(g), dtype="int64")})
+
+    def od_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        return pd.DataFrame({"user_id": g["o_custkey"].astype("int64"),
+                             "n_events": np.zeros(len(g), dtype="int64"),
+                             "n_orders": g["size"].astype("int64")})
+
+    both = (ev.map_batches(ev_partial, batch_format="pandas",
+                           batch_size=65536)
+              .union(od.map_batches(od_partial, batch_format="pandas",
+                                    batch_size=65536)))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).sum()
+
+    out = hash_bucket_aggregate(both, ["user_id"], merge,
+                                num_buckets=buckets_for(n_cust))
+    return out.sort("user_id")
+
+
+USERS_ORDERS_FULL_SQL = """
+SELECT COALESCE(e.user_id, o.o_custkey) AS user_id,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1) e
+FULL OUTER JOIN
+     (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1) o
+  ON e.user_id = o.o_custkey
+ORDER BY user_id
+"""
