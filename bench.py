@@ -56,7 +56,7 @@ QUERY_NAMES = [
     "emb_quantize", "knn_cosine_q8", "knn_pq", "docs_split",
     "revenue_cube", "events_dedup_daily", "docs_csv_roundtrip",
     "events_zorder", "events_props_extract", "events_range_sum",
-    "users_orders_full", "audio_meta",
+    "users_orders_full", "audio_meta", "docs_feature_hash",
 ]
 
 

@@ -72,7 +72,7 @@ SQL_CHECKED = [
     "events_profile", "emb_quantize", "knn_cosine_q8", "docs_split",
     "revenue_cube", "events_dedup_daily", "docs_csv_roundtrip",
     "events_zorder", "events_props_extract", "audio_meta",
-    "events_range_sum", "users_orders_full",
+    "events_range_sum", "users_orders_full", "docs_feature_hash",
 ]
 
 

@@ -843,12 +843,15 @@ def _pq_codebooks(train: np.ndarray, m: int = PQ_SUBSPACES,
         kk = min(k, len(xs))
         c = xs[:kk].copy()
         for _ in range(iters):
-            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # argmin |x-c|^2 via (|c|^2 - 2 x.c); centroid update via
+            # scatter-add + bincount — no per-centroid Python pass
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (xs @ c.T)
             assign = np.argmin(d2, axis=1)
-            for j in range(kk):
-                mask = assign == j
-                if mask.any():
-                    c[j] = xs[mask].mean(axis=0)
+            sums = np.zeros((kk, xs.shape[1]))
+            np.add.at(sums, assign, xs)
+            counts = np.bincount(assign, minlength=kk)
+            nz = counts > 0
+            c[nz] = sums[nz] / counts[nz, None]
         books[s, :kk] = c
         if kk < k:
             books[s, kk:] = c[0]  # degenerate tiny-train fill

@@ -1642,3 +1642,61 @@ def docs_csv_roundtrip(ray, sf_dir: str):
 DOCS_CSV_ROUNDTRIP_SQL = """
 SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+FEATURE_HASH_DIM = 64
+
+
+def docs_feature_hash(ray, sf_dir: str, dim: int = FEATURE_HASH_DIM):
+    """(doc_id, bucket, n): the HASHING-TRICK text featurizer — every
+    token maps to md5 % dim, giving each document a fixed-width sparse
+    count vector with no vocabulary state (Weinberger et al. 2009). The
+    stateless featurization an ML pipeline runs where a fitted
+    vectorizer's vocab would itself be a 100-TB shuffle.
+
+    Scale shape: pure streaming — each doc's rows complete inside its
+    batch (no exchange at all); distinct tokens are hashed once per
+    batch through a local memo, the per-(doc, bucket) counts come from
+    one vectorized pandas groupby."""
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        memo: dict[str, int] = {}
+        out_d, out_b = [], []
+        for did, tx in zip(ids, texts):
+            for tok in tokenize(tx):
+                b = memo.get(tok)
+                if b is None:
+                    b = int(hashlib.md5(tok.encode()).hexdigest()[:8],
+                            16) % dim
+                    memo[tok] = b
+                out_d.append(did)
+                out_b.append(b)
+        df = pd.DataFrame({"doc_id": out_d, "bucket": out_b})
+        g = df.groupby(["doc_id", "bucket"], as_index=False).size()
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"], pa.int64()),
+            "bucket": pa.array(g["bucket"], pa.int64()),
+            "n": pa.array(g["size"], pa.int64())})
+
+    return (ds.map_batches(f, batch_format="pyarrow")
+              .sort(["doc_id", "bucket"]))
+
+
+DOCS_FEATURE_HASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(str_split_regex(
+      regexp_replace(lower(text), '^{SQL_WS_CLASS}+|{SQL_WS_CLASS}+$',
+                     '', 'g'),
+      '{SQL_WS_CLASS}+')) AS token
+  FROM documents)
+SELECT doc_id,
+       ('0x' || substr(md5(token), 1, 8))::BIGINT % {FEATURE_HASH_DIM}
+       AS bucket,
+       COUNT(*) AS n
+FROM t WHERE token != ''
+GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+"""
