@@ -308,3 +308,62 @@ class TestPageRank:
         assert len(df) == 20
         assert (df["rank"].to_numpy()[:-1]
                 >= df["rank"].to_numpy()[1:]).all()
+
+
+class TestTriangles:
+    def test_known_graphs(self, ray_session):
+        """K4 has 4 triangles; a path has 0; K4 + disjoint triangle = 5."""
+        import pyarrow as pa
+        import ray
+
+        from webcrawler_ray.pipelines.graph import count_triangles
+
+        def edges(pairs):
+            a = [min(x, y) for x, y in pairs]
+            b = [max(x, y) for x, y in pairs]
+            return ray.data.from_arrow(pa.table(
+                {"a": pa.array(a, pa.int64()),
+                 "b": pa.array(b, pa.int64())}))
+
+        k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        assert count_triangles(ray, edges(k4)).column(
+            "n_triangles")[0].as_py() == 4
+        path = [(1, 2), (2, 3), (3, 4)]
+        assert count_triangles(ray, edges(path)).column(
+            "n_triangles")[0].as_py() == 0
+        both = k4 + [(10, 11), (11, 12), (10, 12)]
+        assert count_triangles(ray, edges(both)).column(
+            "n_triangles")[0].as_py() == 5
+
+    def test_crawl_triangles_match_local_reference(self, queries):
+        """The distributed count equals a single-process adjacency-
+        intersection count over the SAME canonical edge set."""
+        import numpy as np
+        import ray
+
+        from webcrawler_ray.functions.urls import stable_hash64_batch
+        from webcrawler_ray.pipelines.graph import crawl_link_edges
+        from webcrawler_ray.pipelines.registry import _crawl_workdir
+
+        got = _df(queries["crawl_triangles"](SF_DIR))
+        n_got = int(got["n_triangles"].iloc[0])
+
+        c = _crawl_workdir(SF_DIR)
+        edges_ds, _ = crawl_link_edges(ray, c)
+        e = _df(edges_ds)
+        hs = stable_hash64_batch(list(e["src"])).astype(np.int64)
+        hd = stable_hash64_batch(list(e["dst"])).astype(np.int64)
+        adj = {}
+        seen = set()
+        for a, b in zip(hs, hd):
+            if a == b:
+                continue
+            lo, hi = (int(a), int(b)) if a < b else (int(b), int(a))
+            if (lo, hi) in seen:
+                continue
+            seen.add((lo, hi))
+            adj.setdefault(lo, set()).add(hi)
+            adj.setdefault(hi, set()).add(lo)
+        n_ref = sum(len(adj[a] & adj[b]) for a, b in seen if a in adj)
+        assert n_ref % 3 == 0
+        assert n_got == n_ref // 3

@@ -202,3 +202,159 @@ def crawl_pagerank(ray, crawler, iters: int = 5, k: int = 20):
     per-round sum is integer and order-independent)."""
     ranks = pagerank(ray, crawler, iters=iters)
     return ranks.sort(["rank", "url"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+def count_triangles(ray, canon_edges, n_edges: int | None = None):
+    """Distributed TRIANGLE COUNT over an undirected simple graph given
+    as a Dataset of canonical ``(a, b)`` int64 edges (a < b, deduped).
+    Algorithm: degree-ordered orientation (Cohen 2009 / the MapReduce
+    standard) — direct each edge from its (degree, id)-smaller endpoint,
+    so every out-neighborhood is O(sqrt(m)); each node's out-pairs are
+    the candidate wedges, and one hash join of wedges against the edge
+    set closes them. Each triangle is counted EXACTLY once (its
+    orientation-minimum vertex owns it).
+
+    Scale shape: degrees by bucketed count; orientation via ONE join per
+    endpoint; wedge generation per from-node inside a bucketed
+    map_groups (output-sized work — the sqrt(m) out-degree bound is
+    what keeps it polynomial); closure via one hash join on the pair
+    key. No driver-side adjacency."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import (
+        buckets_for,
+        hash_bucket_aggregate,
+        join_partitions_for,
+        normalize_for_join,
+    )
+
+    if n_edges is None:
+        canon_edges = canon_edges.materialize()
+        n_edges = canon_edges.count()
+    if n_edges == 0:
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+
+    # degree per node (each canonical edge contributes to both ends)
+    def ends(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            t.column("a").to_numpy(zero_copy_only=False),
+            t.column("b").to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(ids, pa.int64()),
+                         "deg": pa.array(np.ones(len(ids), np.int64),
+                                         pa.int64())})
+
+    def sum_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False).sum()
+
+    _DEG = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    degs = normalize_for_join(
+        hash_bucket_aggregate(
+            canon_edges.map_batches(ends, batch_format="pyarrow"),
+            ["node"], sum_deg, n_rows=2 * n_edges),
+        _DEG).materialize()
+    nparts = join_partitions_for(min(n_edges, degs.count()))
+
+    _EDGE2 = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    ed = normalize_for_join(canon_edges, _EDGE2)
+    # attach both endpoint degrees (two equi-joins), then orient
+    da = degs.map_batches(lambda t: t.rename_columns(["a", "deg_a"]),
+                          batch_format="pyarrow")
+    db = degs.map_batches(lambda t: t.rename_columns(["b", "deg_b"]),
+                          batch_format="pyarrow")
+    ed = ed.join(da, join_type="inner", on=("a",), num_partitions=nparts)
+    ed = normalize_for_join(ed, pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("deg_a", pa.int64())]))
+    ed = ed.join(db, join_type="inner", on=("b",), num_partitions=nparts)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da_ = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db_ = t.column("deg_b").to_numpy(zero_copy_only=False)
+        a_first = (da_ < db_) | ((da_ == db_) & (a < b))
+        return pa.table({
+            "frm": pa.array(np.where(a_first, a, b), pa.int64()),
+            "to": pa.array(np.where(a_first, b, a), pa.int64())})
+
+    oriented = ed.map_batches(orient, batch_format="pyarrow")
+
+    # wedges: all out-neighbor pairs per from-node (canonical u < v)
+    N_BUCKETS = buckets_for(n_edges)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from ..stages.aggregates import int_bucket_column
+
+        f = t.column("frm").to_numpy(zero_copy_only=False)
+        return t.append_column("wbucket", pa.array(
+            int_bucket_column(f, N_BUCKETS), pa.int64()))
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["frm", "to"], kind="mergesort")
+        f = g["frm"].to_numpy()
+        to = g["to"].to_numpy()
+        starts = np.r_[0, np.nonzero(f[1:] != f[:-1])[0] + 1, len(f)]
+        out_u, out_v = [], []
+        # per-NODE loop (not per-row): wedge output is inherently
+        # quadratic in the out-degree, which orientation bounds
+        for i in range(len(starts) - 1):
+            nb = to[starts[i]:starts[i + 1]]
+            if len(nb) < 2:
+                continue
+            iu, iv = np.triu_indices(len(nb), k=1)
+            out_u.append(nb[iu])
+            out_v.append(nb[iv])
+        if not out_u:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        u = np.concatenate(out_u)
+        v = np.concatenate(out_v)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        return pd.DataFrame({"a": lo, "b": hi})
+
+    wd = (oriented.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("wbucket")
+                  .map_groups(wedges, batch_format="pandas"))
+    wd = normalize_for_join(wd, _EDGE2).materialize()
+    if wd.count() == 0:
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+
+    closed = wd.join(
+        normalize_for_join(canon_edges, _EDGE2).materialize(),
+        join_type="inner", on=("a", "b"),
+        num_partitions=join_partitions_for(min(wd.count(), n_edges)))
+    n_tri = closed.count()
+    return pa.table({"n_triangles": pa.array([int(n_tri)], pa.int64())})
+
+
+def crawl_triangles(ray, crawler, edges=None):
+    """Single-row (n_triangles) over the crawled link graph, undirected
+    and deduped; node ids are the repo's stable 64-bit url hashes (the
+    exactness test builds its reference from the SAME canonical edge
+    set, so the count is exact by construction)."""
+    from ..functions.urls import stable_hash64_batch
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    if edges is None:
+        edges = crawl_link_edges(ray, crawler)
+    edges_ds, _n = edges
+
+    def canon(t: pa.Table) -> pa.Table:
+        hs = stable_hash64_batch(
+            t.column("src").to_pylist()).astype(np.int64)
+        hd = stable_hash64_batch(
+            t.column("dst").to_pylist()).astype(np.int64)
+        keep = hs != hd
+        hs, hd = hs[keep], hd[keep]
+        return pa.table({"a": pa.array(np.minimum(hs, hd), pa.int64()),
+                         "b": pa.array(np.maximum(hs, hd), pa.int64())})
+
+    def _dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])
+
+    canon_edges = hash_bucket_aggregate(
+        edges_ds.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"], _dd).materialize()
+    return count_triangles(ray, canon_edges,
+                           n_edges=canon_edges.count())

@@ -285,6 +285,16 @@ def crawl_pagerank(sf_dir: str):
     return graph.crawl_pagerank(c.ray, c)
 
 
+def crawl_triangles(sf_dir: str):
+    """Exact triangle count of the crawled link graph (rows-only:
+    parse-derived edges; exact-equality tests vs a single-process
+    adjacency-intersection reference and known closed-form graphs)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_triangles(c.ray, c)
+
+
 # --- registry --------------------------------------------------------------
 def build_queries() -> dict:
     ray = _ray()
@@ -297,6 +307,7 @@ def build_queries() -> dict:
         "crawl_warc_read": crawl_warc_read,
         "crawl_round_stats": crawl_round_stats,
         "crawl_pagerank": crawl_pagerank,
+        "crawl_triangles": crawl_triangles,
         # text analysis over documents
         "doc_token_counts": lambda sf: textpipe.token_counts(ray, sf),
         "doc_first20": lambda sf: textpipe.first_n_words(ray, sf),
