@@ -57,6 +57,7 @@ QUERY_NAMES = [
     "revenue_cube", "events_dedup_daily", "docs_csv_roundtrip",
     "events_zorder", "events_props_extract", "events_range_sum",
     "users_orders_full", "audio_meta", "docs_feature_hash",
+    "events_type_iqr_outliers",
 ]
 
 
@@ -121,6 +122,10 @@ def run_bench() -> dict:
 
     queries = build_queries()
     qtimes = {}
+    # scaling subprocesses measure the CRAWL's scaling only — skip the
+    # query sweep there so four subprocess runs don't pay 4x61 queries
+    if os.environ.get("GRAFT_BENCH_SKIP_QUERIES") == "1":
+        n_reps = 0
     for rep in range(n_reps):
         for name in QUERY_NAMES:
             t0 = time.perf_counter()
@@ -183,7 +188,7 @@ def run_scaling(lo: int, hi: int, reps: int = 2) -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_REPS="1")
+                   GRAFT_BENCH_REPS="1", GRAFT_BENCH_SKIP_QUERIES="1")
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

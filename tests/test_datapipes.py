@@ -73,6 +73,7 @@ SQL_CHECKED = [
     "revenue_cube", "events_dedup_daily", "docs_csv_roundtrip",
     "events_zorder", "events_props_extract", "audio_meta",
     "events_range_sum", "users_orders_full", "docs_feature_hash",
+    "events_type_iqr_outliers",
 ]
 
 
@@ -564,6 +565,20 @@ class TestGroupedRankSelect:
         got = _canon(_to_df(rel.events_type_median(ray, SF_DIR)))
         want = _canon(ddb.execute(
             rel.EVENTS_TYPE_MEDIAN_SQL).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_iqr_outliers_forced_refinement(self, ray_session, ddb,
+                                            monkeypatch):
+        """Both quartile states of every group must descend correctly in
+        the SAME shared histogram passes (collect forced below 64)."""
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        monkeypatch.setattr(rel, "_MEDIAN_COLLECT", 64)
+        got = _canon(_to_df(rel.events_type_iqr_outliers(ray, SF_DIR)))
+        want = _canon(ddb.execute(
+            rel.EVENTS_IQR_OUTLIERS_SQL).fetchdf())
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 

@@ -1496,40 +1496,44 @@ _MEDIAN_BINS = 128
 _MEDIAN_COLLECT = 65536
 
 
-def events_type_median(ray, sf_dir: str):
-    """(event_type, median): EXACT per-group discrete median
-    (percentile_disc(0.5) — the value at rank ceil(n/2) of the group's
-    sorted values) via grouped ITERATIVE partition-count rank-select, the
-    per-group form of events_value_percentiles: each refinement round is
-    ONE shared streamed pass emitting per-(group, bin) (count,
-    realized-min, realized-max) partials; the driver folds the tiny
-    O(groups x bins x blocks) summary and descends each group's range.
+def grouped_percentile_disc(ray, path: str, qs: tuple,
+                            group_col: str = "event_type",
+                            value_col: str = "value") -> pd.DataFrame:
+    """EXACT per-group discrete percentiles (percentile_disc semantics —
+    the value at rank ceil(q*n) of the group's sorted values) for EVERY
+    q in ``qs`` at once, via grouped ITERATIVE partition-count
+    rank-select: each refinement round is ONE shared streamed pass
+    emitting per-(group, q, bin) (count, realized-min, realized-max)
+    partials; the driver folds the tiny O(states x bins x blocks)
+    summary and descends each (group, q) range independently.
     Realized bin min/max make the descent exact (no float-boundary
     ambiguity); when every active range holds <= ~65k rows, one collect
     pass pulls just those rows. No total sort, no per-group
     materialization of the dataset."""
     from ray.data.aggregate import Count, Max, Min
 
-    path = f"{sf_dir}/events.parquet"
-    ds = _rpq(ray, path, columns=["event_type", "value"])
+    ds = _rpq(ray, path, columns=[group_col, value_col])
 
-    # ONE pass for all three per-group stats (count + min + max)
-    mm = (ds.groupby("event_type")
+    # ONE pass for all per-group stats (count + min + max)
+    mm = (ds.groupby(group_col)
             .aggregate(Count(alias_name="count()"),
-                       Min("value"), Max("value")).to_pandas())
+                       Min(value_col), Max(value_col)).to_pandas())
     if len(mm) == 0:
-        return pd.DataFrame({"event_type": pd.Series([], dtype=str),
-                             "median": pd.Series([], dtype="float64")})
+        return pd.DataFrame({group_col: pd.Series([], dtype=str),
+                             "q": pd.Series([], dtype="float64"),
+                             "value": pd.Series([], dtype="float64")})
 
     states: dict = {}
     for _, r in mm.iterrows():
         n = int(r["count()"])
-        s = {"rank": int(np.ceil(n / 2)), "base": 0, "count": n,
-             "lo": float(r["min(value)"]), "hi": float(r["max(value)"]),
-             "done": False, "value": np.nan}
-        if s["lo"] == s["hi"]:
-            s["done"], s["value"] = True, s["lo"]
-        states[r["event_type"]] = s
+        for q in qs:
+            s = {"rank": int(np.ceil(q * n)), "base": 0, "count": n,
+                 "lo": float(r[f"min({value_col})"]),
+                 "hi": float(r[f"max({value_col})"]),
+                 "done": False, "value": np.nan}
+            if s["lo"] == s["hi"]:
+                s["done"], s["value"] = True, s["lo"]
+            states[(r[group_col], q)] = s
 
     B = _MEDIAN_BINS
     rounds = 0
@@ -1543,19 +1547,19 @@ def events_type_median(ray, sf_dir: str):
         rounds += 1
         if rounds > 64:
             raise RuntimeError(
-                "events_type_median: refinement did not converge "
-                "(NaN values in events.value?)")
-        # groups already small enough for the collect pass snap out of
-        # the refinement spec — they'd pay per-batch filtering for
+                "grouped_percentile_disc: refinement did not converge "
+                f"(NaN values in {value_col}?)")
+        # states already small enough for the collect pass snap out of
+        # the refinement spec — they would pay per-batch filtering for
         # nothing (percentiles' _PCT_COLLECT_MAX filter, same rule)
-        spec = {et: (s["lo"], s["hi"]) for et, s in states.items()
+        spec = {key: (s["lo"], s["hi"]) for key, s in states.items()
                 if not s["done"] and s["count"] > _MEDIAN_COLLECT}
 
         def hist(t: pa.Table) -> pa.Table:
-            ets = np.asarray(t.column("event_type").to_pylist())
-            vals = t.column("value").to_numpy(zero_copy_only=False)
-            o_et, o_bin, o_n, o_mn, o_mx = [], [], [], [], []
-            for et, (lo, hi) in spec.items():
+            ets = np.asarray(t.column(group_col).to_pylist())
+            vals = t.column(value_col).to_numpy(zero_copy_only=False)
+            o_et, o_q, o_bin, o_n, o_mn, o_mx = [], [], [], [], [], []
+            for (et, q), (lo, hi) in spec.items():
                 v = vals[(ets == et) & (vals >= lo) & (vals <= hi)]
                 if len(v) == 0:
                     continue
@@ -1564,20 +1568,22 @@ def events_type_median(ray, sf_dir: str):
                 for b in np.unique(bi):
                     vb = v[bi == b]
                     o_et.append(et)
+                    o_q.append(q)
                     o_bin.append(int(b))
                     o_n.append(len(vb))
                     o_mn.append(float(vb.min()))
                     o_mx.append(float(vb.max()))
-            return pa.table({"event_type": pa.array(o_et, pa.string()),
+            return pa.table({group_col: pa.array(o_et, pa.string()),
+                             "q": pa.array(o_q, pa.float64()),
                              "bin": pa.array(o_bin, pa.int64()),
                              "n": pa.array(o_n, pa.int64()),
                              "mn": pa.array(o_mn, pa.float64()),
                              "mx": pa.array(o_mx, pa.float64())})
 
         parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
-        for et in spec:
-            s = states[et]
-            p = parts[parts["event_type"] == et]
+        for (et, q) in spec:
+            s = states[(et, q)]
+            p = parts[(parts[group_col] == et) & (parts["q"] == q)]
             agg = (p.groupby("bin")
                     .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
                     .sort_index())
@@ -1592,29 +1598,44 @@ def events_type_median(ray, sf_dir: str):
                     break
                 cum += int(row["n"])
 
-    pend = {et: (s["lo"], s["hi"]) for et, s in states.items()
+    pend = {key: (s["lo"], s["hi"]) for key, s in states.items()
             if not s["done"]}
     if pend:
         def collect(t: pa.Table) -> pa.Table:
-            ets = np.asarray(t.column("event_type").to_pylist())
-            vals = t.column("value").to_numpy(zero_copy_only=False)
+            ets = np.asarray(t.column(group_col).to_pylist())
+            vals = t.column(value_col).to_numpy(zero_copy_only=False)
             keep = np.zeros(len(vals), dtype=bool)
-            for et, (lo, hi) in pend.items():
+            for (et, _q), (lo, hi) in pend.items():
                 keep |= (ets == et) & (vals >= lo) & (vals <= hi)
-            return pa.table({"event_type": pa.array(ets[keep], pa.string()),
-                             "value": pa.array(vals[keep], pa.float64())})
+            return pa.table({group_col: pa.array(ets[keep], pa.string()),
+                             value_col: pa.array(vals[keep], pa.float64())})
 
         rows = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
-        for et in pend:
-            s = states[et]
-            v = np.sort(rows.loc[rows["event_type"] == et, "value"]
+        for (et, q) in pend:
+            s = states[(et, q)]
+            v = np.sort(rows.loc[rows[group_col] == et, value_col]
                             .to_numpy())
+            # the collect range was cut per-state: values below lo were
+            # already accounted in base, so index within the range
+            v = v[(v >= pend[(et, q)][0]) & (v <= pend[(et, q)][1])]
             s["value"] = float(v[s["rank"] - s["base"] - 1])
             s["done"] = True
 
-    out = pd.DataFrame({"event_type": list(states.keys()),
-                        "median": [s["value"] for s in states.values()]})
-    return out.sort_values("event_type").reset_index(drop=True)
+    out = pd.DataFrame({
+        group_col: [k[0] for k in states],
+        "q": [k[1] for k in states],
+        "value": [s["value"] for s in states.values()]})
+    return out.sort_values([group_col, "q"]).reset_index(drop=True)
+
+
+def events_type_median(ray, sf_dir: str):
+    """(event_type, median): EXACT per-group discrete median — see
+    grouped_percentile_disc (rank-select, no total sort)."""
+    out = grouped_percentile_disc(ray, f"{sf_dir}/events.parquet", (0.5,))
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "median": out["value"]}).sort_values(
+            "event_type").reset_index(drop=True)
 
 
 EVENTS_TYPE_MEDIAN_SQL = """
@@ -3188,4 +3209,74 @@ FULL OUTER JOIN
      (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1) o
   ON e.user_id = o.o_custkey
 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def events_type_iqr_outliers(ray, sf_dir: str):
+    """(event_type, q1, q3, n_outliers, n): Tukey-fence ANOMALY COUNTS —
+    values outside [q1 - 1.5*IQR, q3 + 1.5*IQR] per event type, with the
+    quartiles computed EXACTLY by the grouped rank-select machinery
+    (both quartiles descend in the SAME shared histogram passes — no
+    extra scans for the second quantile) and the fences applied in one
+    streaming counting pass. Quartiles are actual data values and the
+    fence arithmetic is the identical float64 expression in both
+    engines, so the whole data-quality gate is value-hashable.
+
+    Scale shape: O(log range) shared refinement passes + one counting
+    pass with constant-size per-batch partials; nothing materializes."""
+    from ray.data.aggregate import Sum
+
+    qd = grouped_percentile_disc(ray, f"{sf_dir}/events.parquet",
+                                 (0.25, 0.75))
+    q1 = qd[qd["q"] == 0.25].set_index("event_type")["value"]
+    q3 = qd[qd["q"] == 0.75].set_index("event_type")["value"]
+    fences = {}
+    for et in q1.index:
+        iqr = q3[et] - q1[et]
+        fences[et] = (q1[et] - 1.5 * iqr, q3[et] + 1.5 * iqr,
+                      q1[et], q3[et])
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_type", "value"])
+    fref = ray.put(fences)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        fn = ray.get(fref)
+        ets = np.asarray(t.column("event_type").to_pylist())
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        rows = []
+        for et, (lo, hi, _a, _b) in fn.items():
+            m = ets == et
+            v = vals[m]
+            rows.append({"event_type": et,
+                         "n_outliers": int(((v < lo) | (v > hi)).sum()),
+                         "n": int(m.sum())})
+        return pd.DataFrame(rows)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+                .groupby("event_type")
+                .aggregate(Sum("n_outliers", alias_name="n_outliers"),
+                           Sum("n", alias_name="n"))
+                .to_pandas())  # one row per type — tiny
+    counts["q1"] = counts["event_type"].map(lambda e: fences[e][2])
+    counts["q3"] = counts["event_type"].map(lambda e: fences[e][3])
+    out = counts[["event_type", "q1", "q3", "n_outliers", "n"]]
+    out = out.astype({"n_outliers": "int64", "n": "int64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_IQR_OUTLIERS_SQL = """
+WITH q AS (
+  SELECT event_type,
+         percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+         percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS q3
+  FROM events GROUP BY event_type)
+SELECT e.event_type, q1, q3,
+       CAST(COUNT(*) FILTER (WHERE value < q1 - 1.5 * (q3 - q1)
+                                OR value > q3 + 1.5 * (q3 - q1))
+            AS BIGINT) AS n_outliers,
+       COUNT(*) AS n
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type, q1, q3 ORDER BY e.event_type
 """
