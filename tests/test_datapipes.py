@@ -73,7 +73,7 @@ SQL_CHECKED = [
     "revenue_cube", "events_dedup_daily", "docs_csv_roundtrip",
     "events_zorder", "events_props_extract", "audio_meta",
     "events_range_sum", "users_orders_full", "docs_feature_hash",
-    "events_type_iqr_outliers",
+    "events_type_iqr_outliers", "events_value_props_corr",
 ]
 
 

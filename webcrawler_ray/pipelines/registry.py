@@ -400,6 +400,8 @@ def build_queries() -> dict:
             lambda sf: relational.users_orders_full(ray, sf),
         "events_type_iqr_outliers":
             lambda sf: relational.events_type_iqr_outliers(ray, sf),
+        "events_value_props_corr":
+            lambda sf: relational.events_value_props_corr(ray, sf),
         "lineitem_q6": lambda sf: relational.lineitem_q6(ray, sf),
         "q3_shipping_priority":
             lambda sf: relational.q3_shipping_priority(ray, sf),
@@ -743,6 +745,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_range_sum": relational.EVENTS_RANGE_SUM_SQL,
     "users_orders_full": relational.USERS_ORDERS_FULL_SQL,
     "events_type_iqr_outliers": relational.EVENTS_IQR_OUTLIERS_SQL,
+    "events_value_props_corr": relational.EVENTS_VALUE_PROPS_CORR_SQL,
     "lineitem_q6": relational.LINEITEM_Q6_SQL,
     "q3_shipping_priority": relational.Q3_SQL,
     "orders_priority_exists": relational.Q4_EXISTS_SQL,

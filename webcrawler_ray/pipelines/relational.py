@@ -3280,3 +3280,59 @@ SELECT e.event_type, q1, q3,
 FROM events e JOIN q USING (event_type)
 GROUP BY e.event_type, q1, q3 ORDER BY e.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+def events_value_props_corr(ray, sf_dir: str):
+    """(event_type, n, sx, sy, sxy, sx2, sy2): the exact integer MOMENT
+    TABLE for the correlation between an event's value (cents) and its
+    JSON property ``k`` — count, both sums, the cross-moment and both
+    squared sums per type. Pearson r derives from these six numbers in
+    one driver-side division; shipping the moments instead of r keeps
+    every column int64 and order-independent (the float-determinism
+    rule), so the whole two-column analytics pass is value-hashable.
+
+    Scale shape: one pruned scan, vectorized RE2 extract for k,
+    constant-size per-batch partials into a tiny per-type groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_type", "value", "props"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = np.floor(t.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        y = pd.to_numeric(pd.Series(
+            pc.struct_field(m, "k").to_pandas())).astype("int64").to_numpy()
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "n": np.ones(len(x), dtype="int64"),
+            "sx": x, "sy": y, "sxy": x * y, "sx2": x * x, "sy2": y * y})
+        return df.groupby("event_type", as_index=False).sum()
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536)
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sx", alias_name="sx"),
+                        Sum("sy", alias_name="sy"),
+                        Sum("sxy", alias_name="sxy"),
+                        Sum("sx2", alias_name="sx2"),
+                        Sum("sy2", alias_name="sy2")))
+    return out.sort("event_type")
+
+
+EVENTS_VALUE_PROPS_CORR_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sx,
+       CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x * y) AS BIGINT) AS sxy,
+       CAST(SUM(x * x) AS BIGINT) AS sx2,
+       CAST(SUM(y * y) AS BIGINT) AS sy2
+FROM (SELECT event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS x,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS y
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
