@@ -367,3 +367,25 @@ class TestTriangles:
         n_ref = sum(len(adj[a] & adj[b]) for a, b in seen if a in adj)
         assert n_ref % 3 == 0
         assert n_got == n_ref // 3
+
+
+class TestCrawlCuration:
+    def test_crawl_curation_invariants(self, queries):
+        """The composed crawl->training-data pipeline: every surviving
+        row passes the quality gates, per-source caps hold, and packing
+        is the exact greedy prefix-sum assignment in doc_id order."""
+        from webcrawler_ray.pipelines.textpipe import (
+            CURATION_CAP,
+            SEQ_LEN_TOKENS,
+        )
+
+        df = _df(queries["crawl_curation"](SF_DIR)).sort_values("doc_id")
+        assert len(df) > 0
+        assert (df["n_tokens"] >= 30).all()
+        assert df.groupby("source").size().max() <= CURATION_CAP
+        # greedy packing: seq_id = exclusive-prefix-sum // SEQ_LEN
+        cum = df["n_tokens"].cumsum() - df["n_tokens"]
+        assert (df["seq_id"].to_numpy()
+                == (cum // SEQ_LEN_TOKENS).to_numpy()).all()
+        # dedup keep-first: fetch_seq ids unique
+        assert df["doc_id"].is_unique

@@ -285,6 +285,33 @@ def crawl_pagerank(sf_dir: str):
     return graph.crawl_pagerank(c.ray, c)
 
 
+def crawl_curation(sf_dir: str):
+    """The composed crawl -> training-data story: the END-TO-END
+    curation core (quality gates, exact keep-first dedup, per-source
+    cap, sequence packing) applied to the LIVE crawl's byte-identical
+    extracted text — (doc_id=fetch_seq, source=host). Rows-only
+    (parse-derived text has no SQL oracle); the curation kernels
+    themselves are value-checked through corpus_curation and the text
+    through the crawl-oracle e2e."""
+    import pyarrow as pa
+    import ray as _r
+
+    from .textpipe import curation_over
+
+    c = _crawl_workdir(sf_dir)
+    corpus = c.crawled_dataset()
+    n = corpus.count()
+
+    def adapt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("fetch_seq").cast(pa.int64()),
+            "source": t.column("host").cast(pa.string()),
+            "text": t.column("extracted_text").cast(pa.string())})
+
+    ds = corpus.map_batches(adapt, batch_format="pyarrow")
+    return curation_over(_r, ds, n).sort("doc_id")
+
+
 def crawl_triangles(sf_dir: str):
     """Exact triangle count of the crawled link graph (rows-only:
     parse-derived edges; exact-equality tests vs a single-process
@@ -308,6 +335,7 @@ def build_queries() -> dict:
         "crawl_round_stats": crawl_round_stats,
         "crawl_pagerank": crawl_pagerank,
         "crawl_triangles": crawl_triangles,
+        "crawl_curation": crawl_curation,
         # text analysis over documents
         "doc_token_counts": lambda sf: textpipe.token_counts(ray, sf),
         "doc_first20": lambda sf: textpipe.first_n_words(ray, sf),

@@ -899,10 +899,13 @@ def docs_langid_mix(ray, sf_dir: str, concurrency: int = 2):
 CURATION_CAP = 20
 
 
-def corpus_curation(ray, sf_dir: str):
-    """(doc_id, source, n_tokens, seq_id): the END-TO-END corpus
-    curation job a training run starts from, composed as ONE streaming
-    Dataset pipeline:
+def curation_over(ray, ds, n_docs: int):
+    """The END-TO-END curation core over ANY (doc_id, source, text)
+    dataset — the documents table (corpus_curation) or the live crawl's
+    extracted corpus (registry.crawl_curation): same gates, same
+    exchanges, one implementation.
+
+    Stages, composed as ONE streaming Dataset pipeline:
 
       1. QUALITY FILTER — integer-exact gates (min tokens, alpha floor,
          digit ceiling), a pure map_batches filter that also computes
@@ -918,12 +921,8 @@ def corpus_curation(ray, sf_dir: str):
 
     Every stage's exchange is bounded by survivors (ids + small
     columns); the documents themselves stream through stage 1 once."""
-    from ..io_utils import parquet_num_rows
     from ..stages.aggregates import buckets_for, hash_bucket_aggregate
     from ..functions.urls import stable_hash64_batch
-
-    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
-    ds = _docs(ray, sf_dir, ["doc_id", "source", "text"])
 
     def _empty():
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -990,6 +989,16 @@ def corpus_curation(ray, sf_dir: str):
                      .groupby("sbucket")
                      .map_groups(cap_final, batch_format="pandas"))
     return pack_sequences_over(capped)
+
+
+def corpus_curation(ray, sf_dir: str):
+    """(doc_id, source, n_tokens, seq_id): curation_over applied to the
+    documents table (the SQL-checked instantiation)."""
+    from ..io_utils import parquet_num_rows
+
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    return curation_over(ray, _docs(ray, sf_dir, ["doc_id", "source", "text"]),
+                         n_docs)
 
 
 CORPUS_CURATION_SQL = f"""
