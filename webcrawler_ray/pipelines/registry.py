@@ -493,6 +493,9 @@ def build_queries() -> dict:
                 lambda sf: sketches.events_distinct_users_hll(ray, sf),
             "events_type_distinct_hll":
                 lambda sf: sketches.events_type_distinct_hll(ray, sf),
+            "events_type_percentiles_tdigest":
+                lambda sf: sketches.events_type_percentiles_tdigest(
+                    ray, sf),
             "docs_distinct_texts_hll":
                 lambda sf: sketches.docs_distinct_texts_hll(ray, sf),
             "events_value_percentiles_tdigest":

@@ -348,3 +348,68 @@ def events_type_distinct_hll(ray, sf_dir: str):
     bounded by a test against the exact per-type counts)."""
     return grouped_distinct_hll(ray, f"{sf_dir}/events.parquet",
                                 "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
+def grouped_percentiles_tdigest(ray, path: str, group_col: str,
+                                value_col: str, pcts=(25, 50, 75)):
+    """(group, pct, value): per-GROUP approximate percentiles via
+    t-digest — one constant-size digest per group per batch, merged by
+    concatenate-sort-recluster inside a tiny bucketed exchange. The
+    per-key quantile path when group count x input size makes the exact
+    grouped rank-select's O(log range) full re-scans too expensive; the
+    error bound is the same O(1/delta) as the global digest and is
+    tested against the EXACT grouped quartiles."""
+    import pandas as pd
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _rpq(ray, path, columns=[group_col, value_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch.column(group_col).to_pylist())
+        x = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(x)
+        g, x = g[keep], x[keep]
+        out_g, out_m, out_w = [], [], []
+        for grp in np.unique(g):
+            v = np.sort(x[g == grp])
+            m, w = _td_cluster(v, np.ones(len(v)))
+            out_g.append(grp)
+            out_m.append(m.tobytes())
+            out_w.append(w.tobytes())
+        return pa.table({group_col: pa.array(out_g, pa.string()),
+                         "means": pa.array(out_m, pa.binary()),
+                         "weights": pa.array(out_w, pa.binary())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for grp, sub in df.groupby(group_col):
+            m, w = td_merge(sub["means"], sub["weights"])
+            rows.append({group_col: grp, "means": m.tobytes(),
+                         "weights": w.tobytes()})
+        return pd.DataFrame(rows)
+
+    merged = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col], merge).to_pandas()  # one digest per group — small
+
+    rows = []
+    for _, r in merged.iterrows():
+        m = np.frombuffer(r["means"], dtype=np.float64)
+        w = np.frombuffer(r["weights"], dtype=np.float64)
+        for p in pcts:
+            rows.append({group_col: r[group_col], "pct": p,
+                         "value": td_quantile(m, w, p / 100.0)})
+    out = pd.DataFrame(rows)
+    out["pct"] = out["pct"].astype("int64")
+    return out.sort_values([group_col, "pct"]).reset_index(drop=True)
+
+
+def events_type_percentiles_tdigest(ray, sf_dir: str):
+    """Per-event-type approximate quartiles (rows-only: approximate by
+    design; accuracy bounded by a test vs the exact grouped
+    rank-select)."""
+    return grouped_percentiles_tdigest(ray, f"{sf_dir}/events.parquet",
+                                       "event_type", "value")
