@@ -872,6 +872,54 @@ class TestSketches:
             if c - eps > floor:
                 assert tok in reported, (tok, c, eps, floor)
 
+    def test_cms_brackets_exact_counts(self, queries, ddb):
+        """MG/CMS sandwich: n_min <= exact <= n_est, and the CMS
+        overshoot stays within the eps*N design bound."""
+        from collections import Counter
+
+        from webcrawler_ray.pipelines.sketches import CMS_W
+        from webcrawler_ray.pipelines.textpipe import tokenize
+
+        q, _ = queries
+        got = _to_df(q["doc_top_terms_cms"](SF_DIR))
+        assert list(got.columns) == ["token", "n_min", "n_est"]
+        texts = ddb.execute(
+            "SELECT text FROM documents").fetchdf()["text"]
+        exact: Counter = Counter()
+        for t in texts:
+            exact.update(tokenize(t.lower()))
+        n = sum(exact.values())
+        # est >= true is DETERMINISTIC; the overshoot bound holds with
+        # prob 1-e^-d per key — 8x slack on eps=e/W keeps it stable
+        slack = max(1, int(8 * 2.72 * n / CMS_W))
+        for _, r in got.iterrows():
+            true = exact[r["token"]]
+            assert r["n_min"] <= true <= r["n_est"], (r["token"], true)
+            assert r["n_est"] <= true + slack, (r["token"], true)
+
+    def test_cms_merge_is_elementwise_sum(self):
+        import numpy as np
+
+        from webcrawler_ray.pipelines.sketches import (
+            CMS_D,
+            CMS_W,
+            _cms_estimate,
+            _cms_fold,
+        )
+
+        rng = np.random.default_rng(7)
+        h = rng.integers(0, 1 << 63, size=4000, dtype=np.uint64)
+        c = rng.integers(1, 50, size=4000).astype(np.float64)
+        a = np.zeros((CMS_D, CMS_W)); b = np.zeros((CMS_D, CMS_W))
+        full = np.zeros((CMS_D, CMS_W))
+        _cms_fold(h[:2000], c[:2000], a)
+        _cms_fold(h[2000:], c[2000:], b)
+        _cms_fold(h, c, full)
+        assert np.array_equal(a + b, full)
+        # point queries on the merged sketch never undercount
+        est = _cms_estimate(full, h[:100])
+        assert (est >= c[:100]).all()
+
     def test_bloom_no_false_negatives_and_low_fp(self):
         import numpy as np
 

@@ -503,6 +503,8 @@ def build_queries() -> dict:
                     ray, sf),
             "doc_top_terms_mg":
                 lambda sf: sketches.doc_top_terms_mg(ray, sf),
+            "doc_top_terms_cms":
+                lambda sf: sketches.doc_top_terms_cms(ray, sf),
             "events_distinct_users_exact":
                 lambda sf: sketches.events_distinct_users_exact(ray, sf),
             "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),

@@ -413,3 +413,94 @@ def events_type_percentiles_tdigest(ray, sf_dir: str):
     rank-select)."""
     return grouped_percentiles_tdigest(ray, f"{sf_dir}/events.parquet",
                                        "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode-Muthukrishnan 2005) — mergeable UPPER-bound
+# frequency estimates. The dual of Misra-Gries above: MG reports lower
+# bounds and decides WHICH keys matter; CMS answers "how often" for any
+# key with est >= true always (deterministic one-sided error) and
+# est <= true + eps*N with prob 1 - e^-d per query (eps = e/W). Partials
+# are one constant-size d x W counter matrix per batch; the merge is an
+# elementwise SUM over O(#blocks) rows — the same kilobytes-not-keys
+# exchange shape as the HLL path.
+
+CMS_D = 4                       # independent rows; fail prob e^-4 ~ 1.8%
+CMS_LOGW = 14
+CMS_W = 1 << CMS_LOGW           # 16384 counters/row; eps = e/W ~ 1.7e-4
+# distinct odd multipliers -> d multiply-shift hash rows over one
+# 64-bit base hash (Dietzfelbinger's universal family, same trick as
+# the MinHash permutations in functions/hashing.py)
+_CMS_A = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                   0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                  dtype=np.uint64)
+
+
+def _cms_positions(hashes: np.ndarray, row: int) -> np.ndarray:
+    return ((hashes * _CMS_A[row])
+            >> np.uint64(64 - CMS_LOGW)).astype(np.int64)
+
+
+def _cms_fold(hashes: np.ndarray, counts: np.ndarray,
+              sk: np.ndarray) -> None:
+    """Fold (hash, count) pairs into the d x W sketch in place."""
+    for i in range(CMS_D):
+        sk[i] += np.bincount(_cms_positions(hashes, i),
+                             weights=counts, minlength=CMS_W)
+
+
+def _cms_estimate(sk: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point-query estimates: min over the d rows (int64)."""
+    ests = np.stack([sk[i][_cms_positions(hashes, i)]
+                     for i in range(CMS_D)])
+    return ests.min(axis=0).astype(np.int64)
+
+
+def cms_token_sketch(ray, path: str, column: str) -> np.ndarray:
+    """Build one merged d x W Count-Min sketch over every whitespace
+    token of ``column``. Per batch: one Counter pass, one constant-size
+    float64 partial row out (exact up to 2^53 adds); driver merge sums
+    O(#blocks) partials."""
+    from collections import Counter
+
+    from .textpipe import tokenize
+
+    ds = _rpq(ray, path, columns=[column])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(column).to_pylist():
+            c.update(tokenize(t.lower()))
+        toks = list(c.keys())
+        sk = np.zeros((CMS_D, CMS_W), dtype=np.float64)
+        if toks:
+            hs = stable_hash64_batch(np.array(toks, dtype=object))
+            _cms_fold(hs, np.fromiter(c.values(), dtype=np.float64,
+                                      count=len(toks)), sk)
+        return pa.table({"sk": pa.array([sk.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sk = np.zeros((CMS_D, CMS_W), dtype=np.float64)
+    for buf in parts["sk"]:
+        sk += np.frombuffer(buf, dtype=np.float64).reshape(CMS_D, CMS_W)
+    return sk
+
+
+def doc_top_terms_cms(ray, sf_dir: str, k_out: int = 20):
+    """(token, n_min, n_est): the MG/CMS heavy-hitter sandwich — the
+    Misra-Gries pass nominates the candidate top-k tokens with LOWER
+    bounds, the Count-Min sketch answers each with an UPPER-biased
+    estimate, so true counts are bracketed n_min <= n <= n_est without
+    ever exchanging the token stream (rows-only: both sides
+    approximate; the bracket is property-tested vs exact counts)."""
+    import pandas as pd
+
+    cand = doc_top_terms_mg(ray, sf_dir, k_out=k_out)
+    sk = cms_token_sketch(ray, f"{sf_dir}/documents.parquet", "text")
+    hs = stable_hash64_batch(cand["token"].to_numpy(dtype=object))
+    out = pd.DataFrame({"token": cand["token"],
+                        "n_min": cand["n_min"].astype("int64"),
+                        "n_est": _cms_estimate(sk, hs)})
+    return (out.sort_values(["n_est", "token"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
