@@ -310,6 +310,68 @@ class TestPageRank:
                 >= df["rank"].to_numpy()[1:]).all()
 
 
+class TestSalsa:
+    def test_salsa_matches_integer_reference_exactly(self, queries):
+        """Both half-steps are integer sums with a uniform leftover
+        base, so the distributed alternating walk must equal a
+        single-process reference EXACTLY."""
+        from collections import defaultdict
+
+        import ray
+
+        from webcrawler_ray.pipelines.graph import (
+            crawl_link_edges,
+            node_mass,
+            salsa,
+        )
+        from webcrawler_ray.pipelines.registry import _crawl_workdir
+
+        c = _crawl_workdir(SF_DIR)
+        pre = crawl_link_edges(ray, c)
+        got = _df(salsa(ray, c, edges=pre).sort("url"))
+
+        edges_ds, n = pre
+        edges = _df(edges_ds)
+        indeg = edges.groupby("dst")["src"].count().to_dict()
+        hubs = sorted(set(edges["src"]))
+        auths = sorted(set(edges["dst"]))
+        mass = node_mass(n)
+        total = len(hubs) * mass
+        hub = {u: mass for u in hubs}
+        auth = {}
+        for _ in range(5):
+            # forward: hubs -> authorities
+            contribs = [(d, hub[s] // int(dg))
+                        for s, d, dg in zip(edges["src"], edges["dst"],
+                                            edges["deg"])]
+            base = (total - sum(v for _, v in contribs)) // len(auths)
+            auth = defaultdict(int, {u: base for u in auths})
+            for d, v in contribs:
+                auth[d] += v
+            # backward: authorities -> hubs
+            contribs = [(s, auth[d] // int(indeg[d]))
+                        for s, d in zip(edges["src"], edges["dst"])]
+            base = (total - sum(v for _, v in contribs)) // len(hubs)
+            hub = defaultdict(int, {u: base for u in hubs})
+            for s, v in contribs:
+                hub[s] += v
+        want = pd.DataFrame(
+            sorted((u, auth.get(u, 0), hub.get(u, 0))
+                   for u in set(hubs) | set(auths)),
+            columns=["url", "auth", "hub"])
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False)
+
+    def test_salsa_topk_shape(self, queries):
+        df = _df(queries["crawl_salsa"](SF_DIR))
+        assert list(df.columns) == ["url", "auth", "hub"]
+        assert len(df) == 20
+        assert (df["auth"].to_numpy()[:-1]
+                >= df["auth"].to_numpy()[1:]).all()
+        # mass sanity: authority scores are positive integer masses
+        assert (df["auth"].to_numpy() > 0).all()
+
+
 class TestTriangles:
     def test_known_graphs(self, ray_session):
         """K4 has 4 triangles; a path has 0; K4 + disjoint triangle = 5."""

@@ -328,6 +328,186 @@ def count_triangles(ray, canon_edges, n_edges: int | None = None):
     return pa.table({"n_triangles": pa.array([int(n_tri)], pa.int64())})
 
 
+def salsa(ray, crawler, iters: int = 5, edges=None):
+    """(url, auth, hub): integer-mass SALSA (Lempel & Moran 2000,
+    "SALSA: the stochastic approach for link-structure analysis")
+    hub/authority scores after ``iters`` alternating half-steps over
+    the crawled link graph. Each forward half-step pushes every hub's
+    mass forward split evenly over its outlinks (auth(j) = sum over
+    i->j of hub(i) / outdeg(i)); each backward half-step pulls it back
+    split over inlinks (hub(i) = sum over i->j of auth(j) / indeg(j))
+    — SALSA's stochastic row-normalization, vs HITS' unnormalized
+    adjacency products, is what keeps every per-step sum bounded by
+    the total mass, so pagerank's integer-quantization trick carries
+    over with zero overflow risk.
+
+    Determinism: masses are INTEGER (node_mass units); each edge
+    carries floor(mass / degree) and the floor residue redistributes
+    uniformly over that half-step's receiving side, recomputed against
+    the constant TOTAL each time (no drift accumulation) — the exact
+    scheme pagerank uses, so the distributed result is bit-identical
+    to a single-process reference whatever the block split.
+
+    Scale shape per iteration: two hash joins (scores onto the
+    materialized edge list, by src then by dst) + two bucketed integer
+    sums; shuffled rows are (url, int64) pairs only; the leftover base
+    is one O(1) driver scalar per half-step. Hub/authority node sets
+    and per-edge degrees are built ONCE up front (one bucketed count +
+    one join)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+        normalize_for_join,
+    )
+
+    if edges is None:
+        edges = crawl_link_edges(ray, crawler)
+    edges_ds, n_nodes = edges
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "auth": pa.array([], pa.int64()),
+                         "hub": pa.array([], pa.int64())})
+
+    # in-degree per dst (one bucketed count), then ride it on each edge
+    # row so both half-steps are a single join against the same table
+    def indeg_count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("dst", as_index=False).agg(indeg=("n", "sum"))
+
+    def indeg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("dst", as_index=False).agg(
+            indeg=("indeg", "sum"))
+
+    _IN = pa.schema([("dst", pa.string()), ("indeg", pa.int64())])
+    indeg = normalize_for_join(
+        hash_bucket_aggregate(
+            edges_ds.map_batches(
+                lambda t: pa.table({
+                    "dst": t.column("dst"),
+                    "n": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            ["dst"], indeg_count, merge=indeg_merge, n_rows=n_edges),
+        _IN).materialize()
+    nparts = join_partitions_for(min(indeg.count(), n_edges))
+    _E4 = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                     ("deg", pa.int64()), ("indeg", pa.int64())])
+    edges4 = normalize_for_join(
+        edges_ds.join(indeg, join_type="inner", on=("dst",),
+                      num_partitions=nparts),
+        _E4).materialize()
+
+    # hub side = distinct src (has outlinks); auth side = distinct dst
+    def first_url(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["url"])
+
+    _NODE = pa.schema([("url", pa.string())])
+    hubs = normalize_for_join(
+        hash_bucket_aggregate(
+            edges4.map_batches(
+                lambda t: t.select(["src"]).rename_columns(["url"]),
+                batch_format="pyarrow"),
+            ["url"], first_url, n_rows=n_edges),
+        _NODE).materialize()
+    auths = normalize_for_join(
+        hash_bucket_aggregate(
+            edges4.map_batches(
+                lambda t: t.select(["dst"]).rename_columns(["url"]),
+                batch_format="pyarrow"),
+            ["url"], first_url, n_rows=n_edges),
+        _NODE).materialize()
+    n_h, n_a = hubs.count(), auths.count()
+    mass = node_mass(n_nodes)
+    total = n_h * mass
+
+    def sum_col(ds, col):
+        out = ds.aggregate(Sum(col))
+        return int(out[f"sum({col})"] or 0)
+
+    def seed_fn(base):
+        def seed(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": t.column("url"),
+                "rank": pa.array(np.full(t.num_rows, base, np.int64))})
+        return seed
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("url", as_index=False).agg(rank=("rank", "sum"))
+
+    hub_ranks = normalize_for_join(
+        hubs.map_batches(seed_fn(mass), batch_format="pyarrow"),
+        _RANK).materialize()
+    auth_ranks = None
+
+    def half_step(scores, join_key, div_col, out_col, receivers, n_recv):
+        """Push ``scores`` across edges4 joined on ``join_key``, each
+        edge carrying floor(rank / div_col) toward ``out_col``; the
+        leftover vs ``total`` seeds every receiver uniformly."""
+        er = edges4.join(
+            scores.map_batches(
+                lambda t: t.rename_columns([join_key, "rank"]),
+                batch_format="pyarrow"),
+            join_type="inner", on=(join_key,), num_partitions=nparts)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t.column("rank").to_numpy(zero_copy_only=False)
+            d = t.column(div_col).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "url": t.column(out_col),
+                "rank": pa.array((r // np.maximum(d, 1)).astype(np.int64))})
+
+        inflow = er.map_batches(contrib, batch_format="pyarrow") \
+                   .materialize()
+        base = (total - sum_col(inflow, "rank")) // n_recv
+        return normalize_for_join(
+            hash_bucket_aggregate(
+                receivers.map_batches(seed_fn(base),
+                                      batch_format="pyarrow")
+                         .union(inflow),
+                ["url"], merge, n_rows=n_recv + n_edges),
+            _RANK).materialize()
+
+    for _ in range(iters):
+        auth_ranks = half_step(hub_ranks, "src", "deg", "dst",
+                               auths, n_a)
+        hub_ranks = half_step(auth_ranks, "dst", "indeg", "src",
+                              hubs, n_h)
+
+    # one bucketed sum folds the two score tables into (url, auth, hub)
+    # — no outer join needed (missing side contributes zeros)
+    def tag(col):
+        def fn(t: pa.Table) -> pa.Table:
+            r = t.column("rank").to_numpy(zero_copy_only=False)
+            z = np.zeros(t.num_rows, np.int64)
+            return pa.table({
+                "url": t.column("url"),
+                "auth": pa.array(r if col == "auth" else z),
+                "hub": pa.array(r if col == "hub" else z)})
+        return fn
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("url", as_index=False).agg(
+            auth=("auth", "sum"), hub=("hub", "sum"))
+
+    return hash_bucket_aggregate(
+        auth_ranks.map_batches(tag("auth"), batch_format="pyarrow")
+                  .union(hub_ranks.map_batches(tag("hub"),
+                                               batch_format="pyarrow")),
+        ["url"], fold, n_rows=n_h + n_a)
+
+
+def crawl_salsa(ray, crawler, iters: int = 5, k: int = 20):
+    """Top-k (url, auth, hub) by SALSA authority score over the crawled
+    graph — rows-only (iterative; no SQL equivalent) with an
+    EXACT-equality property test against a single-process integer
+    reference (every per-half-step sum is integer and
+    order-independent)."""
+    scores = salsa(ray, crawler, iters=iters)
+    return scores.sort(["auth", "hub", "url"],
+                       descending=[True, True, False]).limit(k)
+
+
 def crawl_triangles(ray, crawler, edges=None):
     """Single-row (n_triangles) over the crawled link graph, undirected
     and deduped; node ids are the repo's stable 64-bit url hashes (the

@@ -285,6 +285,17 @@ def crawl_pagerank(sf_dir: str):
     return graph.crawl_pagerank(c.ray, c)
 
 
+def crawl_salsa(sf_dir: str):
+    """Top-20 pages by integer-mass SALSA authority score (with hub
+    scores) over the crawled link graph (rows-only: iterative; exact-
+    equality property test vs a single-process integer reference in
+    test_crawl_queries.TestSalsa)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_salsa(c.ray, c)
+
+
 def crawl_curation(sf_dir: str):
     """The composed crawl -> training-data story: the END-TO-END
     curation core (quality gates, exact keep-first dedup, per-source
@@ -334,6 +345,7 @@ def build_queries() -> dict:
         "crawl_warc_read": crawl_warc_read,
         "crawl_round_stats": crawl_round_stats,
         "crawl_pagerank": crawl_pagerank,
+        "crawl_salsa": crawl_salsa,
         "crawl_triangles": crawl_triangles,
         "crawl_curation": crawl_curation,
         # text analysis over documents
