@@ -41,7 +41,8 @@ QUERY_NAMES = [
     "events_asof_order", "events_user_topk", "events_value_percentiles",
     "doc_token_counts", "doc_top_terms", "doc_langid",
     "docs_quality_filter", "dedup_exact", "dedup_filtered_corpus",
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash", "knn_cosine",
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
+    "dedup_edit_distance", "knn_cosine",
     "knn_ivf", "knn_lsh", "emb_label_sums", "multimodal_decode",
     "multimodal_resize", "docs_sample_bottomk", "docs_per_source_cap",
     "events_value_percentiles_tdigest", "events_semijoin_bloom",

@@ -74,6 +74,7 @@ SQL_CHECKED = [
     "events_zorder", "events_props_extract", "audio_meta",
     "events_range_sum", "users_orders_full", "docs_feature_hash",
     "events_type_iqr_outliers", "events_value_props_corr",
+    "dedup_edit_distance",
 ]
 
 
@@ -399,6 +400,65 @@ class TestWhitespaceSemantics:
         gf = [hashlib.md5(t.strip(T.WS_CHARS).lower().encode()).hexdigest()
               for t in self.TEXTS]
         assert wf == gf
+
+
+class TestEditDistanceJoin:
+    def test_planted_pairs_match_brute_force(self, ray_session, tmp_path):
+        """Adversarial corpus: pairs that straddle a length-bucket
+        boundary (only the probe copy can find them), an exact dup, a
+        just-over-threshold pair, and random chaff the q-gram count
+        filter must kill — the distributed join must equal the full
+        O(n^2) DP sweep exactly."""
+        import random
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from webcrawler_ray.functions.editdist import dp_distance
+        from webcrawler_ray.pipelines.dedup import edit_distance_pairs
+
+        rng = random.Random(13)
+        words = [f"w{i:03d}" for i in range(50)]
+
+        def doc(n_words):
+            return " ".join(rng.choice(words) for _ in range(n_words))
+
+        T = 20
+        texts = []
+        base = doc(40)                      # len ~ 199
+        texts.append(base)                  # 0
+        texts.append(base)                  # 1: exact dup (dist 0)
+        texts.append(base[:-9] + "x" * 18)  # 2: within T, len +9
+        # 3: straddles the bucket boundary vs 0 — 19 appended chars push
+        # it into the next len//T bucket, still within T edits
+        texts.append(base + "y" * 19)
+        texts.append(base + "z" * 21)       # 4: 21 > T — must NOT pair
+        for _ in range(20):                 # chaff
+            texts.append(doc(rng.randrange(30, 60)))
+
+        d = tmp_path / "ed"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+            str(d / "documents.parquet"))
+
+        got = _to_df(edit_distance_pairs(ray, str(d), threshold=T))
+        want = []
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                dist = dp_distance(texts[i], texts[j])
+                if dist <= T:
+                    want.append((i, j, dist))
+        assert (list(map(tuple, got[["doc_id_a", "doc_id_b",
+                                     "dist"]].to_numpy())) == want)
+        pairs = set(zip(got["doc_id_a"], got["doc_id_b"]))
+        assert (0, 1) in pairs and (0, 3) in pairs  # dup + straddler
+        assert (0, 4) not in pairs                  # over threshold
 
 
 class TestClusterPropagation:

@@ -555,6 +555,159 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
 
 
 # ---------------------------------------------------------------------------
+def edit_distance_pairs(ray, sf_dir: str, threshold: int = 20):
+    """(doc_id_a, doc_id_b, dist): EXACT edit-distance similarity join —
+    every document pair with unit-cost Levenshtein distance <=
+    ``threshold``, verified bit-exactly against DuckDB's ``levenshtein``
+    (this is the character-level complement of the token-level
+    MinHash/SimHash family: it catches small in-place edits that keep
+    most shingles intact but also typo-level rewrites that break them).
+
+    Three-stage shape, all filters LOSSLESS (admit-then-verify; no pair
+    within the threshold can be pruned):
+
+    1. length blocking — ed(a,b) >= |len(a)-len(b)|, so a pair can only
+       match inside a length band of width T. Each doc is shuffled to
+       coarse bucket floor(len/T) as a FULL member and to bucket-1 as a
+       PROBE; a pair is owned by min(bucket_a, bucket_b), so full×full
+       + full×probe enumerates every band pair exactly once. Shuffled
+       rows are (bucket, doc_id, text) — one row + one probe copy per
+       doc, never a cross product.
+    2. q-gram count filter (Gravano et al., "Approximate string joins
+       in a database (almost) for free", VLDB 2001): ed(a,b) <= T
+       implies the q-gram BAGS share >= max(len)-q+1-T*q grams; the
+       per-doc sorted (gram-id, count) arrays are built once per bucket
+       and each candidate's bag intersection is a vectorized
+       searchsorted — this kills ~all random pairs before any DP.
+    3. Myers bit-parallel verify (functions/editdist.py) on survivors.
+
+    At 100 TB the same shape holds: stage-1 buckets are a hash shuffle
+    keyed on len//T (bounded skew — document lengths are capped by the
+    pipeline's own max-doc-size), and within a band the count filter is
+    the standard prefix-filter family's workhorse; an inverted index on
+    rare q-grams (docs_inverted_index has the machinery) is the
+    documented next step if a single length band ever outgrows a task.
+    """
+    from ..functions.editdist import myers_distance
+    from ..stages.aggregates import normalize_for_join
+
+    q = 3
+    path = f"{sf_dir}/documents.parquet"
+    ds = _rpq(ray, path, columns=["doc_id", "text"])
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        lens = np.array([len(t) for t in texts], np.int64)
+        lb = lens // threshold
+        out_b, out_id, out_txt, out_probe = [], [], [], []
+        for i, t in enumerate(texts):
+            out_b.append(int(lb[i])); out_id.append(int(ids[i]))
+            out_txt.append(t); out_probe.append(False)
+            if lb[i] > 0:
+                out_b.append(int(lb[i]) - 1); out_id.append(int(ids[i]))
+                out_txt.append(t); out_probe.append(True)
+        return pa.table({
+            "bucket": pa.array(out_b, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_txt, pa.string()),
+            "probe": pa.array(out_probe, pa.bool_())})
+
+    # hashed q-gram count vectors: H buckets of FEATURE-HASHED gram
+    # counts per doc. The bag intersection under hashing only GROWS
+    # (min(ca1+ca2, cb1+cb2) >= min(ca1,cb1) + min(ca2,cb2)), so
+    # "hashed min-sum < need" proves the true bag intersection is below
+    # the Gravano bound — a LOSSLESS prune. min-sum vectorizes via
+    # sum_g min(ca,cb) = (Sa + Sb - L1(Ca,Cb)) / 2, computed over
+    # cache-sized candidate chunks (1000 x H float32 temporaries; a
+    # whole-band broadcast would allocate GBs and thrash).
+    H = 2048
+    from zlib import crc32
+
+    _gram_cache: dict[str, int] = {}
+
+    def hash_gram(s: str) -> int:
+        v = _gram_cache.get(s)
+        if v is None:
+            v = crc32(s.encode()) % H
+            if len(_gram_cache) < 1_000_000:   # Zipf head only
+                _gram_cache[s] = v
+        return v
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        texts = g["text"].tolist()
+        ids = g["doc_id"].to_numpy()
+        probe = g["probe"].to_numpy()
+        n = len(texts)
+        lens = np.array([len(t) for t in texts], np.int64)
+        cmat = np.zeros((n, H), np.int16)
+        one = np.int16(1)
+        for i, t in enumerate(texts):
+            if len(t) >= q:
+                gi = np.fromiter(
+                    (hash_gram(t[j:j + q]) for j in range(len(t) - q + 1)),
+                    np.int64, count=len(t) - q + 1)
+                np.add.at(cmat[i], gi, one)
+        full_idx = np.nonzero(~probe)[0]
+        probe_idx = np.nonzero(probe)[0]
+        # full×full upper triangle + full×probe — each band pair once
+        if len(full_idx) >= 2:
+            iu, iv = np.triu_indices(len(full_idx), k=1)
+            cand_a = full_idx[iu]; cand_b = full_idx[iv]
+        else:
+            cand_a = cand_b = np.array([], np.int64)
+        if len(probe_idx) and len(full_idx):
+            pa_, pb_ = np.meshgrid(full_idx, probe_idx, indexing="ij")
+            cand_a = np.concatenate([cand_a, pa_.ravel()])
+            cand_b = np.concatenate([cand_b, pb_.ravel()])
+        keep = np.abs(lens[cand_a] - lens[cand_b]) <= threshold
+        # a probe copy can meet its own full copy across the meshgrid
+        keep &= ids[cand_a] != ids[cand_b]
+        cand_a, cand_b = cand_a[keep], cand_b[keep]
+        # Gravano count bound via hashed min-sum, in cache-sized chunks
+        # (int16 diffs are exact: per-gram counts are bounded by the
+        # document length; 2x min-sum avoids the halving division)
+        sums = (lens - q + 1).astype(np.int32)
+        need = (np.maximum(lens[cand_a], lens[cand_b])
+                - q + 1 - threshold * q)
+        minsum2 = np.empty(len(cand_a), np.int32)
+        for s0 in range(0, len(cand_a), 2000):
+            a = cand_a[s0:s0 + 2000]
+            b = cand_b[s0:s0 + 2000]
+            d = cmat[a]
+            d -= cmat[b]
+            np.abs(d, out=d)
+            minsum2[s0:s0 + 2000] = (sums[a] + sums[b]
+                                     - d.sum(axis=1, dtype=np.int32))
+        keep = (need <= 0) | (minsum2 >= 2 * need)
+        cand_a, cand_b = cand_a[keep], cand_b[keep]
+        out_a, out_b, out_d = [], [], []
+        for ia, ib in zip(cand_a, cand_b):
+            d = myers_distance(texts[ia], texts[ib])
+            if d <= threshold:
+                lo, hi = sorted((int(ids[ia]), int(ids[ib])))
+                out_a.append(lo); out_b.append(hi); out_d.append(int(d))
+        return pd.DataFrame({
+            "doc_id_a": pd.Series(out_a, dtype="int64"),
+            "doc_id_b": pd.Series(out_b, dtype="int64"),
+            "dist": pd.Series(out_d, dtype="int64")})
+
+    # a small corpus reads as ONE block, which would collapse the
+    # groupby to a single map_groups task — spread the banded rows
+    # first so every length band verifies in its own task
+    n_docs = _nrows(path)
+    out = (ds.map_batches(to_buckets, batch_format="pyarrow")
+             .repartition(int(min(64, max(8, n_docs // 256))))
+             .groupby("bucket")
+             .map_groups(band_pairs, batch_format="pandas"))
+    return normalize_for_join(
+        out, pa.schema([("doc_id_a", pa.int64()),
+                        ("doc_id_b", pa.int64()),
+                        ("dist", pa.int64())])
+    ).sort(["doc_id_a", "doc_id_b"])
+
+
+# ---------------------------------------------------------------------------
 def dedup_incremental(ray, sf_dir: str, state_dir: str | None = None,
                       ingest_survivors: bool = False):
     """(doc_id, n_chars): INCREMENTAL exact dedup — the corpus-update

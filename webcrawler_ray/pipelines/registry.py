@@ -482,6 +482,8 @@ def build_queries() -> dict:
             "dedup_exact": lambda sf: dedup.exact_dedup(ray, sf),
             "dedup_filtered_corpus":
                 lambda sf: dedup.dedup_filtered_corpus(ray, sf),
+            "dedup_edit_distance":
+                lambda sf: dedup.edit_distance_pairs(ray, sf),
             "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(ray, sf),
             "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(ray, sf),
             "dedup_clusters": lambda sf: dedup.dedup_clusters(ray, sf),
@@ -755,6 +757,14 @@ FROM documents ORDER BY doc_id
     "dedup_exact": f"""
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
 FROM documents GROUP BY md5(LOWER({textpipe.SQL_TRIM_TEXT})) ORDER BY doc_id
+""",
+    "dedup_edit_distance": """
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE abs(a.n_chars - b.n_chars) <= 20
+  AND levenshtein(a.text, b.text) <= 20
+ORDER BY doc_id_a, doc_id_b
 """,
     "dedup_embedding_cosine": """
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
