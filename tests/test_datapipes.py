@@ -321,6 +321,49 @@ class TestRowsOnly:
         dsums = meta.set_index("doc_id")["px_sum"]
         assert (fsums == dsums.loc[fsums.index]).all()
 
+    def test_dhash_kernel(self):
+        import numpy as np
+
+        from webcrawler_ray.pipelines.multimodal import dhash64
+
+        # strictly increasing columns -> every gradient bit set
+        inc = np.tile(np.arange(24, dtype=np.uint8) * 10, (24, 1))
+        assert dhash64(inc) == (1 << 64) - 1
+        # strictly decreasing -> no bits; flat -> no bits (strict <)
+        assert dhash64(inc[:, ::-1]) == 0
+        assert dhash64(np.full((24, 24), 7, np.uint8)) == 0
+        # dHash is invariant to a global brightness shift
+        assert dhash64(inc) == dhash64((inc.astype(np.int16) + 50)
+                                       .clip(0, 255).astype(np.uint8))
+
+    def test_multimodal_phash_matches_bruteforce(self, queries):
+        import numpy as np
+
+        from webcrawler_ray.pipelines.multimodal import (
+            DecodeStage,
+            dhash64,
+            make_near_dup_image,
+        )
+
+        q, _ = queries
+        got = _to_df(q["multimodal_phash"](SF_DIR))
+        ids = sorted(_to_df(q["multimodal_decode"](SF_DIR))["doc_id"])
+        hs = np.array([dhash64(DecodeStage.decode_pixels(
+            make_near_dup_image(d))[0]) for d in ids], dtype=np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = hs[ia] ^ hs[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        m = ham <= 3
+        idarr = np.asarray(ids)
+        want = set(zip(idarr[ia][m].tolist(), idarr[ib][m].tolist()))
+        assert set(zip(got["doc_a"], got["doc_b"])) == want
+        # the planted structure is actually exercised: every group of 4
+        # consecutive doc_ids should be near-complete, and pairs exist
+        assert len(want) > 0
+
     def test_ngram_jaccard_pct_bounds(self, queries):
         q, _ = queries
         df = _to_df(q["dedup_ngram_jaccard"](SF_DIR))

@@ -466,44 +466,43 @@ def propagate_min_labels(ray, edges, max_iters: int = 50):
     return labels.sort("doc_id")
 
 
-def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
-    """Near-dup pairs by simhash hamming distance <= k, candidates via the
-    4-segment pigeonhole blocking (any pair within distance 3 shares at
-    least one exact 16-bit segment)."""
+def hamming_pairs_int64(hashes_ds, n_rows: int, max_hamming: int = 3,
+                        hash_col: str = "h"):
+    """Generic 64-bit hamming-distance similarity join: (doc_id, <hash_col>)
+    -> distinct (doc_a, doc_b) pairs with popcount(h_a XOR h_b) <=
+    ``max_hamming``, candidates via 4-segment pigeonhole blocking (any
+    pair within distance 3 shares at least one exact 16-bit segment —
+    LOSSLESS for max_hamming <= 3).
+
+    ``hash_col`` must be the centered-int64 encoding of a uint64 hash
+    (``(h ^ (1 << 63)).view(int64)``): the re-cast back to uint64 flips
+    bit 63 of every value consistently, so XOR/hamming is unaffected.
+    Shared engine for text simhash and image perceptual-hash dedup; the
+    shuffle moves only (doc_id, segment, hash) triples, never payloads."""
     from ..stages.aggregates import buckets_for
 
-    n_docs = _nrows(f"{sf_dir}/documents.parquet")
-    n_cbuckets = buckets_for(4 * n_docs)  # 4 segment rows per doc
-    ds = _rpq(ray, f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    n_cbuckets = buckets_for(4 * n_rows)  # 4 segment rows per input row
 
     def to_segments(batch: pa.Table) -> pa.Table:
-        from ..functions.hashing import simhash64_batch
-
         doc_ids = np.asarray(batch.column("doc_id").to_pylist(),
                              dtype=np.int64)
-        texts = batch.column("text").to_pylist()
-        codes, lengths, uh = _TOKEN_CACHE.encode_token_lists(
-            [t.split() for t in texts])
-        sh = simhash64_batch(codes, lengths, uh)
+        sh = (batch.column(hash_col).to_numpy(zero_copy_only=False)
+              .astype(np.int64).astype(np.uint64))
         n = len(doc_ids)
         segs = np.arange(4, dtype=np.int64)
         d_out = np.repeat(doc_ids, 4)
         s_out = np.tile(segs, n)
         v_out = ((sh[:, None] >> (np.uint64(16) * segs.astype(np.uint64)))
                  & np.uint64(0xFFFF)).astype(np.int64).ravel()
-        # centered int64 encoding keeps ALL 64 bits (the old
-        # `% (1 << 63)` zeroed bit 63, so hamming ignored it); the
-        # uint64 re-cast downstream flips bit 63 of every value
-        # consistently — XOR/hamming is unaffected
-        h_out = np.repeat((sh ^ np.uint64(1 << 63)).astype(np.int64), 4)
+        h_out = np.repeat(sh.astype(np.int64), 4)
         return pa.table({"doc_id": pa.array(d_out, pa.int64()),
                          "seg_id": pa.array(s_out.astype(np.int32),
                                             pa.int32()),
                          "seg_val": pa.array(v_out, pa.int64()),
                          "simhash": pa.array(h_out, pa.int64())})
 
-    segs = ds.map_batches(to_segments, batch_format="pyarrow", batch_size=512)
+    segs = hashes_ds.map_batches(to_segments, batch_format="pyarrow",
+                                 batch_size=512)
 
     def add_cbucket(batch: pa.Table) -> pa.Table:
         sv = batch.column("seg_val").to_numpy(zero_copy_only=False)
@@ -550,8 +549,35 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
         lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
         # shuffled rows are pairs, <= 4 segment co-memberships each, so
         # bound by the segment row count (4/doc), not the doc count
-        n_rows=4 * n_docs
+        n_rows=4 * n_rows
     ).sort(["doc_a", "doc_b"])
+
+
+def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
+    """Near-dup pairs by simhash hamming distance <= k, candidates via the
+    4-segment pigeonhole blocking in ``hamming_pairs_int64``."""
+    n_docs = _nrows(f"{sf_dir}/documents.parquet")
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import simhash64_batch
+
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(),
+                             dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        codes, lengths, uh = _TOKEN_CACHE.encode_token_lists(
+            [t.split() for t in texts])
+        sh = simhash64_batch(codes, lengths, uh)
+        # centered int64 encoding keeps ALL 64 bits (the old
+        # `% (1 << 63)` zeroed bit 63, so hamming ignored it)
+        h_out = (sh ^ np.uint64(1 << 63)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "h": pa.array(h_out, pa.int64())})
+
+    hashes = ds.map_batches(to_hashes, batch_format="pyarrow",
+                            batch_size=512)
+    return hamming_pairs_int64(hashes, n_docs, max_hamming)
 
 
 # ---------------------------------------------------------------------------

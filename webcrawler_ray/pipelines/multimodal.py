@@ -381,3 +381,91 @@ SELECT doc_id,
             AS BIGINT) AS n_bytes
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup detection (dHash; public design:
+# difference hash as popularized by Krawetz's "Kind of Like That" /
+# pHash family). Bridges the multimodal and dedup families: decode is
+# an actor-pool stage over the binary column, pairing reuses the same
+# 4-segment pigeonhole hamming join as text simhash — at 100 TB the
+# shuffle moves only (doc_id, 64-bit hash) rows, never pixels.
+
+PHASH_GRID_H = 8       # dHash grid: 8 rows x 9 cols -> 8x8 = 64 gradient bits
+PHASH_BASE_SIDE = 24   # synthesized near-dup test images are 24x24
+PHASH_GROUP_SIZE = 4   # doc_ids [4g, 4g+3] share a base image
+
+
+def make_near_dup_image(doc_id: int) -> bytes:
+    """Deterministic image payload with PLANTED near-dup structure:
+    every PHASH_GROUP_SIZE consecutive doc_ids share a base raster
+    (seeded by the group id); members r>0 get r*3 single-pixel
+    perturbations (seeded by doc_id), so intra-group dHash distances are
+    small and cross-group distances are ~32 bits."""
+    g, r = divmod(doc_id, PHASH_GROUP_SIZE)
+    rng = np.random.Generator(np.random.PCG64(0xB0057ED + g))
+    side = PHASH_BASE_SIDE
+    px = rng.integers(0, 256, size=(side, side), dtype=np.uint8)
+    if r:
+        prng = np.random.Generator(np.random.PCG64(doc_id))
+        idx = prng.integers(0, side * side, size=3 * r)
+        flat = px.reshape(-1).astype(np.int16)
+        flat[idx] = np.clip(flat[idx] + 16, 0, 255)
+        px = flat.astype(np.uint8).reshape(side, side)
+    return struct.pack(HEADER_FMT, MAGIC, side, side, 1) + px.tobytes()
+
+
+def synthesize_near_dup_images(ray, sf_dir: str):
+    """documents -> (doc_id, media: binary) with planted near-dup groups."""
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "media": pa.array(
+                             [make_near_dup_image(d) for d in ids],
+                             pa.binary())})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=512)
+
+
+def dhash64(px: np.ndarray) -> int:
+    """64-bit dHash of a 2-D grayscale raster: nearest-neighbor resample
+    to an 8x9 grid, bit = left-pixel < right-pixel per adjacent column
+    pair (row-major, MSB first). Returns a Python int in [0, 2^64)."""
+    h, w = px.shape
+    ri = (np.arange(PHASH_GRID_H) * h) // PHASH_GRID_H
+    ci = (np.arange(PHASH_GRID_H + 1) * w) // (PHASH_GRID_H + 1)
+    g = px[np.ix_(ri, ci)].astype(np.int16)
+    bits = (g[:, :-1] < g[:, 1:]).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+class PhashStage:
+    """Actor-pool perceptual-hash stage: decode the raster, dHash frame
+    0, emit (doc_id, h) with the binary column projected away. ``h`` is
+    the centered-int64 encoding hamming_pairs_int64 expects."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = np.empty(batch.num_rows, dtype=np.uint64)
+        for i, blob in enumerate(batch.column("media").to_pylist()):
+            px = DecodeStage.decode_pixels(blob)[0]
+            hs[i] = dhash64(px)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "h": pa.array((hs ^ np.uint64(1 << 63)).astype(np.int64),
+                          pa.int64())})
+
+
+def phash_pairs(ray, sf_dir: str, max_hamming: int = 3,
+                concurrency: int = 2):
+    """(doc_a, doc_b): image pairs whose dHash perceptual hashes differ
+    by <= max_hamming bits, over the planted near-dup corpus."""
+    from .dedup import hamming_pairs_int64
+    from ..io_utils import parquet_num_rows as _nrows
+
+    n_docs = _nrows(f"{sf_dir}/documents.parquet")
+    ds = synthesize_near_dup_images(ray, sf_dir)
+    hashes = ds.map_batches(PhashStage, batch_format="pyarrow",
+                            batch_size=256, concurrency=concurrency)
+    return hamming_pairs_int64(hashes, n_docs, max_hamming)

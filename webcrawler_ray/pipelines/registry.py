@@ -531,6 +531,8 @@ def build_queries() -> dict:
             "multimodal_resize": lambda sf: multimodal.resize_stats(ray, sf),
             "multimodal_channel_hist":
                 lambda sf: multimodal.channel_hist(ray, sf),
+            "multimodal_phash":
+                lambda sf: multimodal.phash_pairs(ray, sf),
         })
     except ImportError:
         pass
