@@ -74,7 +74,7 @@ SQL_CHECKED = [
     "events_zorder", "events_props_extract", "audio_meta",
     "events_range_sum", "users_orders_full", "docs_feature_hash",
     "events_type_iqr_outliers", "events_value_props_corr",
-    "dedup_edit_distance",
+    "dedup_edit_distance", "docs_bm25_topk",
 ]
 
 

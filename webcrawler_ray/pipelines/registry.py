@@ -371,6 +371,7 @@ def build_queries() -> dict:
         "docs_length_histogram":
             lambda sf: textpipe.docs_length_histogram(ray, sf),
         "doc_tfidf_top": lambda sf: textpipe.doc_tfidf_top(ray, sf),
+        "docs_bm25_topk": lambda sf: textpipe.docs_bm25_topk(ray, sf),
         "docs_pii_scrub": lambda sf: textpipe.docs_pii_scrub(ray, sf),
         "docs_repetition": lambda sf: textpipe.docs_repetition(ray, sf),
         "docs_inverted_index":
@@ -821,6 +822,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_contamination": textpipe.DOCS_CONTAMINATION_SQL,
     "docs_length_histogram": textpipe.DOCS_LENGTH_HISTOGRAM_SQL,
     "doc_tfidf_top": textpipe.DOC_TFIDF_SQL,
+    "docs_bm25_topk": textpipe.DOCS_BM25_SQL,
     "docs_pack_sequences": textpipe.DOCS_PACK_SQL,
     "docs_pii_scrub": textpipe.DOCS_PII_SCRUB_SQL,
     "docs_repetition": textpipe.DOCS_REPETITION_SQL,

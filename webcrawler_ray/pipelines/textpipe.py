@@ -1709,3 +1709,115 @@ SELECT doc_id,
 FROM t WHERE token != ''
 GROUP BY doc_id, bucket ORDER BY doc_id, bucket
 """
+
+
+# --- BM25 scored retrieval ---------------------------------------------------
+# (public design: Robertson-Spärck Jones probabilistic relevance /
+# Okapi BM25, k1=1.2 b=0.75 — here in a LOG-FREE integer-exact form so
+# the DuckDB oracle matches bit-for-bit: idf_t = (N*1000)//df_t replaces
+# ln((N-df+.5)/(df+.5)) the same way doc_tfidf_top replaces ln(N/df),
+# and the k1/b length normalization is cleared of fractions by
+# multiplying numerator and denominator through by 10*4*avgdl = 40*T/N:
+#   term score = idf_t * (22*tf*T) // ((10*tf + 3)*T + 9*dl*N)
+# which is floor(idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))) up to
+# the shared scaling. All BIGINT; sums are order-independent.)
+
+BM25_QUERY_TERMS = ("filter", "hash", "join", "stream", "vector", "column")
+BM25_TOPK = 20
+
+
+def docs_bm25_topk(ray, sf_dir: str, terms=BM25_QUERY_TERMS,
+                   k: int = BM25_TOPK):
+    """(doc_id, score): top-k documents by integer-exact BM25 against a
+    fixed query-term set. Scale shape: pass 1 reduces the corpus to a
+    CONSTANT-size statistics table (per-term df, total token count) via
+    per-batch partials — no vocabulary shuffle; pass 2 scores each doc
+    batch-locally with the broadcast constants and only the global
+    top-k sort moves rows."""
+    from ..io_utils import parquet_num_rows
+
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    term_set = set(terms)
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        df_c: dict[str, int] = {t: 0 for t in term_set}
+        total = 0
+        for txt in batch.column("text").to_pylist():
+            toks = tokenize(txt)
+            total += len(toks)
+            seen = term_set.intersection(toks)
+            for t in seen:
+                df_c[t] += 1
+        keys = sorted(df_c) + ["\x00total"]
+        vals = [df_c[t] for t in sorted(df_c)] + [total]
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "cnt": pa.array(vals, pa.int64())})
+
+    # O(blocks * |terms|) rows -> driver fold of a constant-size table
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("key")["cnt"].sum()
+    big_t = int(agg["\x00total"])
+    df_map = {t: int(agg.get(t, 0)) for t in term_set}
+    idf = {t: (n_docs * 1000) // df_map[t] for t in term_set
+           if df_map[t] > 0}
+
+    def score(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_sc = [], []
+        for i, txt in zip(ids, batch.column("text").to_pylist()):
+            toks = tokenize(txt)
+            dl = len(toks)
+            c = Counter(toks)
+            s = 0
+            hit = False
+            for t, w in idf.items():
+                tf = c.get(t, 0)
+                if tf:
+                    hit = True
+                    s += w * (22 * tf * big_t) // (
+                        (10 * tf + 3) * big_t + 9 * dl * n_docs)
+            if hit:
+                out_id.append(i)
+                out_sc.append(s)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_sc, pa.int64())})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+              .sort(["score", "doc_id"], descending=[True, False])
+              .limit(k))
+
+
+def _bm25_sql(terms=BM25_QUERY_TERMS, k: int = BM25_TOPK) -> str:
+    vals = ", ".join(f"('{t}')" for t in sorted(terms))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+')) AS token
+  FROM documents),
+tok2 AS (SELECT doc_id, token FROM toks WHERE token != ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+tt AS (SELECT COUNT(*) AS total FROM tok2),
+q(term) AS (VALUES {vals}),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf
+       FROM tok2 JOIN q ON token = q.term GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(((n.n_docs * 1000) // df.df) * (22 * tf.tf * tt.total)
+             // ((10 * tf.tf + 3) * tt.total + 9 * dl.dl * n.n_docs))
+           AS score
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN tt
+  GROUP BY tf.doc_id)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+DOCS_BM25_SQL = _bm25_sql()
