@@ -74,7 +74,7 @@ SQL_CHECKED = [
     "events_zorder", "events_props_extract", "audio_meta",
     "events_range_sum", "users_orders_full", "docs_feature_hash",
     "events_type_iqr_outliers", "events_value_props_corr",
-    "dedup_edit_distance", "docs_bm25_topk",
+    "dedup_edit_distance", "docs_bm25_topk", "events_type_transitions",
 ]
 
 
@@ -1231,3 +1231,45 @@ def test_grouped_tdigest_accuracy_vs_exact(ray_session):
         # tighter in practice; this guards regressions, not theory
         assert abs(r["value"] - want) <= 0.15 * spread[r["event_type"]], (
             r["event_type"], r["pct"], r["value"], want)
+
+
+class TestEmbPca:
+    def test_projection_matches_local_recomputation(self, queries):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from webcrawler_ray.pipelines.similarity import (
+            GRAM_SCALE,
+            _pca_components,
+        )
+
+        q, _ = queries
+        got = _to_df(q["emb_pca"](SF_DIR)).sort_values("vec_id")
+
+        t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        X = (t.column("embedding").combine_chunks().flatten()
+             .to_numpy(zero_copy_only=False).astype(np.float64)
+             .reshape(len(ids), -1))
+        d = X.shape[1]
+        iu, ju = np.triu_indices(d)
+        G = np.floor((X[:, iu] * X[:, ju]) * GRAM_SCALE).astype(
+            np.int64).sum(axis=0)
+        S = np.floor(X * GRAM_SCALE).astype(np.int64).sum(axis=0)
+        moments = pd.DataFrame({
+            "i": np.r_[iu, np.arange(d), [-2]],
+            "j": np.r_[ju, np.full(d, -1), [-2]],
+            "g": np.r_[G, S, [len(ids)]]})
+        mean, comp, eigvals = _pca_components(moments, 2)
+        want = (X - mean) @ comp.T
+        order = np.argsort(ids)
+        assert np.allclose(got["pc1"].to_numpy(), want[order, 0],
+                           rtol=0, atol=1e-9)
+        assert np.allclose(got["pc2"].to_numpy(), want[order, 1],
+                           rtol=0, atol=1e-9)
+        # PCA invariants: centered projections, descending variance
+        assert abs(got["pc1"].mean()) < 1e-6
+        assert got["pc1"].var() >= got["pc2"].var()
+        assert eigvals[0] >= eigvals[1] > 0

@@ -416,8 +416,16 @@ def make_near_dup_image(doc_id: int) -> bytes:
 
 
 def synthesize_near_dup_images(ray, sf_dir: str):
-    """documents -> (doc_id, media: binary) with planted near-dup groups."""
-    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    """documents -> (doc_id, media: binary) with planted near-dup groups.
+
+    The doc_id-only read collapses to one tiny block; re-split it so the
+    (heavier) downstream decode parallelizes instead of serializing on a
+    single task."""
+    from ..io_utils import parquet_num_rows
+
+    n = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"],
+              override_num_blocks=max(1, min(64, n // 256)))
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -441,24 +449,23 @@ def dhash64(px: np.ndarray) -> int:
     return int.from_bytes(np.packbits(bits).tobytes(), "big")
 
 
-class PhashStage:
-    """Actor-pool perceptual-hash stage: decode the raster, dHash frame
+def phash_batch(batch: pa.Table) -> pa.Table:
+    """Stateless perceptual-hash kernel: decode the raster, dHash frame
     0, emit (doc_id, h) with the binary column projected away. ``h`` is
-    the centered-int64 encoding hamming_pairs_int64 expects."""
+    the centered-int64 encoding hamming_pairs_int64 expects. A plain
+    task stage (no model/codec state to amortize -> no actor pool to
+    spin up)."""
+    hs = np.empty(batch.num_rows, dtype=np.uint64)
+    for i, blob in enumerate(batch.column("media").to_pylist()):
+        px = DecodeStage.decode_pixels(blob)[0]
+        hs[i] = dhash64(px)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "h": pa.array((hs ^ np.uint64(1 << 63)).astype(np.int64),
+                      pa.int64())})
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = np.empty(batch.num_rows, dtype=np.uint64)
-        for i, blob in enumerate(batch.column("media").to_pylist()):
-            px = DecodeStage.decode_pixels(blob)[0]
-            hs[i] = dhash64(px)
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "h": pa.array((hs ^ np.uint64(1 << 63)).astype(np.int64),
-                          pa.int64())})
 
-
-def phash_pairs(ray, sf_dir: str, max_hamming: int = 3,
-                concurrency: int = 2):
+def phash_pairs(ray, sf_dir: str, max_hamming: int = 3):
     """(doc_a, doc_b): image pairs whose dHash perceptual hashes differ
     by <= max_hamming bits, over the planted near-dup corpus."""
     from .dedup import hamming_pairs_int64
@@ -466,6 +473,6 @@ def phash_pairs(ray, sf_dir: str, max_hamming: int = 3,
 
     n_docs = _nrows(f"{sf_dir}/documents.parquet")
     ds = synthesize_near_dup_images(ray, sf_dir)
-    hashes = ds.map_batches(PhashStage, batch_format="pyarrow",
-                            batch_size=256, concurrency=concurrency)
+    hashes = ds.map_batches(phash_batch, batch_format="pyarrow",
+                            batch_size=256)
     return hamming_pairs_int64(hashes, n_docs, max_hamming)

@@ -419,6 +419,8 @@ def build_queries() -> dict:
         "events_sessionize": lambda sf: relational.sessionize(ray, sf),
         "events_user_value_delta":
             lambda sf: relational.events_user_value_delta(ray, sf),
+        "events_type_transitions":
+            lambda sf: relational.events_type_transitions(ray, sf),
         "events_moving_sum":
             lambda sf: relational.events_moving_sum(ray, sf),
         "events_attribution_window":
@@ -502,6 +504,7 @@ def build_queries() -> dict:
             "knn_pq": lambda sf: similarity.knn_pq(ray, sf),
             "emb_label_sums": lambda sf: similarity.emb_label_sums(ray, sf),
             "emb_kmeans": lambda sf: similarity.emb_kmeans(ray, sf),
+            "emb_pca": lambda sf: similarity.emb_pca(ray, sf),
             "emb_gram_matrix":
                 lambda sf: similarity.emb_gram_matrix(ray, sf),
             "events_distinct_users_hll":
@@ -790,6 +793,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_asof_order": relational.EVENTS_ASOF_SQL,
     "events_running_index": relational.EVENTS_RUNNING_INDEX_SQL,
     "events_user_value_delta": relational.EVENTS_USER_DELTA_SQL,
+    "events_type_transitions": relational.EVENTS_TYPE_TRANSITIONS_SQL,
     "events_moving_sum": relational.EVENTS_MOVING_SUM_SQL,
     "events_attribution_window": relational.EVENTS_ATTRIB_SQL,
     "events_profile": profile.EVENTS_PROFILE_SQL,

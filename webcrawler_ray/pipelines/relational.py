@@ -1247,6 +1247,64 @@ WHERE delta IS NOT NULL ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+def events_type_transitions(ray, sf_dir: str):
+    """(type_from, type_to, n): Markov transition counts over each
+    user's time-ordered event-type sequence — the sequence-mining bigram
+    table behind next-event models and funnel diagnostics. Same
+    coarse-user-bucket shape as events_user_value_delta (one shuffle
+    keyed by user, vectorized sort + shift per bucket), but the bucket
+    PRE-AGGREGATES to its own (from, to) counts, so the final exchange
+    moves <= |types|^2 rows per bucket regardless of event volume."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u, N_BUCKETS)
+        return t.append_column("ubucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        pairs = pd.DataFrame({"type_from": et[:-1][same[1:]]
+                              if len(et) else et,
+                              "type_to": et[1:][same[1:]]
+                              if len(et) else et})
+        out = (pairs.groupby(["type_from", "type_to"], as_index=False)
+                    .size().rename(columns={"size": "n"}))
+        return pd.DataFrame({"type_from": out["type_from"],
+                             "type_to": out["type_to"],
+                             "n": out["n"].astype("int64")})
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+               .groupby("ubucket").map_groups(per_bucket,
+                                              batch_format="pandas"))
+    return (parts.groupby(["type_from", "type_to"])
+                 .aggregate(Sum("n", alias_name="n"))
+                 .sort(["type_from", "type_to"]))
+
+
+EVENTS_TYPE_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type AS type_from, event_type AS type_to,
+       COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY type_from, type_to
+"""
+
+
+# ---------------------------------------------------------------------------
 def lineitem_q6(ray, sf_dir: str):
     """(n_rows, revenue_e4): TPC-H Q6-shaped filtered single-row
     aggregate — the predicate-pushdown showcase: the scan reads ONLY the

@@ -946,3 +946,96 @@ def knn_pq(ray, sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
     return (local.groupby("query_id").map_groups(final_topk,
                                                  batch_format="pandas")
                  .sort(["query_id", "rnk"]))
+
+
+# ---------------------------------------------------------------------------
+def pca_moments(ray, sf_dir: str):
+    """One streaming pass reducing the embedding table to the EXACT
+    integer moment set PCA needs: the d(d+1)/2 second-moment triangle
+    (GRAM_SCALE-quantized, emb_gram_matrix's rule), the d first-moment
+    sums (same scale, key (i, -1)) and the row count (key (-2, -2)).
+    Constant-size partials per batch, one merge bucket — 100 TB of
+    vectors stream through, only tiny triangles shuffle."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        if n == 0 or len(flat) == 0:
+            return pd.DataFrame({"i": pd.Series([], dtype="int64"),
+                                 "j": pd.Series([], dtype="int64"),
+                                 "g": pd.Series([], dtype="int64")})
+        d = len(flat) // n
+        X = flat.astype(np.float64).reshape(n, d)
+        iu, ju = np.triu_indices(d)
+        G = np.zeros(len(iu), dtype=np.int64)
+        S = np.zeros(d, dtype=np.int64)
+        for s in range(0, n, 256):
+            c = X[s:s + 256]
+            G += np.floor((c[:, iu] * c[:, ju]) * GRAM_SCALE).astype(
+                np.int64).sum(axis=0, dtype=np.int64)
+            S += np.floor(c * GRAM_SCALE).astype(np.int64).sum(
+                axis=0, dtype=np.int64)
+        return pd.DataFrame({
+            "i": pd.Series(np.r_[iu, np.arange(d), [-2]], dtype="int64"),
+            "j": pd.Series(np.r_[ju, np.full(d, -1), [-2]], dtype="int64"),
+            "g": pd.Series(np.r_[G, S, [n]], dtype="int64")})
+
+    return hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"],
+        lambda df: df.groupby(["i", "j"], as_index=False).agg(
+            g=("g", "sum")),
+        num_buckets=1)
+
+
+def _pca_components(moments: pd.DataFrame, n_components: int):
+    """(mean, top components) from the exact integer moment table: build
+    the covariance, eigendecompose the tiny d x d matrix on the driver,
+    orient each eigenvector deterministically (largest-|coord| positive)."""
+    n = int(moments.loc[(moments["i"] == -2) & (moments["j"] == -2),
+                        "g"].iloc[0])
+    sums = moments[moments["j"] == -1].sort_values("i")
+    mean = sums["g"].to_numpy(dtype=np.float64) / (GRAM_SCALE * n)
+    d = len(mean)
+    tri = moments[moments["j"] >= 0]
+    C = np.zeros((d, d))
+    C[tri["i"].to_numpy(), tri["j"].to_numpy()] = (
+        tri["g"].to_numpy(dtype=np.float64) / (GRAM_SCALE * n))
+    C = np.triu(C) + np.triu(C, 1).T
+    C -= np.outer(mean, mean)
+    w, v = np.linalg.eigh(C)
+    comp = v[:, ::-1][:, :n_components].T  # rows = components, desc eigval
+    sign = np.sign(comp[np.arange(len(comp)),
+                        np.abs(comp).argmax(axis=1)])
+    sign[sign == 0] = 1.0
+    return mean, comp * sign[:, None], w[::-1][:n_components]
+
+
+def emb_pca(ray, sf_dir: str, n_components: int = 2):
+    """(vec_id, pc1, pc2): every embedding projected onto the corpus's
+    top principal components. Pass 1 = pca_moments (exact mergeable
+    integer moments, so the covariance — and hence the components — is
+    identical whatever the block order); the d x d eigh runs on the
+    driver; pass 2 projects batch-locally against the broadcast
+    components. No stage ever materializes the vector table."""
+    moments = pca_moments(ray, sf_dir).to_pandas()  # d(d+1)/2 + d + 1 rows
+    mean, comp, _ = _pca_components(moments, n_components)
+    mean_c, comp_c = mean, comp  # tiny: closure capture == broadcast
+
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        P = (m.astype(np.float64) - mean_c) @ comp_c.T
+        cols = {"vec_id": pa.array(ids, pa.int64())}
+        for k in range(comp_c.shape[0]):
+            cols[f"pc{k + 1}"] = pa.array(P[:, k], pa.float64())
+        return pa.table(cols)
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+              .sort("vec_id"))
