@@ -1273,3 +1273,29 @@ class TestEmbPca:
         assert abs(got["pc1"].mean()) < 1e-6
         assert got["pc1"].var() >= got["pc2"].var()
         assert eigvals[0] >= eigvals[1] > 0
+
+
+class TestLmScoreZeroTokenDocs:
+    def test_empty_doc_scores_zero_via_sentinel(self, ray_session, tmp_path):
+        # a doc whose text tokenizes to nothing must still appear with
+        # commonness 0 (sentinel-token path — no anti-join needed)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from webcrawler_ray.pipelines.textpipe import docs_lm_score
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha beta alpha", "   ", "beta"], pa.string()),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([16, 3, 4], pa.int64())})
+        d = tmp_path / "mini"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        got = _to_df(docs_lm_score(ray, str(d))).set_index("doc_id")
+        # corpus counts: alpha=2, beta=2 -> doc1 = 2*2 + 1*2 = 6, doc3 = 2
+        assert got.loc[1, "commonness"] == 6
+        assert got.loc[2, "commonness"] == 0
+        assert got.loc[3, "commonness"] == 2

@@ -1316,16 +1316,28 @@ def docs_lm_score(ray, sf_dir: str):
     tok_bound = parquet_column_bytes(
         f"{sf_dir}/documents.parquet", "text") // 2
     n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
-    ds = _docs(ray, sf_dir, ["doc_id", "text"]).materialize()
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
 
     def tf_explode(batch: pa.Table) -> pa.Table:
         ids_out, toks, tfs = [], [], []
         for i, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
-            for tok, c in Counter(tokenize(t)).items():
+            c = Counter(tokenize(t))
+            if not c:
+                # a doc whose text tokenizes to NOTHING rides the same
+                # join as everyone else under the sentinel token "" —
+                # the empty string can never be a real token (tokenize
+                # only emits non-empty splits), its vocab count is 0,
+                # and tf*n = 0 gives the doc its score-0 row with no
+                # separate anti-join + union-back pass
+                ids_out.append(i)
+                toks.append("")
+                tfs.append(0)
+                continue
+            for tok, cnt in c.items():
                 ids_out.append(i)
                 toks.append(tok)
-                tfs.append(c)
+                tfs.append(cnt)
         return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
                          "token": pa.array(toks, pa.string()),
                          "tf": pa.array(tfs, pa.int64())})
@@ -1358,24 +1370,7 @@ def docs_lm_score(ray, sf_dir: str):
         ["doc_id"],
         lambda df: df.groupby("doc_id", as_index=False).sum(),
         n_rows=n_docs)
-
-    # docs whose text tokenizes to NOTHING never enter tf: anti-join the
-    # id column against the scored ids and union them back with score 0.
-    # join_partitions_for's contract: size from the SMALLER side's REAL
-    # count (scored_ids can be far below n_docs on a degenerate corpus,
-    # and an empty hash partition on either side crashes ray 2.49)
-    ids = ds.map_batches(lambda t: t.select(["doc_id"]),
-                         batch_format="pyarrow")
-    scored_ids = scores.map_batches(lambda t: t.select(["doc_id"]),
-                                    batch_format="pyarrow").materialize()
-    missing = ids.join(scored_ids, join_type="left_anti", on=("doc_id",),
-                       num_partitions=join_partitions_for(
-                           max(1, min(n_docs, scored_ids.count()))))
-    missing = missing.map_batches(
-        lambda t: t.append_column("commonness",
-                                  pa.array([0] * t.num_rows, pa.int64())),
-        batch_format="pyarrow")
-    return scores.union(missing).sort("doc_id")
+    return scores.sort("doc_id")
 
 
 DOCS_LM_SCORE_SQL = f"""
