@@ -59,7 +59,8 @@ QUERY_NAMES = [
     "events_zorder", "events_props_extract", "events_range_sum",
     "users_orders_full", "audio_meta", "docs_feature_hash",
     "events_type_iqr_outliers", "events_value_props_corr",
-    "multimodal_phash", "docs_bm25_topk",
+    "multimodal_phash", "docs_bm25_topk", "events_type_transitions",
+    "emb_pca", "docs_vocab_encode",
 ]
 
 

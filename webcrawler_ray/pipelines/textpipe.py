@@ -1816,3 +1816,115 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 
 
 DOCS_BM25_SQL = _bm25_sql()
+
+
+# --- vocabulary build + corpus id-encoding ------------------------------------
+def docs_vocab_encode(ray, sf_dir: str):
+    """(doc_id, pos, token_id): the corpus re-encoded as dense integer
+    token ids — the vocabulary-build + tokenize-to-ids step every LM
+    training pipeline runs before batching. token_id is the token's
+    1-based rank by (corpus count DESC, token ASC), so ids are stable,
+    frequency-ordered, and exactly reproducible in SQL.
+
+    Scale shape (no driver-held vocabulary anywhere):
+      1. explode token instances once (one map pass),
+      2. vocab counts via the bucketed wordcount combiner,
+      3. dense ranks from ONE sort of the (distinct-token) vocab table +
+         an O(blocks) block-offset prefix scan (the events_zorder
+         pattern — summaries on the driver, never rows),
+      4. ONE distributed join instances x vocab on the token key,
+      5. final (doc_id, pos) order restored by the output sort."""
+    from ..io_utils import parquet_column_bytes, parquet_num_rows
+    from ..stages.aggregates import hash_bucket_aggregate, join_partitions_for
+
+    tok_bound = parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 2
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, poss, toks = [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            tk = tokenize(t)
+            ids_out.extend([i] * len(tk))
+            poss.extend(range(1, len(tk) + 1))
+            toks.extend(tk)
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "pos": pa.array(poss, pa.int64()),
+                         "token": pa.array(toks, pa.string())})
+
+    inst = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    counts = hash_bucket_aggregate(
+        inst.map_batches(
+            lambda t: pa.table({"token": t.column("token"),
+                                "n": pa.array(np.ones(t.num_rows,
+                                                      dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["token"],
+        lambda df: df.groupby("token", as_index=False).agg(n=("n", "sum")),
+        n_rows=tok_bound)
+
+    ranked = counts.sort(["n", "token"],
+                         descending=[True, False]).materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n0": pa.array([], pa.int64()),
+                             "t0": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        return pa.table({
+            "n0": pa.array([t.column("n")[0].as_py()], pa.int64()),
+            "t0": pa.array([t.column("token")[0].as_py()], pa.string()),
+            "rows": pa.array([t.num_rows], pa.int64())})
+
+    summ = (ranked.map_batches(block_summary, batch_size=None,
+                               batch_format="pyarrow")
+                  .to_pandas())
+    # blocks are in (n desc, token asc) order: sort summaries the same way
+    summ = summ.sort_values(["n0", "t0"],
+                            ascending=[False, True], kind="mergesort")
+    starts = np.r_[0, summ["rows"].to_numpy()[:-1].cumsum()]
+    bases = {(int(n), t): int(o) for n, t, o in
+             zip(summ["n0"], summ["t0"], starts)}
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "token_id": pa.array([], pa.int64())})
+        base = bases[(int(t.column("n")[0].as_py()),
+                      t.column("token")[0].as_py())]
+        ids = np.arange(base + 1, base + 1 + t.num_rows, dtype=np.int64)
+        return pa.table({"token": t.column("token"),
+                         "token_id": pa.array(ids, pa.int64())})
+
+    vocab_ids = ranked.map_batches(assign, batch_size=None,
+                                   batch_format="pyarrow").materialize()
+
+    joined = inst.join(vocab_ids, join_type="inner", on=("token",),
+                       num_partitions=join_partitions_for(
+                           max(1, vocab_ids.count())))
+    return (joined.map_batches(
+                lambda t: t.select(["doc_id", "pos", "token_id"]),
+                batch_format="pyarrow")
+                  .sort(["doc_id", "pos"]))
+
+
+DOCS_VOCAB_ENCODE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+')) AS token,
+         unnest(generate_series(
+             1, len(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+'))))
+           AS pos
+  FROM documents),
+tok2 AS (SELECT doc_id, pos, token FROM toks WHERE token != ''),
+vocab AS (
+  SELECT token,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS token_id
+  FROM (SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY token))
+SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+       CAST(v.token_id AS BIGINT) AS token_id
+FROM tok2 t JOIN vocab v USING (token)
+ORDER BY doc_id, pos
+"""
