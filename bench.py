@@ -60,7 +60,7 @@ QUERY_NAMES = [
     "users_orders_full", "audio_meta", "docs_feature_hash",
     "events_type_iqr_outliers", "events_value_props_corr",
     "multimodal_phash", "docs_bm25_topk", "events_type_transitions",
-    "emb_pca", "docs_vocab_encode",
+    "emb_pca", "docs_vocab_encode", "docs_bigram_lm_score",
 ]
 
 

@@ -75,7 +75,7 @@ SQL_CHECKED = [
     "events_range_sum", "users_orders_full", "docs_feature_hash",
     "events_type_iqr_outliers", "events_value_props_corr",
     "dedup_edit_distance", "docs_bm25_topk", "events_type_transitions",
-    "docs_vocab_encode",
+    "docs_vocab_encode", "docs_bigram_lm_score",
 ]
 
 

@@ -374,6 +374,8 @@ def build_queries() -> dict:
         "docs_bm25_topk": lambda sf: textpipe.docs_bm25_topk(ray, sf),
         "docs_vocab_encode":
             lambda sf: textpipe.docs_vocab_encode(ray, sf),
+        "docs_bigram_lm_score":
+            lambda sf: textpipe.docs_bigram_lm_score(ray, sf),
         "docs_pii_scrub": lambda sf: textpipe.docs_pii_scrub(ray, sf),
         "docs_repetition": lambda sf: textpipe.docs_repetition(ray, sf),
         "docs_inverted_index":
@@ -830,6 +832,7 @@ ORDER BY vec_id_a, vec_id_b
     "doc_tfidf_top": textpipe.DOC_TFIDF_SQL,
     "docs_bm25_topk": textpipe.DOCS_BM25_SQL,
     "docs_vocab_encode": textpipe.DOCS_VOCAB_ENCODE_SQL,
+    "docs_bigram_lm_score": textpipe.DOCS_BIGRAM_LM_SQL,
     "docs_pack_sequences": textpipe.DOCS_PACK_SQL,
     "docs_pii_scrub": textpipe.DOCS_PII_SCRUB_SQL,
     "docs_repetition": textpipe.DOCS_REPETITION_SQL,

@@ -1928,3 +1928,132 @@ SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
 FROM tok2 t JOIN vocab v USING (token)
 ORDER BY doc_id, pos
 """
+
+
+# --- bigram-LM commonness scoring ---------------------------------------------
+def docs_bigram_lm_score(ray, sf_dir: str):
+    """(doc_id, bigram_commonness): bigram language-model document score
+    — for each bigram instance (w1, w2) the integerized conditional
+    commonness C(w1,w2) * 1000 // C(w1), summed over the doc (the
+    two-gram upgrade of docs_lm_score: stock PHRASING scores high even
+    when individual words are common). All-BIGINT so the oracle hashes
+    exactly; docs with < 2 tokens score 0 via the same sentinel-row
+    trick (the empty string can never be a real token).
+
+    Scale shape: per-doc bigram tf partials explode once, bigram and
+    unigram count tables are built by the bucketed wordcount combiner
+    (never driver-held), then TWO distributed hash joins — instances x
+    bigram counts on (w1, w2), then x unigram counts on w1 — and a
+    per-doc re-aggregate."""
+    from collections import Counter
+
+    from ..io_utils import parquet_column_bytes, parquet_num_rows
+    from ..stages.aggregates import hash_bucket_aggregate, join_partitions_for
+
+    tok_bound = parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 2
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, w1s, w2s, tfs = [], [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = tokenize(t)
+            if len(toks) < 2:
+                # sentinel keeps the doc alive through both joins with
+                # score 0: ("", "") joins the n2=0 / n1=0 count rows the
+                # sentinel itself contributes
+                ids_out.append(i)
+                w1s.append("")
+                w2s.append("")
+                tfs.append(0)
+                continue
+            for (a, b), c in Counter(zip(toks, toks[1:])).items():
+                ids_out.append(i)
+                w1s.append(a)
+                w2s.append(b)
+                tfs.append(c)
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "w1": pa.array(w1s, pa.string()),
+                         "w2": pa.array(w2s, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    big = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    c2 = hash_bucket_aggregate(
+        big.map_batches(lambda t: pa.table({"w1": t.column("w1"),
+                                            "w2": t.column("w2"),
+                                            "n2": t.column("tf")}),
+                        batch_format="pyarrow"),
+        ["w1", "w2"],
+        lambda df: df.groupby(["w1", "w2"], as_index=False).agg(
+            n2=("n2", "sum")),
+        n_rows=tok_bound).materialize()
+
+    # unigram counts over ALL token instances, plus the "" sentinel rows
+    # (n1 = 0) so the sentinel bigram survives the second join too
+    def uni(batch: pa.Table) -> pa.Table:
+        w1s, n1s = [], []
+        for t in batch.column("text").to_pylist():
+            toks = tokenize(t)
+            if len(toks) < 2:
+                w1s.append("")
+                n1s.append(0)
+            for tok, c in Counter(toks).items():
+                w1s.append(tok)
+                n1s.append(c)
+        return pa.table({"w1": pa.array(w1s, pa.string()),
+                         "n1": pa.array(n1s, pa.int64())})
+
+    c1 = hash_bucket_aggregate(
+        ds.map_batches(uni, batch_format="pyarrow"),
+        ["w1"],
+        lambda df: df.groupby("w1", as_index=False).agg(n1=("n1", "sum")),
+        n_rows=tok_bound).materialize()
+
+    j = big.join(c2, join_type="inner", on=("w1", "w2"),
+                 num_partitions=join_partitions_for(
+                     max(1, min(tok_bound, c2.count()))))
+    j = j.join(c1, join_type="inner", on=("w1",),
+               num_partitions=join_partitions_for(
+                   max(1, min(tok_bound, c1.count()))))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n1 = np.maximum(b["n1"].to_numpy(), 1)
+        s = (b["tf"].to_numpy() * ((b["n2"].to_numpy() * 1000) // n1))
+        g = pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                          "bigram_commonness": s.astype("int64")})
+        return g.groupby("doc_id", as_index=False).sum()
+
+    return hash_bucket_aggregate(
+        j.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["doc_id"],
+        lambda df: df.groupby("doc_id", as_index=False).sum(),
+        n_rows=n_docs).sort("doc_id")
+
+
+DOCS_BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+')) AS token,
+         unnest(generate_series(
+             1, len(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+'))))
+           AS pos
+  FROM documents),
+tok2 AS (SELECT doc_id, pos, token FROM toks WHERE token != ''),
+big AS (
+  SELECT a.doc_id, a.token AS w1, b.token AS w2
+  FROM tok2 a JOIN tok2 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT token AS w1, COUNT(*) AS n1 FROM tok2 GROUP BY token),
+scored AS (
+  SELECT big.doc_id,
+         SUM(c2.n2 * 1000 // GREATEST(c1.n1, 1)) AS s
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY big.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.s, 0) AS BIGINT) AS bigram_commonness
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY doc_id
+"""
