@@ -431,6 +431,58 @@ class TestTriangles:
         assert n_got == n_ref // 3
 
 
+class TestComponents:
+    def test_crawl_components_match_union_find(self, queries):
+        """Distributed min-label propagation over the crawl link graph
+        equals a single-process union-find over the SAME edges, with
+        every crawled page present (singletons label themselves)."""
+        import ray
+
+        from webcrawler_ray.pipelines.graph import crawl_link_edges
+        from webcrawler_ray.pipelines.registry import _crawl_workdir
+
+        got = _df(queries["crawl_components"](SF_DIR))
+        c = _crawl_workdir(SF_DIR)
+        corpus = _df(c.crawled_dataset().map_batches(
+            lambda t: t.select(["fetch_seq", "url"]),
+            batch_format="pyarrow"))
+        assert len(got) == len(corpus)
+        assert sorted(got["fetch_seq"]) == sorted(corpus["fetch_seq"])
+
+        seq_of = dict(zip(corpus["url"], corpus["fetch_seq"]))
+        edges_ds, _ = crawl_link_edges(ray, c)
+        e = _df(edges_ds)
+
+        parent = {int(s): int(s) for s in corpus["fetch_seq"]}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in zip(e["src"], e["dst"]):
+            a, b = find(seq_of[s]), find(seq_of[d])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        # canonical label = component min: run find to full compression
+        want = {x: find(x) for x in parent}
+        # union-find roots are not necessarily the min — normalize
+        groups = {}
+        for x, r in want.items():
+            groups.setdefault(r, []).append(x)
+        want_min = {}
+        for members in groups.values():
+            m = min(members)
+            for x in members:
+                want_min[x] = m
+        got_map = dict(zip(got["fetch_seq"].astype(int),
+                           got["component"].astype(int)))
+        assert got_map == want_min
+        # at least one real link component exists in the crawl
+        assert (got["component"] != got["fetch_seq"]).any()
+
+
 class TestCrawlCuration:
     def test_crawl_curation_invariants(self, queries):
         """The composed crawl->training-data pipeline: every surviving

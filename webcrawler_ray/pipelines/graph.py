@@ -538,3 +538,78 @@ def crawl_triangles(ray, crawler, edges=None):
         ["a", "b"], _dd).materialize()
     return count_triangles(ray, canon_edges,
                            n_edges=canon_edges.count())
+
+
+# ---------------------------------------------------------------------------
+def crawl_components(ray, crawler):
+    """(fetch_seq, url, component): weakly-connected components of the
+    crawled link graph — component = the member with the SMALLEST
+    fetch_seq (the earliest-crawled page), so labels are integers and
+    the result is exact. Composition of existing engines: edges from
+    crawl_link_edges (same parse kernel as the crawl), url -> fetch_seq
+    translation by two distributed string joins, then dedup's
+    distributed min-label propagation (no driver union-find); pages
+    with no surviving in/out links are their own singleton component
+    via one left join against the labeled set (NULL label -> own seq).
+    """
+    from ..stages.aggregates import join_partitions_for, normalize_for_join
+    from .dedup import propagate_min_labels
+
+    corpus = crawler.crawled_dataset().map_batches(
+        lambda t: t.select(["fetch_seq", "url"]), batch_format="pyarrow")
+    n_nodes = corpus.count()
+
+    edges_ds, _ = crawl_link_edges(ray, crawler)
+    edges = edges_ds.map_batches(
+        lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+    ).materialize()
+    nparts = join_partitions_for(max(1, min(n_nodes, edges.count())))
+
+    seq_src = normalize_for_join(
+        corpus.map_batches(lambda t: t.rename_columns(["seq_a", "src"]),
+                           batch_format="pyarrow"),
+        pa.schema([("seq_a", pa.int64()), ("src", pa.string())])
+    ).materialize()
+    seq_dst = normalize_for_join(
+        corpus.map_batches(lambda t: t.rename_columns(["seq_b", "dst"]),
+                           batch_format="pyarrow"),
+        pa.schema([("seq_b", pa.int64()), ("dst", pa.string())])
+    ).materialize()
+    int_edges = (edges.join(seq_src, join_type="inner", on=("src",),
+                            num_partitions=nparts)
+                      .join(seq_dst, join_type="inner", on=("dst",),
+                            num_partitions=nparts)
+                      .map_batches(lambda t: pa.table(
+                          {"doc_a": t.column("seq_a"),
+                           "doc_b": t.column("seq_b")}),
+                          batch_format="pyarrow")
+                      .materialize())
+
+    if int_edges.count() == 0:
+        return corpus.map_batches(
+            lambda t: t.append_column("component", t.column("fetch_seq")),
+            batch_format="pyarrow").sort("fetch_seq")
+
+    labels = propagate_min_labels(ray, int_edges).map_batches(
+        lambda t: t.rename_columns(["fetch_seq", "component"]),
+        batch_format="pyarrow")
+    labels = normalize_for_join(
+        labels, pa.schema([("fetch_seq", pa.int64()),
+                           ("component", pa.int64())])).materialize()
+    joined = normalize_for_join(
+        corpus, pa.schema([("fetch_seq", pa.int64()),
+                           ("url", pa.string())])
+    ).join(labels, join_type="left_outer", on=("fetch_seq",),
+           num_partitions=join_partitions_for(
+               max(1, min(n_nodes, labels.count()))))
+
+    def fill(t: pa.Table) -> pa.Table:
+        comp = t.column("component").to_numpy(zero_copy_only=False)
+        seq = t.column("fetch_seq").to_numpy(zero_copy_only=False)
+        comp = np.where(np.isnan(comp.astype(np.float64)), seq,
+                        comp).astype(np.int64)
+        return pa.table({"fetch_seq": pa.array(seq.astype(np.int64)),
+                         "url": t.column("url"),
+                         "component": pa.array(comp, pa.int64())})
+
+    return joined.map_batches(fill, batch_format="pyarrow").sort("fetch_seq")

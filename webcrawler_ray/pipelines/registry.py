@@ -333,6 +333,17 @@ def crawl_triangles(sf_dir: str):
     return graph.crawl_triangles(c.ray, c)
 
 
+def crawl_components(sf_dir: str):
+    """Weakly-connected components of the crawled link graph, one row
+    per crawled page, component = min fetch_seq of the component
+    (rows-only: parse-derived edges; exact-equality test vs a
+    single-process union-find reference over the same edge set)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_components(c.ray, c)
+
+
 # --- registry --------------------------------------------------------------
 def build_queries() -> dict:
     ray = _ray()
@@ -347,6 +358,7 @@ def build_queries() -> dict:
         "crawl_pagerank": crawl_pagerank,
         "crawl_salsa": crawl_salsa,
         "crawl_triangles": crawl_triangles,
+        "crawl_components": crawl_components,
         "crawl_curation": crawl_curation,
         # text analysis over documents
         "doc_token_counts": lambda sf: textpipe.token_counts(ray, sf),
