@@ -195,12 +195,13 @@ def pagerank(ray, crawler, iters: int = 5, edges=None):
     return ranks
 
 
-def crawl_pagerank(ray, crawler, iters: int = 5, k: int = 20):
-    """Top-k (url, rank) by PageRank over the crawled graph — rows-only
-    (iterative; no SQL equivalent) with an EXACT-equality property test
-    against a single-process integer reference (possible because every
-    per-round sum is integer and order-independent)."""
-    ranks = pagerank(ray, crawler, iters=iters)
+def crawl_pagerank(ray, crawler, iters: int = 5, k: int = 20, edges=None):
+    """Top-k (url, rank) by PageRank over the crawled graph. Every
+    per-round sum is integer and order-independent, so the result is
+    EXACT: value-checked against a 5-iteration chained-CTE DuckDB
+    oracle over the dumped edge list, plus a single-process integer
+    reference property test."""
+    ranks = pagerank(ray, crawler, iters=iters, edges=edges)
     return ranks.sort(["rank", "url"], descending=[True, False]).limit(k)
 
 
@@ -541,17 +542,19 @@ def crawl_triangles(ray, crawler, edges=None):
 
 
 # ---------------------------------------------------------------------------
-def crawl_components(ray, crawler):
+def crawl_components(ray, crawler, edges=None):
     """(fetch_seq, url, component): weakly-connected components of the
     crawled link graph — component = the member with the SMALLEST
     fetch_seq (the earliest-crawled page), so labels are integers and
-    the result is exact. Composition of existing engines: edges from
-    crawl_link_edges (same parse kernel as the crawl), url -> fetch_seq
-    translation by two distributed string joins, then dedup's
-    distributed min-label propagation (no driver union-find); pages
-    with no surviving in/out links are their own singleton component
-    via one left join against the labeled set (NULL label -> own seq).
-    """
+    the result is exact (value-checked vs a recursive-CTE min-label
+    DuckDB oracle over the dumped edge list — feasible because the
+    oracle graph is small; the Ray side never assumes that).
+    Composition of existing engines: edges from crawl_link_edges (same
+    parse kernel as the crawl), url -> fetch_seq translation by two
+    distributed string joins, then dedup's distributed min-label
+    propagation (no driver union-find); pages with no surviving in/out
+    links are their own singleton component via one left join against
+    the labeled set (NULL label -> own seq)."""
     from ..stages.aggregates import join_partitions_for, normalize_for_join
     from .dedup import propagate_min_labels
 
@@ -559,7 +562,8 @@ def crawl_components(ray, crawler):
         lambda t: t.select(["fetch_seq", "url"]), batch_format="pyarrow")
     n_nodes = corpus.count()
 
-    edges_ds, _ = crawl_link_edges(ray, crawler)
+    edges_ds, _ = edges if edges is not None \
+        else crawl_link_edges(ray, crawler)
     edges = edges_ds.map_batches(
         lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
     ).materialize()

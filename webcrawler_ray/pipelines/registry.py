@@ -274,15 +274,53 @@ def crawl_log_jsonl(sf_dir: str):
         batch_format="pyarrow").sort("URL")
 
 
+def _dump_link_graph(crawler, sf_dir: str):
+    """Dump the crawled link graph — edges (src, dst, deg) and nodes
+    (fetch_seq, url) — to STABLE per-scale paths so the graph oracles
+    (PageRank's chained-CTE iterations, the components recursive CTE)
+    can run DuckDB SQL over the exact edge set the Ray queries
+    propagate over (same precedent as the attempts dump: the oracle
+    value-checks the ITERATION math; the parse is checked by the
+    crawl-oracle e2e). Returns the (edges_ds, n_nodes) tuple for the
+    caller to reuse — the corpus is parsed ONCE per invocation.
+    Distributed writes (no driver materialization), swapped in whole
+    directories keyed by the crawl workdir signature."""
+    import shutil
+
+    from . import graph
+
+    edges_dir, nodes_dir = _graph_dump_paths(sf_dir)
+    edges = graph.crawl_link_edges(crawler.ray, crawler)
+    sig_file = edges_dir + ".sig"
+    if os.path.exists(sig_file):
+        with open(sig_file) as f:
+            if f.read().strip() == crawler.workdir:
+                return edges
+    for path, ds in (
+            (edges_dir, edges[0]),
+            (nodes_dir, crawler.crawled_dataset().map_batches(
+                lambda t: t.select(["fetch_seq", "url"]),
+                batch_format="pyarrow"))):
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+    with open(sig_file, "w") as f:
+        f.write(crawler.workdir)
+    return edges
+
+
 def crawl_pagerank(sf_dir: str):
     """Top-20 pages by integer-mass PageRank over the crawled link
-    graph (rows-only: iterative; exact-equality property test vs a
+    graph (value-checked: 5-iteration chained-CTE DuckDB oracle over
+    the dumped edge list, plus an exact-equality property test vs a
     single-process integer reference in
     test_crawl_queries.TestPageRank)."""
     c = _crawl_workdir(sf_dir)
     from . import graph
 
-    return graph.crawl_pagerank(c.ray, c)
+    return graph.crawl_pagerank(c.ray, c, edges=_dump_link_graph(c, sf_dir))
 
 
 def crawl_salsa(sf_dir: str):
@@ -336,12 +374,14 @@ def crawl_triangles(sf_dir: str):
 def crawl_components(sf_dir: str):
     """Weakly-connected components of the crawled link graph, one row
     per crawled page, component = min fetch_seq of the component
-    (rows-only: parse-derived edges; exact-equality test vs a
-    single-process union-find reference over the same edge set)."""
+    (value-checked: recursive-CTE min-label DuckDB oracle over the
+    dumped edge list, plus an exact-equality test vs a single-process
+    union-find reference over the same edge set)."""
     c = _crawl_workdir(sf_dir)
     from . import graph
 
-    return graph.crawl_components(c.ray, c)
+    return graph.crawl_components(c.ray, c,
+                                  edges=_dump_link_graph(c, sf_dir))
 
 
 # --- registry --------------------------------------------------------------
@@ -695,6 +735,73 @@ def _attempts_dump_path(sf_dir: str) -> str:
     return f"/tmp/webcrawler_ray_cache/{name}/attempts_dump.parquet"
 
 
+def _graph_dump_paths(sf_dir: str) -> tuple[str, str]:
+    """(edges_dir, nodes_dir) for the per-scale link-graph dump the
+    graph oracles read (directories of parquet files — the dump is a
+    distributed write)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/webcrawler_ray_cache/{name}"
+    return f"{base}/graph_edges_dump", f"{base}/graph_nodes_dump"
+
+
+def _pagerank_oracle_template(iters: int = 5, k: int = 20) -> str:
+    """DuckDB SQL replicating the integer-mass PageRank EXACTLY
+    (graph.py:pagerank): per-edge floor((rank*85//100)/deg) inflow,
+    leftover (teleport + dangling + floor residue) split uniformly as
+    floor((total - inflow_sum)/n). Fixed iteration count -> chained
+    CTEs, no recursion needed. {edges_dump}/{nodes_dump} are the
+    per-scale link-graph dump directories."""
+    cte = [
+        "WITH nodes AS (SELECT url FROM"
+        " read_parquet('{nodes_dump}/*.parquet')),",
+        " edges AS (SELECT src, dst, deg FROM"
+        " read_parquet('{edges_dump}/*.parquet')),",
+        # node_mass(n): max(1, min(1e9, 2^62 // (85 * max(n,1))))
+        " const AS (SELECT COUNT(*) AS n, GREATEST(1, LEAST(1000000000,"
+        " 4611686018427387904 // (85 * GREATEST(COUNT(*), 1)))) AS mass"
+        " FROM nodes),",
+        " r0 AS (SELECT url, (SELECT mass FROM const) AS rnk FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        cte.append(f""",
+ i{i} AS (SELECT e.dst AS url,
+        CAST(SUM((r.rnk * 85 // 100) // GREATEST(e.deg, 1)) AS BIGINT)
+            AS infl
+        FROM edges e JOIN r{i - 1} r ON e.src = r.url GROUP BY e.dst),
+ r{i} AS (SELECT n.url,
+        ((SELECT n * mass FROM const)
+         - COALESCE((SELECT CAST(SUM(infl) AS BIGINT) FROM i{i}), 0))
+        // (SELECT n FROM const) + COALESCE(i.infl, 0) AS rnk
+        FROM nodes n LEFT JOIN i{i} i ON n.url = i.url)""")
+    cte.append(f"""
+SELECT url, CAST(rnk AS BIGINT) AS "rank" FROM r{iters}
+ORDER BY rnk DESC, url LIMIT {k}
+""")
+    return "".join(cte)
+
+
+_COMPONENTS_ORACLE_TEMPLATE = """
+WITH RECURSIVE
+ nmap AS (SELECT fetch_seq, url FROM
+          read_parquet('{nodes_dump}/*.parquet')),
+ bi AS (SELECT src AS a, dst AS b FROM
+            read_parquet('{edges_dump}/*.parquet')
+        UNION
+        SELECT dst, src FROM read_parquet('{edges_dump}/*.parquet')),
+ e2 AS (SELECT na.fetch_seq AS a, nb.fetch_seq AS b
+        FROM bi JOIN nmap na ON bi.a = na.url
+                JOIN nmap nb ON bi.b = nb.url),
+ lab AS (SELECT fetch_seq AS seq, fetch_seq AS comp FROM nmap
+         UNION
+         SELECT e2.b, lab.comp FROM lab JOIN e2 ON e2.a = lab.seq
+         WHERE lab.comp < e2.b)
+SELECT n.fetch_seq, n.url, CAST(MIN(l.comp) AS BIGINT) AS component
+FROM nmap n JOIN lab l ON l.seq = n.fetch_seq
+GROUP BY n.fetch_seq, n.url
+ORDER BY n.fetch_seq
+"""
+
+
 _BLOCK3 = "'pdf','csv','png','svg','jpg','gif','raw','cr2','nef','orf','sr2','bmp','tif','ogv'"
 _BLOCK4 = "'tiff','jpeg'"
 
@@ -724,6 +831,8 @@ FROM read_parquet('{dump}')
 GROUP BY round ORDER BY round
 """,
 }
+_CRAWL_ORACLE_TEMPLATES["crawl_pagerank"] = _pagerank_oracle_template()
+_CRAWL_ORACLE_TEMPLATES["crawl_components"] = _COMPONENTS_ORACLE_TEMPLATE
 
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
@@ -732,8 +841,10 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     the pre-registered table views)."""
     out = dict(ORACLE_SQL)
     dump = _attempts_dump_path(sf_dir)
+    edges_dump, nodes_dump = _graph_dump_paths(sf_dir)
     for name, tmpl in _CRAWL_ORACLE_TEMPLATES.items():
-        out[name] = tmpl.format(dump=dump)
+        out[name] = tmpl.format(dump=dump, edges_dump=edges_dump,
+                                nodes_dump=nodes_dump)
     return out
 
 
@@ -940,5 +1051,8 @@ def crawl_round_stats(sf_dir: str):
 # module-level dict carries the crawl oracles bound to that scale; any
 # other scale goes through oracle_sql_for(sf_dir)
 _DRIVER_DUMP = _attempts_dump_path("/root/testdata/sf0.01")
+_DRIVER_EDGES, _DRIVER_NODES = _graph_dump_paths("/root/testdata/sf0.01")
 for _name, _tmpl in _CRAWL_ORACLE_TEMPLATES.items():
-    ORACLE_SQL[_name] = _tmpl.format(dump=_DRIVER_DUMP)
+    ORACLE_SQL[_name] = _tmpl.format(dump=_DRIVER_DUMP,
+                                     edges_dump=_DRIVER_EDGES,
+                                     nodes_dump=_DRIVER_NODES)
