@@ -498,13 +498,13 @@ def salsa(ray, crawler, iters: int = 5, edges=None):
         ["url"], fold, n_rows=n_h + n_a)
 
 
-def crawl_salsa(ray, crawler, iters: int = 5, k: int = 20):
+def crawl_salsa(ray, crawler, iters: int = 5, k: int = 20, edges=None):
     """Top-k (url, auth, hub) by SALSA authority score over the crawled
-    graph — rows-only (iterative; no SQL equivalent) with an
-    EXACT-equality property test against a single-process integer
-    reference (every per-half-step sum is integer and
-    order-independent)."""
-    scores = salsa(ray, crawler, iters=iters)
+    graph. Every per-half-step sum is integer and order-independent,
+    so the result is EXACT: value-checked against a chained-CTE DuckDB
+    oracle over the dumped edge list, plus a single-process integer
+    reference property test."""
+    scores = salsa(ray, crawler, iters=iters, edges=edges)
     return scores.sort(["auth", "hub", "url"],
                        descending=[True, True, False]).limit(k)
 

@@ -325,13 +325,14 @@ def crawl_pagerank(sf_dir: str):
 
 def crawl_salsa(sf_dir: str):
     """Top-20 pages by integer-mass SALSA authority score (with hub
-    scores) over the crawled link graph (rows-only: iterative; exact-
-    equality property test vs a single-process integer reference in
+    scores) over the crawled link graph (value-checked: chained-CTE
+    DuckDB oracle over the dumped edge list, plus an exact-equality
+    property test vs a single-process integer reference in
     test_crawl_queries.TestSalsa)."""
     c = _crawl_workdir(sf_dir)
     from . import graph
 
-    return graph.crawl_salsa(c.ray, c)
+    return graph.crawl_salsa(c.ray, c, edges=_dump_link_graph(c, sf_dir))
 
 
 def crawl_curation(sf_dir: str):
@@ -362,13 +363,15 @@ def crawl_curation(sf_dir: str):
 
 
 def crawl_triangles(sf_dir: str):
-    """Exact triangle count of the crawled link graph (rows-only:
-    parse-derived edges; exact-equality tests vs a single-process
-    adjacency-intersection reference and known closed-form graphs)."""
+    """Exact triangle count of the crawled link graph (value-checked:
+    three-way self-join DuckDB oracle over the dumped canonical edge
+    list, plus exact-equality tests vs a single-process adjacency-
+    intersection reference and known closed-form graphs)."""
     c = _crawl_workdir(sf_dir)
     from . import graph
 
-    return graph.crawl_triangles(c.ray, c)
+    return graph.crawl_triangles(c.ray, c,
+                                 edges=_dump_link_graph(c, sf_dir))
 
 
 def crawl_components(sf_dir: str):
@@ -777,7 +780,82 @@ def _pagerank_oracle_template(iters: int = 5, k: int = 20) -> str:
 SELECT url, CAST(rnk AS BIGINT) AS "rank" FROM r{iters}
 ORDER BY rnk DESC, url LIMIT {k}
 """)
-    return "".join(cte)
+    return _materialize_ctes("".join(cte))
+
+
+def _materialize_ctes(sql: str) -> str:
+    """Mark every CTE ``AS MATERIALIZED``: DuckDB 1.0 INLINES plain
+    CTEs, so an iteration chain where each step references the
+    previous one twice expands exponentially — the repeated
+    read_parquet binds exhaust file handles (surfacing as a bogus
+    'No files found' IOException) long before execution starts."""
+    import re
+
+    return re.sub(r"(\s)(\w+) AS \(", r"\1\2 AS MATERIALIZED (", sql)
+
+
+def _salsa_oracle_template(iters: int = 5, k: int = 20) -> str:
+    """DuckDB SQL replicating integer-mass SALSA EXACTLY
+    (graph.py:salsa): alternating half-steps pushing floor(rank/deg)
+    forward over edges then floor(rank/indeg) back, each half-step's
+    leftover vs total = n_hubs * mass split uniformly over the
+    receiving side. Fixed iterations -> chained CTE pairs."""
+    cte = [
+        "WITH nodes AS (SELECT url FROM"
+        " read_parquet('{nodes_dump}/*.parquet')),",
+        " edges AS (SELECT src, dst, deg FROM"
+        " read_parquet('{edges_dump}/*.parquet')),",
+        " ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS indeg"
+        " FROM edges GROUP BY dst),",
+        " e4 AS (SELECT e.src, e.dst, e.deg, i.indeg"
+        " FROM edges e JOIN ind i ON e.dst = i.dst),",
+        " hubs AS (SELECT DISTINCT src AS url FROM edges),",
+        " auths AS (SELECT DISTINCT dst AS url FROM edges),",
+        " const AS (SELECT (SELECT COUNT(*) FROM hubs) AS nh,"
+        " (SELECT COUNT(*) FROM auths) AS na,"
+        " GREATEST(1, LEAST(1000000000, 4611686018427387904 //"
+        " (85 * GREATEST((SELECT COUNT(*) FROM nodes), 1)))) AS mass),",
+        " h0 AS (SELECT url, (SELECT mass FROM const) AS rnk FROM hubs)",
+    ]
+    for i in range(1, iters + 1):
+        cte.append(f""",
+ ai{i} AS (SELECT e.dst AS url,
+        CAST(SUM(h.rnk // GREATEST(e.deg, 1)) AS BIGINT) AS infl
+        FROM e4 e JOIN h{i - 1} h ON e.src = h.url GROUP BY e.dst),
+ a{i} AS (SELECT n.url,
+        ((SELECT nh * mass FROM const)
+         - COALESCE((SELECT CAST(SUM(infl) AS BIGINT) FROM ai{i}), 0))
+        // (SELECT na FROM const) + COALESCE(i.infl, 0) AS rnk
+        FROM auths n LEFT JOIN ai{i} i ON n.url = i.url),
+ hi{i} AS (SELECT e.src AS url,
+        CAST(SUM(a.rnk // GREATEST(e.indeg, 1)) AS BIGINT) AS infl
+        FROM e4 e JOIN a{i} a ON e.dst = a.url GROUP BY e.src),
+ h{i} AS (SELECT n.url,
+        ((SELECT nh * mass FROM const)
+         - COALESCE((SELECT CAST(SUM(infl) AS BIGINT) FROM hi{i}), 0))
+        // (SELECT nh FROM const) + COALESCE(i.infl, 0) AS rnk
+        FROM hubs n LEFT JOIN hi{i} i ON n.url = i.url)""")
+    cte.append(f"""
+SELECT u.url, CAST(COALESCE(a.rnk, 0) AS BIGINT) AS auth,
+       CAST(COALESCE(h.rnk, 0) AS BIGINT) AS hub
+FROM (SELECT url FROM hubs UNION SELECT url FROM auths) u
+LEFT JOIN a{iters} a ON u.url = a.url
+LEFT JOIN h{iters} h ON u.url = h.url
+ORDER BY auth DESC, hub DESC, u.url LIMIT {k}
+""")
+    return _materialize_ctes("".join(cte))
+
+
+# canonical unordered edges: any total order over node ids yields the
+# same unordered-pair set, so counting over urls directly matches the
+# Ray side's hash-canonicalized count (triangles are unordered triples)
+_TRIANGLES_ORACLE_TEMPLATE = """
+WITH ce AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM read_parquet('{edges_dump}/*.parquet') WHERE src <> dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+           JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
 
 
 _COMPONENTS_ORACLE_TEMPLATE = """
@@ -833,6 +911,8 @@ GROUP BY round ORDER BY round
 }
 _CRAWL_ORACLE_TEMPLATES["crawl_pagerank"] = _pagerank_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_components"] = _COMPONENTS_ORACLE_TEMPLATE
+_CRAWL_ORACLE_TEMPLATES["crawl_salsa"] = _salsa_oracle_template()
+_CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
 
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
