@@ -335,22 +335,17 @@ def crawl_salsa(sf_dir: str):
     return graph.crawl_salsa(c.ray, c, edges=_dump_link_graph(c, sf_dir))
 
 
-def crawl_curation(sf_dir: str):
-    """The composed crawl -> training-data story: the END-TO-END
-    curation core (quality gates, exact keep-first dedup, per-source
-    cap, sequence packing) applied to the LIVE crawl's byte-identical
-    extracted text — (doc_id=fetch_seq, source=host). Rows-only
-    (parse-derived text has no SQL oracle); the curation kernels
-    themselves are value-checked through corpus_curation and the text
-    through the crawl-oracle e2e."""
+def _corpus_dump_path(sf_dir: str) -> str:
+    """Per-scale dump directory of the crawl corpus adapted to the
+    curation input shape (doc_id=fetch_seq, source=host, text) — lets
+    the crawl_curation oracle run the SAME SQL as corpus_curation over
+    the exact rows the Ray pipeline curated."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/webcrawler_ray_cache/{name}/corpus_dump"
+
+
+def _adapted_corpus(crawler):
     import pyarrow as pa
-    import ray as _r
-
-    from .textpipe import curation_over
-
-    c = _crawl_workdir(sf_dir)
-    corpus = c.crawled_dataset()
-    n = corpus.count()
 
     def adapt(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -358,7 +353,47 @@ def crawl_curation(sf_dir: str):
             "source": t.column("host").cast(pa.string()),
             "text": t.column("extracted_text").cast(pa.string())})
 
-    ds = corpus.map_batches(adapt, batch_format="pyarrow")
+    return crawler.crawled_dataset().map_batches(
+        adapt, batch_format="pyarrow")
+
+
+def _dump_crawl_corpus(crawler, sf_dir: str):
+    """Distributed write of the adapted crawl corpus to the stable
+    oracle path (sig-keyed by the crawl workdir, like the attempts and
+    link-graph dumps); returns the adapted dataset for reuse."""
+    import shutil
+
+    ds = _adapted_corpus(crawler)
+    path = _corpus_dump_path(sf_dir)
+    sig_file = path + ".sig"
+    if os.path.exists(sig_file):
+        with open(sig_file) as f:
+            if f.read().strip() == crawler.workdir:
+                return ds
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+    with open(sig_file, "w") as f:
+        f.write(crawler.workdir)
+    return ds
+
+
+def crawl_curation(sf_dir: str):
+    """The composed crawl -> training-data story: the END-TO-END
+    curation core (quality gates, exact keep-first dedup, per-source
+    cap, sequence packing) applied to the LIVE crawl's byte-identical
+    extracted text — (doc_id=fetch_seq, source=host). Value-checked:
+    the corpus_curation oracle SQL runs over the dumped adapted corpus
+    (text equality itself is pinned by the crawl-oracle e2e)."""
+    import ray as _r
+
+    from .textpipe import curation_over
+
+    c = _crawl_workdir(sf_dir)
+    n = c.crawled_dataset().count()
+    ds = _dump_crawl_corpus(c, sf_dir)
     return curation_over(_r, ds, n).sort("doc_id")
 
 
@@ -913,6 +948,11 @@ _CRAWL_ORACLE_TEMPLATES["crawl_pagerank"] = _pagerank_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_components"] = _COMPONENTS_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_salsa"] = _salsa_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
+# crawl_curation = the (already value-checked) corpus_curation SQL over
+# the dumped adapted crawl corpus instead of the documents view
+_CRAWL_ORACLE_TEMPLATES["crawl_curation"] = \
+    textpipe.CORPUS_CURATION_SQL.replace(
+        "FROM documents", "FROM read_parquet('{corpus_dump}/*.parquet')")
 
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
@@ -924,7 +964,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     edges_dump, nodes_dump = _graph_dump_paths(sf_dir)
     for name, tmpl in _CRAWL_ORACLE_TEMPLATES.items():
         out[name] = tmpl.format(dump=dump, edges_dump=edges_dump,
-                                nodes_dump=nodes_dump)
+                                nodes_dump=nodes_dump,
+                                corpus_dump=_corpus_dump_path(sf_dir))
     return out
 
 
@@ -1133,6 +1174,7 @@ def crawl_round_stats(sf_dir: str):
 _DRIVER_DUMP = _attempts_dump_path("/root/testdata/sf0.01")
 _DRIVER_EDGES, _DRIVER_NODES = _graph_dump_paths("/root/testdata/sf0.01")
 for _name, _tmpl in _CRAWL_ORACLE_TEMPLATES.items():
-    ORACLE_SQL[_name] = _tmpl.format(dump=_DRIVER_DUMP,
-                                     edges_dump=_DRIVER_EDGES,
-                                     nodes_dump=_DRIVER_NODES)
+    ORACLE_SQL[_name] = _tmpl.format(
+        dump=_DRIVER_DUMP, edges_dump=_DRIVER_EDGES,
+        nodes_dump=_DRIVER_NODES,
+        corpus_dump=_corpus_dump_path("/root/testdata/sf0.01"))
