@@ -2,7 +2,7 @@
 crawl-time enrichment stage: word-shingle hashing, MinHash (Broder'97)
 via the multiply-shift universal family, SimHash (Charikar'02), Jaccard.
 
-All hot paths are uint64-vectorized; per-token blake2b hashing is the
+All hot paths are uint64-vectorized; per-token md5 hashing is the
 irreducible per-document cost (token space is unbounded on real text)."""
 
 from __future__ import annotations
@@ -17,10 +17,15 @@ SHINGLE_K = 3
 
 
 def hash_tokens(tokens) -> np.ndarray:
-    """blake2b-8 per token -> uint64 array (not deduped)."""
-    b = hashlib.blake2b
+    """md5-first-8-bytes (little-endian) per token -> uint64 array (not
+    deduped). md5, not blake2b, ON PURPOSE: DuckDB's
+    ``md5_number_upper(t)`` computes this exact value, so every integer
+    pipeline downstream of token hashing (shingle polynomial, MinHash,
+    LSH banding, SimHash, winnowing) is replicable in oracle SQL
+    directly from the documents table — no dump boundary needed."""
+    m = hashlib.md5
     return np.fromiter(
-        (int.from_bytes(b(t.encode(), digest_size=8).digest(), "big")
+        (int.from_bytes(m(t.encode()).digest()[:8], "little")
          for t in tokens), dtype=np.uint64, count=len(tokens))
 
 
@@ -29,7 +34,7 @@ class TokenHashCache:
 
     Real webtext vocabulary is Zipf-distributed, so an actor-resident
     cache (built once per actor in ``__init__``, reused across batches)
-    turns the per-token blake2b pass — the enrichment kernel's dominant
+    turns the per-token md5 pass — the enrichment kernel's dominant
     cost — into a C-speed ``pandas.factorize`` plus a handful of misses.
     Values are bit-identical to ``hash_tokens``; the cache is bounded and
     simply stops admitting new entries when full (checked per call, so
@@ -41,16 +46,15 @@ class TokenHashCache:
         self._max = max_entries
 
     def hash_unique(self, uniques) -> np.ndarray:
-        """uint64 blake2b-8 hashes of an array of UNIQUE tokens."""
+        """uint64 ``hash_tokens`` values of an array of UNIQUE tokens."""
         c = self._cache
         admit = len(c) < self._max
-        b = hashlib.blake2b
+        m = hashlib.md5
         out = np.empty(len(uniques), dtype=np.uint64)
         for i, t in enumerate(uniques):
             v = c.get(t)
             if v is None:
-                v = int.from_bytes(b(t.encode(), digest_size=8).digest(),
-                                   "big")
+                v = int.from_bytes(m(t.encode()).digest()[:8], "little")
                 if admit:
                     c[t] = v
             out[i] = v
@@ -97,7 +101,7 @@ _POLY = np.uint64(1099511628211)  # FNV prime — shingle combiner
 def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
     """Unique uint64 hashes of the word k-shingles of ``text``.
 
-    Tokens are blake2b-hashed ONCE; k-shingle hashes are the vectorized
+    Tokens are md5-hashed ONCE; k-shingle hashes are the vectorized
     polynomial combination of the token-hash windows (no per-shingle
     string building — that allocation storm dominated the kernel and
     destroyed multi-core scaling)."""
@@ -108,7 +112,7 @@ def shingle_hashes_from_token_hashes(th: np.ndarray,
                                      k: int = SHINGLE_K) -> np.ndarray:
     """``shingle_hashes`` over pre-computed token hashes — lets a caller
     that needs several per-doc signatures (crawl-time enrichment: shingle
-    minhash AND simhash) pay the blake2b token pass ONCE."""
+    minhash AND simhash) pay the md5 token pass ONCE."""
     if len(th) == 0:
         return np.zeros(0, dtype=np.uint64)
     if len(th) < k:
@@ -128,7 +132,7 @@ def shingle_hashes_from_token_hashes(th: np.ndarray,
 
 def kgram_hashes_ordered(text: str, k: int) -> np.ndarray:
     """ORDERED (non-deduped) uint64 hashes of the word k-grams — the
-    winnowing front-end: tokens are blake2b-hashed once, k-gram hashes
+    winnowing front-end: tokens are md5-hashed once, k-gram hashes
     are the vectorized polynomial combination of token-hash windows
     (same kernel as ``shingle_hashes`` minus the unique)."""
     toks = text.split()

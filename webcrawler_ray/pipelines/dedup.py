@@ -34,7 +34,7 @@ from ..functions.hashing import (
 
 # worker-process-resident memoized token hashing: stateless map_batches
 # tasks reuse the same worker processes, so the Zipf head of the corpus
-# vocabulary is blake2b-hashed once per worker, not once per document
+# vocabulary is md5-hashed once per worker, not once per document
 _TOKEN_CACHE = TokenHashCache()
 
 

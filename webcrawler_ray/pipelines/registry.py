@@ -1126,6 +1126,31 @@ try:
 
     ORACLE_SQL["dedup_filtered_corpus"] = _dedup.DEDUP_FILTERED_SQL
     ORACLE_SQL["dedup_incremental"] = _dedup.DEDUP_INCREMENTAL_SQL
+
+    # bit-exact integer replication of the MinHash/LSH/SimHash/winnow
+    # kernels straight from the documents view (md5 token hashing is
+    # DuckDB's md5_number_upper; the rest is mod-2^64 arithmetic) — no
+    # dump boundary, see dedup_oracle.py
+    from . import dedup_oracle as _dor
+
+    ORACLE_SQL["dedup_minhash_lsh"] = _materialize_ctes(
+        _dor.minhash_lsh_sql())
+    ORACLE_SQL["dedup_ngram_jaccard"] = _materialize_ctes(
+        _dor.ngram_jaccard_sql())
+    # the recursive closure re-evaluates every CTE it references, so the
+    # whole minhash chain must be MATERIALIZED (199 s -> 16 s measured at
+    # sf0.01); only the self-referencing `lab` must stay plain
+    ORACLE_SQL["dedup_clusters"] = _materialize_ctes(
+        _dor.clusters_sql()).replace("lab AS MATERIALIZED (", "lab AS (")
+    ORACLE_SQL["dedup_simhash"] = _materialize_ctes(_dor.simhash_sql())
+    ORACLE_SQL["doc_winnow"] = _materialize_ctes(_dor.winnow_sql())
+    from .textpipe import (
+        WINNOW_PAIR_MAX_DF as _wdf,
+        WINNOW_PAIR_MIN_SHARED as _wms,
+    )
+
+    ORACLE_SQL["docs_winnow_pairs"] = _materialize_ctes(
+        _dor.winnow_pairs_sql(min_shared=_wms, max_df=_wdf))
 except ImportError:
     ORACLE_SQL.pop("dedup_filtered_corpus", None)
 
