@@ -162,7 +162,7 @@ def _lsh_candidate_pairs(ray, sf_dir: str, sh_ds=None):
             zero_copy_only=False).astype(np.int64)
         n = len(doc_ids)
         # batched segmented-min signatures + vectorized band fold (the
-        # per-doc blake2b-per-band loop this replaces spent more time in
+        # per-doc hash-per-band loop this replaces spent more time in
         # 16n hash calls and 3x16n list appends than in the minhash)
         sig = minhash_signatures_batch(
             list(_sh_rows(batch.column("sh"))), a, b)
@@ -666,8 +666,11 @@ def edit_distance_pairs(ray, sf_dir: str, threshold: int = 20):
         probe = g["probe"].to_numpy()
         n = len(texts)
         lens = np.array([len(t) for t in texts], np.int64)
-        cmat = np.zeros((n, H), np.int16)
-        one = np.int16(1)
+        # int32, not int16: a bucket's count is bounded by the document
+        # LENGTH, so one repeated gram in a >32k-char doc would wrap
+        # int16 and silently break the lossless count-filter guarantee
+        cmat = np.zeros((n, H), np.int32)
+        one = np.int32(1)
         for i, t in enumerate(texts):
             if len(t) >= q:
                 gi = np.fromiter(
@@ -691,8 +694,8 @@ def edit_distance_pairs(ray, sf_dir: str, threshold: int = 20):
         keep &= ids[cand_a] != ids[cand_b]
         cand_a, cand_b = cand_a[keep], cand_b[keep]
         # Gravano count bound via hashed min-sum, in cache-sized chunks
-        # (int16 diffs are exact: per-gram counts are bounded by the
-        # document length; 2x min-sum avoids the halving division)
+        # (int32 diffs are exact for any doc shorter than 2^31 chars;
+        # 2x min-sum avoids the halving division)
         sums = (lens - q + 1).astype(np.int32)
         need = (np.maximum(lens[cand_a], lens[cand_b])
                 - q + 1 - threshold * q)

@@ -368,9 +368,11 @@ def salsa(ray, crawler, iters: int = 5, edges=None):
     edges_ds, n_nodes = edges
     n_edges = edges_ds.count()
     if n_edges == 0:
-        return pa.table({"url": pa.array([], pa.string()),
-                         "auth": pa.array([], pa.int64()),
-                         "hub": pa.array([], pa.int64())})
+        # a Dataset, not a pa.Table — crawl_salsa chains .sort().limit()
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], pa.string()),
+             "auth": pa.array([], pa.int64()),
+             "hub": pa.array([], pa.int64())}))
 
     # in-degree per dst (one bucketed count), then ride it on each edge
     # row so both half-steps are a single join against the same table

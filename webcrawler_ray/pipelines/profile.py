@@ -108,6 +108,10 @@ def profile_table(ray, path: str, int_cols: list[str],
         min_val=("min_val", "min"), max_val=("max_val", "max"))
     out = agg.merge(n_distinct, on="col", how="left")
     out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    # an all-NULL column leaves the +/-inf sentinels un-overridden:
+    # report NULL (NaN), matching the SQL MIN/MAX-over-no-rows semantics
+    allnull = out["n_null"] == out["n_rows"]
+    out.loc[allnull, ["min_val", "max_val"]] = np.nan
     out = out[["col", "n_rows", "n_null", "n_distinct",
                "min_val", "max_val"]]
     out["n_rows"] = out["n_rows"].astype("int64")

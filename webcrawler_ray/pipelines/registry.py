@@ -274,6 +274,33 @@ def crawl_log_jsonl(sf_dir: str):
         batch_format="pyarrow").sort("URL")
 
 
+def _sig_keyed_dump(sig_key: str, sig_file: str, targets) -> None:
+    """The ONE atomic oracle-dump protocol (attempts / link-graph /
+    corpus dumps all route here): if ``sig_file`` records ``sig_key``
+    AND every target directory still exists, the dump is current — skip
+    (a stale sig with a deleted dump dir regenerates instead of letting
+    the oracle read a missing path). Otherwise distributed-write each
+    ``(path, dataset)`` in ``targets`` to ``path + ".tmp"`` and swap the
+    whole directory in, then record the signature LAST (a crash between
+    writes leaves an ignorable stale sig, never a half dump behind a
+    fresh one)."""
+    import shutil
+
+    if os.path.exists(sig_file):
+        with open(sig_file) as f:
+            if (f.read().strip() == sig_key
+                    and all(os.path.isdir(p) for p, _ in targets)):
+                return
+    for path, ds in targets:
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+    with open(sig_file, "w") as f:
+        f.write(sig_key)
+
+
 def _dump_link_graph(crawler, sf_dir: str):
     """Dump the crawled link graph — edges (src, dst, deg) and nodes
     (fetch_seq, url) — to STABLE per-scale paths so the graph oracles
@@ -285,29 +312,16 @@ def _dump_link_graph(crawler, sf_dir: str):
     caller to reuse — the corpus is parsed ONCE per invocation.
     Distributed writes (no driver materialization), swapped in whole
     directories keyed by the crawl workdir signature."""
-    import shutil
-
     from . import graph
 
     edges_dir, nodes_dir = _graph_dump_paths(sf_dir)
     edges = graph.crawl_link_edges(crawler.ray, crawler)
-    sig_file = edges_dir + ".sig"
-    if os.path.exists(sig_file):
-        with open(sig_file) as f:
-            if f.read().strip() == crawler.workdir:
-                return edges
-    for path, ds in (
-            (edges_dir, edges[0]),
-            (nodes_dir, crawler.crawled_dataset().map_batches(
-                lambda t: t.select(["fetch_seq", "url"]),
-                batch_format="pyarrow"))):
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        ds.write_parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
-        os.replace(tmp, path)
-    with open(sig_file, "w") as f:
-        f.write(crawler.workdir)
+    _sig_keyed_dump(
+        crawler.workdir, edges_dir + ".sig",
+        [(edges_dir, edges[0]),
+         (nodes_dir, crawler.crawled_dataset().map_batches(
+             lambda t: t.select(["fetch_seq", "url"]),
+             batch_format="pyarrow"))])
     return edges
 
 
@@ -359,24 +373,12 @@ def _adapted_corpus(crawler):
 
 def _dump_crawl_corpus(crawler, sf_dir: str):
     """Distributed write of the adapted crawl corpus to the stable
-    oracle path (sig-keyed by the crawl workdir, like the attempts and
-    link-graph dumps); returns the adapted dataset for reuse."""
-    import shutil
-
+    oracle path (sig-keyed by the crawl workdir, same `_sig_keyed_dump`
+    protocol as the attempts and link-graph dumps); returns the adapted
+    dataset for reuse."""
     ds = _adapted_corpus(crawler)
     path = _corpus_dump_path(sf_dir)
-    sig_file = path + ".sig"
-    if os.path.exists(sig_file):
-        with open(sig_file) as f:
-            if f.read().strip() == crawler.workdir:
-                return ds
-    tmp = path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    ds.write_parquet(tmp)
-    shutil.rmtree(path, ignore_errors=True)
-    os.replace(tmp, path)
-    with open(sig_file, "w") as f:
-        f.write(crawler.workdir)
+    _sig_keyed_dump(crawler.workdir, path + ".sig", [(path, ds)])
     return ds
 
 

@@ -3037,30 +3037,17 @@ def events_zorder(ray, sf_dir: str):
     laid = (ds.map_batches(add_z, batch_format="pyarrow")
               .sort(["zcode", "event_id"]).materialize())
 
-    def block_summary(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"z0": pa.array([], pa.int64()),
-                             "e0": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        return pa.table({
-            "z0": pa.array([t.column("zcode")[0].as_py()], pa.int64()),
-            "e0": pa.array([t.column("event_id")[0].as_py()], pa.int64()),
-            "n": pa.array([t.num_rows], pa.int64())})
+    from ..stages.aggregates import block_prefix_bases, first_key
 
-    summ = (laid.map_batches(block_summary, batch_size=None,
-                             batch_format="pyarrow")
-                .to_pandas().sort_values(["z0", "e0"]))
-    starts = np.r_[0, summ["n"].to_numpy()[:-1].cumsum()]
-    bases = {(int(z), int(e)): int(o) for z, e, o in
-             zip(summ["z0"], summ["e0"], starts)}
+    bases = block_prefix_bases(laid, ["zcode", "event_id"],
+                               ascending=True)
 
     def assign(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"pos": pa.array([], pa.int64()),
                              "event_id": pa.array([], pa.int64()),
                              "zcode": pa.array([], pa.int64())})
-        base = bases[(int(t.column("zcode")[0].as_py()),
-                      int(t.column("event_id")[0].as_py()))]
+        base = bases[first_key(t, ["zcode", "event_id"])]
         pos = np.arange(base, base + t.num_rows, dtype=np.int64)
         return pa.table({"pos": pa.array(pos, pa.int64()),
                          "event_id": t.column("event_id"),
@@ -3109,12 +3096,18 @@ def events_props_extract(ray, sf_dir: str):
 
     def partial(t: pa.Table) -> pd.DataFrame:
         m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
-        k = pd.to_numeric(pd.Series(
-            pc.struct_field(m, "k").to_pandas())).astype("int64")
+        kf = pd.to_numeric(pd.Series(
+            pc.struct_field(m, "k").to_pandas()))
+        # rows whose props lack an integer k are NULL-SKIPPED, matching
+        # the oracle's json_extract semantics (never a crash)
+        ok = kf.notna().to_numpy()
+        k = kf[ok].astype("int64")
         df = pd.DataFrame({
-            "event_type": t.column("event_type").to_pylist(),
-            "k_sum": k, "k_min": k, "k_max": k,
-            "n": np.ones(len(k), dtype="int64")})
+            "event_type": np.asarray(
+                t.column("event_type").to_pylist(), dtype=object)[ok],
+            "k_sum": k.to_numpy(), "k_min": k.to_numpy(),
+            "k_max": k.to_numpy(),
+            "n": np.ones(int(ok.sum()), dtype="int64")})
         return df.groupby("event_type", as_index=False).agg(
             k_sum=("k_sum", "sum"), k_min=("k_min", "min"),
             k_max=("k_max", "max"), n=("n", "sum"))
@@ -3138,6 +3131,7 @@ SELECT event_type,
 FROM (SELECT event_type,
              CAST(json_extract(props, '$.k') AS BIGINT) AS k
       FROM events)
+WHERE k IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
 
@@ -3361,10 +3355,15 @@ def events_value_props_corr(ray, sf_dir: str):
         x = np.floor(t.column("value").to_numpy(
             zero_copy_only=False) * 100).astype(np.int64)
         m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
-        y = pd.to_numeric(pd.Series(
-            pc.struct_field(m, "k").to_pandas())).astype("int64").to_numpy()
+        yf = pd.to_numeric(pd.Series(
+            pc.struct_field(m, "k").to_pandas()))
+        # NULL-skip rows without an integer k (oracle WHERE y IS NOT NULL)
+        ok = yf.notna().to_numpy()
+        x = x[ok]
+        y = yf[ok].astype("int64").to_numpy()
         df = pd.DataFrame({
-            "event_type": t.column("event_type").to_pylist(),
+            "event_type": np.asarray(
+                t.column("event_type").to_pylist(), dtype=object)[ok],
             "n": np.ones(len(x), dtype="int64"),
             "sx": x, "sy": y, "sxy": x * y, "sx2": x * x, "sy2": y * y})
         return df.groupby("event_type", as_index=False).sum()
@@ -3392,5 +3391,6 @@ FROM (SELECT event_type,
              CAST(FLOOR(value * 100) AS BIGINT) AS x,
              CAST(json_extract(props, '$.k') AS BIGINT) AS y
       FROM events)
+WHERE y IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """

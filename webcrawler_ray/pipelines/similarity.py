@@ -877,7 +877,7 @@ def _pq_assign(mn: np.ndarray, books: np.ndarray) -> np.ndarray:
 def knn_pq(ray, sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
            train_size: int = 2048):
     """PQ (product-quantization) approximate top-k: vectors compress to
-    ``m`` 4-bit-ish codes (here m=8 codes for dim-64 — 8 bytes/vector vs
+    ``m`` byte codes (here m=16 codes for dim-64 — 16 bytes/vector vs
     256 float32 bytes, the RAM path when even int8 doesn't fit), queries
     search via ADC lookup tables — per subspace, the query sub-vector's
     dot with each codebook entry is precomputed once, so a candidate's

@@ -212,7 +212,7 @@ def winnow_fingerprints(ray, sf_dir: str, k: int = 5, w: int = 8):
         n_fps, mins, maxs = [], [], []
         for t in texts:
             # vectorized winnow: polynomial k-gram hashes (tokens
-            # blake2b-hashed once) + one sliding-window min — no
+            # md5-hashed once) + one sliding-window min — no
             # per-gram string building or per-window python loop
             hs = kgram_hashes_ordered(t, k)
             if len(hs) == 0:
@@ -778,29 +778,18 @@ def pack_sequences_over(ds_counts):
     second pass adds each block's offset to its local cumsum and
     appends seq_id — extra columns ride through untouched. Shared by
     docs_pack_sequences and corpus_curation."""
+    from ..stages.aggregates import block_prefix_bases, first_key
+
     sorted_ds = ds_counts.sort("doc_id").materialize()
-
-    def block_summary(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"first_doc": pa.array([], pa.int64()),
-                             "tok_sum": pa.array([], pa.int64())})
-        tok = batch.column("n_tokens").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "first_doc": pa.array([batch.column("doc_id")[0].as_py()],
-                                  pa.int64()),
-            "tok_sum": pa.array([int(tok.sum())], pa.int64())})
-
-    summ = (sorted_ds.map_batches(block_summary, batch_size=None,
-                                  batch_format="pyarrow")
-                     .to_pandas().sort_values("first_doc"))
-    starts = np.r_[0, summ["tok_sum"].to_numpy()[:-1].cumsum()]
-    offsets = {int(d): int(o)
-               for d, o in zip(summ["first_doc"], starts)}
+    bases = block_prefix_bases(
+        sorted_ds, ["doc_id"], ascending=True,
+        weight=lambda t: int(t.column("n_tokens").to_numpy(
+            zero_copy_only=False).sum()))
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("seq_id", pa.array([], pa.int64()))
-        base = offsets[int(batch.column("doc_id")[0].as_py())]
+        base = bases[first_key(batch, ["doc_id"])]
         n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
         excl = base + np.cumsum(n) - n
         return batch.append_column(
@@ -1140,31 +1129,16 @@ def docs_shuffle_seeded(ray, sf_dir: str, seed: int = SHUFFLE_SEED):
     sorted_ds = (ds.map_batches(add_pri, batch_format="pyarrow")
                    .sort(["pri", "doc_id"]).materialize())
 
-    def block_summary(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"first_pri": pa.array([], pa.string()),
-                             "first_doc": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        return pa.table({
-            "first_pri": pa.array([batch.column("pri")[0].as_py()],
-                                  pa.string()),
-            "first_doc": pa.array([batch.column("doc_id")[0].as_py()],
-                                  pa.int64()),
-            "n": pa.array([batch.num_rows], pa.int64())})
+    from ..stages.aggregates import block_prefix_bases, first_key
 
-    summ = (sorted_ds.map_batches(block_summary, batch_size=None,
-                                  batch_format="pyarrow")
-                     .to_pandas().sort_values(["first_pri", "first_doc"]))
-    starts = np.r_[0, summ["n"].to_numpy()[:-1].cumsum()]
-    bases = {(p, int(d)): int(o) for p, d, o in
-             zip(summ["first_pri"], summ["first_doc"], starts)}
+    bases = block_prefix_bases(sorted_ds, ["pri", "doc_id"],
+                               ascending=True)
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"pos": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64())})
-        base = bases[(batch.column("pri")[0].as_py(),
-                      int(batch.column("doc_id")[0].as_py()))]
+        base = bases[first_key(batch, ["pri", "doc_id"])]
         pos = base + np.arange(batch.num_rows, dtype=np.int64) + 1
         return pa.table({"pos": pa.array(pos, pa.int64()),
                          "doc_id": batch.column("doc_id").cast(pa.int64())})
@@ -1671,7 +1645,10 @@ def docs_feature_hash(ray, sf_dir: str, dim: int = FEATURE_HASH_DIM):
         memo: dict[str, int] = {}
         out_d, out_b = [], []
         for did, tx in zip(ids, texts):
-            for tok in tokenize(tx):
+            # lowercase BEFORE tokenizing — the conventional feature-hash
+            # fold, and what the oracle's lower(text) computes; hashing
+            # case-preserved tokens would diverge on any uppercase char
+            for tok in tokenize(tx.lower()):
                 b = memo.get(tok)
                 if b is None:
                     b = int(hashlib.md5(tok.encode()).hexdigest()[:8],
@@ -1868,32 +1845,17 @@ def docs_vocab_encode(ray, sf_dir: str):
     ranked = counts.sort(["n", "token"],
                          descending=[True, False]).materialize()
 
-    def block_summary(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"n0": pa.array([], pa.int64()),
-                             "t0": pa.array([], pa.string()),
-                             "rows": pa.array([], pa.int64())})
-        return pa.table({
-            "n0": pa.array([t.column("n")[0].as_py()], pa.int64()),
-            "t0": pa.array([t.column("token")[0].as_py()], pa.string()),
-            "rows": pa.array([t.num_rows], pa.int64())})
+    from ..stages.aggregates import block_prefix_bases, first_key
 
-    summ = (ranked.map_batches(block_summary, batch_size=None,
-                               batch_format="pyarrow")
-                  .to_pandas())
-    # blocks are in (n desc, token asc) order: sort summaries the same way
-    summ = summ.sort_values(["n0", "t0"],
-                            ascending=[False, True], kind="mergesort")
-    starts = np.r_[0, summ["rows"].to_numpy()[:-1].cumsum()]
-    bases = {(int(n), t): int(o) for n, t, o in
-             zip(summ["n0"], summ["t0"], starts)}
+    # blocks are in (n desc, token asc) order: scan summaries the same way
+    bases = block_prefix_bases(ranked, ["n", "token"],
+                               ascending=[False, True])
 
     def assign(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"token": pa.array([], pa.string()),
                              "token_id": pa.array([], pa.int64())})
-        base = bases[(int(t.column("n")[0].as_py()),
-                      t.column("token")[0].as_py())]
+        base = bases[first_key(t, ["n", "token"])]
         ids = np.arange(base + 1, base + 1 + t.num_rows, dtype=np.int64)
         return pa.table({"token": t.column("token"),
                          "token_id": pa.array(ids, pa.int64())})

@@ -184,3 +184,53 @@ def normalize_for_join(ds, schema: pa.Schema, num_blocks: int = 8):
 
     return (ds.map_batches(f, batch_format="pyarrow", batch_size=None)
               .repartition(num_blocks))
+
+
+def first_key(t: pa.Table, key_cols: list[str]) -> tuple:
+    """The lookup key for ``block_prefix_bases``: the block's first-row
+    values of ``key_cols`` as plain-Python scalars."""
+    return tuple(t.column(c)[0].as_py() for c in key_cols)
+
+
+def block_prefix_bases(sorted_ds, key_cols: list[str],
+                       ascending, weight=None) -> dict:
+    """Driver-side EXCLUSIVE prefix scan of per-block weights over a
+    SORTED, MATERIALIZED Dataset — the shared core of every global
+    rank / offset / position assignment (sequence packing, distinctive-
+    term positions, vocab ids, Z-order positions).
+
+    One O(blocks) pass emits each block's first-row ``key_cols`` tuple
+    plus its weight (row count by default, or ``weight(batch) -> int``
+    e.g. a token-count sum). Summaries are re-ordered by the SAME sort
+    spec the dataset was sorted with (``ascending`` is the per-key
+    direction list / bool) — first-row keys are strictly increasing
+    across blocks in that order because the dataset is globally sorted —
+    and the exclusive cumsum of weights is returned as
+    ``{first_key_tuple: base}``. The caller's second pass looks up
+    ``bases[first_key(batch, key_cols)]`` and adds block-local offsets;
+    the driver only ever holds one row per BLOCK, never per row.
+
+    Requires ``sorted_ds`` to be materialized: both passes (summary +
+    assign) must see the identical block layout."""
+    if isinstance(ascending, bool):
+        ascending = [ascending] * len(key_cols)
+
+    def summ_fn(t: pa.Table) -> pa.Table:
+        first = t.slice(0, min(1, t.num_rows)).select(key_cols)
+        w = ([] if t.num_rows == 0
+             else [t.num_rows if weight is None else int(weight(t))])
+        return first.append_column("__w", pa.array(w, pa.int64()))
+
+    summ = (sorted_ds.map_batches(summ_fn, batch_size=None,
+                                  batch_format="pyarrow")
+                     .to_pandas()  # one row per block — tiny
+                     .sort_values(key_cols, ascending=ascending,
+                                  kind="mergesort"))
+    starts = np.r_[0, summ["__w"].to_numpy()[:-1].cumsum()].astype(np.int64)
+
+    def _py(v):
+        return v.item() if hasattr(v, "item") else v
+
+    keys = zip(*(summ[c] for c in key_cols))
+    return {tuple(_py(v) for v in k): int(o)
+            for k, o in zip(keys, starts)}

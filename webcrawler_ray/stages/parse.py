@@ -51,7 +51,7 @@ class ParseHtmlBatch:
             self._perm_a, self._perm_b = minhash_perm_params(16)
             # actor-resident memoized token hashing: Zipf vocabulary means
             # almost every token of a batch is already cached, so the
-            # per-token blake2b pass collapses to one factorize per batch
+            # per-token md5 pass collapses to one factorize per batch
             self._tok_cache = TokenHashCache()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -88,7 +88,7 @@ class ParseHtmlBatch:
         )
 
         n = len(texts)
-        # ONE memoized blake2b pass over the whole batch feeds simhash AND
+        # ONE memoized md5 pass over the whole batch feeds simhash AND
         # the shingle minhash (values identical to per-doc hash_tokens);
         # simhash reduces batch-wide over the factorized form
         toks_list = [t.split() for t in texts]
