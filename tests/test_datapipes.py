@@ -75,7 +75,7 @@ SQL_CHECKED = [
     "events_range_sum", "users_orders_full", "docs_feature_hash",
     "events_type_iqr_outliers", "events_value_props_corr",
     "dedup_edit_distance", "docs_bm25_topk", "events_type_transitions",
-    "docs_vocab_encode", "docs_bigram_lm_score",
+    "docs_vocab_encode", "docs_bigram_lm_score", "docs_dup_spans",
 ]
 
 
@@ -596,6 +596,47 @@ class TestWinnowPairs:
                  zip(df["doc_a"], df["doc_b"], df["n_shared"])}
         assert pairs.get((1, 2), 0) >= 2
         assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+class TestDupSpans:
+    def test_planted_shared_run_and_within_doc_repeat(self, ray_session,
+                                                      tmp_path):
+        """Exact substring dedup spans: a 20-token run shared by two docs
+        is reported as EXACTLY that token range in each (no straddling
+        gram leaks past the run); a within-doc repeated 10-token phrase
+        yields two separate spans; an all-unique doc yields none."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import ray
+
+        S = [f"s{i}" for i in range(20)]         # shared 20-token run
+        R = [f"r{i}" for i in range(10)]         # within-doc repeat
+        d1 = [f"u{i}" for i in range(10)] + S + [f"w{i}" for i in range(10)]
+        d2 = [f"v{i}" for i in range(12)] + S + [f"x{i}" for i in range(5)]
+        d3 = [f"z{i}" for i in range(40)]        # no duplicated grams
+        d4 = R + [f"y{i}" for i in range(5)] + R
+        texts = [" ".join(t) for t in (d1, d2, d3, d4)]
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+        d = tmp_path / "ds"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        from webcrawler_ray.pipelines.textpipe import docs_dup_spans
+
+        df = _to_df(docs_dup_spans(ray, str(d)))  # k = 8
+        got = [tuple(r) for r in
+               df[["doc_id", "span_start", "span_end", "n_grams"]]
+               .itertuples(index=False)]
+        # doc1: S at tokens 11..30 -> grams 11..23 (13 of them)
+        # doc2: S at tokens 13..32; doc4: R at 1..10 and 16..25 (3 grams
+        # each, gap 13 > k so two islands); doc3: nothing
+        assert got == [(1, 11, 30, 13), (2, 13, 32, 13),
+                       (4, 1, 10, 3), (4, 16, 25, 3)]
 
 
 class TestMultimodalChannelHist:

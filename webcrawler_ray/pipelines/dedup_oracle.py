@@ -256,11 +256,12 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _winnow_sel_cte(k: int, w: int) -> str:
-    """Shared winnowing chain: ordered k-gram FNV-fold hashes (k-1
-    staged folds) -> sliding window-of-w minima -> per-doc DISTINCT
-    selected fingerprints ``sel(doc_id, m)``. Docs with fewer than k
-    tokens have NO fingerprints (Schleimer'03)."""
+def _kgram_cte(k: int) -> str:
+    """Ordered k-gram FNV-fold hashes as k-1 staged folds:
+    ``kg{k-1}(doc_id, i, n, acc)`` — one row per 1-based gram start
+    position, ``acc`` the uint64 polynomial hash (bit-identical to
+    ``kgram_hashes_ordered``). Docs with fewer than k tokens emit no
+    rows. Shared by the winnowing and duplicated-span oracles."""
     stages = [f""",
  kg1 AS (SELECT a.doc_id, a.i, a.n,
                 ({_umul('a.v', FNV)} + b.v) % {M64} AS acc
@@ -272,6 +273,15 @@ def _winnow_sel_cte(k: int, w: int) -> str:
                  ({_umul('a.acc', FNV)} + b.v) % {M64} AS acc
           FROM kg{j - 1} a JOIN tl b ON b.doc_id = a.doc_id
                                     AND b.i = a.i + {j})""")
+    return "".join(stages)
+
+
+def _winnow_sel_cte(k: int, w: int) -> str:
+    """Shared winnowing chain: ordered k-gram hashes (``_kgram_cte``)
+    -> sliding window-of-w minima -> per-doc DISTINCT selected
+    fingerprints ``sel(doc_id, m)``. Docs with fewer than k tokens have
+    NO fingerprints (Schleimer'03)."""
+    stages = [_kgram_cte(k)]
     stages.append(f""",
  wmin AS (SELECT doc_id, i, n,
                  MIN(acc) OVER (PARTITION BY doc_id ORDER BY i
@@ -320,4 +330,28 @@ def winnow_pairs_sql(k: int = 5, w: int = 8, min_shared: int = 2,
 SELECT doc_a, doc_b, n_shared FROM prs
 WHERE n_shared >= {min_shared}
 ORDER BY doc_a, doc_b
+""")
+
+
+def dup_spans_sql(k: int = 8) -> str:
+    """Oracle for ``docs_dup_spans``: occurrences whose ordered k-gram
+    hash repeats at >= 2 (doc, position) sites corpus-wide, merged into
+    maximal per-doc token spans via gaps-and-islands (grams at i1 < i2
+    merge exactly when i2 - i1 <= k; spans are 1-based inclusive)."""
+    return ("WITH" + _tokens_cte() + _kgram_cte(k) + f""",
+ dup AS (SELECT acc FROM kg{k - 1} GROUP BY acc HAVING COUNT(*) >= 2),
+ pos AS (SELECT o.doc_id, o.i FROM kg{k - 1} o
+         JOIN dup d ON d.acc = o.acc),
+ brk AS (SELECT doc_id, i,
+                CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                          <= {k} THEN 0 ELSE 1 END AS b
+         FROM pos),
+ grp AS (SELECT doc_id, i,
+                SUM(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+         FROM brk)
+SELECT doc_id, MIN(i) AS span_start,
+       CAST(MAX(i) + {k - 1} AS BIGINT) AS span_end,
+       COUNT(*) AS n_grams
+FROM grp GROUP BY doc_id, g
+ORDER BY doc_id, span_start
 """)

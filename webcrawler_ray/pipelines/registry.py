@@ -458,6 +458,7 @@ def build_queries() -> dict:
         "doc_token_counts_bpe": lambda sf: textpipe.token_counts_bpe(ray, sf),
         "docs_quality_filter": lambda sf: textpipe.quality_filter(ray, sf),
         "docs_dup_ngrams": lambda sf: textpipe.docs_dup_ngrams(ray, sf),
+        "docs_dup_spans": lambda sf: textpipe.docs_dup_spans(ray, sf),
         "docs_contamination":
             lambda sf: textpipe.docs_contamination(ray, sf),
         "docs_length_histogram":
@@ -1153,6 +1154,10 @@ try:
 
     ORACLE_SQL["docs_winnow_pairs"] = _materialize_ctes(
         _dor.winnow_pairs_sql(min_shared=_wms, max_df=_wdf))
+    from .textpipe import DUP_SPAN_K as _dsk
+
+    ORACLE_SQL["docs_dup_spans"] = _materialize_ctes(
+        _dor.dup_spans_sql(k=_dsk))
 except ImportError:
     ORACLE_SQL.pop("dedup_filtered_corpus", None)
 

@@ -524,6 +524,96 @@ ORDER BY n_docs DESC, gram LIMIT {DUP_NGRAM_K}
 """
 
 
+# --- duplicated-substring SPANS (exact substring dedup) ----------------------
+DUP_SPAN_K = 8          # token k-gram width defining a duplicated run
+
+
+def docs_dup_spans(ray, sf_dir: str, k: int = DUP_SPAN_K):
+    """(doc_id, span_start, span_end, n_grams): MAXIMAL duplicated-
+    substring token spans — for every doc, the 1-based inclusive token
+    ranges covered by ``k``-grams that occur at >= 2 (doc, position)
+    sites anywhere in the corpus, overlapping/adjacent grams merged into
+    one span. This is the REMOVAL-MASK half of exact substring dedup
+    (Lee et al., ACL'22): `docs_dup_ngrams` answers "which substrings
+    repeat", this answers "which bytes of which doc to cut". Value-exact
+    vs a DuckDB oracle (the md5/FNV ordered-k-gram machinery of
+    ``dedup_oracle`` + gaps-and-islands interval merge).
+
+    Scale shape (the honest suffix-array replacement): occurrences move
+    as (hash, doc_id, pos) int64 triples through ONE bucketed exchange
+    keyed by hash — ~one row per corpus token, the same order of traffic
+    a distributed suffix-array build pays, but in a single groupby
+    shape; groups with >= 2 occurrences emit positions back; the island
+    merge is a vectorized per-doc pass inside a second doc-keyed
+    exchange. The text itself never shuffles."""
+    from ..functions.hashing import kgram_hashes_ordered
+    from ..io_utils import parquet_column_bytes
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+    # occurrence count ~ token count ~ text bytes / 6
+    n_occ = max(1, parquet_column_bytes(f"{sf_dir}/documents.parquet",
+                                        "text") // 6)
+
+    def occs(batch: pa.Table) -> pa.Table:
+        hs_l, d_l, i_l = [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        for did, t in zip(ids, batch.column("text").to_pylist()):
+            hs = kgram_hashes_ordered(t, k)
+            if len(hs) == 0:
+                continue
+            hs_l.append(hs.view(np.int64))
+            d_l.append(np.full(len(hs), did, np.int64))
+            i_l.append(np.arange(1, len(hs) + 1, dtype=np.int64))
+        if not hs_l:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64())})
+        return pa.table({"h": pa.array(np.concatenate(hs_l), pa.int64()),
+                         "doc_id": pa.array(np.concatenate(d_l), pa.int64()),
+                         "i": pa.array(np.concatenate(i_l), pa.int64())})
+
+    def keep_dup_positions(df: pd.DataFrame) -> pd.DataFrame:
+        sz = df.groupby("h")["h"].transform("size")
+        return df.loc[sz >= 2, ["doc_id", "i"]]
+
+    # identity partial (a hash's sites span batches — filtering early
+    # would drop cross-batch duplicates); the >=2 cut runs at the merge
+    dup_pos = hash_bucket_aggregate(
+        ds.map_batches(occs, batch_format="pyarrow"),
+        ["h"], lambda df: df, merge=keep_dup_positions, n_rows=n_occ)
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "span_start": pd.Series([], dtype="int64"),
+                "span_end": pd.Series([], dtype="int64"),
+                "n_grams": pd.Series([], dtype="int64")})
+        df = df.sort_values(["doc_id", "i"], kind="mergesort")
+        d = df["doc_id"].to_numpy()
+        i = df["i"].to_numpy()
+        new = np.empty(len(d), dtype=bool)
+        new[0] = True
+        # grams at i1 < i2 cover [i1, i1+k-1], [i2, i2+k-1]: they merge
+        # (overlap or touch) exactly when i2 - i1 <= k
+        new[1:] = (d[1:] != d[:-1]) | (i[1:] - i[:-1] > k)
+        g = np.cumsum(new)
+        out = (pd.DataFrame({"doc_id": d, "g": g, "i": i})
+               .groupby(["doc_id", "g"], as_index=False)
+               .agg(span_start=("i", "min"), span_end=("i", "max"),
+                    n_grams=("i", "size")))
+        out["span_end"] = (out["span_end"] + (k - 1)).astype("int64")
+        out["n_grams"] = out["n_grams"].astype("int64")
+        return out[["doc_id", "span_start", "span_end", "n_grams"]]
+
+    # identity partial again: islands only merge correctly once a doc's
+    # positions are co-located in one bucket
+    return (hash_bucket_aggregate(dup_pos, ["doc_id"], lambda df: df,
+                                  merge=islands, n_rows=n_occ)
+            .sort(["doc_id", "span_start"]))
+
+
 # --- benchmark-contamination scan --------------------------------------------
 # probe phrases a training pipeline checks the corpus against (eval-set
 # leakage); tiny fixed list — literal in the oracle SQL, broadcast to the
