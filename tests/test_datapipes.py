@@ -76,6 +76,7 @@ SQL_CHECKED = [
     "events_type_iqr_outliers", "events_value_props_corr",
     "dedup_edit_distance", "docs_bm25_topk", "events_type_transitions",
     "docs_vocab_encode", "docs_bigram_lm_score", "docs_dup_spans",
+    "events_windowed_late",
 ]
 
 
@@ -637,6 +638,48 @@ class TestDupSpans:
         # each, gap 13 > k so two islands); doc3: nothing
         assert got == [(1, 11, 30, 13), (2, 13, 32, 13),
                        (4, 1, 10, 3), (4, 16, 25, 3)]
+
+
+class TestWindowedLate:
+    def test_planted_arrival_sequence(self, ray_session, tmp_path):
+        """Watermark semantics on a hand-computed arrival sequence:
+        wm before each arrival = max(prior event times) - 7d; an event
+        is late iff its time is below the watermark AT ITS ARRIVAL.
+        Sequence (days): 10, 1, 9, 1, 20, 5 -> late flags
+        F, T, F, T, F, T (first event has no watermark)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import ray
+
+        D = 86_400_000_000
+        days = [10, 1, 9, 1, 20, 5]
+        tbl = pa.table({
+            "event_id": pa.array(range(1, 7), pa.int64()),
+            "ts": pa.array([d * D for d in days], pa.timestamp("us")),
+            "user_id": pa.array([7] * 6, pa.int64()),
+            "event_type": pa.array(["a"] * 6),
+            "value": pa.array([0.0] * 6, pa.float64()),
+            "props": pa.array(['{"k": 1}'] * 6)})
+        d = tmp_path / "ev"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        from webcrawler_ray.pipelines.relational import (
+            WINDOW_US,
+            events_windowed_late,
+        )
+
+        df = _to_df(events_windowed_late(ray, str(d)))
+        by_win = {int(w): (int(o), int(l)) for w, o, l in
+                  zip(df["window_start_us"], df["n_ontime"], df["n_late"])}
+        win = lambda dd: (dd * D // WINDOW_US) * WINDOW_US  # noqa: E731
+        # day-1 window holds BOTH day-1 arrivals (2nd and 4th) — late
+        assert by_win[win(1)] == (0, 2)
+        assert by_win[win(10)] == (1, 0)
+        assert by_win[win(9)] == (1, 0)
+        assert by_win[win(20)] == (1, 0)
+        assert by_win[win(5)] == (0, 1)
+        assert df["n_late"].sum() == 3 and df["n_ontime"].sum() == 3
 
 
 class TestMultimodalChannelHist:

@@ -501,6 +501,8 @@ def build_queries() -> dict:
         "crawl_log_jsonl": crawl_log_jsonl,
         "events_by_type": lambda sf: relational.events_by_type(ray, sf),
         "events_windowed": lambda sf: relational.events_windowed(ray, sf),
+        "events_windowed_late":
+            lambda sf: relational.events_windowed_late(ray, sf),
         "events_hopping": lambda sf: relational.events_hopping(ray, sf),
         "events_windowed_incremental":
             lambda sf: relational.events_windowed_incremental(ray, sf),
@@ -1033,6 +1035,7 @@ ORDER BY vec_id_a, vec_id_b
     "top_customers": relational.TOP_CUSTOMERS_SQL,
     "events_by_type": relational.EVENTS_BY_TYPE_SQL,
     "events_windowed": relational.EVENTS_WINDOWED_SQL,
+    "events_windowed_late": relational.EVENTS_WINDOWED_LATE_SQL,
     "events_hopping": relational.EVENTS_HOPPING_SQL,
     "events_windowed_incremental": relational.EVENTS_WINDOWED_SQL,
     "events_user_topk": relational.EVENTS_USER_TOPK_SQL,

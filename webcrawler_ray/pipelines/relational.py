@@ -374,6 +374,98 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, window_start_us
 """
 
 
+LATE_LATENESS_US = 7 * 24 * 3_600_000_000  # 7-day allowed lateness
+
+
+def events_windowed_late(ray, sf_dir: str):
+    """(window_start_us, n_ontime, n_late): WATERMARK late-event
+    classification — the streaming-semantics half Ray Data has no
+    native notion of. Arrival order is the ingest sequence (event_id);
+    the watermark before each arrival is max(event-time seen so far) -
+    allowed lateness, and an event is LATE iff its event time is below
+    the watermark AT ITS ARRIVAL — the standard allowed-lateness rule
+    (Flink/Beam semantics), here made exactly reproducible because the
+    arrival order is a column.
+
+    Scale shape: the sequential-looking prefix max is the same two-pass
+    block scan as every global rank assignment — ONE O(blocks) summary
+    pass (per-block max event time), a driver-side exclusive running
+    max over block summaries (``block_prefix_bases(op="max")``), then a
+    per-block vectorized pass seeds np.maximum.accumulate with the
+    incoming watermark. Window counts then ride the usual bucketed
+    merge; no row-by-row driver state at any point."""
+    from ..stages.aggregates import (
+        block_prefix_bases,
+        first_key,
+        hash_bucket_aggregate,
+    )
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "ts"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "us": t.column("ts").cast(pa.int64())})
+
+    arrival = (ds.map_batches(norm, batch_format="pyarrow")
+                 .sort("event_id").materialize())
+    wm_in = block_prefix_bases(
+        arrival, ["event_id"], ascending=True, op="max",
+        weight=lambda t: int(t.column("us").to_numpy(
+            zero_copy_only=False).max()))
+
+    def classify(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({
+                "window_start_us": pd.Series([], dtype="int64"),
+                "n_ontime": pd.Series([], dtype="int64"),
+                "n_late": pd.Series([], dtype="int64")})
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        seed = wm_in[first_key(t, ["event_id"])]
+        prev_max = np.maximum(
+            seed, np.r_[np.int64(np.iinfo(np.int64).min),
+                        np.maximum.accumulate(us)[:-1]])
+        # INT64_MIN seed (nothing seen yet) never classifies late: the
+        # subtraction would wrap, so compare against the raw watermark
+        late = ((prev_max != np.iinfo(np.int64).min)
+                & (us < prev_max - LATE_LATENESS_US))
+        df = pd.DataFrame({
+            "window_start_us": (us // WINDOW_US) * WINDOW_US,
+            "n_ontime": (~late).astype("int64"),
+            "n_late": late.astype("int64")})
+        return df.groupby("window_start_us", as_index=False).agg(
+            n_ontime=("n_ontime", "sum"), n_late=("n_late", "sum"))
+
+    out = hash_bucket_aggregate(
+        arrival.map_batches(classify, batch_size=None,
+                            batch_format="pyarrow"),
+        ["window_start_us"],
+        lambda df: df.groupby("window_start_us", as_index=False).agg(
+            n_ontime=("n_ontime", "sum"), n_late=("n_late", "sum")),
+        n_rows=_nrows(f"{sf_dir}/events.parquet"))
+    return out.sort("window_start_us")
+
+
+EVENTS_WINDOWED_LATE_SQL = f"""
+WITH s AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+m AS (SELECT us,
+             MAX(us) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS wm
+      FROM s),
+c AS (SELECT (us // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
+             CASE WHEN wm IS NOT NULL
+                       AND us < wm - {LATE_LATENESS_US}
+                  THEN 1 ELSE 0 END AS late
+      FROM m)
+SELECT window_start_us,
+       CAST(SUM(1 - late) AS BIGINT) AS n_ontime,
+       CAST(SUM(late) AS BIGINT) AS n_late
+FROM c GROUP BY window_start_us ORDER BY window_start_us
+"""
+
+
 # ---------------------------------------------------------------------------
 HOP_W_US = 600_000_000  # 10-minute hopping window ...
 HOP_S_US = 300_000_000  # ... sliding every 5 minutes (each event in W/S=2)

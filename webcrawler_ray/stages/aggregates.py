@@ -193,7 +193,7 @@ def first_key(t: pa.Table, key_cols: list[str]) -> tuple:
 
 
 def block_prefix_bases(sorted_ds, key_cols: list[str],
-                       ascending, weight=None) -> dict:
+                       ascending, weight=None, op: str = "sum") -> dict:
     """Driver-side EXCLUSIVE prefix scan of per-block weights over a
     SORTED, MATERIALIZED Dataset — the shared core of every global
     rank / offset / position assignment (sequence packing, distinctive-
@@ -209,6 +209,11 @@ def block_prefix_bases(sorted_ds, key_cols: list[str],
     ``{first_key_tuple: base}``. The caller's second pass looks up
     ``bases[first_key(batch, key_cols)]`` and adds block-local offsets;
     the driver only ever holds one row per BLOCK, never per row.
+
+    ``op="max"`` returns the exclusive running MAX instead (the
+    watermark shape: each block's base is the largest weight of any
+    EARLIER block, INT64_MIN for the first) — same two-pass protocol,
+    different scan.
 
     Requires ``sorted_ds`` to be materialized: both passes (summary +
     assign) must see the identical block layout."""
@@ -226,7 +231,12 @@ def block_prefix_bases(sorted_ds, key_cols: list[str],
                      .to_pandas()  # one row per block — tiny
                      .sort_values(key_cols, ascending=ascending,
                                   kind="mergesort"))
-    starts = np.r_[0, summ["__w"].to_numpy()[:-1].cumsum()].astype(np.int64)
+    w = summ["__w"].to_numpy()
+    if op == "max":
+        starts = np.r_[np.iinfo(np.int64).min,
+                       np.maximum.accumulate(w)[:-1]].astype(np.int64)
+    else:
+        starts = np.r_[0, w[:-1].cumsum()].astype(np.int64)
 
     def _py(v):
         return v.item() if hasattr(v, "item") else v
