@@ -483,6 +483,48 @@ class TestComponents:
         assert (got["component"] != got["fetch_seq"]).any()
 
 
+class TestDepths:
+    def test_crawl_depths_match_local_bfs(self, queries):
+        """Distributed level-by-level BFS over the crawl link graph
+        equals a single-process BFS from the round-0 seed set, with
+        every crawled page present (unreachable pages -1)."""
+        from collections import deque
+
+        import ray
+
+        from webcrawler_ray.pipelines.graph import crawl_link_edges
+        from webcrawler_ray.pipelines.registry import _crawl_workdir
+
+        got = _df(queries["crawl_depths"](SF_DIR))
+        c = _crawl_workdir(SF_DIR)
+        corpus = _df(c.crawled_dataset().map_batches(
+            lambda t: t.select(["url", "round"]),
+            batch_format="pyarrow"))
+        assert len(got) == len(corpus)
+        assert sorted(got["url"]) == sorted(corpus["url"])
+
+        edges_ds, _ = crawl_link_edges(ray, c)
+        e = _df(edges_ds)
+        adj: dict = {}
+        for s, d in zip(e["src"], e["dst"]):
+            adj.setdefault(s, []).append(d)
+        want = {u: -1 for u in corpus["url"]}
+        q = deque()
+        for u in corpus.loc[corpus["round"] == 0, "url"]:
+            want[u] = 0
+            q.append(u)
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if want[v] == -1:
+                    want[v] = want[u] + 1
+                    q.append(v)
+        got_map = dict(zip(got["url"], got["depth"].astype(int)))
+        assert got_map == want
+        # the BFS actually descends: some page is deeper than the seeds
+        assert (got["depth"] > 0).any()
+
+
 class TestCrawlCuration:
     def test_crawl_curation_invariants(self, queries):
         """The composed crawl->training-data pipeline: every surviving

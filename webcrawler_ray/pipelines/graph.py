@@ -619,3 +619,105 @@ def crawl_components(ray, crawler, edges=None):
                          "component": pa.array(comp, pa.int64())})
 
     return joined.map_batches(fill, batch_format="pyarrow").sort("fetch_seq")
+
+
+# ---------------------------------------------------------------------------
+def crawl_depths(ray, crawler, edges=None, max_depth: int = 32):
+    """(url, depth): minimum LINK DISTANCE of every crawled page from
+    the round-0 seed pages over the crawled link graph (-1 = no path of
+    surviving crawled-to-crawled edges). The crawl's own `round` is an
+    arrival time shaped by politeness and budget, NOT link distance —
+    this is the graph-analytics complement.
+
+    Distributed BFS, one level per pass: frontier x edges inner join ->
+    distinct candidate targets -> left_anti against the settled set ->
+    the survivors ARE the next level (first arrival is minimal, so no
+    relaxation is ever needed). Only (url) / (url, depth) rows move;
+    level count = seed-set eccentricity, capped at ``max_depth``.
+
+    Reference parity: the reference tracks no link distances; ADDED
+    operator, value-checked vs a recursive-CTE DuckDB oracle over the
+    dumped edge list (registry._DEPTHS_ORACLE_TEMPLATE)."""
+    from ..stages.aggregates import (
+        distinct_keys,
+        join_partitions_for,
+        normalize_for_join,
+    )
+
+    _URL = pa.schema([("url", pa.string())])
+    _LVL = pa.schema([("url", pa.string()), ("depth", pa.int64())])
+
+    corpus = crawler.crawled_dataset().map_batches(
+        lambda t: t.select(["url", "round"]), batch_format="pyarrow")
+    n_nodes = corpus.count()
+    edges_ds, _ = edges if edges is not None \
+        else crawl_link_edges(ray, crawler)
+    edges_n = normalize_for_join(
+        edges_ds.map_batches(lambda t: t.select(["src", "dst"]),
+                             batch_format="pyarrow"),
+        pa.schema([("src", pa.string()), ("dst", pa.string())])
+    ).materialize()
+    n_edges = edges_n.count()
+    nparts = join_partitions_for(max(1, min(n_nodes, n_edges)))
+
+    def with_depth(ds, lvl: int):
+        return ds.map_batches(
+            lambda t, _l=lvl: t.select(["url"]).append_column(
+                "depth", pa.array(np.full(t.num_rows, _l, np.int64))),
+            batch_format="pyarrow")
+
+    seeds = normalize_for_join(
+        corpus.map_batches(
+            lambda t: t.filter(pc.equal(t.column("round"), 0))
+                       .select(["url"]),
+            batch_format="pyarrow"), _URL).materialize()
+
+    levels = [with_depth(seeds, 0)]
+    seen = seeds
+    frontier = seeds
+    if n_edges > 0:
+        for lvl in range(1, max_depth + 1):
+            cand = (edges_n.join(
+                        frontier.map_batches(
+                            lambda t: t.rename_columns(["src"]),
+                            batch_format="pyarrow"),
+                        join_type="inner", on=("src",),
+                        num_partitions=join_partitions_for(
+                            max(1, min(n_edges, frontier.count()))))
+                    .map_batches(
+                        lambda t: t.select(["dst"]).rename_columns(["url"]),
+                        batch_format="pyarrow"))
+            cand = normalize_for_join(
+                distinct_keys(cand, "url", n_rows=n_nodes), _URL
+            ).materialize()
+            if cand.count() == 0:
+                break
+            new = cand.join(
+                seen, join_type="left_anti", on=("url",),
+                num_partitions=join_partitions_for(
+                    max(1, min(cand.count(), seen.count())))).materialize()
+            if new.count() == 0:
+                break
+            levels.append(with_depth(new, lvl))
+            # the settled set grows by exactly the new level — one
+            # materialized union per level, never a re-scan of the corpus
+            seen = normalize_for_join(seen.union(new), _URL).materialize()
+            frontier = new
+
+    labels = levels[0]
+    for lv in levels[1:]:
+        labels = labels.union(lv)
+    labels = normalize_for_join(labels, _LVL).materialize()
+    joined = normalize_for_join(corpus.map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow"), _URL
+    ).join(labels, join_type="left_outer", on=("url",),
+           num_partitions=join_partitions_for(
+               max(1, min(n_nodes, labels.count()))))
+
+    def fill(t: pa.Table) -> pa.Table:
+        d = t.column("depth").to_numpy(zero_copy_only=False)
+        d = np.where(np.isnan(d.astype(np.float64)), -1, d).astype(np.int64)
+        return pa.table({"url": t.column("url"),
+                         "depth": pa.array(d, pa.int64())})
+
+    return joined.map_batches(fill, batch_format="pyarrow").sort("url")

@@ -424,6 +424,17 @@ def crawl_components(sf_dir: str):
                                   edges=_dump_link_graph(c, sf_dir))
 
 
+def crawl_depths(sf_dir: str):
+    """(url, depth): minimum link distance of every crawled page from
+    the round-0 seed pages; -1 = unreachable over surviving
+    crawled-to-crawled edges (value-checked: bounded recursive-CTE BFS
+    DuckDB oracle over the dumped edge list + attempts dump)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_depths(c.ray, c, edges=_dump_link_graph(c, sf_dir))
+
+
 # --- registry --------------------------------------------------------------
 def build_queries() -> dict:
     ray = _ray()
@@ -439,6 +450,7 @@ def build_queries() -> dict:
         "crawl_salsa": crawl_salsa,
         "crawl_triangles": crawl_triangles,
         "crawl_components": crawl_components,
+        "crawl_depths": crawl_depths,
         "crawl_curation": crawl_curation,
         # text analysis over documents
         "doc_token_counts": lambda sf: textpipe.token_counts(ray, sf),
@@ -951,6 +963,26 @@ GROUP BY round ORDER BY round
 }
 _CRAWL_ORACLE_TEMPLATES["crawl_pagerank"] = _pagerank_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_components"] = _COMPONENTS_ORACLE_TEMPLATE
+
+# BFS depths: bounded recursive closure over (url, depth) pairs — the
+# depth < 32 cap mirrors graph.crawl_depths' max_depth, so a page first
+# reachable deeper than the cap is -1 on BOTH sides
+_DEPTHS_ORACLE_TEMPLATE = """
+WITH RECURSIVE
+ nmap AS (SELECT url FROM read_parquet('{nodes_dump}/*.parquet')),
+ e AS (SELECT src, dst FROM read_parquet('{edges_dump}/*.parquet')),
+ seeds AS (SELECT a.url FROM read_parquet('{dump}') a
+           JOIN nmap n ON n.url = a.url
+           WHERE a.round = 0),
+ d AS (SELECT url, 0 AS depth FROM seeds
+       UNION
+       SELECT e.dst, d.depth + 1 FROM d JOIN e ON e.src = d.url
+       WHERE d.depth < 32)
+SELECT n.url, CAST(COALESCE(MIN(d.depth), -1) AS BIGINT) AS depth
+FROM nmap n LEFT JOIN d ON d.url = n.url
+GROUP BY n.url ORDER BY n.url
+"""
+_CRAWL_ORACLE_TEMPLATES["crawl_depths"] = _DEPTHS_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_salsa"] = _salsa_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
 # crawl_curation = the (already value-checked) corpus_curation SQL over
