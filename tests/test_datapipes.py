@@ -76,7 +76,8 @@ SQL_CHECKED = [
     "events_type_iqr_outliers", "events_value_props_corr",
     "dedup_edit_distance", "docs_bm25_topk", "events_type_transitions",
     "docs_vocab_encode", "docs_bigram_lm_score", "docs_dup_spans",
-    "events_windowed_late",
+    "events_windowed_late", "events_grouping_sets",
+    "events_value_winsorized",
 ]
 
 

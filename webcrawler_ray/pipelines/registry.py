@@ -515,6 +515,10 @@ def build_queries() -> dict:
         "events_windowed": lambda sf: relational.events_windowed(ray, sf),
         "events_windowed_late":
             lambda sf: relational.events_windowed_late(ray, sf),
+        "events_grouping_sets":
+            lambda sf: relational.events_grouping_sets(ray, sf),
+        "events_value_winsorized":
+            lambda sf: relational.events_value_winsorized(ray, sf),
         "events_hopping": lambda sf: relational.events_hopping(ray, sf),
         "events_windowed_incremental":
             lambda sf: relational.events_windowed_incremental(ray, sf),
@@ -1068,6 +1072,8 @@ ORDER BY vec_id_a, vec_id_b
     "events_by_type": relational.EVENTS_BY_TYPE_SQL,
     "events_windowed": relational.EVENTS_WINDOWED_SQL,
     "events_windowed_late": relational.EVENTS_WINDOWED_LATE_SQL,
+    "events_grouping_sets": relational.EVENTS_GROUPING_SETS_SQL,
+    "events_value_winsorized": relational.EVENTS_WINSORIZED_SQL,
     "events_hopping": relational.EVENTS_HOPPING_SQL,
     "events_windowed_incremental": relational.EVENTS_WINDOWED_SQL,
     "events_user_topk": relational.EVENTS_USER_TOPK_SQL,

@@ -778,15 +778,25 @@ def events_value_percentiles(ray, sf_dir: str):
     Passes are O(log_B n) streamed re-reads of ONE pruned column; the
     driver only ever holds B-bin summaries and the final bounded range —
     the 100-TB-safe replacement for sort-the-world percentiles."""
-    path = f"{sf_dir}/events.parquet"
+    cuts = rank_select_values(ray, f"{sf_dir}/events.parquet", PCTS)
+    return pd.DataFrame({
+        "pct": pd.Series(sorted(cuts), dtype="int64"),
+        "value": pd.Series([cuts[p] for p in sorted(cuts)],
+                           dtype="float64")})
+
+
+def rank_select_values(ray, path: str, pcts) -> dict:
+    """{pct: exact discrete percentile of ``path``'s value column} via
+    the iterative partition-count rank-select documented on
+    ``events_value_percentiles`` (which delegates here); shared with the
+    winsorized robust aggregate."""
     n = _nrows(path)  # parquet footers, no read
     if n == 0:
-        return pd.DataFrame({"pct": pd.Series([], dtype="int64"),
-                             "value": pd.Series([], dtype="float64")})
+        return {}
     # value ONLY: the tie-break column never affects the output (see 2.
     # above), so every histogram / collect re-scan moves one column
     ds = _rpq(ray, path, columns=["value"])
-    ranks = {p: max(1, int(np.ceil(n * p / 100))) for p in PCTS}
+    ranks = {p: max(1, int(np.ceil(n * p / 100))) for p in pcts}
 
     from ray.data.aggregate import Max, Min
 
@@ -794,7 +804,7 @@ def events_value_percentiles(ray, sf_dir: str):
     gmin, gmax = float(mm["min(value)"]), float(mm["max(value)"])
 
     states = {p: {"lo": gmin, "hi": gmax, "base": 0, "count": n,
-                  "done": gmin == gmax, "value": gmin} for p in PCTS}
+                  "done": gmin == gmax, "value": gmin} for p in pcts}
 
     B = _PCT_BINS
 
@@ -869,10 +879,7 @@ def events_value_percentiles(ray, sf_dir: str):
             xs = np.sort(coll.loc[coll["pct"] == p, "value"].to_numpy())
             states[p]["value"] = float(xs[ranks[p] - st["base"] - 1])
 
-    return pd.DataFrame({
-        "pct": pd.Series(sorted(PCTS), dtype="int64"),
-        "value": pd.Series([states[p]["value"] for p in sorted(PCTS)],
-                           dtype="float64")})
+    return {p: states[p]["value"] for p in pcts}
 
 
 EVENTS_PERCENTILES_SQL = """
@@ -888,6 +895,71 @@ SELECT pct, value FROM (
   UNION ALL
   SELECT CAST(75 AS BIGINT) AS pct, value FROM o WHERE rn = CAST(ceil(n * 0.75) AS BIGINT))
 ORDER BY pct
+"""
+
+
+WINSOR_LO, WINSOR_HI = 5, 95
+
+
+def events_value_winsorized(ray, sf_dir: str):
+    """One row (n, n_low, n_high, sum_cents_winsorized): the ROBUST
+    aggregate — clip events.value to its exact [p5, p95] discrete
+    percentiles (winsorization, the standard outlier-hardening before a
+    mean), then an integer-cents streamed sum. Bounds come from the
+    SAME iterative rank-select as events_value_percentiles (no global
+    sort), the clip pass is one O(blocks) scan of one column.
+
+    The rank in both engines is ceil((n * p) / 100.0) with INTEGER
+    n * p — `n * 0.05` instead would round differently in binary
+    floating point for some n."""
+    path = f"{sf_dir}/events.parquet"
+    if _nrows(path) == 0:
+        return pd.DataFrame({
+            "n": pd.Series([0], dtype="int64"),
+            "n_low": pd.Series([0], dtype="int64"),
+            "n_high": pd.Series([0], dtype="int64"),
+            "sum_cents_winsorized": pd.Series([0], dtype="int64")})
+    cuts = rank_select_values(ray, path, (WINSOR_LO, WINSOR_HI))
+    lo, hi = cuts[WINSOR_LO], cuts[WINSOR_HI]
+    ds = _rpq(ray, path, columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        c = np.floor(np.clip(v, lo, hi) * 100).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "n_low": pa.array([int((v < lo).sum())], pa.int64()),
+            "n_high": pa.array([int((v > hi).sum())], pa.int64()),
+            "sum_cents_winsorized": pa.array([int(c.sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()  # O(blocks) rows
+    s = parts.sum()
+    return pd.DataFrame({k: pd.Series([int(s[k])], dtype="int64")
+                         for k in ["n", "n_low", "n_high",
+                                   "sum_cents_winsorized"]})
+
+
+EVENTS_WINSORIZED_SQL = f"""
+WITH o AS (
+  SELECT value,
+         ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events),
+cuts AS (
+  SELECT MAX(CASE WHEN rn = GREATEST(1, CAST(ceil((n * {WINSOR_LO}) / 100.0)
+                                             AS BIGINT))
+                  THEN value END) AS lo,
+         MAX(CASE WHEN rn = GREATEST(1, CAST(ceil((n * {WINSOR_HI}) / 100.0)
+                                             AS BIGINT))
+                  THEN value END) AS hi
+  FROM o)
+SELECT COUNT(*) AS n,
+       CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CAST(FLOOR(LEAST(GREATEST(value, lo), hi) * 100)
+                AS BIGINT)) AS BIGINT) AS sum_cents_winsorized
+FROM events, cuts
 """
 
 
@@ -1575,6 +1647,60 @@ SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS day_us,
        COUNT(*) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_grouping_sets(ray, sf_dir: str):
+    """(event_type, dow, n, sum_cents): GROUPING SETS ((event_type),
+    (dow), ()) — non-hierarchical subtotal sets (the generalization
+    CUBE/ROLLUP are special cases of; dow = day-of-week index of the
+    event day). Placeholders: '' for an aggregated-away event_type, -1
+    for dow, exactly the COALESCE spelling of the oracle.
+
+    Scale shape: ONE scan — each batch emits its partial rows for ALL
+    the sets at once (three tiny frames concatenated), then a single
+    bucketed merge on the composite (event_type, dow) key; no per-set
+    re-scan, no driver aggregation of raw rows."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.floor(t.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        dow = ((t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US) % 7).astype(np.int64)
+        base = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "dow": dow, "n": np.ones(len(cents), dtype=np.int64),
+            "sum_cents": cents})
+        by_type = base.assign(dow=np.int64(-1))
+        by_dow = base.assign(event_type="")
+        total = base.assign(event_type="", dow=np.int64(-1))
+        return (pd.concat([by_type, by_dow, total], ignore_index=True)
+                  .groupby(["event_type", "dow"], as_index=False)
+                  .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
+
+    out = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "dow"],
+        lambda df: df.groupby(["event_type", "dow"], as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum")),
+        n_rows=_nrows(f"{sf_dir}/events.parquet"))
+    return out.sort(["event_type", "dow"])
+
+
+EVENTS_GROUPING_SETS_SQL = f"""
+WITH s AS (SELECT event_type,
+                  (epoch_us(ts) // {DAY_US}) % 7 AS dow,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT COALESCE(event_type, '') AS event_type,
+       CAST(COALESCE(dow, -1) AS BIGINT) AS dow,
+       COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM s GROUP BY GROUPING SETS ((event_type), (dow), ())
+ORDER BY event_type, dow
 """
 
 
