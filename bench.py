@@ -61,7 +61,8 @@ QUERY_NAMES = [
     "events_type_iqr_outliers", "events_value_props_corr",
     "multimodal_phash", "docs_bm25_topk", "events_type_transitions",
     "emb_pca", "docs_vocab_encode", "docs_bigram_lm_score",
-    "docs_dup_spans", "events_windowed_late",
+    "docs_dup_spans", "events_windowed_late", "events_grouping_sets",
+    "events_value_winsorized",
 ]
 
 
