@@ -641,6 +641,35 @@ class TestDupSpans:
                        (4, 1, 10, 3), (4, 16, 25, 3)]
 
 
+class TestRankSelect:
+    def test_edge_inputs(self, ray_session, tmp_path):
+        """The shared rank-select survives its boundary shapes: n=1,
+        all-equal values, and two distinct values, matching a local
+        sorted-array rank cut exactly."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import ray
+
+        from webcrawler_ray.pipelines.relational import rank_select_values
+
+        cases = [[3.5], [2.0] * 7, [1.0, 9.0], [5.0, 1.0, 9.0, 1.0, 5.0]]
+        for i, vals in enumerate(cases):
+            d = tmp_path / f"rs{i}"
+            d.mkdir()
+            pq.write_table(pa.table({
+                "event_id": pa.array(range(len(vals)), pa.int64()),
+                "value": pa.array(vals, pa.float64())}),
+                str(d / "events.parquet"))
+            got = rank_select_values(ray, str(d / "events.parquet"),
+                                     (5, 50, 95))
+            xs = sorted(vals)
+            n = len(xs)
+            want = {p: xs[max(1, int(np.ceil(n * p / 100))) - 1]
+                    for p in (5, 50, 95)}
+            assert got == want, (vals, got, want)
+
+
 class TestWindowedLate:
     def test_planted_arrival_sequence(self, ray_session, tmp_path):
         """Watermark semantics on a hand-computed arrival sequence:
