@@ -641,6 +641,60 @@ class TestDupSpans:
                        (4, 1, 10, 3), (4, 16, 25, 3)]
 
 
+class TestBpeMerges:
+    def test_planted_and_corpus_match_local_reference(self, ray_session,
+                                                      tmp_path, queries):
+        """Distributed BPE training equals the single-process reference
+        (same max-count / lexicographic tie rule) on a planted corpus
+        with known first merges AND on the sf testdata corpus."""
+        from collections import Counter
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import ray
+
+        from webcrawler_ray.pipelines.textpipe import (
+            bpe_merges_local,
+            docs_bpe_merges,
+            tokenize,
+        )
+
+        texts = ["low lower lowest low low", "newer newest new low",
+                 "wider wide widest wider"]
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+        d = tmp_path / "bpe"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        got = docs_bpe_merges(ray, str(d), n_merges=8)
+        wc: Counter = Counter()
+        for t in texts:
+            wc.update(tokenize(t.lower()))
+        want = bpe_merges_local(dict(wc), 8)
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+        # "lo" + "low" are the dominant early merges in this corpus
+        assert (got["left"].iloc[0], got["right"].iloc[0]) == ("l", "o")
+
+        # full sf corpus: distributed == local reference, exactly
+        q, _ = queries
+        got_sf = q["docs_bpe_merges"](SF_DIR)
+        con = duckdb.connect()
+        texts_sf = [r[0] for r in con.execute(
+            f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()]
+        wc2: Counter = Counter()
+        for t in texts_sf:
+            wc2.update(tokenize(t.lower()))
+        want_sf = bpe_merges_local(dict(wc2), len(got_sf))
+        assert [tuple(r) for r in got_sf.itertuples(index=False)] == want_sf
+
+
 class TestRankSelect:
     def test_edge_inputs(self, ray_session, tmp_path):
         """The shared rank-select survives its boundary shapes: n=1,

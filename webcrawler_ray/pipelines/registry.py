@@ -471,6 +471,9 @@ def build_queries() -> dict:
         "docs_quality_filter": lambda sf: textpipe.quality_filter(ray, sf),
         "docs_dup_ngrams": lambda sf: textpipe.docs_dup_ngrams(ray, sf),
         "docs_dup_spans": lambda sf: textpipe.docs_dup_spans(ray, sf),
+        # rows-only: iterative trainer (no SQL equivalent) — covered by
+        # the exact-equality test vs the single-process reference
+        "docs_bpe_merges": lambda sf: textpipe.docs_bpe_merges(ray, sf),
         "docs_contamination":
             lambda sf: textpipe.docs_contamination(ray, sf),
         "docs_length_histogram":

@@ -2109,3 +2109,140 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# --- BPE merge training (Sennrich et al., ACL'16) ----------------------------
+BPE_N_MERGES = 12
+
+
+def bpe_apply(word: str, merges: list) -> list:
+    """Encode ``word`` with the learned merges IN LEARNED ORDER — the
+    canonical BPE apply: per merge one left-to-right non-overlapping
+    scan over the current symbol sequence."""
+    syms = list(word)
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        out = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_merges_local(word_counts: dict, n_merges: int) -> list:
+    """Single-process reference BPE trainer over a {word: count} table —
+    the exact-equality oracle for ``docs_bpe_merges`` (same rule: max
+    pair count, ties to the lexicographically smallest (left, right))."""
+    from collections import Counter
+
+    merges: list = []
+    out = []
+    for _ in range(n_merges):
+        c: Counter = Counter()
+        for w, n in word_counts.items():
+            syms = bpe_apply(w, merges)
+            for i in range(len(syms) - 1):
+                c[(syms[i], syms[i + 1])] += n
+        if not c:
+            break
+        # deterministic tie rule: max count, then smallest (left, right)
+        bn = max(c.values())
+        pair = min(p for p, v in c.items() if v == bn)
+        merges.append(pair)
+        out.append((len(out) + 1, pair[0], pair[1], int(bn)))
+    return out
+
+
+def docs_bpe_merges(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """(rank, left, right, n): the first ``n_merges`` BPE merges learned
+    from the corpus (Sennrich et al., ACL'16) — REAL distributed
+    tokenizer training, the canonical missing piece between "count
+    tokens" and "train on packed sequences". Tie rule: max pair count,
+    then lexicographically smallest (left, right) — fully deterministic,
+    so the distributed result is EXACTLY equal to the single-process
+    reference (``bpe_merges_local``; integer counts are order-free).
+
+    Scale shape (the Sennrich compression): training runs over the
+    DISTINCT-WORD frequency table, not the corpus — one distributed
+    wordcount builds it (fan-out sized by token bytes), and it is
+    materialized ONCE; each merge round is one streamed pass over that
+    table (per-word re-segmentation under the merges learned so far — a
+    tiny broadcast list) emitting per-batch pair-count partials into a
+    bucketed sum, then an O(blocks) per-block top-1 reduce; the driver
+    holds one candidate row per block, never a pair table."""
+    from collections import Counter
+
+    from ..io_utils import parquet_column_bytes
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _docs(ray, sf_dir, ["text"])
+    tok_bound = parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 2
+
+    def wc_partial(batch: pa.Table) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tokenize(t.lower()))
+        return pd.DataFrame({"word": list(c.keys()),
+                             "n": pd.Series(list(c.values()),
+                                            dtype="int64")})
+
+    words = hash_bucket_aggregate(
+        ds.map_batches(wc_partial, batch_format="pyarrow"),
+        ["word"],
+        lambda df: df.groupby("word", as_index=False).agg(n=("n", "sum")),
+        n_rows=tok_bound).materialize()
+    n_words = words.count()
+
+    merges: list = []
+    rows = []
+    for rank in range(1, n_merges + 1):
+        snap = list(merges)
+
+        def pair_partial(t: pa.Table, _m=snap) -> pd.DataFrame:
+            c: Counter = Counter()
+            for w, n in zip(t.column("word").to_pylist(),
+                            t.column("n").to_pylist()):
+                syms = bpe_apply(w, _m)
+                for i in range(len(syms) - 1):
+                    c[(syms[i], syms[i + 1])] += n
+            ks = list(c.keys())
+            return pd.DataFrame({
+                "left": [k[0] for k in ks],
+                "right": [k[1] for k in ks],
+                "n": pd.Series(list(c.values()), dtype="int64")})
+
+        pairs = hash_bucket_aggregate(
+            words.map_batches(pair_partial, batch_format="pyarrow"),
+            ["left", "right"],
+            lambda df: df.groupby(["left", "right"], as_index=False).agg(
+                n=("n", "sum")),
+            n_rows=n_words * 4)
+
+        def block_top1(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            return (df.sort_values(["n", "left", "right"],
+                                   ascending=[False, True, True],
+                                   kind="mergesort").head(1))
+
+        cands = pairs.map_batches(block_top1, batch_format="pandas",
+                                  batch_size=None).to_pandas()  # O(blocks)
+        if len(cands) == 0:
+            break
+        best = (cands.sort_values(["n", "left", "right"],
+                                  ascending=[False, True, True],
+                                  kind="mergesort").iloc[0])
+        merges.append((best["left"], best["right"]))
+        rows.append((rank, best["left"], best["right"], int(best["n"])))
+
+    out = pd.DataFrame(rows, columns=["rank", "left", "right", "n"])
+    return out.astype({"rank": "int64", "n": "int64"})
