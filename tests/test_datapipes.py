@@ -641,6 +641,52 @@ class TestDupSpans:
                        (4, 1, 10, 3), (4, 16, 25, 3)]
 
 
+class TestDedupOracleNonAsciiWs:
+    def test_nbsp_text_agrees_with_oracle(self, ray_session, tmp_path):
+        """The hashing kernels and the dedup-family oracles must agree
+        on text containing NON-ASCII whitespace (\\xa0): raw str.split()
+        would break 'a\\xa0b' in Python but not in the SQL class — the
+        kernels are pinned to the canonical tokenizer precisely so both
+        sides see ONE token (round-3 review finding)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import ray
+
+        from webcrawler_ray.pipelines import dedup_oracle as dor
+        from webcrawler_ray.pipelines.registry import _materialize_ctes
+        from webcrawler_ray.pipelines.textpipe import winnow_fingerprints
+
+        texts = ["alpha\xa0beta gamma delta epsilon zeta eta theta " * 3,
+                 "alpha beta gamma delta epsilon zeta eta theta " * 3]
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 2),
+            "source": pa.array(["s"] * 2),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+        d = tmp_path / "nb"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        got = _to_df(winnow_fingerprints(ray, str(d)))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{d}/documents.parquet')")
+        want = con.execute(_materialize_ctes(dor.winnow_sql())).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False)
+        # the nbsp doc tokenizes DIFFERENTLY from the plain doc
+        # ('alpha\xa0beta' is one pinned token where raw str.split()
+        # would make two) — proves the adversarial char is exercised
+        # while the oracle equality above proves both engines agree on it
+        from webcrawler_ray.functions.tokenizer import tokenize
+
+        assert len(tokenize(texts[0])) < len(tokenize(texts[1]))
+        assert len(texts[0].split()) == len(texts[1].split())
+
+
 class TestBpeMerges:
     def test_planted_and_corpus_match_local_reference(self, ray_session,
                                                       tmp_path, queries):

@@ -30,8 +30,10 @@ class TestParseStage:
         for c in ("n_tokens", "simhash", "minhash_min"):
             assert c in a.column_names
             assert a.column(c).to_pylist() == b.column(c).to_pylist()
+        from webcrawler_ray.functions.tokenizer import tokenize
+
         text = a.column("extracted_text")[0].as_py()
-        assert a.column("n_tokens")[0].as_py() == len(text.split())
+        assert a.column("n_tokens")[0].as_py() == len(tokenize(text))
 
     def test_enrich_does_not_change_base_columns(self):
         plain = ParseHtmlBatch(20, keep_html=False)(make_batch())

@@ -11,6 +11,8 @@ import hashlib
 
 import numpy as np
 
+from .tokenizer import tokenize
+
 N_PERM = 128
 N_BANDS = 16  # 8 rows per band
 SHINGLE_K = 3
@@ -30,7 +32,7 @@ def hash_tokens(tokens) -> np.ndarray:
 
 
 class TokenHashCache:
-    """Memoized ``hash_tokens``: blake2b runs only on first-seen tokens.
+    """Memoized ``hash_tokens``: md5 runs only on first-seen tokens.
 
     Real webtext vocabulary is Zipf-distributed, so an actor-resident
     cache (built once per actor in ``__init__``, reused across batches)
@@ -105,7 +107,7 @@ def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
     polynomial combination of the token-hash windows (no per-shingle
     string building — that allocation storm dominated the kernel and
     destroyed multi-core scaling)."""
-    return shingle_hashes_from_token_hashes(hash_tokens(text.split()), k)
+    return shingle_hashes_from_token_hashes(hash_tokens(tokenize(text)), k)
 
 
 def shingle_hashes_from_token_hashes(th: np.ndarray,
@@ -135,7 +137,7 @@ def kgram_hashes_ordered(text: str, k: int) -> np.ndarray:
     winnowing front-end: tokens are md5-hashed once, k-gram hashes
     are the vectorized polynomial combination of token-hash windows
     (same kernel as ``shingle_hashes`` minus the unique)."""
-    toks = text.split()
+    toks = tokenize(text)
     if not toks:
         return np.zeros(0, dtype=np.uint64)
     th = hash_tokens(toks)
@@ -205,7 +207,7 @@ def band_hashes_batch(sig: np.ndarray, n_bands: int) -> np.ndarray:
     """(n_docs, n_bands) int64 band hashes from a (n_docs, n_perm)
     signature matrix: each band's rows fold with the FNV polynomial and
     a splitmix64 finalizer (vectorized over the batch — the per-doc
-    blake2b-per-band loop this replaces cost more than the minhash
+    hash-per-band loop this replaces cost more than the minhash
     itself). Identical signature segments collide under any
     deterministic hash, which is the only property banding needs."""
     n, nperm = sig.shape
@@ -241,7 +243,7 @@ def simhash64(text: str) -> int:
     """64-bit SimHash over word unigrams, weighted by token count (each
     unique token hashed once — the standard counted-token formulation).
     Chunked like minhash to keep temporaries cache-resident."""
-    return simhash64_from_token_hashes(hash_tokens(text.split()))
+    return simhash64_from_token_hashes(hash_tokens(tokenize(text)))
 
 
 _SIMHASH_DENSE_MAX = 4_000_000  # docs x uniques cells for the dense route

@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..io_utils import parquet_num_rows as _nrows
+from ..functions.tokenizer import tokenize as _tokenize
 from ..functions.hashing import (
     N_BANDS,
     N_PERM,
@@ -228,7 +229,8 @@ def _shingle_table(ray, sf_dir: str):
 
     def f(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        ths = _TOKEN_CACHE.hash_token_lists([t.split() for t in texts])
+        ths = _TOKEN_CACHE.hash_token_lists(
+            [_tokenize(t) for t in texts])
         blobs = [_sh_from_th(th).tobytes() for th in ths]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "sh": pa.array(blobs, pa.binary())})
@@ -567,7 +569,7 @@ def simhash_pairs(ray, sf_dir: str, max_hamming: int = 3):
                              dtype=np.int64)
         texts = batch.column("text").to_pylist()
         codes, lengths, uh = _TOKEN_CACHE.encode_token_lists(
-            [t.split() for t in texts])
+            [_tokenize(t) for t in texts])
         sh = simhash64_batch(codes, lengths, uh)
         # centered int64 encoding keeps ALL 64 bits (the old
         # `% (1 << 63)` zeroed bit 63, so hamming ignored it)

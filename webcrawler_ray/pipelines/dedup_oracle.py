@@ -29,8 +29,8 @@ B32 = "4294967296"                    # 2^32
 UMAX = "18446744073709551615"         # 2^64 - 1 (empty-signature sentinel)
 FNV = "1099511628211"                 # functions/hashing._POLY
 SM_ADD = "11400714819323198485"       # 0x9E3779B97F4A7C15
-SM_M1 = "14029467366897019727"        # 0xBF58476D1CE4E5B9
-SM_M2 = "12964901029718341936"        # 0x94D049BB133111EB
+SM_M1 = "13787848793156543929"        # 0xBF58476D1CE4E5B9
+SM_M2 = "10723151780598845931"        # 0x94D049BB133111EB
 
 # (j, 2^j) rows for j in 0..63 — exact HUGEINT powers, sidestepping
 # DuckDB's BIGINT-domain `<<` overflow at j = 63
@@ -51,10 +51,11 @@ def _umul(x: str, y: str) -> str:
 
 def _tokens_cte() -> str:
     """Shared prefix: documents -> per-doc token-hash list (HUGEINT in
-    [0,2^64)) + long form (doc_id, i, v). Matches python
-    ``text.split()`` via the same trim/split-regex spelling every green
-    textpipe oracle uses; whitespace-only docs yield NO rows (python
-    split() -> [])."""
+    [0,2^64)) + long form (doc_id, i, v). Matches the repo's CANONICAL
+    pinned tokenizer (``functions.tokenizer.tokenize`` — the hashing
+    kernels use it too, NOT raw str.split(), which splits on Unicode
+    whitespace the SQL class does not); whitespace-only docs yield NO
+    rows (tokenize -> [])."""
     from .textpipe import SQL_TRIM_TEXT, SQL_WS_CLASS
 
     return f"""

@@ -658,7 +658,6 @@ def crawl_depths(ray, crawler, edges=None, max_depth: int = 32):
         pa.schema([("src", pa.string()), ("dst", pa.string())])
     ).materialize()
     n_edges = edges_n.count()
-    nparts = join_partitions_for(max(1, min(n_nodes, n_edges)))
 
     def with_depth(ds, lvl: int):
         return ds.map_batches(

@@ -955,10 +955,12 @@ cuts AS (
                   THEN value END) AS hi
   FROM o)
 SELECT COUNT(*) AS n,
-       CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
-       CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-       CAST(SUM(CAST(FLOOR(LEAST(GREATEST(value, lo), hi) * 100)
-                AS BIGINT)) AS BIGINT) AS sum_cents_winsorized
+       CAST(COALESCE(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_low,
+       CAST(COALESCE(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_high,
+       CAST(COALESCE(SUM(CAST(FLOOR(LEAST(GREATEST(value, lo), hi) * 100)
+                         AS BIGINT)), 0) AS BIGINT) AS sum_cents_winsorized
 FROM events, cuts
 """
 
@@ -1651,16 +1653,18 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 def events_grouping_sets(ray, sf_dir: str):
-    """(event_type, dow, n, sum_cents): GROUPING SETS ((event_type),
-    (dow), ()) — non-hierarchical subtotal sets (the generalization
-    CUBE/ROLLUP are special cases of; dow = day-of-week index of the
-    event day). Placeholders: '' for an aggregated-away event_type, -1
-    for dow, exactly the COALESCE spelling of the oracle.
+    """(gset, event_type, dow, n, sum_cents): GROUPING SETS
+    ((event_type), (dow), ()) — non-hierarchical subtotal sets (the
+    generalization CUBE/ROLLUP are special cases of; dow = day-of-week
+    index of the event day). ``gset`` is the SQL GROUPING bitmask
+    (2*GROUPING(event_type) + GROUPING(dow): 1, 2, 3) so a GENUINE ''
+    event_type can never collide with the placeholder rows ('' / -1
+    merely render the aggregated-away keys).
 
     Scale shape: ONE scan — each batch emits its partial rows for ALL
     the sets at once (three tiny frames concatenated), then a single
-    bucketed merge on the composite (event_type, dow) key; no per-set
-    re-scan, no driver aggregation of raw rows."""
+    bucketed merge on the composite (gset, event_type, dow) key; no
+    per-set re-scan, no driver aggregation of raw rows."""
     from ..stages.aggregates import hash_bucket_aggregate
 
     ds = _rpq(ray, f"{sf_dir}/events.parquet",
@@ -1675,20 +1679,22 @@ def events_grouping_sets(ray, sf_dir: str):
             "event_type": t.column("event_type").to_pylist(),
             "dow": dow, "n": np.ones(len(cents), dtype=np.int64),
             "sum_cents": cents})
-        by_type = base.assign(dow=np.int64(-1))
-        by_dow = base.assign(event_type="")
-        total = base.assign(event_type="", dow=np.int64(-1))
+        by_type = base.assign(gset=np.int64(1), dow=np.int64(-1))
+        by_dow = base.assign(gset=np.int64(2), event_type="")
+        total = base.assign(gset=np.int64(3), event_type="",
+                            dow=np.int64(-1))
         return (pd.concat([by_type, by_dow, total], ignore_index=True)
-                  .groupby(["event_type", "dow"], as_index=False)
+                  .groupby(["gset", "event_type", "dow"], as_index=False)
                   .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
 
     out = hash_bucket_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["event_type", "dow"],
-        lambda df: df.groupby(["event_type", "dow"], as_index=False).agg(
+        ["gset", "event_type", "dow"],
+        lambda df: df.groupby(["gset", "event_type", "dow"],
+                              as_index=False).agg(
             n=("n", "sum"), sum_cents=("sum_cents", "sum")),
         n_rows=_nrows(f"{sf_dir}/events.parquet"))
-    return out.sort(["event_type", "dow"])
+    return out.sort(["gset", "event_type", "dow"])
 
 
 EVENTS_GROUPING_SETS_SQL = f"""
@@ -1696,11 +1702,12 @@ WITH s AS (SELECT event_type,
                   (epoch_us(ts) // {DAY_US}) % 7 AS dow,
                   CAST(FLOOR(value * 100) AS BIGINT) AS cents
            FROM events)
-SELECT COALESCE(event_type, '') AS event_type,
+SELECT CAST(2 * GROUPING(event_type) + GROUPING(dow) AS BIGINT) AS gset,
+       COALESCE(event_type, '') AS event_type,
        CAST(COALESCE(dow, -1) AS BIGINT) AS dow,
        COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM s GROUP BY GROUPING SETS ((event_type), (dow), ())
-ORDER BY event_type, dow
+ORDER BY gset, event_type, dow
 """
 
 

@@ -22,23 +22,17 @@ import pandas as pd
 import pyarrow as pa
 
 # Canonical whitespace for every SQL-checked text operator: the ASCII
-# class both sides can express EXACTLY — Python str.strip()/split() use
-# all of Unicode whitespace while DuckDB's TRIM strips spaces only, so
-# each side gets this explicit class instead (ADVICE r1: texts with
-# tabs/newlines/nbsp would otherwise diverge).
-WS_CHARS = " \t\n\r\v\f"
-WS_RE = re.compile(r"[ \t\n\r\v\f]+")
-# the same class spelled for DuckDB/RE2 (literal in the SQL string)
-SQL_WS_CLASS = r"[ \t\n\r\x0b\x0c]"
-SQL_TRIM_TEXT = (f"regexp_replace(text, '^{SQL_WS_CLASS}+|"
-                 f"{SQL_WS_CLASS}+$', '', 'g')")
-
-
-def tokenize(t: str) -> list[str]:
-    """Whitespace tokenizer over WS_CHARS (M10 split semantics, pinned
-    to the SQL-expressible class)."""
-    t = t.strip(WS_CHARS)
-    return WS_RE.split(t) if t else []
+# class both sides can express EXACTLY — the ONE canonical tokenizer
+# now lives in functions/tokenizer.py (shared with the dedup/winnow/
+# enrichment hashing kernels); re-exported here so every existing
+# `textpipe.SQL_TRIM_TEXT` / `textpipe.tokenize` consumer keeps working
+from ..functions.tokenizer import (  # noqa: F401
+    SQL_TRIM_TEXT,
+    SQL_WS_CLASS,
+    WS_CHARS,
+    WS_RE,
+    tokenize,
+)
 
 
 def _docs(ray, sf_dir: str, columns):

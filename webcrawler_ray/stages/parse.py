@@ -86,12 +86,13 @@ class ParseHtmlBatch:
             shingle_hashes_from_token_hashes,
             simhash64_batch,
         )
+        from ..functions.tokenizer import tokenize
 
         n = len(texts)
         # ONE memoized md5 pass over the whole batch feeds simhash AND
         # the shingle minhash (values identical to per-doc hash_tokens);
         # simhash reduces batch-wide over the factorized form
-        toks_list = [t.split() for t in texts]
+        toks_list = [tokenize(t) for t in texts]
         codes, n_tokens, uh = self._tok_cache.encode_token_lists(toks_list)
         # centered int64 encoding (v - 2^63) == flip bit 63 then wrap-cast
         sim = (simhash64_batch(codes, n_tokens, uh)
