@@ -641,6 +641,29 @@ class TestDupSpans:
                        (4, 1, 10, 3), (4, 16, 25, 3)]
 
 
+class TestTokenizerFastPath:
+    def test_fast_path_equals_pinned_semantics(self):
+        """tokenize()'s C-level str.split() fast path must be
+        bit-identical to the pinned regex split on every input,
+        including the \\x1c-\\x1f separators and unicode whitespace that
+        force the slow path."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from webcrawler_ray.functions import tokenizer as T
+
+        ws = " \t\n\r\v\f\x1c\x1d\x1e\x1f\xa0 "
+
+        @settings(max_examples=500, deadline=None)
+        @given(st.text(alphabet=ws + "abcXYZ09", max_size=60))
+        def eq(t):
+            s = t.strip(T.WS_CHARS)
+            slow = T.WS_RE.split(s) if s else []
+            assert T.tokenize(t) == slow
+
+        eq()
+
+
 class TestDedupOracleNonAsciiWs:
     def test_nbsp_text_agrees_with_oracle(self, ray_session, tmp_path):
         """The hashing kernels and the dedup-family oracles must agree
