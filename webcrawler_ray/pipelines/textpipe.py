@@ -2166,12 +2166,16 @@ def docs_bpe_merges(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
 
     Scale shape (the Sennrich compression): training runs over the
     DISTINCT-WORD frequency table, not the corpus — one distributed
-    wordcount builds it (fan-out sized by token bytes), and it is
-    materialized ONCE; each merge round is one streamed pass over that
-    table (per-word re-segmentation under the merges learned so far — a
-    tiny broadcast list) emitting per-batch pair-count partials into a
-    bucketed sum, then an O(blocks) per-block top-1 reduce; the driver
-    holds one candidate row per block, never a pair table."""
+    wordcount builds it (fan-out sized by token bytes). The
+    segmentation state is INCREMENTAL: a (syms: list<string>, n) table
+    materialized per round, to which only the ROUND'S OWN merge is
+    applied (applying merges one at a time to the running segmentation
+    composes to exactly ``bpe_apply`` of the full ordered list), so a
+    round costs one pair-count pass + one merge pass over the word
+    table — not a from-scratch O(rank) re-segmentation. Pair counts
+    flow as per-batch partials into a bucketed sum, then an O(blocks)
+    per-block top-1 reduce; the driver holds one candidate row per
+    block, never a pair table."""
     from collections import Counter
 
     from ..io_utils import parquet_column_bytes
@@ -2189,31 +2193,57 @@ def docs_bpe_merges(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
                              "n": pd.Series(list(c.values()),
                                             dtype="int64")})
 
+    def to_syms(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "syms": pa.array([list(w) for w in
+                              t.column("word").to_pylist()],
+                             pa.list_(pa.string())),
+            "n": t.column("n").cast(pa.int64())})
+
     words = hash_bucket_aggregate(
         ds.map_batches(wc_partial, batch_format="pyarrow"),
         ["word"],
         lambda df: df.groupby("word", as_index=False).agg(n=("n", "sum")),
-        n_rows=tok_bound).materialize()
+        n_rows=tok_bound).map_batches(
+        to_syms, batch_format="pyarrow").materialize()
     n_words = words.count()
 
-    merges: list = []
+    def pair_partial(t: pa.Table) -> pd.DataFrame:
+        c: Counter = Counter()
+        for syms, n in zip(t.column("syms").to_pylist(),
+                           t.column("n").to_pylist()):
+            for i in range(len(syms) - 1):
+                c[(syms[i], syms[i + 1])] += n
+        ks = list(c.keys())
+        return pd.DataFrame({
+            "left": [k[0] for k in ks],
+            "right": [k[1] for k in ks],
+            "n": pd.Series(list(c.values()), dtype="int64")})
+
+    def apply_one(a: str, b: str):
+        def f(t: pa.Table) -> pa.Table:
+            out = []
+            for syms in t.column("syms").to_pylist():
+                m = len(syms)
+                if m < 2:
+                    out.append(syms)
+                    continue
+                merged = []
+                i = 0
+                while i < m:
+                    if i + 1 < m and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                out.append(merged)
+            return pa.table({"syms": pa.array(out, pa.list_(pa.string())),
+                             "n": t.column("n")})
+        return f
+
     rows = []
     for rank in range(1, n_merges + 1):
-        snap = list(merges)
-
-        def pair_partial(t: pa.Table, _m=snap) -> pd.DataFrame:
-            c: Counter = Counter()
-            for w, n in zip(t.column("word").to_pylist(),
-                            t.column("n").to_pylist()):
-                syms = bpe_apply(w, _m)
-                for i in range(len(syms) - 1):
-                    c[(syms[i], syms[i + 1])] += n
-            ks = list(c.keys())
-            return pd.DataFrame({
-                "left": [k[0] for k in ks],
-                "right": [k[1] for k in ks],
-                "n": pd.Series(list(c.values()), dtype="int64")})
-
         pairs = hash_bucket_aggregate(
             words.map_batches(pair_partial, batch_format="pyarrow"),
             ["left", "right"],
@@ -2235,8 +2265,11 @@ def docs_bpe_merges(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
         best = (cands.sort_values(["n", "left", "right"],
                                   ascending=[False, True, True],
                                   kind="mergesort").iloc[0])
-        merges.append((best["left"], best["right"]))
         rows.append((rank, best["left"], best["right"], int(best["n"])))
+        if rank < n_merges:
+            words = words.map_batches(
+                apply_one(best["left"], best["right"]),
+                batch_format="pyarrow").materialize()
 
     out = pd.DataFrame(rows, columns=["rank", "left", "right", "n"])
     return out.astype({"rank": "int64", "n": "int64"})
