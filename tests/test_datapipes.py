@@ -641,6 +641,51 @@ class TestDupSpans:
                        (4, 1, 10, 3), (4, 16, 25, 3)]
 
 
+class TestGroupingSetsNullKey:
+    def test_null_and_empty_event_type_agree_with_oracle(self, ray_session,
+                                                         tmp_path):
+        """A NULL event_type folds into '' on both engines (pandas
+        groupby would otherwise silently DROP the null key and break
+        subtotal-vs-total consistency), and a GENUINE '' event_type
+        stays distinguishable from placeholder rows via gset."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import ray
+
+        from webcrawler_ray.pipelines.relational import (
+            EVENTS_GROUPING_SETS_SQL,
+            events_grouping_sets,
+        )
+
+        tbl = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7] * 4, pa.int64()),
+            "event_type": pa.array(["click", None, "", "click"],
+                                   pa.string()),
+            "ts": pa.array([d * 86_400_000_000 for d in (1, 2, 3, 4)],
+                           pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * 4)})
+        d = tmp_path / "gs"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        got = _to_df(events_grouping_sets(ray, str(d)))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{d}/events.parquet')")
+        want = con.execute(EVENTS_GROUPING_SETS_SQL).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False)
+        # the grand total counts ALL rows incl. the NULL-typed one, and
+        # equals the sum of the per-type subtotals
+        g1 = got[got["gset"] == 1]
+        g3 = got[got["gset"] == 3]
+        assert int(g3["n"].iloc[0]) == 4 == int(g1["n"].sum())
+
+
 class TestTokenizerFastPath:
     def test_fast_path_equals_pinned_semantics(self):
         """tokenize()'s C-level str.split() fast path must be

@@ -647,8 +647,12 @@ def crawl_depths(ray, crawler, edges=None, max_depth: int = 32):
     _URL = pa.schema([("url", pa.string())])
     _LVL = pa.schema([("url", pa.string()), ("depth", pa.int64())])
 
+    # materialized: consumed THREE times (count, seeds filter, final
+    # left join) — without this each consumer would re-scan the full
+    # crawled corpus (html payload included) for a two-column table
     corpus = crawler.crawled_dataset().map_batches(
-        lambda t: t.select(["url", "round"]), batch_format="pyarrow")
+        lambda t: t.select(["url", "round"]),
+        batch_format="pyarrow").materialize()
     n_nodes = corpus.count()
     edges_ds, _ = edges if edges is not None \
         else crawl_link_edges(ray, crawler)

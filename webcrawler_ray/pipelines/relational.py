@@ -1675,17 +1675,33 @@ def events_grouping_sets(ray, sf_dir: str):
             zero_copy_only=False) * 100).astype(np.int64)
         dow = ((t.column("ts").cast(pa.int64()).to_numpy(
             zero_copy_only=False) // DAY_US) % 7).astype(np.int64)
+        # a NULL event_type folds into '' on BOTH sides (the oracle's
+        # inner COALESCE) — pandas groupby would otherwise silently DROP
+        # null keys and break the subtotal/total consistency
+        et = pd.Series(t.column("event_type").to_pylist()).fillna("")
         base = pd.DataFrame({
-            "event_type": t.column("event_type").to_pylist(),
+            "event_type": et,
             "dow": dow, "n": np.ones(len(cents), dtype=np.int64),
             "sum_cents": cents})
-        by_type = base.assign(gset=np.int64(1), dow=np.int64(-1))
-        by_dow = base.assign(gset=np.int64(2), event_type="")
-        total = base.assign(gset=np.int64(3), event_type="",
-                            dow=np.int64(-1))
-        return (pd.concat([by_type, by_dow, total], ignore_index=True)
-                  .groupby(["gset", "event_type", "dow"], as_index=False)
-                  .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
+        # ONE pass over the raw rows down to the fine (type, dow) grain;
+        # the three grouping sets derive from that tiny aggregate
+        fine = base.groupby(["event_type", "dow"], as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+        by_type = (fine.groupby("event_type", as_index=False)
+                       .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+                       .assign(gset=np.int64(1), dow=np.int64(-1)))
+        by_dow = (fine.groupby("dow", as_index=False)
+                      .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+                      .assign(gset=np.int64(2), event_type=""))
+        total = pd.DataFrame({
+            "gset": pd.Series([3], dtype="int64"),
+            "event_type": [""], "dow": pd.Series([-1], dtype="int64"),
+            "n": pd.Series([fine["n"].sum()], dtype="int64"),
+            "sum_cents": pd.Series([fine["sum_cents"].sum()],
+                                   dtype="int64")})
+        cols = ["gset", "event_type", "dow", "n", "sum_cents"]
+        return pd.concat([by_type[cols], by_dow[cols], total[cols]],
+                         ignore_index=True)
 
     out = hash_bucket_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -1698,7 +1714,7 @@ def events_grouping_sets(ray, sf_dir: str):
 
 
 EVENTS_GROUPING_SETS_SQL = f"""
-WITH s AS (SELECT event_type,
+WITH s AS (SELECT COALESCE(event_type, '') AS event_type,
                   (epoch_us(ts) // {DAY_US}) % 7 AS dow,
                   CAST(FLOOR(value * 100) AS BIGINT) AS cents
            FROM events)
