@@ -808,6 +808,42 @@ class TestBpeMerges:
         want_sf = bpe_merges_local(dict(wc2), len(got_sf))
         assert [tuple(r) for r in got_sf.itertuples(index=False)] == want_sf
 
+    def test_encode_matches_local_apply(self, ray_session, tmp_path):
+        """docs_bpe_encode's join-based corpus encoding equals per-doc
+        bpe_apply under the same learned merges."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import ray
+
+        from webcrawler_ray.pipelines.textpipe import (
+            bpe_apply,
+            docs_bpe_encode,
+            docs_bpe_merges,
+            tokenize,
+        )
+
+        texts = ["low lower lowest low low", "newer newest new low",
+                 "wider wide widest wider", "   "]
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+        d = tmp_path / "bpe2"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        merges = [(l, r) for _, l, r, _ in  # noqa: E741
+                  docs_bpe_merges(ray, str(d), n_merges=6)
+                  .itertuples(index=False)]
+        got = _to_df(docs_bpe_encode(ray, str(d), n_merges=6))
+        want = {i: sum(len(bpe_apply(w, merges))
+                       for w in tokenize(t.lower()))
+                for i, t in zip([1, 2, 3, 4], texts)}
+        assert dict(zip(got["doc_id"], got["n_bpe_tokens"])) == want
+        assert want[4] == 0  # whitespace-only doc encodes to 0 symbols
+
 
 class TestRankSelect:
     def test_edge_inputs(self, ray_session, tmp_path):

@@ -474,6 +474,7 @@ def build_queries() -> dict:
         # rows-only: iterative trainer (no SQL equivalent) — covered by
         # the exact-equality test vs the single-process reference
         "docs_bpe_merges": lambda sf: textpipe.docs_bpe_merges(ray, sf),
+        "docs_bpe_encode": lambda sf: textpipe.docs_bpe_encode(ray, sf),
         "docs_contamination":
             lambda sf: textpipe.docs_contamination(ray, sf),
         "docs_length_histogram":

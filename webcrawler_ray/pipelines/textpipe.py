@@ -2155,8 +2155,8 @@ def bpe_merges_local(word_counts: dict, n_merges: int) -> list:
     return out
 
 
-def docs_bpe_merges(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
-    """(rank, left, right, n): the first ``n_merges`` BPE merges learned
+def _bpe_train(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """(merge rows, trained word table (word, syms, n)): the first ``n_merges`` BPE merges learned
     from the corpus (Sennrich et al., ACL'16) — REAL distributed
     tokenizer training, the canonical missing piece between "count
     tokens" and "train on packed sequences". Tie rule: max pair count,
@@ -2195,6 +2195,7 @@ def docs_bpe_merges(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
 
     def to_syms(t: pa.Table) -> pa.Table:
         return pa.table({
+            "word": t.column("word").cast(pa.string()),
             "syms": pa.array([list(w) for w in
                               t.column("word").to_pylist()],
                              pa.list_(pa.string())),
@@ -2238,7 +2239,8 @@ def docs_bpe_merges(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
                         merged.append(syms[i])
                         i += 1
                 out.append(merged)
-            return pa.table({"syms": pa.array(out, pa.list_(pa.string())),
+            return pa.table({"word": t.column("word"),
+                             "syms": pa.array(out, pa.list_(pa.string())),
                              "n": t.column("n")})
         return f
 
@@ -2266,10 +2268,108 @@ def docs_bpe_merges(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
                                   ascending=[False, True, True],
                                   kind="mergesort").iloc[0])
         rows.append((rank, best["left"], best["right"], int(best["n"])))
-        if rank < n_merges:
-            words = words.map_batches(
-                apply_one(best["left"], best["right"]),
-                batch_format="pyarrow").materialize()
+        words = words.map_batches(
+            apply_one(best["left"], best["right"]),
+            batch_format="pyarrow").materialize()
 
+    return rows, words
+
+
+def docs_bpe_merges(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """(rank, left, right, n): the learned BPE merge table — see
+    ``_bpe_train`` for the algorithm and scale shape."""
+    rows, _ = _bpe_train(ray, sf_dir, n_merges)
     out = pd.DataFrame(rows, columns=["rank", "left", "right", "n"])
     return out.astype({"rank": "int64", "n": "int64"})
+
+
+def docs_bpe_encode(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """(doc_id, n_bpe_tokens): the TRAIN -> APPLY composition — encode
+    every document under the merges just learned and report its BPE
+    symbol count (the number that actually prices a doc for packing /
+    context budgeting, vs the whitespace token count).
+
+    Scale shape: the trained word table already holds each distinct
+    word's final segmentation, so encoding is a JOIN, not a re-apply:
+    docs explode to (doc_id, word, tf) per-batch partials, one hash
+    join against the (word, n_syms) projection, then a per-doc bucketed
+    sum. No merge list ships to the encode pass at all."""
+    from collections import Counter
+
+    from ..io_utils import parquet_column_bytes, parquet_num_rows
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+        normalize_for_join,
+    )
+
+    _, words = _bpe_train(ray, sf_dir, n_merges)
+    wsyms = normalize_for_join(
+        words.map_batches(
+            lambda t: pa.table({
+                "word": t.column("word"),
+                "n_syms": pa.array(
+                    [len(s) for s in t.column("syms").to_pylist()],
+                    pa.int64())}),
+            batch_format="pyarrow"),
+        pa.schema([("word", pa.string()), ("n_syms", pa.int64())])
+    ).materialize()
+
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, ws, tfs = [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            c = Counter(tokenize(t.lower()))
+            ids.extend([i] * len(c))
+            ws.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "word": pa.array(ws, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    pairs = normalize_for_join(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("word", pa.string()),
+                   ("tf", pa.int64())])).materialize()
+    joined = pairs.join(
+        wsyms, join_type="inner", on=("word",),
+        num_partitions=join_partitions_for(
+            max(1, min(pairs.count(), wsyms.count()))))
+
+    def per_doc(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+            "n_bpe_tokens": (
+                t.column("tf").to_numpy(zero_copy_only=False)
+                * t.column("n_syms").to_numpy(zero_copy_only=False))})
+        return df.groupby("doc_id", as_index=False).agg(
+            n_bpe_tokens=("n_bpe_tokens", "sum"))
+
+    counts = hash_bucket_aggregate(
+        joined.map_batches(per_doc, batch_format="pyarrow"),
+        ["doc_id"],
+        lambda df: df.groupby("doc_id", as_index=False).agg(
+            n_bpe_tokens=("n_bpe_tokens", "sum")),
+        n_rows=parquet_num_rows(f"{sf_dir}/documents.parquet"))
+    counts = normalize_for_join(
+        counts, pa.schema([("doc_id", pa.int64()),
+                           ("n_bpe_tokens", pa.int64())])).materialize()
+
+    # token-less docs encode to 0 symbols: one left join over doc ids
+    all_ids = normalize_for_join(
+        _docs(ray, sf_dir, ["doc_id"]),
+        pa.schema([("doc_id", pa.int64())])).materialize()
+    out = all_ids.join(
+        counts, join_type="left_outer", on=("doc_id",),
+        num_partitions=join_partitions_for(
+            max(1, min(all_ids.count(), counts.count()))))
+
+    def fill(t: pa.Table) -> pa.Table:
+        v = t.column("n_bpe_tokens").to_numpy(zero_copy_only=False)
+        v = np.where(np.isnan(v.astype(np.float64)), 0, v).astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_bpe_tokens": pa.array(v, pa.int64())})
+
+    return out.map_batches(fill, batch_format="pyarrow").sort("doc_id")
