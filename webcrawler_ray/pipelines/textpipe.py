@@ -2373,3 +2373,65 @@ def docs_bpe_encode(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
                          "n_bpe_tokens": pa.array(v, pa.int64())})
 
     return out.map_batches(fill, batch_format="pyarrow").sort("doc_id")
+
+
+# --- context-window chunking --------------------------------------------------
+CHUNK_W = 128   # tokens per chunk
+CHUNK_S = 96    # stride (=> 32-token overlap)
+
+
+def docs_chunks(ray, sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S):
+    """(doc_id, chunk_id, tok_start, tok_end): fixed-window token
+    chunking with overlap — the RAG / context-window chunker: chunk k
+    (0-based) covers tokens [1 + k*s, min(1 + k*s + w - 1, n)] and
+    chunks are emitted while their start is within the doc, so the last
+    chunk may be short and token-less docs emit nothing. Pure per-doc
+    arithmetic over the token count — no token materialization, no
+    shuffle beyond the output sort.
+
+    Scale shape: one pruned scan, per-batch vectorized expansion (chunk
+    counts via integer ceil, np.repeat/arange for the explode)."""
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = np.fromiter((len(tokenize(t)) for t in
+                         batch.column("text").to_pylist()),
+                        dtype=np.int64, count=len(ids))
+        k = np.where(n > 0, (np.maximum(n - 1, 0) // s) + 1, 0)
+        doc = np.repeat(ids, k)
+        nn = np.repeat(n, k)
+        total = int(k.sum())
+        if total == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "tok_start": pa.array([], pa.int64()),
+                             "tok_end": pa.array([], pa.int64())})
+        cid = np.arange(total) - np.repeat(np.cumsum(k) - k, k)
+        start = 1 + cid * s
+        end = np.minimum(start + w - 1, nn)
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "chunk_id": pa.array(cid, pa.int64()),
+                         "tok_start": pa.array(start, pa.int64()),
+                         "tok_end": pa.array(end, pa.int64())})
+
+    return (ds.map_batches(f, batch_format="pyarrow")
+              .sort(["doc_id", "chunk_id"]))
+
+
+DOCS_CHUNKS_SQL = f"""
+WITH n AS (
+  SELECT doc_id,
+         CASE WHEN {SQL_TRIM_TEXT} = '' THEN 0 ELSE
+           CAST(len(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+'))
+                AS BIGINT) END AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, (n - 1) // {CHUNK_S})) AS chunk_id
+  FROM n WHERE n > 0)
+SELECT doc_id, chunk_id,
+       1 + chunk_id * {CHUNK_S} AS tok_start,
+       LEAST(1 + chunk_id * {CHUNK_S} + {CHUNK_W} - 1, n) AS tok_end
+FROM c ORDER BY doc_id, chunk_id
+"""
