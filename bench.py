@@ -62,7 +62,7 @@ QUERY_NAMES = [
     "multimodal_phash", "docs_bm25_topk", "events_type_transitions",
     "emb_pca", "docs_vocab_encode", "docs_bigram_lm_score",
     "docs_dup_spans", "events_windowed_late", "events_grouping_sets",
-    "events_value_winsorized", "docs_bpe_merges",
+    "events_value_winsorized", "docs_bpe_merges", "docs_chunks",
 ]
 
 

@@ -77,7 +77,7 @@ SQL_CHECKED = [
     "dedup_edit_distance", "docs_bm25_topk", "events_type_transitions",
     "docs_vocab_encode", "docs_bigram_lm_score", "docs_dup_spans",
     "events_windowed_late", "events_grouping_sets",
-    "events_value_winsorized", "docs_chunks",
+    "events_value_winsorized", "docs_chunks", "docs_orc_roundtrip",
 ]
 
 

@@ -476,6 +476,8 @@ def build_queries() -> dict:
         "docs_bpe_merges": lambda sf: textpipe.docs_bpe_merges(ray, sf),
         "docs_bpe_encode": lambda sf: textpipe.docs_bpe_encode(ray, sf),
         "docs_chunks": lambda sf: textpipe.docs_chunks(ray, sf),
+        "docs_orc_roundtrip":
+            lambda sf: textpipe.docs_orc_roundtrip(ray, sf),
         "docs_contamination":
             lambda sf: textpipe.docs_contamination(ray, sf),
         "docs_length_histogram":
@@ -1121,6 +1123,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_by_segment": relational.EVENTS_BY_SEGMENT_SQL,
     "docs_dup_ngrams": textpipe.DOCS_DUP_NGRAMS_SQL,
     "docs_chunks": textpipe.DOCS_CHUNKS_SQL,
+    "docs_orc_roundtrip": textpipe.DOCS_ORC_ROUNDTRIP_SQL,
     "docs_contamination": textpipe.DOCS_CONTAMINATION_SQL,
     "docs_length_histogram": textpipe.DOCS_LENGTH_HISTOGRAM_SQL,
     "doc_tfidf_top": textpipe.DOC_TFIDF_SQL,

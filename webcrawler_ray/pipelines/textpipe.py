@@ -1706,6 +1706,32 @@ SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id
 """
 
 
+def docs_orc_roundtrip(ray, sf_dir: str):
+    """(doc_id, lang, source, n_chars, text) exported through the ORC
+    byte sink (sinks/orcsink.py) and re-ingested — the FOURTH byte
+    format, VALUE-CHECKED against the documents table itself; unlike the
+    CSV path this one round-trips the free-text column too (ORC is
+    typed, so no quoting-edge risk)."""
+    from ..sinks.complete import ensure_complete_set
+    from ..sinks.orcsink import read_orc, write_orc
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/webcrawler_ray_cache/{name}/docs_orc"
+    cols = ["doc_id", "lang", "source", "n_chars", "text"]
+    ensure_complete_set(
+        out, ".orc",
+        lambda: write_orc(_docs(ray, sf_dir, cols), out,
+                          cols).materialize())
+    return (read_orc(ray, out)
+            .map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+DOCS_ORC_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 FEATURE_HASH_DIM = 64
 
