@@ -78,6 +78,7 @@ SQL_CHECKED = [
     "docs_vocab_encode", "docs_bigram_lm_score", "docs_dup_spans",
     "events_windowed_late", "events_grouping_sets",
     "events_value_winsorized", "docs_chunks", "docs_orc_roundtrip",
+    "orders_scd2", "events_cdc_merge", "events_windowed_distinct",
 ]
 
 
@@ -1618,3 +1619,56 @@ class TestLmScoreZeroTokenDocs:
         assert got.loc[1, "commonness"] == 6
         assert got.loc[2, "commonness"] == 0
         assert got.loc[3, "commonness"] == 2
+
+
+class TestCdcMergeSemantics:
+    def test_tombstone_and_upsert_branches(self, ray_session, tmp_path):
+        """MERGE branches: base-only survives untouched, delta upsert
+        wins over base, a LAST tombstone deletes (even a delta-only
+        user), and a tombstone followed by a later upsert resurrects."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from webcrawler_ray.pipelines.relational import (
+            CDC_CUTOFF_US,
+            events_cdc_merge,
+        )
+
+        B = CDC_CUTOFF_US - 10_000_000   # base side
+        D = CDC_CUTOFF_US + 10_000_000   # delta side
+        rows = [
+            # user 1: base only -> survives with base state
+            (1, B, 1, "view", 1.0),
+            # user 2: base + delta upsert -> delta state
+            (2, B, 2, "view", 2.0), (3, D, 2, "purchase", 2.5),
+            # user 3: base + delta tombstone -> deleted
+            (4, B, 3, "view", 3.0), (5, D, 3, "error", 3.5),
+            # user 4: delta-only tombstone -> deleted
+            (6, D, 4, "error", 4.0),
+            # user 5: delta-only upsert -> present
+            (7, D, 5, "signup", 5.0),
+            # user 6: tombstone then LATER upsert -> resurrected
+            (8, D, 6, "error", 6.0), (9, D + 1, 6, "click", 6.5),
+        ]
+        tbl = pa.table({
+            "event_id": pa.array([r[2] * 100 + r[0] for r in rows],
+                                 pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string())})
+        d = tmp_path / "cdc"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        pq.write_table(pa.table({"c_custkey": pa.array([1, 2, 3, 4, 5, 6],
+                                                       pa.int64())}),
+                       str(d / "customer.parquet"))
+        got = _to_df(events_cdc_merge(ray, str(d))).set_index("user_id")
+        assert sorted(got.index) == [1, 2, 5, 6]
+        assert got.loc[1, "event_type"] == "view"      # base untouched
+        assert got.loc[2, "event_type"] == "purchase"  # upsert applied
+        assert got.loc[6, "event_type"] == "click"     # resurrected
+        assert got.loc[6, "ts_us"] == D + 1

@@ -578,6 +578,11 @@ def build_queries() -> dict:
             lambda sf: relational.events_type_pairs(ray, sf),
         "events_funnel": lambda sf: relational.events_funnel(ray, sf),
         "events_latest": lambda sf: relational.events_latest(ray, sf),
+        "orders_scd2": lambda sf: relational.orders_scd2(ray, sf),
+        "events_cdc_merge":
+            lambda sf: relational.events_cdc_merge(ray, sf),
+        "events_windowed_distinct":
+            lambda sf: relational.events_windowed_distinct(ray, sf),
         "customer_order_counts":
             lambda sf: relational.customer_order_counts(ray, sf),
         "orders_monthly_series":
@@ -1114,6 +1119,9 @@ ORDER BY vec_id_a, vec_id_b
     "events_type_pairs": relational.EVENTS_TYPE_PAIRS_SQL,
     "events_funnel": relational.EVENTS_FUNNEL_SQL,
     "events_latest": relational.EVENTS_LATEST_SQL,
+    "orders_scd2": relational.ORDERS_SCD2_SQL,
+    "events_cdc_merge": relational.EVENTS_CDC_MERGE_SQL,
+    "events_windowed_distinct": relational.EVENTS_WINDOWED_DISTINCT_SQL,
     "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
     "orders_monthly_series": relational.ORDERS_MONTHLY_SQL,
     "q5_local_supplier_volume": relational.Q5_SQL,

@@ -3635,3 +3635,228 @@ FROM (SELECT event_type,
 WHERE y IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+SCD2_SENTINEL_US = 253402300800000000  # 9999-12-31T00:00:00 in epoch-us
+
+
+def orders_scd2(ray, sf_dir: str):
+    """(o_custkey, o_orderkey, valid_from_us, valid_to_us, is_current):
+    SCD-TYPE-2 INTERVAL BUILD — turn each customer's order history into
+    versioned validity intervals (valid_to = the NEXT version's
+    valid_from; the open current version gets the 9999-12-31 sentinel).
+    This is the slowly-changing-dimension materialization every
+    warehouse load needs and the reference's frontier "latest state"
+    logic generalized to full history.
+
+    Scale shape: LEAD() is not partial-able, but it only needs the
+    rows of ONE key together — so this is a bucketed exchange
+    (identity combiner) + per-bucket vectorized sort/shift, NOT a
+    global sort: each task holds ~rows_per_bucket rows and buckets
+    scale with the order count (``buckets_for``). Timestamps compare
+    as epoch-us int64 so the oracle matches bit-for-bit."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/orders.parquet",
+              columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def to_us(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": batch.column("o_custkey").to_numpy(
+                zero_copy_only=False).astype("int64"),
+            "o_orderkey": batch.column("o_orderkey").to_numpy(
+                zero_copy_only=False).astype("int64"),
+            "valid_from_us": batch.column("o_orderdate").cast(
+                pa.int64()).to_numpy(zero_copy_only=False)})
+
+    def scd2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "valid_from_us", "o_orderkey"],
+                            kind="mergesort").reset_index(drop=True)
+        nxt = df.groupby("o_custkey")["valid_from_us"].shift(-1)
+        df["is_current"] = nxt.isna().astype("int64")
+        df["valid_to_us"] = nxt.fillna(SCD2_SENTINEL_US).astype("int64")
+        return df[["o_custkey", "o_orderkey", "valid_from_us",
+                   "valid_to_us", "is_current"]]
+
+    out = hash_bucket_aggregate(
+        ds.map_batches(to_us, batch_format="pyarrow", batch_size=65536),
+        ["o_custkey"], lambda df: df, merge=scd2,
+        n_rows=_nrows(f"{sf_dir}/orders.parquet"))
+    return out.sort(["o_custkey", "valid_from_us", "o_orderkey"])
+
+
+ORDERS_SCD2_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS valid_from_us,
+       COALESCE(LEAD(epoch_us(o_orderdate)) OVER w,
+                {SCD2_SENTINEL_US}) AS valid_to_us,
+       CAST(LEAD(o_orderkey) OVER w IS NULL AS BIGINT) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, valid_from_us, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+CDC_CUTOFF_US = 1705363200000000  # 2024-01-16T00:00:00Z
+
+
+def events_cdc_merge(ray, sf_dir: str):
+    """(user_id, ts, event_type, value): MERGE INTO — apply a CDC
+    changelog to a base snapshot with upsert + delete semantics. The
+    base is each user's latest state BEFORE the cutoff; events at or
+    after the cutoff form the delta, where ``event_type='error'`` is a
+    tombstone (DELETE) and anything else an UPSERT. A user's final row
+    is their last delta state (absent if the last delta op is a
+    tombstone) or their base row untouched — delete ops only apply to
+    the delta, mirroring MERGE's WHEN-MATCHED-DELETE branch.
+
+    Scale shape: ONE pass, no join — the partial keeps each user's
+    argmax row PER SIDE (base/delta), which IS associative, and the
+    per-bucket merge both re-reduces the partials and resolves the
+    side preference + tombstone in a single vectorized frame (all rows
+    of a user land in one bucket)."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts", "event_id", "event_type",
+                       "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False).astype("int64"),
+            "ts_us": us.astype("int64"),
+            "event_id": batch.column("event_id").to_numpy(
+                zero_copy_only=False).astype("int64"),
+            "event_type": batch.column("event_type").to_pylist(),
+            "value": batch.column("value").to_numpy(
+                zero_copy_only=False),
+            "side": (us >= CDC_CUTOFF_US).astype("int64")})
+        return _argmax_per(df, ["user_id", "side"])
+
+    def _argmax_per(df: pd.DataFrame, keys: list) -> pd.DataFrame:
+        df = df.sort_values(keys + ["ts_us", "event_id"],
+                            kind="mergesort")
+        return df.drop_duplicates(keys, keep="last")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = _argmax_per(df, ["user_id", "side"])
+        # prefer the delta side; tombstone deletes the user
+        df = df.sort_values(["user_id", "side"], kind="mergesort")
+        df = df.drop_duplicates("user_id", keep="last")
+        live = ~((df["side"] == 1) & (df["event_type"] == "error"))
+        return df[live]
+
+    out = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["user_id"], partial_noop, merge=resolve, n_rows=n_cust)
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "ts_us": t.column("ts_us").cast(pa.int64()),
+            "event_type": t.column("event_type").cast(pa.string()),
+            "value": t.column("value").cast(pa.float64())})
+
+    return out.map_batches(final, batch_format="pyarrow").sort("user_id")
+
+
+def partial_noop(df: pd.DataFrame) -> pd.DataFrame:
+    """Identity combiner for exchanges whose reduction is merge-only
+    (the partials were already reduced upstream)."""
+    return df
+
+
+EVENTS_CDC_MERGE_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value,
+         CAST(epoch_us(ts) >= {CDC_CUTOFF_US} AS BIGINT) AS side,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, epoch_us(ts) >= {CDC_CUTOFF_US}
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+last_per_side AS (SELECT * FROM ranked WHERE rn = 1),
+resolved AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY side DESC) AS pick
+  FROM last_per_side)
+SELECT user_id, ts_us, event_type, value
+FROM resolved
+WHERE pick = 1 AND NOT (side = 1 AND event_type = 'error')
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+DISTINCT_WINDOW_US = 3_600_000_000  # 1-hour tumbling windows
+
+
+def events_windowed_distinct(ray, sf_dir: str):
+    """(window_start_us, n_distinct_users, n_events): EXACT windowed
+    COUNT(DISTINCT) — the two-level shape distinct-aggregation needs at
+    scale: level 1 dedups (window, user) pairs across the cluster
+    (bucketed by the PAIR, so no single window's user set ever sits in
+    one task), level 2 is a plain partial-able count per window. The
+    event count rides the first level's partials so the input is read
+    once."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    n_ev = _nrows(f"{sf_dir}/events.parquet")
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["ts", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "window_start_us": ((us // DISTINCT_WINDOW_US)
+                                * DISTINCT_WINDOW_US).astype("int64"),
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False).astype("int64"),
+            "n_events": np.ones(len(us), dtype="int64")})
+        return df.groupby(["window_start_us", "user_id"],
+                          as_index=False).agg(n_events=("n_events",
+                                                        "sum"))
+
+    pairs = hash_bucket_aggregate(
+        ds.map_batches(pair_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["window_start_us", "user_id"],
+        lambda df: df.groupby(["window_start_us", "user_id"],
+                              as_index=False).agg(
+            n_events=("n_events", "sum")),
+        n_rows=n_ev)
+
+    def win_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "window_start_us": t.column("window_start_us").to_numpy(
+                zero_copy_only=False).astype("int64"),
+            "n_distinct_users": np.ones(t.num_rows, dtype="int64"),
+            "n_events": t.column("n_events").to_numpy(
+                zero_copy_only=False).astype("int64")})
+        return df.groupby("window_start_us", as_index=False).sum()
+
+    out = hash_bucket_aggregate(
+        pairs.map_batches(win_partial, batch_format="pyarrow"),
+        ["window_start_us"],
+        lambda df: df.groupby("window_start_us", as_index=False).sum(),
+        n_rows=n_ev)
+    return out.map_batches(
+        lambda t: t.select(["window_start_us", "n_distinct_users",
+                            "n_events"]),
+        batch_format="pyarrow").sort("window_start_us")
+
+
+EVENTS_WINDOWED_DISTINCT_SQL = f"""
+SELECT (epoch_us(ts) // {DISTINCT_WINDOW_US}) * {DISTINCT_WINDOW_US}
+         AS window_start_us,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY window_start_us
+"""
