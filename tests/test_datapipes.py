@@ -79,6 +79,7 @@ SQL_CHECKED = [
     "events_windowed_late", "events_grouping_sets",
     "events_value_winsorized", "docs_chunks", "docs_orc_roundtrip",
     "orders_scd2", "events_cdc_merge", "events_windowed_distinct",
+    "docs_tfrecord_roundtrip",
 ]
 
 
@@ -1472,6 +1473,76 @@ class TestCsvSink:
         for f, d in digests.items():
             assert hashlib.blake2b(
                 open(os.path.join(out, f), "rb").read()).hexdigest() == d
+
+
+class TestTfrecordSink:
+    def test_crc32c_known_vectors(self):
+        """The stdlib slice-by-8 CRC32C matches the published Castagnoli
+        test vectors (RFC 3720 appendix B.4) and TF's masking rule."""
+        from webcrawler_ray.sinks.tfrecord import _masked_crc, crc32c
+
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c(b"") == 0x0
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA
+        assert crc32c(b"\xff" * 32) == 0x62A8AB43
+        assert crc32c(bytes(range(32))) == 0x46DD794E
+        # masking is rotr15 + delta, and is NOT idempotent
+        c = crc32c(b"123456789")
+        assert _masked_crc(b"123456789") == (
+            (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+    def test_roundtrip_and_corruption_detection(self, ray_session,
+                                                tmp_path):
+        """Unicode/empty/newline payloads survive the framed byte path
+        exactly; flipping any byte of a frame raises on read."""
+        import os
+        import struct
+
+        import pyarrow as pa
+        import pytest
+        import ray
+
+        from webcrawler_ray.sinks.tfrecord import (
+            _frame,
+            _unframe,
+            read_tfrecord,
+            write_tfrecord,
+        )
+
+        texts = ['plain', 'a,b,"c"', 'line1\nline2', '',
+                 'unicode: ação 日本語', '  spaced  ']
+        t = pa.table({"id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        out = str(tmp_path / "tfr")
+        write_tfrecord(ray.data.from_arrow(t), out,
+                       ["id", "text"]).materialize()
+        schema = pa.schema([("id", pa.int64()), ("text", pa.string())])
+        rb = read_tfrecord(ray, out, schema).to_pandas().sort_values("id")
+        assert rb["text"].tolist() == texts
+        assert rb["id"].tolist() == list(range(len(texts)))
+
+        # every single-byte flip in a frame is caught by one of the CRCs
+        buf = _frame(b"hello world")
+        assert list(_unframe(buf)) == [b"hello world"]
+        for i in range(len(buf)):
+            bad = bytearray(buf)
+            bad[i] ^= 0x01
+            with pytest.raises(ValueError):
+                list(_unframe(bytes(bad)))
+        # truncation is caught too
+        with pytest.raises(ValueError):
+            list(_unframe(buf[:-1]))
+        # a length field inflated past the buffer is caught, not OOM'd
+        huge = bytearray(buf)
+        huge[:8] = struct.pack("<Q", 2 ** 40)
+        with pytest.raises(ValueError):
+            list(_unframe(bytes(huge)))
+
+        # byte-deterministic: re-run coalesces onto identical filenames
+        names = sorted(os.listdir(out))
+        write_tfrecord(ray.data.from_arrow(t), out,
+                       ["id", "text"]).materialize()
+        assert sorted(os.listdir(out)) == names
 
 
 def test_grouped_hll_error_bound(ray_session, ddb):

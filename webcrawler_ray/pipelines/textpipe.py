@@ -1732,6 +1732,36 @@ SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id
 """
 
 
+def docs_tfrecord_roundtrip(ray, sf_dir: str):
+    """(doc_id, lang, source, n_chars, text) exported through the
+    TFRecord byte sink (sinks/tfrecord.py — TF's framed-record wire
+    format with CRC32C checksums, implemented from the public spec)
+    and re-ingested — the FIFTH byte format, VALUE-CHECKED against the
+    documents table itself; every frame's checksums are verified on
+    the read side, so the green oracle also proves checksum
+    integrity end-to-end."""
+    from ..sinks.complete import ensure_complete_set
+    from ..sinks.tfrecord import read_tfrecord, write_tfrecord
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/webcrawler_ray_cache/{name}/docs_tfrecord"
+    cols = ["doc_id", "lang", "source", "n_chars", "text"]
+    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                        ("source", pa.string()),
+                        ("n_chars", pa.int64()),
+                        ("text", pa.string())])
+    ensure_complete_set(
+        out, ".tfrecord",
+        lambda: write_tfrecord(_docs(ray, sf_dir, cols), out,
+                               cols).materialize())
+    return read_tfrecord(ray, out, schema).sort("doc_id")
+
+
+DOCS_TFRECORD_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 FEATURE_HASH_DIM = 64
 
