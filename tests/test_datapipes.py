@@ -79,7 +79,9 @@ SQL_CHECKED = [
     "events_windowed_late", "events_grouping_sets",
     "events_value_winsorized", "docs_chunks", "docs_orc_roundtrip",
     "orders_scd2", "events_cdc_merge", "events_windowed_distinct",
-    "docs_tfrecord_roundtrip",
+    "docs_tfrecord_roundtrip", "q10_returned_revenue",
+    "q12_priority_lines", "q14_promo_revenue", "q18_large_orders",
+    "q19_disjunct_revenue", "fk_integrity",
 ]
 
 

@@ -591,6 +591,17 @@ def build_queries() -> dict:
             lambda sf: relational.orders_monthly_series(ray, sf),
         "q5_local_supplier_volume":
             lambda sf: relational.q5_local_supplier_volume(ray, sf),
+        "q10_returned_revenue":
+            lambda sf: relational.q10_returned_revenue(ray, sf),
+        "q12_priority_lines":
+            lambda sf: relational.q12_priority_lines(ray, sf),
+        "q14_promo_revenue":
+            lambda sf: relational.q14_promo_revenue(ray, sf),
+        "q18_large_orders":
+            lambda sf: relational.q18_large_orders(ray, sf),
+        "q19_disjunct_revenue":
+            lambda sf: relational.q19_disjunct_revenue(ray, sf),
+        "fk_integrity": lambda sf: relational.fk_integrity(ray, sf),
         "part_min_supplier":
             lambda sf: relational.part_min_supplier(ray, sf),
         "revenue_rollup": lambda sf: relational.revenue_rollup(ray, sf),
@@ -1127,6 +1138,12 @@ ORDER BY vec_id_a, vec_id_b
     "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
     "orders_monthly_series": relational.ORDERS_MONTHLY_SQL,
     "q5_local_supplier_volume": relational.Q5_SQL,
+    "q10_returned_revenue": relational.Q10_SQL,
+    "q12_priority_lines": relational.Q12_SQL,
+    "q14_promo_revenue": relational.Q14_SQL,
+    "q18_large_orders": relational.Q18_SQL,
+    "q19_disjunct_revenue": relational.Q19_SQL,
+    "fk_integrity": relational.FK_INTEGRITY_SQL,
     "part_min_supplier": relational.PART_MIN_SUPPLIER_SQL,
     "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
     "events_daily_stats": relational.EVENTS_DAILY_SQL,

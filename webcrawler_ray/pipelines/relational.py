@@ -3860,3 +3860,611 @@ SELECT (epoch_us(ts) // {DISTINCT_WINDOW_US}) * {DISTINCT_WINDOW_US}
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1 ORDER BY window_start_us
 """
+
+
+# ---------------------------------------------------------------------------
+Q10_START = "1996-01-01"
+Q10_END = "1996-04-01"
+
+
+def q10_returned_revenue(ray, sf_dir: str, k: int = 20):
+    """(c_custkey, c_name, revenue_cents): TPC-H Q10 shape — top-k
+    customers by revenue LOST to returned items in one quarter.
+    Reference semantics: returned-item reporting (the canonical
+    aggregate-join-topk report). Scale shape: lineitem is filtered to
+    'R' rows and partial-aggregated per orderkey INSIDE the scan, the
+    orders side is filtered to the quarter and materialized once to
+    size the join from its REAL count, and the customer table is only
+    touched by a k-row filtered read for the winners (top_customers'
+    name-lookup rule — no full dimension broadcast)."""
+    from ..stages.aggregates import hash_bucket_aggregate, join_partitions_for
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+    lo = pd.Timestamp(Q10_START)
+    hi = pd.Timestamp(Q10_END)
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def in_window(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)
+        return pd.DataFrame({
+            "l_orderkey": b["o_orderkey"][m].astype("int64"),
+            "o_custkey": b["o_custkey"][m].astype("int64")})
+
+    orders = orders.map_batches(in_window, batch_format="pandas",
+                                batch_size=65536).materialize()
+    n_window = max(1, orders.count())
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                       "l_discount"])
+
+    def returned_cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"]
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64"),
+            "revenue_cents": np.floor(b["l_extendedprice"]
+                                      * (1 - b["l_discount"]) * 100
+                                      ).astype("int64")})
+
+    li_agg = hash_bucket_aggregate(
+        li.map_batches(returned_cents, batch_format="pandas",
+                       batch_size=65536),
+        ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", as_index=False).sum(),
+        n_rows=n_orders)
+    # bucketed map_groups can emit column-less empty blocks that crash
+    # Dataset.join's schema unification (aggregates.normalize_for_join)
+    from ..stages.aggregates import normalize_for_join
+
+    li_agg = normalize_for_join(
+        li_agg, pa.schema([("l_orderkey", pa.int64()),
+                           ("revenue_cents", pa.int64())]))
+
+    joined = li_agg.join(orders, join_type="inner", on=("l_orderkey",),
+                         num_partitions=join_partitions_for(
+                             min(n_orders, n_window)))
+    per_cust = hash_bucket_aggregate(
+        joined, ["o_custkey"],
+        lambda df: df[["o_custkey", "revenue_cents"]]
+        .groupby("o_custkey", as_index=False).sum(),
+        n_rows=n_cust)
+
+    topk = per_cust.sort(["revenue_cents", "o_custkey"],
+                         descending=[True, False]).limit(k)
+    cust_path = f"{sf_dir}/customer.parquet"
+
+    def add_name(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        keys = batch.column("o_custkey")
+        t = pads.dataset(cust_path).to_table(
+            columns=["c_custkey", "c_name"],
+            filter=pc.field("c_custkey").isin(keys))
+        names = dict(zip(t.column("c_custkey").to_pylist(),
+                         t.column("c_name").to_pylist()))
+        return pa.table({
+            "c_custkey": keys.cast(pa.int64()),
+            "c_name": pa.array([names.get(c) for c in keys.to_pylist()],
+                               pa.string()),
+            "revenue_cents": batch.column("revenue_cents")})
+
+    return (topk.map_batches(add_name, batch_format="pyarrow")
+                .sort(["revenue_cents", "c_custkey"],
+                      descending=[True, False]))
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_START}'
+  AND o_orderdate <  TIMESTAMP '{Q10_END}'
+GROUP BY c_custkey, c_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+Q12_START = "1997-01-01"
+Q12_END = "1998-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_lines(ray, sf_dir: str):
+    """(l_returnflag, high_line_count, low_line_count): TPC-H Q12 shape
+    — per line class (returnflag stands in for the schema's missing
+    shipmode), how many of the year's lineitems belong to HIGH-priority
+    orders vs the rest. The conditional-count-after-join shape: lineitem
+    collapses to one (orderkey, returnflag, n) row per pair inside the
+    scan, joins the orders priority column, and the CASE counting is a
+    vectorized mask on the joined partials."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import hash_bucket_aggregate, join_partitions_for
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    lo = pd.Timestamp(Q12_START)
+    hi = pd.Timestamp(Q12_END)
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def pair_counts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        g = pd.DataFrame({"o_orderkey": b["l_orderkey"].astype("int64"),
+                          "l_returnflag": b["l_returnflag"],
+                          "n": np.ones(len(b), dtype="int64")})
+        return g.groupby(["o_orderkey", "l_returnflag"],
+                         as_index=False).sum()
+
+    li_agg = hash_bucket_aggregate(
+        li.map_batches(pair_counts, batch_format="pandas",
+                       batch_size=65536),
+        ["o_orderkey", "l_returnflag"],
+        lambda df: df.groupby(["o_orderkey", "l_returnflag"],
+                              as_index=False).sum(),
+        n_rows=n_orders * 3)  # <= 3 returnflag values per order
+    from ..stages.aggregates import normalize_for_join
+
+    li_agg = normalize_for_join(
+        li_agg, pa.schema([("o_orderkey", pa.int64()),
+                           ("l_returnflag", pa.string()),
+                           ("n", pa.int64())]))
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_orderpriority"])
+    joined = li_agg.join(orders, join_type="inner", on=("o_orderkey",),
+                         num_partitions=join_partitions_for(n_orders))
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        high = b["o_orderpriority"].isin(Q12_HIGH).to_numpy()
+        n = b["n"].to_numpy()
+        g = pd.DataFrame({"l_returnflag": b["l_returnflag"],
+                          "high_line_count": np.where(high, n, 0),
+                          "low_line_count": np.where(high, 0, n)})
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    out = (joined.map_batches(classify, batch_format="pandas",
+                              batch_size=65536)
+                 .groupby("l_returnflag")
+                 .aggregate(Sum("high_line_count",
+                                alias_name="high_line_count"),
+                            Sum("low_line_count",
+                                alias_name="low_line_count")))
+    return out.sort("l_returnflag")
+
+
+Q12_SQL = f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_START}'
+  AND l_shipdate <  TIMESTAMP '{Q12_END}'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+Q14_START = "1997-09-01"
+Q14_END = "1997-10-01"
+
+
+def q14_promo_revenue(ray, sf_dir: str):
+    """(promo_cents, total_cents): TPC-H Q14 shape — one month's revenue
+    split by whether the part is a PROMO type. Scale shape: lineitem
+    collapses to one revenue row per partkey inside the scan (so the
+    join exchange moves |parts-touched| rows, not |lineitems|), the part
+    side ships ONLY (partkey, is_promo), and the final reduction is the
+    q6-style O(batches) driver fold of two int64 counters. The ratio is
+    left to the caller — two exact integers hash-compare, a float
+    division does not."""
+    from ..stages.aggregates import hash_bucket_aggregate, join_partitions_for
+
+    n_part = _nrows(f"{sf_dir}/part.parquet")
+    lo = pd.Timestamp(Q14_START)
+    hi = pd.Timestamp(Q14_END)
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                       "l_discount"])
+
+    def rev_per_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        g = pd.DataFrame({
+            "l_partkey": b["l_partkey"].astype("int64"),
+            "revenue_cents": np.floor(b["l_extendedprice"]
+                                      * (1 - b["l_discount"]) * 100
+                                      ).astype("int64")})
+        return g.groupby("l_partkey", as_index=False).sum()
+
+    li_agg = hash_bucket_aggregate(
+        li.map_batches(rev_per_part, batch_format="pandas",
+                       batch_size=65536),
+        ["l_partkey"],
+        lambda df: df.groupby("l_partkey", as_index=False).sum(),
+        n_rows=n_part)
+    from ..stages.aggregates import normalize_for_join
+
+    li_agg = normalize_for_join(
+        li_agg, pa.schema([("l_partkey", pa.int64()),
+                           ("revenue_cents", pa.int64())]))
+
+    part = _rpq(ray, f"{sf_dir}/part.parquet",
+                columns=["p_partkey", "p_type"])
+
+    def promo_flag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t.column("p_partkey").cast(pa.int64()),
+            "is_promo": pc.equal(t.column("p_type"), "PROMO")})
+
+    part = part.map_batches(promo_flag, batch_format="pyarrow")
+    joined = li_agg.join(part, join_type="inner", on=("l_partkey",),
+                         num_partitions=join_partitions_for(n_part))
+
+    def split(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["revenue_cents"].to_numpy()
+        promo = b["is_promo"].to_numpy(dtype=bool)
+        return pd.DataFrame({
+            "promo_cents": pd.Series([int(rev[promo].sum())],
+                                     dtype="int64"),
+            "total_cents": pd.Series([int(rev.sum())], dtype="int64")})
+
+    parts = joined.map_batches(split, batch_format="pandas",
+                               batch_size=65536).to_pandas()  # O(batches)
+    return pd.DataFrame({
+        "promo_cents": [int(parts["promo_cents"].sum())],
+        "total_cents": [int(parts["total_cents"].sum())]})
+
+
+Q14_SQL = f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                     * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_START}'
+  AND l_shipdate <  TIMESTAMP '{Q14_END}'
+"""
+
+
+# ---------------------------------------------------------------------------
+Q18_MIN_QTY = 150  # order qty threshold (TPC-H Q18 uses 300 at SF>=1)
+
+
+def q18_large_orders(ray, sf_dir: str, k: int = 100):
+    """(c_custkey, c_name, o_orderkey, total_qty): TPC-H Q18 shape —
+    large-volume orders: the HAVING-on-an-aggregate-then-join shape.
+    lineitem collapses to one qty sum per orderkey inside the scan, the
+    > threshold cut happens BEFORE the orders join (so the exchange
+    moves only qualifying orders), and the customer name lookup is the
+    k-winner filtered read. Quantities are exact int64 (the corpus
+    generator emits integral quantities; FLOOR in the oracle pins it)."""
+    from ..stages.aggregates import hash_bucket_aggregate, join_partitions_for
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_quantity"])
+
+    def qty_per_order(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].astype("int64"),
+            "total_qty": np.floor(b["l_quantity"]).astype("int64")})
+        return g.groupby("o_orderkey", as_index=False).sum()
+
+    per_order = hash_bucket_aggregate(
+        li.map_batches(qty_per_order, batch_format="pandas",
+                       batch_size=65536),
+        ["o_orderkey"],
+        lambda df: df.groupby("o_orderkey", as_index=False).sum(),
+        n_rows=n_orders)
+    from ..stages.aggregates import normalize_for_join
+
+    per_order = normalize_for_join(
+        per_order, pa.schema([("o_orderkey", pa.int64()),
+                              ("total_qty", pa.int64())]))
+    big = per_order.map_batches(
+        lambda t: t.filter(pc.greater(t.column("total_qty"),
+                                      Q18_MIN_QTY)),
+        batch_format="pyarrow").materialize()
+    n_big = max(1, big.count())
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey"])
+    joined = big.join(orders, join_type="inner", on=("o_orderkey",),
+                      num_partitions=join_partitions_for(
+                          min(n_orders, n_big)))
+
+    topk = joined.sort(["total_qty", "o_orderkey"],
+                       descending=[True, False]).limit(k)
+    cust_path = f"{sf_dir}/customer.parquet"
+
+    def add_name(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        keys = batch.column("o_custkey")
+        t = pads.dataset(cust_path).to_table(
+            columns=["c_custkey", "c_name"],
+            filter=pc.field("c_custkey").isin(keys))
+        names = dict(zip(t.column("c_custkey").to_pylist(),
+                         t.column("c_name").to_pylist()))
+        return pa.table({
+            "c_custkey": keys.cast(pa.int64()),
+            "c_name": pa.array([names.get(c) for c in keys.to_pylist()],
+                               pa.string()),
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "total_qty": batch.column("total_qty").cast(pa.int64())})
+
+    return (topk.map_batches(add_name, batch_format="pyarrow")
+                .sort(["total_qty", "o_orderkey"],
+                      descending=[True, False]))
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, total_qty
+FROM (SELECT l_orderkey AS o_orderkey,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING total_qty > {Q18_MIN_QTY}) big
+JOIN orders USING (o_orderkey)
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — three disjunctive branches
+Q19_BRANCHES = (("Brand#12", 1, 25, 1, 11),
+                ("Brand#23", 1, 30, 10, 20),
+                ("Brand#14", 1, 35, 20, 30))
+
+
+def q19_disjunct_revenue(ray, sf_dir: str):
+    """(revenue_cents): TPC-H Q19 shape — revenue under a DISJUNCTION of
+    (brand, size-range, quantity-range) predicates spanning the join.
+    Scale shape: the quantity windows are fixed constants, so lineitem
+    pre-aggregates THREE per-branch revenue sums per partkey inside the
+    scan (the join exchange moves one 4-column row per touched part);
+    the part side is cut to the three brands before the join; the
+    matched branch column is picked vectorized after the join and the
+    final reduce is a q6-style driver fold of one int64."""
+    from ..stages.aggregates import hash_bucket_aggregate, join_partitions_for
+
+    n_part = _nrows(f"{sf_dir}/part.parquet")
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_quantity", "l_extendedprice",
+                       "l_discount"])
+
+    def branch_rev(b: pd.DataFrame) -> pd.DataFrame:
+        qty = b["l_quantity"].to_numpy()
+        rev = np.floor(b["l_extendedprice"].to_numpy()
+                       * (1 - b["l_discount"].to_numpy())
+                       * 100).astype("int64")
+        cols = {"l_partkey": b["l_partkey"].astype("int64")}
+        for i, (_, _, _, qlo, qhi) in enumerate(Q19_BRANCHES, 1):
+            cols[f"rev_b{i}"] = np.where(
+                (qty >= qlo) & (qty <= qhi), rev, 0)
+        return pd.DataFrame(cols).groupby("l_partkey",
+                                          as_index=False).sum()
+
+    li_agg = hash_bucket_aggregate(
+        li.map_batches(branch_rev, batch_format="pandas",
+                       batch_size=65536),
+        ["l_partkey"],
+        lambda df: df.groupby("l_partkey", as_index=False).sum(),
+        n_rows=n_part)
+    from ..stages.aggregates import normalize_for_join
+
+    li_agg = normalize_for_join(
+        li_agg, pa.schema(
+            [("l_partkey", pa.int64())]
+            + [(f"rev_b{i}", pa.int64())
+               for i in range(1, len(Q19_BRANCHES) + 1)]))
+
+    part = _rpq(ray, f"{sf_dir}/part.parquet",
+                columns=["p_partkey", "p_brand", "p_size"])
+
+    def part_branch(b: pd.DataFrame) -> pd.DataFrame:
+        brand = b["p_brand"].to_numpy()
+        size = b["p_size"].to_numpy()
+        branch = np.zeros(len(b), dtype="int64")
+        for i, (br, slo, shi, _, _) in enumerate(Q19_BRANCHES, 1):
+            branch = np.where((branch == 0) & (brand == br)
+                              & (size >= slo) & (size <= shi), i, branch)
+        keep = branch > 0
+        return pd.DataFrame({
+            "l_partkey": b["p_partkey"].to_numpy()[keep].astype("int64"),
+            "branch": branch[keep]})
+
+    # the brand cut can empty whole blocks at small scale; scrub the
+    # column-less empties before the join (aggregates.normalize_for_join)
+    part = normalize_for_join(
+        part.map_batches(part_branch, batch_format="pandas",
+                         batch_size=65536),
+        pa.schema([("l_partkey", pa.int64()),
+                   ("branch", pa.int64())])).materialize()
+    n_keep = part.count()
+    if n_keep == 0:
+        # no part matches any branch: the join is empty by definition
+        # (and an all-empty side breaks Dataset.join's schema inference)
+        return pd.DataFrame({"revenue_cents": [0]}).astype("int64")
+
+    joined = li_agg.join(part, join_type="inner", on=("l_partkey",),
+                         num_partitions=join_partitions_for(
+                             min(n_part, n_keep)))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        branch = b["branch"].to_numpy()
+        rev = np.zeros(len(b), dtype="int64")
+        for i in range(1, len(Q19_BRANCHES) + 1):
+            rev = np.where(branch == i,
+                           b[f"rev_b{i}"].to_numpy(), rev)
+        return pd.DataFrame({"revenue_cents":
+                             pd.Series([int(rev.sum())], dtype="int64")})
+
+    parts = joined.map_batches(pick, batch_format="pandas",
+                               batch_size=65536).to_pandas()  # O(batches)
+    return pd.DataFrame({"revenue_cents":
+                         [int(parts["revenue_cents"].sum())]})
+
+
+def _q19_branch_sql(br, slo, shi, qlo, qhi):
+    return (f"(p_brand = '{br}' AND p_size BETWEEN {slo} AND {shi} "
+            f"AND l_quantity BETWEEN {qlo} AND {qhi})")
+
+
+Q19_SQL = f"""
+SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                    * 100) AS BIGINT)), 0) AS BIGINT)
+           AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {" OR ".join(_q19_branch_sql(*b) for b in Q19_BRANCHES)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# (relation label, child table, child FK column, parent table, parent key)
+FK_RELATIONS = (
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+)
+
+
+def fk_integrity(ray, sf_dir: str):
+    """(relation, n_child, n_keys, n_orphans): referential-integrity
+    profile of every declared FK edge — the data-quality audit a
+    pipeline runs before trusting its joins. Scale shape: ALL child
+    tables reduce to tagged (rel, key) distinct pairs in one combined
+    bucketed aggregate (lineitem is scanned once for its three FKs, not
+    three times), all parent key columns union into one tagged dataset,
+    and a SINGLE distributed left-anti join on (rel, key) finds every
+    orphan across every relation at once; per-relation counts are a
+    grouped count over those small key tables. n_child is the footer
+    row count (exact: FK columns are non-null by schema)."""
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+        normalize_for_join,
+    )
+
+    # one pruned scan per child table, all FKs tagged in one pass
+    by_child: dict[str, list[tuple[int, str]]] = {}
+    for i, (_, child, col, _, _) in enumerate(FK_RELATIONS):
+        by_child.setdefault(child, []).append((i, col))
+
+    child_parts = []
+    n_keys_bound = 0
+    for child, cols in by_child.items():
+        ds = _rpq(ray, f"{sf_dir}/{child}.parquet",
+                  columns=sorted({c for _, c in cols}))
+
+        def tag(b: pd.DataFrame, cols=tuple(cols)) -> pd.DataFrame:
+            frames = [pd.DataFrame({
+                "rel": np.full(len(b), rid, dtype="int64"),
+                "key": b[c].to_numpy().astype("int64")})
+                for rid, c in cols]
+            return (pd.concat(frames, ignore_index=True)
+                    .drop_duplicates(["rel", "key"]))
+
+        child_parts.append(ds.map_batches(tag, batch_format="pandas",
+                                          batch_size=65536))
+    for _, _, _, parent, _ in FK_RELATIONS:
+        n_keys_bound += _nrows(f"{sf_dir}/{parent}.parquet")
+
+    child_keys = child_parts[0]
+    for p in child_parts[1:]:
+        child_keys = child_keys.union(p)
+    # distinct (rel, key) pairs; orphans make the bound loose, never
+    # wrong for sizing (2x headroom)
+    rk_schema = pa.schema([("rel", pa.int64()), ("key", pa.int64())])
+    child_keys = normalize_for_join(
+        hash_bucket_aggregate(
+            child_keys, ["rel", "key"],
+            lambda df: df.drop_duplicates(["rel", "key"]),
+            n_rows=max(1, n_keys_bound) * 2),
+        rk_schema).materialize()
+    n_child_keys = max(1, child_keys.count())
+
+    parent_parts = []
+    for i, (_, _, _, parent, pkey) in enumerate(FK_RELATIONS):
+        pds = _rpq(ray, f"{sf_dir}/{parent}.parquet", columns=[pkey])
+
+        def ptag(t: pa.Table, rid=i, col=pkey) -> pa.Table:
+            return pa.table({
+                "rel": pa.array(np.full(t.num_rows, rid, dtype="int64")),
+                "key": t.column(col).cast(pa.int64())})
+
+        parent_parts.append(pds.map_batches(ptag, batch_format="pyarrow"))
+    parent_keys = parent_parts[0]
+    for p in parent_parts[1:]:
+        parent_keys = parent_keys.union(p)
+
+    orphans = child_keys.join(
+        parent_keys, join_type="left_anti", on=("rel", "key"),
+        num_partitions=join_partitions_for(n_child_keys))
+
+    def count_by_rel(ds) -> dict[int, int]:
+        empty = pd.DataFrame({"rel": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            # anti-join emits COLUMN-LESS blocks for empty partitions
+            if len(b) == 0 or "rel" not in b.columns:
+                return empty
+            return (b.assign(n=np.ones(len(b), dtype="int64"))
+                     .groupby("rel", as_index=False)[["n"]].sum())
+
+        parts = ds.map_batches(
+            partial, batch_format="pandas").to_pandas()  # O(blocks) rows
+        if len(parts) == 0:
+            return {}
+        return dict(parts.groupby("rel")["n"].sum())
+
+    keys_per_rel = count_by_rel(child_keys)
+    orphans_per_rel = count_by_rel(orphans)
+
+    rows = []
+    for i, (label, child, _, _, _) in enumerate(FK_RELATIONS):
+        rows.append({"relation": label,
+                     "n_child": _nrows(f"{sf_dir}/{child}.parquet"),
+                     "n_keys": int(keys_per_rel.get(i, 0)),
+                     "n_orphans": int(orphans_per_rel.get(i, 0))})
+    rows.sort(key=lambda r: r["relation"])
+    return pa.table({
+        "relation": pa.array([r["relation"] for r in rows], pa.string()),
+        "n_child": pa.array([r["n_child"] for r in rows], pa.int64()),
+        "n_keys": pa.array([r["n_keys"] for r in rows], pa.int64()),
+        "n_orphans": pa.array([r["n_orphans"] for r in rows], pa.int64()),
+    })
+
+
+FK_INTEGRITY_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS relation,
+       (SELECT COUNT(*) FROM {child}) AS n_child,
+       (SELECT COUNT(DISTINCT {col}) FROM {child}) AS n_keys,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT {col} FROM {child}) u
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pkey} = u.{col})) AS n_orphans"""
+    for label, child, col, parent, pkey in FK_RELATIONS
+) + "\nORDER BY relation"
