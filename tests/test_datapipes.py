@@ -79,7 +79,8 @@ SQL_CHECKED = [
     "events_windowed_late", "events_grouping_sets",
     "events_value_winsorized", "docs_chunks", "docs_orc_roundtrip",
     "orders_scd2", "events_cdc_merge", "events_windowed_distinct",
-    "docs_tfrecord_roundtrip", "q10_returned_revenue",
+    "docs_tfrecord_roundtrip", "docs_avro_roundtrip",
+    "q10_returned_revenue",
     "q12_priority_lines", "q14_promo_revenue", "q18_large_orders",
     "q19_disjunct_revenue", "fk_integrity",
 ]
@@ -1544,6 +1545,78 @@ class TestTfrecordSink:
         names = sorted(os.listdir(out))
         write_tfrecord(ray.data.from_arrow(t), out,
                        ["id", "text"]).materialize()
+        assert sorted(os.listdir(out)) == names
+
+
+class TestAvroSink:
+    def test_varint_zigzag_spec_vectors(self):
+        """Zigzag/varint encoding matches the Avro spec's published
+        examples (0->00, -1->01, 1->02, -2->03, 2->04, -64->7f,
+        64->8001) and roundtrips across the int64 range."""
+        from webcrawler_ray.sinks.avro import _read_long, _zigzag
+
+        spec = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+                2: b"\x04", -64: b"\x7f", 64: b"\x80\x01"}
+        for n, enc in spec.items():
+            assert _zigzag(n) == enc, n
+        for n in [0, 1, -1, 127, -128, 2**31, -2**31, 2**62,
+                  2**63 - 1, -2**63]:
+            v, i = _read_long(memoryview(_zigzag(n)), 0)
+            assert v == n and i == len(_zigzag(n)), n
+
+    def test_roundtrip_all_types_and_corruption(self, ray_session,
+                                                tmp_path):
+        """long/string/double/boolean/bytes survive the OCF byte path
+        exactly; corrupt sync or truncated block raises; files are
+        byte-deterministic across re-runs."""
+        import os
+
+        import pyarrow as pa
+        import pytest
+        import ray
+
+        from webcrawler_ray.sinks.avro import (
+            _decode_file,
+            read_avro,
+            write_avro,
+        )
+
+        t = pa.table({
+            "id": pa.array([0, 1, 2, -5, 2**62], pa.int64()),
+            "text": pa.array(['plain', 'a,b,"c"', 'line1\nline2',
+                              'unicode: ação 日本語', ''], pa.string()),
+            "score": pa.array([0.5, -1.25, 3.5e300, 0.0, -0.0],
+                              pa.float64()),
+            "flag": pa.array([True, False, True, False, True],
+                             pa.bool_()),
+            "blob": pa.array([b"", b"\x00\xff", b"abc", b"\x80", b"x"],
+                             pa.binary())})
+        out = str(tmp_path / "avro")
+        fields = ["id", "text", "score", "flag", "blob"]
+        write_avro(ray.data.from_arrow(t), out, fields).materialize()
+        back = (read_avro(ray, out, t.schema).to_pandas()
+                .sort_values("id").reset_index(drop=True))
+        want = t.to_pandas().sort_values("id").reset_index(drop=True)
+        assert back.equals(want)
+
+        # corruption: flip a byte inside the record region -> the block
+        # length/sync validation catches it
+        fname = [f for f in os.listdir(out) if f.endswith(".avro")][0]
+        raw = open(os.path.join(out, fname), "rb").read()
+        bad = bytearray(raw)
+        bad[-1] ^= 0x01  # last sync byte
+        with pytest.raises(ValueError):
+            _decode_file(bytes(bad), t.schema)
+        with pytest.raises(ValueError):
+            _decode_file(raw[:10], t.schema)  # not even a full header
+        # schema mismatch is refused, not coerced
+        wrong = pa.schema([("id", pa.int64()), ("text", pa.string())])
+        with pytest.raises(ValueError):
+            _decode_file(raw, wrong)
+
+        # byte-deterministic re-run coalesces onto identical filenames
+        names = sorted(os.listdir(out))
+        write_avro(ray.data.from_arrow(t), out, fields).materialize()
         assert sorted(os.listdir(out)) == names
 
 

@@ -480,6 +480,8 @@ def build_queries() -> dict:
             lambda sf: textpipe.docs_orc_roundtrip(ray, sf),
         "docs_tfrecord_roundtrip":
             lambda sf: textpipe.docs_tfrecord_roundtrip(ray, sf),
+        "docs_avro_roundtrip":
+            lambda sf: textpipe.docs_avro_roundtrip(ray, sf),
         "docs_contamination":
             lambda sf: textpipe.docs_contamination(ray, sf),
         "docs_length_histogram":
@@ -1152,6 +1154,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_chunks": textpipe.DOCS_CHUNKS_SQL,
     "docs_orc_roundtrip": textpipe.DOCS_ORC_ROUNDTRIP_SQL,
     "docs_tfrecord_roundtrip": textpipe.DOCS_TFRECORD_ROUNDTRIP_SQL,
+    "docs_avro_roundtrip": textpipe.DOCS_AVRO_ROUNDTRIP_SQL,
     "docs_contamination": textpipe.DOCS_CONTAMINATION_SQL,
     "docs_length_histogram": textpipe.DOCS_LENGTH_HISTOGRAM_SQL,
     "doc_tfidf_top": textpipe.DOC_TFIDF_SQL,

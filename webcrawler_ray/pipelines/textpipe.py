@@ -1762,6 +1762,35 @@ SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id
 """
 
 
+def docs_avro_roundtrip(ray, sf_dir: str):
+    """(doc_id, lang, source, n_chars, text) exported through the Avro
+    object-container byte sink (sinks/avro.py — the public Avro 1.11
+    binary encoding + OCF layout, pure stdlib) and re-ingested — the
+    SIXTH byte format, VALUE-CHECKED against the documents table; the
+    reader validates magic, embedded schema and every block's sync
+    marker, so a green oracle also proves container integrity."""
+    from ..sinks.avro import read_avro, write_avro
+    from ..sinks.complete import ensure_complete_set
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/webcrawler_ray_cache/{name}/docs_avro"
+    cols = ["doc_id", "lang", "source", "n_chars", "text"]
+    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                        ("source", pa.string()),
+                        ("n_chars", pa.int64()),
+                        ("text", pa.string())])
+    ensure_complete_set(
+        out, ".avro",
+        lambda: write_avro(_docs(ray, sf_dir, cols), out,
+                           cols).materialize())
+    return read_avro(ray, out, schema).sort("doc_id")
+
+
+DOCS_AVRO_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 FEATURE_HASH_DIM = 64
 
