@@ -82,7 +82,8 @@ SQL_CHECKED = [
     "docs_tfrecord_roundtrip", "docs_avro_roundtrip",
     "q10_returned_revenue",
     "q12_priority_lines", "q14_promo_revenue", "q18_large_orders",
-    "q19_disjunct_revenue", "fk_integrity",
+    "q19_disjunct_revenue", "fk_integrity", "docs_k_anonymity",
+    "events_unpivot",
 ]
 
 

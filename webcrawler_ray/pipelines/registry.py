@@ -604,6 +604,10 @@ def build_queries() -> dict:
         "q19_disjunct_revenue":
             lambda sf: relational.q19_disjunct_revenue(ray, sf),
         "fk_integrity": lambda sf: relational.fk_integrity(ray, sf),
+        "docs_k_anonymity":
+            lambda sf: relational.docs_k_anonymity(ray, sf),
+        "events_unpivot":
+            lambda sf: relational.events_unpivot(ray, sf),
         "part_min_supplier":
             lambda sf: relational.part_min_supplier(ray, sf),
         "revenue_rollup": lambda sf: relational.revenue_rollup(ray, sf),
@@ -1146,6 +1150,8 @@ ORDER BY vec_id_a, vec_id_b
     "q18_large_orders": relational.Q18_SQL,
     "q19_disjunct_revenue": relational.Q19_SQL,
     "fk_integrity": relational.FK_INTEGRITY_SQL,
+    "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
+    "events_unpivot": relational.EVENTS_UNPIVOT_SQL,
     "part_min_supplier": relational.PART_MIN_SUPPLIER_SQL,
     "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
     "events_daily_stats": relational.EVENTS_DAILY_SQL,

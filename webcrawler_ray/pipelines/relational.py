@@ -4468,3 +4468,88 @@ FK_INTEGRITY_SQL = "\nUNION ALL\n".join(
                           WHERE p.{pkey} = u.{col})) AS n_orphans"""
     for label, child, col, parent, pkey in FK_RELATIONS
 ) + "\nORDER BY relation"
+
+
+# ---------------------------------------------------------------------------
+K_ANON_K = 5
+K_ANON_LEN_BUCKET = 200
+
+
+def docs_k_anonymity(ray, sf_dir: str, k: int = K_ANON_K):
+    """(lang, source, len_bucket, group_n): K-ANONYMITY audit — the
+    quasi-identifier combinations (language, source, coarse length
+    bucket) whose group size is below ``k``, i.e. the documents a
+    release would re-identify. The data-governance gate a training-data
+    pipeline runs before publishing corpus metadata. Scale shape: pure
+    combiner aggregation — each batch collapses to one row per QI combo,
+    the groupby sees |combos| rows, and the < k filter is a metadata-
+    sized scan of the grouped result."""
+    from ray.data.aggregate import Sum
+
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet",
+              columns=["lang", "source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "lang": b["lang"],
+            "source": b["source"],
+            "len_bucket": (b["n_chars"].to_numpy()
+                           // K_ANON_LEN_BUCKET).astype("int64"),
+            "group_n": np.ones(len(b), dtype="int64")})
+        return g.groupby(["lang", "source", "len_bucket"],
+                         as_index=False).sum()
+
+    grouped = (ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+                 .groupby(["lang", "source", "len_bucket"])
+                 .aggregate(Sum("group_n", alias_name="group_n")))
+    risky = grouped.map_batches(
+        lambda t: t.filter(pc.less(t.column("group_n"), k)),
+        batch_format="pyarrow")
+    return risky.sort(["lang", "source", "len_bucket"])
+
+
+DOCS_K_ANONYMITY_SQL = f"""
+SELECT lang, source, n_chars // {K_ANON_LEN_BUCKET} AS len_bucket,
+       COUNT(*) AS group_n
+FROM documents
+GROUP BY lang, source, len_bucket
+HAVING COUNT(*) < {K_ANON_K}
+ORDER BY lang, source, len_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+def events_unpivot(ray, sf_dir: str):
+    """(day_us, metric, value): UNPIVOT/melt — the daily rollup's wide
+    columns (n_events, n_users) turned into long (metric, value) rows,
+    the wide-to-long reshape every metrics store ingests. Composes on
+    the events_daily_stats result (O(#days) rows), so the melt itself is
+    a metadata-sized vectorized transform; the heavy lifting stays in
+    the upstream combiner aggregation."""
+    wide = events_daily_stats(ray, sf_dir)
+    if isinstance(wide, pd.DataFrame):
+        wide_df = wide
+    else:
+        wide_df = wide.to_pandas()
+    # O(#days) rows: melt driver-side is exact and tiny; at scale the
+    # same melt runs inside map_batches over the grouped dataset
+    long = wide_df.melt(id_vars=["day_us"],
+                        value_vars=["n_events", "n_users"],
+                        var_name="metric", value_name="value")
+    long["value"] = long["value"].astype("int64")
+    return (long.sort_values(["day_us", "metric"])
+                .reset_index(drop=True))
+
+
+EVENTS_UNPIVOT_SQL = """
+WITH daily AS (
+  SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1
+)
+SELECT day_us, metric, value
+FROM daily UNPIVOT (value FOR metric IN (n_events, n_users))
+ORDER BY day_us, metric
+"""
