@@ -64,7 +64,8 @@ QUERY_NAMES = [
     "docs_dup_spans", "events_windowed_late", "events_grouping_sets",
     "events_value_winsorized", "docs_bpe_merges", "docs_chunks",
     "q10_returned_revenue", "q18_large_orders", "q19_disjunct_revenue",
-    "fk_integrity", "docs_k_anonymity", "docs_tfrecord_roundtrip",
+    "fk_integrity", "docs_k_anonymity", "doc_cms_counts",
+    "docs_tfrecord_roundtrip",
     "docs_avro_roundtrip",
 ]
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 
-from . import profile, relational, textpipe
+from . import profile, relational, sketches, textpipe
 
 
 def _ray():
@@ -669,6 +669,8 @@ def build_queries() -> dict:
                 lambda sf: sketches.doc_top_terms_mg(ray, sf),
             "doc_top_terms_cms":
                 lambda sf: sketches.doc_top_terms_cms(ray, sf),
+            "doc_cms_counts":
+                lambda sf: sketches.doc_cms_counts(ray, sf),
             "events_distinct_users_exact":
                 lambda sf: sketches.events_distinct_users_exact(ray, sf),
             "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),
@@ -1151,6 +1153,7 @@ ORDER BY vec_id_a, vec_id_b
     "q19_disjunct_revenue": relational.Q19_SQL,
     "fk_integrity": relational.FK_INTEGRITY_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
+    "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_unpivot": relational.EVENTS_UNPIVOT_SQL,
     "part_min_supplier": relational.PART_MIN_SUPPLIER_SQL,
     "revenue_rollup": relational.REVENUE_ROLLUP_SQL,

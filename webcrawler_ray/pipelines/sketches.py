@@ -504,3 +504,147 @@ def doc_top_terms_cms(ray, sf_dir: str, k_out: int = 20):
     return (out.sort_values(["n_est", "token"],
                             ascending=[False, True])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# SQL-checkable Count-Min: the d x W sketch over an md5-derived 32-bit
+# base hash with Dietzfelbinger multiply-shift rows. CMS is LINEAR
+# (sketch(stream) == sketch(aggregated counts)) and its merge is a
+# commutative SUM, so — unlike Misra-Gries, whose lower bounds depend on
+# stream order — the whole structure is order-independent and a DuckDB
+# oracle can rebuild it bit-for-bit from GROUP BY counts. doc_cms_counts
+# below is therefore hash-GREEN: the one sketch in this repo whose every
+# counter is value-checked against SQL, closing the loop the
+# error-bound property tests on HLL/MG can only bracket.
+
+CMS32_LOGW = 14
+CMS32_W = 1 << CMS32_LOGW
+# odd 32-bit multipliers (golden ratio + murmur3/splitmix mixing
+# constants — public values, oddness is all the family needs)
+CMS32_A = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F)
+
+
+def _md5_h32(tokens) -> np.ndarray:
+    """First 8 md5 hex chars as uint64 (matches the oracle's
+    ('0x' || substr(md5(token), 1, 8))::UBIGINT)."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+         for t in tokens),
+        dtype=np.uint64, count=len(tokens))
+
+
+def _cms32_positions(h32: np.ndarray, row: int) -> np.ndarray:
+    return (((h32 * np.uint64(CMS32_A[row])) & np.uint64(0xFFFFFFFF))
+            >> np.uint64(32 - CMS32_LOGW)).astype(np.int64)
+
+
+def doc_cms_counts(ray, sf_dir: str, k_out: int = 20):
+    """(token, n_exact, n_cms): Count-Min point queries for the exact
+    top-k corpus tokens, with the CMS built DISTRIBUTED (constant-size
+    d x W partial per batch, elementwise-sum merge over O(blocks) rows)
+    and every estimate >= the exact count by construction. Hash-green:
+    the DuckDB oracle rebuilds the identical sketch from GROUP BY
+    counts via the same md5-32 multiply-shift rows (CMS linearity).
+
+    Scale shape: ONE wordcount pass (bucketed Counter merge, the
+    doc_top_terms shape) materialized and reused by both consumers —
+    the sketch partials and the exact top-k sort; the exchange after
+    the scan moves distinct-token rows, never the token stream."""
+    import pandas as pd
+
+    from ..io_utils import parquet_column_bytes
+    from ..stages.aggregates import hash_bucket_aggregate
+    from .textpipe import tokenize
+
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tokenize(t.lower()))
+        return pd.DataFrame({"token": list(c.keys()),
+                             "n": pd.Series(list(c.values()),
+                                            dtype="int64")})
+
+    counts = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        lambda df: df.groupby("token", as_index=False).agg(n=("n", "sum")),
+        n_rows=parquet_column_bytes(f"{sf_dir}/documents.parquet",
+                                    "text") // 2).materialize()
+
+    def sk_partial(b: "pd.DataFrame") -> pa.Table:
+        sk = np.zeros((len(CMS32_A), CMS32_W), dtype=np.int64)
+        if len(b):
+            h = _md5_h32(b["token"].tolist())
+            n = b["n"].to_numpy()
+            for i in range(len(CMS32_A)):
+                np.add.at(sk[i], _cms32_positions(h, i), n)
+        return pa.table({"sk": pa.array([sk.tobytes()], pa.binary())})
+
+    parts = counts.map_batches(sk_partial,
+                               batch_format="pandas").to_pandas()
+    sk = np.zeros((len(CMS32_A), CMS32_W), dtype=np.int64)
+    for buf in parts["sk"]:
+        sk += np.frombuffer(buf, dtype=np.int64).reshape(len(CMS32_A),
+                                                         CMS32_W)
+
+    top = (counts.sort(["n", "token"], descending=[True, False])
+                 .limit(k_out).to_pandas())
+    h = _md5_h32(top["token"].tolist())
+    ests = np.stack([sk[i][_cms32_positions(h, i)]
+                     for i in range(len(CMS32_A))]).min(axis=0)
+    return pd.DataFrame({"token": top["token"],
+                         "n_exact": top["n"].astype("int64"),
+                         "n_cms": ests.astype("int64")})
+
+
+def _cms32_sql_pos(col: str, row: int) -> str:
+    return (f"(({col} * CAST({CMS32_A[row]} AS UBIGINT)) "
+            f"% CAST(4294967296 AS UBIGINT)) "
+            f"// CAST({1 << (32 - CMS32_LOGW)} AS UBIGINT)")
+
+
+def _doc_cms_sql() -> str:
+    from .textpipe import SQL_WS_CLASS
+
+    pos_cols = ",\n         ".join(
+        f"{_cms32_sql_pos('h32', i)} AS p{i}"
+        for i in range(len(CMS32_A)))
+    sk_ctes = ",\n".join(
+        f"sk{i} AS (SELECT p{i} AS pos, SUM(n) AS c FROM pos GROUP BY 1)"
+        for i in range(len(CMS32_A)))
+    joins = "\n".join(
+        f"JOIN sk{i} ON top.p{i} = sk{i}.pos"
+        for i in range(len(CMS32_A)))
+    least = ", ".join(f"sk{i}.c" for i in range(len(CMS32_A)))
+    return f"""
+WITH t AS (
+  SELECT unnest(str_split_regex(
+      regexp_replace(lower(text), '^{SQL_WS_CLASS}+|{SQL_WS_CLASS}+$',
+                     '', 'g'),
+      '{SQL_WS_CLASS}+')) AS token
+  FROM documents),
+counts AS (SELECT token, COUNT(*) AS n FROM t WHERE token != ''
+           GROUP BY token),
+hashed AS (SELECT token, n,
+                  ('0x' || substr(md5(token), 1, 8))::UBIGINT AS h32
+           FROM counts),
+pos AS (SELECT token, n,
+         {pos_cols}
+        FROM hashed),
+{sk_ctes},
+top AS (SELECT * FROM pos ORDER BY n DESC, token LIMIT 20)
+SELECT top.token, top.n AS n_exact,
+       CAST(LEAST({least}) AS BIGINT) AS n_cms
+FROM top
+{joins}
+ORDER BY n_exact DESC, token
+"""
+
+
+DOC_CMS_COUNTS_SQL = _doc_cms_sql()
