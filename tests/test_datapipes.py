@@ -83,7 +83,7 @@ SQL_CHECKED = [
     "q10_returned_revenue",
     "q12_priority_lines", "q14_promo_revenue", "q18_large_orders",
     "q19_disjunct_revenue", "fk_integrity", "docs_k_anonymity",
-    "events_unpivot", "doc_cms_counts",
+    "events_unpivot", "doc_cms_counts", "events_hll_registers",
 ]
 
 

@@ -648,3 +648,88 @@ ORDER BY n_exact DESC, token
 
 
 DOC_CMS_COUNTS_SQL = _doc_cms_sql()
+
+
+# ---------------------------------------------------------------------------
+# SQL-checkable HyperLogLog REGISTERS. The float estimate formula is
+# order-sensitive to sum over 4096 doubles, but the registers themselves
+# are pure integer MAX-merges of (bucket, rho) pairs — order-independent
+# and rebuildable in SQL from an md5-64 hash: reg_idx = top P bits,
+# rho = leading zeros of the low (64-P) bits + 1 = (64-P) - bitlen + 1,
+# with bitlen = length(bin(w)) (exact string/integer ops, no floats).
+# events_hll_registers is hash-GREEN down to every register value; the
+# blake2b-hashed estimate path (events_distinct_users_hll) keeps its
+# 5-sigma error-bound test for the float half.
+
+HLLR_P = 12
+HLLR_M = 1 << HLLR_P
+_HLLR_WBITS = 64 - HLLR_P
+
+
+def events_hll_registers(ray, sf_dir: str):
+    """(reg_idx, reg_val): the merged HyperLogLog register table over
+    events.user_id (md5-64 hash), only the touched registers. Scale
+    shape: per-batch constant-size register partial (one binary row per
+    batch), elementwise-MAX merge over O(blocks) rows on the driver —
+    identical exchange shape to the estimate path, but every output
+    value is integer-exact against the DuckDB rebuild."""
+    import pandas as pd
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(HLLR_M, dtype=np.uint8)
+        uids = batch.column("user_id").to_pylist()
+        if uids:
+            h = _md5_h64([str(u) for u in uids])
+            idx = (h >> np.uint64(_HLLR_WBITS)).astype(np.int64)
+            w = h & np.uint64((1 << _HLLR_WBITS) - 1)
+            # exact bit length (float log2 misrounds near powers of
+            # two, which would shift rho by one — keep it integer)
+            nz = w != 0
+            nbits = np.zeros(len(w), dtype=np.int64)
+            nbits[nz] = np.frompyfunc(int.bit_length, 1, 1)(
+                w[nz].astype(object)).astype(np.int64)
+            rho = np.where(nz, _HLLR_WBITS - nbits + 1,
+                           _HLLR_WBITS + 1).astype(np.uint8)
+            np.maximum.at(regs, idx, rho)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    regs = np.zeros(HLLR_M, dtype=np.uint8)
+    for buf in parts["regs"]:
+        regs = np.maximum(regs,
+                          np.frombuffer(buf, dtype=np.uint8))
+    idx = np.nonzero(regs)[0]
+    return pd.DataFrame({"reg_idx": idx.astype("int64"),
+                         "reg_val": regs[idx].astype("int64")})
+
+
+def _md5_h64(tokens) -> np.ndarray:
+    """First 16 md5 hex chars as uint64 (matches
+    ('0x' || substr(md5(x), 1, 16))::UBIGINT)."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+         for t in tokens),
+        dtype=np.uint64, count=len(tokens))
+
+
+EVENTS_HLL_REGISTERS_SQL = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+             AS h64
+  FROM events),
+r AS (
+  SELECT CAST(h64 >> {_HLLR_WBITS} AS BIGINT) AS reg_idx,
+         CAST(h64 % CAST({1 << _HLLR_WBITS} AS UBIGINT) AS BIGINT) AS w
+  FROM h),
+rho AS (
+  SELECT reg_idx,
+         CASE WHEN w = 0 THEN {_HLLR_WBITS + 1}
+              ELSE {_HLLR_WBITS} - length(bin(w)) + 1 END AS rho
+  FROM r)
+SELECT reg_idx, CAST(MAX(rho) AS BIGINT) AS reg_val
+FROM rho GROUP BY reg_idx ORDER BY reg_idx
+"""
