@@ -179,3 +179,65 @@ class TestMixQuotaRule:
             s2 = min((a2.get(l, 0) * MIX_WSUM) // w
                      for l, w in MIX_WEIGHTS.items())
             assert s2 >= s_max
+
+
+class TestByteCodecProperties:
+    """Property tests for the pure byte codecs behind the TFRecord and
+    Avro sinks — roundtrip identity over arbitrary payloads, with no
+    Ray session involved."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-2**63, max_value=2**63 - 1))
+    def test_avro_zigzag_roundtrip(self, n):
+        from webcrawler_ray.sinks.avro import _read_long, _zigzag
+
+        enc = _zigzag(n)
+        v, i = _read_long(memoryview(enc), 0)
+        assert v == n and i == len(enc)
+        # canonical: no over-long encodings
+        assert len(enc) <= 10
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.binary(max_size=200), max_size=20))
+    def test_tfrecord_frame_roundtrip(self, payloads):
+        from webcrawler_ray.sinks.tfrecord import _frame, _unframe
+
+        buf = b"".join(_frame(p) for p in payloads)
+        assert list(_unframe(buf)) == payloads
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                  st.text(max_size=80),
+                  st.floats(allow_nan=False, allow_infinity=False),
+                  st.booleans(),
+                  st.binary(max_size=60)),
+        min_size=1, max_size=50))
+    def test_avro_container_roundtrip(self, rows):
+        import hashlib
+
+        import pyarrow as pa
+
+        from webcrawler_ray.sinks.avro import (
+            _decode_file,
+            _encode_records,
+            _header,
+            _zigzag,
+            avro_schema_json,
+        )
+
+        schema = pa.schema([("a", pa.int64()), ("b", pa.string()),
+                            ("c", pa.float64()), ("d", pa.bool_()),
+                            ("e", pa.binary())])
+        t = pa.table({"a": pa.array([r[0] for r in rows], pa.int64()),
+                      "b": pa.array([r[1] for r in rows], pa.string()),
+                      "c": pa.array([r[2] for r in rows], pa.float64()),
+                      "d": pa.array([r[3] for r in rows], pa.bool_()),
+                      "e": pa.array([r[4] for r in rows], pa.binary())})
+        fields = ["a", "b", "c", "d", "e"]
+        recs = _encode_records(t, fields)
+        sync = hashlib.blake2b(recs, digest_size=16).digest()
+        buf = (_header(avro_schema_json(schema), sync)
+               + _zigzag(t.num_rows) + _zigzag(len(recs)) + recs + sync)
+        back = _decode_file(buf, schema)
+        assert back.equals(t)
