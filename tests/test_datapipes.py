@@ -84,6 +84,7 @@ SQL_CHECKED = [
     "q12_priority_lines", "q14_promo_revenue", "q18_large_orders",
     "q19_disjunct_revenue", "fk_integrity", "docs_k_anonymity",
     "events_unpivot", "doc_cms_counts", "events_hll_registers",
+    "docs_rendezvous_shards", "sources_token_jaccard", "sources_ttr",
 ]
 
 

@@ -482,6 +482,11 @@ def build_queries() -> dict:
             lambda sf: textpipe.docs_tfrecord_roundtrip(ray, sf),
         "docs_avro_roundtrip":
             lambda sf: textpipe.docs_avro_roundtrip(ray, sf),
+        "docs_rendezvous_shards":
+            lambda sf: textpipe.docs_rendezvous_shards(ray, sf),
+        "sources_token_jaccard":
+            lambda sf: textpipe.sources_token_jaccard(ray, sf),
+        "sources_ttr": lambda sf: textpipe.sources_ttr(ray, sf),
         "docs_contamination":
             lambda sf: textpipe.docs_contamination(ray, sf),
         "docs_length_histogram":
@@ -1167,6 +1172,9 @@ ORDER BY vec_id_a, vec_id_b
     "docs_orc_roundtrip": textpipe.DOCS_ORC_ROUNDTRIP_SQL,
     "docs_tfrecord_roundtrip": textpipe.DOCS_TFRECORD_ROUNDTRIP_SQL,
     "docs_avro_roundtrip": textpipe.DOCS_AVRO_ROUNDTRIP_SQL,
+    "docs_rendezvous_shards": textpipe.DOCS_RENDEZVOUS_SQL,
+    "sources_token_jaccard": textpipe.SOURCES_TOKEN_JACCARD_SQL,
+    "sources_ttr": textpipe.SOURCES_TTR_SQL,
     "docs_contamination": textpipe.DOCS_CONTAMINATION_SQL,
     "docs_length_histogram": textpipe.DOCS_LENGTH_HISTOGRAM_SQL,
     "doc_tfidf_top": textpipe.DOC_TFIDF_SQL,

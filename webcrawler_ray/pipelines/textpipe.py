@@ -2520,3 +2520,215 @@ SELECT doc_id, chunk_id,
        LEAST(1 + chunk_id * {CHUNK_S} + {CHUNK_W} - 1, n) AS tok_end
 FROM c ORDER BY doc_id, chunk_id
 """
+
+
+# ---------------------------------------------------------------------------
+RENDEZVOUS_SHARDS = 8
+
+
+def docs_rendezvous_shards(ray, sf_dir: str,
+                           n_shards: int = RENDEZVOUS_SHARDS):
+    """(doc_id, shard): RENDEZVOUS (highest-random-weight) sharding —
+    each doc goes to the shard with the max md5(doc_id # shard) score
+    (Thaler-Ravishankar '98). The routing rule a stateful stage uses
+    when shards must survive resizing with minimal movement (adding a
+    shard only steals 1/(n+1) of keys — unlike mod-N, which remaps
+    nearly everything); the crawler's host->shard map is the mod-N
+    special case, this is the general tool. Pure per-batch map, no
+    exchange; hash-green via the identical SQL argmax."""
+    ds = _docs(ray, sf_dir, ["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        best = np.zeros(len(ids), dtype=np.int64)
+        best_score = np.zeros(len(ids), dtype=np.uint64)
+        for s in range(n_shards):
+            sc = np.fromiter(
+                (int(hashlib.md5(f"{d}#{s}".encode()).hexdigest()[:16],
+                     16) for d in ids),
+                dtype=np.uint64, count=len(ids))
+            win = sc > best_score  # strict: equal scores keep the
+            best[win] = s          # LOWER shard (the SQL tie rule)
+            best_score[win] = sc[win]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "shard": pa.array(best, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+DOCS_RENDEZVOUS_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, shard,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                             || CAST(shard AS VARCHAR)), 1, 16))::UBIGINT
+             AS score
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0,
+                  {RENDEZVOUS_SHARDS - 1})) AS shard)),
+ranked AS (
+  SELECT doc_id, shard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, shard) AS rn
+  FROM scored)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def _distinct_source_tokens(ray, sf_dir: str):
+    """Distributed distinct (source, token) pairs — per-batch set
+    combiner, bucketed distinct merge; the exchange moves one row per
+    distinct pair per batch, never the token stream."""
+    from ..io_utils import parquet_column_bytes
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _docs(ray, sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        seen = set()
+        srcs = batch.column("source").to_pylist()
+        for src, t in zip(srcs, batch.column("text").to_pylist()):
+            for tok in tokenize(t.lower()):
+                seen.add((src, tok))
+        return pd.DataFrame({"source": [s for s, _ in seen],
+                             "token": [t for _, t in seen]})
+
+    return hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "token"],
+        lambda df: df.drop_duplicates(["source", "token"]),
+        n_rows=parquet_column_bytes(f"{sf_dir}/documents.parquet",
+                                    "text") // 2)
+
+
+def sources_token_jaccard(ray, sf_dir: str):
+    """(source_a, source_b, n_common, n_a, n_b): corpus-overlap matrix —
+    for every source pair, the distinct-token intersection size plus
+    each side's vocabulary size (Jaccard = n_common/(n_a+n_b-n_common),
+    left to the caller as exact integers). The corpus-similarity audit a
+    mixture designer runs before setting sampling weights.
+
+    Scale shape: ONE distinct (source, token) build; intersections come
+    from a token-keyed bucket exchange where each bucket emits per-pair
+    partial counts (vectorized pandas self-merge per token group), so
+    the pair table — |sources|^2 rows — is the only thing that leaves;
+    vocab sizes are a per-source count over the same distinct table."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    st = _distinct_source_tokens(ray, sf_dir).materialize()
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "token" not in df.columns:  # map_groups empties
+            return pd.DataFrame({
+                "source_a": pd.Series([], dtype=str),
+                "source_b": pd.Series([], dtype=str),
+                "n_common": pd.Series([], dtype="int64")})
+        m = df.merge(df, on="token")
+        m = m[m["source_x"] < m["source_y"]]
+        g = pd.DataFrame({"source_a": m["source_x"],
+                          "source_b": m["source_y"],
+                          "n_common": np.ones(len(m), dtype="int64")})
+        return g.groupby(["source_a", "source_b"], as_index=False).sum()
+
+    # token-keyed buckets: all sources holding a token meet in one task
+    pairs = hash_bucket_aggregate(
+        st, ["token"], lambda df: df,
+        merge=pair_partial,
+        n_rows=max(1, st.count())).to_pandas()
+    pairs = (pairs.groupby(["source_a", "source_b"], as_index=False)
+                  .agg(n_common=("n_common", "sum")))
+
+    def size_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "source" not in b.columns:  # map_groups empties
+            return pd.DataFrame({"source": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype="int64")})
+        return (b.assign(n=np.ones(len(b), dtype="int64"))
+                 .groupby("source", as_index=False)[["n"]].sum())
+
+    sizes = st.map_batches(size_partial,
+                           batch_format="pandas").to_pandas()
+    sizes = dict(sizes.groupby("source")["n"].sum())
+
+    pairs["n_a"] = pairs["source_a"].map(sizes).astype("int64")
+    pairs["n_b"] = pairs["source_b"].map(sizes).astype("int64")
+    pairs["n_common"] = pairs["n_common"].astype("int64")
+    return (pairs.sort_values(["source_a", "source_b"])
+                 .reset_index(drop=True))
+
+
+SOURCES_TOKEN_JACCARD_SQL = f"""
+WITH t AS (
+  SELECT DISTINCT source, unnest(str_split_regex(
+      regexp_replace(lower(text), '^{SQL_WS_CLASS}+|{SQL_WS_CLASS}+$',
+                     '', 'g'),
+      '{SQL_WS_CLASS}+')) AS token
+  FROM documents),
+tt AS (SELECT * FROM t WHERE token != ''),
+sizes AS (SELECT source, COUNT(*) AS n FROM tt GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_common,
+       ANY_VALUE(sa.n) AS n_a, ANY_VALUE(sb.n) AS n_b
+FROM tt a JOIN tt b ON a.token = b.token AND a.source < b.source
+JOIN sizes sa ON sa.source = a.source
+JOIN sizes sb ON sb.source = b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+def sources_ttr(ray, sf_dir: str):
+    """(source, n_tokens, n_types): per-source lexical diversity — total
+    token count and distinct-token (type) count, the type/token-ratio
+    inputs corpus QC tracks per domain (the ratio itself is left as two
+    exact integers). Token totals are a pure combiner sum; types reuse
+    the distributed distinct (source, token) build."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(ray, sf_dir, ["source", "text"])
+
+    def tok_partial(batch: pa.Table) -> pd.DataFrame:
+        srcs = batch.column("source").to_pylist()
+        n = [len(tokenize(t.lower()))
+             for t in batch.column("text").to_pylist()]
+        return (pd.DataFrame({"source": srcs,
+                              "n_tokens": pd.Series(n, dtype="int64")})
+                .groupby("source", as_index=False).sum())
+
+    totals = (ds.map_batches(tok_partial, batch_format="pyarrow")
+                .groupby("source")
+                .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+                .to_pandas())
+
+    st = _distinct_source_tokens(ray, sf_dir)
+
+    def type_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "source" not in b.columns:  # map_groups empties
+            return pd.DataFrame({"source": pd.Series([], dtype=str),
+                                 "n_types": pd.Series([], dtype="int64")})
+        return (b.assign(n_types=np.ones(len(b), dtype="int64"))
+                 .groupby("source", as_index=False)[["n_types"]].sum())
+
+    types = st.map_batches(type_partial,
+                           batch_format="pandas").to_pandas()
+    types = types.groupby("source", as_index=False).sum()
+
+    out = totals.merge(types, on="source")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_types"] = out["n_types"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SOURCES_TTR_SQL = f"""
+WITH t AS (
+  SELECT source, unnest(str_split_regex(
+      regexp_replace(lower(text), '^{SQL_WS_CLASS}+|{SQL_WS_CLASS}+$',
+                     '', 'g'),
+      '{SQL_WS_CLASS}+')) AS token
+  FROM documents),
+tt AS (SELECT * FROM t WHERE token != '')
+SELECT source, COUNT(*) AS n_tokens,
+       COUNT(DISTINCT token) AS n_types
+FROM tt GROUP BY source ORDER BY source
+"""
