@@ -1820,3 +1820,23 @@ class TestCdcMergeSemantics:
         assert got.loc[2, "event_type"] == "purchase"  # upsert applied
         assert got.loc[6, "event_type"] == "click"     # resurrected
         assert got.loc[6, "ts_us"] == D + 1
+
+
+def test_every_registry_query_runs(queries):
+    """SMOKE: every queries() entry executes at sf0.001 and yields a
+    consumable result with >= 0 rows and a non-empty schema — the
+    whole-surface crash net (block-shape bugs like ray 2.49's
+    empty-partition join crash only appear at specific scales; the
+    oracle tests cover values, this covers execution across the full
+    registry including the rows-only entries)."""
+    q, _ = queries
+    failures = {}
+    for name, fn in q.items():
+        try:
+            res = fn(SF_DIR)
+            df = _to_df(res)
+            assert df is not None
+            assert len(df.columns) > 0, "no columns"
+        except Exception as e:  # noqa: BLE001 - collecting all failures
+            failures[name] = f"{type(e).__name__}: {str(e)[:100]}"
+    assert not failures, failures
