@@ -85,6 +85,7 @@ SQL_CHECKED = [
     "q19_disjunct_revenue", "fk_integrity", "docs_k_anonymity",
     "events_unpivot", "doc_cms_counts", "events_hll_registers",
     "docs_rendezvous_shards", "sources_token_jaccard", "sources_ttr",
+    "events_kmv_bottomk",
 ]
 
 

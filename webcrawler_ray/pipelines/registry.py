@@ -678,6 +678,8 @@ def build_queries() -> dict:
                 lambda sf: sketches.doc_cms_counts(ray, sf),
             "events_hll_registers":
                 lambda sf: sketches.events_hll_registers(ray, sf),
+            "events_kmv_bottomk":
+                lambda sf: sketches.events_kmv_bottomk(ray, sf),
             "events_distinct_users_exact":
                 lambda sf: sketches.events_distinct_users_exact(ray, sf),
             "multimodal_decode": lambda sf: multimodal.decode_meta(ray, sf),
@@ -1162,6 +1164,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,
+    "events_kmv_bottomk": sketches.EVENTS_KMV_SQL,
     "events_unpivot": relational.EVENTS_UNPIVOT_SQL,
     "part_min_supplier": relational.PART_MIN_SUPPLIER_SQL,
     "revenue_rollup": relational.REVENUE_ROLLUP_SQL,

@@ -733,3 +733,88 @@ rho AS (
 SELECT reg_idx, CAST(MAX(rho) AS BIGINT) AS reg_val
 FROM rho GROUP BY reg_idx ORDER BY reg_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# SQL-checkable KMV (k-minimum-values / bottom-k) distinct sketch
+# (Bar-Yossef et al. 2002 / Beyer et al. 2007 — the theta-sketch
+# family). Like the CMS counters and HLL registers above, the sketch
+# CONTENT is order-independent pure integers (the k smallest hash
+# values of the distinct keys), so DuckDB rebuilds it exactly; the
+# derived cardinality estimate (k-1)*2^60/h_(k) and the union/intersect
+# set algebra stay float and are documented, not emitted. 60-bit hashes
+# (15 md5 hex chars) keep every value inside BIGINT for the oracle.
+
+KMV_K = 256
+_KMV_BITS = 60
+
+
+def _md5_h60(tokens) -> np.ndarray:
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+         for t in tokens),
+        dtype=np.int64, count=len(tokens))
+
+
+def events_kmv_bottomk(ray, sf_dir: str, k: int = KMV_K):
+    """(event_type, rank, h): the per-type KMV sketch — the k smallest
+    distinct md5-60 user-id hashes, rank-numbered. Supports distinct
+    estimates ((k-1) * 2^60 / h_(k)) and union/intersection algebra by
+    sketch merge; every stored value is hash-checked against the SQL
+    rebuild. Scale shape: per-batch per-type local bottom-k partial
+    (<= k rows per type per batch leave the scan), one type-keyed
+    bucket merge that dedups and re-takes the bottom-k."""
+    import pandas as pd
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "user_id": batch.column("user_id").to_pylist()})
+        df = df.drop_duplicates()
+        df["h"] = _md5_h60([str(u) for u in df["user_id"]])
+        return (df.sort_values("h")
+                  .groupby("event_type", as_index=False)
+                  .head(k)[["event_type", "h"]])
+
+    def bottomk(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (df.drop_duplicates(["event_type", "h"])
+                  .sort_values("h")
+                  .groupby("event_type", as_index=False)
+                  .head(k))
+
+    merged = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536),
+        ["event_type"], bottomk,
+        # partials are <= k rows per (type, batch): type-count * k bounds
+        # the exchange; 64 types is generous for the events taxonomy
+        n_rows=64 * k).to_pandas()
+    merged = bottomk(merged)
+    merged = merged.sort_values(["event_type", "h"]).reset_index(drop=True)
+    merged["rank"] = (merged.groupby("event_type").cumcount() + 1
+                      ).astype("int64")
+    merged["h"] = merged["h"].astype("int64")
+    return merged[["event_type", "rank", "h"]]
+
+
+EVENTS_KMV_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             AS h
+  FROM events),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rank
+  FROM d)
+SELECT event_type, CAST(rank AS BIGINT) AS rank, h
+FROM r WHERE rank <= {KMV_K}
+ORDER BY event_type, h
+"""
