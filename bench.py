@@ -67,6 +67,8 @@ QUERY_NAMES = [
     "fk_integrity", "docs_k_anonymity", "doc_cms_counts",
     "docs_tfrecord_roundtrip",
     "docs_avro_roundtrip",
+    "events_percent_rank", "lineitem_qty_mode", "q9_product_profit",
+    "q22_sales_opportunity",
 ]
 
 

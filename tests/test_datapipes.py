@@ -86,6 +86,8 @@ SQL_CHECKED = [
     "events_unpivot", "doc_cms_counts", "events_hll_registers",
     "docs_rendezvous_shards", "sources_token_jaccard", "sources_ttr",
     "events_kmv_bottomk",
+    "events_percent_rank", "lineitem_qty_mode", "q9_product_profit",
+    "q22_sales_opportunity",
 ]
 
 

@@ -609,6 +609,14 @@ def build_queries() -> dict:
         "q19_disjunct_revenue":
             lambda sf: relational.q19_disjunct_revenue(ray, sf),
         "fk_integrity": lambda sf: relational.fk_integrity(ray, sf),
+        "events_percent_rank":
+            lambda sf: relational.events_percent_rank(ray, sf),
+        "lineitem_qty_mode":
+            lambda sf: relational.lineitem_qty_mode(ray, sf),
+        "q9_product_profit":
+            lambda sf: relational.q9_product_profit(ray, sf),
+        "q22_sales_opportunity":
+            lambda sf: relational.q22_sales_opportunity(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1161,6 +1169,10 @@ ORDER BY vec_id_a, vec_id_b
     "q18_large_orders": relational.Q18_SQL,
     "q19_disjunct_revenue": relational.Q19_SQL,
     "fk_integrity": relational.FK_INTEGRITY_SQL,
+    "events_percent_rank": relational.EVENTS_PERCENT_RANK_SQL,
+    "lineitem_qty_mode": relational.LINEITEM_QTY_MODE_SQL,
+    "q9_product_profit": relational.Q9_PRODUCT_PROFIT_SQL,
+    "q22_sales_opportunity": relational.Q22_SALES_OPPORTUNITY_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

@@ -4553,3 +4553,382 @@ SELECT day_us, metric, value
 FROM daily UNPIVOT (value FOR metric IN (n_events, n_users))
 ORDER BY day_us, metric
 """
+
+
+# ---------------------------------------------------------------------------
+def events_percent_rank(ray, sf_dir: str):
+    """(event_id, pct_rank, cume_dist): PERCENT_RANK() and CUME_DIST()
+    per event_type ordered by value — the tie-correct rank-ratio window
+    functions, computed WITHOUT assigning a global row number to every
+    event: both are pure functions of (#values strictly below, #values
+    at-or-below, group size), so the distributed shape is
+
+      1. a bucketed (event_type, value) -> cnt aggregate (the distinct
+         table: one row per tie GROUP, the only thing that sorts),
+      2. a global sort of that distinct table + one O(blocks) exclusive
+         prefix scan (``block_prefix_bases``) -> each tie group's
+         strictly-below count,
+      3. a hash join of the events back against the tie-group table.
+
+    The full event set is never sorted and never ranked row-by-row; the
+    driver holds one row per block plus one row per event_type. Division
+    happens once per TIE GROUP in int64 -> float64, so Ray and DuckDB's
+    PERCENT_RANK/(n-1), CUME_DIST/n doubles agree bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import (
+        block_prefix_bases,
+        first_key,
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    n_ev = _nrows(f"{sf_dir}/events.parquet")
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"event_type": b["event_type"],
+                          "value": b["value"].astype("float64"),
+                          "cnt": np.ones(len(b), dtype="int64")})
+        return g.groupby(["event_type", "value"], as_index=False).sum()
+
+    groups = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["event_type", "value"],
+        lambda df: df.groupby(["event_type", "value"],
+                              as_index=False).sum(),
+        n_rows=n_ev)
+    gs = groups.sort(["event_type", "value"]).materialize()
+
+    # per-type totals: #event_types rows by definition — native groupby
+    tot = (gs.groupby("event_type").aggregate(Sum("cnt", alias_name="n"))
+             .to_pandas().sort_values("event_type"))
+    n_per_type = dict(zip(tot["event_type"], tot["n"].astype(int)))
+    type_base = dict(zip(
+        tot["event_type"],
+        np.r_[0, tot["n"].to_numpy()[:-1].cumsum()].astype(np.int64)))
+
+    bases = block_prefix_bases(
+        gs, ["event_type", "value"], True,
+        weight=lambda t: int(pc.sum(t.column("cnt")).as_py()))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64()),
+                             "pct_rank": pa.array([], pa.float64()),
+                             "cume_dist": pa.array([], pa.float64())})
+        base = bases[first_key(t, ["event_type", "value"])]
+        cnt = np.asarray(t.column("cnt").to_pandas(), dtype=np.int64)
+        et = pd.Series(t.column("event_type").to_pylist())
+        below = (base + np.r_[0, cnt[:-1].cumsum()]
+                 - et.map(type_base).to_numpy().astype(np.int64))
+        n = et.map(n_per_type).to_numpy().astype(np.int64)
+        pct = np.where(n > 1,
+                       below / np.maximum(n - 1, 1).astype(np.float64),
+                       0.0)
+        cume = (below + cnt) / n.astype(np.float64)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "value": t.column("value").cast(pa.float64()),
+            "pct_rank": pa.array(pct, pa.float64()),
+            "cume_dist": pa.array(cume, pa.float64())})
+
+    ranks = gs.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+    out = ds.join(ranks, join_type="inner", on=("event_type", "value"),
+                  num_partitions=join_partitions_for(n_ev))
+    return (out.map_batches(
+                lambda t: t.select(["event_id", "pct_rank", "cume_dist"]),
+                batch_format="pyarrow")
+               .sort("event_id"))
+
+
+EVENTS_PERCENT_RANK_SQL = """
+SELECT event_id,
+       PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value)
+           AS pct_rank,
+       CUME_DIST() OVER (PARTITION BY event_type ORDER BY value)
+           AS cume_dist
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+def lineitem_qty_mode(ray, sf_dir: str):
+    """(l_returnflag, mode_qty, mode_n): the MODE aggregate — most
+    frequent l_quantity per return flag, ties broken toward the SMALLER
+    quantity (the deterministic rule both engines share). Scale shape:
+    mode reduces over the (key, value) COUNT table, so the heavy step is
+    the same bucketed count aggregate every many-group operator uses;
+    the argmax runs over one row per DISTINCT (flag, qty) pair — bounded
+    by the value domain (flags x quantities), not by the input — so the
+    final pick is a driver-side vectorized sort of a domain-sized frame."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    n_li = _nrows(f"{sf_dir}/lineitem.parquet")
+    ds = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"l_returnflag": b["l_returnflag"],
+                          "mode_qty": b["l_quantity"].astype("int64"),
+                          "mode_n": np.ones(len(b), dtype="int64")})
+        return g.groupby(["l_returnflag", "mode_qty"],
+                         as_index=False).sum()
+
+    counts = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["l_returnflag", "mode_qty"],
+        lambda df: df.groupby(["l_returnflag", "mode_qty"],
+                              as_index=False).sum(),
+        n_rows=n_li)
+
+    # one row per (flag, qty) — value-domain-sized, not data-sized
+    df = counts.to_pandas()
+    df = (df.sort_values(["l_returnflag", "mode_n", "mode_qty"],
+                         ascending=[True, False, True], kind="mergesort")
+            .groupby("l_returnflag", as_index=False).head(1)
+            .reset_index(drop=True))
+    return pd.DataFrame({"l_returnflag": df["l_returnflag"].astype(str),
+                         "mode_qty": df["mode_qty"].astype("int64"),
+                         "mode_n": df["mode_n"].astype("int64")})
+
+
+LINEITEM_QTY_MODE_SQL = """
+SELECT l_returnflag, mode_qty, mode_n FROM (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_qty,
+         CAST(COUNT(*) AS BIGINT) AS mode_n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY COUNT(*) DESC,
+                                     CAST(l_quantity AS BIGINT)) AS rn
+  FROM lineitem GROUP BY 1, 2) t
+WHERE rn = 1 ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+Q9_TOKEN = "red"
+
+
+def q9_product_profit(ray, sf_dir: str):
+    """(n_name, o_year, profit_cents): TPC-H Q9 shape (adapted to the
+    available columns — no partsupp table, so profit = discounted
+    revenue) — revenue from parts whose name contains ``Q9_TOKEN``,
+    rolled up by the SUPPLIER's nation and the order year. Scale shape:
+    part is filtered AT THE SCAN (the selective side) and the lineitem
+    join is sized from the REAL post-filter part count; per-(order,
+    supplier) partial aggregation shrinks the fact table before the
+    orders join; supplier routes through a distributed hash join (a
+    real TPC-H supplier table grows with SF); only nation — 25 rows by
+    definition — is a broadcast map. Money in int64 cents (the repo's
+    float-determinism rule)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    n_part = _nrows(f"{sf_dir}/part.parquet")
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    n_supp = _nrows(f"{sf_dir}/supplier.parquet")
+
+    part = _rpq(ray, f"{sf_dir}/part.parquet",
+                columns=["p_partkey", "p_name"])
+
+    def name_filter(t: pa.Table) -> pa.Table:
+        keep = pc.match_substring(t.column("p_name"), Q9_TOKEN)
+        return (t.filter(keep).select(["p_partkey"])
+                 .rename_columns(["l_partkey"]))
+
+    part = part.map_batches(name_filter,
+                            batch_format="pyarrow").materialize()
+    n_hit = max(1, part.count())
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_partkey", "l_suppkey",
+                       "l_extendedprice", "l_discount"])
+    li = li.join(part, join_type="inner", on=("l_partkey",),
+                 num_partitions=join_partitions_for(n_hit))
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].astype("int64"),
+            "l_suppkey": b["l_suppkey"].astype("int64"),
+            "amount_cents": np.floor(b["l_extendedprice"]
+                                     * (1 - b["l_discount"]) * 100
+                                     ).astype("int64")})
+        return g.groupby(["o_orderkey", "l_suppkey"],
+                         as_index=False).sum()
+
+    li_agg = hash_bucket_aggregate(
+        li.map_batches(li_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["o_orderkey", "l_suppkey"],
+        lambda df: df.groupby(["o_orderkey", "l_suppkey"],
+                              as_index=False).sum(),
+        n_rows=n_hit * 8)  # ~lines per part bound on the pair count
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_orderdate"])
+
+    def to_year(t: pa.Table) -> pa.Table:
+        yr = pc.year(t.column("o_orderdate").cast(pa.timestamp("us")))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_year": yr.cast(pa.int64())})
+
+    orders = orders.map_batches(to_year, batch_format="pyarrow")
+    joined = li_agg.join(orders, join_type="inner", on=("o_orderkey",),
+                         num_partitions=join_partitions_for(
+                             min(n_orders, max(1, n_hit * 8))))
+
+    supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_nationkey"])
+    supp = supp.map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]),
+        batch_format="pyarrow")
+    joined = joined.join(supp, join_type="inner", on=("l_suppkey",),
+                         num_partitions=join_partitions_for(n_supp))
+
+    # nation: 25 rows by definition -> broadcast name map
+    import pyarrow.dataset as pads
+
+    nat = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    name_ref = ray.put(name_of)
+
+    def label(t: pa.Table) -> pd.DataFrame:
+        names = ray.get(name_ref)
+        df = t.select(["s_nationkey", "o_year",
+                       "amount_cents"]).to_pandas()
+        g = pd.DataFrame({
+            "n_name": df["s_nationkey"].map(names).astype(str),
+            "o_year": df["o_year"].astype("int64"),
+            "profit_cents": df["amount_cents"].astype("int64")})
+        return g.groupby(["n_name", "o_year"], as_index=False).sum()
+
+    out = (joined.map_batches(label, batch_format="pyarrow")
+                 .groupby(["n_name", "o_year"])
+                 .aggregate(Sum("profit_cents",
+                                alias_name="profit_cents")))
+    return out.sort(["n_name", "o_year"], descending=[False, True])
+
+
+Q9_PRODUCT_PROFIT_SQL = f"""
+SELECT n_name, o_year,
+       CAST(SUM(amount_cents) AS BIGINT) AS profit_cents FROM (
+  SELECT n_name,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             AS amount_cents
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE p_name LIKE '%{Q9_TOKEN}%') t
+GROUP BY n_name, o_year ORDER BY n_name, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+Q22_CUTOFF = "2000-01-01"
+
+
+def q22_sales_opportunity(ray, sf_dir: str):
+    """(c_mktsegment, numcust, totacctbal_cents): TPC-H Q22 shape — the
+    GLOBAL-SCALAR-SUBQUERY + ANTI-JOIN operator: customers whose account
+    balance (int64 cents) exceeds the average positive balance AND who
+    have placed no order since ``Q22_CUTOFF`` (the lapsed-customer cut —
+    Q22's "likely to buy" predicate), counted per market segment. Scale shape: the
+    scalar threshold is one O(blocks) partial-sum pass (never a
+    materialized column); the NOT-EXISTS side reduces orders to its
+    distinct custkeys (one row per buyer) before a native left_anti hash
+    join; the final rollup is segment-domain-sized. The threshold
+    compare is int64-cents > float64-average in BOTH engines (int64 ->
+    double is exact below 2^53), so the cut is bit-deterministic."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import distinct_keys, join_partitions_for
+
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+    cust = _rpq(ray, f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(t.column("c_acctbal").to_pandas())
+                     * 100).astype(np.int64)
+        return pa.table({"c_custkey": t.column("c_custkey"),
+                         "c_mktsegment": t.column("c_mktsegment"),
+                         "bal_cents": pa.array(c, pa.int64())})
+
+    cust = cust.map_batches(cents, batch_format="pyarrow").materialize()
+
+    # global scalar: avg positive balance — O(blocks) partial sums
+    def pos_partial(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("bal_cents").to_pandas())
+        pos = c[c > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([int(len(pos))], pa.int64())})
+
+    sums = (cust.map_batches(pos_partial, batch_format="pyarrow")
+                .to_pandas().sum())
+    avg_cents = float(sums["s"]) / float(sums["n"])  # exact int64 sums
+
+    cutoff = pa.scalar(pd.Timestamp(Q22_CUTOFF).to_pydatetime(),
+                       pa.timestamp("us"))
+    recent = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_custkey", "o_orderdate"])
+    recent = recent.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t.column("o_orderdate").cast(pa.timestamp("us")), cutoff))
+               .select(["o_custkey"]),
+        batch_format="pyarrow")
+    buyers = distinct_keys(recent, "o_custkey", n_rows=n_cust)
+    buyers = buyers.map_batches(
+        lambda t: t.select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow").materialize()
+
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.cast(t.column("bal_cents"), pa.float64()),
+            pa.scalar(avg_cents, pa.float64()))),
+        batch_format="pyarrow").materialize()
+
+    cold = rich.join(buyers, join_type="left_anti", on=("c_custkey",),
+                     num_partitions=join_partitions_for(
+                         min(max(1, rich.count()),
+                             max(1, buyers.count()))))
+
+    def seg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"c_mktsegment": b["c_mktsegment"],
+                          "numcust": np.ones(len(b), dtype="int64"),
+                          "totacctbal_cents":
+                              b["bal_cents"].astype("int64")})
+        return g.groupby("c_mktsegment", as_index=False).sum()
+
+    out = (cold.map_batches(seg_partial, batch_format="pandas")
+               .groupby("c_mktsegment")
+               .aggregate(Sum("numcust", alias_name="numcust"),
+                          Sum("totacctbal_cents",
+                              alias_name="totacctbal_cents")))
+    return out.sort("c_mktsegment")
+
+
+Q22_SALES_OPPORTUNITY_SQL = f"""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS totacctbal_cents
+FROM customer
+WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) > (
+        SELECT AVG(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+        FROM customer WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
