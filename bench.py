@@ -68,7 +68,7 @@ QUERY_NAMES = [
     "docs_tfrecord_roundtrip",
     "docs_avro_roundtrip",
     "events_percent_rank", "lineitem_qty_mode", "q9_product_profit",
-    "q22_sales_opportunity",
+    "q22_sales_opportunity", "events_moving_median",
 ]
 
 

@@ -87,7 +87,7 @@ SQL_CHECKED = [
     "docs_rendezvous_shards", "sources_token_jaccard", "sources_ttr",
     "events_kmv_bottomk",
     "events_percent_rank", "lineitem_qty_mode", "q9_product_profit",
-    "q22_sales_opportunity",
+    "q22_sales_opportunity", "events_moving_median",
 ]
 
 

@@ -611,6 +611,8 @@ def build_queries() -> dict:
         "fk_integrity": lambda sf: relational.fk_integrity(ray, sf),
         "events_percent_rank":
             lambda sf: relational.events_percent_rank(ray, sf),
+        "events_moving_median":
+            lambda sf: relational.events_moving_median(ray, sf),
         "lineitem_qty_mode":
             lambda sf: relational.lineitem_qty_mode(ray, sf),
         "q9_product_profit":
@@ -1170,6 +1172,7 @@ ORDER BY vec_id_a, vec_id_b
     "q19_disjunct_revenue": relational.Q19_SQL,
     "fk_integrity": relational.FK_INTEGRITY_SQL,
     "events_percent_rank": relational.EVENTS_PERCENT_RANK_SQL,
+    "events_moving_median": relational.EVENTS_MOVING_MEDIAN_SQL,
     "lineitem_qty_mode": relational.LINEITEM_QTY_MODE_SQL,
     "q9_product_profit": relational.Q9_PRODUCT_PROFIT_SQL,
     "q22_sales_opportunity": relational.Q22_SALES_OPPORTUNITY_SQL,

@@ -4932,3 +4932,59 @@ WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) > (
                     AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+def events_moving_median(ray, sf_dir: str, window: int = 5):
+    """(event_id, med_cents): per-user MOVING-WINDOW MEDIAN (ROWS
+    ``window-1`` PRECEDING..CURRENT in (ts, event_id) order) — the
+    ORDER-STATISTIC windowed kernel (robust rate feature): unlike
+    moving_sum it cannot be a cumulative-difference, it needs the
+    window's sorted middle. Values are int64 cents; an even-size window
+    averages the two middles, so the output is float64 and both engines
+    compute the identical int64 -> double -> /2 result.
+
+    Scale shape: same ONE coarse-user-bucket shuffle as
+    events_moving_sum / user_value_delta; inside each bucket pandas'
+    grouped ``rolling(window).median()`` runs the sliding
+    order-statistic in C over the bucket's (user, ts, id)-sorted frame
+    (groups in appearance order = sorted order, so the result aligns
+    positionally — no per-user Python dispatch)."""
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u, N_BUCKETS)
+        return t.append_column("ubucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "med_cents":
+                                     pd.Series([], dtype="float64")})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = pd.Series(
+            np.floor(g["value"].to_numpy() * 100).astype(np.int64))
+        med = (cents.groupby(g["user_id"].to_numpy(), sort=False)
+                    .rolling(window, min_periods=1).median()
+                    .reset_index(drop=True).to_numpy())
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "med_cents": med.astype(np.float64)})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort("event_id"))
+
+
+EVENTS_MOVING_MEDIAN_SQL = """
+SELECT event_id,
+       MEDIAN(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_cents
+FROM events ORDER BY event_id
+"""
