@@ -1089,6 +1089,25 @@ class TestNtile:
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+class TestPercentRank:
+    def test_multiblock_tie_groups_match_oracle(self, ray_session, ddb,
+                                                monkeypatch):
+        """Force a many-block distinct table so tie-group prefix bases
+        actually cross block boundaries (single-block runs never consult
+        the driver scan)."""
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        orig = rel._rpq
+        monkeypatch.setattr(
+            rel, "_rpq",
+            lambda r, path, **kw: orig(r, path, **kw).repartition(7))
+        got = _canon(_to_df(rel.events_percent_rank(ray, SF_DIR)))
+        want = _canon(ddb.execute(rel.EVENTS_PERCENT_RANK_SQL).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 class TestSketches:
     def test_hll_distinct_users_within_error_bound(self, queries, ddb):
         q, _ = queries
