@@ -69,6 +69,7 @@ QUERY_NAMES = [
     "docs_avro_roundtrip",
     "events_percent_rank", "lineitem_qty_mode", "q9_product_profit",
     "q22_sales_opportunity", "events_moving_median",
+    "customers_pareto_cut", "orders_order_streaks",
 ]
 
 

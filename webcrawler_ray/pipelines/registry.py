@@ -613,6 +613,10 @@ def build_queries() -> dict:
             lambda sf: relational.events_percent_rank(ray, sf),
         "events_moving_median":
             lambda sf: relational.events_moving_median(ray, sf),
+        "customers_pareto_cut":
+            lambda sf: relational.customers_pareto_cut(ray, sf),
+        "orders_order_streaks":
+            lambda sf: relational.orders_order_streaks(ray, sf),
         "lineitem_qty_mode":
             lambda sf: relational.lineitem_qty_mode(ray, sf),
         "q9_product_profit":
@@ -1173,6 +1177,8 @@ ORDER BY vec_id_a, vec_id_b
     "fk_integrity": relational.FK_INTEGRITY_SQL,
     "events_percent_rank": relational.EVENTS_PERCENT_RANK_SQL,
     "events_moving_median": relational.EVENTS_MOVING_MEDIAN_SQL,
+    "customers_pareto_cut": relational.CUSTOMERS_PARETO_SQL,
+    "orders_order_streaks": relational.ORDERS_STREAKS_SQL,
     "lineitem_qty_mode": relational.LINEITEM_QTY_MODE_SQL,
     "q9_product_profit": relational.Q9_PRODUCT_PROFIT_SQL,
     "q22_sales_opportunity": relational.Q22_SALES_OPPORTUNITY_SQL,

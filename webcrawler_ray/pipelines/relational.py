@@ -4574,8 +4574,6 @@ def events_percent_rank(ray, sf_dir: str):
     driver holds one row per block plus one row per event_type. Division
     happens once per TIE GROUP in int64 -> float64, so Ray and DuckDB's
     PERCENT_RANK/(n-1), CUME_DIST/n doubles agree bit-for-bit."""
-    from ray.data.aggregate import Sum
-
     from ..stages.aggregates import (
         block_prefix_bases,
         first_key,
@@ -4601,9 +4599,20 @@ def events_percent_rank(ray, sf_dir: str):
         n_rows=n_ev)
     gs = groups.sort(["event_type", "value"]).materialize()
 
-    # per-type totals: #event_types rows by definition — native groupby
-    tot = (gs.groupby("event_type").aggregate(Sum("cnt", alias_name="n"))
-             .to_pandas().sort_values("event_type"))
+    # per-type totals: O(blocks) partial sums (each block emits one row
+    # per type it touches) — a native groupby here costs a full extra
+    # sort-shuffle of the distinct table (measured 7.7 s of a 10.8 s
+    # query at sf0.1) for a #event_types-row answer
+    def type_partial(t: pa.Table) -> pd.DataFrame:
+        g = pd.DataFrame({"event_type": t.column("event_type").to_pylist(),
+                          "n": np.asarray(t.column("cnt").to_pandas(),
+                                          dtype=np.int64)})
+        return g.groupby("event_type", as_index=False).sum()
+
+    tot = (gs.map_batches(type_partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby("event_type", as_index=False).sum()
+             .sort_values("event_type"))
     n_per_type = dict(zip(tot["event_type"], tot["n"].astype(int)))
     type_base = dict(zip(
         tot["event_type"],
@@ -4987,4 +4996,191 @@ SELECT event_id,
             PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_cents
 FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+PARETO_NUM, PARETO_DEN = 4, 5  # keep heads covering <= 80% of revenue
+
+
+def customers_pareto_cut(ray, sf_dir: str):
+    """(c_custkey, revenue_cents, cum_share): the CUMULATIVE-SHARE CUT —
+    the highest-revenue customers whose running total (descending by
+    (revenue, custkey)) stays within 80% of total revenue: the Pareto
+    head every curation pipeline needs ("keep the sources covering X%
+    of tokens"). The cut itself is INTEGER-exact (cum * 5 <= total * 4
+    in int64 cents — no float threshold can flake); cum_share is the
+    reported ratio, one int64 -> float64 division per surviving row, so
+    both engines emit identical doubles.
+
+    Scale shape: revenue per customer is the usual bucketed partial-sum
+    aggregate; ONLY the per-customer aggregate (one row per key, not
+    per order) is globally sorted; the running total is the O(blocks)
+    ``block_prefix_bases`` exclusive scan + an in-block cumsum — no
+    per-row driver state, no second pass over the fact table."""
+    from ..stages.aggregates import (
+        block_prefix_bases,
+        first_key,
+        hash_bucket_aggregate,
+    )
+
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "c_custkey": b["o_custkey"].astype("int64"),
+            "revenue_cents": np.floor(b["o_totalprice"] * 100
+                                      ).astype("int64")})
+        return g.groupby("c_custkey", as_index=False).sum()
+
+    rev = hash_bucket_aggregate(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+        ["c_custkey"],
+        lambda df: df.groupby("c_custkey", as_index=False).sum(),
+        n_rows=n_cust)
+
+    srt = rev.sort(["revenue_cents", "c_custkey"],
+                   descending=[True, False]).materialize()
+
+    # O(blocks) scans: total revenue + each block's exclusive prefix
+    total = int(sum(
+        r["s"] for r in srt.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [int(pc.sum(t.column("revenue_cents")).as_py() or 0)],
+                pa.int64())}),
+            batch_size=None, batch_format="pyarrow").take_all()))
+    bases = block_prefix_bases(
+        srt, ["revenue_cents", "c_custkey"], [False, True],
+        weight=lambda t: int(pc.sum(t.column("revenue_cents")).as_py()))
+
+    def cut(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "revenue_cents": pa.array([], pa.int64()),
+                             "cum_share": pa.array([], pa.float64())})
+        base = bases[first_key(t, ["revenue_cents", "c_custkey"])]
+        cents = np.asarray(t.column("revenue_cents").to_pandas(),
+                           dtype=np.int64)
+        cum = base + np.cumsum(cents)
+        keep = cum * PARETO_DEN <= total * PARETO_NUM
+        share = cum[keep].astype(np.float64) / np.float64(total)
+        return pa.table({
+            "c_custkey": t.column("c_custkey").take(
+                pa.array(np.flatnonzero(keep), pa.int64())),
+            "revenue_cents": pa.array(cents[keep], pa.int64()),
+            "cum_share": pa.array(share, pa.float64())})
+
+    return (srt.map_batches(cut, batch_size=None, batch_format="pyarrow")
+               .sort("c_custkey"))
+
+
+CUSTOMERS_PARETO_SQL = f"""
+WITH r AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+  FROM orders GROUP BY 1),
+w AS (
+  SELECT c_custkey, revenue_cents,
+         CAST(SUM(revenue_cents) OVER (
+              ORDER BY revenue_cents DESC, c_custkey) AS BIGINT)
+             AS cum_cents,
+         CAST(SUM(revenue_cents) OVER () AS BIGINT) AS tot
+  FROM r)
+SELECT c_custkey, revenue_cents,
+       CAST(cum_cents AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+FROM w WHERE cum_cents * {PARETO_DEN} <= tot * {PARETO_NUM}
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+def orders_order_streaks(ray, sf_dir: str):
+    """(c_custkey, max_streak_months): GAPS-AND-ISLANDS — each
+    customer's longest run of CONSECUTIVE calendar months with at least
+    one order (month index = year*12 + month-1, pure int64 arithmetic,
+    so both engines agree exactly). The run-length/sessionize-by-rank
+    operator (islands = groups where month_index - dense_rank is
+    constant) that SQL does with a row_number diff.
+
+    Scale shape: orders collapse to DISTINCT (custkey, month) at the
+    scan (bucketed distinct — one row per active month per customer
+    leaves the exchange); ONE shuffle keyed by coarse customer bucket;
+    inside each bucket the island detection is three numpy passes over
+    the (cust, month)-sorted frame (new-run flags -> run ids -> run
+    lengths -> per-customer max), no per-customer dispatch."""
+    from ..stages.aggregates import buckets_for, hash_bucket_aggregate
+
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+    ds = _rpq(ray, f"{sf_dir}/orders.parquet",
+              columns=["o_custkey", "o_orderdate"])
+
+    def to_month(t: pa.Table) -> pd.DataFrame:
+        od = t.column("o_orderdate").cast(pa.timestamp("us"))
+        mi = (np.asarray(pc.year(od)) * 12
+              + np.asarray(pc.month(od)) - 1).astype(np.int64)
+        g = pd.DataFrame({"c_custkey":
+                              np.asarray(t.column("o_custkey"),
+                                         dtype=np.int64),
+                          "mi": mi})
+        return g.drop_duplicates(["c_custkey", "mi"])
+
+    months = hash_bucket_aggregate(
+        ds.map_batches(to_month, batch_format="pyarrow",
+                       batch_size=65536),
+        ["c_custkey", "mi"],
+        lambda df: df.drop_duplicates(["c_custkey", "mi"]),
+        n_rows=n_cust * 8)  # ~active months per customer bound
+
+    N_BUCKETS = buckets_for(n_cust)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u, N_BUCKETS)
+        return t.append_column("cbucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                                 "max_streak_months":
+                                     pd.Series([], dtype="int64")})
+        g = g.sort_values(["c_custkey", "mi"], kind="mergesort")
+        cust = g["c_custkey"].to_numpy()
+        mi = g["mi"].to_numpy()
+        n = len(g)
+        # a row starts a NEW island unless same customer AND month+1
+        new_run = np.r_[True, (cust[1:] != cust[:-1])
+                        | (mi[1:] != mi[:-1] + 1)]
+        run_id = np.cumsum(new_run) - 1
+        lengths = np.bincount(run_id)
+        df = pd.DataFrame({"c_custkey": cust[new_run],
+                           "max_streak_months":
+                               lengths.astype(np.int64)})
+        return df.groupby("c_custkey", as_index=False).max()
+
+    return (months.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("cbucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+                  .sort("c_custkey"))
+
+
+ORDERS_STREAKS_SQL = """
+WITH m AS (
+  SELECT DISTINCT o_custkey AS c_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS mi
+  FROM orders),
+runs AS (
+  SELECT c_custkey,
+         mi - ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY mi)
+             AS grp
+  FROM m),
+islands AS (
+  SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS streak
+  FROM runs GROUP BY c_custkey, grp)
+SELECT c_custkey, MAX(streak) AS max_streak_months
+FROM islands GROUP BY c_custkey ORDER BY c_custkey
 """
