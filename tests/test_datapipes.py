@@ -89,6 +89,7 @@ SQL_CHECKED = [
     "events_percent_rank", "lineitem_qty_mode", "q9_product_profit",
     "q22_sales_opportunity", "events_moving_median",
     "customers_pareto_cut", "orders_order_streaks",
+    "orders_median_gap", "events_value_ranks",
 ]
 
 

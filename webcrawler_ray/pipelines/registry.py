@@ -617,6 +617,10 @@ def build_queries() -> dict:
             lambda sf: relational.customers_pareto_cut(ray, sf),
         "orders_order_streaks":
             lambda sf: relational.orders_order_streaks(ray, sf),
+        "orders_median_gap":
+            lambda sf: relational.orders_median_gap(ray, sf),
+        "events_value_ranks":
+            lambda sf: relational.events_value_ranks(ray, sf),
         "lineitem_qty_mode":
             lambda sf: relational.lineitem_qty_mode(ray, sf),
         "q9_product_profit":
@@ -1179,6 +1183,8 @@ ORDER BY vec_id_a, vec_id_b
     "events_moving_median": relational.EVENTS_MOVING_MEDIAN_SQL,
     "customers_pareto_cut": relational.CUSTOMERS_PARETO_SQL,
     "orders_order_streaks": relational.ORDERS_STREAKS_SQL,
+    "orders_median_gap": relational.ORDERS_MEDIAN_GAP_SQL,
+    "events_value_ranks": relational.EVENTS_VALUE_RANKS_SQL,
     "lineitem_qty_mode": relational.LINEITEM_QTY_MODE_SQL,
     "q9_product_profit": relational.Q9_PRODUCT_PROFIT_SQL,
     "q22_sales_opportunity": relational.Q22_SALES_OPPORTUNITY_SQL,

@@ -5184,3 +5184,171 @@ islands AS (
 SELECT c_custkey, MAX(streak) AS max_streak_months
 FROM islands GROUP BY c_custkey ORDER BY c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+def orders_median_gap(ray, sf_dir: str):
+    """(c_custkey, med_gap_days): per-customer MEDIAN inter-order gap in
+    whole days — LAG-diff composed with a per-group order statistic
+    (the reorder-cadence feature). Gaps are exact int64 day counts in
+    (o_orderdate, o_orderkey) order; an even gap count averages the two
+    middles, so the output is float64 and both engines compute the
+    identical int64 -> double -> /2 result. Customers with fewer than
+    two orders have no gap and are absent (SQL's WHERE gap IS NOT NULL).
+
+    Scale shape: ONE shuffle keyed by coarse customer bucket; inside
+    each bucket the lag-diff is a shifted-array subtraction over the
+    (cust, date, key)-sorted frame and the median a single pandas
+    grouped reduction — no per-customer dispatch."""
+    from ..stages.aggregates import buckets_for
+
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+    N_BUCKETS = buckets_for(n_cust)
+    ds = _rpq(ray, f"{sf_dir}/orders.parquet",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u, N_BUCKETS)
+        return t.append_column("cbucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                                 "med_gap_days":
+                                     pd.Series([], dtype="float64")})
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        cust = g["o_custkey"].to_numpy()
+        days = (g["o_orderdate"].to_numpy().astype("datetime64[D]")
+                 .astype(np.int64))
+        gap = np.r_[0, days[1:] - days[:-1]]
+        same = np.r_[False, cust[1:] == cust[:-1]]  # first-of-run: no gap
+        df = pd.DataFrame({"c_custkey": cust[same],
+                           "gap": gap[same].astype(np.int64)})
+        med = (df.groupby("c_custkey", as_index=False)["gap"].median()
+                 .rename(columns={"gap": "med_gap_days"}))
+        med["med_gap_days"] = med["med_gap_days"].astype(np.float64)
+        return med
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("cbucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort("c_custkey"))
+
+
+ORDERS_MEDIAN_GAP_SQL = """
+WITH g AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(datediff('day',
+              LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS gap
+  FROM orders)
+SELECT c_custkey, MEDIAN(gap) AS med_gap_days
+FROM g WHERE gap IS NOT NULL
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+def events_value_ranks(ray, sf_dir: str):
+    """(event_id, rnk, dense_rnk): RANK() and DENSE_RANK() per
+    event_type ordered by value — the remaining tie-aware rank pair,
+    sharing events_percent_rank's shape: RANK is 1 + (#rows strictly
+    below) and DENSE_RANK is 1 + (#DISTINCT values strictly below), so
+    both come off the sorted distinct (type, value) count table with
+    TWO exclusive prefix scans (row-weighted and distinct-row-weighted)
+    and no global row-numbering of the events. One hash join carries
+    the pair back to the events; int64 throughout — bit-exact by
+    construction."""
+    from ..stages.aggregates import (
+        block_prefix_bases,
+        first_key,
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    n_ev = _nrows(f"{sf_dir}/events.parquet")
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"event_type": b["event_type"],
+                          "value": b["value"].astype("float64"),
+                          "cnt": np.ones(len(b), dtype="int64")})
+        return g.groupby(["event_type", "value"], as_index=False).sum()
+
+    groups = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["event_type", "value"],
+        lambda df: df.groupby(["event_type", "value"],
+                              as_index=False).sum(),
+        n_rows=n_ev)
+    gs = groups.sort(["event_type", "value"]).materialize()
+
+    # per-type starts in BOTH weightings: O(blocks) partial passes
+    def type_partial(t: pa.Table) -> pd.DataFrame:
+        et = t.column("event_type").to_pylist()
+        g = pd.DataFrame({"event_type": et,
+                          "rows": np.asarray(t.column("cnt").to_pandas(),
+                                             dtype=np.int64),
+                          "distinct": np.ones(len(et), dtype=np.int64)})
+        return g.groupby("event_type", as_index=False).sum()
+
+    tot = (gs.map_batches(type_partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby("event_type", as_index=False).sum()
+             .sort_values("event_type"))
+    row_base_of_type = dict(zip(
+        tot["event_type"],
+        np.r_[0, tot["rows"].to_numpy()[:-1].cumsum()].astype(np.int64)))
+    dis_base_of_type = dict(zip(
+        tot["event_type"],
+        np.r_[0, tot["distinct"].to_numpy()[:-1].cumsum()
+              ].astype(np.int64)))
+
+    row_bases = block_prefix_bases(
+        gs, ["event_type", "value"], True,
+        weight=lambda t: int(pc.sum(t.column("cnt")).as_py()))
+    dis_bases = block_prefix_bases(gs, ["event_type", "value"], True)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64()),
+                             "rnk": pa.array([], pa.int64()),
+                             "dense_rnk": pa.array([], pa.int64())})
+        key = first_key(t, ["event_type", "value"])
+        cnt = np.asarray(t.column("cnt").to_pandas(), dtype=np.int64)
+        et = pd.Series(t.column("event_type").to_pylist())
+        n = t.num_rows
+        rows_below = (row_bases[key] + np.r_[0, cnt[:-1].cumsum()]
+                      - et.map(row_base_of_type).to_numpy()
+                          .astype(np.int64))
+        dis_below = (dis_bases[key] + np.arange(n, dtype=np.int64)
+                     - et.map(dis_base_of_type).to_numpy()
+                         .astype(np.int64))
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "value": t.column("value").cast(pa.float64()),
+            "rnk": pa.array(rows_below + 1, pa.int64()),
+            "dense_rnk": pa.array(dis_below + 1, pa.int64())})
+
+    ranks = gs.map_batches(assign, batch_size=None, batch_format="pyarrow")
+    out = ds.join(ranks, join_type="inner", on=("event_type", "value"),
+                  num_partitions=join_partitions_for(n_ev))
+    return (out.map_batches(
+                lambda t: t.select(["event_id", "rnk", "dense_rnk"]),
+                batch_format="pyarrow")
+               .sort("event_id"))
+
+
+EVENTS_VALUE_RANKS_SQL = """
+SELECT event_id,
+       CAST(RANK() OVER (PARTITION BY event_type ORDER BY value)
+            AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value)
+            AS BIGINT) AS dense_rnk
+FROM events ORDER BY event_id
+"""
