@@ -1110,6 +1110,44 @@ class TestPercentRank:
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+class TestValueRanks:
+    def test_multiblock_dual_prefix_scans_match_oracle(self, ray_session,
+                                                       ddb, monkeypatch):
+        """Force a many-block distinct table so BOTH prefix weightings
+        (row-count for RANK, distinct-row for DENSE_RANK) cross block
+        boundaries."""
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        orig = rel._rpq
+        monkeypatch.setattr(
+            rel, "_rpq",
+            lambda r, path, **kw: orig(r, path, **kw).repartition(7))
+        got = _canon(_to_df(rel.events_value_ranks(ray, SF_DIR)))
+        want = _canon(ddb.execute(rel.EVENTS_VALUE_RANKS_SQL).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestParetoCut:
+    def test_multiblock_running_total_matches_oracle(self, ray_session,
+                                                     ddb, monkeypatch):
+        """Many-block sorted aggregate: the cut decision depends on the
+        cross-block exclusive running total, so block boundaries must
+        not double- or under-count."""
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        orig = rel._rpq
+        monkeypatch.setattr(
+            rel, "_rpq",
+            lambda r, path, **kw: orig(r, path, **kw).repartition(7))
+        got = _canon(_to_df(rel.customers_pareto_cut(ray, SF_DIR)))
+        want = _canon(ddb.execute(rel.CUSTOMERS_PARETO_SQL).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 class TestSketches:
     def test_hll_distinct_users_within_error_bound(self, queries, ddb):
         q, _ = queries
