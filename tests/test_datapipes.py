@@ -90,6 +90,9 @@ SQL_CHECKED = [
     "q22_sales_opportunity", "events_moving_median",
     "customers_pareto_cut", "orders_order_streaks",
     "orders_median_gap", "events_value_ranks",
+    "q7_volume_shipping", "q8_market_share", "q11_important_parts",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_qty_revenue", "q21_waiting_suppliers",
 ]
 
 

@@ -627,6 +627,20 @@ def build_queries() -> dict:
             lambda sf: relational.q9_product_profit(ray, sf),
         "q22_sales_opportunity":
             lambda sf: relational.q22_sales_opportunity(ray, sf),
+        "q7_volume_shipping":
+            lambda sf: relational.q7_volume_shipping(ray, sf),
+        "q8_market_share":
+            lambda sf: relational.q8_market_share(ray, sf),
+        "q11_important_parts":
+            lambda sf: relational.q11_important_parts(ray, sf),
+        "q15_top_supplier":
+            lambda sf: relational.q15_top_supplier(ray, sf),
+        "q16_supplier_part_counts":
+            lambda sf: relational.q16_supplier_part_counts(ray, sf),
+        "q17_small_qty_revenue":
+            lambda sf: relational.q17_small_qty_revenue(ray, sf),
+        "q21_waiting_suppliers":
+            lambda sf: relational.q21_waiting_suppliers(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1188,6 +1202,13 @@ ORDER BY vec_id_a, vec_id_b
     "lineitem_qty_mode": relational.LINEITEM_QTY_MODE_SQL,
     "q9_product_profit": relational.Q9_PRODUCT_PROFIT_SQL,
     "q22_sales_opportunity": relational.Q22_SALES_OPPORTUNITY_SQL,
+    "q7_volume_shipping": relational.Q7_SQL,
+    "q8_market_share": relational.Q8_SQL,
+    "q11_important_parts": relational.Q11_SQL,
+    "q15_top_supplier": relational.Q15_SQL,
+    "q16_supplier_part_counts": relational.Q16_SQL,
+    "q17_small_qty_revenue": relational.Q17_SQL,
+    "q21_waiting_suppliers": relational.Q21_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

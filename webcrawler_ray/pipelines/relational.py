@@ -5352,3 +5352,824 @@ SELECT event_id,
             AS BIGINT) AS dense_rnk
 FROM events ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+Q7_NATIONS = ("NATION_3", "NATION_8")
+Q7_START = "1996-01-01"
+Q7_END = "1998-01-01"
+
+
+def q7_volume_shipping(ray, sf_dir: str):
+    """(supp_nation, cust_nation, l_year, revenue_cents): TPC-H Q7 shape
+    — cross-nation trade volume between two nations, both directions,
+    by ship year. Scale shape: supplier AND customer are filtered to
+    the two nations AT THE SCAN (2/25 selectivity) before any join, so
+    the two distributed hash joins against lineitem/orders carry only
+    the qualifying rows; the nation-name map (25 rows by definition) is
+    a broadcast dict; the year comes from l_shipdate so no extra orders
+    column ships. Money in int64 cents (float-determinism rule)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import join_partitions_for
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    n_li = _nrows(f"{sf_dir}/lineitem.parquet")
+
+    # nation: 25 rows by definition -> driver dict, broadcast by closure
+    import pyarrow.dataset as pads
+
+    nat = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    keys = {k for k, v in name_of.items() if v in Q7_NATIONS}
+
+    supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_nationkey"])
+
+    def supp_filter(t: pa.Table) -> pa.Table:
+        nk = t.column("s_nationkey").cast(pa.int64())
+        keep = pc.is_in(nk, value_set=pa.array(sorted(keys), pa.int64()))
+        return (pa.table({"l_suppkey": t.column("s_suppkey"),
+                          "supp_nk": nk}).filter(keep))
+
+    supp = supp.map_batches(supp_filter,
+                            batch_format="pyarrow").materialize()
+    n_supp_hit = max(1, supp.count())
+
+    cust = _rpq(ray, f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_nationkey"])
+
+    def cust_filter(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").cast(pa.int64())
+        keep = pc.is_in(nk, value_set=pa.array(sorted(keys), pa.int64()))
+        return (pa.table({"o_custkey": t.column("c_custkey"),
+                          "cust_nk": nk}).filter(keep))
+
+    cust = cust.map_batches(cust_filter,
+                            batch_format="pyarrow").materialize()
+    n_cust_hit = max(1, cust.count())
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey"])
+    orders = orders.join(cust, join_type="inner", on=("o_custkey",),
+                         num_partitions=join_partitions_for(n_cust_hit))
+    orders = orders.map_batches(
+        lambda t: t.select(["o_orderkey", "cust_nk"])
+                   .rename_columns(["l_orderkey", "cust_nk"]),
+        batch_format="pyarrow")
+
+    lo = pa.scalar(pd.Timestamp(Q7_START).to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(Q7_END).to_pydatetime(),
+                   pa.timestamp("us"))
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                       "l_discount", "l_shipdate"])
+
+    def li_window(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").cast(pa.timestamp("us"))
+        t = t.filter(pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi)))
+        sd = t.column("l_shipdate").cast(pa.timestamp("us"))
+        cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "l_year": pc.year(sd).cast(pa.int64()),
+                         "revenue_cents": cents})
+
+    li = li.map_batches(li_window, batch_format="pyarrow")
+    li = li.join(supp, join_type="inner", on=("l_suppkey",),
+                 num_partitions=join_partitions_for(n_supp_hit))
+    joined = li.join(orders, join_type="inner", on=("l_orderkey",),
+                     num_partitions=join_partitions_for(
+                         min(n_orders, n_li)))
+
+    def label(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["supp_nk", "cust_nk", "l_year",
+                       "revenue_cents"]).to_pandas()
+        df = df[df["supp_nk"] != df["cust_nk"]]
+        g = pd.DataFrame({
+            "supp_nation": df["supp_nk"].map(name_of).astype(str),
+            "cust_nation": df["cust_nk"].map(name_of).astype(str),
+            "l_year": df["l_year"].astype("int64"),
+            "revenue_cents": df["revenue_cents"].astype("int64")})
+        return g.groupby(["supp_nation", "cust_nation", "l_year"],
+                         as_index=False).sum()
+
+    out = (joined.map_batches(label, batch_format="pyarrow")
+                 .groupby(["supp_nation", "cust_nation", "l_year"])
+                 .aggregate(Sum("revenue_cents",
+                                alias_name="revenue_cents")))
+    return out.sort(["supp_nation", "cust_nation", "l_year"])
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             AS cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE l_shipdate >= TIMESTAMP '{Q7_START}'
+    AND l_shipdate <  TIMESTAMP '{Q7_END}'
+    AND ((n1.n_name = '{Q7_NATIONS[0]}' AND n2.n_name = '{Q7_NATIONS[1]}')
+      OR (n1.n_name = '{Q7_NATIONS[1]}' AND n2.n_name = '{Q7_NATIONS[0]}'))
+) t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_7"      # in ASIA (regionkey 2)
+Q8_TYPE = "PROMO"
+Q8_START = "1996-01-01"
+Q8_END = "1998-01-01"
+
+
+def q8_market_share(ray, sf_dir: str):
+    """(o_year, nation_cents, total_cents): TPC-H Q8 shape — the target
+    nation's share of supplier revenue for one part type sold to
+    customers of one region, per order year. The share is emitted as
+    its exact integer numerator/denominator pair (nation_cents /
+    total_cents) rather than a float ratio so the hash compare is
+    bit-exact. Scale shape: part is filtered at the scan and drives the
+    lineitem join sizing; customers are filtered to the region via the
+    25-row nation->region broadcast map BEFORE their join with orders;
+    supplier contributes only a boolean is-target flag through a
+    distributed hash join; the final rollup is a tiny per-year
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import join_partitions_for
+
+    import pyarrow.dataset as pads
+
+    nat = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pads.dataset(f"{sf_dir}/region.parquet").to_table(
+        columns=["r_regionkey", "r_name"])
+    region_key = {n: k for k, n in zip(
+        reg.column("r_regionkey").to_pylist(),
+        reg.column("r_name").to_pylist())}[Q8_REGION]
+    asia_keys = {k for k, r in zip(nat.column("n_nationkey").to_pylist(),
+                                   nat.column("n_regionkey").to_pylist())
+                 if r == region_key}
+    target_key = {n: k for k, n in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist())}[Q8_NATION]
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    n_supp = _nrows(f"{sf_dir}/supplier.parquet")
+
+    part = _rpq(ray, f"{sf_dir}/part.parquet",
+                columns=["p_partkey", "p_type"])
+
+    def type_filter(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("p_type"), Q8_TYPE)
+        return (t.filter(keep).select(["p_partkey"])
+                 .rename_columns(["l_partkey"]))
+
+    part = part.map_batches(type_filter,
+                            batch_format="pyarrow").materialize()
+    n_hit = max(1, part.count())
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_partkey", "l_suppkey",
+                       "l_extendedprice", "l_discount"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_partkey": t.column("l_partkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "cents": cents})
+
+    li = li.map_batches(to_cents, batch_format="pyarrow")
+    li = li.join(part, join_type="inner", on=("l_partkey",),
+                 num_partitions=join_partitions_for(n_hit))
+
+    supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_nationkey"])
+
+    def supp_flag(t: pa.Table) -> pa.Table:
+        is_t = pc.cast(pc.equal(t.column("s_nationkey").cast(pa.int64()),
+                                pa.scalar(target_key, pa.int64())),
+                       pa.int64())
+        return pa.table({"l_suppkey": t.column("s_suppkey"),
+                         "is_target": is_t})
+
+    supp = supp.map_batches(supp_flag, batch_format="pyarrow")
+    li = li.join(supp, join_type="inner", on=("l_suppkey",),
+                 num_partitions=join_partitions_for(n_supp))
+
+    cust = _rpq(ray, f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_nationkey"])
+
+    def cust_filter(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").cast(pa.int64())
+        keep = pc.is_in(nk, value_set=pa.array(sorted(asia_keys),
+                                               pa.int64()))
+        return (pa.table({"o_custkey": t.column("c_custkey")})
+                  .filter(keep))
+
+    cust = cust.map_batches(cust_filter,
+                            batch_format="pyarrow").materialize()
+    n_cust_hit = max(1, cust.count())
+
+    lo = pa.scalar(pd.Timestamp(Q8_START).to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(Q8_END).to_pydatetime(),
+                   pa.timestamp("us"))
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_window(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(pa.timestamp("us"))
+        t = t.filter(pc.and_(pc.greater_equal(od, lo), pc.less(od, hi)))
+        od = t.column("o_orderdate").cast(pa.timestamp("us"))
+        return pa.table({"l_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey"),
+                         "o_year": pc.year(od).cast(pa.int64())})
+
+    orders = orders.map_batches(ord_window, batch_format="pyarrow")
+    orders = orders.join(cust, join_type="inner", on=("o_custkey",),
+                         num_partitions=join_partitions_for(n_cust_hit))
+    orders = orders.map_batches(
+        lambda t: t.select(["l_orderkey", "o_year"]),
+        batch_format="pyarrow")
+
+    joined = li.join(orders, join_type="inner", on=("l_orderkey",),
+                     num_partitions=join_partitions_for(
+                         min(n_orders, max(1, n_hit * 8))))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_year": b["o_year"].astype("int64"),
+            "nation_cents": (b["cents"] * b["is_target"]).astype("int64"),
+            "total_cents": b["cents"].astype("int64")})
+        return g.groupby("o_year", as_index=False).sum()
+
+    out = (joined.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+                 .groupby("o_year")
+                 .aggregate(Sum("nation_cents", alias_name="nation_cents"),
+                            Sum("total_cents", alias_name="total_cents")))
+    return out.sort("o_year")
+
+
+Q8_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = '{Q8_NATION}' THEN cents
+                     ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents FROM (
+  SELECT l_orderkey, l_suppkey,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = '{Q8_TYPE}') li
+JOIN orders   ON o_orderkey = li.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n1.n_regionkey
+JOIN supplier ON s_suppkey = li.l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE r_name = '{Q8_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q8_START}'
+  AND o_orderdate <  TIMESTAMP '{Q8_END}'
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+Q11_REGION = "ASIA"
+Q11_FRACTION_PPM = 1000   # HAVING value > total * 1000/1e6 (0.1%)
+
+
+def q11_important_parts(ray, sf_dir: str):
+    """(l_partkey, value_cents): TPC-H Q11 shape (no partsupp table —
+    "stock value" is the discounted lineitem revenue supplied from one
+    region's suppliers), keeping Q11's defining operator: a grouped
+    aggregate filtered by HAVING group_sum > fraction * GLOBAL_SUM.
+    Two-pass decorrelation: the per-part rollup is computed ONCE
+    (bucketed vectorized combine), the global total is an O(groups)
+    Sum over that same materialized rollup (no second scan of
+    lineitem), and the threshold compare is pure int64
+    (value * 1e6 > total * ppm) so no float crosses the cut. Ties in
+    the value ordering are broken by l_partkey for a deterministic
+    hash."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    import pyarrow.dataset as pads
+
+    nat = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_regionkey"])
+    reg = pads.dataset(f"{sf_dir}/region.parquet").to_table(
+        columns=["r_regionkey", "r_name"])
+    region_key = {n: k for k, n in zip(
+        reg.column("r_regionkey").to_pylist(),
+        reg.column("r_name").to_pylist())}[Q11_REGION]
+    keys = {k for k, r in zip(nat.column("n_nationkey").to_pylist(),
+                              nat.column("n_regionkey").to_pylist())
+            if r == region_key}
+
+    n_part = _nrows(f"{sf_dir}/part.parquet")
+
+    supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_nationkey"])
+
+    def supp_filter(t: pa.Table) -> pa.Table:
+        nk = t.column("s_nationkey").cast(pa.int64())
+        keep = pc.is_in(nk, value_set=pa.array(sorted(keys), pa.int64()))
+        return pa.table({"l_suppkey": t.column("s_suppkey")}).filter(keep)
+
+    supp = supp.map_batches(supp_filter,
+                            batch_format="pyarrow").materialize()
+    n_supp_hit = max(1, supp.count())
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"l_partkey": t.column("l_partkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "value_cents": cents})
+
+    from ..stages.aggregates import join_partitions_for
+
+    li = li.map_batches(to_cents, batch_format="pyarrow")
+    li = li.join(supp, join_type="inner", on=("l_suppkey",),
+                 num_partitions=join_partitions_for(n_supp_hit))
+
+    per_part = hash_bucket_aggregate(
+        li.map_batches(lambda t: t.select(["l_partkey", "value_cents"]),
+                       batch_format="pyarrow"),
+        ["l_partkey"],
+        lambda df: df.groupby("l_partkey", as_index=False).sum(),
+        n_rows=n_part).materialize()
+
+    # pass 2: global total over the per-part rollup (O(groups), one
+    # scalar to the driver — never a second lineitem scan)
+    total = per_part.aggregate(Sum("value_cents", alias_name="t"))["t"]
+    total = int(total or 0)
+
+    def cut(t: pa.Table) -> pa.Table:
+        v = t.column("value_cents").cast(pa.int64())
+        keep = pc.greater(pc.multiply(v, pa.scalar(1_000_000, pa.int64())),
+                          pa.scalar(total * Q11_FRACTION_PPM, pa.int64()))
+        return pa.table({"l_partkey": t.column("l_partkey"),
+                         "value_cents": v}).filter(keep)
+
+    out = per_part.map_batches(cut, batch_format="pyarrow")
+    return out.sort(["value_cents", "l_partkey"], descending=[True, False])
+
+
+Q11_SQL = f"""
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{Q11_REGION}'
+  GROUP BY l_partkey)
+SELECT l_partkey, value_cents FROM v
+WHERE value_cents * 1000000 > (SELECT SUM(value_cents) FROM v)
+                              * {Q11_FRACTION_PPM}
+ORDER BY value_cents DESC, l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"
+
+
+def q15_top_supplier(ray, sf_dir: str):
+    """(s_suppkey, s_name, total_revenue_cents): TPC-H Q15 shape — the
+    supplier(s) whose revenue over one quarter equals the MAXIMUM
+    supplier revenue (the view + max-equality pattern). Two-pass over a
+    SMALL rollup: per-supplier revenue via the bucketed combine (at
+    most |supplier| rows leave any stage), the max is an O(groups)
+    aggregate over that same materialized rollup, and the equality
+    filter + name join touch only the winners. int64 cents
+    throughout."""
+    from ray.data.aggregate import Max
+
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    n_supp = _nrows(f"{sf_dir}/supplier.parquet")
+
+    lo = pa.scalar(pd.Timestamp(Q15_START).to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(Q15_END).to_pydatetime(),
+                   pa.timestamp("us"))
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_suppkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"])
+
+    def window_cents(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").cast(pa.timestamp("us"))
+        t = t.filter(pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi)))
+        cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"s_suppkey": t.column("l_suppkey"),
+                         "total_revenue_cents": cents})
+
+    per_supp = hash_bucket_aggregate(
+        li.map_batches(window_cents, batch_format="pyarrow"),
+        ["s_suppkey"],
+        lambda df: df.groupby("s_suppkey", as_index=False).sum(),
+        n_rows=n_supp).materialize()
+
+    best = per_supp.aggregate(Max("total_revenue_cents",
+                                  alias_name="m"))["m"]
+    best = int(best or 0)
+
+    def is_best(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("total_revenue_cents")
+                                  .cast(pa.int64()),
+                                 pa.scalar(best, pa.int64())))
+
+    winners = per_supp.map_batches(is_best, batch_format="pyarrow")
+
+    supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_name"])
+    out = winners.join(supp, join_type="inner", on=("s_suppkey",),
+                       num_partitions=join_partitions_for(n_supp))
+    return (out.map_batches(
+                lambda t: t.select(["s_suppkey", "s_name",
+                                    "total_revenue_cents"]),
+                batch_format="pyarrow")
+               .sort("s_suppkey"))
+
+
+Q15_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+    AND l_shipdate <  TIMESTAMP '{Q15_END}'
+  GROUP BY l_suppkey)
+SELECT r.s_suppkey, s_name, total_revenue_cents
+FROM r JOIN supplier ON supplier.s_suppkey = r.s_suppkey
+WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM r)
+ORDER BY r.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+Q16_EXCL_BRAND = "Brand#5"
+Q16_SIZES = (5, 10, 15, 20)
+Q16_BAD_SUPP_SUFFIX = "9"   # complaint suppliers: s_name ending in 9
+
+
+def q16_supplier_part_counts(ray, sf_dir: str):
+    """(p_brand, p_type, p_size, supplier_cnt): TPC-H Q16 shape — how
+    many DISTINCT suppliers can supply each qualifying part group,
+    excluding "complaint" suppliers (the NOT IN subquery, expressed as
+    a distributed LEFT ANTI join against the excluded-supplier keyset
+    — never a driver-collected NOT IN list). The supplier multiplicity
+    is taken from lineitem's observed (part, supplier) pairs (no
+    partsupp table): pairs are reduced to DISTINCT by a bucketed
+    combine before any join, part attributes are filtered at the scan,
+    and the count-distinct per group is a plain count over the
+    already-distinct pairs."""
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    n_part = _nrows(f"{sf_dir}/part.parquet")
+    n_supp = _nrows(f"{sf_dir}/supplier.parquet")
+
+    part = _rpq(ray, f"{sf_dir}/part.parquet",
+                columns=["p_partkey", "p_brand", "p_type", "p_size"])
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(pc.equal(t.column("p_brand"), Q16_EXCL_BRAND)),
+            pc.is_in(t.column("p_size").cast(pa.int64()),
+                     value_set=pa.array(sorted(Q16_SIZES), pa.int64())))
+        t = t.filter(keep)
+        return pa.table({"l_partkey": t.column("p_partkey"),
+                         "p_brand": t.column("p_brand"),
+                         "p_type": t.column("p_type"),
+                         "p_size": t.column("p_size").cast(pa.int64())})
+
+    part = part.map_batches(part_filter,
+                            batch_format="pyarrow").materialize()
+    n_hit = max(1, part.count())
+
+    # excluded suppliers: a name predicate evaluated DISTRIBUTED over the
+    # supplier table, anti-joined — the keyset never lands on the driver
+    supp_bad = _rpq(ray, f"{sf_dir}/supplier.parquet",
+                    columns=["s_suppkey", "s_name"])
+
+    def bad_filter(t: pa.Table) -> pa.Table:
+        keep = pc.ends_with(t.column("s_name"),
+                            pattern=Q16_BAD_SUPP_SUFFIX)
+        return (pa.table({"l_suppkey": t.column("s_suppkey")})
+                  .filter(keep))
+
+    supp_bad = supp_bad.map_batches(bad_filter,
+                                    batch_format="pyarrow").materialize()
+    n_bad = max(1, supp_bad.count())
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_suppkey"])
+
+    def pair_dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_partkey", "l_suppkey"])
+
+    pairs = hash_bucket_aggregate(
+        li.map_batches(pair_dd, batch_format="pandas"),
+        ["l_partkey", "l_suppkey"], pair_dd,
+        n_rows=min(_nrows(f"{sf_dir}/lineitem.parquet"),
+                   n_part * max(1, n_supp // 4)))
+
+    pairs = pairs.join(part, join_type="inner", on=("l_partkey",),
+                       num_partitions=join_partitions_for(n_hit))
+    pairs = pairs.join(supp_bad, join_type="left_anti", on=("l_suppkey",),
+                       num_partitions=join_partitions_for(
+                           min(n_bad, n_hit)))
+
+    # a supplier supplying TWO parts of the same (brand, type, size) must
+    # count once: dedup on the attribute-group x supplier 4-tuple first
+    grp4 = ["p_brand", "p_type", "p_size", "l_suppkey"]
+
+    def dd4(df: pd.DataFrame) -> pd.DataFrame:
+        return df[grp4].drop_duplicates(grp4)
+
+    group_supp = hash_bucket_aggregate(
+        pairs.map_batches(dd4, batch_format="pandas"), grp4, dd4,
+        n_rows=n_hit * 4)
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[["p_brand", "p_type", "p_size"]].copy()
+        g["supplier_cnt"] = np.ones(len(b), dtype="int64")
+        return g.groupby(["p_brand", "p_type", "p_size"],
+                         as_index=False).sum()
+
+    out = hash_bucket_aggregate(
+        group_supp, ["p_brand", "p_type", "p_size"], count_partial,
+        merge=lambda df: df.groupby(["p_brand", "p_type", "p_size"],
+                                    as_index=False).sum(),
+        n_rows=n_hit)
+    return out.sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                    descending=[True, False, False, False])
+
+
+Q16_SQL = f"""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%{Q16_BAD_SUPP_SUFFIX}')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+Q17_BRAND = "Brand#3"
+
+
+def q17_small_qty_revenue(ray, sf_dir: str):
+    """(total_cents, avg_yearly_cents): TPC-H Q17 shape — revenue lost
+    to small-quantity orders: lines of one brand whose quantity is
+    below 20% of that part's average quantity. The correlated scalar
+    subquery (avg per part) is DECORRELATED into a per-part (cnt,
+    sum_qty) rollup joined back to the lines, and the 20%-of-average
+    compare is pure integer algebra (5 * qty * cnt < sum_qty — quantity
+    is integral in this corpus) so no float rounding crosses the cut.
+    Scale shape: the brand filter lands at the part scan, so both the
+    rollup and the back-join see only the brand's lines."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    part = _rpq(ray, f"{sf_dir}/part.parquet",
+                columns=["p_partkey", "p_brand"])
+
+    def brand_filter(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("p_brand"), Q17_BRAND)
+        return (t.filter(keep).select(["p_partkey"])
+                 .rename_columns(["l_partkey"]))
+
+    part = part.map_batches(brand_filter,
+                            batch_format="pyarrow").materialize()
+    n_hit = max(1, part.count())
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "qty": t.column("l_quantity").cast(pa.int64()),
+            "cents": pc.cast(pc.floor(pc.multiply(
+                t.column("l_extendedprice"), pa.scalar(100.0))),
+                pa.int64())})
+
+    lines = li.map_batches(to_int, batch_format="pyarrow")
+    lines = lines.join(part, join_type="inner", on=("l_partkey",),
+                       num_partitions=join_partitions_for(n_hit)
+                       ).materialize()
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"l_partkey": b["l_partkey"],
+                          "sum_qty": b["qty"].astype("int64"),
+                          "cnt": np.ones(len(b), dtype="int64")})
+        return g.groupby("l_partkey", as_index=False).sum()
+
+    per_part = hash_bucket_aggregate(
+        lines.map_batches(
+            lambda t: t.select(["l_partkey", "qty"]),
+            batch_format="pyarrow").map_batches(
+            qty_partial, batch_format="pandas"),
+        ["l_partkey"],
+        lambda df: df.groupby("l_partkey", as_index=False).sum(),
+        n_rows=n_hit)
+
+    joined = lines.join(per_part, join_type="inner", on=("l_partkey",),
+                        num_partitions=join_partitions_for(n_hit))
+
+    def small_cut(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (5 * b["qty"].astype("int64") * b["cnt"].astype("int64")
+                < b["sum_qty"].astype("int64"))
+        return pd.DataFrame(
+            {"total_cents": [int(b.loc[keep, "cents"].sum())]})
+
+    partials = joined.map_batches(small_cut, batch_format="pandas",
+                                  batch_size=65536)
+    total = int(partials.aggregate(Sum("total_cents",
+                                       alias_name="t"))["t"] or 0)
+    return pd.DataFrame({"total_cents": [total],
+                         "avg_yearly_cents": [total // 7]})
+
+
+Q17_SQL = f"""
+WITH lines AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{Q17_BRAND}'),
+pp AS (
+  SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS cnt
+  FROM lines GROUP BY l_partkey)
+SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents,
+       CAST(COALESCE(SUM(cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
+FROM lines JOIN pp USING (l_partkey)
+WHERE 5 * qty * cnt < sum_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+Q21_LATE_DAYS = 60
+
+
+def q21_waiting_suppliers(ray, sf_dir: str, k: int = 100):
+    """(s_suppkey, s_name, numwait): TPC-H Q21 shape — suppliers who
+    were the SOLE late supplier on a finished multi-supplier order
+    (EXISTS another supplier's line / NOT EXISTS another late line,
+    adapted lateness: shipped > {Q21_LATE_DAYS} days after the order
+    date — this corpus has no commit/receipt dates). The double
+    correlated EXISTS is decorrelated into one per-order reduction:
+    lines are pre-reduced to (order, supplier, any_late) per batch,
+    hash-bucketed BY ORDER so each order lands whole in exactly one
+    vectorized merge task that emits the order's verdict; per-supplier
+    counts then roll up through a second bucketed aggregate. No
+    self-join of lineitem against itself and no per-order Python loop
+    anywhere."""
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    n_supp = _nrows(f"{sf_dir}/supplier.parquet")
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_orderstatus", "o_orderdate"])
+
+    def f_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderstatus"), "F"))
+        return pa.table({
+            "l_orderkey": t.column("o_orderkey"),
+            "o_date": t.column("o_orderdate").cast(pa.timestamp("us"))})
+
+    orders = orders.map_batches(f_only,
+                                batch_format="pyarrow").materialize()
+    n_f = max(1, orders.count())
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    li = li.join(orders, join_type="inner", on=("l_orderkey",),
+                 num_partitions=join_partitions_for(n_f))
+
+    late_us = Q21_LATE_DAYS * 86_400_000_000  # days -> microseconds
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        late = ((b["l_shipdate"].astype("datetime64[us]").astype("int64")
+                 - b["o_date"].astype("datetime64[us]").astype("int64"))
+                > late_us).astype("int64")
+        g = pd.DataFrame({"l_orderkey": b["l_orderkey"],
+                          "l_suppkey": b["l_suppkey"], "late": late})
+        return g.groupby(["l_orderkey", "l_suppkey"],
+                         as_index=False).max()
+
+    def order_verdict(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket-local: every row of an order is here (bucketed by order)
+        df = df.groupby(["l_orderkey", "l_suppkey"],
+                        as_index=False).max()
+        g = df.groupby("l_orderkey")["late"].agg(["sum", "count"])
+        ok = g.index[(g["sum"] == 1) & (g["count"] >= 2)]
+        w = df[df["l_orderkey"].isin(ok) & (df["late"] == 1)]
+        out = pd.DataFrame({"s_suppkey": w["l_suppkey"].astype("int64"),
+                            "numwait": np.ones(len(w), dtype="int64")})
+        return out.groupby("s_suppkey", as_index=False).sum()
+
+    per_supp_partials = hash_bucket_aggregate(
+        li.map_batches(pair_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["l_orderkey"], lambda df: df, merge=order_verdict,
+        n_rows=n_f)
+
+    per_supp = hash_bucket_aggregate(
+        per_supp_partials, ["s_suppkey"],
+        lambda df: df.groupby("s_suppkey", as_index=False).sum(),
+        n_rows=n_supp)
+
+    supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_name"])
+    out = per_supp.join(supp, join_type="inner", on=("s_suppkey",),
+                        num_partitions=join_partitions_for(n_supp))
+    out = (out.map_batches(
+               lambda t: t.select(["s_suppkey", "s_name", "numwait"]),
+               batch_format="pyarrow")
+              .sort(["numwait", "s_name"], descending=[True, False])
+              .limit(k))
+    return out
+
+
+Q21_SQL = f"""
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait FROM (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate
+                       + INTERVAL {Q21_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey) p
+JOIN supplier ON supplier.s_suppkey = p.l_suppkey
+WHERE late = 1
+  AND 1 = (SELECT SUM(late) FROM (
+             SELECT MAX(CASE WHEN l2.l_shipdate > o2.o_orderdate
+                                  + INTERVAL {Q21_LATE_DAYS} DAY
+                             THEN 1 ELSE 0 END) AS late
+             FROM lineitem l2 JOIN orders o2
+               ON o2.o_orderkey = l2.l_orderkey
+             WHERE l2.l_orderkey = p.l_orderkey
+             GROUP BY l2.l_suppkey) q)
+  AND 2 <= (SELECT COUNT(DISTINCT l3.l_suppkey) FROM lineitem l3
+            WHERE l3.l_orderkey = p.l_orderkey)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_name LIMIT 100
+"""
