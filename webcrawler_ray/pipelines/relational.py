@@ -5657,7 +5657,7 @@ GROUP BY o_year ORDER BY o_year
 
 # ---------------------------------------------------------------------------
 Q11_REGION = "ASIA"
-Q11_FRACTION_PPM = 1000   # HAVING value > total * 1000/1e6 (0.1%)
+Q11_MEAN_MULT = 2   # HAVING value > 2 x the mean per-part value
 
 
 def q11_important_parts(ray, sf_dir: str):
@@ -5665,13 +5665,15 @@ def q11_important_parts(ray, sf_dir: str):
     "stock value" is the discounted lineitem revenue supplied from one
     region's suppliers), keeping Q11's defining operator: a grouped
     aggregate filtered by HAVING group_sum > fraction * GLOBAL_SUM.
-    Two-pass decorrelation: the per-part rollup is computed ONCE
-    (bucketed vectorized combine), the global total is an O(groups)
-    Sum over that same materialized rollup (no second scan of
-    lineitem), and the threshold compare is pure int64
-    (value * 1e6 > total * ppm) so no float crosses the cut. Ties in
-    the value ordering are broken by l_partkey for a deterministic
-    hash."""
+    The fraction is SCALE-FREE (value > {mult} x the mean per-part
+    value, i.e. value * n_parts > total * {mult}) so the cut stays
+    populated at every SF — TPC-H's own 0.0001/SF scaling, expressed
+    without knowing SF. Two-pass decorrelation: the per-part rollup is
+    computed ONCE (bucketed vectorized combine), the global total AND
+    part count are one O(groups) pass over that same materialized
+    rollup (no second lineitem scan), and the threshold compare is
+    pure int64 so no float crosses the cut. Ties in the value ordering
+    are broken by l_partkey for a deterministic hash."""
     from ray.data.aggregate import Sum
 
     from ..stages.aggregates import hash_bucket_aggregate
@@ -5729,15 +5731,17 @@ def q11_important_parts(ray, sf_dir: str):
         lambda df: df.groupby("l_partkey", as_index=False).sum(),
         n_rows=n_part).materialize()
 
-    # pass 2: global total over the per-part rollup (O(groups), one
-    # scalar to the driver — never a second lineitem scan)
+    # pass 2: global total + group count over the per-part rollup
+    # (O(groups), two scalars to the driver — never a second lineitem
+    # scan; count() on the materialized rollup is metadata-only)
     total = per_part.aggregate(Sum("value_cents", alias_name="t"))["t"]
     total = int(total or 0)
+    n_groups = max(1, per_part.count())
 
     def cut(t: pa.Table) -> pa.Table:
         v = t.column("value_cents").cast(pa.int64())
-        keep = pc.greater(pc.multiply(v, pa.scalar(1_000_000, pa.int64())),
-                          pa.scalar(total * Q11_FRACTION_PPM, pa.int64()))
+        keep = pc.greater(pc.multiply(v, pa.scalar(n_groups, pa.int64())),
+                          pa.scalar(total * Q11_MEAN_MULT, pa.int64()))
         return pa.table({"l_partkey": t.column("l_partkey"),
                          "value_cents": v}).filter(keep)
 
@@ -5757,8 +5761,8 @@ WITH v AS (
   WHERE r_name = '{Q11_REGION}'
   GROUP BY l_partkey)
 SELECT l_partkey, value_cents FROM v
-WHERE value_cents * 1000000 > (SELECT SUM(value_cents) FROM v)
-                              * {Q11_FRACTION_PPM}
+WHERE value_cents * (SELECT COUNT(*) FROM v)
+      > (SELECT SUM(value_cents) FROM v) * {Q11_MEAN_MULT}
 ORDER BY value_cents DESC, l_partkey
 """
 
