@@ -74,6 +74,7 @@ QUERY_NAMES = [
     "q7_volume_shipping", "q8_market_share", "q11_important_parts",
     "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_qty_revenue", "q21_waiting_suppliers",
+    "events_type_mad", "docs_skipgram_counts",
 ]
 
 

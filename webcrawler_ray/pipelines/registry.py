@@ -467,6 +467,8 @@ def build_queries() -> dict:
             lambda sf: textpipe.docs_per_source_cap(ray, sf),
         "doc_normalize": lambda sf: textpipe.doc_normalize(ray, sf),
         "doc_top_terms": lambda sf: textpipe.doc_top_terms(ray, sf),
+        "docs_skipgram_counts":
+            lambda sf: textpipe.docs_skipgram_counts(ray, sf),
         "doc_token_counts_bpe": lambda sf: textpipe.token_counts_bpe(ray, sf),
         "docs_quality_filter": lambda sf: textpipe.quality_filter(ray, sf),
         "docs_dup_ngrams": lambda sf: textpipe.docs_dup_ngrams(ray, sf),
@@ -654,6 +656,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_by_segment(ray, sf),
         "events_type_median":
             lambda sf: relational.events_type_median(ray, sf),
+        "events_type_mad":
+            lambda sf: relational.events_type_mad(ray, sf),
         "events_pivot": lambda sf: relational.events_pivot(ray, sf),
         "events_user_profile":
             lambda sf: relational.events_user_profile(ray, sf),
@@ -1208,6 +1212,8 @@ ORDER BY vec_id_a, vec_id_b
     "q15_top_supplier": relational.Q15_SQL,
     "q16_supplier_part_counts": relational.Q16_SQL,
     "q17_small_qty_revenue": relational.Q17_SQL,
+    "events_type_mad": relational.EVENTS_TYPE_MAD_SQL,
+    "docs_skipgram_counts": textpipe.DOCS_SKIPGRAM_SQL,
     "q21_waiting_suppliers": relational.Q21_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,

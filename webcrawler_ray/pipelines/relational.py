@@ -1795,7 +1795,7 @@ _MEDIAN_BINS = 128
 _MEDIAN_COLLECT = 65536
 
 
-def grouped_percentile_disc(ray, path: str, qs: tuple,
+def grouped_percentile_disc(ray, path_or_ds, qs: tuple,
                             group_col: str = "event_type",
                             value_col: str = "value") -> pd.DataFrame:
     """EXACT per-group discrete percentiles (percentile_disc semantics —
@@ -1808,10 +1808,19 @@ def grouped_percentile_disc(ray, path: str, qs: tuple,
     Realized bin min/max make the descent exact (no float-boundary
     ambiguity); when every active range holds <= ~65k rows, one collect
     pass pulls just those rows. No total sort, no per-group
-    materialization of the dataset."""
+    materialization of the dataset.
+
+    ``path_or_ds``: a parquet path OR an already-built (lazy) Dataset
+    with (group_col, value_col) columns — derived-column callers (e.g.
+    the MAD's |v - median| pass) hand a mapped dataset; its transform
+    re-executes per refinement pass, which is the streaming trade (no
+    mid-pipeline materialization) and cheap for map-only derivations."""
     from ray.data.aggregate import Count, Max, Min
 
-    ds = _rpq(ray, path, columns=[group_col, value_col])
+    if isinstance(path_or_ds, str):
+        ds = _rpq(ray, path_or_ds, columns=[group_col, value_col])
+    else:
+        ds = path_or_ds
 
     # ONE pass for all per-group stats (count + min + max)
     mm = (ds.groupby(group_col)
@@ -6176,4 +6185,54 @@ WHERE late = 1
             WHERE l3.l_orderkey = p.l_orderkey)
 GROUP BY s_suppkey, s_name
 ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+def events_type_mad(ray, sf_dir: str):
+    """(event_type, median, mad): per-group MEDIAN ABSOLUTE DEVIATION —
+    the robust dispersion statistic (outlier-immune sibling of stddev),
+    composed from TWO exact grouped rank-selects: the group median
+    first, then the median of |value - median| over a DERIVED dataset
+    (the deviation map is a lazy map_batches with the few-group median
+    dict in its closure — no second table, no total sort in either
+    pass). percentile_disc semantics on both passes pick ACTUAL values,
+    so Ray and the oracle agree bit-for-bit on floats."""
+    med_df = grouped_percentile_disc(ray, f"{sf_dir}/events.parquet",
+                                     (0.5,))
+    med_of = dict(zip(med_df["event_type"], med_df["value"]))
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_type", "value"])
+
+    def absdev(t: pa.Table) -> pa.Table:
+        ets = np.asarray(t.column("event_type").to_pylist())
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        med = pd.Series(ets).map(med_of).to_numpy(dtype=np.float64)
+        return pa.table({"event_type": pa.array(ets, pa.string()),
+                         "value": pa.array(np.abs(vals - med),
+                                           pa.float64())})
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow")
+    mad_df = grouped_percentile_disc(ray, dev, (0.5,))
+    mad_of = dict(zip(mad_df["event_type"], mad_df["value"]))
+
+    types = sorted(med_of)
+    return pd.DataFrame({
+        "event_type": types,
+        "median": [med_of[t] for t in types],
+        "mad": [mad_of[t] for t in types]})
+
+
+EVENTS_TYPE_MAD_SQL = """
+WITH m AS (
+  SELECT event_type,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       ANY_VALUE(med) AS median,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY ABS(value - med))
+           AS mad
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
 """

@@ -2732,3 +2732,81 @@ SELECT source, COUNT(*) AS n_tokens,
        COUNT(DISTINCT token) AS n_types
 FROM tt GROUP BY source ORDER BY source
 """
+
+
+# --- skip-gram co-occurrence (word2vec/PMI table prep) ----------------------
+SKIPGRAM_WINDOW = 3
+
+
+def docs_skipgram_counts(ray, sf_dir: str):
+    """(w1, w2, n): corpus skip-gram co-occurrence counts — every
+    ORDERED token pair within a forward window of {W} positions (the
+    count table word2vec/GloVe/PMI feature pipelines are built from;
+    doc_top_terms is its unigram margin, docs_bigram_lm_score its
+    W=1 diagonal). Scale shape: per-batch the token stream is
+    FLATTENED once (one concatenated array + doc-id run-lengths), the
+    {W} window offsets become {W} vectorized shifted-pair selections
+    masked by same-doc, and a pandas groupby reduces the batch to
+    <= vocab^2 partial rows BEFORE the exchange; the bucketed combine
+    then merges partials per (w1, w2) — the token stream itself never
+    shuffles. Output is vocab-bounded, not corpus-bounded."""
+    from ..io_utils import parquet_column_bytes
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    W = SKIPGRAM_WINDOW
+    # distinct-pair bound for the fan-out: content volume over token
+    # width is an upper bound on distinct pairs a batch can emit
+    pair_bound = parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 4
+    ds = _docs(ray, sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        texts = batch.column("text").to_pylist()
+        toks_per_doc = [tokenize(t) for t in texts]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"w1": pd.Series([], dtype=str),
+                                 "w2": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype="int64")})
+        flat = np.array([w for toks in toks_per_doc for w in toks],
+                        dtype=object)
+        did = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        w1s, w2s = [], []
+        for d in range(1, W + 1):
+            if len(flat) <= d:
+                break
+            same = did[:-d] == did[d:]
+            w1s.append(flat[:-d][same])
+            w2s.append(flat[d:][same])
+        if not w1s:
+            return pd.DataFrame({"w1": pd.Series([], dtype=str),
+                                 "w2": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype="int64")})
+        g = pd.DataFrame({"w1": np.concatenate(w1s),
+                          "w2": np.concatenate(w2s)})
+        g["n"] = np.ones(len(g), dtype="int64")
+        return g.groupby(["w1", "w2"], as_index=False).sum()
+
+    out = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w1", "w2"],
+        lambda df: df.groupby(["w1", "w2"], as_index=False).sum(),
+        n_rows=pair_bound)
+    return out.sort(["w1", "w2"])
+
+
+DOCS_SKIPGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+')) AS token,
+         unnest(generate_series(
+             1, len(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+'))))
+           AS pos
+  FROM documents),
+tok2 AS (SELECT doc_id, pos, token FROM toks WHERE token != '')
+SELECT a.token AS w1, b.token AS w2, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok2 a JOIN tok2 b
+  ON a.doc_id = b.doc_id
+ AND b.pos BETWEEN a.pos + 1 AND a.pos + {SKIPGRAM_WINDOW}
+GROUP BY w1, w2 ORDER BY w1, w2
+"""
