@@ -1906,3 +1906,83 @@ def test_every_registry_query_runs(queries):
         except Exception as e:  # noqa: BLE001 - collecting all failures
             failures[name] = f"{type(e).__name__}: {str(e)[:100]}"
     assert not failures, failures
+
+
+class TestQ16DistinctPerGroup:
+    def test_supplier_supplying_two_same_attr_parts_counts_once(
+            self, ray_session, tmp_path):
+        """The sf0.001 oracle test can't catch the per-attribute-group
+        dedup (no supplier supplies two parts of the same (brand, type,
+        size) there — the bug this guards only appeared at sf0.01):
+        supplier 1 supplies parts 1 AND 2, both Brand#1/PROMO/size 5,
+        so the group must count supplier 1 ONCE; supplier 9's name ends
+        in the complaint suffix and must be excluded entirely."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        d = tmp_path / "mini"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_brand": ["Brand#1", "Brand#1", "Brand#1"],
+            "p_type": ["PROMO", "PROMO", "PROMO"],
+            "p_size": pa.array([5, 5, 5], pa.int32()),
+        }), str(d / "part.parquet"))
+        pq.write_table(pa.table({
+            "s_suppkey": pa.array([1, 2, 9], pa.int64()),
+            "s_name": ["Supplier#1", "Supplier#2", "Supplier#9"],
+        }), str(d / "supplier.parquet"))
+        # supplier 1 -> parts 1,2 (same attrs); supplier 2 -> part 1
+        # twice (pair dedup); supplier 9 -> part 3 (excluded by name)
+        pq.write_table(pa.table({
+            "l_partkey": pa.array([1, 2, 1, 1, 3], pa.int64()),
+            "l_suppkey": pa.array([1, 1, 2, 2, 9], pa.int64()),
+        }), str(d / "lineitem.parquet"))
+
+        out = rel.q16_supplier_part_counts(ray, str(d)).to_pandas()
+        assert len(out) == 1
+        assert out.loc[0, "supplier_cnt"] == 2  # suppliers {1, 2}
+
+
+class TestQ21SoleLateSupplier:
+    def test_verdict_edges(self, ray_session, tmp_path):
+        """Order A: suppliers {1,2}, only 1 late -> supplier 1 waits.
+        Order B: single-supplier order, late -> excluded (needs >= 2).
+        Order C: two suppliers BOTH late -> nobody is the sole cause.
+        Order D: status 'O' (not finished) -> ignored entirely."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        d = tmp_path / "mini"
+        d.mkdir()
+        t0 = pd.Timestamp("2000-01-01")
+        late = t0 + pd.Timedelta(days=rel.Q21_LATE_DAYS + 1)
+        ontime = t0 + pd.Timedelta(days=1)
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+            "o_orderstatus": ["F", "F", "F", "O"],
+            "o_orderdate": pa.array([t0] * 4, pa.timestamp("us")),
+        }), str(d / "orders.parquet"))
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array(
+                [10, 10, 11, 12, 12, 13], pa.int64()),
+            "l_suppkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "l_shipdate": pa.array(
+                [late, ontime, late, late, late, late],
+                pa.timestamp("us")),
+        }), str(d / "lineitem.parquet"))
+        pq.write_table(pa.table({
+            "s_suppkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "s_name": [f"Supplier#{i}" for i in range(1, 7)],
+        }), str(d / "supplier.parquet"))
+
+        out = rel.q21_waiting_suppliers(ray, str(d)).to_pandas()
+        assert list(out["s_suppkey"]) == [1]
+        assert list(out["numwait"]) == [1]
