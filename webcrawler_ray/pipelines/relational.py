@@ -5429,17 +5429,20 @@ def q7_volume_shipping(ray, sf_dir: str):
                    .rename_columns(["l_orderkey", "cust_nk"]),
         batch_format="pyarrow")
 
-    lo = pa.scalar(pd.Timestamp(Q7_START).to_pydatetime(),
-                   pa.timestamp("us"))
-    hi = pa.scalar(pd.Timestamp(Q7_END).to_pydatetime(),
-                   pa.timestamp("us"))
+    # the date window is pushed INTO the parquet scan (exact row-level
+    # dataset filter + row-group pruning): only the window's rows ever
+    # leave storage — see io_utils.read_parquet_clean passthrough
+    import pyarrow.dataset as _pads
+
     li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
-                       "l_discount", "l_shipdate"])
+                       "l_discount", "l_shipdate"],
+              filter=((_pads.field("l_shipdate")
+                       >= pd.Timestamp(Q7_START))
+                      & (_pads.field("l_shipdate")
+                         < pd.Timestamp(Q7_END))))
 
     def li_window(t: pa.Table) -> pa.Table:
-        sd = t.column("l_shipdate").cast(pa.timestamp("us"))
-        t = t.filter(pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi)))
         sd = t.column("l_shipdate").cast(pa.timestamp("us"))
         cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
             t.column("l_extendedprice"),
@@ -5799,17 +5802,18 @@ def q15_top_supplier(ray, sf_dir: str):
 
     n_supp = _nrows(f"{sf_dir}/supplier.parquet")
 
-    lo = pa.scalar(pd.Timestamp(Q15_START).to_pydatetime(),
-                   pa.timestamp("us"))
-    hi = pa.scalar(pd.Timestamp(Q15_END).to_pydatetime(),
-                   pa.timestamp("us"))
+    # quarter window pushed into the parquet scan (row-level exact)
+    import pyarrow.dataset as _pads
+
     li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
               columns=["l_suppkey", "l_extendedprice", "l_discount",
-                       "l_shipdate"])
+                       "l_shipdate"],
+              filter=((_pads.field("l_shipdate")
+                       >= pd.Timestamp(Q15_START))
+                      & (_pads.field("l_shipdate")
+                         < pd.Timestamp(Q15_END))))
 
     def window_cents(t: pa.Table) -> pa.Table:
-        sd = t.column("l_shipdate").cast(pa.timestamp("us"))
-        t = t.filter(pc.and_(pc.greater_equal(sd, lo), pc.less(sd, hi)))
         cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
             t.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
