@@ -2366,8 +2366,16 @@ def orders_priority_exists(ray, sf_dir: str):
 
     n_orders = _nrows(f"{sf_dir}/orders.parquet")
 
+    import pyarrow.dataset as _pads
+
+    # quarter window pushed into the parquet scan (row-level exact);
+    # the in-map filter below is kept as a no-op invariant guard
     orders = _rpq(ray, f"{sf_dir}/orders.parquet",
-                  columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+                  columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+                  filter=((_pads.field("o_orderdate")
+                           >= pd.Timestamp(Q4_START))
+                          & (_pads.field("o_orderdate")
+                             < pd.Timestamp(Q4_END))))
     lo = pa.scalar(pd.Timestamp(Q4_START).to_pydatetime(),
                    pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp(Q4_END).to_pydatetime(), pa.timestamp("us"))
@@ -3893,8 +3901,12 @@ def q10_returned_revenue(ray, sf_dir: str, k: int = 20):
     lo = pd.Timestamp(Q10_START)
     hi = pd.Timestamp(Q10_END)
 
+    import pyarrow.dataset as _pads
+
     orders = _rpq(ray, f"{sf_dir}/orders.parquet",
-                  columns=["o_orderkey", "o_custkey", "o_orderdate"])
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                  filter=((_pads.field("o_orderdate") >= lo)
+                          & (_pads.field("o_orderdate") < hi)))
 
     def in_window(b: pd.DataFrame) -> pd.DataFrame:
         m = (b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)
@@ -4002,8 +4014,12 @@ def q12_priority_lines(ray, sf_dir: str):
     lo = pd.Timestamp(Q12_START)
     hi = pd.Timestamp(Q12_END)
 
+    import pyarrow.dataset as _pads
+
     li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
-              columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+              columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+              filter=((_pads.field("l_shipdate") >= lo)
+                      & (_pads.field("l_shipdate") < hi)))
 
     def pair_counts(b: pd.DataFrame) -> pd.DataFrame:
         b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
@@ -4083,9 +4099,13 @@ def q14_promo_revenue(ray, sf_dir: str):
     lo = pd.Timestamp(Q14_START)
     hi = pd.Timestamp(Q14_END)
 
+    import pyarrow.dataset as _pads
+
     li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
               columns=["l_partkey", "l_shipdate", "l_extendedprice",
-                       "l_discount"])
+                       "l_discount"],
+              filter=((_pads.field("l_shipdate") >= lo)
+                      & (_pads.field("l_shipdate") < hi)))
 
     def rev_per_part(b: pd.DataFrame) -> pd.DataFrame:
         b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
