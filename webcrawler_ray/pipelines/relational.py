@@ -1477,11 +1477,21 @@ def lineitem_q6(ray, sf_dir: str):
     four predicate/payload columns, each batch reduces to one partial
     row (vectorized mask + int64 sums in 1e-4 units, the repo's
     float-determinism rule), and the driver folds O(batches) partials."""
-    ds = _rpq(ray, f"{sf_dir}/lineitem.parquet",
-              columns=["l_shipdate", "l_discount", "l_quantity",
-                       "l_extendedprice"])
     lo = pd.Timestamp("1996-01-01")
     hi = pd.Timestamp("1997-01-01")
+    import pyarrow.dataset as _pads
+
+    # the WHOLE predicate lands in the scan (row-level dataset filter +
+    # row-group stats pruning); the in-map mask is then an invariant
+    # no-op kept so the kernel is correct with or without pushdown
+    ds = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_shipdate", "l_discount", "l_quantity",
+                       "l_extendedprice"],
+              filter=((_pads.field("l_shipdate") >= lo)
+                      & (_pads.field("l_shipdate") < hi)
+                      & (_pads.field("l_discount") >= 0.05)
+                      & (_pads.field("l_discount") <= 0.07)
+                      & (_pads.field("l_quantity") < 24)))
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         m = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
@@ -2276,9 +2286,12 @@ def q3_shipping_priority(ray, sf_dir: str, k: int = 10):
     n_orders = _nrows(f"{sf_dir}/orders.parquet")
     n_cust = _nrows(f"{sf_dir}/customer.parquet")
 
+    import pyarrow.dataset as _pads
+
     li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
               columns=["l_orderkey", "l_extendedprice", "l_discount",
-                       "l_shipdate"])
+                       "l_shipdate"],
+              filter=_pads.field("l_shipdate") > cutoff)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["l_shipdate"] > cutoff]
