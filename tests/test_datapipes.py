@@ -1986,3 +1986,37 @@ class TestQ21SoleLateSupplier:
         out = rel.q21_waiting_suppliers(ray, str(d)).to_pandas()
         assert list(out["s_suppkey"]) == [1]
         assert list(out["numwait"]) == [1]
+
+
+class TestNewOpsMultiblock:
+    def test_mad_multiblock_matches_oracle(self, ray_session, ddb,
+                                           monkeypatch):
+        """Force many small blocks so both rank-select passes cross
+        block boundaries (histogram partials merged across blocks)."""
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        orig = rel._rpq
+        monkeypatch.setattr(
+            rel, "_rpq",
+            lambda r, path, **kw: orig(r, path, **kw).repartition(7))
+        got = _canon(_to_df(rel.events_type_mad(ray, SF_DIR)))
+        want = _canon(ddb.execute(rel.EVENTS_TYPE_MAD_SQL).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_skipgram_multiblock_matches_oracle(self, ray_session, ddb,
+                                                monkeypatch):
+        """Docs split across many blocks: pairs never cross documents,
+        so re-blocking must not change any count."""
+        import ray
+
+        import webcrawler_ray.pipelines.textpipe as tp
+
+        orig = tp._rpq
+        monkeypatch.setattr(
+            tp, "_rpq",
+            lambda r, path, **kw: orig(r, path, **kw).repartition(7))
+        got = _canon(_to_df(tp.docs_skipgram_counts(ray, SF_DIR)))
+        want = _canon(ddb.execute(tp.DOCS_SKIPGRAM_SQL).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
