@@ -94,6 +94,8 @@ SQL_CHECKED = [
     "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_qty_revenue", "q21_waiting_suppliers",
     "events_type_mad", "docs_skipgram_counts",
+    "q2_min_cost_supplier", "q13_customer_distribution",
+    "q20_excess_suppliers",
 ]
 
 
@@ -2020,3 +2022,122 @@ class TestNewOpsMultiblock:
         got = _canon(_to_df(tp.docs_skipgram_counts(ray, SF_DIR)))
         want = _canon(ddb.execute(tp.DOCS_SKIPGRAM_SQL).fetchdf())
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestQ13ZeroBucket:
+    def test_customers_without_qualifying_orders_land_in_zero(
+            self, ray_session, tmp_path):
+        """The LEFT OUTER's null side must survive into the histogram:
+        customer 3 has NO orders and customer 2's only order is the
+        excluded priority, so the zero bucket must count BOTH."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        d = tmp_path / "mini"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        }), str(d / "customer.parquet"))
+        pq.write_table(pa.table({
+            "o_custkey": pa.array([1, 1, 2], pa.int64()),
+            "o_orderpriority": ["1-URGENT", "5-LOW",
+                                rel.Q13_EXCL_PRIORITY],
+        }), str(d / "orders.parquet"))
+
+        out = rel.q13_customer_distribution(ray, str(d)).to_pandas()
+        dist = dict(zip(out["c_count"], out["custdist"]))
+        assert dist == {0: 2, 2: 1}
+
+
+class TestQ2MinTieAndRegionCut:
+    def test_tied_min_suppliers_both_win_and_region_filters(
+            self, ray_session, tmp_path):
+        """Suppliers 1 and 2 (in-region) tie at the per-part minimum
+        cost -> BOTH rows appear; supplier 3 offers a cheaper price but
+        sits OUTSIDE the region and must not shadow the winners."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        d = tmp_path / "mini"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "p_partkey": pa.array([7], pa.int64()),
+            "p_name": ["tiny bolt"],
+            "p_type": [rel.Q2_TYPE],
+            "p_size": pa.array([rel.Q2_MAX_SIZE], pa.int32()),
+        }), str(d / "part.parquet"))
+        pq.write_table(pa.table({
+            "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "s_name": ["S1", "S2", "S3"],
+            "s_acctbal": pa.array([10.0, 20.0, 30.0], pa.float64()),
+            "s_nationkey": pa.array([0, 0, 1], pa.int32()),
+        }), str(d / "supplier.parquet"))
+        pq.write_table(pa.table({
+            "n_nationkey": pa.array([0, 1], pa.int32()),
+            "n_name": ["IN_REGION", "ELSEWHERE"],
+            "n_regionkey": pa.array([0, 1], pa.int32()),
+        }), str(d / "nation.parquet"))
+        pq.write_table(pa.table({
+            "r_regionkey": pa.array([0, 1], pa.int32()),
+            "r_name": [rel.Q2_REGION, "OTHER"],
+        }), str(d / "region.parquet"))
+        # unit costs: s1 -> 5.00, s2 -> 5.00 (tie), s3 -> 1.00 (out)
+        pq.write_table(pa.table({
+            "l_partkey": pa.array([7, 7, 7], pa.int64()),
+            "l_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 5.0, 1.0], pa.float64()),
+            "l_quantity": pa.array([2.0, 1.0, 1.0], pa.float64()),
+        }), str(d / "lineitem.parquet"))
+
+        out = rel.q2_min_cost_supplier(ray, str(d)).to_pandas()
+        assert sorted(out["s_name"]) == ["S1", "S2"]
+        assert set(out["cost_cents"]) == {500}
+
+
+class TestQ20MajorityBoundary:
+    def test_exact_half_share_does_not_qualify(
+            self, ray_session, tmp_path):
+        """2*sq > tq is strict: supplier 1 ships exactly HALF of part
+        7's window volume (10 of 20) -> excluded; supplier 2 ships 60%
+        of part 8 -> included; supplier 3's majority part has the wrong
+        name prefix -> excluded; out-of-window rows must not count."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        d = tmp_path / "mini"
+        d.mkdir()
+        t_in = pd.Timestamp(rel.Q20_START) + pd.Timedelta(days=30)
+        t_out = pd.Timestamp(rel.Q20_END) + pd.Timedelta(days=1)
+        pq.write_table(pa.table({
+            "p_partkey": pa.array([7, 8, 9], pa.int64()),
+            "p_name": [f"{rel.Q20_NAME_PREFIX} bolt",
+                       f"{rel.Q20_NAME_PREFIX} rod", "cold widget"],
+        }), str(d / "part.parquet"))
+        pq.write_table(pa.table({
+            "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "s_name": ["S1", "S2", "S3"],
+        }), str(d / "supplier.parquet"))
+        pq.write_table(pa.table({
+            "l_partkey": pa.array([7, 7, 8, 8, 9, 8], pa.int64()),
+            "l_suppkey": pa.array([1, 2, 2, 1, 3, 2], pa.int64()),
+            "l_quantity": pa.array(
+                [10.0, 10.0, 6.0, 4.0, 5.0, 100.0], pa.float64()),
+            "l_shipdate": pa.array(
+                [t_in, t_in, t_in, t_in, t_in, t_out],
+                pa.timestamp("us")),
+        }), str(d / "lineitem.parquet"))
+
+        out = rel.q20_excess_suppliers(ray, str(d)).to_pandas()
+        assert list(out["s_suppkey"]) == [2]
+        assert list(out["s_name"]) == ["S2"]

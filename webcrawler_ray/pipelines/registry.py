@@ -643,6 +643,12 @@ def build_queries() -> dict:
             lambda sf: relational.q17_small_qty_revenue(ray, sf),
         "q21_waiting_suppliers":
             lambda sf: relational.q21_waiting_suppliers(ray, sf),
+        "q2_min_cost_supplier":
+            lambda sf: relational.q2_min_cost_supplier(ray, sf),
+        "q13_customer_distribution":
+            lambda sf: relational.q13_customer_distribution(ray, sf),
+        "q20_excess_suppliers":
+            lambda sf: relational.q20_excess_suppliers(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1215,6 +1221,9 @@ ORDER BY vec_id_a, vec_id_b
     "events_type_mad": relational.EVENTS_TYPE_MAD_SQL,
     "docs_skipgram_counts": textpipe.DOCS_SKIPGRAM_SQL,
     "q21_waiting_suppliers": relational.Q21_SQL,
+    "q2_min_cost_supplier": relational.Q2_SQL,
+    "q13_customer_distribution": relational.Q13_SQL,
+    "q20_excess_suppliers": relational.Q20_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

@@ -6273,3 +6273,357 @@ SELECT e.event_type,
 FROM events e JOIN m USING (event_type)
 GROUP BY e.event_type ORDER BY e.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+Q13_EXCL_PRIORITY = "4-NOT SPECIFIED"
+
+
+def q13_customer_distribution(ray, sf_dir: str):
+    """(c_count, custdist): TPC-H Q13 shape — the distribution of
+    per-customer order counts INCLUDING the zero bucket (customers with
+    no qualifying orders), i.e. a LEFT OUTER join whose null side must
+    survive into the histogram. Scale shape: orders pre-aggregate to
+    one row per customer (combiner + bucketed merge) with the priority
+    predicate pushed into the parquet scan; ONE distributed left_outer
+    join against the customer keyspace; the second groupby runs over
+    at most |distinct order counts| rows — dozens by construction —
+    via per-batch partials + a tiny global Sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+    import pyarrow.dataset as _pads
+
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_custkey", "o_orderpriority"],
+                  filter=(_pads.field("o_orderpriority")
+                          != Q13_EXCL_PRIORITY))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"c_custkey": b["o_custkey"].astype("int64"),
+                          "c_count": np.ones(len(b), dtype="int64")})
+        return g.groupby("c_custkey", as_index=False).sum()
+
+    per_cust = hash_bucket_aggregate(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+        ["c_custkey"],
+        lambda df: df.groupby("c_custkey", as_index=False).sum(),
+        n_rows=n_cust)
+
+    cust = _rpq(ray, f"{sf_dir}/customer.parquet",
+                columns=["c_custkey"])
+    joined = cust.join(per_cust, join_type="left_outer",
+                       on=("c_custkey",),
+                       num_partitions=join_partitions_for(n_cust))
+
+    def hist_partial(t: pa.Table) -> pd.DataFrame:
+        c = pc.coalesce(t.column("c_count"), pa.scalar(0, pa.int64()))
+        g = pd.DataFrame({"c_count": c.cast(pa.int64()).to_pandas(),
+                          "custdist": np.ones(t.num_rows, dtype="int64")})
+        return g.groupby("c_count", as_index=False).sum()
+
+    out = (joined.map_batches(hist_partial, batch_format="pyarrow")
+                 .groupby("c_count")
+                 .aggregate(Sum("custdist", alias_name="custdist")))
+    return out.sort(["custdist", "c_count"], descending=[True, True])
+
+
+Q13_SQL = f"""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey
+       AND o_orderpriority <> '{Q13_EXCL_PRIORITY}'
+      GROUP BY c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+Q2_REGION = "EUROPE"
+Q2_MAX_SIZE = 10
+Q2_TYPE = "STANDARD"
+
+
+def q2_min_cost_supplier(ray, sf_dir: str):
+    """(s_acctbal, s_name, n_name, p_partkey, p_name, cost_cents):
+    TPC-H Q2 shape — for each qualifying part, the region-local
+    supplier(s) offering the MINIMUM unit cost (the correlated MIN
+    subquery). No partsupp table in this corpus: the (part, supplier)
+    unit cost is the observed MIN floor(l_extendedprice*100/l_quantity)
+    over lineitem — reference parity: the reference engine has no such
+    query; this is the §2.5 relational surface extended to the full
+    TPC-H shape set. Scale: lineitem reduces to one row per
+    (part, supplier) via per-batch MIN partials + bucketed merge before
+    ANY join; region suppliers come from a DISTRIBUTED filter against a
+    broadcast nation->name map (dimension-sized by definition); the
+    correlated MIN decorrelates into a per-part bucketed MIN over the
+    already-joined candidates plus one equality join back."""
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+    import pyarrow.dataset as pads
+
+    n_part = _nrows(f"{sf_dir}/part.parquet")
+    n_supp = _nrows(f"{sf_dir}/supplier.parquet")
+    n_li = _nrows(f"{sf_dir}/lineitem.parquet")
+
+    # (part, supplier) -> min observed unit cost, reduced in-scan
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                       "l_quantity"])
+
+    def cost_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_partkey": b["l_partkey"].astype("int64"),
+            "l_suppkey": b["l_suppkey"].astype("int64"),
+            "cost_cents": np.floor(b["l_extendedprice"] * 100
+                                   / b["l_quantity"]).astype("int64")})
+        return g.groupby(["l_partkey", "l_suppkey"], as_index=False).min()
+
+    ps = hash_bucket_aggregate(
+        li.map_batches(cost_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["l_partkey", "l_suppkey"],
+        lambda df: df.groupby(["l_partkey", "l_suppkey"],
+                              as_index=False).min(),
+        n_rows=min(n_li, n_part * max(1, n_supp // 4)))
+
+    # nation x region is dimension-sized by definition -> driver map
+    nat = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pads.dataset(f"{sf_dir}/region.parquet").to_table(
+        columns=["r_regionkey", "r_name"])
+    rkeys = {reg.column("r_regionkey")[i].as_py()
+             for i in range(reg.num_rows)
+             if reg.column("r_name")[i].as_py() == Q2_REGION}
+    name_of = {nat.column("n_nationkey")[i].as_py():
+               nat.column("n_name")[i].as_py()
+               for i in range(nat.num_rows)
+               if nat.column("n_regionkey")[i].as_py() in rkeys}
+    name_ref = ray.put(name_of)
+
+    supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_name", "s_acctbal",
+                         "s_nationkey"])
+
+    def region_supp(t: pa.Table) -> pd.DataFrame:
+        names = ray.get(name_ref)
+        df = t.to_pandas()
+        nn = df["s_nationkey"].map(names)
+        df = df.assign(n_name=nn)[nn.notna()]
+        return pd.DataFrame({"l_suppkey": df["s_suppkey"].astype("int64"),
+                             "s_name": df["s_name"].astype(str),
+                             "s_acctbal": df["s_acctbal"].astype("float64"),
+                             "n_name": df["n_name"].astype(str)})
+
+    esupp = supp.map_batches(region_supp,
+                             batch_format="pyarrow").materialize()
+    n_esupp = max(1, esupp.count())
+
+    part = _rpq(ray, f"{sf_dir}/part.parquet",
+                columns=["p_partkey", "p_name", "p_type", "p_size"])
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less_equal(t.column("p_size").cast(pa.int64()),
+                          pa.scalar(Q2_MAX_SIZE, pa.int64())),
+            pc.equal(t.column("p_type"), Q2_TYPE))
+        t = t.filter(keep)
+        return pa.table({"l_partkey": t.column("p_partkey").cast(pa.int64()),
+                         "p_name": t.column("p_name")})
+
+    part = part.map_batches(part_filter,
+                            batch_format="pyarrow").materialize()
+    n_hit = max(1, part.count())
+
+    cand = ps.join(esupp, join_type="inner", on=("l_suppkey",),
+                   num_partitions=join_partitions_for(n_esupp))
+    cand = cand.join(part, join_type="inner", on=("l_partkey",),
+                     num_partitions=join_partitions_for(n_hit)
+                     ).materialize()
+
+    # decorrelated per-part MIN over the candidates themselves
+    def min_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"l_partkey": b["l_partkey"].astype("int64"),
+                          "best_cents": b["cost_cents"].astype("int64")})
+        return g.groupby("l_partkey", as_index=False).min()
+
+    pmin = hash_bucket_aggregate(
+        cand.map_batches(min_partial, batch_format="pandas"),
+        ["l_partkey"],
+        lambda df: df.groupby("l_partkey", as_index=False).min(),
+        n_rows=n_hit)
+
+    out = cand.join(pmin, join_type="inner", on=("l_partkey",),
+                    num_partitions=join_partitions_for(n_hit))
+
+    def winners(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("cost_cents").cast(pa.int64()),
+                              t.column("best_cents").cast(pa.int64())))
+        return pa.table({
+            "s_acctbal": t.column("s_acctbal"),
+            "s_name": t.column("s_name"),
+            "n_name": t.column("n_name"),
+            "p_partkey": t.column("l_partkey").cast(pa.int64()),
+            "p_name": t.column("p_name"),
+            "cost_cents": t.column("cost_cents").cast(pa.int64())})
+
+    return (out.map_batches(winners, batch_format="pyarrow")
+               .sort(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                     descending=[True, False, False, False]))
+
+
+Q2_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(FLOOR(l_extendedprice * 100 / l_quantity) AS BIGINT))
+             AS cost_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+esupp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'),
+cand AS (
+  SELECT ps.l_partkey, cost_cents, s_name, s_acctbal, n_name, p_name
+  FROM ps JOIN esupp ON ps.l_suppkey = s_suppkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_size <= {Q2_MAX_SIZE} AND p_type = '{Q2_TYPE}')
+SELECT s_acctbal, s_name, n_name,
+       CAST(l_partkey AS BIGINT) AS p_partkey, p_name, cost_cents
+FROM cand c
+WHERE cost_cents = (SELECT MIN(cost_cents) FROM cand c2
+                    WHERE c2.l_partkey = c.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+Q20_START = "1996-01-01"
+Q20_END = "1997-01-01"
+Q20_NAME_PREFIX = "large"
+
+
+def q20_excess_suppliers(ray, sf_dir: str):
+    """(s_suppkey, s_name): TPC-H Q20 shape — suppliers who shipped
+    MORE THAN HALF of a qualifying part's total volume inside a
+    one-year window (the nested available-quantity-vs-shipped-share
+    subquery; no partsupp table, so "share of the part's window
+    volume" replaces ps_availqty). Scale: the window predicate is
+    pushed into the parquet scan; quantities sum as int64 (order-
+    independent exactness); per-(part, supplier) sums reduce via
+    combiner + bucketed merge; the per-part total is a SECOND bucketed
+    aggregate over that already-small rollup (never the raw scan); the
+    part-name semi-join and supplier name join are distributed hash
+    joins sized from counts."""
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+    import pyarrow.dataset as _pads
+
+    n_part = _nrows(f"{sf_dir}/part.parquet")
+    n_supp = _nrows(f"{sf_dir}/supplier.parquet")
+    n_li = _nrows(f"{sf_dir}/lineitem.parquet")
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_suppkey", "l_quantity",
+                       "l_shipdate"],
+              filter=((_pads.field("l_shipdate")
+                       >= pd.Timestamp(Q20_START))
+                      & (_pads.field("l_shipdate")
+                         < pd.Timestamp(Q20_END))))
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"l_partkey": b["l_partkey"].astype("int64"),
+                          "l_suppkey": b["l_suppkey"].astype("int64"),
+                          "sq": b["l_quantity"].astype("int64")})
+        return g.groupby(["l_partkey", "l_suppkey"], as_index=False).sum()
+
+    per_ps = hash_bucket_aggregate(
+        li.map_batches(qty_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["l_partkey", "l_suppkey"],
+        lambda df: df.groupby(["l_partkey", "l_suppkey"],
+                              as_index=False).sum(),
+        n_rows=min(n_li, n_part * max(1, n_supp // 4))).materialize()
+
+    def tot_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"l_partkey": b["l_partkey"].astype("int64"),
+                          "tq": b["sq"].astype("int64")})
+        return g.groupby("l_partkey", as_index=False).sum()
+
+    per_p = hash_bucket_aggregate(
+        per_ps.map_batches(tot_partial, batch_format="pandas"),
+        ["l_partkey"],
+        lambda df: df.groupby("l_partkey", as_index=False).sum(),
+        n_rows=n_part)
+
+    part = _rpq(ray, f"{sf_dir}/part.parquet",
+                columns=["p_partkey", "p_name"])
+
+    def name_filter(t: pa.Table) -> pa.Table:
+        keep = pc.starts_with(t.column("p_name"),
+                              pattern=Q20_NAME_PREFIX)
+        return pa.table({"l_partkey":
+                         t.column("p_partkey").cast(pa.int64())
+                         }).filter(keep)
+
+    part = part.map_batches(name_filter,
+                            batch_format="pyarrow").materialize()
+    n_hit = max(1, part.count())
+
+    j = per_ps.join(per_p, join_type="inner", on=("l_partkey",),
+                    num_partitions=join_partitions_for(n_part))
+    j = j.join(part, join_type="inner", on=("l_partkey",),
+               num_partitions=join_partitions_for(n_hit))
+
+    def majority(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[2 * b["sq"].astype("int64") > b["tq"].astype("int64")]
+        return pd.DataFrame({"s_suppkey":
+                             b["l_suppkey"].astype("int64")
+                             }).drop_duplicates()
+
+    winners = hash_bucket_aggregate(
+        j.map_batches(majority, batch_format="pandas"),
+        ["s_suppkey"], lambda df: df.drop_duplicates(["s_suppkey"]),
+        n_rows=n_supp)
+
+    supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_name"])
+    out = winners.join(supp, join_type="inner", on=("s_suppkey",),
+                       num_partitions=join_partitions_for(n_supp))
+    return (out.map_batches(
+                lambda t: pa.table({
+                    "s_suppkey": t.column("s_suppkey").cast(pa.int64()),
+                    "s_name": t.column("s_name")}),
+                batch_format="pyarrow")
+               .sort("s_suppkey"))
+
+
+Q20_SQL = f"""
+WITH w AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q20_START}'
+    AND l_shipdate <  TIMESTAMP '{Q20_END}'),
+per_ps AS (SELECT l_partkey, l_suppkey, SUM(q) AS sq
+           FROM w GROUP BY l_partkey, l_suppkey),
+per_p AS (SELECT l_partkey, SUM(sq) AS tq FROM per_ps GROUP BY l_partkey)
+SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+FROM per_ps
+JOIN per_p USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_name LIKE '{Q20_NAME_PREFIX}%' AND 2 * sq > tq
+ORDER BY s_suppkey
+"""
