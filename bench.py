@@ -75,6 +75,8 @@ QUERY_NAMES = [
     "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_qty_revenue", "q21_waiting_suppliers",
     "events_type_mad", "docs_skipgram_counts",
+    "q2_min_cost_supplier", "q13_customer_distribution",
+    "q20_excess_suppliers",
 ]
 
 

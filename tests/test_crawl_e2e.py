@@ -292,3 +292,29 @@ class TestMetaBroadcastThreshold:
         oss = int(_ray.cluster_resources().get("object_store_memory", 0))
         assert got == min(1 << 30, oss // 32)
         assert 0 < got <= 1 << 30
+
+
+class TestChunkedScheduleE2E:
+    def test_chunked_politeness_matches_oracle_order(
+            self, ray_session, tiny_web, tmp_path):
+        """Force every pshard slice through the skew-split path
+        (politeness_chunk_rows=5, far below any round slice) — the
+        total crawl order must STILL match the oracle exactly."""
+        limit = 60
+        wd = str(tmp_path / "wd_chunked")
+        cfg = CrawlConfig(limit=limit, num_seen_shards=4,
+                          num_politeness_shards=3, parse_concurrency=2,
+                          politeness_chunk_rows=5)
+        crawler = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd, cfg)
+        seeds = open(tiny_web["seeds"]).read().splitlines()
+        try:
+            crawler.crawl(seeds)
+            att = (crawler.attempts_dataset().to_pandas()
+                   .sort_values("fetch_seq"))
+            oracle = oracle_run(tiny_web, limit)
+            got = list(zip(att["fetch_seq"], att["url"], att["status"]))
+            want = [(r.fetch_seq, r.url, r.status)
+                    for r in oracle.records]
+            assert got == want
+        finally:
+            crawler.shutdown_services()

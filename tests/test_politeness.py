@@ -258,3 +258,93 @@ class TestRobotsPropertyBased:
                 (dis, al, p)
 
         run()
+
+
+class TestChunkedScheduleIdentity:
+    """The skew-split path (crawl._schedule_chunked): a shard slice
+    streamed through the scheduler in seq-ordered chunks must be
+    bit-identical to the one-shot call — ts is closed-form per host with
+    the base carried in next_allowed between chunks."""
+
+    H2 = "https://mega.test"
+
+    def _mixed_batch(self):
+        rows = []
+        # mega host: 11 rows, shuffled seq order, mixed statuses
+        for i, seq in enumerate([7, 0, 3, 9, 1, 4, 10, 2, 8, 5, 6]):
+            rows.append((f"{self.H2}/p{seq}", self.H2, f"/p{seq}", seq,
+                         i % 5 != 0,      # some MISSING
+                         i % 7 != 0))     # some NON_HTML
+        # small host interleaved
+        for seq in (12, 11, 13):
+            rows.append((f"{H}/q{seq}", H, f"/q{seq}", seq, True, True))
+        return make_batch(rows)
+
+    def _robots(self):
+        return robots(**{
+            H: HostRules(host=H, crawl_delay=0.5, fetchable=True),
+            self.H2: HostRules(host=self.H2, crawl_delay=0.25,
+                               fetchable=True)})
+
+    @staticmethod
+    def _canon(t: pa.Table):
+        import pandas as pd
+        df = t.select(["seq", "url", "ts", "status",
+                       "will_save"]).to_pandas()
+        return df.sort_values("seq").reset_index(drop=True)
+
+    def test_chunked_equals_oneshot_and_state_carries(self):
+        import pandas as pd
+
+        batch = self._mixed_batch()
+        a = PolitenessShardState(0, self._robots())
+        b = PolitenessShardState(0, self._robots())
+
+        one = a.schedule(batch, 1000.0, round_id=1)
+        g = batch.sort_by("seq")
+        outs = [b.schedule(g.slice(off, 4), 1000.0, 1, ci)
+                for ci, off in enumerate(range(0, g.num_rows, 4))]
+        two = pa.concat_tables(outs)
+
+        pd.testing.assert_frame_equal(self._canon(one), self._canon(two))
+        assert a.next_allowed == b.next_allowed
+
+        # a SECOND round must also agree (state carried identically)
+        nxt = make_batch([(f"{self.H2}/r1", self.H2, "/r1", 20, True, True),
+                          (f"{H}/r2", H, "/r2", 21, True, True)])
+        pd.testing.assert_frame_equal(
+            self._canon(a.schedule(nxt, 1000.0, round_id=2)),
+            self._canon(b.schedule(nxt, 1000.0, round_id=2)))
+
+    def test_retry_replays_from_chunk0(self):
+        import pandas as pd
+
+        batch = self._mixed_batch().sort_by("seq")
+        st = PolitenessShardState(0, self._robots())
+        first = [st.schedule(batch.slice(off, 4), 1000.0, 1, ci)
+                 for ci, off in enumerate(range(0, batch.num_rows, 4))]
+        snap = dict(st.next_allowed)
+        # simulated map_groups retry: the whole chunk sequence replays
+        second = [st.schedule(batch.slice(off, 4), 1000.0, 1, ci)
+                  for ci, off in enumerate(range(0, batch.num_rows, 4))]
+        pd.testing.assert_frame_equal(
+            self._canon(pa.concat_tables(first)),
+            self._canon(pa.concat_tables(second)))
+        assert st.next_allowed == snap
+
+    def test_through_actor_helper(self, ray_session):
+        import pandas as pd
+
+        from webcrawler_ray.pipelines.crawl import _schedule_chunked
+        from webcrawler_ray.state.politeness import (
+            make_politeness_shard_actor,
+        )
+
+        batch = self._mixed_batch()
+        ref = PolitenessShardState(0, self._robots())
+        want = self._canon(ref.schedule(batch, 1000.0, round_id=1))
+
+        actor = make_politeness_shard_actor().remote(0, self._robots())
+        got = self._canon(
+            _schedule_chunked(actor, batch, 1000.0, 1, chunk_rows=4))
+        pd.testing.assert_frame_equal(got, want)

@@ -33,6 +33,17 @@ class CrawlConfig:
     #                                  ONE schedule RPC, so P is the
     #                                  politeness stage's parallelism and
     #                                  must widen with the cluster
+    politeness_chunk_rows: int = 2_000_000
+    #                                  skew split: a politeness shard whose
+    #                                  round slice exceeds this many rows
+    #                                  (a mega-host / hot shard) is streamed
+    #                                  through its actor in seq-ordered
+    #                                  chunks of this size instead of one
+    #                                  giant RPC — bounds actor heap to
+    #                                  O(chunk) at the 10^10-URL design
+    #                                  point; output is bit-identical
+    #                                  (ts is closed-form per host, state
+    #                                  carries across chunks)
     parse_concurrency: int = 4       # parse actor pool size
     parse_batch_size: int = 128      # html rows per parse batch (wide binary!)
     url_batch_size: int = 8192       # rows per batch in URL-algebra stages

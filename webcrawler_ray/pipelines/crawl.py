@@ -100,6 +100,33 @@ def _write_frontier(path: str, urls, hosts, ress, seqs) -> int:
     return t.num_rows
 
 
+def _schedule_chunked(actor, group: pa.Table, T: float, rnd: int,
+                      chunk_rows: int) -> pa.Table:
+    """Schedule one pshard group, splitting oversized slices explicitly.
+
+    Skew handling (north rule): hash(host) % P keeps hosts apart, but a
+    mega-host's whole round slice still lands in ONE group, so an
+    unbounded slice would ship through a single actor RPC and sit in the
+    actor heap whole. Instead, the slice is sorted by seq and streamed
+    through the SAME actor in ``chunk_rows``-row chunks: ts assignment
+    is closed-form per host (base + k*delay) with the base carried in
+    ``next_allowed`` between calls, so the concatenated result is
+    bit-identical to the one-shot schedule while actor memory stays
+    O(chunk_rows). chunk_id=0 owns the round-retry snapshot (a retried
+    map_groups task replays from chunk 0, restoring state first).
+    """
+    import ray as _ray
+
+    if group.num_rows <= chunk_rows:
+        return _ray.get(actor.schedule.remote(group, T, rnd))
+    g = group.sort_by("seq")  # per-host seq order across chunk cuts
+    outs = []
+    for ci, off in enumerate(range(0, g.num_rows, chunk_rows)):
+        outs.append(_ray.get(actor.schedule.remote(
+            g.slice(off, chunk_rows), T, rnd, ci)))
+    return pa.concat_tables(outs)
+
+
 class RayCrawler:
     """Crawl(config).run(seeds) — the programmatic surface mirroring the
     reference's ``Crawler`` (`Crawler.py:11-103`), returning datasets."""
@@ -253,16 +280,21 @@ class RayCrawler:
 
         ds = ds.map_batches(add_pshard, batch_format="pyarrow")
 
-        # ---- politeness scheduling (one actor RPC per shard) ------------
+        # ---- politeness scheduling (one actor RPC per shard; skew-split
+        # for oversized slices — north-rule "skew-heavy hosts salted and
+        # split explicitly": a mega-host concentrates its whole round
+        # slice in one pshard group, so that group streams through its
+        # actor in bounded seq-ordered chunks instead of one giant RPC) --
         pol = self.pol
+        chunk_rows = cfg.politeness_chunk_rows
 
         def sched_group(group: pa.Table) -> pa.Table:
-            import ray as _ray
             if group.num_rows == 0:
                 return group
             sid = int(group.column("pshard")[0].as_py())
-            return _ray.get(pol[sid].schedule.remote(
-                group.drop_columns(["pshard"]), T, rnd))
+            return _schedule_chunked(pol[sid],
+                                     group.drop_columns(["pshard"]),
+                                     T, rnd, chunk_rows)
 
         ds = ds.groupby("pshard").map_groups(sched_group, batch_format="pyarrow")
 

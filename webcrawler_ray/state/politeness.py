@@ -41,6 +41,9 @@ class PolitenessShardState:
         self._rule_cache: dict[str, tuple] = {}  # host -> (delay, HostRules)
         self._last_round_id: int | None = None
         self._pre_round: dict[str, float] | None = None
+        # within-round chunk-carry state (see schedule's chunk_id doc)
+        self._round_base: dict[str, float] = {}
+        self._round_k: dict[str, int] = {}
 
     def _rules_for(self, host: str) -> tuple:
         r = self._rule_cache.get(host)
@@ -51,7 +54,8 @@ class PolitenessShardState:
         return r
 
     def schedule(self, batch: pa.Table, T: float,
-                 round_id: int | None = None) -> pa.Table:
+                 round_id: int | None = None,
+                 chunk_id: int = 0) -> pa.Table:
         """Assign (ts, status, will_save) to one round's frontier slice.
 
         ``batch`` columns: url, host, resource, seq, in_table, is_html.
@@ -62,13 +66,33 @@ class PolitenessShardState:
         repeated call for the same round first restores the pre-round
         next_allowed snapshot (each shard is scheduled exactly once per
         round — one group per pshard key).
+
+        ``chunk_id`` supports the skew-split path (a mega-host shard
+        slice streamed through the actor in seq-ordered chunks, see
+        crawl._schedule_chunked): chunks after the first must NOT
+        restore the snapshot — they continue from the state the previous
+        chunk advanced. ts assignment is closed-form per host
+        (base + k*delay with base carried in next_allowed), so chunked
+        output is bit-identical to the one-shot call. A retried
+        map_groups task re-sends chunk 0 first, which restores the
+        snapshot and replays the whole sequence.
         """
-        if round_id is not None:
-            if round_id == self._last_round_id and self._pre_round is not None:
-                self.next_allowed = dict(self._pre_round)
-            else:
-                self._last_round_id = round_id
-                self._pre_round = dict(self.next_allowed)
+        if chunk_id == 0:
+            if round_id is not None:
+                if (round_id == self._last_round_id
+                        and self._pre_round is not None):
+                    self.next_allowed = dict(self._pre_round)
+                else:
+                    self._last_round_id = round_id
+                    self._pre_round = dict(self.next_allowed)
+            # per-round chunk-carry state: the ORIGINAL round base and the
+            # cumulative save count per host, so every chunk computes
+            # ts = base + k*delay as ONE multiply-add from the same base —
+            # accumulating floats across chunks (base += k1*delay, then
+            # + j*delay) would drift from the one-shot result by IEEE
+            # non-associativity and break the canonical crawl order
+            self._round_base = {}
+            self._round_k = {}
         import pandas as pd
 
         n = batch.num_rows
@@ -99,10 +123,16 @@ class PolitenessShardState:
         robots_denied = np.zeros(n, dtype=bool)
         delays = np.empty(len(uniq_hosts), dtype=np.float64)
         bases = np.empty(len(uniq_hosts), dtype=np.float64)
+        k0 = np.zeros(len(uniq_hosts), dtype=np.int64)
         for hc, host in enumerate(uniq_hosts):
             delay, hr = self._rules_for(host)
             delays[hc] = delay
-            bases[hc] = max(T, self.next_allowed.get(host, 0.0))
+            rb = self._round_base.get(host)
+            if rb is None:
+                rb = max(T, self.next_allowed.get(host, 0.0))
+                self._round_base[host] = rb
+            bases[hc] = rb
+            k0[hc] = self._round_k.get(host, 0)
             # unreachable robots => allow-all (Host.py:85-86), regardless
             # of any rules in the table (denied_batch handles this)
             if hr.fetchable and (hr.disallow or hr.allow):
@@ -129,17 +159,21 @@ class PolitenessShardState:
         start_cum = np.r_[0, cum[seg_start[1:] - 1]]
         k_s = (cum - ws_s) - start_cum[seg_id]
         host_code_s = codes_s[seg_start]
-        ts_s = (bases[codes_s] + k_s * delays[codes_s])
+        ts_s = (bases[codes_s] + (k0[codes_s] + k_s) * delays[codes_s])
         ts = np.empty(n, dtype=np.float64)
         ts[order] = ts_s
 
-        # next_allowed advances for hosts that made >=1 request
+        # next_allowed advances for hosts that made >=1 request — always
+        # recomputed as ONE multiply-add from the round base so chunked
+        # and one-shot scheduling produce the same IEEE double
         seg_end = np.r_[seg_start[1:] - 1, n - 1]
         k_tot = cum[seg_end] - start_cum
         for si, hc in enumerate(host_code_s):
             if k_tot[si] > 0:
-                self.next_allowed[uniq_hosts[hc]] = \
-                    bases[hc] + k_tot[si] * delays[hc]
+                host = uniq_hosts[hc]
+                kc = int(k0[hc] + k_tot[si])
+                self._round_k[host] = kc
+                self.next_allowed[host] = bases[hc] + kc * delays[hc]
 
         out = batch.append_column("ts", pa.array(ts, pa.float64()))
         out = out.append_column("status", pa.array(status, pa.int16()))
@@ -169,8 +203,9 @@ def make_politeness_shard_actor():
             self.state = PolitenessShardState(shard_id, robots)
 
         def schedule(self, batch: pa.Table, T: float,
-                     round_id: int | None = None) -> pa.Table:
-            return self.state.schedule(batch, T, round_id)
+                     round_id: int | None = None,
+                     chunk_id: int = 0) -> pa.Table:
+            return self.state.schedule(batch, T, round_id, chunk_id)
 
         def dump(self) -> bytes:
             return self.state.dump()
