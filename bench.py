@@ -76,7 +76,7 @@ QUERY_NAMES = [
     "q17_small_qty_revenue", "q21_waiting_suppliers",
     "events_type_mad", "docs_skipgram_counts",
     "q2_min_cost_supplier", "q13_customer_distribution",
-    "q20_excess_suppliers",
+    "q20_excess_suppliers", "docs_logreg_score",
 ]
 
 

@@ -95,7 +95,7 @@ SQL_CHECKED = [
     "q17_small_qty_revenue", "q21_waiting_suppliers",
     "events_type_mad", "docs_skipgram_counts",
     "q2_min_cost_supplier", "q13_customer_distribution",
-    "q20_excess_suppliers",
+    "q20_excess_suppliers", "docs_logreg_score",
 ]
 
 
@@ -2141,3 +2141,38 @@ class TestQ20MajorityBoundary:
         out = rel.q20_excess_suppliers(ray, str(d)).to_pandas()
         assert list(out["s_suppkey"]) == [2]
         assert list(out["s_name"]) == ["S2"]
+
+
+class TestLogregScore:
+    def test_tokenless_doc_scores_bias_and_signs_split(
+            self, ray_session, tmp_path):
+        """A whitespace-only doc must appear with score == BIAS (the
+        LEFT-JOIN/COALESCE side); a token-rich doc must sum w[bucket]
+        per token INSTANCE (duplicates count twice)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.textpipe as tp
+
+        d = tmp_path / "mini"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["   \t  ", "alpha alpha beta"],
+        }), str(d / "documents.parquet"))
+
+        out = (tp.docs_logreg_score(ray, str(d))
+                 .to_pandas().set_index("doc_id"))
+        assert out.loc[1, "score"] == tp.LOGREG_BIAS
+        assert bool(out.loc[1, "positive"]) == (tp.LOGREG_BIAS > 0)
+
+        import hashlib
+        w = tp.logreg_weights()
+
+        def wt(tok):
+            return int(w[int(hashlib.md5(tok.encode()).hexdigest()[:8],
+                             16) % len(w)])
+
+        want = tp.LOGREG_BIAS + 2 * wt("alpha") + wt("beta")
+        assert out.loc[2, "score"] == want

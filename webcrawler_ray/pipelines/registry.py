@@ -564,6 +564,8 @@ def build_queries() -> dict:
             lambda sf: textpipe.docs_csv_roundtrip(ray, sf),
         "docs_feature_hash":
             lambda sf: textpipe.docs_feature_hash(ray, sf),
+        "docs_logreg_score":
+            lambda sf: textpipe.docs_logreg_score(ray, sf),
         "revenue_cube": lambda sf: relational.revenue_cube(ray, sf),
         "events_dedup_daily":
             lambda sf: relational.events_dedup_daily(ray, sf),
@@ -1176,6 +1178,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_split": textpipe.DOCS_SPLIT_SQL,
     "docs_csv_roundtrip": textpipe.DOCS_CSV_ROUNDTRIP_SQL,
     "docs_feature_hash": textpipe.DOCS_FEATURE_HASH_SQL,
+    "docs_logreg_score": textpipe.DOCS_LOGREG_SCORE_SQL,
     "revenue_cube": relational.REVENUE_CUBE_SQL,
     "events_dedup_daily": relational.EVENTS_DEDUP_DAILY_SQL,
     "events_zorder": relational.EVENTS_ZORDER_SQL,

@@ -2810,3 +2810,90 @@ FROM tok2 a JOIN tok2 b
  AND b.pos BETWEEN a.pos + 1 AND a.pos + {SKIPGRAM_WINDOW}
 GROUP BY w1, w2 ORDER BY w1, w2
 """
+
+
+# ---------------------------------------------------------------------------
+# A deterministic "trained" linear classifier over hashed features: the
+# weight of bucket b is a pure function of b (Knuth multiplicative mix mod
+# a small prime, centered), so the SAME model exists in both engines with
+# no weight file to ship. The point is the INFERENCE SHAPE a quality-
+# classifier pass runs at 100 TB: the weight vector is put in the object
+# store ONCE (ray.put) and every scoring actor loads it in __init__ —
+# never re-shipped per batch; scoring is a pure streaming map_batches
+# (no exchange at all). All-integer arithmetic -> bit-exact oracle.
+LOGREG_DIM = FEATURE_HASH_DIM
+LOGREG_MOD = 1997            # weight = (b*2654435761) % 1997 - 998
+LOGREG_MIX = 2654435761      # Knuth's 2^32 / golden ratio
+LOGREG_BIAS = -4200
+
+
+def logreg_weights(dim: int = LOGREG_DIM) -> np.ndarray:
+    b = np.arange(dim, dtype=np.int64)
+    return (b * LOGREG_MIX) % LOGREG_MOD - LOGREG_MOD // 2
+
+
+def docs_logreg_score(ray, sf_dir: str, dim: int = LOGREG_DIM,
+                      concurrency: int = 2):
+    """(doc_id, score, positive): linear-model document scoring over
+    hashing-trick features — score = bias + sum over token instances of
+    w[md5(token) % dim], positive = score > 0. The model-inference
+    stage of a corpus quality filter, expressed Ray-Data-first:
+    broadcast weights + actor pool, one pass, no shuffle (the final
+    sort is presentation order only)."""
+    w_ref = ray.put(logreg_weights(dim))
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    class LogregScorer:
+        def __init__(self):
+            self.w = ray.get(w_ref)  # model fetched ONCE per actor
+            self.dim = len(self.w)
+            self.memo: dict[str, int] = {}
+
+        def _bucket(self, tok: str) -> int:
+            b = self.memo.get(tok)
+            if b is None:
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:8],
+                        16) % self.dim
+                self.memo[tok] = b
+            return b
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            scores = np.empty(len(texts), dtype=np.int64)
+            for i, tx in enumerate(texts):
+                toks = tokenize(tx.lower())
+                if toks:
+                    idx = np.fromiter((self._bucket(t) for t in toks),
+                                      dtype=np.int64, count=len(toks))
+                    scores[i] = LOGREG_BIAS + int(self.w[idx].sum())
+                else:
+                    scores[i] = LOGREG_BIAS
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+                "positive": pa.array(scores > 0, pa.bool_())})
+
+    return ds.map_batches(LogregScorer, batch_format="pyarrow",
+                          batch_size=1024,
+                          concurrency=concurrency).sort("doc_id")
+
+
+DOCS_LOGREG_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(str_split_regex(
+      regexp_replace(lower(text), '^{SQL_WS_CLASS}+|{SQL_WS_CLASS}+$',
+                     '', 'g'),
+      '{SQL_WS_CLASS}+')) AS token
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         SUM(({LOGREG_MIX} * (('0x' || substr(md5(token), 1, 8))::BIGINT
+                              % {LOGREG_DIM})) % {LOGREG_MOD}
+             - {LOGREG_MOD} // 2) AS s
+  FROM t WHERE token != '' GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST({LOGREG_BIAS} + COALESCE(s, 0) AS BIGINT) AS score,
+       ({LOGREG_BIAS} + COALESCE(s, 0)) > 0 AS positive
+FROM documents d LEFT JOIN scored USING (doc_id)
+ORDER BY d.doc_id
+"""
