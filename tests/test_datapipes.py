@@ -96,6 +96,7 @@ SQL_CHECKED = [
     "events_type_mad", "docs_skipgram_counts",
     "q2_min_cost_supplier", "q13_customer_distribution",
     "q20_excess_suppliers", "docs_logreg_score",
+    "events_pairs_intersect", "events_pairs_except",
 ]
 
 

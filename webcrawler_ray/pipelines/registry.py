@@ -651,6 +651,10 @@ def build_queries() -> dict:
             lambda sf: relational.q13_customer_distribution(ray, sf),
         "q20_excess_suppliers":
             lambda sf: relational.q20_excess_suppliers(ray, sf),
+        "events_pairs_intersect":
+            lambda sf: relational.events_pairs_intersect(ray, sf),
+        "events_pairs_except":
+            lambda sf: relational.events_pairs_except(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1227,6 +1231,8 @@ ORDER BY vec_id_a, vec_id_b
     "q2_min_cost_supplier": relational.Q2_SQL,
     "q13_customer_distribution": relational.Q13_SQL,
     "q20_excess_suppliers": relational.Q20_SQL,
+    "events_pairs_intersect": relational.EVENTS_PAIRS_INTERSECT_SQL,
+    "events_pairs_except": relational.EVENTS_PAIRS_EXCEPT_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

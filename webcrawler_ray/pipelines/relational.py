@@ -6627,3 +6627,84 @@ JOIN supplier ON s_suppkey = l_suppkey
 WHERE p_name LIKE '{Q20_NAME_PREFIX}%' AND 2 * sq > tq
 ORDER BY s_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+SETOP_A_END = "2024-01-03"
+SETOP_B_START = "2024-01-29"
+
+
+def _active_pairs(ray, sf_dir: str, lo: str | None, hi: str | None):
+    """DISTINCT (user_id, event_type) pairs active in a ts window, as a
+    materialized dataset plus its row count. The distinct runs as
+    per-batch drop_duplicates + a bucketed merge — at no point does the
+    raw event stream shuffle, only the already-deduped pairs."""
+    import pyarrow.dataset as _pads
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    f = None
+    if lo is not None:
+        f = _pads.field("ts") >= pd.Timestamp(lo)
+    if hi is not None:
+        g = _pads.field("ts") < pd.Timestamp(hi)
+        f = g if f is None else (f & g)
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "event_type", "ts"], filter=f)
+
+    keys = ["user_id", "event_type"]
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df[keys].drop_duplicates(keys)
+
+    n_ev = _nrows(f"{sf_dir}/events.parquet")
+    out = hash_bucket_aggregate(
+        ds.map_batches(dd, batch_format="pandas"), keys, dd,
+        n_rows=max(1, n_ev // 16)).materialize()
+    return out, max(1, out.count())
+
+
+def events_pairs_intersect(ray, sf_dir: str):
+    """(user_id, event_type): INTERSECT of the distinct activity-pair
+    sets of two ts windows — set semantics via distributed distinct on
+    each side, then ONE two-key hash join (never a union + count
+    trick that re-shuffles raw events)."""
+    from ..stages.aggregates import join_partitions_for
+
+    a, na = _active_pairs(ray, sf_dir, None, SETOP_A_END)
+    b, nb = _active_pairs(ray, sf_dir, SETOP_B_START, None)
+    out = a.join(b, join_type="inner", on=("user_id", "event_type"),
+                 num_partitions=join_partitions_for(min(na, nb)))
+    return out.sort(["user_id", "event_type"])
+
+
+def events_pairs_except(ray, sf_dir: str):
+    """(user_id, event_type): EXCEPT — pairs active in window A but not
+    in window B, the same two distinct sides reduced by ONE left_anti
+    join."""
+    from ..stages.aggregates import join_partitions_for
+
+    a, na = _active_pairs(ray, sf_dir, None, SETOP_A_END)
+    b, nb = _active_pairs(ray, sf_dir, SETOP_B_START, None)
+    out = a.join(b, join_type="left_anti", on=("user_id", "event_type"),
+                 num_partitions=join_partitions_for(min(na, nb)))
+    return out.sort(["user_id", "event_type"])
+
+
+EVENTS_PAIRS_INTERSECT_SQL = f"""
+SELECT user_id, event_type FROM events
+WHERE ts < TIMESTAMP '{SETOP_A_END}'
+INTERSECT
+SELECT user_id, event_type FROM events
+WHERE ts >= TIMESTAMP '{SETOP_B_START}'
+ORDER BY user_id, event_type
+"""
+
+EVENTS_PAIRS_EXCEPT_SQL = f"""
+SELECT user_id, event_type FROM events
+WHERE ts < TIMESTAMP '{SETOP_A_END}'
+EXCEPT
+SELECT user_id, event_type FROM events
+WHERE ts >= TIMESTAMP '{SETOP_B_START}'
+ORDER BY user_id, event_type
+"""
