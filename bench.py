@@ -78,6 +78,7 @@ QUERY_NAMES = [
     "q2_min_cost_supplier", "q13_customer_distribution",
     "q20_excess_suppliers", "docs_logreg_score",
     "events_pairs_intersect", "events_pairs_except",
+    "events_value_percentile_cont", "events_type_percentile_cont",
 ]
 
 

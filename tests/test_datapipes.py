@@ -97,6 +97,7 @@ SQL_CHECKED = [
     "q2_min_cost_supplier", "q13_customer_distribution",
     "q20_excess_suppliers", "docs_logreg_score",
     "events_pairs_intersect", "events_pairs_except",
+    "events_value_percentile_cont", "events_type_percentile_cont",
 ]
 
 
@@ -2177,3 +2178,65 @@ class TestLogregScore:
 
         want = tp.LOGREG_BIAS + 2 * wt("alpha") + wt("beta")
         assert out.loc[2, "score"] == want
+
+
+class TestPercentileCont:
+    def test_interpolates_between_adjacent_order_stats(
+            self, ray_session, tmp_path):
+        """n=5 values [10,20,30,40,1000]: idx(p25)=1.0 exactly (no
+        interpolation -> 20.0); idx(p50)=2.0 -> 30.0; idx(p75)=3.0 ->
+        40.0. n=4 [10,20,30,1000]: idx(p25)=0.75 -> 10+(20-10)*0.75 =
+        17.5; idx(p50)=1.5 -> 25.0; idx(p75)=2.25 -> 30+970*0.25 =
+        272.5 — true interpolation across a wild gap."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        d5 = tmp_path / "n5"
+        d5.mkdir()
+        pq.write_table(pa.table({
+            "value": pa.array([1000.0, 10.0, 30.0, 20.0, 40.0],
+                              pa.float64())}), str(d5 / "events.parquet"))
+        out = (rel.events_value_percentile_cont(ray, str(d5))
+               .set_index("pct")["value"])
+        assert out[25] == 20.0 and out[50] == 30.0 and out[75] == 40.0
+
+        d4 = tmp_path / "n4"
+        d4.mkdir()
+        pq.write_table(pa.table({
+            "value": pa.array([30.0, 10.0, 1000.0, 20.0], pa.float64())
+        }), str(d4 / "events.parquet"))
+        out = (rel.events_value_percentile_cont(ray, str(d4))
+               .set_index("pct")["value"])
+        assert out[25] == 17.5 and out[50] == 25.0 and out[75] == 272.5
+
+
+class TestGroupedPercentileCont:
+    def test_per_group_interpolation(self, ray_session, tmp_path):
+        """Group a: [10,20,30,1000] (n=4) -> p25=17.5, p50=25.0,
+        p75=272.5; group b: [5,7,9] (n=3) -> p25=6.0, p50=7.0,
+        p75=8.0 (idx 0.5/1.0/1.5)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        d = tmp_path / "mini"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "event_type": ["a", "a", "a", "a", "b", "b", "b"],
+            "value": pa.array([1000.0, 10.0, 30.0, 20.0, 9.0, 5.0, 7.0],
+                              pa.float64()),
+        }), str(d / "events.parquet"))
+
+        out = rel.events_type_percentile_cont(ray, str(d))
+        got = out.set_index(["event_type", "pct"])["value"]
+        assert got[("a", 25)] == 17.5
+        assert got[("a", 50)] == 25.0
+        assert got[("a", 75)] == 272.5
+        assert got[("b", 25)] == 6.0
+        assert got[("b", 50)] == 7.0
+        assert got[("b", 75)] == 8.0

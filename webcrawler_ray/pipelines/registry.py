@@ -655,6 +655,10 @@ def build_queries() -> dict:
             lambda sf: relational.events_pairs_intersect(ray, sf),
         "events_pairs_except":
             lambda sf: relational.events_pairs_except(ray, sf),
+        "events_value_percentile_cont":
+            lambda sf: relational.events_value_percentile_cont(ray, sf),
+        "events_type_percentile_cont":
+            lambda sf: relational.events_type_percentile_cont(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1233,6 +1237,8 @@ ORDER BY vec_id_a, vec_id_b
     "q20_excess_suppliers": relational.Q20_SQL,
     "events_pairs_intersect": relational.EVENTS_PAIRS_INTERSECT_SQL,
     "events_pairs_except": relational.EVENTS_PAIRS_EXCEPT_SQL,
+    "events_value_percentile_cont": relational.EVENTS_PCONT_SQL,
+    "events_type_percentile_cont": relational.EVENTS_TYPE_PCONT_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

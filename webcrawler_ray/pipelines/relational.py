@@ -793,10 +793,22 @@ def rank_select_values(ray, path: str, pcts) -> dict:
     n = _nrows(path)  # parquet footers, no read
     if n == 0:
         return {}
+    return rank_select_at(
+        ray, path, {p: max(1, int(np.ceil(n * p / 100))) for p in pcts})
+
+
+def rank_select_at(ray, path: str, ranks: dict) -> dict:
+    """{key: the ranks[key]-th smallest value (1-based) of ``path``'s
+    value column} — the generalized core of the iterative
+    partition-count rank-select (arbitrary 1-based ranks instead of
+    percentile shorthand; percentile_cont needs the two ADJACENT order
+    statistics around a continuous index)."""
+    n = _nrows(path)  # parquet footers, no read
+    if n == 0 or not ranks:
+        return {}
     # value ONLY: the tie-break column never affects the output (see 2.
     # above), so every histogram / collect re-scan moves one column
     ds = _rpq(ray, path, columns=["value"])
-    ranks = {p: max(1, int(np.ceil(n * p / 100))) for p in pcts}
 
     from ray.data.aggregate import Max, Min
 
@@ -804,7 +816,7 @@ def rank_select_values(ray, path: str, pcts) -> dict:
     gmin, gmax = float(mm["min(value)"]), float(mm["max(value)"])
 
     states = {p: {"lo": gmin, "hi": gmax, "base": 0, "count": n,
-                  "done": gmin == gmax, "value": gmin} for p in pcts}
+                  "done": gmin == gmax, "value": gmin} for p in ranks}
 
     B = _PCT_BINS
 
@@ -879,7 +891,7 @@ def rank_select_values(ray, path: str, pcts) -> dict:
             xs = np.sort(coll.loc[coll["pct"] == p, "value"].to_numpy())
             states[p]["value"] = float(xs[ranks[p] - st["base"] - 1])
 
-    return {p: states[p]["value"] for p in pcts}
+    return {p: states[p]["value"] for p in ranks}
 
 
 EVENTS_PERCENTILES_SQL = """
@@ -1807,7 +1819,8 @@ _MEDIAN_COLLECT = 65536
 
 def grouped_percentile_disc(ray, path_or_ds, qs: tuple,
                             group_col: str = "event_type",
-                            value_col: str = "value") -> pd.DataFrame:
+                            value_col: str = "value",
+                            rank_fn=None) -> pd.DataFrame:
     """EXACT per-group discrete percentiles (percentile_disc semantics —
     the value at rank ceil(q*n) of the group's sorted values) for EVERY
     q in ``qs`` at once, via grouped ITERATIVE partition-count
@@ -1845,7 +1858,9 @@ def grouped_percentile_disc(ray, path_or_ds, qs: tuple,
     for _, r in mm.iterrows():
         n = int(r["count()"])
         for q in qs:
-            s = {"rank": int(np.ceil(q * n)), "base": 0, "count": n,
+            s = {"rank": (int(np.ceil(q * n)) if rank_fn is None
+                          else int(rank_fn(q, n))),
+                 "base": 0, "count": n,
                  "lo": float(r[f"min({value_col})"]),
                  "hi": float(r[f"max({value_col})"]),
                  "done": False, "value": np.nan}
@@ -6707,4 +6722,137 @@ EXCEPT
 SELECT user_id, event_type FROM events
 WHERE ts >= TIMESTAMP '{SETOP_B_START}'
 ORDER BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+PCONT_PCTS = (25, 50, 75)
+
+
+def events_value_percentile_cont(ray, sf_dir: str):
+    """(pct, value): INTERPOLATED percentiles (SQL percentile_cont) of
+    events.value — the continuous companion to the discrete
+    events_value_percentiles. The continuous index (n-1)*p/100 is split
+    into EXACT integers (quotient rank + remainder), the two adjacent
+    order statistics come from the shared iterative rank-select (NO
+    total sort, no materialization), and the interpolation
+    lo + (hi - lo) * (rem / 100.0) is the identical IEEE expression the
+    oracle SQL spells out over ROW_NUMBER order statistics — rem/100 is
+    dyadic for these pcts, so both engines produce the same double."""
+    path = f"{sf_dir}/events.parquet"
+    n = _nrows(path)
+    if n == 0:
+        return pd.DataFrame({"pct": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    plan, need = {}, set()
+    for p in PCONT_PCTS:
+        q, r = divmod((n - 1) * p, 100)
+        lo_rank = q + 1
+        hi_rank = lo_rank + 1 if r else lo_rank
+        plan[p] = (lo_rank, hi_rank, r)
+        need.update((lo_rank, hi_rank))
+    vals = rank_select_at(ray, path, {k: k for k in need})
+    out = []
+    for p in PCONT_PCTS:
+        lo_rank, hi_rank, r = plan[p]
+        lo, hi = vals[lo_rank], vals[hi_rank]
+        out.append(lo + (hi - lo) * (r / 100.0))
+    return pd.DataFrame({"pct": pd.Series(PCONT_PCTS, dtype="int64"),
+                         "value": pd.Series(out, dtype="float64")})
+
+
+EVENTS_PCONT_SQL = """
+WITH o AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events),
+p(pct) AS (VALUES (CAST(25 AS BIGINT)), (CAST(50 AS BIGINT)),
+                  (CAST(75 AS BIGINT))),
+ix AS (
+  SELECT pct,
+         ((n - 1) * pct) // 100 + 1 AS lo_rn,
+         ((n - 1) * pct) % 100 AS rem
+  FROM p CROSS JOIN (SELECT DISTINCT n FROM o) t)
+SELECT ix.pct,
+       lo.value + (hi.value - lo.value) * (ix.rem / 100.0) AS value
+FROM ix
+JOIN o lo ON lo.rn = ix.lo_rn
+JOIN o hi ON hi.rn = CASE WHEN ix.rem > 0 THEN ix.lo_rn + 1
+                          ELSE ix.lo_rn END
+ORDER BY ix.pct
+"""
+
+
+# ---------------------------------------------------------------------------
+def events_type_percentile_cont(ray, sf_dir: str, pcts=PCONT_PCTS):
+    """(event_type, pct, value): per-group INTERPOLATED percentiles
+    (percentile_cont WITHIN GROUP) — the grouped companion to
+    events_value_percentile_cont. Both adjacent order statistics for
+    every (group, pct) resolve in ONE shared grouped rank-select run
+    (pseudo-q encoding: q=p marks the floor rank, q=p+0.5 the ceil
+    rank), so the refinement passes stay O(log n) streamed scans with
+    no total sort; the interpolation is the same explicit IEEE
+    expression the oracle SQL spells out (rem/100 dyadic for these
+    pcts)."""
+    path = f"{sf_dir}/events.parquet"
+
+    def rank_fn(q, n):
+        p = int(q)
+        lo = (n - 1) * p // 100 + 1
+        if q != p and ((n - 1) * p) % 100:
+            return min(n, lo + 1)
+        return lo
+
+    qs = tuple(sorted([float(p) for p in pcts]
+                      + [p + 0.5 for p in pcts]))
+    got = grouped_percentile_disc(ray, path, qs, rank_fn=rank_fn)
+    got = got.set_index(["event_type", "q"])["value"]
+
+    types = sorted({et for et, _ in got.index})
+    # per-group n for the exact remainder — O(groups) aggregate
+    from ray.data.aggregate import Count
+
+    nn = (_rpq(ray, path, columns=["event_type"])
+          .groupby("event_type").aggregate(Count(alias_name="n"))
+          .to_pandas().set_index("event_type")["n"])
+
+    o_t, o_p, o_v = [], [], []
+    for et in types:
+        n = int(nn[et])
+        for p in pcts:
+            rem = ((n - 1) * p) % 100
+            lo = got[(et, float(p))]
+            hi = got[(et, p + 0.5)]
+            o_t.append(et)
+            o_p.append(p)
+            o_v.append(lo + (hi - lo) * (rem / 100.0))
+    return pd.DataFrame({
+        "event_type": pd.Series(o_t, dtype=str),
+        "pct": pd.Series(o_p, dtype="int64"),
+        "value": pd.Series(o_v, dtype="float64")})
+
+
+EVENTS_TYPE_PCONT_SQL = """
+WITH o AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+p(pct) AS (VALUES (CAST(25 AS BIGINT)), (CAST(50 AS BIGINT)),
+                  (CAST(75 AS BIGINT))),
+g AS (SELECT DISTINCT event_type, n FROM o),
+ix AS (
+  SELECT event_type, pct,
+         ((n - 1) * pct) // 100 + 1 AS lo_rn,
+         ((n - 1) * pct) % 100 AS rem
+  FROM g CROSS JOIN p)
+SELECT ix.event_type, ix.pct,
+       lo.value + (hi.value - lo.value) * (ix.rem / 100.0) AS value
+FROM ix
+JOIN o lo ON lo.event_type = ix.event_type AND lo.rn = ix.lo_rn
+JOIN o hi ON hi.event_type = ix.event_type
+         AND hi.rn = CASE WHEN ix.rem > 0 THEN ix.lo_rn + 1
+                          ELSE ix.lo_rn END
+ORDER BY ix.event_type, ix.pct
 """
