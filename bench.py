@@ -79,7 +79,7 @@ QUERY_NAMES = [
     "q20_excess_suppliers", "docs_logreg_score",
     "events_pairs_intersect", "events_pairs_except",
     "events_value_percentile_cont", "events_type_percentile_cont",
-    "docs_weighted_sample",
+    "docs_weighted_sample", "events_asof_next_purchase",
 ]
 
 

@@ -98,7 +98,7 @@ SQL_CHECKED = [
     "q20_excess_suppliers", "docs_logreg_score",
     "events_pairs_intersect", "events_pairs_except",
     "events_value_percentile_cont", "events_type_percentile_cont",
-    "docs_weighted_sample",
+    "docs_weighted_sample", "events_asof_next_purchase",
 ]
 
 
@@ -2274,3 +2274,50 @@ class TestWeightedSample:
             return h / float(w)
 
         assert key(1, 1_000_000_000) < key(2, 7)
+
+
+class TestAsofForward:
+    def test_tolerance_boundary_and_tie(self, ray_session, tmp_path):
+        """View at t=0: purchases at t=0 (same instant, ids 20/21) ->
+        matches id 20 (min-id tie, gap 0). View at t=100: next purchase
+        exactly AT the 24h tolerance -> still matches (<=). View at
+        after every purchase: nothing ahead -> dropped. A purchase
+        BEFORE the view never matches (forward only)."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        TOL = rel.ASOF_FWD_TOL_US
+        base = pd.Timestamp("2024-01-01").value // 1000  # us
+
+        def ts(us):
+            return pd.Timestamp(us * 1000)
+
+        d = tmp_path / "mini"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "event_id": pa.array([1, 2, 3, 20, 21, 22, 23, 24],
+                                 pa.int64()),
+            "user_id": pa.array([7] * 8, pa.int64()),
+            "ts": pa.array([ts(base + 0), ts(base + 100),
+                            ts(base + 300 + TOL),
+                            ts(base + 0), ts(base + 0),
+                            ts(base + 100 + TOL),
+                            ts(base + 200 + TOL),
+                            ts(base - 50)],
+                           pa.timestamp("us")),
+            "event_type": ["view", "view", "view",
+                           "purchase", "purchase", "purchase",
+                           "purchase", "purchase"],
+        }), str(d / "events.parquet"))
+
+        out = (rel.events_asof_next_purchase(ray, str(d))
+               .to_pandas().set_index("event_id"))
+        assert out.loc[1, "purchase_event_id"] == 20  # min-id tie
+        assert out.loc[1, "gap_us"] == 0
+        assert out.loc[2, "purchase_event_id"] == 22  # at tolerance
+        assert out.loc[2, "gap_us"] == TOL
+        assert 3 not in out.index                     # beyond tolerance

@@ -661,6 +661,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_value_percentile_cont(ray, sf),
         "events_type_percentile_cont":
             lambda sf: relational.events_type_percentile_cont(ray, sf),
+        "events_asof_next_purchase":
+            lambda sf: relational.events_asof_next_purchase(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1241,6 +1243,8 @@ ORDER BY vec_id_a, vec_id_b
     "events_pairs_except": relational.EVENTS_PAIRS_EXCEPT_SQL,
     "events_value_percentile_cont": relational.EVENTS_PCONT_SQL,
     "events_type_percentile_cont": relational.EVENTS_TYPE_PCONT_SQL,
+    "events_asof_next_purchase":
+        relational.EVENTS_ASOF_NEXT_PURCHASE_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

@@ -6856,3 +6856,90 @@ JOIN o hi ON hi.event_type = ix.event_type
                           ELSE ix.lo_rn END
 ORDER BY ix.event_type, ix.pct
 """
+
+
+# ---------------------------------------------------------------------------
+ASOF_FWD_TOL_US = 24 * 3600 * 1_000_000  # 24h
+
+
+def events_asof_next_purchase(ray, sf_dir: str):
+    """(event_id, purchase_event_id, gap_us): FORWARD as-of join with
+    tolerance — for each 'view' event, the same user's NEXT 'purchase'
+    within 24 hours (ties at the same microsecond resolve to the min
+    purchase event_id); views without one are dropped (inner as-of).
+    The forward/tolerance companion to events_asof_order's backward
+    join: same partitioned shape — both sides normalized to one union
+    schema, ONE coarse user-bucket exchange, then a single C-speed
+    pd.merge_asof(direction='forward', tolerance=...) per bucket over
+    thousands of users at once."""
+    from ..stages.aggregates import buckets_for
+
+    ev = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "event_type"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        keep = pc.or_(pc.equal(et, "view"), pc.equal(et, "purchase"))
+        b = b.filter(keep)
+        is_p = pc.equal(b.column("event_type"), "purchase")
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "t_us": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id"),
+            "is_purchase": is_p})
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u, N_BUCKETS)
+        return t.append_column("ubucket", pa.array(b, pa.int64()))
+
+    both = (ev.map_batches(norm, batch_format="pyarrow")
+              .map_batches(add_bucket, batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_p = g["is_purchase"].to_numpy()
+        # right sorted by (t_us, event_id): forward matches the FIRST
+        # row >= the view time, so same-instant ties land on the min id
+        pdf = g[is_p].sort_values(["t_us", "event_id"], kind="mergesort")
+        vdf = g[~is_p].sort_values("t_us", kind="mergesort")
+        if len(pdf) == 0 or len(vdf) == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "purchase_event_id": pd.Series([], dtype="int64"),
+                "gap_us": pd.Series([], dtype="int64")})
+        m = pd.merge_asof(
+            vdf[["user_id", "t_us", "event_id"]],
+            pdf[["user_id", "t_us", "event_id"]].rename(
+                columns={"event_id": "p_id", "t_us": "p_t_us"}),
+            left_on="t_us", right_on="p_t_us", by="user_id",
+            direction="forward", tolerance=ASOF_FWD_TOL_US)
+        m = m.dropna(subset=["p_id"])
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "purchase_event_id": m["p_id"].astype("int64"),
+            "gap_us": (m["p_t_us"].astype("int64")
+                       - m["t_us"].astype("int64"))})
+
+    return (both.groupby("ubucket").map_groups(per_bucket,
+                                               batch_format="pandas")
+                .sort("event_id"))
+
+
+EVENTS_ASOF_NEXT_PURCHASE_SQL = f"""
+WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT v.event_id, p.event_id AS purchase_event_id,
+         epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+         ROW_NUMBER() OVER (PARTITION BY v.event_id
+                            ORDER BY p.ts, p.event_id) AS rn
+  FROM v JOIN p ON v.user_id = p.user_id
+   AND p.ts >= v.ts
+   AND epoch_us(p.ts) - epoch_us(v.ts) <= {ASOF_FWD_TOL_US})
+SELECT event_id, purchase_event_id, CAST(gap_us AS BIGINT) AS gap_us
+FROM cand WHERE rn = 1 ORDER BY event_id
+"""
