@@ -99,6 +99,7 @@ SQL_CHECKED = [
     "events_pairs_intersect", "events_pairs_except",
     "events_value_percentile_cont", "events_type_percentile_cont",
     "docs_weighted_sample", "events_asof_next_purchase",
+    "dedup_keep_best",
 ]
 
 
@@ -2321,3 +2322,35 @@ class TestAsofForward:
         assert out.loc[2, "purchase_event_id"] == 22  # at tolerance
         assert out.loc[2, "gap_us"] == TOL
         assert 3 not in out.index                     # beyond tolerance
+
+
+class TestKeepBest:
+    def test_one_survivor_per_cluster_and_singletons_survive(
+            self, ray_session):
+        """Invariant against the clusters output itself: exactly ONE
+        member of every cluster survives, that member is the cluster's
+        (max n_chars, min doc_id) argmax, and every non-member doc is
+        kept."""
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.dedup as dd
+
+        kept = set(dd.dedup_keep_best(ray, SF_DIR)
+                   .to_pandas()["doc_id"])
+        cl = dd.dedup_clusters(ray, SF_DIR)
+        cl = cl.to_pandas() if hasattr(cl, "to_pandas") else cl.to_pandas()
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "n_chars"]).to_pandas()
+        nchars = dict(zip(docs["doc_id"], docs["n_chars"]))
+
+        members = set(cl["doc_id"])
+        # non-members all kept
+        assert set(docs["doc_id"]) - members <= kept
+        # per cluster: the exact argmax survives, everyone else drops
+        for cid, grp in cl.groupby("cluster_id"):
+            ids = sorted(grp["doc_id"])
+            best = min(ids, key=lambda i: (-nchars[i], i))
+            assert best in kept
+            assert not (set(ids) - {best}) & kept

@@ -878,3 +878,57 @@ SELECT doc_id, n_chars FROM (
     AND md5(LOWER({_E_TRIM})) = md5(LOWER({_D_TRIM}))))
 WHERE rn = 1 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+def dedup_keep_best(ray, sf_dir: str, threshold: float = 0.8):
+    """(doc_id,): the CANONICAL SURVIVOR SET of near-duplicate dedup —
+    within every verified-MinHash cluster keep the single best document
+    (max n_chars, ties to min doc_id); documents outside any cluster
+    survive untouched. The keep-rule step an LLM-corpus curation run
+    applies after clustering (keep the longest member, drop the rest).
+
+    Scale shape: clusters come from the existing distributed label
+    propagation (pair ids only); the per-cluster argmax is the
+    combiner-keeps-one-winner pattern (idempotent max-by merge); losers
+    = members minus winners via ONE left_anti join, and the final
+    survivor set is documents left_anti losers — the corpus text never
+    shuffles anywhere."""
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    n_docs = _nrows(f"{sf_dir}/documents.parquet")
+    docs = _rpq(ray, f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "n_chars"])
+
+    members = dedup_clusters(ray, sf_dir, threshold=threshold)
+    if isinstance(members, pa.Table):  # empty pair graph: keep all
+        return (docs.map_batches(lambda t: t.select(["doc_id"]),
+                                 batch_format="pyarrow").sort("doc_id"))
+    members = members.materialize()
+    n_mem = max(1, members.count())
+
+    scored = members.join(docs, join_type="inner", on=("doc_id",),
+                          num_partitions=join_partitions_for(n_mem))
+
+    def argbest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster_id", "n_chars", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.drop_duplicates("cluster_id", keep="first")
+
+    winners = hash_bucket_aggregate(
+        scored.map_batches(argbest, batch_format="pandas"),
+        ["cluster_id"], argbest, n_rows=n_mem)
+    winners = winners.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+    losers = members.join(winners, join_type="left_anti",
+                          on=("doc_id",),
+                          num_partitions=join_partitions_for(n_mem))
+    kept = docs.join(losers, join_type="left_anti", on=("doc_id",),
+                     num_partitions=join_partitions_for(n_docs))
+    return kept.map_batches(lambda t: t.select(["doc_id"]),
+                            batch_format="pyarrow").sort("doc_id")

@@ -356,3 +356,31 @@ SELECT doc_id, MIN(i) AS span_start,
 FROM grp GROUP BY doc_id, g
 ORDER BY doc_id, span_start
 """)
+
+
+def keep_best_sql(threshold: float = 0.8) -> str:
+    """Oracle for ``dedup_keep_best``: the clusters closure (see
+    clusters_sql) extended with the keep-rule — per cluster keep the
+    max-n_chars (min doc_id on ties) member; non-members all survive."""
+    return ("WITH RECURSIVE" + _tokens_cte() + "," + _shingles_cte()[2:]
+            + _bands_cte() + _verified_pairs_cte(threshold) + """,
+ bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+ nodes AS (SELECT DISTINCT a AS doc_id FROM bi),
+ lab AS (SELECT doc_id AS seq, doc_id AS comp FROM nodes
+         UNION
+         SELECT bi.b, lab.comp FROM lab JOIN bi ON bi.a = lab.seq
+         WHERE lab.comp < bi.b),
+ cl AS (SELECT n.doc_id, MIN(l.comp) AS cluster_id
+        FROM nodes n JOIN lab l ON l.seq = n.doc_id
+        GROUP BY n.doc_id),
+ best AS (SELECT cl.doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                    ORDER BY d.n_chars DESC,
+                                             cl.doc_id) AS rn
+          FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+SELECT d.doc_id FROM documents d
+LEFT JOIN best b ON b.doc_id = d.doc_id
+WHERE b.doc_id IS NULL OR b.rn = 1
+ORDER BY d.doc_id
+""")

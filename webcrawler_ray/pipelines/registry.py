@@ -697,6 +697,8 @@ def build_queries() -> dict:
             "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(ray, sf),
             "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(ray, sf),
             "dedup_clusters": lambda sf: dedup.dedup_clusters(ray, sf),
+            "dedup_keep_best":
+                lambda sf: dedup.dedup_keep_best(ray, sf),
             "dedup_simhash": lambda sf: dedup.simhash_pairs(ray, sf),
             "dedup_embedding_cosine": lambda sf: similarity.cosine_dup_pairs(ray, sf),
             "dedup_incremental":
@@ -1334,6 +1336,8 @@ try:
     # sf0.01); only the self-referencing `lab` must stay plain
     ORACLE_SQL["dedup_clusters"] = _materialize_ctes(
         _dor.clusters_sql()).replace("lab AS MATERIALIZED (", "lab AS (")
+    ORACLE_SQL["dedup_keep_best"] = _materialize_ctes(
+        _dor.keep_best_sql()).replace("lab AS MATERIALIZED (", "lab AS (")
     ORACLE_SQL["dedup_simhash"] = _materialize_ctes(_dor.simhash_sql())
     ORACLE_SQL["doc_winnow"] = _materialize_ctes(_dor.winnow_sql())
     from .textpipe import (
