@@ -932,3 +932,64 @@ def dedup_keep_best(ray, sf_dir: str, threshold: float = 0.8):
                      num_partitions=join_partitions_for(n_docs))
     return kept.map_batches(lambda t: t.select(["doc_id"]),
                             batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+def dedup_rate_by_source(ray, sf_dir: str, threshold: float = 0.8):
+    """(source, n_docs, n_dup_members, dup_rate_bp): near-duplicate
+    RATE per corpus source — the curation health metric that tells you
+    WHICH feed is flooding the corpus with near-copies. n_dup_members
+    counts docs belonging to any verified-MinHash cluster; dup_rate_bp
+    is the integer basis-point rate (n_dup_members * 10000 // n_docs,
+    exact in both engines). Scale shape: cluster membership is ids
+    only; ONE join attaches each member's source; both rollups are
+    combiner partials over O(sources) rows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import join_partitions_for
+
+    docs = _rpq(ray, f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "source"])
+
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        g = pd.DataFrame({"source": t.column("source").to_pylist()})
+        g["n_docs"] = np.ones(len(g), dtype="int64")
+        return g.groupby("source", as_index=False).sum()
+
+    per_source = (docs.map_batches(count_partial, batch_format="pyarrow")
+                      .groupby("source")
+                      .aggregate(Sum("n_docs", alias_name="n_docs"))
+                      .to_pandas())
+
+    members = dedup_clusters(ray, sf_dir, threshold=threshold)
+    if isinstance(members, pa.Table) or members.count() == 0:
+        mem_counts = pd.DataFrame({"source": pd.Series([], dtype=str),
+                                   "n_dup_members": pd.Series(
+                                       [], dtype="int64")})
+    else:
+        members = members.materialize()
+        n_mem = max(1, members.count())
+        tagged = members.join(docs, join_type="inner", on=("doc_id",),
+                              num_partitions=join_partitions_for(n_mem))
+
+        def mem_partial(t: pa.Table) -> pd.DataFrame:
+            g = pd.DataFrame({"source": t.column("source").to_pylist()})
+            g["n_dup_members"] = np.ones(len(g), dtype="int64")
+            return g.groupby("source", as_index=False).sum()
+
+        mem_counts = (tagged.map_batches(mem_partial,
+                                         batch_format="pyarrow")
+                            .groupby("source")
+                            .aggregate(Sum("n_dup_members",
+                                           alias_name="n_dup_members"))
+                            .to_pandas())
+
+    out = per_source.merge(mem_counts, on="source", how="left")
+    nd = out["n_dup_members"].fillna(0).astype("int64")
+    return pd.DataFrame({
+        "source": out["source"].astype(str),
+        "n_docs": out["n_docs"].astype("int64"),
+        "n_dup_members": nd,
+        "dup_rate_bp": (nd * 10000 // out["n_docs"].astype("int64")
+                        ).astype("int64"),
+    }).sort_values("source").reset_index(drop=True)

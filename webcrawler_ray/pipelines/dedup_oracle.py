@@ -384,3 +384,26 @@ LEFT JOIN best b ON b.doc_id = d.doc_id
 WHERE b.doc_id IS NULL OR b.rn = 1
 ORDER BY d.doc_id
 """)
+
+
+def rate_by_source_sql(threshold: float = 0.8) -> str:
+    """Oracle for ``dedup_rate_by_source``: the clusters closure rolled
+    up per source with an integer basis-point rate."""
+    return ("WITH RECURSIVE" + _tokens_cte() + "," + _shingles_cte()[2:]
+            + _bands_cte() + _verified_pairs_cte(threshold) + """,
+ bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+ nodes AS (SELECT DISTINCT a AS doc_id FROM bi),
+ mem AS (SELECT d.source, COUNT(*) AS n_dup_members
+         FROM nodes n JOIN documents d ON d.doc_id = n.doc_id
+         GROUP BY d.source),
+ tot AS (SELECT source, COUNT(*) AS n_docs FROM documents
+         GROUP BY source)
+SELECT tot.source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(n_dup_members, 0) AS BIGINT) AS n_dup_members,
+       CAST(COALESCE(n_dup_members, 0) * 10000 // n_docs AS BIGINT)
+           AS dup_rate_bp
+FROM tot LEFT JOIN mem ON mem.source = tot.source
+ORDER BY tot.source
+""")

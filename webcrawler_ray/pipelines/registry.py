@@ -699,6 +699,8 @@ def build_queries() -> dict:
             "dedup_clusters": lambda sf: dedup.dedup_clusters(ray, sf),
             "dedup_keep_best":
                 lambda sf: dedup.dedup_keep_best(ray, sf),
+            "dedup_rate_by_source":
+                lambda sf: dedup.dedup_rate_by_source(ray, sf),
             "dedup_simhash": lambda sf: dedup.simhash_pairs(ray, sf),
             "dedup_embedding_cosine": lambda sf: similarity.cosine_dup_pairs(ray, sf),
             "dedup_incremental":
@@ -1338,6 +1340,8 @@ try:
         _dor.clusters_sql()).replace("lab AS MATERIALIZED (", "lab AS (")
     ORACLE_SQL["dedup_keep_best"] = _materialize_ctes(
         _dor.keep_best_sql()).replace("lab AS MATERIALIZED (", "lab AS (")
+    ORACLE_SQL["dedup_rate_by_source"] = _materialize_ctes(
+        _dor.rate_by_source_sql())
     ORACLE_SQL["dedup_simhash"] = _materialize_ctes(_dor.simhash_sql())
     ORACLE_SQL["doc_winnow"] = _materialize_ctes(_dor.winnow_sql())
     from .textpipe import (
