@@ -99,7 +99,7 @@ SQL_CHECKED = [
     "events_pairs_intersect", "events_pairs_except",
     "events_value_percentile_cont", "events_type_percentile_cont",
     "docs_weighted_sample", "events_asof_next_purchase",
-    "dedup_keep_best", "dedup_rate_by_source",
+    "dedup_keep_best", "dedup_rate_by_source", "knn_cosine_filtered",
 ]
 
 
@@ -2354,3 +2354,24 @@ class TestKeepBest:
             best = min(ids, key=lambda i: (-nchars[i], i))
             assert best in kept
             assert not (set(ids) - {best}) & kept
+
+
+class TestFilteredKnn:
+    def test_every_neighbor_shares_the_query_label(self, ray_session):
+        """Filter semantics: all returned neighbors carry the query's
+        label, and per query the result has at most TOP_K rows ranked
+        1..m densely."""
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.similarity as sim
+
+        out = sim.knn_cosine_filtered(ray, SF_DIR).to_pandas()
+        lab = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                            columns=["vec_id", "label"]).to_pandas()
+        lab = dict(zip(lab["vec_id"], lab["label"]))
+        for _, r in out.iterrows():
+            assert lab[r["query_id"]] == lab[r["neighbor_id"]]
+        for qid, grp in out.groupby("query_id"):
+            assert len(grp) <= sim.TOP_K
+            assert list(grp["rnk"]) == list(range(1, len(grp) + 1))

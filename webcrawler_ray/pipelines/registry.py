@@ -709,6 +709,8 @@ def build_queries() -> dict:
                 lambda sf: similarity.cluster_embedding_cosine(ray, sf),
             "knn_cosine": lambda sf: similarity.knn_brute_force(ray, sf),
             "knn_cosine_q8": lambda sf: similarity.knn_cosine_q8(ray, sf),
+            "knn_cosine_filtered":
+                lambda sf: similarity.knn_cosine_filtered(ray, sf),
             "emb_quantize": lambda sf: similarity.emb_quantize(ray, sf),
             "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
             "knn_lsh": lambda sf: similarity.knn_lsh(ray, sf),
@@ -1310,6 +1312,7 @@ try:
     ORACLE_SQL["emb_gram_matrix"] = _sim.EMB_GRAM_SQL
     ORACLE_SQL["emb_quantize"] = _sim.EMB_QUANTIZE_SQL
     ORACLE_SQL["knn_cosine_q8"] = _sim.KNN_Q8_SQL
+    ORACLE_SQL["knn_cosine_filtered"] = _sim.KNN_FILTERED_SQL
 
     from . import multimodal as _mm
 

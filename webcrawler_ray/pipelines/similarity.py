@@ -1039,3 +1039,113 @@ def emb_pca(ray, sf_dir: str, n_components: int = 2):
 
     return (ds.map_batches(project, batch_format="pyarrow")
               .sort("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+def knn_cosine_filtered(ray, sf_dir: str, n_queries: int = N_QUERIES,
+                        k: int = TOP_K):
+    """(query_id, neighbor_id, rnk): METADATA-FILTERED vector search —
+    exact cosine top-k over the int8-quantized vectors restricted to
+    neighbors sharing the query's label (the filtered-ANN shape every
+    production vector store serves: 'nearest neighbors WHERE
+    label = X'). The filter composes INSIDE the scan kernel as one
+    vectorized mask per query — no second pass, no post-filter
+    re-ranking shortfall (a post-filtered top-k could return < k rows;
+    filtering before the top-k cannot). Same broadcast-queries /
+    per-batch integer matmul / boundary-tie-safe local top-k shape as
+    knn_cosine_q8, integer dots -> bit-identical to the SQL oracle."""
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=_pc.field("vec_id") < n_queries)
+    qlabels_by_id = dict(zip(t.column("vec_id").to_pylist(),
+                             t.column("label").to_pylist()))
+    qids, qm = _emb_matrix(t)
+    order = np.argsort(qids)
+    qids = qids[order]
+    qlabels = np.array([qlabels_by_id[int(i)] for i in qids],
+                       dtype=np.int64)
+    qq = _quantize_rows(qm[order]).astype(np.float64)
+    qn = np.sqrt((qq * qq).sum(axis=1))
+    qref = ray.put((qids, qlabels, qq, qn))
+
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding", "label"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        _qids, _qlabels, _qq, _qn = ray.get(qref)
+        labels = batch.column("label").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids, m = _emb_matrix(batch)
+        q = _quantize_rows(m).astype(np.float64)
+        nn = np.sqrt((q * q).sum(axis=1))
+        dots = q @ _qq.T
+        out_q, out_n, out_s = [], [], []
+        nonzero = nn > 0
+        for qi in range(len(_qids)):
+            sim = dots[:, qi] / (_qn[qi] * nn + (nn == 0))
+            mask = (nonzero & (ids != _qids[qi])
+                    & (labels == _qlabels[qi]))
+            cand_ids, cand_s = ids[mask], sim[mask]
+            if len(cand_ids) == 0:
+                continue
+            take = min(k, len(cand_ids))
+            if take < len(cand_ids):
+                part = np.argpartition(-cand_s, take - 1)
+                kth = cand_s[part[take - 1]]
+                sel = np.nonzero(cand_s >= kth)[0]
+            else:
+                sel = np.arange(len(cand_ids))
+            order_ = np.lexsort((cand_ids[sel], -cand_s[sel]))[:take]
+            idx = sel[order_]
+            out_q.extend([int(_qids[qi])] * take)
+            out_n.extend(cand_ids[idx].astype(int))
+            out_s.extend(cand_s[idx])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=4096)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({
+            "query_id": g["query_id"].astype("int64"),
+            "neighbor_id": g["neighbor_id"].astype("int64"),
+            "rnk": np.arange(1, len(g) + 1, dtype="int64")})
+
+    out = local.groupby("query_id").map_groups(final_topk,
+                                               batch_format="pandas")
+    return out.sort(["query_id", "rnk"])
+
+
+KNN_FILTERED_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(
+           embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 /
+                (CASE WHEN vm = 0.0 THEN 1.0 ELSE vm END)) AS DOUBLE))
+         AS code
+  FROM (SELECT vec_id, label, embedding,
+               list_max(list_transform(
+                   embedding, x -> ABS(CAST(x AS DOUBLE)))) AS vm
+        FROM embeddings)),
+n AS (SELECT vec_id, label, code,
+             sqrt(list_dot_product(code, code)) AS nrm FROM q)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       ROW_NUMBER() OVER (
+         PARTITION BY a.vec_id
+         ORDER BY list_dot_product(a.code, b.code) / (a.nrm * b.nrm) DESC,
+                  b.vec_id) AS rnk
+FROM n a JOIN n b
+  ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id AND b.nrm > 0
+ AND b.label = a.label
+QUALIFY rnk <= {TOP_K}
+ORDER BY query_id, rnk
+"""
