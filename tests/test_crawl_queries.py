@@ -34,6 +34,24 @@ class TestCrawlQueries:
         hc = _df(queries["crawl_host_counts"](SF_DIR))
         assert hc["n_pages"].sum() == len(att)
 
+    def test_host_gap_respects_politeness_delay(self, queries):
+        """The cadence audit's own invariant: every host's MEDIAN gap
+        between consecutive saved fetches is >= that host's crawl
+        delay (politeness end-to-end, from the attempts log)."""
+        import os
+
+        from webcrawler_ray.robots import RobotsTable
+
+        df = _df(queries["crawl_host_gap_stats"](SF_DIR))
+        assert len(df) > 0
+        assert (df["n_saved"] >= 2).all()
+        name = os.path.basename(os.path.normpath(SF_DIR))
+        rt = RobotsTable.from_parquet(
+            f"/tmp/webcrawler_ray_cache/{name}/web/robots.parquet")
+        for _, r in df.iterrows():
+            delay = rt.get(r["host"]).delay_seconds()
+            assert r["med_gap"] >= delay - 1e-9, r["host"]
+
     def test_url_algebra_consistency(self, queries):
         df = _df(queries["url_algebra"](SF_DIR))
         assert len(df) > 0

@@ -443,6 +443,7 @@ def build_queries() -> dict:
         "crawl_flagship": crawl_flagship,
         "crawl_corpus": crawl_corpus,
         "crawl_host_counts": crawl_host_counts,
+        "crawl_host_gap_stats": crawl_host_gap_stats,
         "crawl_warc": crawl_warc,
         "crawl_warc_read": crawl_warc_read,
         "crawl_round_stats": crawl_round_stats,
@@ -1098,6 +1099,105 @@ _CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_curation"] = \
     textpipe.CORPUS_CURATION_SQL.replace(
         "FROM documents", "FROM read_parquet('{corpus_dump}/*.parquet')")
+
+
+def _host_gap_oracle_template() -> str:
+    from ..state.politeness import STATUS_SAVED
+
+    return f"""
+WITH s AS (SELECT host, ts, seq FROM read_parquet('{{dump}}')
+           WHERE status = {int(STATUS_SAVED)}),
+cnt AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_saved
+        FROM s GROUP BY host),
+g AS (SELECT host,
+             ts - LAG(ts) OVER (PARTITION BY host ORDER BY ts, seq)
+                 AS gap
+      FROM s),
+med AS (SELECT host, MEDIAN(gap) AS med_gap FROM g
+        WHERE gap IS NOT NULL GROUP BY host)
+SELECT cnt.host, n_saved, med_gap
+FROM cnt JOIN med ON med.host = cnt.host
+ORDER BY cnt.host
+"""
+
+
+_CRAWL_ORACLE_TEMPLATES["crawl_host_gap_stats"] = \
+    _host_gap_oracle_template()
+
+
+def crawl_host_gap_stats(sf_dir: str):
+    """(host, n_saved, med_gap): per-host politeness-cadence audit —
+    the median virtual-time gap between a host's consecutive SAVED
+    fetches (in (ts, seq) order), plus its saved count; hosts with a
+    single save have no gap and are absent. Verifies the politeness
+    invariant end-to-end from the attempts log itself: a host's median
+    gap must track its crawl delay. Scale shape: ONE shuffle keyed by
+    coarse host-hash bucket; inside each bucket the lag-diff is a
+    shifted-array subtraction over the (host, ts, seq)-sorted frame and
+    the median one pandas grouped reduction (even counts average the
+    two middles — the identical two-double (a+b)/2 in both engines)."""
+    import numpy as np
+    import pyarrow as pa
+    import pandas as pd
+
+    from ..functions.urls import stable_hash64_batch
+    from ..stages.aggregates import buckets_for
+    from ..state.politeness import STATUS_SAVED
+
+    c = _crawl_workdir(sf_dir)
+    ds = c.attempts_dataset().map_batches(
+        lambda t: t.select(["host", "ts", "seq", "status"]),
+        batch_format="pyarrow")
+
+    def saved_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t.column("status"),
+                              pa.scalar(STATUS_SAVED, pa.int16())))
+        return t.select(["host", "ts", "seq"])
+
+    ds = ds.map_batches(saved_only, batch_format="pyarrow")
+    from ..io_utils import parquet_num_rows
+
+    n_att = sum(parquet_num_rows(d) for d in c._round_subdirs("attempts"))
+    N_BUCKETS = buckets_for(max(1, n_att))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = stable_hash64_batch(t.column("host").to_pylist())
+        return t.append_column(
+            "hbucket", pa.array((h % N_BUCKETS).astype(np.int64),
+                                pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "host": pd.Series([], dtype=str),
+            "n_saved": pd.Series([], dtype="int64"),
+            "med_gap": pd.Series([], dtype="float64")})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["host", "ts", "seq"], kind="mergesort")
+        host = g["host"].to_numpy()
+        ts = g["ts"].to_numpy()
+        same = np.r_[False, host[1:] == host[:-1]]
+        gap = np.r_[0.0, ts[1:] - ts[:-1]]
+        cnt = (pd.DataFrame({"host": host})
+               .groupby("host", as_index=False).size()
+               .rename(columns={"size": "n_saved"}))
+        df = pd.DataFrame({"host": host[same], "gap": gap[same]})
+        if len(df) == 0:
+            return empty
+        med = (df.groupby("host", as_index=False)["gap"].median()
+                 .rename(columns={"gap": "med_gap"}))
+        out = cnt.merge(med, on="host", how="inner")
+        return pd.DataFrame({
+            "host": out["host"].astype(str),
+            "n_saved": out["n_saved"].astype("int64"),
+            "med_gap": out["med_gap"].astype("float64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("hbucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort("host"))
 
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
