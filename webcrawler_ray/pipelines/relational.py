@@ -6943,3 +6943,71 @@ cand AS (
 SELECT event_id, purchase_event_id, CAST(gap_us AS BIGINT) AS gap_us
 FROM cand WHERE rn = 1 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+def events_value_share(ray, sf_dir: str):
+    """(event_id, share_bp): each event's integer basis-point share of
+    its (event_type, day) group's total value — the per-row
+    normalize-by-group-total enrichment (SQL's SUM OVER (PARTITION BY)
+    scalar). Scale shape: group totals reduce to O(types x days) rows
+    via per-batch partials, ship to every task as ONE broadcast dict
+    (ray.put), and the share is a vectorized integer division per batch
+    — the event stream itself never shuffles. Cents x 10000 stays well
+    under 2^63."""
+    from ray.data.aggregate import Sum
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = (t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // DAY_US)
+        g = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "day": d,
+            "cents": np.floor(t.column("value").to_numpy(
+                zero_copy_only=False) * 100).astype("int64")})
+        return g.groupby(["event_type", "day"], as_index=False).sum()
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(["event_type", "day"])
+                .aggregate(Sum("cents", alias_name="total_cents"))
+                .to_pandas())
+    lookup = {(r["event_type"], int(r["day"])): int(r["total_cents"])
+              for _, r in totals.iterrows()}
+    lref = ray.put(lookup)
+
+    def share(t: pa.Table) -> pa.Table:
+        lk = ray.get(lref)
+        d = (t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // DAY_US)
+        et = t.column("event_type").to_pylist()
+        cents = np.floor(t.column("value").to_numpy(zero_copy_only=False)
+                         * 100).astype("int64")
+        tot = np.fromiter((lk[(e, int(dd))] for e, dd in zip(et, d)),
+                          dtype=np.int64, count=len(et))
+        nz = np.where(tot == 0, 1, tot)
+        bp = np.where(tot == 0, 0,
+                      cents * 10000 // nz).astype(np.int64)
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "share_bp": pa.array(bp, pa.int64())})
+
+    return ds.map_batches(share, batch_format="pyarrow").sort("event_id")
+
+
+EVENTS_VALUE_SHARE_SQL = """
+SELECT event_id,
+       CAST(CASE WHEN tot = 0 THEN 0
+                 ELSE cents * 10000 // tot END AS BIGINT) AS share_bp
+FROM (
+  SELECT event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+           PARTITION BY event_type,
+                        CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                             // 86400000000 AS BIGINT)) AS tot
+  FROM events)
+ORDER BY event_id
+"""
