@@ -81,7 +81,7 @@ QUERY_NAMES = [
     "events_value_percentile_cont", "events_type_percentile_cont",
     "docs_weighted_sample", "events_asof_next_purchase",
     "dedup_keep_best", "dedup_rate_by_source", "knn_cosine_filtered",
-    "events_value_share",
+    "events_value_share", "customers_revenue_deciles",
 ]
 
 

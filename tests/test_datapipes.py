@@ -100,7 +100,7 @@ SQL_CHECKED = [
     "events_value_percentile_cont", "events_type_percentile_cont",
     "docs_weighted_sample", "events_asof_next_purchase",
     "dedup_keep_best", "dedup_rate_by_source", "knn_cosine_filtered",
-    "events_value_share",
+    "events_value_share", "customers_revenue_deciles",
 ]
 
 
@@ -2376,3 +2376,37 @@ class TestFilteredKnn:
         for qid, grp in out.groupby("query_id"):
             assert len(grp) <= sim.TOP_K
             assert list(grp["rnk"]) == list(range(1, len(grp) + 1))
+
+
+class TestRevenueDeciles:
+    def test_ntile_remainder_rule(self, ray_session, tmp_path):
+        """n=23 customers, 10 deciles -> the first 3 deciles hold 3
+        members, the rest 2 (SQL NTILE semantics), in (revenue DESC,
+        custkey) order."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        d = tmp_path / "mini"
+        d.mkdir()
+        n = 23
+        # customer i has one order with revenue (n - i) dollars
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(list(range(n)), pa.int64()),
+            "o_custkey": pa.array(list(range(n)), pa.int64()),
+        }), str(d / "orders.parquet"))
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array(list(range(n)), pa.int64()),
+            "l_extendedprice": pa.array(
+                [float(n - i) for i in range(n)], pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+        }), str(d / "lineitem.parquet"))
+
+        out = rel.customers_revenue_deciles(ray, str(d)).to_pandas()
+        assert list(out["decile"]) == list(range(1, 11))
+        assert list(out["n_customers"]) == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+        # decile 1 = the 3 largest revenues: 23+22+21 dollars in cents
+        assert out.loc[0, "revenue_cents"] == (23 + 22 + 21) * 100
+        assert out["n_customers"].sum() == n

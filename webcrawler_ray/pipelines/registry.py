@@ -666,6 +666,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_asof_next_purchase(ray, sf),
         "events_value_share":
             lambda sf: relational.events_value_share(ray, sf),
+        "customers_revenue_deciles":
+            lambda sf: relational.customers_revenue_deciles(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1354,6 +1356,8 @@ ORDER BY vec_id_a, vec_id_b
     "events_asof_next_purchase":
         relational.EVENTS_ASOF_NEXT_PURCHASE_SQL,
     "events_value_share": relational.EVENTS_VALUE_SHARE_SQL,
+    "customers_revenue_deciles":
+        relational.CUSTOMERS_REVENUE_DECILES_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

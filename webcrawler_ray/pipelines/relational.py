@@ -7011,3 +7011,121 @@ FROM (
   FROM events)
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+N_DECILES = 10
+
+
+def customers_revenue_deciles(ray, sf_dir: str):
+    """(decile, n_customers, revenue_cents): the BI decile report — rank
+    customers by total revenue, split into {N_DECILES} equal-depth
+    buckets (SQL NTILE remainder rule: the first n % 10 deciles get one
+    extra member), roll revenue up per decile. Scale shape: the fact
+    table reduces to one row per customer BEFORE any sort (combiner +
+    bucketed merge + one distributed join); the global sort runs over
+    that O(customers) rollup; positions come from the shared O(blocks)
+    exclusive prefix scan — never a driver-side ranking; the final
+    rollup is 10 rows."""
+    from ..stages.aggregates import (
+        block_prefix_bases,
+        hash_bucket_aggregate,
+        join_partitions_for,
+    )
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64"),
+            "revenue_cents": np.floor(b["l_extendedprice"]
+                                      * (1 - b["l_discount"]) * 100
+                                      ).astype("int64")})
+        return g.groupby("l_orderkey", as_index=False).sum()
+
+    li_agg = hash_bucket_aggregate(
+        li.map_batches(to_cents, batch_format="pandas",
+                       batch_size=65536),
+        ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", as_index=False).sum(),
+        n_rows=n_orders)
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    joined = li_agg.join(orders, join_type="inner", on=("l_orderkey",),
+                         num_partitions=join_partitions_for(n_orders))
+    per_cust = hash_bucket_aggregate(
+        joined, ["o_custkey"],
+        lambda df: df[["o_custkey", "revenue_cents"]]
+        .groupby("o_custkey", as_index=False).sum(),
+        n_rows=n_orders).materialize()
+
+    n = per_cust.count()
+    if n == 0:
+        return pd.DataFrame({
+            "decile": pd.Series([], dtype="int64"),
+            "n_customers": pd.Series([], dtype="int64"),
+            "revenue_cents": pd.Series([], dtype="int64")})
+
+    srt = per_cust.sort(["revenue_cents", "o_custkey"],
+                        descending=[True, False]).materialize()
+    bases = block_prefix_bases(srt, ["revenue_cents", "o_custkey"],
+                               ascending=[False, True])
+
+    # NTILE remainder rule: first (n % D) deciles hold q+1 members
+    q, r = divmod(n, N_DECILES)
+    fat = r * (q + 1)  # rows covered by the oversized deciles
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"decile": pd.Series([], dtype="int64"),
+                                 "n_customers":
+                                     pd.Series([], dtype="int64"),
+                                 "revenue_cents":
+                                     pd.Series([], dtype="int64")})
+        key = (t.column("revenue_cents")[0].as_py(),
+               t.column("o_custkey")[0].as_py())
+        pos = bases[key] + np.arange(t.num_rows, dtype=np.int64)
+        dec = np.where(
+            pos < fat,
+            pos // (q + 1) if q + 1 else 0,
+            r + (pos - fat) // max(q, 1)).astype(np.int64) + 1
+        g = pd.DataFrame({
+            "decile": dec,
+            "n_customers": np.ones(t.num_rows, dtype="int64"),
+            "revenue_cents": t.column("revenue_cents").to_numpy(
+                zero_copy_only=False).astype("int64")})
+        return g.groupby("decile", as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    return (srt.map_batches(assign, batch_format="pyarrow")
+               .groupby("decile")
+               .aggregate(Sum("n_customers", alias_name="n_customers"),
+                          Sum("revenue_cents",
+                              alias_name="revenue_cents"))
+               .sort("decile"))
+
+
+CUSTOMERS_REVENUE_DECILES_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey),
+ranked AS (
+  SELECT revenue_cents,
+         NTILE({N_DECILES}) OVER (ORDER BY revenue_cents DESC,
+                                  o_custkey) AS decile
+  FROM per_cust)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+FROM ranked GROUP BY decile ORDER BY decile
+"""
