@@ -668,6 +668,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_value_share(ray, sf),
         "customers_revenue_deciles":
             lambda sf: relational.customers_revenue_deciles(ray, sf),
+        "events_user_orders":
+            lambda sf: relational.events_user_orders(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1358,6 +1360,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_value_share": relational.EVENTS_VALUE_SHARE_SQL,
     "customers_revenue_deciles":
         relational.CUSTOMERS_REVENUE_DECILES_SQL,
+    "events_user_orders": relational.EVENTS_USER_ORDERS_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

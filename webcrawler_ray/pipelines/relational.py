@@ -7129,3 +7129,167 @@ SELECT CAST(decile AS BIGINT) AS decile,
        CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
 FROM ranked GROUP BY decile ORDER BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+SKEW_HOT_DENOM = 50          # a key is "hot" when it holds > 1/50 of the rows
+SKEW_ROWS_PER_TASK = 16_384  # target fact rows per join partition per salt
+
+
+def events_user_orders(ray, sf_dir: str):
+    """(event_type, n_events, value_cents, user_order_cents): enrich every
+    event with its user's lifetime order spend, then roll up per event
+    type — the skewed fact-to-dimension HASH JOIN, executed with
+    HEAVY-HITTER SALTING so one hot user cannot serialize the exchange.
+
+    Scale shape (the classic skew-join fix):
+      1. orders pre-aggregate to ONE row per customer (combiner +
+         bucketed merge) — the join's build side is O(customers).
+      2. a cheap counting pre-pass over events finds hot keys
+         (> 1/SKEW_HOT_DENOM of the stream); by construction at most
+         SKEW_HOT_DENOM keys qualify, so the driver holds a bounded
+         set, never the key space.
+      3. fact rows with hot keys scatter across R salt replicas
+         (R sized from the hottest key's row count, not a constant);
+         the build side replicates its single row per hot key R times.
+         Cold keys keep salt 0 — no blowup on the long tail.
+      4. ONE left-outer Dataset.join on (user_id, salt); users without
+         orders zero-fill. The hot key's rows now land on R partitions
+         instead of one.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import (hash_bucket_aggregate,
+                                     join_partitions_for)
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    n_events = _nrows(f"{sf_dir}/events.parquet")
+
+    # --- build side: one row per customer --------------------------------
+    od = _rpq(ray, f"{sf_dir}/orders.parquet",
+              columns=["o_custkey", "o_totalprice"])
+
+    def od_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": df["o_custkey"].astype("int64"),
+            "order_cents": np.floor(df["o_totalprice"] * 100
+                                    ).astype("int64")})
+        return g.groupby("user_id", as_index=False).sum()
+
+    dim = hash_bucket_aggregate(
+        od.map_batches(od_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).sum(),
+        n_rows=n_orders)
+
+    # --- hot-key detection: bounded by construction -----------------------
+    ev = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "event_type", "value"])
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).size()
+        return pd.DataFrame({"user_id": g["user_id"].astype("int64"),
+                             "n": g["size"].astype("int64")})
+
+    counts = hash_bucket_aggregate(
+        ev.map_batches(cnt_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).sum(),
+        n_rows=n_events)
+    hot_min = max(1, n_events // SKEW_HOT_DENOM)
+    hot_tbl = (counts.filter(expr=f"n > {hot_min}")
+               .to_pandas())  # <= SKEW_HOT_DENOM rows by construction
+    # an all-cold stream yields an empty frame with NO columns
+    if len(hot_tbl):
+        hot_ids = hot_tbl["user_id"].to_numpy(dtype=np.int64)
+        max_hot = int(hot_tbl["n"].max())
+    else:
+        hot_ids, max_hot = np.array([], dtype=np.int64), 0
+    # salt fan-out sized from the HOTTEST key's actual row count
+    n_salt = (min(32, max(4, -(-max_hot // SKEW_ROWS_PER_TASK)))
+              if len(hot_ids) else 1)
+    hot_ref = ray.put(np.sort(hot_ids))
+
+    fib = np.uint64(0x9E3779B97F4A7C15)
+
+    def salt_fact(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        is_hot = np.isin(uid, hot)
+        salt = np.where(
+            is_hot,
+            ((eid.astype(np.uint64) * fib)
+             % np.uint64(n_salt)).astype(np.int64),
+            0).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid.astype(np.int64)),
+            "salt": pa.array(salt),
+            "event_type": t.column("event_type"),
+            "cents": pa.array(np.floor(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64))})
+
+    def salt_dim(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False
+                                           ).astype(np.int64)
+        cents = t.column("order_cents").to_numpy(zero_copy_only=False
+                                                 ).astype(np.int64)
+        is_hot = np.isin(uid, hot)
+        reps = np.where(is_hot, n_salt, 1)
+        ridx = np.repeat(np.arange(len(uid)), reps)
+        # per-row running salt index 0..reps-1
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        salt = np.arange(reps.sum(), dtype=np.int64) - starts[ridx]
+        return pa.table({
+            "user_id": pa.array(uid[ridx]),
+            "salt": pa.array(salt),
+            "order_cents": pa.array(cents[ridx])})
+
+    fact = ev.map_batches(salt_fact, batch_format="pyarrow")
+    build = dim.map_batches(salt_dim, batch_format="pyarrow")
+
+    joined = fact.join(build, join_type="left_outer",
+                       on=("user_id", "salt"),
+                       num_partitions=max(
+                           join_partitions_for(n_orders),
+                           n_salt))
+
+    def final_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "n_events": np.ones(len(df), dtype="int64"),
+            "value_cents": df["cents"].astype("int64"),
+            "user_order_cents": df["order_cents"].fillna(0)
+            .astype("int64")})
+        return g.groupby("event_type", as_index=False).sum()
+
+    return (joined.map_batches(final_partial, batch_format="pandas",
+                               batch_size=65536)
+            .groupby("event_type")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("value_cents", alias_name="value_cents"),
+                       Sum("user_order_cents",
+                           alias_name="user_order_cents"))
+            .sort("event_type"))
+
+
+EVENTS_USER_ORDERS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+       CAST(SUM(COALESCE(oc.order_cents, 0)) AS BIGINT)
+           AS user_order_cents
+FROM events e
+LEFT JOIN (SELECT o_custkey,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS order_cents
+           FROM orders GROUP BY 1) oc
+  ON e.user_id = oc.o_custkey
+GROUP BY event_type
+ORDER BY event_type
+"""
