@@ -101,7 +101,7 @@ SQL_CHECKED = [
     "docs_weighted_sample", "events_asof_next_purchase",
     "dedup_keep_best", "dedup_rate_by_source", "knn_cosine_filtered",
     "events_value_share", "customers_revenue_deciles",
-    "events_user_orders",
+    "events_user_orders", "events_type_regression",
 ]
 
 

@@ -7293,3 +7293,119 @@ LEFT JOIN (SELECT o_custkey,
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division TRUNCATING toward zero — DuckDB's `//` semantics
+    (Python's `//` floors; they differ on negative quotients)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+REG_SCALE = 1_000_000  # slope/intercept reported in micro-units
+
+
+def events_type_regression(ray, sf_dir: str):
+    """(event_type, n, sx_day, sy_cents, sxx, sxy, slope_e6, intercept_e6):
+    grouped ORDINARY LEAST SQUARES of event value (cents) against time
+    (absolute day index) — value-exact because the regression reduces
+    to five INTEGER sufficient statistics (n, Σx, Σy, Σx², Σxy) whose
+    sums are order-independent; slope and intercept derive from those
+    by one arbitrary-precision integer expression evaluated identically
+    here (Python ints) and in the oracle (HUGEINT), reported in
+    micro-units via truncating division.
+
+    Scale shape: the stream reduces map-side to one 5-number row per
+    (event_type, batch) — a classic algebraic aggregate (partial sums
+    compose) — so the shuffle carries O(types x blocks) rows and the
+    final derive is O(types) on the driver. int64 partials are exact up
+    to ~9e18: day~2e4, cents~1e4, so Σxy stays in range to ~4.5e12
+    rows per GROUP; past that the partial would quantize days to a
+    per-group epoch (documented bound, not a silent wrap: the oracle
+    would catch it)."""
+    from ray.data.aggregate import Sum
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        day = (t.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        cents = np.floor(t.column("value").to_numpy(zero_copy_only=False)
+                         * 100).astype("int64")
+        g = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "n": np.ones(len(day), dtype="int64"),
+            "sx_day": day,
+            "sy_cents": cents,
+            "sxx": day * day,
+            "sxy": day * cents})
+        return g.groupby("event_type", as_index=False).sum()
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sx_day", alias_name="sx_day"),
+                        Sum("sy_cents", alias_name="sy_cents"),
+                        Sum("sxx", alias_name="sxx"),
+                        Sum("sxy", alias_name="sxy"))
+             .to_pandas())  # O(event types) rows
+
+    slopes, intercepts = [], []
+    for _, r in stats.iterrows():
+        # arbitrary-precision: n*sxy overflows int64 at this row count
+        n, sx, sy, sxx, sxy = (int(r["n"]), int(r["sx_day"]),
+                               int(r["sy_cents"]), int(r["sxx"]),
+                               int(r["sxy"]))
+        den = n * sxx - sx * sx
+        if den == 0:
+            slopes.append(0)
+            intercepts.append(_trunc_div(sy * REG_SCALE, n))
+            continue
+        num = n * sxy - sx * sy
+        slopes.append(_trunc_div(num * REG_SCALE, den))
+        # intercept = (sy - slope*sx)/n with slope = num/den:
+        # (sy*den - num*sx) * SCALE // (n*den)
+        intercepts.append(_trunc_div((sy * den - num * sx) * REG_SCALE,
+                                     n * den))
+    stats["slope_e6"] = pd.Series(slopes, dtype="int64",
+                                  index=stats.index)
+    stats["intercept_e6"] = pd.Series(intercepts, dtype="int64",
+                                      index=stats.index)
+    return stats.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_TYPE_REGRESSION_SQL = f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {DAY_US} AS BIGINT)
+             AS day,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(day) AS HUGEINT) AS sx,
+         CAST(SUM(cents) AS HUGEINT) AS sy,
+         CAST(SUM(day * day) AS HUGEINT) AS sxx,
+         CAST(SUM(day * cents) AS HUGEINT) AS sxy
+  FROM pts GROUP BY event_type)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS sx_day,
+       CAST(sy AS BIGINT) AS sy_cents,
+       CAST(sxx AS BIGINT) AS sxx,
+       CAST(sxy AS BIGINT) AS sxy,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 ELSE ((n * sxy - sx * sy) * {REG_SCALE})
+                      // (n * sxx - sx * sx) END AS BIGINT) AS slope_e6,
+       CAST(CASE WHEN n * sxx - sx * sx = 0
+                 THEN (sy * {REG_SCALE}) // n
+                 ELSE ((sy * (n * sxx - sx * sx)
+                        - (n * sxy - sx * sy) * sx) * {REG_SCALE})
+                      // (n * (n * sxx - sx * sx)) END AS BIGINT)
+           AS intercept_e6
+FROM s
+ORDER BY event_type
+"""
