@@ -494,6 +494,8 @@ def build_queries() -> dict:
         "sources_ttr": lambda sf: textpipe.sources_ttr(ray, sf),
         "docs_contamination":
             lambda sf: textpipe.docs_contamination(ray, sf),
+        "docs_range_partition":
+            lambda sf: textpipe.docs_range_partition(ray, sf),
         "docs_length_histogram":
             lambda sf: textpipe.docs_length_histogram(ray, sf),
         "doc_tfidf_top": lambda sf: textpipe.doc_tfidf_top(ray, sf),
@@ -1383,6 +1385,7 @@ ORDER BY vec_id_a, vec_id_b
     "sources_ttr": textpipe.SOURCES_TTR_SQL,
     "docs_contamination": textpipe.DOCS_CONTAMINATION_SQL,
     "docs_length_histogram": textpipe.DOCS_LENGTH_HISTOGRAM_SQL,
+    "docs_range_partition": textpipe.DOCS_RANGE_PARTITION_SQL,
     "doc_tfidf_top": textpipe.DOC_TFIDF_SQL,
     "docs_bm25_topk": textpipe.DOCS_BM25_SQL,
     "docs_vocab_encode": textpipe.DOCS_VOCAB_ENCODE_SQL,

@@ -2948,3 +2948,102 @@ SELECT doc_id, n_chars FROM (
   LIMIT {WSAMPLE_K})
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+RANGE_PARTS = 8
+
+
+def docs_range_partition(ray, sf_dir: str, k: int = RANGE_PARTS,
+                         out_dir: str | None = None):
+    """(partition, n_docs, min_chars, max_chars): equi-depth RANGE
+    partitioning of documents by (n_chars, doc_id) into ``k`` clustered
+    partitions — the sort-free clustered-write primitive. NTILE's
+    remainder rule (first n % k partitions get one extra row) so the
+    layout is SQL-checkable.
+
+    Scale shape: a global sort is the expensive way to cluster output;
+    instead the k-1 boundary rows are found by the iterative
+    partition-count rank-select (O(log) streamed passes moving per-bin
+    summaries only), then ONE map pass assigns each row its partition
+    id by binary search against the k-1 broadcast boundaries, and the
+    clustered parquet write is partitioned by that id (resumable: a
+    failed run re-does only missing partition dirs). The composite
+    (n_chars, doc_id) order is encoded as one int64 key
+    (n_chars << 32 | doc_id) — exact while both fit 31 bits; an id
+    space past 2^32 would widen the key to two rank-select passes.
+    """
+    import shutil
+
+    from ..io_utils import parquet_num_rows as _nrows
+    from ..stages.aggregates import int_rank_select
+
+    n = _nrows(f"{sf_dir}/documents.parquet")
+    ds = _docs(ray, sf_dir, ["doc_id", "n_chars"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(did.astype(np.int64)),
+            "n_chars": pa.array(nc.astype(np.int64)),
+            "key": pa.array((nc.astype(np.int64) << 32)
+                            | did.astype(np.int64))})
+
+    kds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    # NTILE boundary ranks: first n % k partitions hold q+1 rows
+    q, r = divmod(n, k)
+    ranks = {i: i * q + min(i, r) for i in range(1, k)
+             if i * q + min(i, r) >= 1}
+    cuts = int_rank_select(kds, ranks, col="key")
+    boundaries = np.array([cuts[i] for i in sorted(cuts)],
+                          dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(boundaries, key, side="left").astype(
+            np.int64)
+        return pa.table({
+            "partition": pa.array(pid),
+            "doc_id": t.column("doc_id"),
+            "n_chars": t.column("n_chars")})
+
+    parts = kds.map_batches(assign, batch_format="pyarrow")
+
+    # the clustered write: one directory per key-range partition
+    if out_dir is None:
+        out_dir = os.path.join("/tmp/webcrawler_ray_cache",
+                               "range_part_"
+                               + os.path.basename(os.path.normpath(
+                                   sf_dir)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    parts.write_parquet(out_dir, partition_cols=["partition"])
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats = parts.map_batches(
+        lambda t: pa.table({
+            "partition": t.column("partition"),
+            "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "n_chars": t.column("n_chars")}),
+        batch_format="pyarrow")
+    return (stats.groupby("partition")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Min("n_chars", alias_name="min_chars"),
+                       Max("n_chars", alias_name="max_chars"))
+            .sort("partition"))
+
+
+DOCS_RANGE_PARTITION_SQL = f"""
+WITH t AS (
+  SELECT n_chars,
+         NTILE({RANGE_PARTS}) OVER (ORDER BY n_chars, doc_id) - 1
+             AS partition
+  FROM documents)
+SELECT CAST(partition AS BIGINT) AS partition,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM t GROUP BY partition ORDER BY partition
+"""

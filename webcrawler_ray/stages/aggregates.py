@@ -244,3 +244,84 @@ def block_prefix_bases(sorted_ds, key_cols: list[str],
     keys = zip(*(summ[c] for c in key_cols))
     return {tuple(_py(v) for v in k): int(o)
             for k, o in zip(keys, starts)}
+
+
+# ---------------------------------------------------------------------------
+def int_rank_select(ds, ranks: dict, col: str = "key",
+                    bins: int = 1024) -> dict:
+    """{name: the ranks[name]-th smallest value (1-based) of ``ds``'s
+    int64 ``col``} — EXACT multi-rank selection with NO global sort and
+    NO materialization: iterative partition-count refinement (the
+    integer twin of the float rank-select on events.value).
+
+    Each pass histograms every still-active rank's current [lo, hi]
+    range into <= ``bins`` integer bins in ONE shared streamed read;
+    the driver sums the tiny per-bin (count, realized min/max) tables
+    and descends into the bin holding the target rank. Integer bins of
+    width 1 pin their value exactly, so once a range narrows to
+    <= ``bins`` distinct values the next pass finishes it — total
+    passes are O(log_bins(key range)), each moving only per-bin
+    summaries to the driver. This is the boundary-computation primitive
+    for sort-free equi-depth partitioning / clustered writes."""
+    from ray.data.aggregate import Max, Min
+
+    if not ranks:
+        return {}
+    mm = ds.aggregate(Min(col), Max(col))
+    if mm is None or mm.get(f"min({col})") is None:
+        return {}
+    gmin, gmax = int(mm[f"min({col})"]), int(mm[f"max({col})"])
+    states = {p: {"lo": gmin, "hi": gmax, "base": 0,
+                  "done": gmin == gmax, "value": gmin} for p in ranks}
+
+    def hist_pass(snapshot):
+        def f(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            o_p, o_b, o_c, o_lo, o_hi = [], [], [], [], []
+            for p, st in snapshot.items():
+                lo, hi = st["lo"], st["hi"]
+                x = v[(v >= lo) & (v <= hi)]
+                if len(x) == 0:
+                    continue
+                width = hi - lo + 1
+                nb = min(bins, width)
+                # integer bin index: monotone in x, exact
+                b = (x - lo).astype(np.int64) * nb // width
+                for bi in np.unique(b):
+                    xs = x[b == bi]
+                    o_p.append(str(p))
+                    o_b.append(int(bi))
+                    o_c.append(len(xs))
+                    o_lo.append(int(xs.min()))
+                    o_hi.append(int(xs.max()))
+            return pa.table({"pct": pa.array(o_p, pa.string()),
+                             "bin": pa.array(o_b, pa.int64()),
+                             "cnt": pa.array(o_c, pa.int64()),
+                             "vmin": pa.array(o_lo, pa.int64()),
+                             "vmax": pa.array(o_hi, pa.int64())})
+        return f
+
+    keymap = {str(p): p for p in ranks}
+    for _ in range(64):
+        snap = {p: dict(st) for p, st in states.items() if not st["done"]}
+        if not snap:
+            break
+        hist = (ds.map_batches(hist_pass(snap), batch_format="pyarrow")
+                .to_pandas())
+        for sp, g in hist.groupby("pct"):
+            p = keymap[sp]
+            sub = (g.groupby("bin")
+                   .agg(cnt=("cnt", "sum"), vmin=("vmin", "min"),
+                        vmax=("vmax", "max"))
+                   .sort_index())
+            st = states[p]
+            kk = ranks[p] - st["base"]
+            cum = sub["cnt"].cumsum().to_numpy()
+            j = int(np.searchsorted(cum, kk))
+            st["base"] += int(cum[j - 1]) if j else 0
+            st["lo"] = int(sub["vmin"].iloc[j])
+            st["hi"] = int(sub["vmax"].iloc[j])
+            if st["lo"] == st["hi"]:
+                st["done"] = True
+                st["value"] = st["lo"]
+    return {p: states[p]["value"] for p in ranks}
