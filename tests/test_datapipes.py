@@ -102,7 +102,7 @@ SQL_CHECKED = [
     "dedup_keep_best", "dedup_rate_by_source", "knn_cosine_filtered",
     "events_value_share", "customers_revenue_deciles",
     "events_user_orders", "events_type_regression",
-    "docs_range_partition",
+    "docs_range_partition", "events_cohort_matrix",
 ]
 
 

@@ -674,6 +674,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_user_orders(ray, sf),
         "events_type_regression":
             lambda sf: relational.events_type_regression(ray, sf),
+        "events_cohort_matrix":
+            lambda sf: relational.events_cohort_matrix(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1366,6 +1368,7 @@ ORDER BY vec_id_a, vec_id_b
         relational.CUSTOMERS_REVENUE_DECILES_SQL,
     "events_user_orders": relational.EVENTS_USER_ORDERS_SQL,
     "events_type_regression": relational.EVENTS_TYPE_REGRESSION_SQL,
+    "events_cohort_matrix": relational.EVENTS_COHORT_MATRIX_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

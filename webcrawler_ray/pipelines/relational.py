@@ -7409,3 +7409,75 @@ SELECT event_type,
 FROM s
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+WEEK_US = 7 * DAY_US
+
+
+def events_cohort_matrix(ray, sf_dir: str):
+    """(cohort_week, week_offset, n_users): the COHORT RETENTION MATRIX —
+    users grouped by their first-active week, counted in every later
+    week they return (the BI retention triangle; week 0 row = cohort
+    size).
+
+    Scale shape: distinct (user, week) pairs leave each scan batch (a
+    dedup combiner bounds the exchange at users x weeks x batches, not
+    the event stream); ONE user-bucketed merge then owns each user's
+    complete week set, so it derives (cohort = min week, offsets) and
+    pre-counts the matrix per bucket — distinct-user counting needs no
+    second shuffle because a user lives in exactly one bucket. The
+    final aggregate runs over O(weeks^2 x buckets) partial rows."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    n_events = _nrows(f"{sf_dir}/events.parquet")
+    t0 = int(pd.Timestamp(
+        _rpq(ray, f"{sf_dir}/events.parquet", columns=["ts"])
+        .aggregate(Min("ts"))["min(ts)"]).value) // 1000  # ns -> us
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        wk = ((t.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) - t0) // WEEK_US)
+        return (pd.DataFrame({
+            "user_id": t.column("user_id")
+            .to_numpy(zero_copy_only=False).astype("int64"),
+            "wk": wk})
+            .drop_duplicates())
+
+    def matrix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()  # re-dedup across batch partials
+        first = df.groupby("user_id")["wk"].transform("min")
+        g = pd.DataFrame({
+            "cohort_week": first.astype("int64"),
+            "week_offset": (df["wk"] - first).astype("int64"),
+            "n_users": np.ones(len(df), dtype="int64")})
+        return g.groupby(["cohort_week", "week_offset"],
+                         as_index=False).sum()
+
+    per_bucket = hash_bucket_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["user_id"], lambda df: df.drop_duplicates(),
+        merge=matrix, n_rows=n_events)
+
+    return (per_bucket.groupby(["cohort_week", "week_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users"))
+            .sort(["cohort_week", "week_offset"]))
+
+
+EVENTS_COHORT_MATRIX_SQL = f"""
+WITH t0 AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+uw AS (SELECT DISTINCT user_id,
+              (epoch_us(ts) - t0) // {WEEK_US} AS wk
+       FROM events, t0),
+fw AS (SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY user_id)
+SELECT CAST(cohort AS BIGINT) AS cohort_week,
+       CAST(wk - cohort AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN fw USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
