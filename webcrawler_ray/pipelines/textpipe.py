@@ -3047,3 +3047,30 @@ SELECT CAST(partition AS BIGINT) AS partition,
        CAST(MAX(n_chars) AS BIGINT) AS max_chars
 FROM t GROUP BY partition ORDER BY partition
 """
+
+
+def docs_ipc_roundtrip(ray, sf_dir: str):
+    """(doc_id, lang, source, n_chars, text) exported through the Arrow
+    IPC stream byte sink (sinks/ipc.py) and re-ingested — the SEVENTH
+    byte format, VALUE-CHECKED against the documents table itself; IPC
+    is Arrow's own wire format, so the roundtrip is zero-copy on both
+    sides and types survive exactly."""
+    from ..sinks.complete import ensure_complete_set
+    from ..sinks.ipc import read_ipc, write_ipc
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/webcrawler_ray_cache/{name}/docs_ipc"
+    cols = ["doc_id", "lang", "source", "n_chars", "text"]
+    ensure_complete_set(
+        out, ".arrows",
+        lambda: write_ipc(_docs(ray, sf_dir, cols), out,
+                          cols).materialize())
+    return (read_ipc(ray, out)
+            .map_batches(lambda t: t.select(cols),
+                         batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+DOCS_IPC_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id
+"""
