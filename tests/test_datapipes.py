@@ -103,7 +103,7 @@ SQL_CHECKED = [
     "events_value_share", "customers_revenue_deciles",
     "events_user_orders", "events_type_regression",
     "docs_range_partition", "events_cohort_matrix",
-    "docs_ipc_roundtrip",
+    "docs_ipc_roundtrip", "docs_schema_evolution",
 ]
 
 

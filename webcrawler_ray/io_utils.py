@@ -97,3 +97,57 @@ def read_parquet_clean(ray, path, columns=None, **kw):
             kw["override_num_blocks"] = max(
                 1, rows // _SMALL_ROWS_PER_BLOCK)
     return ray.data.read_parquet(path, columns=columns, **kw)
+
+
+def union_by_name(dss, schemas=None):
+    """UNION ALL BY NAME across Datasets with EVOLVED schemas — the
+    read-side half of schema evolution (a v2 dataset that added
+    columns unions with v1 archives; v1 rows null-fill the new
+    columns, integer columns widen to the largest type seen).
+
+    ``schemas``: optional list of pa.Schema (one per dataset) to avoid
+    the ``ds.schema()`` metadata fetch when the caller already knows
+    them. Column order of the result = first appearance across inputs.
+    Each input gets ONE vectorized map_batches that adds null columns /
+    widens types; the union itself is metadata-only (no shuffle)."""
+    if schemas is None:
+        schemas = [ds.schema().base_schema for ds in dss]
+
+    # unified schema: first-appearance order, widest integer type wins
+    order: list[str] = []
+    types: dict[str, pa.DataType] = {}
+    for sch in schemas:
+        for f in sch:
+            if f.name not in types:
+                order.append(f.name)
+                types[f.name] = f.type
+            elif types[f.name] != f.type:
+                a, b = types[f.name], f.type
+                if pa.types.is_integer(a) and pa.types.is_integer(b):
+                    types[f.name] = a if a.bit_width >= b.bit_width else b
+                elif (pa.types.is_floating(a)
+                      and pa.types.is_integer(b)) or (
+                          pa.types.is_integer(a)
+                          and pa.types.is_floating(b)):
+                    types[f.name] = a if pa.types.is_floating(a) else b
+                else:
+                    raise TypeError(
+                        f"column {f.name!r}: cannot unify {a} and {b}")
+    unified = pa.schema([(n, types[n]) for n in order])
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in unified:
+            if f.name in t.column_names:
+                c = t.column(f.name)
+                cols.append(c if c.type == f.type else c.cast(f.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.table(dict(zip(unified.names, cols)))
+
+    aligned = [ds.map_batches(align, batch_format="pyarrow")
+               for ds in dss]
+    out = aligned[0]
+    for ds in aligned[1:]:
+        out = out.union(ds)
+    return out

@@ -3074,3 +3074,55 @@ def docs_ipc_roundtrip(ray, sf_dir: str):
 DOCS_IPC_ROUNDTRIP_SQL = """
 SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id
 """
+
+
+def docs_schema_evolution(ray, sf_dir: str):
+    """(doc_id, lang, text, source, n_chars): SCHEMA-EVOLUTION read —
+    a v1 archive (doc_id, lang, text; written before `source`/`n_chars`
+    existed, narrow int32 ids) unions with the current v2 table; v1
+    rows NULL-fill the added columns and the id column widens back to
+    int64 (UNION ALL BY NAME semantics, the read-side contract every
+    long-lived 100-TB corpus needs when old shards predate the schema).
+
+    The two versions derive deterministically from the documents table
+    (even doc_ids = v1 era, odd = v2) so the oracle can reproduce the
+    split; alignment is one vectorized map per input
+    (io_utils.union_by_name) and the union is metadata-only."""
+    from ..io_utils import union_by_name
+
+    import pyarrow.compute as pc
+
+    def _parity(t: pa.Table, want: int) -> pa.Table:
+        m = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), want)
+        return t.filter(m)
+
+    v1 = (_docs(ray, sf_dir, ["doc_id", "lang", "text"])
+          .map_batches(
+              lambda t: (lambda s: pa.table({
+                  "doc_id": s.column("doc_id").cast(pa.int32()),
+                  "lang": s.column("lang"),
+                  "text": s.column("text")}))(_parity(t, 0)),
+              batch_format="pyarrow"))
+    v2 = (_docs(ray, sf_dir,
+                ["doc_id", "lang", "text", "source", "n_chars"])
+          .map_batches(lambda t: _parity(t, 1),
+                       batch_format="pyarrow"))
+
+    sch1 = pa.schema([("doc_id", pa.int32()), ("lang", pa.string()),
+                      ("text", pa.string())])
+    sch2 = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                      ("text", pa.string()), ("source", pa.string()),
+                      ("n_chars", pa.int64())])
+    return union_by_name([v1, v2], schemas=[sch1, sch2]).sort("doc_id")
+
+
+DOCS_SCHEMA_EVOLUTION_SQL = """
+SELECT doc_id, lang, text,
+       CAST(NULL AS VARCHAR) AS source,
+       CAST(NULL AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, text, source, n_chars
+FROM documents WHERE doc_id % 2 = 1
+ORDER BY doc_id
+"""
