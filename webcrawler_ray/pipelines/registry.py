@@ -680,6 +680,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_type_regression(ray, sf),
         "events_cohort_matrix":
             lambda sf: relational.events_cohort_matrix(ray, sf),
+        "events_daily_interpolated":
+            lambda sf: relational.events_daily_interpolated(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1373,6 +1375,8 @@ ORDER BY vec_id_a, vec_id_b
     "events_user_orders": relational.EVENTS_USER_ORDERS_SQL,
     "events_type_regression": relational.EVENTS_TYPE_REGRESSION_SQL,
     "events_cohort_matrix": relational.EVENTS_COHORT_MATRIX_SQL,
+    "events_daily_interpolated":
+        relational.EVENTS_DAILY_INTERPOLATED_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

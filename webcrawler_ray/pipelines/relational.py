@@ -7481,3 +7481,107 @@ FROM uw JOIN fw USING (user_id)
 GROUP BY 1, 2
 ORDER BY cohort_week, week_offset
 """
+
+
+# ---------------------------------------------------------------------------
+INTERP_MIN_VALUE = 200  # the sparse high-value stream (gaps guaranteed)
+
+
+def events_daily_interpolated(ray, sf_dir: str):
+    """(event_type, day, cents, interpolated): per-type DAILY TOTAL of
+    high-value events (value > INTERP_MIN_VALUE — a sparse stream, so
+    interior days go missing) with gaps FILLED BY LINEAR INTERPOLATION
+    — the time-series resample/gap-fill op (missing days get the
+    integer interpolation between the surrounding observed days,
+    truncating toward zero like SQL integer division; boundary days
+    always exist by construction).
+
+    Scale shape: the event stream reduces map-side to one row per
+    (type, day) — O(types x days) — BEFORE any exchange; the gap-fill
+    then runs per type inside map_groups (each type's series is tiny
+    by definition of the rollup, and types parallelize across tasks).
+    The stream itself never shuffles."""
+    from ray.data.aggregate import Sum
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.greater(t.column("value"), INTERP_MIN_VALUE))
+        day = (t.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        g = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "day": day,
+            "cents": np.floor(t.column("value")
+                              .to_numpy(zero_copy_only=False) * 100
+                              ).astype("int64")})
+        return g.groupby(["event_type", "day"], as_index=False).sum()
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("cents", alias_name="cents")))
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day")
+        days = g["day"].to_numpy(dtype=np.int64)
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        grid = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+        # index of the observed day at/just-before each grid day
+        prev = np.searchsorted(days, grid, side="right") - 1
+        hit = days[prev] == grid
+        nxt = np.minimum(prev + 1, len(days) - 1)
+        pd_, nd = days[prev], days[nxt]
+        pv, nv = cents[prev], cents[nxt]
+        den = np.where(nd > pd_, nd - pd_, 1)
+        num = (nv - pv) * (grid - pd_)
+        interp = pv + np.sign(num) * (np.abs(num) // den)
+        out = np.where(hit, cents[prev], interp).astype(np.int64)
+        return pd.DataFrame({
+            "event_type": np.repeat(g["event_type"].iloc[0], len(grid)),
+            "day": grid,
+            "cents": out,
+            "interpolated": (~hit).astype("int64")})
+
+    return (daily.groupby("event_type").map_groups(
+        fill, batch_format="pandas")
+        .sort(["event_type", "day"]))
+
+
+EVENTS_DAILY_INTERPOLATED_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {DAY_US} AS BIGINT)
+             AS day,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM events WHERE value > {INTERP_MIN_VALUE} GROUP BY 1, 2),
+grid AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi)) AS day
+  FROM (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+        FROM daily GROUP BY 1)),
+j AS (
+  SELECT g.event_type, g.day, d.cents
+  FROM grid g LEFT JOIN daily d USING (event_type, day)),
+f AS (
+  SELECT event_type, day, cents,
+         LAST_VALUE(cents IGNORE NULLS) OVER w_prev AS pv,
+         LAST_VALUE(CASE WHEN cents IS NOT NULL THEN day END
+                    IGNORE NULLS) OVER w_prev AS pd,
+         FIRST_VALUE(cents IGNORE NULLS) OVER w_next AS nv,
+         FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN day END
+                     IGNORE NULLS) OVER w_next AS nd
+  FROM j
+  WINDOW w_prev AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, day,
+       CAST(COALESCE(cents,
+                     pv + ((nv - pv) * (day - pd)) // (nd - pd))
+            AS BIGINT) AS cents,
+       CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS interpolated
+FROM f
+ORDER BY event_type, day
+"""
