@@ -104,7 +104,7 @@ SQL_CHECKED = [
     "events_user_orders", "events_type_regression",
     "docs_range_partition", "events_cohort_matrix",
     "docs_ipc_roundtrip", "docs_schema_evolution",
-    "events_daily_interpolated",
+    "events_daily_interpolated", "events_above_user_mean",
 ]
 
 

@@ -682,6 +682,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_cohort_matrix(ray, sf),
         "events_daily_interpolated":
             lambda sf: relational.events_daily_interpolated(ray, sf),
+        "events_above_user_mean":
+            lambda sf: relational.events_above_user_mean(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1377,6 +1379,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_cohort_matrix": relational.EVENTS_COHORT_MATRIX_SQL,
     "events_daily_interpolated":
         relational.EVENTS_DAILY_INTERPOLATED_SQL,
+    "events_above_user_mean": relational.EVENTS_ABOVE_USER_MEAN_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

@@ -7585,3 +7585,82 @@ SELECT event_type, day,
 FROM f
 ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+def events_above_user_mean(ray, sf_dir: str):
+    """(event_id, user_id, cents): events STRICTLY ABOVE their user's
+    mean value — SQL's QUALIFY / windowed-filter shape (compare each
+    row to an aggregate over its partition). The mean never
+    materializes as a float: ``cents * n_user > sum_cents_user``
+    cross-multiplies to an exact integer predicate, so Ray and the
+    oracle agree bit-for-bit.
+
+    Scale shape: per-user (n, sum) reduces map-side to one row per
+    user per batch, merges in user buckets, and rejoins the stream by
+    ONE distributed Dataset.join keyed on user — the join-based twin of
+    events_value_share's broadcast enrichment, for when the partition
+    key's domain (10^9 users) is too large to ship to every task. The
+    filter then runs vectorized per batch; only qualifying rows leave."""
+    from ..stages.aggregates import hash_bucket_aggregate, \
+        join_partitions_for
+
+    n_events = _nrows(f"{sf_dir}/events.parquet")
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")  # user keyspace bound
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "cents": pa.array(np.floor(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64))})
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pyarrow")
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "n_user": np.ones(len(df), dtype="int64"),
+            "sum_cents": df["cents"].astype("int64")})
+        return g.groupby("user_id", as_index=False).sum()
+
+    stats = hash_bucket_aggregate(
+        cents_ds.map_batches(stat_partial, batch_format="pandas",
+                             batch_size=65536),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).sum(),
+        n_rows=n_events)
+
+    joined = cents_ds.join(stats, join_type="inner", on=("user_id",),
+                           num_partitions=join_partitions_for(n_cust))
+
+    def qualify(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        n = t.column("n_user").to_numpy(zero_copy_only=False)
+        s = t.column("sum_cents").to_numpy(zero_copy_only=False)
+        keep = c * n > s  # exact integer form of cents > mean
+        return pa.table({
+            "event_id": pa.array(t.column("event_id")
+                                 .to_numpy(zero_copy_only=False)[keep]),
+            "user_id": pa.array(t.column("user_id")
+                                .to_numpy(zero_copy_only=False)[keep]),
+            "cents": pa.array(c[keep])})
+
+    return (joined.map_batches(qualify, batch_format="pyarrow")
+            .sort("event_id"))
+
+
+EVENTS_ABOVE_USER_MEAN_SQL = """
+SELECT event_id, user_id, cents FROM (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_user,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id) AS sum_cents
+  FROM events)
+WHERE cents * n_user > sum_cents
+ORDER BY event_id
+"""
