@@ -105,6 +105,7 @@ SQL_CHECKED = [
     "docs_range_partition", "events_cohort_matrix",
     "docs_ipc_roundtrip", "docs_schema_evolution",
     "events_daily_interpolated", "events_above_user_mean",
+    "events_day_bitmaps",
 ]
 
 

@@ -7664,3 +7664,79 @@ SELECT event_id, user_id, cents FROM (
 WHERE cents * n_user > sum_cents
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+def events_day_bitmaps(ray, sf_dir: str):
+    """(user_id, day_mask, n_days): each user's activity calendar as a
+    BITMAP — bit d set iff the user was active on day d of the window —
+    plus its popcount. The bitmap-index aggregate: BIT-OR is
+    associative/commutative/idempotent, so per-batch partial masks
+    OR-merge in user buckets with no rescan, and downstream set algebra
+    (users active on ALL of a day set: ``mask & need == need``; any-of:
+    ``mask & need != 0``) is one vectorized AND against the 8-byte
+    mask instead of a distinct-join per day — the exact-bitmap twin of
+    the HLL/KMV sketch family. Window spans < 63 days here; longer
+    calendars shard the mask into fixed-width word columns."""
+    from ray.data.aggregate import Min
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    n_events = _nrows(f"{sf_dir}/events.parquet")
+    t0 = int(pd.Timestamp(
+        _rpq(ray, f"{sf_dir}/events.parquet", columns=["ts"])
+        .aggregate(Min("ts"))["min(ts)"]).value) // 1000  # ns -> us
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts"])
+
+    def _group_or(uid: np.ndarray, mask: np.ndarray) -> pd.DataFrame:
+        # vectorized per-key bitwise-OR: sort by key, reduceat on the
+        # group starts — no Python call per group
+        o = np.argsort(uid, kind="stable")
+        u, m = uid[o], mask[o]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "day_mask": np.bitwise_or.reduceat(m, starts)})
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        day = ((t.column("ts").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) - t0) // DAY_US)
+        uid = (t.column("user_id").to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        return _group_or(uid, (np.int64(1) << day).astype(np.int64))
+
+    def or_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return _group_or(df["user_id"].to_numpy(dtype=np.int64),
+                         df["day_mask"].to_numpy(dtype=np.int64))
+
+    masks = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], or_merge, n_rows=n_events)
+
+    def popcount(t: pa.Table) -> pa.Table:
+        m = t.column("day_mask").to_numpy(zero_copy_only=False)
+        bits = np.unpackbits(
+            m.astype(np.uint64).view(np.uint8).reshape(-1, 8),
+            axis=1).sum(axis=1).astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "day_mask": t.column("day_mask"),
+            "n_days": pa.array(bits)})
+
+    return (masks.map_batches(popcount, batch_format="pyarrow")
+            .sort("user_id"))
+
+
+EVENTS_DAY_BITMAPS_SQL = f"""
+WITH t0 AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+m AS (
+  SELECT user_id,
+         BIT_OR(CAST(1 AS BIGINT)
+                << CAST((epoch_us(ts) - t0) // {DAY_US} AS INTEGER))
+             AS day_mask
+  FROM events, t0 GROUP BY user_id)
+SELECT user_id, CAST(day_mask AS BIGINT) AS day_mask,
+       CAST(bit_count(day_mask) AS BIGINT) AS n_days
+FROM m ORDER BY user_id
+"""
