@@ -105,7 +105,7 @@ SQL_CHECKED = [
     "docs_range_partition", "events_cohort_matrix",
     "docs_ipc_roundtrip", "docs_schema_evolution",
     "events_daily_interpolated", "events_above_user_mean",
-    "events_day_bitmaps",
+    "events_day_bitmaps", "orders_rfm_segments",
 ]
 
 
@@ -2415,3 +2415,46 @@ class TestRevenueDeciles:
         # decile 1 = the 3 largest revenues: 23+22+21 dollars in cents
         assert out.loc[0, "revenue_cents"] == (23 + 22 + 21) * 100
         assert out["n_customers"].sum() == n
+
+
+class TestIntRankSelect:
+    """The sort-free integer rank-select primitive (boundary probes for
+    equi-depth partitioning / RFM quintiles)."""
+
+    def test_exact_on_wide_int64_keys(self, ray_session):
+        """Regression: 60-bit keys once overflowed the bin arithmetic
+        ((x-lo)*nb wraps int64); the step-divide form must return the
+        EXACT order statistics over the full key range."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from webcrawler_ray.stages.aggregates import int_rank_select
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"key": pa.array(keys)}))
+        ds = ds.repartition(8)
+        ranks = {i: r for i, r in enumerate([1, 17, 1000, 2500, 4999,
+                                             5000])}
+        got = int_rank_select(ds, ranks, col="key")
+        ks = np.sort(keys)
+        for i, r in ranks.items():
+            assert got[i] == int(ks[r - 1]), (i, r)
+
+    def test_duplicate_heavy_keys(self, ray_session):
+        """Ties spanning boundaries: realized min==max pins bins even
+        when one value holds most of the mass."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from webcrawler_ray.stages.aggregates import int_rank_select
+
+        keys = np.array([5] * 4000 + [1] * 500 + [9] * 500,
+                        dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"key": pa.array(keys)}))
+        ds = ds.repartition(4)
+        got = int_rank_select(ds, {"a": 1, "b": 501, "c": 4500,
+                                   "d": 4501, "e": 5000}, col="key")
+        assert got == {"a": 1, "b": 5, "c": 5, "d": 9, "e": 9}

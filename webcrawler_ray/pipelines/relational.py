@@ -7740,3 +7740,138 @@ SELECT user_id, CAST(day_mask AS BIGINT) AS day_mask,
        CAST(bit_count(day_mask) AS BIGINT) AS n_days
 FROM m ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+RFM_BUCKETS = 5
+
+
+def orders_rfm_segments(ray, sf_dir: str):
+    """(r_score, f_score, m_score, n_customers): RFM SEGMENTATION — the
+    marketing-analytics staple: score every customer 1..5 by quintile
+    on Recency (days since last order), Frequency (order count) and
+    Monetary (lifetime cents), then count customers per segment cell.
+
+    Scale shape: orders reduce to ONE row per customer (combiner +
+    bucketed merge); each dimension's quintile boundaries come from the
+    SORT-FREE iterative rank-select over a composite
+    (metric << 32 | custkey) key — three O(log) boundary probes instead
+    of three global sorts — and all three scores assign in a single
+    vectorized map over the rollup (searchsorted against 4 broadcast
+    boundary values each). NTILE's remainder rule keeps it
+    SQL-checkable."""
+    from ray.data.aggregate import Max
+
+    from ..stages.aggregates import hash_bucket_aggregate, int_rank_select
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    od = _rpq(ray, f"{sf_dir}/orders.parquet",
+              columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        day = (t.column("o_orderdate").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        df = pd.DataFrame({
+            "o_custkey": t.column("o_custkey")
+            .to_numpy(zero_copy_only=False).astype("int64"),
+            "last_day": day,
+            "n_orders": np.ones(t.num_rows, dtype="int64"),
+            "cents": np.floor(t.column("o_totalprice")
+                              .to_numpy(zero_copy_only=False) * 100
+                              ).astype("int64")})
+        return (df.groupby("o_custkey", as_index=False)
+                .agg(last_day=("last_day", "max"),
+                     n_orders=("n_orders", "sum"),
+                     cents=("cents", "sum")))
+
+    rollup = hash_bucket_aggregate(
+        od.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        lambda df: (df.groupby("o_custkey", as_index=False)
+                    .agg(last_day=("last_day", "max"),
+                         n_orders=("n_orders", "sum"),
+                         cents=("cents", "sum"))),
+        n_rows=n_orders).materialize()  # O(customers), reused 4x below
+
+    n = rollup.count()
+    if n == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ["r_score", "f_score", "m_score",
+                                       "n_customers"]})
+    gday = int(rollup.aggregate(Max("last_day"))["max(last_day)"])
+
+    def keyed(dim: str):
+        def f(t: pa.Table) -> pa.Table:
+            ck = (t.column("o_custkey")
+                  .to_numpy(zero_copy_only=False).astype(np.int64))
+            if dim == "r":
+                v = gday - (t.column("last_day")
+                            .to_numpy(zero_copy_only=False))
+            elif dim == "f":
+                v = t.column("n_orders").to_numpy(zero_copy_only=False)
+            else:
+                v = t.column("cents").to_numpy(zero_copy_only=False)
+            return pa.table({"key": pa.array(
+                (v.astype(np.int64) << 32) | ck)})
+        return f
+
+    q, r = divmod(n, RFM_BUCKETS)
+    ranks = {i: i * q + min(i, r) for i in range(1, RFM_BUCKETS)}
+    bounds = {}
+    for dim in ("r", "f", "m"):
+        cuts = int_rank_select(
+            rollup.map_batches(keyed(dim), batch_format="pyarrow"),
+            ranks, col="key")
+        bounds[dim] = np.array([cuts[i] for i in sorted(cuts)],
+                               dtype=np.int64)
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        ck = (t.column("o_custkey")
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        rec = gday - t.column("last_day").to_numpy(zero_copy_only=False)
+        frq = t.column("n_orders").to_numpy(zero_copy_only=False)
+        mon = t.column("cents").to_numpy(zero_copy_only=False)
+        sc = {}
+        for dim, v in (("r", rec), ("f", frq), ("m", mon)):
+            key = (v.astype(np.int64) << 32) | ck
+            sc[dim] = (np.searchsorted(bounds[dim], key, side="left")
+                       + 1).astype(np.int64)
+        g = pd.DataFrame({
+            "r_score": sc["r"], "f_score": sc["f"], "m_score": sc["m"],
+            "n_customers": np.ones(len(ck), dtype="int64")})
+        return g.groupby(["r_score", "f_score", "m_score"],
+                         as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    return (rollup.map_batches(assign, batch_format="pyarrow")
+            .groupby(["r_score", "f_score", "m_score"])
+            .aggregate(Sum("n_customers", alias_name="n_customers"))
+            .sort(["r_score", "f_score", "m_score"]))
+
+
+ORDERS_RFM_SQL = f"""
+WITH ro AS (
+  SELECT o_custkey,
+         MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {DAY_US})
+             AS last_day,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM orders GROUP BY 1),
+g AS (SELECT MAX(last_day) AS gday FROM ro),
+sc AS (
+  SELECT NTILE({RFM_BUCKETS}) OVER (ORDER BY gday - last_day,
+                                    o_custkey) AS r_score,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY n_orders, o_custkey)
+             AS f_score,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY cents, o_custkey)
+             AS m_score
+  FROM ro, g)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM sc GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""

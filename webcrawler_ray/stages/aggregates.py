@@ -285,8 +285,11 @@ def int_rank_select(ds, ranks: dict, col: str = "key",
                     continue
                 width = hi - lo + 1
                 nb = min(bins, width)
-                # integer bin index: monotone in x, exact
-                b = (x - lo).astype(np.int64) * nb // width
+                # integer bin index: monotone in x, exact; divide by a
+                # ceil step (NOT multiply-then-divide, which overflows
+                # int64 for wide 63-bit key ranges)
+                step = -(-width // nb)
+                b = (x - lo).astype(np.int64) // step
                 for bi in np.unique(b):
                     xs = x[b == bi]
                     o_p.append(str(p))
