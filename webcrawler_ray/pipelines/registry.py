@@ -688,6 +688,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_day_bitmaps(ray, sf),
         "orders_rfm_segments":
             lambda sf: relational.orders_rfm_segments(ray, sf),
+        "events_time_travel":
+            lambda sf: relational.events_time_travel(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1386,6 +1388,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_above_user_mean": relational.EVENTS_ABOVE_USER_MEAN_SQL,
     "events_day_bitmaps": relational.EVENTS_DAY_BITMAPS_SQL,
     "orders_rfm_segments": relational.ORDERS_RFM_SQL,
+    "events_time_travel": relational.EVENTS_TIME_TRAVEL_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

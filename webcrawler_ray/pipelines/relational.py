@@ -7875,3 +7875,79 @@ SELECT CAST(r_score AS BIGINT) AS r_score,
 FROM sc GROUP BY 1, 2, 3
 ORDER BY r_score, f_score, m_score
 """
+
+
+# ---------------------------------------------------------------------------
+def events_time_travel(ray, sf_dir: str):
+    """(version, n_rows, sum_cents): TIME-TRAVEL READS over a
+    snapshot/manifest table (state/snapshots.py — the Iceberg/Delta
+    idea reduced to its testable core). The table is built from the
+    events stream in four commits: v1 = a third of the stream, v2 =
+    append another third, v3 = COMPACTION of v2 (identical logical
+    contents, fewer files), v4 = append the rest. Every version stays
+    readable after later commits — the manifest, not the directory
+    listing, decides membership — and v2 == v3 in this output IS the
+    compaction invariant, value-checked by the oracle."""
+    import os
+    import shutil
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..state.snapshots import (commit_append, commit_compaction,
+                                   current_version, read_snapshot)
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    table_dir = f"/tmp/webcrawler_ray_cache/{name}/events_snapshots"
+
+    if current_version(table_dir) != 4:
+        shutil.rmtree(table_dir, ignore_errors=True)
+        ev = _rpq(ray, f"{sf_dir}/events.parquet",
+                  columns=["event_id", "value"])
+
+        def third(t: pa.Table, rem: int) -> pa.Table:
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            keep = (eid % 3) == rem
+            cents = np.floor(t.column("value")
+                             .to_numpy(zero_copy_only=False) * 100
+                             ).astype(np.int64)
+            return pa.table({
+                "event_id": pa.array(eid[keep].astype(np.int64)),
+                "cents": pa.array(cents[keep])})
+
+        for rem in (0, 1):
+            commit_append(
+                ev.map_batches(lambda t, r=rem: third(t, r),
+                               batch_format="pyarrow"),
+                table_dir, rows_per_file=500)
+        commit_compaction(ray, table_dir, target_rows_per_file=100_000)
+        commit_append(
+            ev.map_batches(lambda t: third(t, 2),
+                           batch_format="pyarrow"),
+            table_dir, rows_per_file=500)
+
+    rows = []
+    for v in (1, 2, 3, 4):
+        agg = (read_snapshot(ray, table_dir, v)
+               .aggregate(Count(), Sum("cents", alias_name="s")))
+        rows.append((v, int(agg["count()"]), int(agg["s"])))
+    return pd.DataFrame({
+        "version": pd.Series([r[0] for r in rows], dtype="int64"),
+        "n_rows": pd.Series([r[1] for r in rows], dtype="int64"),
+        "sum_cents": pd.Series([r[2] for r in rows], dtype="int64")})
+
+
+EVENTS_TIME_TRAVEL_SQL = """
+WITH c AS (
+  SELECT event_id % 3 AS rem,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents FROM c WHERE rem = 0
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM c WHERE rem <= 1
+UNION ALL
+SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM c WHERE rem <= 1
+UNION ALL
+SELECT 4, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM c
+ORDER BY version
+"""
