@@ -2520,3 +2520,34 @@ class TestSnapshotTable:
                        "n_rows": 0}, f)
         with pytest.raises(RuntimeError, match="snapshot conflict"):
             sn._commit(d, base=1, files=[], op="append")
+
+
+    def test_merge_on_read_delete(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray
+
+        from webcrawler_ray.state import snapshots as sn
+
+        d = str(tmp_path / "tbl")
+        sn.commit_append(self._mk(ray, list(range(10))), d)
+        keys = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([2, 3, 5], pa.int64())}))
+        v2 = sn.commit_delete(ray, d, "event_id", keys)
+        assert v2 == 2
+        got = sorted(r["event_id"] for r in
+                     sn.read_snapshot(ray, d, 2).take_all())
+        assert got == [0, 1, 4, 6, 7, 8, 9]
+        # v1 still sees everything (time travel across a delete)
+        assert len(sn.read_snapshot(ray, d, 1).take_all()) == 10
+        # append after delete must NOT resurrect deleted rows
+        sn.commit_append(self._mk(ray, [100]), d)
+        got3 = sorted(r["event_id"] for r in
+                      sn.read_snapshot(ray, d, 3).take_all())
+        assert got3 == [0, 1, 4, 6, 7, 8, 9, 100]
+        # compaction materializes the deletes
+        v4 = sn.commit_compaction(ray, d)
+        m = sn.read_manifest(d, v4)
+        assert "deletes" not in m
+        got4 = sorted(r["event_id"] for r in
+                      sn.read_snapshot(ray, d, 4).take_all())
+        assert got4 == got3

@@ -7882,24 +7882,29 @@ def events_time_travel(ray, sf_dir: str):
     """(version, n_rows, sum_cents): TIME-TRAVEL READS over a
     snapshot/manifest table (state/snapshots.py — the Iceberg/Delta
     idea reduced to its testable core). The table is built from the
-    events stream in four commits: v1 = a third of the stream, v2 =
+    events stream in six commits: v1 = a third of the stream, v2 =
     append another third, v3 = COMPACTION of v2 (identical logical
-    contents, fewer files), v4 = append the rest. Every version stays
-    readable after later commits — the manifest, not the directory
-    listing, decides membership — and v2 == v3 in this output IS the
-    compaction invariant, value-checked by the oracle."""
+    contents, fewer files), v4 = append the rest, v5 = MERGE-ON-READ
+    DELETE of all sub-$5 events (delete files only — no data file
+    rewritten; readers apply one anti-join), v6 = compaction again
+    (the deletes MATERIALIZE; no delete files remain). Every version
+    stays readable after later commits — the manifest, not the
+    directory listing, decides membership — v2 == v3 and v5 == v6 in
+    this output ARE the compaction invariants, value-checked by the
+    oracle."""
     import os
     import shutil
 
     from ray.data.aggregate import Count, Sum
 
     from ..state.snapshots import (commit_append, commit_compaction,
-                                   current_version, read_snapshot)
+                                   commit_delete, current_version,
+                                   read_manifest, read_snapshot)
 
     name = os.path.basename(os.path.normpath(sf_dir))
     table_dir = f"/tmp/webcrawler_ray_cache/{name}/events_snapshots"
 
-    if current_version(table_dir) != 4:
+    if current_version(table_dir) != 6:
         shutil.rmtree(table_dir, ignore_errors=True)
         ev = _rpq(ray, f"{sf_dir}/events.parquet",
                   columns=["event_id", "value"])
@@ -7925,8 +7930,22 @@ def events_time_travel(ray, sf_dir: str):
                            batch_format="pyarrow"),
             table_dir, rows_per_file=500)
 
+        def small_keys(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            cents = np.floor(t.column("value")
+                             .to_numpy(zero_copy_only=False) * 100
+                             ).astype(np.int64)
+            return pa.table({"event_id": pa.array(
+                eid[cents < 500].astype(np.int64))})
+
+        commit_delete(
+            ray, table_dir, "event_id",
+            ev.map_batches(small_keys, batch_format="pyarrow"))
+        commit_compaction(ray, table_dir, target_rows_per_file=100_000)
+        assert "deletes" not in read_manifest(table_dir, 6)
+
     rows = []
-    for v in (1, 2, 3, 4):
+    for v in (1, 2, 3, 4, 5, 6):
         agg = (read_snapshot(ray, table_dir, v)
                .aggregate(Count(), Sum("cents", alias_name="s")))
         rows.append((v, int(agg["count()"]), int(agg["s"])))
@@ -7949,5 +7968,11 @@ UNION ALL
 SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM c WHERE rem <= 1
 UNION ALL
 SELECT 4, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM c
+UNION ALL
+SELECT 5, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM c
+WHERE cents >= 500
+UNION ALL
+SELECT 6, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM c
+WHERE cents >= 500
 ORDER BY version
 """

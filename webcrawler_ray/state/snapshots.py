@@ -83,35 +83,63 @@ def _write_data_files(ds, table_dir: str, rows_per_file: int) -> list:
 
 def commit_append(ds, table_dir: str, rows_per_file: int = 1000) -> int:
     """Append ``ds`` as a new snapshot: new data files + a manifest that
-    lists the previous snapshot's files plus the new ones. Returns the
-    new version number."""
+    lists the previous snapshot's files plus the new ones (any pending
+    merge-on-read deletes carry forward — an append never resurrects
+    deleted rows). Returns the new version number."""
     base = current_version(table_dir)
-    prev = read_manifest(table_dir, base)["files"] if base else []
+    m = read_manifest(table_dir, base) if base else {}
     new = _write_data_files(ds, table_dir, rows_per_file)
-    return _commit(table_dir, base, prev + new, op="append")
+    return _commit(table_dir, base, m.get("files", []) + new,
+                   op="append", deletes=m.get("deletes", []),
+                   delete_key=m.get("delete_key"))
 
 
 def commit_compaction(ray, table_dir: str,
                       target_rows_per_file: int = 100_000) -> int:
     """Rewrite the CURRENT snapshot's files into ~target-size files and
-    commit a new manifest with identical logical contents. Old
-    manifests keep pointing at the old files (time travel intact)."""
+    commit a new manifest with identical LOGICAL contents. Pending
+    merge-on-read deletes are MATERIALIZED (the rewritten files lack
+    the rows; the new manifest carries no delete files). Old manifests
+    keep pointing at the old files (time travel intact)."""
     base = current_version(table_dir)
-    m = read_manifest(table_dir, base)
-    paths = [os.path.join(table_dir, f) for f, _ in m["files"]]
-    ds = ray.data.read_parquet(paths)
+    ds = read_snapshot(ray, table_dir, base)  # deletes applied
     new = _write_data_files(ds, table_dir, target_rows_per_file)
     return _commit(table_dir, base, new, op="compact")
 
 
-def _commit(table_dir: str, base: int, files: list, op: str) -> int:
+def commit_delete(ray, table_dir: str, key_col: str, keys_ds,
+                  rows_per_file: int = 100_000) -> int:
+    """MERGE-ON-READ delete: write the keys to delete as parquet
+    'delete files' and commit a manifest that carries them alongside
+    the (untouched) data files — no data file is rewritten; readers
+    apply the deletes (anti-join on ``key_col``). ``keys_ds`` is a
+    Dataset with exactly ``key_col``."""
+    base = current_version(table_dir)
+    m = read_manifest(table_dir, base)
+    if m.get("delete_key") not in (None, key_col):
+        raise ValueError(
+            f"delete key mismatch: table uses {m['delete_key']!r}")
+    new_del = _write_data_files(keys_ds, table_dir, rows_per_file)
+    return _commit(table_dir, base, m["files"], op="delete",
+                   deletes=m.get("deletes", [])
+                   + [[n, r] for n, r in new_del],
+                   delete_key=key_col)
+
+
+def _commit(table_dir: str, base: int, files: list, op: str,
+            deletes: list | None = None,
+            delete_key: str | None = None) -> int:
     version = base + 1
     path = _manifest_path(table_dir, version)
     tmp = path + f".tmp-{os.getpid()}"
+    m = {"version": version, "op": op,
+         "files": [[n, r] for n, r in files],
+         "n_rows": sum(r for _, r in files)}
+    if deletes:
+        m["deletes"] = [[n, r] for n, r in deletes]
+        m["delete_key"] = delete_key
     with open(tmp, "w") as f:
-        json.dump({"version": version, "op": op,
-                   "files": [[n, r] for n, r in files],
-                   "n_rows": sum(r for _, r in files)}, f)
+        json.dump(m, f)
     try:
         # link(2) fails atomically on EEXIST — unlike replace(), a
         # losing racer can never overwrite the winner's manifest
@@ -128,9 +156,19 @@ def _commit(table_dir: str, base: int, files: list, op: str) -> int:
 
 def read_snapshot(ray, table_dir: str, version: int | None = None):
     """Dataset over exactly the files of ``version`` (default: current)
-    — the manifest, never the directory listing, decides membership."""
+    — the manifest, never the directory listing, decides membership.
+    Pending merge-on-read delete files are applied as ONE distributed
+    anti-join on the manifest's delete key."""
     m = read_manifest(table_dir, version)
     paths = [os.path.join(table_dir, f) for f, _ in m["files"]]
     if not paths:
         raise FileNotFoundError(f"snapshot v{m['version']} is empty")
-    return ray.data.read_parquet(paths)
+    ds = ray.data.read_parquet(paths)
+    if m.get("deletes"):
+        dpaths = [os.path.join(table_dir, f) for f, _ in m["deletes"]]
+        keys = ray.data.read_parquet(dpaths)
+        n_del = sum(r for _, r in m["deletes"])
+        ds = ds.join(keys, join_type="left_anti",
+                     on=(m["delete_key"],),
+                     num_partitions=max(1, min(64, n_del // 16_384 + 1)))
+    return ds
