@@ -106,7 +106,7 @@ SQL_CHECKED = [
     "docs_ipc_roundtrip", "docs_schema_evolution",
     "events_daily_interpolated", "events_above_user_mean",
     "events_day_bitmaps", "orders_rfm_segments",
-    "events_time_travel",
+    "events_time_travel", "multimodal_scene_cuts",
 ]
 
 

@@ -476,3 +476,105 @@ def phash_pairs(ray, sf_dir: str, max_hamming: int = 3):
     hashes = ds.map_batches(phash_batch, batch_format="pyarrow",
                             batch_size=256)
     return hamming_pairs_int64(hashes, n_docs, max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection over scene-structured synthetic videos. The
+# synthesis rule makes ground truth pure doc_id arithmetic, so the
+# PIXEL-computed detector output is value-checkable by the oracle
+# (the multimodal_meta trick, applied to a real video-analysis kernel).
+SCENE_NOISE = 8          # per-pixel noise amplitude within a scene
+SCENE_BASE_STEP = 53     # coprime with 160: consecutive scene bases
+#                          always differ by >= 53 (mod wrap: 107)
+SCENE_CUT_SAD_MEAN = 32  # cut when mean |frame - prev| exceeds this
+#                          (intra-scene <= 2*NOISE = 16, cuts >= 37)
+
+
+def video_dims(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, scene_len) — all doc_id arithmetic."""
+    return (8 + (doc_id % 8) * 2, 8 + (doc_id % 6) * 2,
+            6 + doc_id % 7, 2 + doc_id % 3)
+
+
+def make_video_payload(doc_id: int) -> bytes:
+    """Header + frames grouped into scenes: scene b has base luminance
+    48 + (37*doc_id + 53*b) % 160, each frame adds seeded noise in
+    [-8, 8] — bases stay in [48, 207] so no pixel ever clips and every
+    scene boundary is a guaranteed detectable cut."""
+    w, h, nf, slen = video_dims(doc_id)
+    frames = np.empty((nf, h, w), dtype=np.uint8)
+    for f in range(nf):
+        b = f // slen
+        base = 48 + (37 * doc_id + SCENE_BASE_STEP * b) % 160
+        rng = np.random.Generator(np.random.PCG64(doc_id * 1009 + f))
+        noise = rng.integers(-SCENE_NOISE, SCENE_NOISE + 1,
+                             size=(h, w), dtype=np.int64)
+        frames[f] = (base + noise).astype(np.uint8)
+    return struct.pack(HEADER_FMT, MAGIC, w, h, nf) + frames.tobytes()
+
+
+def synthesize_videos(ray, sf_dir: str):
+    """documents -> (doc_id, media: binary) scene-structured videos."""
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "media": pa.array([make_video_payload(d) for d in ids],
+                              pa.binary())})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
+
+
+class SceneCutStage:
+    """Actor-pool scene-cut detector: decode frames, mean absolute
+    difference between consecutive frames (exact integer SAD compare —
+    sad > threshold * pixels, no float), emit one row per cut."""
+
+    def __init__(self, sad_mean: int = SCENE_CUT_SAD_MEAN):
+        self.sad_mean = sad_mean
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs = batch.column("media").to_pylist()
+        o_id, o_f = [], []
+        for d, blob in zip(ids, blobs):
+            px = DecodeStage.decode_pixels(blob).astype(np.int64)
+            if len(px) < 2:
+                continue
+            # vectorized over all frame pairs of the video at once
+            sad = np.abs(px[1:] - px[:-1]).sum(axis=(1, 2))
+            per = px.shape[1] * px.shape[2]
+            cuts = np.flatnonzero(sad > self.sad_mean * per) + 1
+            o_id.extend([d] * len(cuts))
+            o_f.extend(cuts.tolist())
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "cut_frame": pa.array(o_f, pa.int64())})
+
+
+def scene_cuts(ray, sf_dir: str, concurrency: int = 2):
+    """(doc_id, cut_frame): scene-change frames detected from PIXELS
+    (per-pair integer SAD threshold inside an actor pool; the binary
+    column is projected away immediately after the kernel). The
+    synthesis rule guarantees detected cuts == scene boundaries, so the
+    oracle reproduces the full output from doc_id arithmetic — a green
+    check that the decode + SAD kernel actually ran correctly."""
+    ds = synthesize_videos(ray, sf_dir)
+    out = ds.map_batches(SceneCutStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=concurrency)
+    return out.sort(["doc_id", "cut_frame"])
+
+
+SCENE_CUTS_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS slen,
+         6 + doc_id % 7 AS nf
+  FROM documents)
+SELECT doc_id,
+       CAST(UNNEST(generate_series(slen, nf - 1, slen)) AS BIGINT)
+           AS cut_frame
+FROM dims
+ORDER BY doc_id, cut_frame
+"""

@@ -783,6 +783,8 @@ def build_queries() -> dict:
                 lambda sf: multimodal.channel_hist(ray, sf),
             "multimodal_phash":
                 lambda sf: multimodal.phash_pairs(ray, sf),
+            "multimodal_scene_cuts":
+                lambda sf: multimodal.scene_cuts(ray, sf),
         })
     except ImportError:
         pass
@@ -1458,6 +1460,7 @@ try:
     from . import multimodal as _mm
 
     ORACLE_SQL["audio_meta"] = _mm.AUDIO_META_SQL
+    ORACLE_SQL["multimodal_scene_cuts"] = _mm.SCENE_CUTS_SQL
 except ImportError:
     ORACLE_SQL.pop("knn_cosine", None)
 
