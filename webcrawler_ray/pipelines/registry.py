@@ -690,6 +690,8 @@ def build_queries() -> dict:
             lambda sf: relational.orders_rfm_segments(ray, sf),
         "events_time_travel":
             lambda sf: relational.events_time_travel(ray, sf),
+        "events_pattern_match":
+            lambda sf: relational.events_pattern_match(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1391,6 +1393,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_day_bitmaps": relational.EVENTS_DAY_BITMAPS_SQL,
     "orders_rfm_segments": relational.ORDERS_RFM_SQL,
     "events_time_travel": relational.EVENTS_TIME_TRAVEL_SQL,
+    "events_pattern_match": relational.EVENTS_PATTERN_MATCH_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

@@ -7976,3 +7976,58 @@ SELECT 6, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM c
 WHERE cents >= 500
 ORDER BY version
 """
+
+
+# ---------------------------------------------------------------------------
+SEQ_PATTERN = "vc*p"  # view, any clicks, purchase (type initials)
+
+
+def events_pattern_match(ray, sf_dir: str):
+    """(user_id, n_matches): MATCH_RECOGNIZE-lite — count non-overlapping
+    occurrences of the behavioral pattern view->click*->purchase in each
+    user's time-ordered event sequence (regex over type-initial codes;
+    both engines run leftmost non-overlapping RE2-compatible semantics).
+
+    Scale shape: the ONE partitioning assumption of every sequence op
+    in this repo (sessionize, funnel, transitions) — a user's events
+    co-locate via the user-bucketed exchange and each user's sequence
+    fits a task's heap; the regex engine compiles once per task and
+    runs over a single concatenated code string per user."""
+    import re
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts", "event_id", "event_type"])
+
+    pat = re.compile(SEQ_PATTERN)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        out = []
+        for uid, sub in g.groupby("user_id", sort=True):
+            seq = "".join(t[0] for t in sub["event_type"])
+            out.append((uid, len(pat.findall(seq))))
+        return pd.DataFrame({
+            "user_id": pd.Series([o[0] for o in out], dtype="int64"),
+            "n_matches": pd.Series([o[1] for o in out], dtype="int64")})
+
+    from ..stages.aggregates import buckets_for, hash_bucket_aggregate
+
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+    out = hash_bucket_aggregate(
+        ds, ["user_id"], lambda df: df,  # no safe partial for sequences
+        merge=per_user, num_buckets=buckets_for(n_cust),
+        batch_format="pandas")
+    return out.sort("user_id")
+
+
+EVENTS_PATTERN_MATCH_SQL = f"""
+WITH s AS (
+  SELECT user_id,
+         STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                    ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(LEN(regexp_extract_all(seq, '{SEQ_PATTERN}')) AS BIGINT)
+           AS n_matches
+FROM s ORDER BY user_id
+"""
