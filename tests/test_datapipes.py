@@ -107,7 +107,7 @@ SQL_CHECKED = [
     "events_daily_interpolated", "events_above_user_mean",
     "events_day_bitmaps", "orders_rfm_segments",
     "events_time_travel", "multimodal_scene_cuts",
-    "events_pattern_match",
+    "events_pattern_match", "events_running_distinct",
 ]
 
 

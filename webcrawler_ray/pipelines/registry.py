@@ -692,6 +692,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_time_travel(ray, sf),
         "events_pattern_match":
             lambda sf: relational.events_pattern_match(ray, sf),
+        "events_running_distinct":
+            lambda sf: relational.events_running_distinct(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1394,6 +1396,8 @@ ORDER BY vec_id_a, vec_id_b
     "orders_rfm_segments": relational.ORDERS_RFM_SQL,
     "events_time_travel": relational.EVENTS_TIME_TRAVEL_SQL,
     "events_pattern_match": relational.EVENTS_PATTERN_MATCH_SQL,
+    "events_running_distinct":
+        relational.EVENTS_RUNNING_DISTINCT_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

@@ -8031,3 +8031,52 @@ SELECT user_id,
            AS n_matches
 FROM s ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+def events_running_distinct(ray, sf_dir: str):
+    """(event_id, n_types): each event annotated with HOW MANY DISTINCT
+    event types its user has exhibited up to and including that event —
+    the cumulative COUNT(DISTINCT) window, which SQL engines can't
+    express directly (no DISTINCT in window frames) and is instead the
+    first-occurrence-flag + running-sum decomposition on both sides.
+
+    Scale shape: one user-bucketed exchange co-locates each user's
+    events; inside a bucket the whole kernel is vectorized across ALL
+    users at once (lexsort, duplicated() first-seen flags, grouped
+    cumsum) — no per-user Python loop."""
+    from ..stages.aggregates import buckets_for, hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "event_type"])
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        first = (~df.duplicated(["user_id", "event_type"])
+                 ).astype(np.int64)
+        run = first.groupby(df["user_id"].to_numpy()).cumsum()
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "n_types": run.astype("int64")})
+
+    out = hash_bucket_aggregate(
+        ds, ["user_id"], lambda df: df,  # sequences need co-location
+        merge=per_bucket, num_buckets=buckets_for(n_cust),
+        batch_format="pandas")
+    return out.sort("event_id")
+
+
+EVENTS_RUNNING_DISTINCT_SQL = """
+SELECT event_id,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_types
+FROM (SELECT event_id, user_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+ORDER BY event_id
+"""
