@@ -82,6 +82,13 @@ QUERY_NAMES = [
     "docs_weighted_sample", "events_asof_next_purchase",
     "dedup_keep_best", "dedup_rate_by_source", "knn_cosine_filtered",
     "events_value_share", "customers_revenue_deciles",
+    "events_user_orders", "events_type_regression",
+    "docs_range_partition", "events_cohort_matrix",
+    "orders_rfm_segments", "events_time_travel",
+    "multimodal_scene_cuts", "events_pattern_match",
+    "events_running_distinct", "events_day_bitmaps",
+    "events_above_user_mean", "docs_ipc_roundtrip",
+    "docs_schema_evolution", "events_daily_interpolated",
 ]
 
 
