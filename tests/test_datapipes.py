@@ -108,6 +108,7 @@ SQL_CHECKED = [
     "events_day_bitmaps", "orders_rfm_segments",
     "events_time_travel", "multimodal_scene_cuts",
     "events_pattern_match", "events_running_distinct",
+    "events_upsert",
 ]
 
 
@@ -2499,7 +2500,7 @@ class TestSnapshotTable:
                       sn.read_snapshot(ray, d, 1).take_all())
         assert got1 == list(range(10))
         # old data files persist on disk for old manifests
-        for f, _ in sn.read_manifest(d, 1)["files"]:
+        for f, _, _seq in sn.read_manifest(d, 1)["files"]:
             assert os.path.exists(os.path.join(d, f))
 
     def test_commit_conflict_detected(self, ray_session, tmp_path):
@@ -2552,3 +2553,34 @@ class TestSnapshotTable:
         got4 = sorted(r["event_id"] for r in
                       sn.read_snapshot(ray, d, 4).take_all())
         assert got4 == got3
+
+
+    def test_commit_merge_upsert(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray
+
+        from webcrawler_ray.state import snapshots as sn
+
+        d = str(tmp_path / "tbl")
+        sn.commit_append(self._mk(ray, [1, 2, 3, 4]), d)
+        # upsert: 2 and 3 matched (replaced), 99 unmatched (inserted)
+        up = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([2, 3, 99], pa.int64()),
+            "cents": pa.array([-1, -2, -3], pa.int64())}))
+        v2 = sn.commit_merge(ray, d, "event_id", up)
+        assert v2 == 2
+        got = {r["event_id"]: r["cents"] for r in
+               sn.read_snapshot(ray, d, 2).take_all()}
+        assert got == {1: 10, 2: -1, 3: -2, 4: 40, 99: -3}
+        # time travel: v1 untouched
+        got1 = {r["event_id"]: r["cents"] for r in
+                sn.read_snapshot(ray, d, 1).take_all()}
+        assert got1 == {1: 10, 2: 20, 3: 30, 4: 40}
+        # a second merge touching an already-upserted key
+        up2 = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([99], pa.int64()),
+            "cents": pa.array([7], pa.int64())}))
+        sn.commit_merge(ray, d, "event_id", up2)
+        got3 = {r["event_id"]: r["cents"] for r in
+                sn.read_snapshot(ray, d, 3).take_all()}
+        assert got3 == {1: 10, 2: -1, 3: -2, 4: 40, 99: 7}

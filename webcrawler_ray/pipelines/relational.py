@@ -7902,7 +7902,9 @@ def events_time_travel(ray, sf_dir: str):
                                    read_manifest, read_snapshot)
 
     name = os.path.basename(os.path.normpath(sf_dir))
-    table_dir = f"/tmp/webcrawler_ray_cache/{name}/events_snapshots"
+    # _v2: manifest entries gained sequence numbers (stale caches with
+    # the 2-element format must not be read)
+    table_dir = f"/tmp/webcrawler_ray_cache/{name}/events_snapshots_v2"
 
     if current_version(table_dir) != 6:
         shutil.rmtree(table_dir, ignore_errors=True)
@@ -8079,4 +8081,101 @@ FROM (SELECT event_id, user_id, ts, event_type,
                                 ORDER BY ts, event_id) AS rn
       FROM events)
 ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+UPSERT_NEW_ID_BASE = 10_000_000  # inserted (unmatched) key offset
+
+
+def events_upsert(ray, sf_dir: str):
+    """(bucket, n_rows, sum_cents): MERGE INTO (upsert) against the
+    snapshot table — v1 = the full events stream; v2 = ONE merge commit
+    whose batch UPDATES every event_id % 3 == 0 row (cents + 1000) and
+    INSERTS a brand-new row (event_id + 10^7) for every % 3 == 1 row.
+    The merge writes the batch once as new data files plus a
+    sequence-scoped delete of its keys against the existing files — no
+    data file rewritten, matched rows replaced, unmatched inserted,
+    atomically (state/snapshots.py::commit_merge). Read back v2,
+    aggregated per event_id % 10 bucket so the oracle checks the merged
+    contents cell by cell."""
+    import os
+    import shutil
+
+    from ray.data.aggregate import Sum
+
+    from ..state.snapshots import (commit_append, commit_merge,
+                                   current_version, read_snapshot)
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    table_dir = f"/tmp/webcrawler_ray_cache/{name}/events_upsert_v1"
+
+    if current_version(table_dir) != 2:
+        shutil.rmtree(table_dir, ignore_errors=True)
+        ev = _rpq(ray, f"{sf_dir}/events.parquet",
+                  columns=["event_id", "value"])
+
+        def base_rows(t: pa.Table) -> pa.Table:
+            eid = (t.column("event_id")
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+            cents = np.floor(t.column("value")
+                             .to_numpy(zero_copy_only=False) * 100
+                             ).astype(np.int64)
+            return pa.table({"event_id": pa.array(eid),
+                             "cents": pa.array(cents)})
+
+        commit_append(ev.map_batches(base_rows, batch_format="pyarrow"),
+                      table_dir, rows_per_file=2000)
+
+        def upsert_rows(t: pa.Table) -> pa.Table:
+            eid = (t.column("event_id")
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+            cents = np.floor(t.column("value")
+                             .to_numpy(zero_copy_only=False) * 100
+                             ).astype(np.int64)
+            upd, ins = (eid % 3) == 0, (eid % 3) == 1
+            return pa.table({
+                "event_id": pa.array(np.concatenate(
+                    [eid[upd], eid[ins] + UPSERT_NEW_ID_BASE])),
+                "cents": pa.array(np.concatenate(
+                    [cents[upd] + 1000, cents[ins]]))})
+
+        commit_merge(
+            ray, table_dir, "event_id",
+            ev.map_batches(upsert_rows, batch_format="pyarrow"))
+
+    merged = read_snapshot(ray, table_dir, 2)
+
+    def bucketed(t: pa.Table) -> pd.DataFrame:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "bucket": eid % 10,
+            "n_rows": np.ones(len(eid), dtype="int64"),
+            "sum_cents": t.column("cents")
+            .to_numpy(zero_copy_only=False).astype("int64")})
+        return g.groupby("bucket", as_index=False).sum()
+
+    return (merged.map_batches(bucketed, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("sum_cents", alias_name="sum_cents"))
+            .sort("bucket"))
+
+
+EVENTS_UPSERT_SQL = f"""
+WITH c AS (
+  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events),
+merged AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN cents + 1000 ELSE cents END
+             AS cents
+  FROM c
+  UNION ALL
+  SELECT event_id + {UPSERT_NEW_ID_BASE}, cents FROM c
+  WHERE event_id % 3 = 1)
+SELECT CAST(event_id % 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM merged GROUP BY 1 ORDER BY bucket
 """

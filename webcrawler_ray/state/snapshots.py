@@ -82,13 +82,16 @@ def _write_data_files(ds, table_dir: str, rows_per_file: int) -> list:
 
 
 def commit_append(ds, table_dir: str, rows_per_file: int = 1000) -> int:
-    """Append ``ds`` as a new snapshot: new data files + a manifest that
-    lists the previous snapshot's files plus the new ones (any pending
-    merge-on-read deletes carry forward — an append never resurrects
-    deleted rows). Returns the new version number."""
+    """Append ``ds`` as a new snapshot: new data files (stamped with
+    this commit's SEQUENCE NUMBER) + a manifest listing the previous
+    snapshot's files plus the new ones. Pending merge-on-read deletes
+    carry forward but, being sequence-scoped, never touch the appended
+    rows. Returns the new version number."""
     base = current_version(table_dir)
     m = read_manifest(table_dir, base) if base else {}
-    new = _write_data_files(ds, table_dir, rows_per_file)
+    version = base + 1
+    new = [[n, r, version]
+           for n, r in _write_data_files(ds, table_dir, rows_per_file)]
     return _commit(table_dir, base, m.get("files", []) + new,
                    op="append", deletes=m.get("deletes", []),
                    delete_key=m.get("delete_key"))
@@ -103,7 +106,10 @@ def commit_compaction(ray, table_dir: str,
     keep pointing at the old files (time travel intact)."""
     base = current_version(table_dir)
     ds = read_snapshot(ray, table_dir, base)  # deletes applied
-    new = _write_data_files(ds, table_dir, target_rows_per_file)
+    version = base + 1
+    new = [[n, r, version]
+           for n, r in _write_data_files(ds, table_dir,
+                                         target_rows_per_file)]
     return _commit(table_dir, base, new, op="compact")
 
 
@@ -112,17 +118,52 @@ def commit_delete(ray, table_dir: str, key_col: str, keys_ds,
     """MERGE-ON-READ delete: write the keys to delete as parquet
     'delete files' and commit a manifest that carries them alongside
     the (untouched) data files — no data file is rewritten; readers
-    apply the deletes (anti-join on ``key_col``). ``keys_ds`` is a
-    Dataset with exactly ``key_col``."""
+    apply the deletes (anti-join on ``key_col``). A delete file is
+    SEQUENCE-SCOPED: it applies only to data files with a smaller
+    sequence number (the Iceberg rule), so later appends/merges are
+    untouched. ``keys_ds`` is a Dataset with exactly ``key_col``."""
     base = current_version(table_dir)
     m = read_manifest(table_dir, base)
     if m.get("delete_key") not in (None, key_col):
         raise ValueError(
             f"delete key mismatch: table uses {m['delete_key']!r}")
-    new_del = _write_data_files(keys_ds, table_dir, rows_per_file)
+    version = base + 1
+    new_del = [[n, r, version]
+               for n, r in _write_data_files(keys_ds, table_dir,
+                                             rows_per_file)]
     return _commit(table_dir, base, m["files"], op="delete",
-                   deletes=m.get("deletes", [])
-                   + [[n, r] for n, r in new_del],
+                   deletes=m.get("deletes", []) + new_del,
+                   delete_key=key_col)
+
+
+def commit_merge(ray, table_dir: str, key_col: str, upsert_ds,
+                 rows_per_file: int = 100_000) -> int:
+    """MERGE INTO (upsert): ONE commit that (a) scopes a delete of the
+    upsert batch's keys to every EXISTING data file and (b) appends the
+    batch as new data files with this commit's sequence number — so a
+    matched row is replaced and an unmatched row inserts, atomically,
+    with no data file rewritten. ``upsert_ds`` must contain ``key_col``.
+
+    The batch is materialized once (its files ARE the insert side) and
+    the delete side is just a column projection of those same files —
+    the keys are never collected to the driver."""
+    base = current_version(table_dir)
+    m = read_manifest(table_dir, base) if base else {}
+    if m.get("delete_key") not in (None, key_col):
+        raise ValueError(
+            f"delete key mismatch: table uses {m['delete_key']!r}")
+    version = base + 1
+    new = [[n, r, version]
+           for n, r in _write_data_files(upsert_ds, table_dir,
+                                         rows_per_file)]
+    paths = [os.path.join(table_dir, n) for n, _, _ in new]
+    keys_ds = ray.data.read_parquet(paths, columns=[key_col])
+    new_del = [[n, r, version]
+               for n, r in _write_data_files(keys_ds, table_dir,
+                                             rows_per_file)]
+    return _commit(table_dir, base, m.get("files", []) + new,
+                   op="merge",
+                   deletes=m.get("deletes", []) + new_del,
                    delete_key=key_col)
 
 
@@ -133,10 +174,10 @@ def _commit(table_dir: str, base: int, files: list, op: str,
     path = _manifest_path(table_dir, version)
     tmp = path + f".tmp-{os.getpid()}"
     m = {"version": version, "op": op,
-         "files": [[n, r] for n, r in files],
-         "n_rows": sum(r for _, r in files)}
+         "files": [list(e) for e in files],
+         "n_rows": sum(e[1] for e in files)}
     if deletes:
-        m["deletes"] = [[n, r] for n, r in deletes]
+        m["deletes"] = [list(e) for e in deletes]
         m["delete_key"] = delete_key
     with open(tmp, "w") as f:
         json.dump(m, f)
@@ -157,18 +198,41 @@ def _commit(table_dir: str, base: int, files: list, op: str,
 def read_snapshot(ray, table_dir: str, version: int | None = None):
     """Dataset over exactly the files of ``version`` (default: current)
     — the manifest, never the directory listing, decides membership.
-    Pending merge-on-read delete files are applied as ONE distributed
-    anti-join on the manifest's delete key."""
+    Merge-on-read delete files apply SEQUENCE-SCOPED: a data file is
+    anti-joined only against delete files committed AFTER it. Files
+    group by the set of deletes that cover them, so the read does one
+    anti-join per distinct coverage group (= number of delete commits
+    still pending, usually 0 or 1), never one per file."""
     m = read_manifest(table_dir, version)
-    paths = [os.path.join(table_dir, f) for f, _ in m["files"]]
-    if not paths:
+    files = m["files"]
+    if not files:
         raise FileNotFoundError(f"snapshot v{m['version']} is empty")
-    ds = ray.data.read_parquet(paths)
-    if m.get("deletes"):
-        dpaths = [os.path.join(table_dir, f) for f, _ in m["deletes"]]
-        keys = ray.data.read_parquet(dpaths)
-        n_del = sum(r for _, r in m["deletes"])
-        ds = ds.join(keys, join_type="left_anti",
-                     on=(m["delete_key"],),
-                     num_partitions=max(1, min(64, n_del // 16_384 + 1)))
-    return ds
+    deletes = m.get("deletes", [])
+    if not deletes:
+        return ray.data.read_parquet(
+            [os.path.join(table_dir, e[0]) for e in files])
+
+    dseqs = sorted({e[2] for e in deletes})
+    # coverage group of a data file = which delete seqs exceed its seq
+    groups: dict[int, list] = {}
+    for e in files:
+        k = sum(1 for dq in dseqs if dq > e[2])  # deletes covering it
+        groups.setdefault(k, []).append(e)
+    parts = []
+    for k, fl in sorted(groups.items()):
+        ds = ray.data.read_parquet(
+            [os.path.join(table_dir, e[0]) for e in fl])
+        if k:
+            cover = [e for e in deletes if e[2] in dseqs[-k:]]
+            keys = ray.data.read_parquet(
+                [os.path.join(table_dir, e[0]) for e in cover])
+            n_del = sum(e[1] for e in cover)
+            ds = ds.join(keys, join_type="left_anti",
+                         on=(m["delete_key"],),
+                         num_partitions=max(
+                             1, min(64, n_del // 16_384 + 1)))
+        parts.append(ds)
+    out = parts[0]
+    for ds in parts[1:]:
+        out = out.union(ds)
+    return out
