@@ -321,11 +321,30 @@ def ngram_jaccard_pairs(ray, sf_dir: str, threshold: float = 0.5):
                                   with_pct=True, sh_ds=sh)
 
 
+_CLUSTERS_MEMO: dict = {}  # (path, mtime, size, threshold) -> members
+
+
 def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
                    max_iters: int = 50):
     """(doc_id, cluster_id): near-duplicate clusters = connected
     components of the verified MinHash pair graph, via the distributed
-    min-label propagation in ``propagate_min_labels``."""
+    min-label propagation in ``propagate_min_labels``.
+
+    The MATERIALIZED result memoizes per session keyed by the corpus
+    file's identity (path, mtime, size) + threshold — the downstream
+    consumers (keep-best survivor selection, per-source dup rates) ask
+    for the same clustering, and re-running the shingle/band/verify/
+    propagate chain per consumer would triple the cost (the same
+    share-don't-recompute rule as the shingle TokenHashCache)."""
+    import os
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    key = (os.path.realpath(doc_path), st.st_mtime_ns, st.st_size,
+           threshold)
+    if key in _CLUSTERS_MEMO:
+        return _CLUSTERS_MEMO[key]
+
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "cluster_id": pa.array([], pa.int64())})
     pairs = minhash_lsh_pairs(ray, sf_dir, threshold=threshold)
@@ -334,7 +353,11 @@ def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
     edges = pairs.materialize()  # pair IDS only, bounded by verification
     if edges.count() == 0:
         return empty
-    return propagate_min_labels(ray, edges, max_iters=max_iters)
+    out = propagate_min_labels(ray, edges, max_iters=max_iters)
+    out = out.materialize()  # O(near-dup members) — safe to pin
+    _CLUSTERS_MEMO.clear()   # keep at most one corpus pinned
+    _CLUSTERS_MEMO[key] = out
+    return out
 
 
 def propagate_min_labels(ray, edges, max_iters: int = 50):
