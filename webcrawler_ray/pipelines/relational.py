@@ -8179,3 +8179,136 @@ SELECT CAST(event_id % 10 AS BIGINT) AS bucket,
        CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM merged GROUP BY 1 ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+COPURCHASE_K = 20
+
+
+def lineitem_copurchase(ray, sf_dir: str, k: int = COPURCHASE_K):
+    """(part_a, part_b, pair_count, a_count, b_count, lift_e6): MARKET
+    BASKET analysis — the top-k part pairs co-occurring in orders, with
+    exact support counts and integer-micro lift (the data-mining
+    frequent-itemset shape at pair order).
+
+    Scale shape: lines co-locate per order via ONE order-keyed bucketed
+    exchange; inside each bucket the pair EXPLODE is fully vectorized
+    (per-group positions via exclusive cumsums + repeat — no Python
+    loop over orders; an order of m lines emits m(m-1)/2 pairs, bounded
+    by order size, never corpus size) and pre-counts pairs before the
+    second, pair-keyed merge. Lift derives on the driver for the k
+    winners only, from exact integer supports."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    n_li = _nrows(f"{sf_dir}/lineitem.parquet")
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_partkey"])
+
+    def dedup_lines(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        df = df.sort_values(["l_orderkey", "l_partkey"],
+                            kind="mergesort")
+        ok = df["l_orderkey"].to_numpy()
+        pk = df["l_partkey"].to_numpy().astype(np.int64)
+        n = len(ok)
+        if n == 0:
+            return pd.DataFrame({
+                "part_a": pd.Series([], dtype="int64"),
+                "part_b": pd.Series([], dtype="int64"),
+                "pair_count": pd.Series([], dtype="int64")})
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        starts = np.flatnonzero(new)
+        ginv = np.cumsum(new) - 1          # group index per row
+        pos = np.arange(n) - starts[ginv]  # position within its order
+        # row i (pos p) pairs with the p earlier rows of its order
+        second = np.repeat(np.arange(n), pos)
+        within = (np.arange(pos.sum())
+                  - np.repeat(np.r_[0, np.cumsum(pos)[:-1]], pos))
+        first = np.repeat(starts[ginv], pos) + within
+        g = pd.DataFrame({"part_a": pk[first], "part_b": pk[second],
+                          "pair_count": np.ones(len(first),
+                                                dtype="int64")})
+        return g.groupby(["part_a", "part_b"], as_index=False).sum()
+
+    pair_counts = hash_bucket_aggregate(
+        li, ["l_orderkey"], dedup_lines, merge=pairs_in_bucket,
+        n_rows=n_li)
+    pair_counts = hash_bucket_aggregate(
+        pair_counts, ["part_a", "part_b"],
+        lambda df: df.groupby(["part_a", "part_b"],
+                              as_index=False).sum(),
+        n_rows=n_li)
+
+    top = (pair_counts
+           .sort(["pair_count", "part_a", "part_b"],
+                 descending=[True, False, False])
+           .limit(k).to_pandas())  # k rows on the driver
+    if len(top) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ["part_a", "part_b", "pair_count",
+                                       "a_count", "b_count", "lift_e6"]})
+
+    # per-part order supports for ONLY the <=2k winning parts
+    need = set(top["part_a"]) | set(top["part_b"])
+    deduped = li.map_batches(dedup_lines, batch_format="pandas",
+                             batch_size=65536)
+    part_counts = hash_bucket_aggregate(
+        deduped, ["l_partkey"],
+        lambda df: (df.assign(cnt=1)
+                    .groupby("l_partkey", as_index=False)["cnt"]
+                    .sum()),
+        merge=lambda df: df.groupby("l_partkey",
+                                    as_index=False).sum(),
+        n_rows=n_li)
+    wanted = np.array(sorted(need), dtype=np.int64)
+
+    def only_wanted(t: pa.Table) -> pa.Table:
+        keys = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(keys, wanted)))
+
+    pc = (part_counts.map_batches(only_wanted, batch_format="pyarrow")
+          .to_pandas())  # <= 2k rows
+    cnts = dict(zip(pc["l_partkey"], pc["cnt"]))
+
+    a_c = top["part_a"].map(cnts).astype("int64")
+    b_c = top["part_b"].map(cnts).astype("int64")
+    lift = [
+        int((int(p) * n_orders * 1_000_000)
+            // (int(a) * int(b)))
+        for p, a, b in zip(top["pair_count"], a_c, b_c)]
+    return pd.DataFrame({
+        "part_a": top["part_a"].astype("int64").to_numpy(),
+        "part_b": top["part_b"].astype("int64").to_numpy(),
+        "pair_count": top["pair_count"].astype("int64").to_numpy(),
+        "a_count": a_c.to_numpy(),
+        "b_count": b_c.to_numpy(),
+        "lift_e6": pd.Series(lift, dtype="int64").to_numpy()})
+
+
+LINEITEM_COPURCHASE_SQL = f"""
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+pc AS (SELECT pa, pb, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+parts AS (SELECT l_partkey, COUNT(*) AS cnt FROM lines GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM orders)
+SELECT CAST(pa AS BIGINT) AS part_a, CAST(pb AS BIGINT) AS part_b,
+       CAST(pc.cnt AS BIGINT) AS pair_count,
+       CAST(ca.cnt AS BIGINT) AS a_count,
+       CAST(cb.cnt AS BIGINT) AS b_count,
+       CAST((pc.cnt * n.n * 1000000) // (ca.cnt * cb.cnt) AS BIGINT)
+           AS lift_e6
+FROM pc, n
+JOIN parts ca ON pa = ca.l_partkey
+JOIN parts cb ON pb = cb.l_partkey
+ORDER BY pair_count DESC, part_a, part_b
+LIMIT {COPURCHASE_K}
+"""
