@@ -108,7 +108,7 @@ SQL_CHECKED = [
     "events_day_bitmaps", "orders_rfm_segments",
     "events_time_travel", "multimodal_scene_cuts",
     "events_pattern_match", "events_running_distinct",
-    "events_upsert", "lineitem_copurchase",
+    "events_upsert", "lineitem_copurchase", "knn_mmr",
 ]
 
 

@@ -750,6 +750,7 @@ def build_queries() -> dict:
             "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
             "knn_lsh": lambda sf: similarity.knn_lsh(ray, sf),
             "knn_pq": lambda sf: similarity.knn_pq(ray, sf),
+            "knn_mmr": lambda sf: similarity.knn_mmr(ray, sf),
             "emb_label_sums": lambda sf: similarity.emb_label_sums(ray, sf),
             "emb_kmeans": lambda sf: similarity.emb_kmeans(ray, sf),
             "emb_pca": lambda sf: similarity.emb_pca(ray, sf),
@@ -1469,6 +1470,7 @@ try:
     ORACLE_SQL["emb_quantize"] = _sim.EMB_QUANTIZE_SQL
     ORACLE_SQL["knn_cosine_q8"] = _sim.KNN_Q8_SQL
     ORACLE_SQL["knn_cosine_filtered"] = _sim.KNN_FILTERED_SQL
+    ORACLE_SQL["knn_mmr"] = _sim.KNN_MMR_SQL
 
     from . import multimodal as _mm
 

@@ -1149,3 +1149,189 @@ FROM n a JOIN n b
 QUALIFY rnk <= {TOP_K}
 ORDER BY query_id, rnk
 """
+
+
+# ---------------------------------------------------------------------------
+MMR_QUERIES = 4   # query vectors (vec_id < MMR_QUERIES)
+MMR_POOL = 16     # relevance candidate pool per query
+MMR_K = 5         # diversified selections per query
+
+
+def knn_mmr(ray, sf_dir: str, n_queries: int = MMR_QUERIES,
+            pool: int = MMR_POOL, k: int = MMR_K):
+    """(query_id, selected_id, step): MAXIMAL MARGINAL RELEVANCE — the
+    diversified top-k retrieval step (Carbonell-Goldstein 1998): greedy
+    selection maximizing relevance minus the max similarity to anything
+    already selected (lambda = 1/2, so the argmax of rel - max_sim is
+    the exact MMR order). All similarities are RAW INTEGER inner
+    products over the int8-quantized codes, so the greedy trajectory is
+    bit-deterministic and the DuckDB oracle replays it exactly with k
+    unrolled selection CTEs — a value-checked greedy algorithm, not
+    just a checked aggregate.
+
+    Scale shape: the candidate pool (top-``pool`` by integer relevance,
+    vec_id ties) comes from the same broadcast-queries / per-batch
+    integer matmul / local-then-global top-k path as every kNN here —
+    the corpus streams once; only pool ids (O(queries x pool)) reach
+    the driver, then ONE pruned re-read fetches the pool's vectors and
+    the greedy runs over a (pool x pool) integer dot table."""
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=_pc.field("vec_id") < n_queries)
+    qids, qm = _emb_matrix(t)
+    order = np.argsort(qids)
+    qids = qids[order]
+    qq = _quantize_rows(qm[order]).astype(np.float64)
+    qref = ray.put((qids, qq))
+
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"])
+
+    def local_pool(batch: pa.Table) -> pa.Table:
+        _qids, _qq = ray.get(qref)
+        ids, m = _emb_matrix(batch)
+        codes = _quantize_rows(m).astype(np.float64)
+        dots = codes @ _qq.T  # exact integers in float64
+        out_q, out_n, out_r = [], [], []
+        for qi in range(len(_qids)):
+            rel = dots[:, qi]
+            mask = ids != _qids[qi]
+            cand_ids, cand_r = ids[mask], rel[mask]
+            take = min(pool, len(cand_ids))
+            if take == 0:
+                continue
+            if take < len(cand_ids):
+                part = np.argpartition(-cand_r, take - 1)
+                kth = cand_r[part[take - 1]]
+                sel = np.nonzero(cand_r >= kth)[0]
+            else:
+                sel = np.arange(len(cand_ids))
+            o = np.lexsort((cand_ids[sel], -cand_r[sel]))[:take]
+            idx = sel[o]
+            out_q.extend([int(_qids[qi])] * take)
+            out_n.extend(cand_ids[idx].astype(int))
+            out_r.extend(cand_r[idx])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "cand_id": pa.array(out_n, pa.int64()),
+                         "rel": pa.array(out_r, pa.float64())})
+
+    local = ds.map_batches(local_pool, batch_format="pyarrow",
+                           batch_size=4096)
+
+    def global_pool(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rel", "cand_id"],
+                          ascending=[False, True]).head(pool)
+        return g.reset_index(drop=True)
+
+    pools = (local.groupby("query_id")
+             .map_groups(global_pool, batch_format="pandas")
+             .to_pandas())  # O(queries x pool) rows
+
+    # ONE pruned re-read for the pool members' vectors
+    need = np.unique(pools["cand_id"].to_numpy(dtype=np.int64))
+    pt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=_pc.field("vec_id").isin(need.tolist()))
+    pids, pm = _emb_matrix(pt)
+    pcodes = _quantize_rows(pm).astype(np.float64)
+    code_of = {int(i): pcodes[j] for j, i in enumerate(pids)}
+
+    out_q, out_s, out_step = [], [], []
+    for qid, g in pools.groupby("query_id", sort=True):
+        cids = g["cand_id"].to_numpy(dtype=np.int64)
+        rel = g["rel"].to_numpy()
+        cm = np.stack([code_of[int(c)] for c in cids])
+        pair = cm @ cm.T  # exact integer dots, pool x pool
+        chosen: list[int] = []
+        for step in range(1, min(k, len(cids)) + 1):
+            if chosen:
+                pen = pair[:, chosen].max(axis=1)
+            else:
+                pen = np.zeros(len(cids))
+            score = rel - pen
+            score[chosen] = -np.inf
+            # argmax with vec_id tie-break
+            best = np.lexsort((cids, -score))[0]
+            chosen.append(int(best))
+            out_q.append(int(qid))
+            out_s.append(int(cids[best]))
+            out_step.append(step)
+    return pd.DataFrame({
+        "query_id": pd.Series(out_q, dtype="int64"),
+        "selected_id": pd.Series(out_s, dtype="int64"),
+        "step": pd.Series(out_step, dtype="int64")})
+
+
+def _mmr_sql() -> str:
+    """k unrolled greedy-selection CTEs replaying the exact integer MMR
+    trajectory (DuckDB cannot loop; the unroll IS the oracle)."""
+    head = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 /
+                (CASE WHEN vm = 0.0 THEN 1.0 ELSE vm END)) AS DOUBLE))
+         AS code
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(
+                   embedding, x -> ABS(CAST(x AS DOUBLE)))) AS vm
+        FROM embeddings)),
+pool AS (
+  SELECT query_id, cand_id, rel FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           list_dot_product(a.code, b.code) AS rel,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.code, b.code) DESC,
+                      b.vec_id) AS rn
+    FROM q a JOIN q b
+      ON a.vec_id < {MMR_QUERIES} AND b.vec_id <> a.vec_id)
+  WHERE rn <= {MMR_POOL}),
+pd AS (
+  SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b,
+         list_dot_product(qa.code, qb.code) AS dot
+  FROM pool p1
+  JOIN pool p2 ON p1.query_id = p2.query_id
+  JOIN q qa ON qa.vec_id = p1.cand_id
+  JOIN q qb ON qb.vec_id = p2.cand_id),
+s1 AS (
+  SELECT query_id, cand_id, 1 AS step FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cand_id) AS rn
+    FROM pool) WHERE rn = 1),
+sel1 AS (SELECT query_id, cand_id, step FROM s1)"""
+    parts = [head]
+    for i in range(2, MMR_K + 1):
+        parts.append(f""",
+s{i} AS (
+  SELECT query_id, cand_id, {i} AS step FROM (
+    SELECT p.query_id, p.cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY p.rel - m.mx DESC, p.cand_id) AS rn
+    FROM pool p
+    JOIN (SELECT pd.query_id, pd.a AS cand_id, MAX(pd.dot) AS mx
+          FROM pd JOIN sel{i - 1} s
+            ON s.query_id = pd.query_id AND s.cand_id = pd.b
+          GROUP BY 1, 2) m
+      ON m.query_id = p.query_id AND m.cand_id = p.cand_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} s2
+                      WHERE s2.query_id = p.query_id
+                        AND s2.cand_id = p.cand_id))
+  WHERE rn = 1),
+sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})""")
+    parts.append(f"""
+SELECT query_id, CAST(cand_id AS BIGINT) AS selected_id,
+       CAST(step AS BIGINT) AS step
+FROM sel{MMR_K}
+ORDER BY query_id, step
+""")
+    return "".join(parts)
+
+
+KNN_MMR_SQL = _mmr_sql()
