@@ -491,6 +491,8 @@ def build_queries() -> dict:
             lambda sf: textpipe.docs_ipc_roundtrip(ray, sf),
         "docs_schema_evolution":
             lambda sf: textpipe.docs_schema_evolution(ray, sf),
+        "docs_kfold":
+            lambda sf: textpipe.docs_kfold(ray, sf),
         "docs_rendezvous_shards":
             lambda sf: textpipe.docs_rendezvous_shards(ray, sf),
         "sources_token_jaccard":
@@ -1421,6 +1423,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_avro_roundtrip": textpipe.DOCS_AVRO_ROUNDTRIP_SQL,
     "docs_ipc_roundtrip": textpipe.DOCS_IPC_ROUNDTRIP_SQL,
     "docs_schema_evolution": textpipe.DOCS_SCHEMA_EVOLUTION_SQL,
+    "docs_kfold": textpipe.DOCS_KFOLD_SQL,
     "docs_rendezvous_shards": textpipe.DOCS_RENDEZVOUS_SQL,
     "sources_token_jaccard": textpipe.SOURCES_TOKEN_JACCARD_SQL,
     "sources_ttr": textpipe.SOURCES_TTR_SQL,

@@ -3126,3 +3126,48 @@ SELECT doc_id, lang, text, source, n_chars
 FROM documents WHERE doc_id % 2 = 1
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+KFOLD_K = 5
+
+
+def docs_kfold(ray, sf_dir: str, k: int = KFOLD_K):
+    """(fold, source, n_docs): K-FOLD cross-validation assignment —
+    fold = first 8 md5 hex digits of 'fold:<doc_id>' as an integer
+    mod k (a pure function of the id: stable under re-runs, re-shards
+    and cluster shape), summarized per (fold, source) so the oracle
+    checks both the assignment AND its stratification balance. Pure
+    streaming combiner + one tiny grouped merge — no shuffle of the
+    doc stream."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(ray, sf_dir, ["doc_id", "source"])
+
+    def f(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pylist()
+        fold = np.array(
+            [int(hashlib.md5(f"fold:{i}".encode()).hexdigest()[:8], 16)
+             % k for i in ids], dtype=np.int64)
+        g = pd.DataFrame({
+            "fold": fold,
+            "source": batch.column("source").to_pylist(),
+            "n_docs": np.ones(len(ids), dtype="int64")})
+        return g.groupby(["fold", "source"], as_index=False).sum()
+
+    return (ds.map_batches(f, batch_format="pyarrow")
+            .groupby(["fold", "source"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"))
+            .sort(["fold", "source"]))
+
+
+DOCS_KFOLD_SQL = f"""
+SELECT CAST(CAST(('0x' || SUBSTR(md5('fold:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % {KFOLD_K}
+            AS BIGINT) AS fold,
+       source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY fold, source
+"""
