@@ -8312,3 +8312,106 @@ JOIN parts cb ON pb = cb.l_partkey
 ORDER BY pair_count DESC, part_a, part_b
 LIMIT {COPURCHASE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+def events_conversion_lag(ray, sf_dir: str):
+    """(n_converted, min_lag_s, median_lag_s, max_lag_s): TIME-TO-CONVERT
+    — per user, the lag in whole seconds from their FIRST view to their
+    first purchase AT-OR-AFTER that view; users who never convert drop
+    out. The funnel-latency report, with the median an EXACT order
+    statistic (element ceil(n/2) of the sorted lags), not an
+    interpolated float.
+
+    Scale shape: the partial pass projects the stream down to one
+    MIN-view row per user per batch plus the purchase rows (a
+    projection, never a blowup — view rows compress, purchase rows
+    cannot be safely filtered against a batch-local view anchor
+    because the global first view may be earlier); the user-bucketed
+    merge then computes the exact first-purchase-at-or-after the
+    global first view. The result is O(converting users) lags; the
+    4-number summary derives from one driver-side sort of that small
+    vector (exact median — swap in the rank-select machinery when the
+    user count outgrows the driver).
+    """
+    from ..stages.aggregates import buckets_for, hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts", "event_type"])
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        keep = (et == "view") | (et == "purchase")
+        df = pd.DataFrame({
+            "user_id": t.column("user_id")
+            .to_numpy(zero_copy_only=False)[keep].astype("int64"),
+            "t_us": t.column("ts").cast(pa.int64())
+            .to_numpy(zero_copy_only=False)[keep],
+            "is_view": (et[keep] == "view").astype("int64")})
+        # compress: one min-view row per user + every purchase row
+        views = (df[df["is_view"] == 1]
+                 .groupby("user_id", as_index=False)["t_us"].min())
+        views["is_view"] = 1
+        buys = df[df["is_view"] == 0]
+        return pd.concat([views, buys], ignore_index=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out_lag = []
+        views = (df[df["is_view"] == 1]
+                 .groupby("user_id")["t_us"].min())
+        buys = df[df["is_view"] == 0]
+        m = buys.merge(views.rename("v_us"), left_on="user_id",
+                       right_index=True, how="inner")
+        m = m[m["t_us"] >= m["v_us"]]
+        if len(m):
+            first = m.groupby("user_id").agg(t_us=("t_us", "min"),
+                                             v_us=("v_us", "min"))
+            out_lag = ((first["t_us"] - first["v_us"]) // 1_000_000
+                       ).astype("int64").tolist()
+        return pd.DataFrame({"lag_s": pd.Series(out_lag,
+                                                dtype="int64")})
+
+    lags = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], partial_noop, merge=merge,
+        num_buckets=buckets_for(n_cust))
+
+    lt = lags.to_pandas()  # O(converting users)
+    arr = np.sort(lt["lag_s"].to_numpy(dtype=np.int64))
+    n = len(arr)
+    if n == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ["n_converted", "min_lag_s",
+                                       "median_lag_s", "max_lag_s"]})
+    med = int(arr[int(np.ceil(n / 2)) - 1])
+    return pd.DataFrame({
+        "n_converted": pd.Series([n], dtype="int64"),
+        "min_lag_s": pd.Series([int(arr[0])], dtype="int64"),
+        "median_lag_s": pd.Series([med], dtype="int64"),
+        "max_lag_s": pd.Series([int(arr[-1])], dtype="int64")})
+
+
+EVENTS_CONVERSION_LAG_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS v_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+p AS (
+  SELECT e.user_id,
+         MIN(epoch_us(e.ts)) AS p_us, MIN(v.v_us) AS v_us
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_us
+  GROUP BY e.user_id),
+lags AS (SELECT (p_us - v_us) // 1000000 AS lag_s FROM p)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+       CAST((SELECT lag_s FROM (
+               SELECT lag_s,
+                      ROW_NUMBER() OVER (ORDER BY lag_s) AS rn,
+                      COUNT(*) OVER () AS n
+               FROM lags)
+             WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)) AS BIGINT)
+           AS median_lag_s,
+       CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+FROM lags
+"""
