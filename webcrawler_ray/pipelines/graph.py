@@ -724,3 +724,56 @@ def crawl_depths(ray, crawler, edges=None, max_depth: int = 32):
                          "depth": pa.array(d, pa.int64())})
 
     return joined.map_batches(fill, batch_format="pyarrow").sort("url")
+
+
+# ---------------------------------------------------------------------------
+def crawl_degree_hist(ray, crawler, edges=None):
+    """(out_deg, n_pages): OUT-DEGREE DISTRIBUTION of the crawled link
+    graph, zero-degree pages included — the first diagnostic any graph
+    pipeline runs (power-law check, supernode detection before a
+    join/propagation blows up on a hot key).
+
+    Scale shape: the edge list carries each source's out-degree already
+    (crawl_link_edges), so one bucketed distinct reduces it to a row
+    per source; pages without surviving outlinks enter via a UNION of
+    zero-marker rows and a max-merge (no driver-side node set), and the
+    histogram is a tiny grouped count."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    if edges is None:
+        edges = crawl_link_edges(ray, crawler)
+    edges_ds, n_nodes = edges
+
+    def src_deg(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "url": t.column("src").to_pylist(),
+            "deg": t.column("deg").to_numpy(zero_copy_only=False)
+            .astype("int64")})
+        return df.drop_duplicates("url")
+
+    nodes = crawler.crawled_dataset().map_batches(
+        lambda t: pa.table({
+            "url": t.column("url"),
+            "deg": pa.array(np.zeros(t.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+
+    both = (edges_ds.map_batches(src_deg, batch_format="pyarrow")
+            .union(nodes))
+    per_url = hash_bucket_aggregate(
+        both, ["url"],
+        lambda df: df.groupby("url", as_index=False).max(),
+        n_rows=n_nodes)
+
+    def hist(t: pa.Table) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "out_deg": t.column("deg").to_numpy(zero_copy_only=False)
+            .astype("int64"),
+            "n_pages": np.ones(t.num_rows, dtype="int64")})
+        return g.groupby("out_deg", as_index=False).sum()
+
+    return (per_url.map_batches(hist, batch_format="pyarrow")
+            .groupby("out_deg")
+            .aggregate(Sum("n_pages", alias_name="n_pages"))
+            .sort("out_deg"))

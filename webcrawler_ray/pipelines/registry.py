@@ -435,6 +435,17 @@ def crawl_depths(sf_dir: str):
     return graph.crawl_depths(c.ray, c, edges=_dump_link_graph(c, sf_dir))
 
 
+def crawl_degree_hist(sf_dir: str):
+    """(out_deg, n_pages): out-degree distribution of the crawled link
+    graph including zero-outlink pages (value-checked: GROUP BY over
+    the dumped edge list + node list)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_degree_hist(c.ray, c,
+                                   edges=_dump_link_graph(c, sf_dir))
+
+
 # --- registry --------------------------------------------------------------
 def build_queries() -> dict:
     ray = _ray()
@@ -452,6 +463,7 @@ def build_queries() -> dict:
         "crawl_triangles": crawl_triangles,
         "crawl_components": crawl_components,
         "crawl_depths": crawl_depths,
+        "crawl_degree_hist": crawl_degree_hist,
         "crawl_curation": crawl_curation,
         # text analysis over documents
         "doc_token_counts": lambda sf: textpipe.token_counts(ray, sf),
@@ -1135,6 +1147,15 @@ GROUP BY n.url ORDER BY n.url
 _CRAWL_ORACLE_TEMPLATES["crawl_depths"] = _DEPTHS_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_salsa"] = _salsa_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
+_CRAWL_ORACLE_TEMPLATES["crawl_degree_hist"] = """
+WITH nodes AS (SELECT url FROM read_parquet('{nodes_dump}/*.parquet')),
+d AS (SELECT src, MAX(deg) AS deg
+      FROM read_parquet('{edges_dump}/*.parquet') GROUP BY src)
+SELECT CAST(COALESCE(d.deg, 0) AS BIGINT) AS out_deg,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM nodes n LEFT JOIN d ON n.url = d.src
+GROUP BY 1 ORDER BY out_deg
+"""
 # crawl_curation = the (already value-checked) corpus_curation SQL over
 # the dumped adapted crawl corpus instead of the documents view
 _CRAWL_ORACLE_TEMPLATES["crawl_curation"] = \
