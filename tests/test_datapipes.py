@@ -109,7 +109,7 @@ SQL_CHECKED = [
     "events_time_travel", "multimodal_scene_cuts",
     "events_pattern_match", "events_running_distinct",
     "events_upsert", "lineitem_copurchase", "knn_mmr",
-    "docs_kfold", "events_conversion_lag",
+    "docs_kfold", "events_conversion_lag", "events_windowed_topk",
 ]
 
 

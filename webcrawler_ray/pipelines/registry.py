@@ -714,6 +714,8 @@ def build_queries() -> dict:
             lambda sf: relational.lineitem_copurchase(ray, sf),
         "events_conversion_lag":
             lambda sf: relational.events_conversion_lag(ray, sf),
+        "events_windowed_topk":
+            lambda sf: relational.events_windowed_topk(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1431,6 +1433,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_upsert": relational.EVENTS_UPSERT_SQL,
     "lineitem_copurchase": relational.LINEITEM_COPURCHASE_SQL,
     "events_conversion_lag": relational.EVENTS_CONVERSION_LAG_SQL,
+    "events_windowed_topk": relational.EVENTS_WINDOWED_TOPK_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

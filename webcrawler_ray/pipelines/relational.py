@@ -8415,3 +8415,79 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
        CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
 FROM lags
 """
+
+
+# ---------------------------------------------------------------------------
+WTOPK_WINDOW_US = 6 * 3600 * 1_000_000  # 6h tumbling windows
+WTOPK_K = 3
+
+
+def events_windowed_topk(ray, sf_dir: str, k: int = WTOPK_K):
+    """(window_start_us, user_id, cents, rnk): the TOP-K USERS BY SPEND
+    INSIDE EVERY tumbling 6h WINDOW — the windowed-leaderboard
+    composition (event-time window -> per-window rollup -> per-window
+    rank/limit) that trend dashboards run continuously.
+
+    Scale shape: per-batch partial sums over (window, user) bound the
+    exchange at windows x users x batches; the (window, user) rollup
+    merges in hash buckets, and the per-window top-k runs inside
+    map_groups over each window's O(users) rollup — the stream itself
+    never sorts globally."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    n_events = _nrows(f"{sf_dir}/events.parquet")
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["ts", "user_id", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        g = pd.DataFrame({
+            "window_start_us": (us // WTOPK_WINDOW_US)
+            * WTOPK_WINDOW_US,
+            "user_id": t.column("user_id")
+            .to_numpy(zero_copy_only=False).astype("int64"),
+            "cents": np.floor(t.column("value")
+                              .to_numpy(zero_copy_only=False) * 100
+                              ).astype("int64")})
+        return g.groupby(["window_start_us", "user_id"],
+                         as_index=False).sum()
+
+    rollup = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["window_start_us", "user_id"],
+        lambda df: df.groupby(["window_start_us", "user_id"],
+                              as_index=False).sum(),
+        n_rows=n_events)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["cents", "user_id"],
+                           ascending=[False, True])
+             .head(k).reset_index(drop=True))
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["window_start_us", "user_id", "cents", "rnk"]].astype(
+            {"window_start_us": "int64", "user_id": "int64",
+             "cents": "int64"})
+
+    return (rollup.groupby("window_start_us")
+            .map_groups(topk, batch_format="pandas")
+            .sort(["window_start_us", "rnk"]))
+
+
+EVENTS_WINDOWED_TOPK_SQL = f"""
+WITH r AS (
+  SELECT (epoch_us(ts) // {WTOPK_WINDOW_US}) * {WTOPK_WINDOW_US}
+             AS window_start_us,
+         user_id,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM events GROUP BY 1, 2)
+SELECT CAST(window_start_us AS BIGINT) AS window_start_us,
+       user_id, cents, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY window_start_us
+          ORDER BY cents DESC, user_id) AS rnk
+      FROM r)
+WHERE rnk <= {WTOPK_K}
+ORDER BY window_start_us, rnk
+"""
