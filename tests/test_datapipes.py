@@ -110,6 +110,7 @@ SQL_CHECKED = [
     "events_pattern_match", "events_running_distinct",
     "events_upsert", "lineitem_copurchase", "knn_mmr",
     "docs_kfold", "events_conversion_lag", "events_windowed_topk",
+    "orders_segment_revenue",
 ]
 
 
@@ -2585,3 +2586,22 @@ class TestSnapshotTable:
         got3 = {r["event_id"]: r["cents"] for r in
                 sn.read_snapshot(ray, d, 3).take_all()}
         assert got3 == {1: 10, 2: -1, 3: -2, 4: 40, 99: 7}
+
+
+class TestAutoJoin:
+    """stages/joins.py — the adaptive broadcast-vs-shuffle planner must
+    produce IDENTICAL results on both paths."""
+
+    def test_both_plans_identical(self, ray_session):
+        import pandas as pd
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+        from tests.conftest import SF_DIR
+
+        bc = rel.orders_segment_revenue(
+            ray, SF_DIR, broadcast_max_bytes=1 << 30).to_pandas()
+        sh = rel.orders_segment_revenue(
+            ray, SF_DIR, broadcast_max_bytes=0).to_pandas()
+        pd.testing.assert_frame_equal(
+            bc.reset_index(drop=True), sh.reset_index(drop=True))

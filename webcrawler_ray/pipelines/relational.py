@@ -8491,3 +8491,87 @@ FROM (SELECT *, ROW_NUMBER() OVER (
 WHERE rnk <= {WTOPK_K}
 ORDER BY window_start_us, rnk
 """
+
+
+# ---------------------------------------------------------------------------
+def orders_segment_revenue(ray, sf_dir: str,
+                           broadcast_max_bytes: int | None = None):
+    """(c_mktsegment, n_orders, total_cents): orders rolled up by their
+    customer's market segment through the ADAPTIVE JOIN PLANNER
+    (stages/joins.py::auto_join) — the build side (customer segment
+    map) is measured from parquet footer statistics and BROADCAST when
+    it fits a worker heap (zero shuffles: one ray.put, map-side merge
+    per batch), falling back to the partitioned Dataset.join when it
+    would not. A test forces both paths and asserts identical output;
+    the oracle checks whichever plan the statistics choose."""
+    from ray.data.aggregate import Sum
+
+    from ..io_utils import parquet_column_bytes
+    from ..stages.joins import BROADCAST_MAX_BYTES, auto_join
+
+    if broadcast_max_bytes is None:
+        broadcast_max_bytes = BROADCAST_MAX_BYTES
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    cust_path = f"{sf_dir}/customer.parquet"
+    # cheap stats: compressed column bytes from the footer (an
+    # underestimate of heap size; the 64 MB default absorbs the slack)
+    right_bytes = (parquet_column_bytes(cust_path, "c_custkey")
+                   + parquet_column_bytes(cust_path, "c_mktsegment"))
+
+    od = _rpq(ray, f"{sf_dir}/orders.parquet",
+              columns=["o_custkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t.column("o_custkey").cast(pa.int64()),
+            "cents": pa.array(np.floor(
+                t.column("o_totalprice")
+                .to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64))})
+
+    left = od.map_batches(to_cents, batch_format="pyarrow")
+
+    if right_bytes <= broadcast_max_bytes:
+        import pyarrow.dataset as pads
+
+        right_table = pads.dataset(cust_path).to_table(
+            columns=["c_custkey", "c_mktsegment"]).rename_columns(
+                ["o_custkey", "c_mktsegment"])
+        right_ds = None
+    else:
+        right_table = None
+        right_ds = (_rpq(ray, cust_path,
+                         columns=["c_custkey", "c_mktsegment"])
+                    .map_batches(lambda t: t.rename_columns(
+                        ["o_custkey", "c_mktsegment"]),
+                        batch_format="pyarrow"))
+
+    joined, _plan = auto_join(
+        ray, left, right_table, ["o_custkey"], n_orders,
+        right_ds=right_ds, right_bytes=right_bytes,
+        broadcast_max_bytes=broadcast_max_bytes)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "c_mktsegment": df["c_mktsegment"],
+            "n_orders": np.ones(len(df), dtype="int64"),
+            "total_cents": df["cents"].astype("int64")})
+        return g.groupby("c_mktsegment", as_index=False).sum()
+
+    return (joined.map_batches(partial, batch_format="pandas",
+                               batch_size=65536)
+            .groupby("c_mktsegment")
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("total_cents", alias_name="total_cents"))
+            .sort("c_mktsegment"))
+
+
+ORDERS_SEGMENT_REVENUE_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

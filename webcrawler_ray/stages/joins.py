@@ -1,0 +1,72 @@
+"""Adaptive join planning: broadcast the small side when it fits, hash
+shuffle both sides when it doesn't — decided from CHEAP STATISTICS
+(parquet footer bytes / row counts), never a guess.
+
+At 100 TB the single most expensive accidental query-plan mistake is a
+shuffle join against a dimension table that would have fit in every
+task's memory (two all-to-all exchanges instead of zero), and the
+second most expensive is the reverse — broadcasting a "dimension" that
+grew past worker heap. ``auto_join`` makes the choice explicit,
+observable (returns which plan ran) and threshold-driven.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# default ceiling for a broadcast build side: comfortably inside a
+# worker heap next to a 128 MB block and the batch being joined
+BROADCAST_MAX_BYTES = 64 << 20
+
+
+def estimate_bytes(tbl: pa.Table) -> int:
+    return tbl.nbytes
+
+
+def auto_join(ray, left, right_table: pa.Table | None, on: list[str],
+              n_rows_left: int, right_ds=None,
+              right_bytes: int | None = None,
+              broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+              how: str = "inner"):
+    """Join ``left`` (a Dataset) with a build side given EITHER as an
+    in-memory ``right_table`` (already collected by the caller — only
+    sensible when the caller knows it is dimension-sized) or as a lazy
+    ``right_ds`` Dataset plus a cheap ``right_bytes`` estimate.
+
+    Plan choice:
+      * build side bytes <= ``broadcast_max_bytes``: BROADCAST — the
+        build table ships to the object store ONCE (ray.put), every
+        left batch joins against it map-side (pandas merge per batch;
+        zero shuffles).
+      * otherwise: SHUFFLE — ``Dataset.join`` with partition count
+        sized from the smaller side's rows.
+
+    Returns ``(joined_dataset, plan)`` with plan in
+    {"broadcast", "shuffle"} so callers/tests can assert the path."""
+    from .aggregates import join_partitions_for
+
+    if right_table is not None and right_bytes is None:
+        right_bytes = estimate_bytes(right_table)
+    if right_bytes is None:
+        raise ValueError("need right_table or right_bytes")
+
+    if right_bytes <= broadcast_max_bytes and right_table is not None:
+        rdf = right_table.to_pandas()
+        ref = ray.put(rdf)
+
+        def bjoin(batch: pd.DataFrame) -> pd.DataFrame:
+            r = ray.get(ref)
+            return batch.merge(r, on=list(on), how=how)
+
+        return (left.map_batches(bjoin, batch_format="pandas",
+                                 batch_size=65536), "broadcast")
+
+    if right_ds is None:
+        # caller collected the table but it is too big to broadcast —
+        # turn it back into a Dataset for the shuffle path
+        right_ds = ray.data.from_arrow(right_table)
+    joined = left.join(right_ds, join_type=how, on=tuple(on),
+                       num_partitions=join_partitions_for(n_rows_left))
+    return joined, "shuffle"
