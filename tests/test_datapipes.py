@@ -110,7 +110,7 @@ SQL_CHECKED = [
     "events_pattern_match", "events_running_distinct",
     "events_upsert", "lineitem_copurchase", "knn_mmr",
     "docs_kfold", "events_conversion_lag", "events_windowed_topk",
-    "orders_segment_revenue",
+    "orders_segment_revenue", "customers_gini",
 ]
 
 

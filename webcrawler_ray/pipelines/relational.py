@@ -8575,3 +8575,116 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+def customers_gini(ray, sf_dir: str):
+    """(n_customers, total_cents, gini_e6): GINI COEFFICIENT of the
+    per-customer revenue distribution — the inequality/concentration
+    metric (how much of the revenue the top customers hold), computed
+    EXACTLY: G = (2*Σ i*x_i - (n+1)*Σ x_i) / (n * Σ x_i) over the
+    ascending-sorted per-customer cents with 1-based ranks, reported in
+    integer micro-units (truncating division, matching HUGEINT //).
+
+    Scale shape: the fact table reduces to one row per customer
+    (combiner + bucketed merge + one distributed join — the deciles
+    rollup); ranks come from the shared O(blocks) exclusive prefix
+    scan over the sorted rollup (no driver ranking); each block ships
+    ONE (Σ i*x, Σ x, n) partial, and the driver folds the O(blocks)
+    partials in arbitrary-precision Python ints, so no int64 bound on
+    n * total is ever hit."""
+    from ..stages.aggregates import (block_prefix_bases,
+                                     hash_bucket_aggregate,
+                                     join_partitions_for)
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64"),
+            "revenue_cents": np.floor(b["l_extendedprice"]
+                                      * (1 - b["l_discount"]) * 100
+                                      ).astype("int64")})
+        return g.groupby("l_orderkey", as_index=False).sum()
+
+    li_agg = hash_bucket_aggregate(
+        li.map_batches(to_cents, batch_format="pandas",
+                       batch_size=65536),
+        ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", as_index=False).sum(),
+        n_rows=n_orders)
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    joined = li_agg.join(orders, join_type="inner", on=("l_orderkey",),
+                         num_partitions=join_partitions_for(n_orders))
+    per_cust = hash_bucket_aggregate(
+        joined, ["o_custkey"],
+        lambda df: df[["o_custkey", "revenue_cents"]]
+        .groupby("o_custkey", as_index=False).sum(),
+        n_rows=n_orders).materialize()
+
+    n = per_cust.count()
+    if n == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ["n_customers", "total_cents",
+                                       "gini_e6"]})
+
+    srt = per_cust.sort(["revenue_cents", "o_custkey"]).materialize()
+    bases = block_prefix_bases(srt, ["revenue_cents", "o_custkey"],
+                               ascending=[True, True])
+
+    def partials(t: pa.Table) -> pa.Table:
+        key = (t.column("revenue_cents")[0].as_py(),
+               t.column("o_custkey")[0].as_py())
+        pos = bases[key] + np.arange(t.num_rows, dtype=np.int64) + 1
+        x = t.column("revenue_cents").to_numpy(zero_copy_only=False)
+        # per-block partials as STRINGS of Python ints: the fold below
+        # is arbitrary-precision, immune to n*total overflowing int64
+        six = str(int(np.multiply(pos, x, dtype=object).sum()))
+        return pa.table({
+            "sum_ix": pa.array([six], pa.string()),
+            "sum_x": pa.array([int(x.sum(dtype=np.int64))],
+                              pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    blocks = srt.map_batches(partials, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    sum_ix = sum(int(s) for s in blocks["sum_ix"])
+    sum_x = int(blocks["sum_x"].sum())
+    n = int(blocks["n"].sum())
+    if sum_x == 0:
+        gini = 0
+    else:
+        gini = _trunc_div((2 * sum_ix - (n + 1) * sum_x) * 1_000_000,
+                          n * sum_x)
+    return pd.DataFrame({
+        "n_customers": pd.Series([n], dtype="int64"),
+        "total_cents": pd.Series([sum_x], dtype="int64"),
+        "gini_e6": pd.Series([gini], dtype="int64")})
+
+
+CUSTOMERS_GINI_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey),
+ranked AS (
+  SELECT CAST(x AS HUGEINT) AS x,
+         CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS HUGEINT)
+             AS i
+  FROM per_cust)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(x) AS BIGINT) AS total_cents,
+       CAST(CASE WHEN SUM(x) = 0 THEN 0
+                 ELSE ((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x))
+                       * 1000000) // (COUNT(*) * SUM(x)) END
+            AS BIGINT) AS gini_e6
+FROM ranked
+"""
