@@ -2588,6 +2588,34 @@ class TestSnapshotTable:
         assert got3 == {1: 10, 2: -1, 3: -2, 4: 40, 99: 7}
 
 
+
+    def test_expire_snapshots_vacuum(self, ray_session, tmp_path):
+        import os
+
+        import pytest
+        import ray
+
+        from webcrawler_ray.state import snapshots as sn
+
+        d = str(tmp_path / "tbl")
+        sn.commit_append(self._mk(ray, list(range(6))), d,
+                         rows_per_file=2)
+        sn.commit_compaction(ray, d, target_rows_per_file=100)
+        sn.commit_append(self._mk(ray, [100]), d)
+        res = sn.expire_snapshots(d, keep_last=2)
+        assert res["kept_versions"] == [2, 3]
+        assert res["removed_manifests"] == 1
+        assert res["removed_files"] >= 3  # v1's three small files
+        # kept snapshots fully readable after the vacuum
+        assert len(sn.read_snapshot(ray, d, 3).take_all()) == 7
+        assert len(sn.read_snapshot(ray, d, 2).take_all()) == 6
+        with pytest.raises(FileNotFoundError):
+            sn.read_manifest(d, 1)
+        # vacuum is idempotent
+        res2 = sn.expire_snapshots(d, keep_last=2)
+        assert res2["removed_files"] == 0
+
+
 class TestAutoJoin:
     """stages/joins.py — the adaptive broadcast-vs-shuffle planner must
     produce IDENTICAL results on both paths."""
@@ -2605,3 +2633,4 @@ class TestAutoJoin:
             ray, SF_DIR, broadcast_max_bytes=0).to_pandas()
         pd.testing.assert_frame_equal(
             bc.reset_index(drop=True), sh.reset_index(drop=True))
+

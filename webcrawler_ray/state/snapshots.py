@@ -236,3 +236,42 @@ def read_snapshot(ray, table_dir: str, version: int | None = None):
     for ds in parts[1:]:
         out = out.union(ds)
     return out
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
+    """VACUUM: drop all but the newest ``keep_last`` manifests and
+    delete every data/delete file no surviving manifest references —
+    the retention step that keeps a long-lived table's directory from
+    growing without bound while time travel stays available across the
+    kept window.
+
+    Deletion order is crash-safe: expired MANIFESTS go first (an
+    interrupted vacuum can only leave orphaned data files, which the
+    next vacuum collects — never a kept manifest with missing files).
+    Returns {"kept_versions", "removed_manifests", "removed_files"}."""
+    cur = current_version(table_dir)
+    if cur == 0:
+        return {"kept_versions": [], "removed_manifests": 0,
+                "removed_files": 0}
+    keep = list(range(max(1, cur - keep_last + 1), cur + 1))
+    referenced: set[str] = set()
+    for v in keep:
+        m = read_manifest(table_dir, v)
+        referenced |= {e[0] for e in m["files"]}
+        referenced |= {e[0] for e in m.get("deletes", [])}
+
+    removed_manifests = 0
+    for v in range(1, keep[0]):
+        p = _manifest_path(table_dir, v)
+        if os.path.exists(p):
+            os.unlink(p)
+            removed_manifests += 1
+
+    removed_files = 0
+    for f in os.listdir(table_dir):
+        if (f.endswith(".parquet") and f not in referenced):
+            os.unlink(os.path.join(table_dir, f))
+            removed_files += 1
+    return {"kept_versions": keep,
+            "removed_manifests": removed_manifests,
+            "removed_files": removed_files}
