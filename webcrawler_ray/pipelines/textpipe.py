@@ -3171,3 +3171,55 @@ FROM documents
 GROUP BY 1, 2
 ORDER BY fold, source
 """
+
+
+# ---------------------------------------------------------------------------
+BOOL_QUERY_TERMS = ("hash", "join", "sort")  # conjunctive (AND) query
+
+
+def docs_boolean_search(ray, sf_dir: str,
+                        terms: tuple = BOOL_QUERY_TERMS):
+    """(doc_id, n_hits): CONJUNCTIVE BOOLEAN SEARCH — documents whose
+    token set contains ALL query terms, with the total occurrence count
+    of the terms as a secondary signal (the AND-query primitive under
+    every retrieval stack, sharing the repo's ONE canonical tokenizer
+    with BM25/tf-idf/the inverted index).
+
+    Scale shape: pure streaming map_batches — each batch tokenizes,
+    tests membership and emits only matching ids; no shuffle, no state,
+    no index needed for a fixed query (the indexed path is
+    docs_inverted_index)."""
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_n = [], []
+        for i, txt in zip(ids, batch.column("text").to_pylist()):
+            toks = tokenize(txt)
+            counts = [toks.count(t) for t in terms]
+            if all(c > 0 for c in counts):
+                out_id.append(i)
+                out_n.append(sum(counts))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "n_hits": pa.array(out_n, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def _bool_sql() -> str:
+    toks = (f"regexp_split_to_array({SQL_TRIM_TEXT},"
+            f" '{SQL_WS_CLASS}+')")
+    conds = " AND ".join(
+        f"list_contains({toks}, '{t}')" for t in BOOL_QUERY_TERMS)
+    hits = " + ".join(
+        f"len(list_filter({toks}, x -> x = '{t}'))"
+        for t in BOOL_QUERY_TERMS)
+    return f"""
+SELECT doc_id, CAST({hits} AS BIGINT) AS n_hits
+FROM documents
+WHERE {conds}
+ORDER BY doc_id
+"""
+
+
+DOCS_BOOLEAN_SEARCH_SQL = _bool_sql()
