@@ -111,7 +111,7 @@ SQL_CHECKED = [
     "events_upsert", "lineitem_copurchase", "knn_mmr",
     "docs_kfold", "events_conversion_lag", "events_windowed_topk",
     "orders_segment_revenue", "customers_gini",
-    "docs_boolean_search",
+    "docs_boolean_search", "events_snapshot_diff",
 ]
 
 

@@ -8688,3 +8688,74 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
             AS BIGINT) AS gini_e6
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+def events_snapshot_diff(ray, sf_dir: str):
+    """(change, n_rows, sum_cents): CHANGE DATA FEED — the row-level
+    diff between two versions of the upsert snapshot table (v1 -> v2 of
+    events_upsert's MERGE): rows present only in v2 are inserts (new
+    keys AND the new image of updated keys), rows present only in v1
+    are deletes (the old image of updated keys). Computed as TWO
+    distributed anti-joins on the full (event_id, cents) row image —
+    the downstream-consumer primitive that turns snapshots into an
+    incremental stream without the writer logging anything."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import join_partitions_for
+    from ..state.snapshots import current_version, read_snapshot
+
+    # reuse (or build) the upsert table
+    import os
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    table_dir = f"/tmp/webcrawler_ray_cache/{name}/events_upsert_v1"
+    if current_version(table_dir) != 2:
+        events_upsert(ray, sf_dir)  # builds v1+v2 deterministically
+
+    n_ev = _nrows(f"{sf_dir}/events.parquet")
+    nparts = join_partitions_for(n_ev)
+    v1 = read_snapshot(ray, table_dir, 1)
+    v2 = read_snapshot(ray, table_dir, 2)
+
+    def tag(label: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            g = pd.DataFrame({
+                "change": np.repeat(label, len(df)),
+                "n_rows": np.ones(len(df), dtype="int64"),
+                "sum_cents": df["cents"].astype("int64")})
+            return g.groupby("change", as_index=False).sum()
+        return f
+
+    ins = (v2.join(v1, join_type="left_anti",
+                   on=("event_id", "cents"), num_partitions=nparts)
+           .map_batches(tag("insert"), batch_format="pandas",
+                        batch_size=65536))
+    del_ = (v1.join(v2, join_type="left_anti",
+                    on=("event_id", "cents"), num_partitions=nparts)
+            .map_batches(tag("delete"), batch_format="pandas",
+                         batch_size=65536))
+
+    return (ins.union(del_)
+            .groupby("change")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("sum_cents", alias_name="sum_cents"))
+            .sort("change"))
+
+
+EVENTS_SNAPSHOT_DIFF_SQL = f"""
+WITH c AS (
+  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT 'delete' AS change,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM c WHERE event_id % 3 = 0
+UNION ALL
+SELECT 'insert',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN event_id % 3 = 0 THEN cents + 1000
+                     ELSE cents END) AS BIGINT)
+FROM c WHERE event_id % 3 <= 1
+ORDER BY change
+"""
