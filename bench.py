@@ -89,6 +89,11 @@ QUERY_NAMES = [
     "events_running_distinct", "events_day_bitmaps",
     "events_above_user_mean", "docs_ipc_roundtrip",
     "docs_schema_evolution", "events_daily_interpolated",
+    "events_upsert", "lineitem_copurchase", "knn_mmr",
+    "docs_kfold", "events_conversion_lag", "events_windowed_topk",
+    "orders_segment_revenue", "customers_gini",
+    "docs_boolean_search", "events_snapshot_diff",
+    "events_pattern_match", "events_running_distinct",
 ]
 
 
