@@ -8759,3 +8759,56 @@ SELECT 'insert',
 FROM c WHERE event_id % 3 <= 1
 ORDER BY change
 """
+
+
+# ---------------------------------------------------------------------------
+def events_dp_counts(ray, sf_dir: str):
+    """(event_type, noisy_count): NOISY HISTOGRAM — per-type event
+    counts released with additive binomial noise (popcount of 60
+    seed-derived hash bits, centered: Binomial(60, 1/2) - 30, sigma
+    ~3.9), the randomized-response/DP-release aggregate shape next to
+    the k-anonymity audit and the PII scrub. The noise is a pure
+    function of a per-key seed string, so the release is reproducible
+    AND the oracle replays it exactly — swap the seeded hash for a real
+    DP sampler at deployment; the pipeline shape (exact combiner
+    rollup, noise at release time only, never on partials) is the part
+    that matters at scale."""
+    import hashlib as _hl
+
+    from ray.data.aggregate import Sum
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet", columns=["event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).size()
+        return pd.DataFrame({"event_type": g["event_type"],
+                             "n": g["size"].astype("int64")})
+
+    counts = (ds.map_batches(partial, batch_format="pandas",
+                             batch_size=65536)
+              .groupby("event_type")
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())  # O(types)
+
+    def noise(t: str) -> int:
+        h = int(_hl.md5(f"dp:{t}".encode()).hexdigest()[:15], 16)
+        return bin(h).count("1") - 30
+
+    counts["noisy_count"] = pd.Series(
+        [int(n) + noise(t) for t, n in zip(counts["event_type"],
+                                           counts["n"])],
+        dtype="int64", index=counts.index)
+    return (counts[["event_type", "noisy_count"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+EVENTS_DP_COUNTS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*)
+            + bit_count(CAST(('0x' || substr(md5('dp:' || event_type),
+                                             1, 15)) AS BIGINT))
+            - 30 AS BIGINT) AS noisy_count
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
