@@ -507,6 +507,8 @@ def build_queries() -> dict:
             lambda sf: textpipe.docs_kfold(ray, sf),
         "docs_boolean_search":
             lambda sf: textpipe.docs_boolean_search(ray, sf),
+        "catalog_tables":
+            lambda sf: textpipe.catalog_tables(ray, sf),
         "docs_rendezvous_shards":
             lambda sf: textpipe.docs_rendezvous_shards(ray, sf),
         "sources_token_jaccard":
@@ -1466,6 +1468,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_schema_evolution": textpipe.DOCS_SCHEMA_EVOLUTION_SQL,
     "docs_kfold": textpipe.DOCS_KFOLD_SQL,
     "docs_boolean_search": textpipe.DOCS_BOOLEAN_SEARCH_SQL,
+    "catalog_tables": textpipe.CATALOG_TABLES_SQL,
     "docs_rendezvous_shards": textpipe.DOCS_RENDEZVOUS_SQL,
     "sources_token_jaccard": textpipe.SOURCES_TOKEN_JACCARD_SQL,
     "sources_ttr": textpipe.SOURCES_TTR_SQL,

@@ -3223,3 +3223,40 @@ ORDER BY doc_id
 
 
 DOCS_BOOLEAN_SEARCH_SQL = _bool_sql()
+
+
+# ---------------------------------------------------------------------------
+CATALOG_TABLES = ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings")
+
+
+def catalog_tables(ray, sf_dir: str):
+    """(table_name, n_rows, n_cols): the CATALOG/DISCOVERY op — inventory
+    every table in a dataset directory from parquet FOOTERS ONLY (row
+    counts and schemas are metadata; zero data pages are read), the
+    first thing any engine does against an unfamiliar 100-TB lake.
+    Footer reads are O(tables), so this runs on the driver by design —
+    a million-file lake would map the footer reads over a Dataset of
+    paths instead (same sums, distributed)."""
+    import pyarrow.parquet as pq
+
+    from ..io_utils import parquet_num_rows
+
+    rows = []
+    for t in CATALOG_TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        rows.append((t, parquet_num_rows(path),
+                     len(pq.read_schema(path).names)))
+    rows.sort()
+    return pd.DataFrame({
+        "table_name": pd.Series([r[0] for r in rows], dtype=str),
+        "n_rows": pd.Series([r[1] for r in rows], dtype="int64"),
+        "n_cols": pd.Series([r[2] for r in rows], dtype="int64")})
+
+
+CATALOG_TABLES_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    f" (SELECT CAST(COUNT(*) AS BIGINT) FROM information_schema.columns"
+    f" WHERE table_name = '{t}') AS n_cols FROM {t}"
+    for t in CATALOG_TABLES) + "\nORDER BY table_name"
