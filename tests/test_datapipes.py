@@ -112,7 +112,7 @@ SQL_CHECKED = [
     "docs_kfold", "events_conversion_lag", "events_windowed_topk",
     "orders_segment_revenue", "customers_gini",
     "docs_boolean_search", "events_snapshot_diff",
-    "events_dp_counts", "catalog_tables",
+    "events_dp_counts", "catalog_tables", "events_mv_incremental",
 ]
 
 

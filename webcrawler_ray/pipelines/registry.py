@@ -728,6 +728,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_snapshot_diff(ray, sf),
         "events_dp_counts":
             lambda sf: relational.events_dp_counts(ray, sf),
+        "events_mv_incremental":
+            lambda sf: relational.events_mv_incremental(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1450,6 +1452,7 @@ ORDER BY vec_id_a, vec_id_b
     "customers_gini": relational.CUSTOMERS_GINI_SQL,
     "events_snapshot_diff": relational.EVENTS_SNAPSHOT_DIFF_SQL,
     "events_dp_counts": relational.EVENTS_DP_COUNTS_SQL,
+    "events_mv_incremental": relational.EVENTS_MV_INCREMENTAL_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

@@ -8812,3 +8812,60 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+def events_mv_incremental(ray, sf_dir: str):
+    """(bucket, n_rows, sum_cents): INCREMENTAL VIEW MAINTENANCE — the
+    per-bucket rollup of the upsert table at v2, maintained WITHOUT
+    rescanning v2: materialize the view at v1, derive the v1->v2 change
+    feed (two anti-joins, as events_snapshot_diff), and apply the delta
+    (+inserts, -deletes) to the stored view. Counts and sums are
+    self-maintainable aggregates, so MV(v1) + delta == full recompute —
+    and the oracle IS the full recompute (same SQL as events_upsert),
+    so the green check proves the incremental path exact."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import join_partitions_for
+    from ..state.snapshots import current_version, read_snapshot
+
+    import os
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    table_dir = f"/tmp/webcrawler_ray_cache/{name}/events_upsert_v1"
+    if current_version(table_dir) != 2:
+        events_upsert(ray, sf_dir)
+
+    n_ev = _nrows(f"{sf_dir}/events.parquet")
+    nparts = join_partitions_for(n_ev)
+    v1 = read_snapshot(ray, table_dir, 1)
+    v2 = read_snapshot(ray, table_dir, 2)
+
+    def rollup(sign: int):
+        def f(t: pa.Table) -> pd.DataFrame:
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            g = pd.DataFrame({
+                "bucket": eid % 10,
+                "n_rows": np.full(len(eid), sign, dtype="int64"),
+                "sum_cents": sign * t.column("cents")
+                .to_numpy(zero_copy_only=False).astype("int64")})
+            return g.groupby("bucket", as_index=False).sum()
+        return f
+
+    base = v1.map_batches(rollup(+1), batch_format="pyarrow")
+    ins = (v2.join(v1, join_type="left_anti",
+                   on=("event_id", "cents"), num_partitions=nparts)
+           .map_batches(rollup(+1), batch_format="pyarrow"))
+    dels = (v1.join(v2, join_type="left_anti",
+                    on=("event_id", "cents"), num_partitions=nparts)
+            .map_batches(rollup(-1), batch_format="pyarrow"))
+
+    return (base.union(ins).union(dels)
+            .groupby("bucket")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("sum_cents", alias_name="sum_cents"))
+            .sort("bucket"))
+
+
+# full recompute == the upsert rollup: the oracle is shared
+EVENTS_MV_INCREMENTAL_SQL = EVENTS_UPSERT_SQL
