@@ -2636,3 +2636,28 @@ class TestAutoJoin:
         pd.testing.assert_frame_equal(
             bc.reset_index(drop=True), sh.reset_index(drop=True))
 
+
+
+def test_snapshot_check_unique(ray_session, tmp_path):
+    """Write-time unique-key gate: duplicate inside the batch and
+    duplicate vs the live snapshot both refuse; clean batches pass."""
+    import pyarrow as pa
+
+    import pytest
+    import ray
+
+    from webcrawler_ray.state import snapshots as sn
+
+    d = str(tmp_path / "tbl")
+
+    def mk(vals):
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array(vals, pa.int64()),
+            "cents": pa.array([v * 10 for v in vals], pa.int64())}))
+
+    sn.commit_append(mk([1, 2, 3]), d)
+    sn.check_unique(ray, d, "event_id", mk([4, 5]))  # passes
+    with pytest.raises(ValueError, match="inside the batch"):
+        sn.check_unique(ray, d, "event_id", mk([6, 6]))
+    with pytest.raises(ValueError, match="already present"):
+        sn.check_unique(ray, d, "event_id", mk([2]))

@@ -275,3 +275,42 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
     return {"kept_versions": keep,
             "removed_manifests": removed_manifests,
             "removed_files": removed_files}
+
+
+def check_unique(ray, table_dir: str, key_col: str, batch_ds) -> None:
+    """WRITE-TIME CONSTRAINT: raise if appending ``batch_ds`` would
+    violate key uniqueness — duplicate keys INSIDE the batch, or keys
+    already live in the current snapshot. Both checks are distributed
+    (a grouped count and one semi-join); nothing is collected beyond
+    the first offending keys. Callers gate ``commit_append`` with this
+    when the table carries a primary key (use ``commit_merge`` when
+    replacement is the intent)."""
+    from ray.data.aggregate import Count
+
+    def _only_dups(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t.column("count()"), 1))
+
+    dup = (batch_ds.groupby(key_col).aggregate(Count())
+           .map_batches(_only_dups, batch_format="pyarrow"))
+    dup_rows = dup.limit(3).take_all()
+    if dup_rows:
+        ks = [r[key_col] for r in dup_rows]
+        raise ValueError(
+            f"unique-key violation inside the batch: {key_col} "
+            f"duplicated (e.g. {ks})")
+    if current_version(table_dir) == 0:
+        return
+    cur = read_snapshot(ray, table_dir)
+    hit = batch_ds.join(
+        cur.map_batches(lambda t: t.select([key_col]),
+                        batch_format="pyarrow"),
+        join_type="left_semi", on=(key_col,),
+        num_partitions=max(1, min(64, batch_ds.count() // 16_384 + 1)))
+    hit_rows = hit.limit(3).take_all()
+    if hit_rows:
+        ks = [r[key_col] for r in hit_rows]
+        raise ValueError(
+            f"unique-key violation vs the current snapshot: {key_col} "
+            f"already present (e.g. {ks})")
