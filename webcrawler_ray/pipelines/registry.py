@@ -730,6 +730,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_dp_counts(ray, sf),
         "events_mv_incremental":
             lambda sf: relational.events_mv_incremental(ray, sf),
+        "events_wow_growth":
+            lambda sf: relational.events_wow_growth(ray, sf),
         "docs_k_anonymity":
             lambda sf: relational.docs_k_anonymity(ray, sf),
         "events_unpivot":
@@ -1453,6 +1455,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_snapshot_diff": relational.EVENTS_SNAPSHOT_DIFF_SQL,
     "events_dp_counts": relational.EVENTS_DP_COUNTS_SQL,
     "events_mv_incremental": relational.EVENTS_MV_INCREMENTAL_SQL,
+    "events_wow_growth": relational.EVENTS_WOW_GROWTH_SQL,
     "docs_k_anonymity": relational.DOCS_K_ANONYMITY_SQL,
     "doc_cms_counts": sketches.DOC_CMS_COUNTS_SQL,
     "events_hll_registers": sketches.EVENTS_HLL_REGISTERS_SQL,

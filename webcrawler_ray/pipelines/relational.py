@@ -8869,3 +8869,75 @@ def events_mv_incremental(ray, sf_dir: str):
 
 # full recompute == the upsert rollup: the oracle is shared
 EVENTS_MV_INCREMENTAL_SQL = EVENTS_UPSERT_SQL
+
+
+# ---------------------------------------------------------------------------
+def events_wow_growth(ray, sf_dir: str):
+    """(event_type, week, n_events, delta_n, growth_bp): WEEK-OVER-WEEK
+    GROWTH — each type's weekly event count with the LAG difference and
+    the integer basis-point growth rate vs the prior week (the
+    period-over-period report; first week emits NULL delta/growth like
+    SQL LAG). Weeks are absolute epoch-week indices.
+
+    Scale shape: the stream reduces map-side to O(types x weeks) rows;
+    the LAG runs inside per-type map_groups over that tiny rollup —
+    the growth math never sees the event stream."""
+    from ray.data.aggregate import Sum
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        wk = (t.column("ts").cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // WEEK_US)
+        g = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "week": wk,
+            "n_events": np.ones(len(wk), dtype="int64")})
+        return g.groupby(["event_type", "week"], as_index=False).sum()
+
+    weekly = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "week"])
+              .aggregate(Sum("n_events", alias_name="n_events")))
+
+    def lagged(g: pd.DataFrame) -> pd.DataFrame:
+        # first week reports 0/0 (not NULL) so every column stays a
+        # plain int64 on both engines — no nullable-dtype skew
+        g = g.sort_values("week").reset_index(drop=True)
+        prev = g["n_events"].shift(1).fillna(g["n_events"]).astype(
+            "int64")
+        delta = (g["n_events"] - prev).astype("int64")
+        growth = np.array(
+            [_trunc_div(int(d) * 10_000, int(p)) if p else 0
+             for d, p in zip(delta, prev)], dtype=np.int64)
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "week": g["week"].astype("int64"),
+            "n_events": g["n_events"].astype("int64"),
+            "delta_n": delta,
+            "growth_bp": growth})
+
+    return (weekly.groupby("event_type")
+            .map_groups(lagged, batch_format="pandas")
+            .sort(["event_type", "week"]))
+
+
+EVENTS_WOW_GROWTH_SQL = f"""
+WITH w AS (
+  SELECT event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {WEEK_US} AS BIGINT)
+             AS week,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT event_type, week, n_events,
+       CAST(n_events - LAG(n_events, 1, n_events) OVER w AS BIGINT)
+           AS delta_n,
+       CAST(CASE WHEN LAG(n_events, 1, n_events) OVER w = 0 THEN 0
+                 ELSE ((n_events - LAG(n_events, 1, n_events) OVER w)
+                       * 10000)
+                      // LAG(n_events, 1, n_events) OVER w END
+            AS BIGINT) AS growth_bp
+FROM w
+WINDOW w AS (PARTITION BY event_type ORDER BY week)
+ORDER BY event_type, week
+"""
