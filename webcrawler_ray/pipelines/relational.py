@@ -8125,7 +8125,7 @@ def events_upsert(ray, sf_dir: str):
                              "cents": pa.array(cents)})
 
         commit_append(ev.map_batches(base_rows, batch_format="pyarrow"),
-                      table_dir, rows_per_file=2000)
+                      table_dir, rows_per_file=50_000)
 
         def upsert_rows(t: pa.Table) -> pa.Table:
             eid = (t.column("event_id")
