@@ -7925,12 +7925,12 @@ def events_time_travel(ray, sf_dir: str):
             commit_append(
                 ev.map_batches(lambda t, r=rem: third(t, r),
                                batch_format="pyarrow"),
-                table_dir, rows_per_file=500)
+                table_dir, rows_per_file=5000)
         commit_compaction(ray, table_dir, target_rows_per_file=100_000)
         commit_append(
             ev.map_batches(lambda t: third(t, 2),
                            batch_format="pyarrow"),
-            table_dir, rows_per_file=500)
+            table_dir, rows_per_file=5000)
 
         def small_keys(t: pa.Table) -> pa.Table:
             eid = t.column("event_id").to_numpy(zero_copy_only=False)
