@@ -93,9 +93,8 @@ QUERY_NAMES = [
     "docs_kfold", "events_conversion_lag", "events_windowed_topk",
     "orders_segment_revenue", "customers_gini",
     "docs_boolean_search", "events_snapshot_diff",
-    "events_pattern_match", "events_running_distinct",
     "catalog_tables", "events_mv_incremental", "events_wow_growth",
-    "events_dp_counts",
+    "events_dp_counts", "dedup_jaccard_join",
 ]
 
 

@@ -113,7 +113,7 @@ SQL_CHECKED = [
     "orders_segment_revenue", "customers_gini",
     "docs_boolean_search", "events_snapshot_diff",
     "events_dp_counts", "catalog_tables", "events_mv_incremental",
-    "events_wow_growth",
+    "events_wow_growth", "dedup_jaccard_join",
 ]
 
 
@@ -408,6 +408,22 @@ class TestRowsOnly:
         df = _to_df(q["dedup_ngram_jaccard"](SF_DIR))
         if len(df):
             assert df["jaccard_pct"].between(50, 100).all()
+
+    def test_jaccard_join_supersets_lsh_candidates(self, queries):
+        # the EXACT join (prefix filter, zero false negatives) must
+        # contain every LSH-verified pair at the same threshold — LSH
+        # banding can only MISS pairs, never add true ones
+        q, _ = queries
+        exact = _to_df(q["dedup_jaccard_join"](SF_DIR))
+        lsh = _to_df(q["dedup_ngram_jaccard"](SF_DIR))
+        exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+        lsh_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
+        assert lsh_pairs <= exact_pairs
+        assert len(exact_pairs) > 0
+        assert exact["jaccard_pct"].between(50, 100).all()
+        # n_common never exceeds either side's set size implied bound:
+        # jaccard_pct = 100*n_common // union stays consistent
+        assert (exact["n_common"] > 0).all()
 
     def test_dedup_clusters_labels_are_min_member(self, queries):
         q, _ = queries

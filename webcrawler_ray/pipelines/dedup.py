@@ -321,6 +321,201 @@ def ngram_jaccard_pairs(ray, sf_dir: str, threshold: float = 0.5):
                                   with_pct=True, sh_ds=sh)
 
 
+# ---------------------------------------------------------------------------
+# EXACT set-similarity join (prefix filtering — Chaudhuri ICDE'06 /
+# PPJoin, Xiao et al. WWW'08): every pair with gram-set Jaccard >= tau,
+# ZERO false negatives — the ground truth the LSH banding family
+# approximates (its candidates can miss a true pair; this can't).
+
+def _gram_set_table(ray, sf_dir: str, k: int = 3):
+    """(doc_id, sh: binary, n: int64): each doc's UNIQUE ordered word
+    k-gram hashes (``kgram_hashes_ordered`` + unique) as raw int64-view
+    bytes. Unlike ``_shingle_table`` there is NO whole-doc fallback for
+    docs shorter than k tokens — they get n=0 (Schleimer semantics), so
+    the set matches the oracle's staged-FNV DISTINCT chain bit-exactly."""
+    from ..functions.hashing import kgram_hashes_ordered
+
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet",
+              columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        blobs, ns = [], []
+        for t in batch.column("text").to_pylist():
+            u = np.unique(kgram_hashes_ordered(t, k))
+            blobs.append(u.tobytes())
+            ns.append(len(u))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "sh": pa.array(blobs, pa.binary()),
+                         "n": pa.array(ns, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
+
+
+def jaccard_join_pairs(ray, sf_dir: str, threshold_pct: int = 50,
+                       k: int = 3):
+    """(doc_a, doc_b, n_common, jaccard_pct): EVERY pair of documents
+    whose word-k-gram-set Jaccard is >= threshold_pct/100 — an EXACT
+    similarity join via prefix filtering, all comparisons in integer
+    arithmetic (bit-exact vs the DuckDB oracle, no float thresholds).
+
+    Scale shape — three bucketed int64-triple exchanges plus the
+    standard two-join verify, text never shuffles:
+      1. gram-keyed: global document frequency per gram hash (all rows
+         of one gram meet in one bucket, so a per-bucket count IS the
+         global df);
+      2. doc-keyed: each doc's PREFIX under the global (df asc, h asc)
+         token order — p = n - ceil(tau*n) + 1 grams; the prefix-filter
+         theorem guarantees any qualifying pair shares a prefix gram,
+         and df-ascending ordering keeps stop-grams OUT of prefixes, so
+         hot grams never generate candidate floods;
+      3. gram-keyed: candidate pairs from shared prefix grams with the
+         length prune 100*min(n) >= tau*max(n), distinct-merged;
+      4. candidates join back to their gram-set blobs (two distributed
+         ``Dataset.join``s, the ``_verify_pairs_exchange`` shape) and
+         the exact integer intersection decides membership.
+
+    Partitioning assumption: per-bucket candidate work is
+    sum_over_prefix_grams(df^2) — bounded in practice by the df-ordered
+    prefixes; a corpus where RARE grams are shared by many near-dup
+    docs concentrates pairs by construction (they are real output)."""
+    from ..io_utils import parquet_column_bytes
+    from ..stages.aggregates import (buckets_for, hash_bucket_aggregate,
+                                     int_bucket_column,
+                                     join_partitions_for,
+                                     normalize_for_join)
+
+    gs = _gram_set_table(ray, sf_dir, k).materialize()
+    n_gram_rows = max(1, parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 6)
+    B = buckets_for(n_gram_rows)
+
+    def explode(t: pa.Table) -> pa.Table:
+        hs, docs, ns = [], [], []
+        ids = t.column("doc_id").to_pylist()
+        for did, n, blob in zip(ids, t.column("n").to_pylist(),
+                                t.column("sh").to_pylist()):
+            if n == 0:
+                continue
+            hs.append(np.frombuffer(blob, dtype=np.uint64).view(np.int64))
+            docs.append(np.full(n, did, np.int64))
+            ns.append(np.full(n, n, np.int64))
+        h = np.concatenate(hs) if hs else np.zeros(0, np.int64)
+        d = np.concatenate(docs) if docs else np.zeros(0, np.int64)
+        nv = np.concatenate(ns) if ns else np.zeros(0, np.int64)
+        return pa.table({"h": pa.array(h), "doc": pa.array(d),
+                         "n": pa.array(nv),
+                         "hb": pa.array(int_bucket_column(h, B))})
+
+    ex = gs.map_batches(explode, batch_format="pyarrow")
+
+    def _typed_empty(cols):
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+
+    # exchange 1 (gram-keyed): attach the GLOBAL df to every row
+    def with_df(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "h" not in g.columns:
+            return _typed_empty(["h", "doc", "n", "df"])
+        g = g.drop(columns=["hb"])
+        g["df"] = g.groupby("h")["h"].transform("size").astype("int64")
+        return g
+
+    wdf = ex.groupby("hb").map_groups(with_df, batch_format="pandas")
+
+    # exchange 2 (doc-keyed): per-doc prefix under (df asc, h asc)
+    def add_db(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("h", "doc", "n", "df", "db")})
+        d = t.column("doc").to_numpy(zero_copy_only=False)
+        return t.append_column("db", pa.array(int_bucket_column(d, B)))
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "doc" not in g.columns:
+            return _typed_empty(["h", "doc", "n"])
+        g = (g.drop(columns=["db"])
+              .sort_values(["doc", "df", "h"], kind="mergesort"))
+        pos = g.groupby("doc").cumcount().to_numpy()
+        n = g["n"].to_numpy()
+        p = n - (threshold_pct * n + 99) // 100 + 1
+        return g.loc[pos < p, ["h", "doc", "n"]]
+
+    pref = (wdf.map_batches(add_db, batch_format="pyarrow")
+               .groupby("db").map_groups(prefix, batch_format="pandas"))
+
+    # exchange 3 (gram-keyed): candidates from shared prefix grams
+    def add_hb(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("h", "doc", "n", "hb")})
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        return t.append_column("hb", pa.array(int_bucket_column(h, B)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "h" not in g.columns:
+            return _typed_empty(["doc_a", "doc_b"])
+        m = g.drop(columns=["hb"]).merge(g.drop(columns=["hb"]), on="h")
+        m = m[m["doc_x"] < m["doc_y"]]
+        if len(m):
+            lo = np.minimum(m["n_x"], m["n_y"])
+            hi = np.maximum(m["n_x"], m["n_y"])
+            m = m[100 * lo >= threshold_pct * hi]
+        out = m[["doc_x", "doc_y"]].drop_duplicates()
+        return pd.DataFrame({"doc_a": out["doc_x"].astype("int64"),
+                             "doc_b": out["doc_y"].astype("int64")})
+
+    cand = (pref.map_batches(add_hb, batch_format="pyarrow")
+                .groupby("hb").map_groups(pairs, batch_format="pandas"))
+    # the same pair arises from several shared prefix grams in
+    # DIFFERENT buckets — one bucketed distinct merge
+    cand = hash_bucket_aggregate(
+        cand, ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]))
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "n_common": pa.array([], pa.int64()),
+                      "jaccard_pct": pa.array([], pa.int64())})
+    cand = normalize_for_join(
+        cand, pa.schema([("doc_a", pa.int64()),
+                         ("doc_b", pa.int64())])).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return empty
+    nparts = join_partitions_for(n_cand)
+    sh_a = gs.map_batches(
+        lambda t: t.select(["doc_id", "sh"]).rename_columns(
+            ["doc_a", "sh_a"]), batch_format="pyarrow")
+    sh_b = gs.map_batches(
+        lambda t: t.select(["doc_id", "sh"]).rename_columns(
+            ["doc_b", "sh_b"]), batch_format="pyarrow")
+    j = cand.join(sh_a, join_type="inner", on=("doc_a",),
+                  num_partitions=nparts)
+    j = j.join(sh_b, join_type="inner", on=("doc_b",),
+               num_partitions=nparts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        ka, kb, nc, jp = [], [], [], []
+        for x, y, sa, sb in zip(da, db, _sh_rows(batch.column("sh_a")),
+                                _sh_rows(batch.column("sh_b"))):
+            ni = len(np.intersect1d(sa, sb, assume_unique=True))
+            u = len(sa) + len(sb) - ni
+            if u > 0 and 100 * ni >= threshold_pct * u:
+                ka.append(int(x))
+                kb.append(int(y))
+                nc.append(ni)
+                jp.append(100 * ni // u)
+        return pa.table({"doc_a": pa.array(ka, pa.int64()),
+                         "doc_b": pa.array(kb, pa.int64()),
+                         "n_common": pa.array(nc, pa.int64()),
+                         "jaccard_pct": pa.array(jp, pa.int64())})
+
+    return (j.map_batches(verify, batch_format="pyarrow")
+             .sort(["doc_a", "doc_b"]))
+
+
 _CLUSTERS_MEMO: dict = {}  # (path, mtime, size, threshold) -> members
 
 

@@ -358,6 +358,32 @@ ORDER BY doc_id, span_start
 """)
 
 
+def jaccard_join_sql(threshold_pct: int = 50, k: int = 3) -> str:
+    """Oracle for ``dedup_jaccard_join``: the EXACT similarity join —
+    all pairs with word-k-gram-set Jaccard >= threshold_pct/100, via
+    the full quadratic gram self-join (no prefix filter needed at
+    oracle scale). Gram hashes are the same staged-FNV ordered-k-gram
+    chain as the Ray kernel (``kgram_hashes_ordered``), so n_common is
+    bit-exact; jaccard_pct and the threshold test are pure integer
+    arithmetic on both sides."""
+    return ("WITH" + _tokens_cte() + _kgram_cte(k) + f""",
+ g AS (SELECT DISTINCT doc_id, acc FROM kg{k - 1}),
+ sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+ prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                COUNT(*) AS n_common
+         FROM g a JOIN g b ON a.acc = b.acc AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+SELECT p.doc_a, p.doc_b, p.n_common,
+       CAST((100 * p.n_common) // (sa.n + sb.n - p.n_common)
+            AS BIGINT) AS jaccard_pct
+FROM prs p
+JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+WHERE 100 * p.n_common >= {threshold_pct} * (sa.n + sb.n - p.n_common)
+ORDER BY doc_a, doc_b
+""")
+
+
 def keep_best_sql(threshold: float = 0.8) -> str:
     """Oracle for ``dedup_keep_best``: the clusters closure (see
     clusters_sql) extended with the keep-rule — per cluster keep the

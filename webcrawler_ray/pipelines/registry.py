@@ -765,6 +765,8 @@ def build_queries() -> dict:
                 lambda sf: dedup.edit_distance_pairs(ray, sf),
             "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(ray, sf),
             "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(ray, sf),
+            "dedup_jaccard_join":
+                lambda sf: dedup.jaccard_join_pairs(ray, sf),
             "dedup_clusters": lambda sf: dedup.dedup_clusters(ray, sf),
             "dedup_keep_best":
                 lambda sf: dedup.dedup_keep_best(ray, sf),
@@ -1549,6 +1551,8 @@ try:
         _dor.minhash_lsh_sql())
     ORACLE_SQL["dedup_ngram_jaccard"] = _materialize_ctes(
         _dor.ngram_jaccard_sql())
+    ORACLE_SQL["dedup_jaccard_join"] = _materialize_ctes(
+        _dor.jaccard_join_sql())
     # the recursive closure re-evaluates every CTE it references, so the
     # whole minhash chain must be MATERIALIZED (199 s -> 16 s measured at
     # sf0.01); only the self-referencing `lab` must stay plain
