@@ -2524,6 +2524,38 @@ class TestSnapshotTable:
         for f, _, _seq in sn.read_manifest(d, 1)["files"]:
             assert os.path.exists(os.path.join(d, f))
 
+    def test_changelog_scan(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray
+
+        from webcrawler_ray.state import snapshots as sn
+
+        d = str(tmp_path / "tbl")
+        sn.commit_append(self._mk(ray, list(range(10))), d)
+        # merge: update keys 0..4 (new cents), insert 100..102
+        batch = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([0, 1, 2, 3, 4, 100, 101, 102],
+                                 pa.int64()),
+            "cents": pa.array([9, 9, 9, 9, 9, 1, 1, 1], pa.int64())}))
+        sn.commit_merge(ray, d, "event_id", batch)
+        ins, dels = sn.read_changelog(ray, d, 1, 2)
+        got_ins = sorted(r["event_id"] for r in ins.take_all())
+        assert got_ins == [0, 1, 2, 3, 4, 100, 101, 102]
+        got_del = sorted((r["event_id"], r["cents"])
+                         for r in dels.take_all())
+        # deletes are the OLD images of matched keys only
+        assert got_del == [(k, k * 10) for k in range(5)]
+        # a compaction commit contributes NOTHING to the feed
+        sn.commit_compaction(ray, d, target_rows_per_file=100)
+        ins3, dels3 = sn.read_changelog(ray, d, 2, 3)
+        assert ins3 is None and dels3 is None
+        # keys_unique fast path gives the same feed
+        ins_u, dels_u = sn.read_changelog(ray, d, 1, 2,
+                                          keys_unique=True)
+        assert sorted(r["event_id"] for r in ins_u.take_all()) == got_ins
+        assert sorted((r["event_id"], r["cents"])
+                      for r in dels_u.take_all()) == got_del
+
     def test_commit_conflict_detected(self, ray_session, tmp_path):
         import json
         import os

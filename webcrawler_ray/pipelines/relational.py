@@ -8696,14 +8696,18 @@ def events_snapshot_diff(ray, sf_dir: str):
     diff between two versions of the upsert snapshot table (v1 -> v2 of
     events_upsert's MERGE): rows present only in v2 are inserts (new
     keys AND the new image of updated keys), rows present only in v1
-    are deletes (the old image of updated keys). Computed as TWO
-    distributed anti-joins on the full (event_id, cents) row image —
-    the downstream-consumer primitive that turns snapshots into an
-    incremental stream without the writer logging anything."""
+    are deletes (the old image of updated keys). Computed as a
+    FILE-LEVEL CHANGELOG SCAN (state/snapshots.py::read_changelog, the
+    Iceberg CDC shape): inserts stream straight out of the merge
+    commit's data files (no join), deletes are v1 inner-joined against
+    the commit's delete-file keys — only the span's changed files are
+    read, never two full-snapshot anti-joins. File-level equals
+    row-image semantics here because the merge never rewrites an
+    identical image (updated rows change cents; inserted rows have
+    fresh keys) — the oracle checks that value-exactly."""
     from ray.data.aggregate import Sum
 
-    from ..stages.aggregates import join_partitions_for
-    from ..state.snapshots import current_version, read_snapshot
+    from ..state.snapshots import current_version, read_changelog
 
     # reuse (or build) the upsert table
     import os
@@ -8713,10 +8717,8 @@ def events_snapshot_diff(ray, sf_dir: str):
     if current_version(table_dir) != 2:
         events_upsert(ray, sf_dir)  # builds v1+v2 deterministically
 
-    n_ev = _nrows(f"{sf_dir}/events.parquet")
-    nparts = join_partitions_for(n_ev)
-    v1 = read_snapshot(ray, table_dir, 1)
-    v2 = read_snapshot(ray, table_dir, 2)
+    ins_ds, del_ds = read_changelog(ray, table_dir, 1, 2,
+                                keys_unique=True)
 
     def tag(label: str):
         def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -8727,14 +8729,10 @@ def events_snapshot_diff(ray, sf_dir: str):
             return g.groupby("change", as_index=False).sum()
         return f
 
-    ins = (v2.join(v1, join_type="left_anti",
-                   on=("event_id", "cents"), num_partitions=nparts)
-           .map_batches(tag("insert"), batch_format="pandas",
-                        batch_size=65536))
-    del_ = (v1.join(v2, join_type="left_anti",
-                    on=("event_id", "cents"), num_partitions=nparts)
-            .map_batches(tag("delete"), batch_format="pandas",
-                         batch_size=65536))
+    ins = ins_ds.map_batches(tag("insert"), batch_format="pandas",
+                             batch_size=65536)
+    del_ = del_ds.map_batches(tag("delete"), batch_format="pandas",
+                              batch_size=65536)
 
     return (ins.union(del_)
             .groupby("change")
@@ -8819,15 +8817,16 @@ def events_mv_incremental(ray, sf_dir: str):
     """(bucket, n_rows, sum_cents): INCREMENTAL VIEW MAINTENANCE — the
     per-bucket rollup of the upsert table at v2, maintained WITHOUT
     rescanning v2: materialize the view at v1, derive the v1->v2 change
-    feed (two anti-joins, as events_snapshot_diff), and apply the delta
-    (+inserts, -deletes) to the stored view. Counts and sums are
-    self-maintainable aggregates, so MV(v1) + delta == full recompute —
-    and the oracle IS the full recompute (same SQL as events_upsert),
-    so the green check proves the incremental path exact."""
+    feed (the FILE-LEVEL changelog scan, as events_snapshot_diff), and
+    apply the delta (+inserts, -deletes) to the stored view. Counts and
+    sums are self-maintainable aggregates, so MV(v1) + delta == full
+    recompute — and the oracle IS the full recompute (same SQL as
+    events_upsert), so the green check proves the incremental path
+    exact."""
     from ray.data.aggregate import Sum
 
-    from ..stages.aggregates import join_partitions_for
-    from ..state.snapshots import current_version, read_snapshot
+    from ..state.snapshots import (current_version, read_changelog,
+                                   read_snapshot)
 
     import os
 
@@ -8836,10 +8835,9 @@ def events_mv_incremental(ray, sf_dir: str):
     if current_version(table_dir) != 2:
         events_upsert(ray, sf_dir)
 
-    n_ev = _nrows(f"{sf_dir}/events.parquet")
-    nparts = join_partitions_for(n_ev)
     v1 = read_snapshot(ray, table_dir, 1)
-    v2 = read_snapshot(ray, table_dir, 2)
+    ins_ds, del_ds = read_changelog(ray, table_dir, 1, 2,
+                                keys_unique=True)
 
     def rollup(sign: int):
         def f(t: pa.Table) -> pd.DataFrame:
@@ -8853,12 +8851,8 @@ def events_mv_incremental(ray, sf_dir: str):
         return f
 
     base = v1.map_batches(rollup(+1), batch_format="pyarrow")
-    ins = (v2.join(v1, join_type="left_anti",
-                   on=("event_id", "cents"), num_partitions=nparts)
-           .map_batches(rollup(+1), batch_format="pyarrow"))
-    dels = (v1.join(v2, join_type="left_anti",
-                    on=("event_id", "cents"), num_partitions=nparts)
-            .map_batches(rollup(-1), batch_format="pyarrow"))
+    ins = ins_ds.map_batches(rollup(+1), batch_format="pyarrow")
+    dels = del_ds.map_batches(rollup(-1), batch_format="pyarrow")
 
     return (base.union(ins).union(dels)
             .groupby("bucket")

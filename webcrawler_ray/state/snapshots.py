@@ -30,6 +30,45 @@ import pyarrow.parquet as pq
 
 _MANIFEST_FMT = "manifest-{:05d}.json"
 
+# a delete-key set at or under this many BYTES (manifest row counts x 8)
+# is applied as a BROADCAST membership filter (ray.put once, vectorized
+# searchsorted per batch — zero shuffles); larger sets use a
+# distributed join. Same rationale as stages/joins.py::auto_join.
+DELETE_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _delete_keys_sorted(table_dir: str, entries: list, key_col: str):
+    """Driver-side sorted-unique key array of the given delete files —
+    only called when the manifest row counts say it fits the broadcast
+    threshold (the same bounded collect a dimension broadcast does)."""
+    import numpy as np
+
+    parts = [pq.read_table(os.path.join(table_dir, e[0]),
+                           columns=[key_col]).column(key_col)
+             .to_numpy(zero_copy_only=False) for e in entries]
+    return np.unique(np.concatenate(parts))
+
+
+def _keys_filter_fn(ray, keys_sorted, key_col: str, keep_matched: bool):
+    """Vectorized per-batch membership (semi / anti) against a
+    broadcast sorted key array."""
+    import numpy as np
+
+    ref = ray.put(keys_sorted)
+
+    def f(t: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        v = t.column(key_col).to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            m = np.zeros(len(v), dtype=bool)
+        else:
+            idx = np.searchsorted(k, v)
+            idx[idx == len(k)] = 0
+            m = k[idx] == v
+        return t.filter(pa.array(m if keep_matched else ~m))
+
+    return f
+
 
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFEST_FMT.format(version))
@@ -209,8 +248,7 @@ def read_snapshot(ray, table_dir: str, version: int | None = None):
         raise FileNotFoundError(f"snapshot v{m['version']} is empty")
     deletes = m.get("deletes", [])
     if not deletes:
-        return ray.data.read_parquet(
-            [os.path.join(table_dir, e[0]) for e in files])
+        return _sized_read(ray, table_dir, files)
 
     dseqs = sorted({e[2] for e in deletes})
     # coverage group of a data file = which delete seqs exceed its seq
@@ -220,22 +258,122 @@ def read_snapshot(ray, table_dir: str, version: int | None = None):
         groups.setdefault(k, []).append(e)
     parts = []
     for k, fl in sorted(groups.items()):
-        ds = ray.data.read_parquet(
-            [os.path.join(table_dir, e[0]) for e in fl])
+        ds = _sized_read(ray, table_dir, fl)
         if k:
             cover = [e for e in deletes if e[2] in dseqs[-k:]]
-            keys = ray.data.read_parquet(
-                [os.path.join(table_dir, e[0]) for e in cover])
             n_del = sum(e[1] for e in cover)
-            ds = ds.join(keys, join_type="left_anti",
-                         on=(m["delete_key"],),
-                         num_partitions=max(
-                             1, min(64, n_del // 16_384 + 1)))
+            if n_del * 8 <= DELETE_BROADCAST_MAX_BYTES:
+                # broadcast anti-membership: no shuffle, no join actors
+                ks = _delete_keys_sorted(table_dir, cover,
+                                         m["delete_key"])
+                ds = ds.map_batches(
+                    _keys_filter_fn(ray, ks, m["delete_key"],
+                                    keep_matched=False),
+                    batch_format="pyarrow")
+            else:
+                keys = ray.data.read_parquet(
+                    [os.path.join(table_dir, e[0]) for e in cover])
+                ds = ds.join(keys, join_type="left_anti",
+                             on=(m["delete_key"],),
+                             num_partitions=max(
+                                 1, min(64, n_del // 16_384 + 1)))
         parts.append(ds)
     out = parts[0]
     for ds in parts[1:]:
         out = out.union(ds)
     return out
+
+
+def _sized_read(ray, table_dir: str, entries: list):
+    """read_parquet over manifest entries with block counts sized from
+    the MANIFEST's row counts (small snapshots otherwise split into
+    ~CPU-count near-empty blocks, turning every downstream aggregate
+    into seconds of pure per-block scheduling — io_utils rationale)."""
+    rows = sum(e[1] for e in entries)
+    kw = {}
+    if rows < 64 * 32_768:
+        kw["override_num_blocks"] = max(1, rows // 32_768)
+    return ray.data.read_parquet(
+        [os.path.join(table_dir, e[0]) for e in entries], **kw)
+
+
+def read_changelog(ray, table_dir: str, from_version: int,
+                   to_version: int | None = None,
+                   keys_unique: bool = False):
+    """FILE-LEVEL change feed between two snapshots — the Iceberg
+    changelog-scan idea: instead of anti-joining two full snapshots
+    (O(table) x O(table) exchange), read ONLY what each commit in the
+    span actually changed:
+
+    - INSERTED rows stream straight out of the data files stamped with
+      a sequence number in ``(from_version, to_version]`` — no join;
+    - DELETED rows are the prior snapshot INNER-joined against the
+      span's (deduplicated) delete-file keys — one join whose right
+      side is the delete keys, not the whole table;
+    - compaction commits (op == "compact") rewrite bytes, not contents,
+      and contribute nothing.
+
+    Returns ``(inserts, deletes)`` as Datasets (either may be None when
+    the span has no such rows). Semantics note: a merge that rewrites
+    an IDENTICAL row image shows up as a delete+insert pair here (file
+    truth), where a row-image diff would cancel it — callers needing
+    net-image semantics must cancel matching pairs themselves.
+
+    ``keys_unique=True`` asserts the span's delete files carry no
+    duplicate keys (true for any merge whose batch passed
+    ``check_unique``), skipping the distributed key-dedup pass — the
+    inner join is then already a semi-join."""
+    if to_version is None:
+        to_version = current_version(table_dir)
+    ins_parts, del_parts = [], []
+    for v in range(from_version + 1, to_version + 1):
+        m = read_manifest(table_dir, v)
+        if m["op"] == "compact":
+            continue
+        new_data = [e for e in m["files"] if e[2] == v]
+        if new_data:
+            ins_parts.append(_sized_read(ray, table_dir, new_data))
+        new_del = [e for e in m.get("deletes", []) if e[2] == v]
+        if new_del:
+            key_col = m["delete_key"]
+            paths = [os.path.join(table_dir, e[0]) for e in new_del]
+            n_keys = sum(e[1] for e in new_del)
+            prev = read_snapshot(ray, table_dir, v - 1)
+            if n_keys * 8 <= DELETE_BROADCAST_MAX_BYTES:
+                # broadcast semi-membership (sorted-unique keys: the
+                # dedup is free, so keys_unique is irrelevant here)
+                ks = _delete_keys_sorted(table_dir, new_del, key_col)
+                del_parts.append(prev.map_batches(
+                    _keys_filter_fn(ray, ks, key_col,
+                                    keep_matched=True),
+                    batch_format="pyarrow"))
+            else:
+                from ..stages.aggregates import (distinct_keys,
+                                                 join_partitions_for,
+                                                 normalize_for_join)
+
+                keys = ray.data.read_parquet(paths)
+                if not keys_unique:
+                    # dedupe keys so the inner join IS a semi-join (a
+                    # dup key must not multiply the deleted row)
+                    key_type = pq.read_schema(
+                        paths[0]).field(key_col).type
+                    keys = normalize_for_join(
+                        distinct_keys(keys, key_col, n_rows=n_keys),
+                        pa.schema([(key_col, key_type)]))
+                del_parts.append(prev.join(
+                    keys, join_type="inner", on=(key_col,),
+                    num_partitions=join_partitions_for(n_keys)))
+
+    def _union(parts):
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    return _union(ins_parts), _union(del_parts)
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
