@@ -94,7 +94,7 @@ QUERY_NAMES = [
     "orders_segment_revenue", "customers_gini",
     "docs_boolean_search", "events_snapshot_diff",
     "catalog_tables", "events_mv_incremental", "events_wow_growth",
-    "events_dp_counts", "dedup_jaccard_join",
+    "events_dp_counts", "dedup_jaccard_join", "docs_rrf_fusion",
 ]
 
 

@@ -113,7 +113,7 @@ SQL_CHECKED = [
     "orders_segment_revenue", "customers_gini",
     "docs_boolean_search", "events_snapshot_diff",
     "events_dp_counts", "catalog_tables", "events_mv_incremental",
-    "events_wow_growth", "dedup_jaccard_join",
+    "events_wow_growth", "dedup_jaccard_join", "docs_rrf_fusion",
 ]
 
 

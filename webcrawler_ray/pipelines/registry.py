@@ -522,6 +522,7 @@ def build_queries() -> dict:
             lambda sf: textpipe.docs_length_histogram(ray, sf),
         "doc_tfidf_top": lambda sf: textpipe.doc_tfidf_top(ray, sf),
         "docs_bm25_topk": lambda sf: textpipe.docs_bm25_topk(ray, sf),
+        "docs_rrf_fusion": lambda sf: textpipe.docs_rrf_fusion(ray, sf),
         "docs_vocab_encode":
             lambda sf: textpipe.docs_vocab_encode(ray, sf),
         "docs_bigram_lm_score":
@@ -1485,6 +1486,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_range_partition": textpipe.DOCS_RANGE_PARTITION_SQL,
     "doc_tfidf_top": textpipe.DOC_TFIDF_SQL,
     "docs_bm25_topk": textpipe.DOCS_BM25_SQL,
+    "docs_rrf_fusion": textpipe.DOCS_RRF_FUSION_SQL,
     "docs_vocab_encode": textpipe.DOCS_VOCAB_ENCODE_SQL,
     "docs_bigram_lm_score": textpipe.DOCS_BIGRAM_LM_SQL,
     "docs_pack_sequences": textpipe.DOCS_PACK_SQL,

@@ -1934,9 +1934,18 @@ def docs_bm25_topk(ray, sf_dir: str, terms=BM25_QUERY_TERMS,
 
 
 def _bm25_sql(terms=BM25_QUERY_TERMS, k: int = BM25_TOPK) -> str:
-    vals = ", ".join(f"('{t}')" for t in sorted(terms))
     return f"""
-WITH toks AS (
+WITH {_bm25_scored_ctes(terms)}
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _bm25_scored_ctes(terms=BM25_QUERY_TERMS) -> str:
+    """The BM25 CTE chain up to ``scored(doc_id, score)`` — shared by
+    the top-k oracle and the RRF fusion oracle."""
+    vals = ", ".join(f"('{t}')" for t in sorted(terms))
+    return f"""toks AS (
   SELECT doc_id,
          unnest(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+')) AS token
   FROM documents),
@@ -1955,13 +1964,78 @@ scored AS (
            AS score
   FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
   CROSS JOIN n CROSS JOIN tt
-  GROUP BY tf.doc_id)
-SELECT doc_id, CAST(score AS BIGINT) AS score
-FROM scored ORDER BY score DESC, doc_id LIMIT {k}
-"""
+  GROUP BY tf.doc_id)"""
 
 
 DOCS_BM25_SQL = _bm25_sql()
+
+
+# --- reciprocal rank fusion ---------------------------------------------------
+RRF_K = 60              # the standard RRF damping constant
+RRF_RUN_N = 100         # per-run truncation (RRF fuses top-n lists)
+RRF_TOP = 20
+RRF_SCALE = 1_000_000_000
+
+
+def docs_rrf_fusion(ray, sf_dir: str, n: int = RRF_RUN_N,
+                    k: int = RRF_TOP):
+    """(doc_id, rrf_e9): RECIPROCAL RANK FUSION (Cormack/Clarke/Buettcher,
+    SIGIR'09) of two retrieval runs — the BM25 query ranking and the
+    unigram-LM commonness ranking — each truncated to its top-``n``
+    list, fused as sum of floor(1e9 / (60 + rank)) per run, top-``k``
+    winners by fused score. Ranks use the deterministic
+    (score DESC, doc_id ASC) total order on both engines, so the fusion
+    is integer-exact end to end.
+
+    Scale shape: each run reduces to an n-row list through its own
+    distributed score + sort + limit (both already value-verified);
+    fusing two n-row lists is a driver-side O(n) fold — RRF's inputs
+    are top-n lists BY DEFINITION, so the collect is bounded by the
+    operator's contract, not the corpus."""
+    a = docs_bm25_topk(ray, sf_dir, k=n).to_pandas()
+    b = (docs_lm_score(ray, sf_dir)
+         .sort(["commonness", "doc_id"], descending=[True, False])
+         .limit(n).to_pandas())
+
+    fused: dict[int, int] = {}
+    for run_ids in (a["doc_id"], b["doc_id"]):
+        for r, did in enumerate(run_ids, start=1):
+            did = int(did)
+            fused[did] = fused.get(did, 0) + RRF_SCALE // (RRF_K + r)
+    out = (pd.DataFrame({"doc_id": list(fused.keys()),
+                         "rrf_e9": list(fused.values())})
+           .astype({"doc_id": "int64", "rrf_e9": "int64"})
+           .sort_values(["rrf_e9", "doc_id"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return out
+
+
+DOCS_RRF_FUSION_SQL = f"""
+WITH {_bm25_scored_ctes()},
+runa AS (SELECT doc_id, r FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM scored) WHERE r <= {RRF_RUN_N}),
+lm AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(tf2.tf * v.n), 0) AS BIGINT) AS commonness
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+             GROUP BY doc_id, token) tf2 ON d.doc_id = tf2.doc_id
+  LEFT JOIN (SELECT token, COUNT(*) AS n FROM tok2 GROUP BY token) v
+         ON tf2.token = v.token
+  GROUP BY d.doc_id),
+runb AS (SELECT doc_id, r FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY commonness DESC, doc_id) AS r
+  FROM lm) WHERE r <= {RRF_RUN_N}),
+fused AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE({RRF_SCALE} // ({RRF_K} + a.r), 0)
+         + COALESCE({RRF_SCALE} // ({RRF_K} + b.r), 0) AS rrf_e9
+  FROM runa a FULL OUTER JOIN runb b ON a.doc_id = b.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rrf_e9 AS BIGINT) AS rrf_e9
+FROM fused ORDER BY rrf_e9 DESC, doc_id LIMIT {RRF_TOP}
+"""
 
 
 # --- vocabulary build + corpus id-encoding ------------------------------------
