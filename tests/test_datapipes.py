@@ -846,6 +846,12 @@ class TestBpeMerges:
         assert [tuple(r) for r in got.itertuples(index=False)] == want
         # "lo" + "low" are the dominant early merges in this corpus
         assert (got["left"].iloc[0], got["right"].iloc[0]) == ("l", "o")
+        # the DISTRIBUTED per-round loop (vocab above the local
+        # threshold) learns the identical table
+        from webcrawler_ray.pipelines.textpipe import _bpe_train
+        rows_dist, _ = _bpe_train(ray, str(d), n_merges=8,
+                                  local_word_limit=0)
+        assert rows_dist == want
 
         # full sf corpus: distributed == local reference, exactly
         q, _ = queries

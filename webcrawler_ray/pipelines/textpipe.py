@@ -2314,7 +2314,19 @@ def bpe_merges_local(word_counts: dict, n_merges: int) -> list:
     return out
 
 
-def _bpe_train(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
+# distinct-word tables at or under this row count train the merge loop
+# ON THE DRIVER from the collected table (one bounded collect, zero
+# per-round dataset executions); larger vocabularies use the
+# distributed per-round loop. BPE training is vocabulary-bounded by
+# construction (Sennrich compresses the corpus to distinct words
+# first), so this is the auto_join adaptive-placement rationale applied
+# to an iterative trainer: 12 merges x 2 dataset executions of fixed
+# ~0.2 s scheduling cost is pure waste on a table that fits in one heap.
+BPE_LOCAL_WORD_LIMIT = 262_144
+
+
+def _bpe_train(ray, sf_dir: str, n_merges: int = BPE_N_MERGES,
+               local_word_limit: int = BPE_LOCAL_WORD_LIMIT):
     """(merge rows, trained word table (word, syms, n)): the first ``n_merges`` BPE merges learned
     from the corpus (Sennrich et al., ACL'16) — REAL distributed
     tokenizer training, the canonical missing piece between "count
@@ -2367,6 +2379,22 @@ def _bpe_train(ray, sf_dir: str, n_merges: int = BPE_N_MERGES):
         n_rows=tok_bound).map_batches(
         to_syms, batch_format="pyarrow").materialize()
     n_words = words.count()
+
+    if n_words <= local_word_limit:
+        # vocabulary fits: train locally on the collected word table —
+        # identical algorithm and tie rule, so the result is exactly
+        # the distributed loop's (applying merges one at a time
+        # composes to bpe_apply of the ordered list)
+        wt = words.to_pandas()
+        wc = {w: int(n) for w, n in zip(wt["word"], wt["n"])}
+        rows = bpe_merges_local(wc, n_merges)
+        merges = [(le, r) for _, le, r, _ in rows]
+        syms = [bpe_apply(w, merges) for w in wt["word"]]
+        out_tbl = pa.table({
+            "word": pa.array(list(wt["word"]), pa.string()),
+            "syms": pa.array(syms, pa.list_(pa.string())),
+            "n": pa.array(wt["n"].astype("int64"))})
+        return rows, ray.data.from_arrow(out_tbl)
 
     def pair_partial(t: pa.Table) -> pd.DataFrame:
         c: Counter = Counter()
