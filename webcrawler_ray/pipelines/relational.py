@@ -4477,9 +4477,37 @@ def fk_integrity(ray, sf_dir: str):
     for p in parent_parts[1:]:
         parent_keys = parent_keys.union(p)
 
-    orphans = child_keys.join(
-        parent_keys, join_type="left_anti", on=("rel", "key"),
-        num_partitions=join_partitions_for(n_child_keys))
+    # parent keys are footer-bounded BEFORE any read (sum of parent row
+    # counts) — broadcast the per-relation sorted key arrays when they
+    # fit (stages/joins.py rationale), distributed anti-join past that
+    if n_keys_bound * 8 <= 64 << 20:
+        pdf = parent_keys.to_pandas()
+        key_map = {int(r): np.unique(g["key"].to_numpy().astype(np.int64))
+                   for r, g in pdf.groupby("rel")}
+        ref = ray.put(key_map)
+
+        def anti(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0 or "rel" not in b.columns:
+                return b
+            km = ray.get(ref)
+            keep = np.ones(len(b), dtype=bool)
+            relv = b["rel"].to_numpy()
+            keyv = b["key"].to_numpy().astype(np.int64)
+            for r, ks in km.items():
+                m = relv == r
+                if not m.any() or len(ks) == 0:
+                    continue
+                v = keyv[m]
+                idx = np.searchsorted(ks, v)
+                idx[idx == len(ks)] = 0
+                keep[m] = ks[idx] != v
+            return b[keep]
+
+        orphans = child_keys.map_batches(anti, batch_format="pandas")
+    else:
+        orphans = child_keys.join(
+            parent_keys, join_type="left_anti", on=("rel", "key"),
+            num_partitions=join_partitions_for(n_child_keys))
 
     def count_by_rel(ds) -> dict[int, int]:
         empty = pd.DataFrame({"rel": pd.Series([], dtype="int64"),
@@ -6460,11 +6488,13 @@ def q2_min_cost_supplier(ray, sf_dir: str):
                             batch_format="pyarrow").materialize()
     n_hit = max(1, part.count())
 
-    cand = ps.join(esupp, join_type="inner", on=("l_suppkey",),
-                   num_partitions=join_partitions_for(n_esupp))
-    cand = cand.join(part, join_type="inner", on=("l_partkey",),
-                     num_partitions=join_partitions_for(n_hit)
-                     ).materialize()
+    # both build sides are dimension-derived (region suppliers, filtered
+    # parts) — broadcast when their counted size fits, shuffle past it
+    from ..stages.joins import auto_join_ds
+
+    cand, _ = auto_join_ds(ray, ps, esupp, ["l_suppkey"], n_esupp)
+    cand, _ = auto_join_ds(ray, cand, part, ["l_partkey"], n_hit)
+    cand = cand.materialize()
 
     # decorrelated per-part MIN over the candidates themselves
     def min_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -6478,8 +6508,7 @@ def q2_min_cost_supplier(ray, sf_dir: str):
         lambda df: df.groupby("l_partkey", as_index=False).min(),
         n_rows=n_hit)
 
-    out = cand.join(pmin, join_type="inner", on=("l_partkey",),
-                    num_partitions=join_partitions_for(n_hit))
+    out, _ = auto_join_ds(ray, cand, pmin, ["l_partkey"], n_hit)
 
     def winners(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("cost_cents").cast(pa.int64()),

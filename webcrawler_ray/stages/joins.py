@@ -70,3 +70,29 @@ def auto_join(ray, left, right_table: pa.Table | None, on: list[str],
     joined = left.join(right_ds, join_type=how, on=tuple(on),
                        num_partitions=join_partitions_for(n_rows_left))
     return joined, "shuffle"
+
+
+def auto_join_ds(ray, left, right_ds, on: list[str], n_right: int,
+                 row_bytes_est: int = 64, how: str = "inner",
+                 broadcast_max_bytes: int = BROADCAST_MAX_BYTES):
+    """``auto_join`` for a DERIVED build side that already exists as a
+    (small, typically filtered/aggregated) Dataset with a known or
+    bounded row count: when ``n_right * row_bytes_est`` fits the
+    broadcast budget the build side is collected ONCE (bounded by that
+    same budget) and joined map-side; otherwise ``Dataset.join``. The
+    row-count gate runs BEFORE any collect, so the driver never holds
+    more than the broadcast budget."""
+    from .aggregates import join_partitions_for
+
+    if n_right * row_bytes_est <= broadcast_max_bytes:
+        rdf = right_ds.to_pandas()
+        ref = ray.put(rdf)
+
+        def bjoin(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(ray.get(ref), on=list(on), how=how)
+
+        return (left.map_batches(bjoin, batch_format="pandas",
+                                 batch_size=65536), "broadcast")
+    joined = left.join(right_ds, join_type=how, on=tuple(on),
+                       num_partitions=join_partitions_for(n_right))
+    return joined, "shuffle"
