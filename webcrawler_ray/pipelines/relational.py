@@ -4841,11 +4841,12 @@ def q9_product_profit(ray, sf_dir: str):
                             batch_format="pyarrow").materialize()
     n_hit = max(1, part.count())
 
+    from ..stages.joins import auto_join_ds
+
     li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
               columns=["l_orderkey", "l_partkey", "l_suppkey",
                        "l_extendedprice", "l_discount"])
-    li = li.join(part, join_type="inner", on=("l_partkey",),
-                 num_partitions=join_partitions_for(n_hit))
+    li, _ = auto_join_ds(ray, li, part, ["l_partkey"], n_hit)
 
     def li_partial(b: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({
@@ -4874,17 +4875,16 @@ def q9_product_profit(ray, sf_dir: str):
                          "o_year": yr.cast(pa.int64())})
 
     orders = orders.map_batches(to_year, batch_format="pyarrow")
-    joined = li_agg.join(orders, join_type="inner", on=("o_orderkey",),
-                         num_partitions=join_partitions_for(
-                             min(n_orders, max(1, n_hit * 8))))
+    joined, _ = auto_join_ds(ray, li_agg, orders, ["o_orderkey"],
+                             n_orders, row_bytes_est=16)
 
     supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
                 columns=["s_suppkey", "s_nationkey"])
     supp = supp.map_batches(
         lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]),
         batch_format="pyarrow")
-    joined = joined.join(supp, join_type="inner", on=("l_suppkey",),
-                         num_partitions=join_partitions_for(n_supp))
+    joined, _ = auto_join_ds(ray, joined, supp, ["l_suppkey"], n_supp,
+                             row_bytes_est=16)
 
     # nation: 25 rows by definition -> broadcast name map
     import pyarrow.dataset as pads
@@ -6011,11 +6011,19 @@ def q16_supplier_part_counts(ray, sf_dir: str):
         n_rows=min(_nrows(f"{sf_dir}/lineitem.parquet"),
                    n_part * max(1, n_supp // 4)))
 
-    pairs = pairs.join(part, join_type="inner", on=("l_partkey",),
-                       num_partitions=join_partitions_for(n_hit))
-    pairs = pairs.join(supp_bad, join_type="left_anti", on=("l_suppkey",),
-                       num_partitions=join_partitions_for(
-                           min(n_bad, n_hit)))
+    from ..stages.joins import auto_join_ds, key_membership_filter
+
+    pairs, _ = auto_join_ds(ray, pairs, part, ["l_partkey"], n_hit)
+    if n_bad * 8 <= 64 << 20:
+        bad = np.unique(supp_bad.to_pandas()["l_suppkey"]
+                        .to_numpy().astype(np.int64))
+        pairs = key_membership_filter(ray, pairs, "l_suppkey", bad,
+                                      keep_matched=False)
+    else:
+        pairs = pairs.join(supp_bad, join_type="left_anti",
+                           on=("l_suppkey",),
+                           num_partitions=join_partitions_for(
+                               min(n_bad, n_hit)))
 
     # a supplier supplying TWO parts of the same (brand, type, size) must
     # count once: dedup on the attribute-group x supplier 4-tuple first
@@ -6101,10 +6109,11 @@ def q17_small_qty_revenue(ray, sf_dir: str):
                 t.column("l_extendedprice"), pa.scalar(100.0))),
                 pa.int64())})
 
+    from ..stages.joins import auto_join_ds
+
     lines = li.map_batches(to_int, batch_format="pyarrow")
-    lines = lines.join(part, join_type="inner", on=("l_partkey",),
-                       num_partitions=join_partitions_for(n_hit)
-                       ).materialize()
+    lines, _ = auto_join_ds(ray, lines, part, ["l_partkey"], n_hit)
+    lines = lines.materialize()
 
     def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({"l_partkey": b["l_partkey"],
@@ -6121,8 +6130,7 @@ def q17_small_qty_revenue(ray, sf_dir: str):
         lambda df: df.groupby("l_partkey", as_index=False).sum(),
         n_rows=n_hit)
 
-    joined = lines.join(per_part, join_type="inner", on=("l_partkey",),
-                        num_partitions=join_partitions_for(n_hit))
+    joined, _ = auto_join_ds(ray, lines, per_part, ["l_partkey"], n_hit)
 
     def small_cut(b: pd.DataFrame) -> pd.DataFrame:
         keep = (5 * b["qty"].astype("int64") * b["cnt"].astype("int64")
@@ -6192,10 +6200,11 @@ def q21_waiting_suppliers(ray, sf_dir: str, k: int = 100):
                                 batch_format="pyarrow").materialize()
     n_f = max(1, orders.count())
 
+    from ..stages.joins import auto_join_ds
+
     li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
-    li = li.join(orders, join_type="inner", on=("l_orderkey",),
-                 num_partitions=join_partitions_for(n_f))
+    li, _ = auto_join_ds(ray, li, orders, ["l_orderkey"], n_f)
 
     late_us = Q21_LATE_DAYS * 86_400_000_000  # days -> microseconds
 
@@ -6232,8 +6241,7 @@ def q21_waiting_suppliers(ray, sf_dir: str, k: int = 100):
 
     supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
                 columns=["s_suppkey", "s_name"])
-    out = per_supp.join(supp, join_type="inner", on=("s_suppkey",),
-                        num_partitions=join_partitions_for(n_supp))
+    out, _ = auto_join_ds(ray, per_supp, supp, ["s_suppkey"], n_supp)
     out = (out.map_batches(
                lambda t: t.select(["s_suppkey", "s_name", "numwait"]),
                batch_format="pyarrow")

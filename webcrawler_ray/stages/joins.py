@@ -72,6 +72,34 @@ def auto_join(ray, left, right_table: pa.Table | None, on: list[str],
     return joined, "shuffle"
 
 
+def key_membership_filter(ray, ds, key_col: str, keys_sorted,
+                          keep_matched: bool):
+    """SEMI (``keep_matched``) / ANTI row filter of ``ds`` against a
+    BROADCAST sorted-unique key array — the zero-shuffle replacement
+    for a semi/anti join whose build side fits the broadcast budget
+    (``ray.put`` once, vectorized searchsorted per batch). THE one
+    spelling of the idiom shared by the snapshot delete reader, FK
+    audits and NOT-IN-style subqueries."""
+    import numpy as np
+
+    ref = ray.put(keys_sorted)
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return t
+        k = ray.get(ref)
+        v = t.column(key_col).to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            m = np.zeros(len(v), dtype=bool)
+        else:
+            idx = np.searchsorted(k, v)
+            idx[idx == len(k)] = 0
+            m = k[idx] == v
+        return t.filter(pa.array(m if keep_matched else ~m))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def auto_join_ds(ray, left, right_ds, on: list[str], n_right: int,
                  row_bytes_est: int = 64, how: str = "inner",
                  broadcast_max_bytes: int = BROADCAST_MAX_BYTES):

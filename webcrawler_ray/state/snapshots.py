@@ -49,27 +49,6 @@ def _delete_keys_sorted(table_dir: str, entries: list, key_col: str):
     return np.unique(np.concatenate(parts))
 
 
-def _keys_filter_fn(ray, keys_sorted, key_col: str, keep_matched: bool):
-    """Vectorized per-batch membership (semi / anti) against a
-    broadcast sorted key array."""
-    import numpy as np
-
-    ref = ray.put(keys_sorted)
-
-    def f(t: pa.Table) -> pa.Table:
-        k = ray.get(ref)
-        v = t.column(key_col).to_numpy(zero_copy_only=False)
-        if len(k) == 0:
-            m = np.zeros(len(v), dtype=bool)
-        else:
-            idx = np.searchsorted(k, v)
-            idx[idx == len(k)] = 0
-            m = k[idx] == v
-        return t.filter(pa.array(m if keep_matched else ~m))
-
-    return f
-
-
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFEST_FMT.format(version))
 
@@ -264,12 +243,12 @@ def read_snapshot(ray, table_dir: str, version: int | None = None):
             n_del = sum(e[1] for e in cover)
             if n_del * 8 <= DELETE_BROADCAST_MAX_BYTES:
                 # broadcast anti-membership: no shuffle, no join actors
+                from ..stages.joins import key_membership_filter
+
                 ks = _delete_keys_sorted(table_dir, cover,
                                          m["delete_key"])
-                ds = ds.map_batches(
-                    _keys_filter_fn(ray, ks, m["delete_key"],
-                                    keep_matched=False),
-                    batch_format="pyarrow")
+                ds = key_membership_filter(ray, ds, m["delete_key"],
+                                           ks, keep_matched=False)
             else:
                 keys = ray.data.read_parquet(
                     [os.path.join(table_dir, e[0]) for e in cover])
@@ -342,11 +321,11 @@ def read_changelog(ray, table_dir: str, from_version: int,
             if n_keys * 8 <= DELETE_BROADCAST_MAX_BYTES:
                 # broadcast semi-membership (sorted-unique keys: the
                 # dedup is free, so keys_unique is irrelevant here)
+                from ..stages.joins import key_membership_filter
+
                 ks = _delete_keys_sorted(table_dir, new_del, key_col)
-                del_parts.append(prev.map_batches(
-                    _keys_filter_fn(ray, ks, key_col,
-                                    keep_matched=True),
-                    batch_format="pyarrow"))
+                del_parts.append(key_membership_filter(
+                    ray, prev, key_col, ks, keep_matched=True))
             else:
                 from ..stages.aggregates import (distinct_keys,
                                                  join_partitions_for,
