@@ -157,6 +157,32 @@ def run_bench() -> dict:
         shutil.rmtree(wd, ignore_errors=True)
     pages_per_sec = summary["saved_total"] / crawl_sec
 
+    # html MB/s processed (BASELINE.md protocol): footer-exact total
+    # uncompressed html bytes of the pages store, scaled by the saved
+    # fraction — computed OUTSIDE the timed section, no data read
+    import pyarrow.parquet as pq
+
+    def _html_footer_bytes(path) -> tuple[int, int]:
+        tot = rows = 0
+        for root, _, files in os.walk(path):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, fn)).metadata
+                rows += md.num_rows
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        if c.path_in_schema == "html":
+                            tot += c.total_uncompressed_size
+        return tot, rows
+
+    html_bytes, n_store_pages = _html_footer_bytes(web["pages"])
+    html_mb = (html_bytes / 1e6) * (summary["saved_total"]
+                                    / max(1, n_store_pages))
+    html_mb_per_sec = html_mb / crawl_sec
+
     queries = build_queries()
     qtimes = {}
     # scaling subprocesses measure the CRAWL's scaling only — skip the
@@ -182,6 +208,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "crawl_pages_saved": summary["saved_total"],
         "crawl_pages_per_sec": round(pages_per_sec, 2),
+        "crawl_html_mb_per_sec": round(html_mb_per_sec, 1),
         "crawl_rounds": summary["round"],
     }
     ray.shutdown()

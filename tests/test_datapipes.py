@@ -2691,6 +2691,51 @@ class TestAutoJoin:
         pd.testing.assert_frame_equal(
             bc.reset_index(drop=True), sh.reset_index(drop=True))
 
+    def test_auto_join_ds_both_plans_identical(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+
+        import ray
+
+        from webcrawler_ray.stages.joins import auto_join_ds
+
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+            "x": pa.array([10, 20, 21, 30, 50], pa.int64())}))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 4], pa.int64()),
+            "y": pa.array([100, 200, 400], pa.int64())}))
+        bc, plan_b = auto_join_ds(ray, left, right, ["k"], n_right=3)
+        sh, plan_s = auto_join_ds(ray, left, right, ["k"], n_right=3,
+                                  broadcast_max_bytes=0)
+        assert (plan_b, plan_s) == ("broadcast", "shuffle")
+        canon = lambda df: (df[sorted(df.columns)]  # noqa: E731
+                            .sort_values(sorted(df.columns))
+                            .reset_index(drop=True).astype("int64"))
+        pd.testing.assert_frame_equal(canon(bc.to_pandas()),
+                                      canon(sh.to_pandas()))
+
+    def test_key_membership_filter_semi_and_anti(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        import ray
+
+        from webcrawler_ray.stages.joins import key_membership_filter
+
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4, 5], pa.int64())}))
+        keys = np.array([2, 4], dtype=np.int64)
+        semi = key_membership_filter(ray, ds, "k", keys, True).take_all()
+        anti = key_membership_filter(ray, ds, "k", keys, False).take_all()
+        assert sorted(r["k"] for r in semi) == [2, 4]
+        assert sorted(r["k"] for r in anti) == [1, 3, 5]
+        # empty key set: semi drops everything, anti keeps everything
+        none = np.array([], dtype=np.int64)
+        assert key_membership_filter(ray, ds, "k", none, True).count() == 0
+        assert key_membership_filter(ray, ds, "k", none,
+                                     False).count() == 5
+
 
 
 def test_snapshot_check_unique(ray_session, tmp_path):

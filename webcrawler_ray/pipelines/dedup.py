@@ -333,15 +333,19 @@ def _gram_set_table(ray, sf_dir: str, k: int = 3):
     bytes. Unlike ``_shingle_table`` there is NO whole-doc fallback for
     docs shorter than k tokens — they get n=0 (Schleimer semantics), so
     the set matches the oracle's staged-FNV DISTINCT chain bit-exactly."""
-    from ..functions.hashing import kgram_hashes_ordered
-
     ds = _rpq(ray, f"{sf_dir}/documents.parquet",
               columns=["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        # memoized md5 token hashing (the Zipf head hashes once per
+        # worker); staged-FNV fold == kgram_hashes_ordered + unique
+        ths = _TOKEN_CACHE.hash_token_lists(
+            [_tokenize(t) for t in texts])
         blobs, ns = [], []
-        for t in batch.column("text").to_pylist():
-            u = np.unique(kgram_hashes_ordered(t, k))
+        empty = np.zeros(0, dtype=np.uint64)
+        for th in ths:
+            u = _sh_from_th(th, k) if len(th) >= k else empty
             blobs.append(u.tobytes())
             ns.append(len(u))
         return pa.table({"doc_id": batch.column("doc_id"),
@@ -412,42 +416,110 @@ def jaccard_join_pairs(ray, sf_dir: str, threshold_pct: int = 50,
         return pd.DataFrame({c: pd.Series([], dtype="int64")
                              for c in cols})
 
-    # exchange 1 (gram-keyed): attach the GLOBAL df to every row
-    def with_df(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0 or "h" not in g.columns:
-            return _typed_empty(["h", "doc", "n", "df"])
-        g = g.drop(columns=["hb"])
-        g["df"] = g.groupby("h")["h"].transform("size").astype("int64")
-        return g
+    # gram document frequencies — the ONE unavoidable exchange; the df
+    # TABLE is distinct-gram-bounded (far below the exploded row count)
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "h" not in df.columns:
+            return _typed_empty(["h", "df"])
+        g = df.groupby("h", as_index=False).size()
+        return pd.DataFrame({"h": g["h"],
+                             "df": g["size"].astype("int64")})
 
-    wdf = ex.groupby("hb").map_groups(with_df, batch_format="pandas")
+    dfp = None
+    if n_gram_rows * 16 <= 64 << 20:
+        # the whole exploded-gram bound fits the broadcast budget:
+        # fold the per-batch df partials on the driver (one map pass,
+        # NO all-to-all)
+        parts = ex.map_batches(df_partial,
+                               batch_format="pandas").to_pandas()
+        dfp = parts.groupby("h", as_index=False)["df"].sum()
+    else:
+        df_tbl = hash_bucket_aggregate(
+            ex, ["h"], df_partial,
+            merge=lambda df: df.groupby("h", as_index=False)["df"].sum(),
+            n_rows=n_gram_rows).materialize()
+        if df_tbl.count() * 16 <= 64 << 20:
+            dfp = df_tbl.to_pandas()
 
-    # exchange 2 (doc-keyed): per-doc prefix under (df asc, h asc)
-    def add_db(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "doc" not in t.column_names:
-            return pa.table({c: pa.array([], pa.int64())
-                             for c in ("h", "doc", "n", "df", "db")})
-        d = t.column("doc").to_numpy(zero_copy_only=False)
-        return t.append_column("db", pa.array(int_bucket_column(d, B)))
+    if dfp is not None:
+        # df table fits the broadcast budget: per-doc prefixes come
+        # straight from the gram-set blobs in ONE map pass — the
+        # gram-keyed df-attach and doc-keyed regroup exchanges vanish
+        dfp = dfp.sort_values("h")
+        ha = dfp["h"].to_numpy().astype(np.int64)
+        dfa = dfp["df"].to_numpy().astype(np.int64)
+        ref = ray.put((ha, dfa))
 
-    def prefix(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0 or "doc" not in g.columns:
-            return _typed_empty(["h", "doc", "n"])
-        g = (g.drop(columns=["db"])
-              .sort_values(["doc", "df", "h"], kind="mergesort"))
-        pos = g.groupby("doc").cumcount().to_numpy()
-        n = g["n"].to_numpy()
-        p = n - (threshold_pct * n + 99) // 100 + 1
-        return g.loc[pos < p, ["h", "doc", "n"]]
+        def prefix_local(t: pa.Table) -> pa.Table:
+            k_arr, d_arr = ray.get(ref)
+            hs, docs, ns, ps = [], [], [], []
+            ids = t.column("doc_id").to_pylist()
+            for did, n, blob in zip(ids, t.column("n").to_pylist(),
+                                    t.column("sh").to_pylist()):
+                if n == 0:
+                    continue
+                arr = np.frombuffer(blob,
+                                    dtype=np.uint64).view(np.int64)
+                dfs = d_arr[np.searchsorted(k_arr, arr)]
+                p = n - (threshold_pct * n + 99) // 100 + 1
+                # (df asc, h asc) global token order, same as the
+                # exchange path's mergesort
+                top = np.lexsort((arr, dfs))[:p]
+                hs.append(arr[top])
+                docs.append(np.full(len(top), did, np.int64))
+                ns.append(np.full(len(top), n, np.int64))
+                ps.append(np.arange(len(top), dtype=np.int64))
+            h = np.concatenate(hs) if hs else np.zeros(0, np.int64)
+            d = np.concatenate(docs) if docs else np.zeros(0, np.int64)
+            nv = np.concatenate(ns) if ns else np.zeros(0, np.int64)
+            pv = np.concatenate(ps) if ps else np.zeros(0, np.int64)
+            return pa.table({"h": pa.array(h), "doc": pa.array(d),
+                             "n": pa.array(nv), "pos": pa.array(pv)})
 
-    pref = (wdf.map_batches(add_db, batch_format="pyarrow")
-               .groupby("db").map_groups(prefix, batch_format="pandas"))
+        pref = gs.map_batches(prefix_local, batch_format="pyarrow")
+    else:
+        # exchange 1 (gram-keyed): attach the GLOBAL df to every row
+        def with_df(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0 or "h" not in g.columns:
+                return _typed_empty(["h", "doc", "n", "df"])
+            g = g.drop(columns=["hb"])
+            g["df"] = (g.groupby("h")["h"].transform("size")
+                       .astype("int64"))
+            return g
+
+        wdf = ex.groupby("hb").map_groups(with_df, batch_format="pandas")
+
+        # exchange 2 (doc-keyed): per-doc prefix under (df asc, h asc)
+        def add_db(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "doc" not in t.column_names:
+                return pa.table({c: pa.array([], pa.int64())
+                                 for c in ("h", "doc", "n", "df", "db")})
+            d = t.column("doc").to_numpy(zero_copy_only=False)
+            return t.append_column("db",
+                                   pa.array(int_bucket_column(d, B)))
+
+        def prefix(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0 or "doc" not in g.columns:
+                return _typed_empty(["h", "doc", "n", "pos"])
+            g = (g.drop(columns=["db"])
+                  .sort_values(["doc", "df", "h"], kind="mergesort"))
+            pos = g.groupby("doc").cumcount().to_numpy()
+            n = g["n"].to_numpy()
+            p = n - (threshold_pct * n + 99) // 100 + 1
+            mask = pos < p
+            out = g.loc[mask, ["h", "doc", "n"]].copy()
+            out["pos"] = pos[mask]
+            return out
+
+        pref = (wdf.map_batches(add_db, batch_format="pyarrow")
+                   .groupby("db").map_groups(prefix,
+                                             batch_format="pandas"))
 
     # exchange 3 (gram-keyed): candidates from shared prefix grams
     def add_hb(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "h" not in t.column_names:
             return pa.table({c: pa.array([], pa.int64())
-                             for c in ("h", "doc", "n", "hb")})
+                             for c in ("h", "doc", "n", "pos", "hb")})
         h = t.column("h").to_numpy(zero_copy_only=False)
         return t.append_column("hb", pa.array(int_bucket_column(h, B)))
 
@@ -457,9 +529,24 @@ def jaccard_join_pairs(ray, sf_dir: str, threshold_pct: int = 50,
         m = g.drop(columns=["hb"]).merge(g.drop(columns=["hb"]), on="h")
         m = m[m["doc_x"] < m["doc_y"]]
         if len(m):
-            lo = np.minimum(m["n_x"], m["n_y"])
-            hi = np.maximum(m["n_x"], m["n_y"])
-            m = m[100 * lo >= threshold_pct * hi]
+            nx = m["n_x"].to_numpy()
+            ny = m["n_y"].to_numpy()
+            lo = np.minimum(nx, ny)
+            hi = np.maximum(nx, ny)
+            keep = 100 * lo >= threshold_pct * hi
+            # POSITIONAL filter (PPJoin): a gram shared at sorted
+            # positions (px, py) bounds the overlap by
+            # min(px,py) + 1 + min(nx-px-1, ny-py-1); a true pair needs
+            # overlap >= ceil(tau*(nx+ny)/(1+tau)) — every bound is an
+            # upper bound on the SAME overlap, so filtering per row is
+            # sound (true pairs pass all bounds)
+            px = m["pos_x"].to_numpy()
+            py = m["pos_y"].to_numpy()
+            alpha = ((threshold_pct * (nx + ny) + 100 + threshold_pct
+                      - 1) // (100 + threshold_pct))
+            oub = (np.minimum(px, py) + 1
+                   + np.minimum(nx - px - 1, ny - py - 1))
+            m = m[keep & (oub >= alpha)]
         out = m[["doc_x", "doc_y"]].drop_duplicates()
         return pd.DataFrame({"doc_a": out["doc_x"].astype("int64"),
                              "doc_b": out["doc_y"].astype("int64")})
@@ -470,18 +557,52 @@ def jaccard_join_pairs(ray, sf_dir: str, threshold_pct: int = 50,
     # DIFFERENT buckets — one bucketed distinct merge
     cand = hash_bucket_aggregate(
         cand, ["doc_a", "doc_b"],
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"]))
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"])).materialize()
+    n_cand = cand.count()
 
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "n_common": pa.array([], pa.int64()),
                       "jaccard_pct": pa.array([], pa.int64())})
+    if n_cand == 0:
+        return empty
+
+    # small candidate sets verify DRIVER-SIDE from a membership-filtered
+    # collect of the touched gram-set blobs — bounded by the broadcast
+    # budget (avg set bytes x touched docs), killing two distributed
+    # joins + a sort whose fixed cost dwarfs a few hundred intersections
+    n_docs = max(1, gs.count())
+    avg_set_bytes = 8 * n_gram_rows // n_docs
+    if 2 * n_cand * max(64, avg_set_bytes) <= 64 << 20:
+        from ..stages.joins import key_membership_filter
+
+        cpd = cand.to_pandas()
+        need = np.unique(np.concatenate(
+            [cpd["doc_a"].to_numpy().astype(np.int64),
+             cpd["doc_b"].to_numpy().astype(np.int64)]))
+        sub = key_membership_filter(ray, gs, "doc_id", need,
+                                    keep_matched=True).to_pandas()
+        sets = {int(d): np.frombuffer(b, dtype=np.uint64)
+                for d, b in zip(sub["doc_id"], sub["sh"])}
+        ka, kb, nc, jp = [], [], [], []
+        for a, b in zip(cpd["doc_a"], cpd["doc_b"]):
+            sa, sb = sets[int(a)], sets[int(b)]
+            ni = len(np.intersect1d(sa, sb, assume_unique=True))
+            u = len(sa) + len(sb) - ni
+            if u > 0 and 100 * ni >= threshold_pct * u:
+                ka.append(int(a))
+                kb.append(int(b))
+                nc.append(ni)
+                jp.append(100 * ni // u)
+        return (pd.DataFrame({"doc_a": ka, "doc_b": kb,
+                              "n_common": nc, "jaccard_pct": jp})
+                .astype("int64")
+                .sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True))
+
     cand = normalize_for_join(
         cand, pa.schema([("doc_a", pa.int64()),
                          ("doc_b", pa.int64())])).materialize()
-    n_cand = cand.count()
-    if n_cand == 0:
-        return empty
     nparts = join_partitions_for(n_cand)
     sh_a = gs.map_batches(
         lambda t: t.select(["doc_id", "sh"]).rename_columns(
