@@ -114,6 +114,7 @@ SQL_CHECKED = [
     "docs_boolean_search", "events_snapshot_diff",
     "events_dp_counts", "catalog_tables", "events_mv_incremental",
     "events_wow_growth", "dedup_jaccard_join", "docs_rrf_fusion",
+    "dedup_lsh_recall",
 ]
 
 

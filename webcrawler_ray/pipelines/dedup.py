@@ -637,6 +637,27 @@ def jaccard_join_pairs(ray, sf_dir: str, threshold_pct: int = 50,
              .sort(["doc_a", "doc_b"]))
 
 
+def dedup_lsh_recall(ray, sf_dir: str, threshold_pct: int = 50):
+    """(n_exact, n_found, n_missed, recall_bp): the LSH banding
+    pipeline's RECALL against the exact similarity join at the same
+    threshold — the audit an engine owes its own approximations (LSH
+    candidates can miss true pairs; the prefix-filter join cannot).
+    recall_bp = 10000 * |exact ∩ lsh| / |exact|, integer basis points.
+    Both pair sets are the (small) outputs of their already-verified
+    pipelines, so the set compare is a bounded driver fold."""
+    exact = jaccard_join_pairs(ray, sf_dir, threshold_pct)
+    exact = exact.to_pandas() if hasattr(exact, "to_pandas") else exact
+    lsh = ngram_jaccard_pairs(ray, sf_dir, threshold_pct / 100)
+    lsh = lsh.to_pandas() if hasattr(lsh, "to_pandas") else lsh
+    ep = set(zip(exact["doc_a"], exact["doc_b"]))
+    lp = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    n_exact, n_found = len(ep), len(ep & lp)
+    recall_bp = (10_000 * n_found // n_exact) if n_exact else 10_000
+    return pd.DataFrame({"n_exact": [n_exact], "n_found": [n_found],
+                         "n_missed": [n_exact - n_found],
+                         "recall_bp": [recall_bp]}).astype("int64")
+
+
 _CLUSTERS_MEMO: dict = {}  # (path, mtime, size, threshold) -> members
 
 

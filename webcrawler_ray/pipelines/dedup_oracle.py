@@ -384,6 +384,43 @@ ORDER BY doc_a, doc_b
 """)
 
 
+def lsh_recall_sql(threshold_pct: int = 50, k: int = 3) -> str:
+    """Oracle for ``dedup_lsh_recall``: the LSH-banding pipeline's
+    recall against the exact similarity join at the same threshold —
+    BOTH chains (minhash/band/verify and the quadratic exact gram
+    join) replayed bit-exactly in one statement, compared as pair
+    sets. The short-doc fallback can only ADD pairs to the LSH side,
+    so recall = |exact ∩ lsh| / |exact| is unaffected by it."""
+    return ("WITH" + _tokens_cte() + "," + _shingles_cte()[2:]
+            + _bands_cte()
+            + _verified_pairs_cte(threshold_pct / 100)
+            + _kgram_cte(k) + f""",
+ g AS (SELECT DISTINCT doc_id, acc FROM kg{k - 1}),
+ sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+ prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                COUNT(*) AS n_common
+         FROM g a JOIN g b ON a.acc = b.acc AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id),
+ exact AS (SELECT p.doc_a, p.doc_b
+           FROM prs p
+           JOIN sz sa ON sa.doc_id = p.doc_a
+           JOIN sz sb ON sb.doc_id = p.doc_b
+           WHERE 100 * p.n_common
+                 >= {threshold_pct} * (sa.n + sb.n - p.n_common)),
+ agg AS (SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+                (SELECT COUNT(*) FROM exact e
+                 JOIN pairs l ON e.doc_a = l.doc_a
+                             AND e.doc_b = l.doc_b) AS n_found)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_exact - n_found AS BIGINT) AS n_missed,
+       CAST(CASE WHEN n_exact = 0 THEN 10000
+                 ELSE (10000 * n_found) // n_exact END AS BIGINT)
+           AS recall_bp
+FROM agg
+""")
+
+
 def keep_best_sql(threshold: float = 0.8) -> str:
     """Oracle for ``dedup_keep_best``: the clusters closure (see
     clusters_sql) extended with the keep-rule — per cluster keep the
