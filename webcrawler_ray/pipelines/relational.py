@@ -212,13 +212,15 @@ def revenue_by_nation(ray, sf_dir: str):
         lambda df: df.groupby("l_orderkey", as_index=False).sum(),
         n_rows=n_orders)
 
+    from ..stages.joins import auto_join_ds
+
     orders = _rpq(ray, f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey"])
     orders = orders.map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
         batch_format="pyarrow")
-    joined = li_agg.join(orders, join_type="inner", on=("l_orderkey",),
-                         num_partitions=join_partitions_for(n_orders))
+    joined, _ = auto_join_ds(ray, li_agg, orders, ["l_orderkey"],
+                             n_orders, row_bytes_est=16)
     per_cust = hash_bucket_aggregate(
         joined, ["o_custkey"],
         lambda df: df[["o_custkey", "revenue_cents"]]
@@ -230,8 +232,8 @@ def revenue_by_nation(ray, sf_dir: str):
     cust = cust.map_batches(
         lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
         batch_format="pyarrow")
-    per_cust = per_cust.join(cust, join_type="inner", on=("o_custkey",),
-                             num_partitions=join_partitions_for(n_cust))
+    per_cust, _ = auto_join_ds(ray, per_cust, cust, ["o_custkey"],
+                               n_cust, row_bytes_est=16)
 
     def add_names(batch: pd.DataFrame) -> pd.DataFrame:
         n2_ = _ray.get(ref)
@@ -2171,10 +2173,12 @@ def order_line_stats(ray, sf_dir: str):
         lambda df: df.groupby("o_orderkey", as_index=False).sum(),
         n_rows=n_orders)
 
+    from ..stages.joins import auto_join_ds
+
     orders = _rpq(ray, f"{sf_dir}/orders.parquet",
                   columns=["o_orderkey", "o_orderstatus"])
-    joined = li_agg.join(orders, join_type="inner", on=("o_orderkey",),
-                         num_partitions=join_partitions_for(n_orders))
+    joined, _ = auto_join_ds(ray, li_agg, orders, ["o_orderkey"],
+                             n_orders, row_bytes_est=16)
     return joined.map_batches(
         lambda t: t.select(["o_orderkey", "o_orderstatus", "n_lines",
                             "sum_qty"]),
@@ -2334,9 +2338,10 @@ def q3_shipping_priority(ray, sf_dir: str, k: int = 10):
         lambda t: t.filter(pc.less(t.column("o_orderdate").cast(
             pa.timestamp("us")), od_cut)),
         batch_format="pyarrow").materialize()
-    joined = li_agg.join(orders, join_type="inner", on=("o_orderkey",),
-                         num_partitions=join_partitions_for(
-                             min(n_orders, orders.count())))
+    from ..stages.joins import auto_join_ds
+
+    joined, _ = auto_join_ds(ray, li_agg, orders, ["o_orderkey"],
+                             orders.count(), row_bytes_est=32)
 
     cust = _rpq(ray, f"{sf_dir}/customer.parquet",
                 columns=["c_custkey", "c_mktsegment"])
@@ -2344,9 +2349,8 @@ def q3_shipping_priority(ray, sf_dir: str, k: int = 10):
         lambda t: t.filter(pc.equal(t.column("c_mktsegment"), Q3_SEGMENT))
                    .select(["c_custkey"]).rename_columns(["o_custkey"]),
         batch_format="pyarrow").materialize()
-    joined = joined.join(cust, join_type="inner", on=("o_custkey",),
-                         num_partitions=join_partitions_for(
-                             min(n_cust, cust.count())))
+    joined, _ = auto_join_ds(ray, joined, cust, ["o_custkey"],
+                             cust.count(), row_bytes_est=8)
 
     # li_agg carries one row per orderkey and orders is unique on it, so
     # the join output already IS the per-order revenue — no re-aggregate
@@ -2457,9 +2461,18 @@ def orders_priority_exists(ray, sf_dir: str):
     returned = distinct_keys(returned, "o_orderkey",
                              n_rows=max(1, n_quarter))
 
-    joined = orders.join(returned, join_type="inner", on=("o_orderkey",),
-                         num_partitions=join_partitions_for(
-                             min(n_orders, n_quarter)))
+    if n_quarter * 8 <= 64 << 20:
+        from ..stages.joins import key_membership_filter
+
+        keys = np.unique(returned.to_pandas()["o_orderkey"]
+                         .to_numpy().astype(np.int64))
+        joined = key_membership_filter(ray, orders, "o_orderkey", keys,
+                                       keep_matched=True)
+    else:
+        joined = orders.join(returned, join_type="inner",
+                             on=("o_orderkey",),
+                             num_partitions=join_partitions_for(
+                                 min(n_orders, n_quarter)))
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({"o_orderpriority": b["o_orderpriority"],
@@ -2569,14 +2582,16 @@ def q5_local_supplier_volume(ray, sf_dir: str):
                                 batch_format="pyarrow").materialize()
     n_window = max(1, orders.count())
 
+    from ..stages.joins import auto_join_ds
+
+    n_cust = _nrows(f"{sf_dir}/customer.parquet")
     cust = _rpq(ray, f"{sf_dir}/customer.parquet",
                 columns=["c_custkey", "c_nationkey"])
     cust = cust.map_batches(
         lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
         batch_format="pyarrow")
-    orders = orders.join(cust, join_type="inner", on=("o_custkey",),
-                         num_partitions=join_partitions_for(
-                             min(n_orders, n_window)))
+    orders, _ = auto_join_ds(ray, orders, cust, ["o_custkey"], n_cust,
+                             row_bytes_est=16)
 
     li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
@@ -2599,17 +2614,16 @@ def q5_local_supplier_volume(ray, sf_dir: str):
                               as_index=False).sum(),
         n_rows=n_orders * 4)  # ~lines per order bound for the pair count
 
-    joined = li_agg.join(orders, join_type="inner", on=("o_orderkey",),
-                         num_partitions=join_partitions_for(
-                             min(n_orders, n_window)))
+    joined, _ = auto_join_ds(ray, li_agg, orders, ["o_orderkey"],
+                             n_window, row_bytes_est=24)
 
     supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
                 columns=["s_suppkey", "s_nationkey"])
     supp = supp.map_batches(
         lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]),
         batch_format="pyarrow")
-    joined = joined.join(supp, join_type="inner", on=("l_suppkey",),
-                         num_partitions=join_partitions_for(n_supp))
+    joined, _ = auto_join_ds(ray, joined, supp, ["l_suppkey"], n_supp,
+                             row_bytes_est=16)
 
     # nation x region: dimension-sized by construction -> broadcast map
     import pyarrow.dataset as pads
@@ -2700,10 +2714,12 @@ def part_min_supplier(ray, sf_dir: str):
         li.map_batches(partial, batch_format="pandas", batch_size=65536),
         ["p_partkey"], argmin, n_rows=n_parts)
 
+    from ..stages.joins import auto_join_ds
+
     part = _rpq(ray, f"{sf_dir}/part.parquet",
                 columns=["p_partkey", "p_name"])
-    out = winners.join(part, join_type="inner", on=("p_partkey",),
-                       num_partitions=join_partitions_for(n_parts))
+    out, _ = auto_join_ds(ray, winners, part, ["p_partkey"], n_parts,
+                          row_bytes_est=48)
     return out.map_batches(
         lambda t: t.select(["p_partkey", "p_name", "s_suppkey",
                             "min_price_cents"]),
@@ -3972,9 +3988,10 @@ def q10_returned_revenue(ray, sf_dir: str, k: int = 20):
         li_agg, pa.schema([("l_orderkey", pa.int64()),
                            ("revenue_cents", pa.int64())]))
 
-    joined = li_agg.join(orders, join_type="inner", on=("l_orderkey",),
-                         num_partitions=join_partitions_for(
-                             min(n_orders, n_window)))
+    from ..stages.joins import auto_join_ds
+
+    joined, _ = auto_join_ds(ray, li_agg, orders, ["l_orderkey"],
+                             min(n_orders, n_window), row_bytes_est=24)
     per_cust = hash_bucket_aggregate(
         joined, ["o_custkey"],
         lambda df: df[["o_custkey", "revenue_cents"]]
@@ -4073,8 +4090,10 @@ def q12_priority_lines(ray, sf_dir: str):
 
     orders = _rpq(ray, f"{sf_dir}/orders.parquet",
                   columns=["o_orderkey", "o_orderpriority"])
-    joined = li_agg.join(orders, join_type="inner", on=("o_orderkey",),
-                         num_partitions=join_partitions_for(n_orders))
+    from ..stages.joins import auto_join_ds
+
+    joined, _ = auto_join_ds(ray, li_agg, orders, ["o_orderkey"],
+                             n_orders, row_bytes_est=32)
 
     def classify(b: pd.DataFrame) -> pd.DataFrame:
         high = b["o_orderpriority"].isin(Q12_HIGH).to_numpy()
@@ -4165,8 +4184,10 @@ def q14_promo_revenue(ray, sf_dir: str):
             "is_promo": pc.equal(t.column("p_type"), "PROMO")})
 
     part = part.map_batches(promo_flag, batch_format="pyarrow")
-    joined = li_agg.join(part, join_type="inner", on=("l_partkey",),
-                         num_partitions=join_partitions_for(n_part))
+    from ..stages.joins import auto_join_ds
+
+    joined, _ = auto_join_ds(ray, li_agg, part, ["l_partkey"],
+                             n_part, row_bytes_est=9)
 
     def split(b: pd.DataFrame) -> pd.DataFrame:
         rev = b["revenue_cents"].to_numpy()
@@ -4237,11 +4258,12 @@ def q18_large_orders(ray, sf_dir: str, k: int = 100):
         batch_format="pyarrow").materialize()
     n_big = max(1, big.count())
 
+    from ..stages.joins import auto_join_ds
+
     orders = _rpq(ray, f"{sf_dir}/orders.parquet",
                   columns=["o_orderkey", "o_custkey"])
-    joined = big.join(orders, join_type="inner", on=("o_orderkey",),
-                      num_partitions=join_partitions_for(
-                          min(n_orders, n_big)))
+    joined, _ = auto_join_ds(ray, big, orders, ["o_orderkey"],
+                             n_orders, row_bytes_est=16)
 
     topk = joined.sort(["total_qty", "o_orderkey"],
                        descending=[True, False]).limit(k)
@@ -4359,9 +4381,10 @@ def q19_disjunct_revenue(ray, sf_dir: str):
         # (and an all-empty side breaks Dataset.join's schema inference)
         return pd.DataFrame({"revenue_cents": [0]}).astype("int64")
 
-    joined = li_agg.join(part, join_type="inner", on=("l_partkey",),
-                         num_partitions=join_partitions_for(
-                             min(n_part, n_keep)))
+    from ..stages.joins import auto_join_ds
+
+    joined, _ = auto_join_ds(ray, li_agg, part, ["l_partkey"],
+                             min(n_part, n_keep), row_bytes_est=16)
 
     def pick(b: pd.DataFrame) -> pd.DataFrame:
         branch = b["branch"].to_numpy()
@@ -4993,10 +5016,19 @@ def q22_sales_opportunity(ray, sf_dir: str):
             pa.scalar(avg_cents, pa.float64()))),
         batch_format="pyarrow").materialize()
 
-    cold = rich.join(buyers, join_type="left_anti", on=("c_custkey",),
-                     num_partitions=join_partitions_for(
-                         min(max(1, rich.count()),
-                             max(1, buyers.count()))))
+    n_buyers = max(1, buyers.count())
+    if n_buyers * 8 <= 64 << 20:
+        from ..stages.joins import key_membership_filter
+
+        bkeys = np.unique(buyers.to_pandas()["c_custkey"]
+                          .to_numpy().astype(np.int64))
+        cold = key_membership_filter(ray, rich, "c_custkey", bkeys,
+                                     keep_matched=False)
+    else:
+        cold = rich.join(buyers, join_type="left_anti",
+                         on=("c_custkey",),
+                         num_partitions=join_partitions_for(
+                             min(max(1, rich.count()), n_buyers)))
 
     def seg_partial(b: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({"c_mktsegment": b["c_mktsegment"],
@@ -5496,10 +5528,12 @@ def q7_volume_shipping(ray, sf_dir: str):
                             batch_format="pyarrow").materialize()
     n_cust_hit = max(1, cust.count())
 
+    from ..stages.joins import auto_join_ds
+
     orders = _rpq(ray, f"{sf_dir}/orders.parquet",
                   columns=["o_orderkey", "o_custkey"])
-    orders = orders.join(cust, join_type="inner", on=("o_custkey",),
-                         num_partitions=join_partitions_for(n_cust_hit))
+    orders, _ = auto_join_ds(ray, orders, cust, ["o_custkey"],
+                             n_cust_hit, row_bytes_est=16)
     orders = orders.map_batches(
         lambda t: t.select(["o_orderkey", "cust_nk"])
                    .rename_columns(["l_orderkey", "cust_nk"]),
@@ -5530,11 +5564,10 @@ def q7_volume_shipping(ray, sf_dir: str):
                          "revenue_cents": cents})
 
     li = li.map_batches(li_window, batch_format="pyarrow")
-    li = li.join(supp, join_type="inner", on=("l_suppkey",),
-                 num_partitions=join_partitions_for(n_supp_hit))
-    joined = li.join(orders, join_type="inner", on=("l_orderkey",),
-                     num_partitions=join_partitions_for(
-                         min(n_orders, n_li)))
+    li, _ = auto_join_ds(ray, li, supp, ["l_suppkey"], n_supp_hit,
+                         row_bytes_est=16)
+    joined, _ = auto_join_ds(ray, li, orders, ["l_orderkey"],
+                             n_orders, row_bytes_est=16)
 
     def label(t: pa.Table) -> pd.DataFrame:
         df = t.select(["supp_nk", "cust_nk", "l_year",
@@ -5647,9 +5680,11 @@ def q8_market_share(ray, sf_dir: str):
                          "l_suppkey": t.column("l_suppkey"),
                          "cents": cents})
 
+    from ..stages.joins import auto_join_ds
+
     li = li.map_batches(to_cents, batch_format="pyarrow")
-    li = li.join(part, join_type="inner", on=("l_partkey",),
-                 num_partitions=join_partitions_for(n_hit))
+    li, _ = auto_join_ds(ray, li, part, ["l_partkey"], n_hit,
+                         row_bytes_est=8)
 
     supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
                 columns=["s_suppkey", "s_nationkey"])
@@ -5662,8 +5697,8 @@ def q8_market_share(ray, sf_dir: str):
                          "is_target": is_t})
 
     supp = supp.map_batches(supp_flag, batch_format="pyarrow")
-    li = li.join(supp, join_type="inner", on=("l_suppkey",),
-                 num_partitions=join_partitions_for(n_supp))
+    li, _ = auto_join_ds(ray, li, supp, ["l_suppkey"], n_supp,
+                         row_bytes_est=16)
 
     cust = _rpq(ray, f"{sf_dir}/customer.parquet",
                 columns=["c_custkey", "c_nationkey"])
@@ -5695,15 +5730,14 @@ def q8_market_share(ray, sf_dir: str):
                          "o_year": pc.year(od).cast(pa.int64())})
 
     orders = orders.map_batches(ord_window, batch_format="pyarrow")
-    orders = orders.join(cust, join_type="inner", on=("o_custkey",),
-                         num_partitions=join_partitions_for(n_cust_hit))
+    orders, _ = auto_join_ds(ray, orders, cust, ["o_custkey"],
+                             n_cust_hit, row_bytes_est=8)
     orders = orders.map_batches(
         lambda t: t.select(["l_orderkey", "o_year"]),
         batch_format="pyarrow")
 
-    joined = li.join(orders, join_type="inner", on=("l_orderkey",),
-                     num_partitions=join_partitions_for(
-                         min(n_orders, max(1, n_hit * 8))))
+    joined, _ = auto_join_ds(ray, li, orders, ["l_orderkey"],
+                             n_orders, row_bytes_est=16)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({
@@ -5806,11 +5840,11 @@ def q11_important_parts(ray, sf_dir: str):
                          "l_suppkey": t.column("l_suppkey"),
                          "value_cents": cents})
 
-    from ..stages.aggregates import join_partitions_for
+    from ..stages.joins import auto_join_ds
 
     li = li.map_batches(to_cents, batch_format="pyarrow")
-    li = li.join(supp, join_type="inner", on=("l_suppkey",),
-                 num_partitions=join_partitions_for(n_supp_hit))
+    li, _ = auto_join_ds(ray, li, supp, ["l_suppkey"], n_supp_hit,
+                         row_bytes_est=8)
 
     per_part = hash_bucket_aggregate(
         li.map_batches(lambda t: t.select(["l_partkey", "value_cents"]),
@@ -5914,10 +5948,12 @@ def q15_top_supplier(ray, sf_dir: str):
 
     winners = per_supp.map_batches(is_best, batch_format="pyarrow")
 
+    from ..stages.joins import auto_join_ds
+
     supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
                 columns=["s_suppkey", "s_name"])
-    out = winners.join(supp, join_type="inner", on=("s_suppkey",),
-                       num_partitions=join_partitions_for(n_supp))
+    out, _ = auto_join_ds(ray, winners, supp, ["s_suppkey"], n_supp,
+                          row_bytes_est=48)
     return (out.map_batches(
                 lambda t: t.select(["s_suppkey", "s_name",
                                     "total_revenue_cents"]),
@@ -6634,10 +6670,12 @@ def q20_excess_suppliers(ray, sf_dir: str):
                             batch_format="pyarrow").materialize()
     n_hit = max(1, part.count())
 
-    j = per_ps.join(per_p, join_type="inner", on=("l_partkey",),
-                    num_partitions=join_partitions_for(n_part))
-    j = j.join(part, join_type="inner", on=("l_partkey",),
-               num_partitions=join_partitions_for(n_hit))
+    from ..stages.joins import auto_join_ds
+
+    j, _ = auto_join_ds(ray, per_ps, per_p, ["l_partkey"], n_part,
+                        row_bytes_est=16)
+    j, _ = auto_join_ds(ray, j, part, ["l_partkey"], n_hit,
+                        row_bytes_est=8)
 
     def majority(b: pd.DataFrame) -> pd.DataFrame:
         b = b[2 * b["sq"].astype("int64") > b["tq"].astype("int64")]
