@@ -4754,8 +4754,10 @@ def events_percent_rank(ray, sf_dir: str):
 
     ranks = gs.map_batches(assign, batch_size=None, batch_format="pyarrow")
 
-    out = ds.join(ranks, join_type="inner", on=("event_type", "value"),
-                  num_partitions=join_partitions_for(n_ev))
+    from ..stages.joins import auto_join_ds
+
+    out, _ = auto_join_ds(ray, ds, ranks, ["event_type", "value"],
+                          gs.count(), row_bytes_est=48)
     return (out.map_batches(
                 lambda t: t.select(["event_id", "pct_rank", "cume_dist"]),
                 batch_format="pyarrow")
@@ -5453,8 +5455,11 @@ def events_value_ranks(ray, sf_dir: str):
             "dense_rnk": pa.array(dis_below + 1, pa.int64())})
 
     ranks = gs.map_batches(assign, batch_size=None, batch_format="pyarrow")
-    out = ds.join(ranks, join_type="inner", on=("event_type", "value"),
-                  num_partitions=join_partitions_for(n_ev))
+
+    from ..stages.joins import auto_join_ds
+
+    out, _ = auto_join_ds(ray, ds, ranks, ["event_type", "value"],
+                          gs.count(), row_bytes_est=48)
     return (out.map_batches(
                 lambda t: t.select(["event_id", "rnk", "dense_rnk"]),
                 batch_format="pyarrow")
