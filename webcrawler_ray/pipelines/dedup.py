@@ -267,6 +267,43 @@ def _verify_pairs_exchange(ray, sf_dir: str, cand, threshold: float,
 
     nparts = join_partitions_for(n_cand)
     sh = sh_ds if sh_ds is not None else _shingle_table(ray, sf_dir)
+
+    # small candidate sets verify DRIVER-SIDE from a membership-filtered
+    # collect of the touched shingle blobs (the dedup_jaccard_join
+    # pattern) — bounded by the broadcast budget, replacing two
+    # distributed joins + a sort with a bounded vectorized fold
+    from ..io_utils import parquet_column_bytes, parquet_num_rows
+
+    n_docs = max(1, parquet_num_rows(f"{sf_dir}/documents.parquet"))
+    avg_sh_bytes = max(64, 8 * parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 6 // n_docs)
+    if 2 * n_cand * avg_sh_bytes <= 64 << 20:
+        from ..stages.joins import key_membership_filter
+
+        cpd = cand.to_pandas()
+        need = np.unique(np.concatenate(
+            [cpd["doc_a"].to_numpy().astype(np.int64),
+             cpd["doc_b"].to_numpy().astype(np.int64)]))
+        sub = key_membership_filter(ray, sh, "doc_id", need,
+                                    keep_matched=True).to_pandas()
+        sets = {int(d): np.frombuffer(b, dtype=np.uint64)
+                for d, b in zip(sub["doc_id"], sub["sh"])}
+        ka, kb, jp = [], [], []
+        for a, b in zip(cpd["doc_a"], cpd["doc_b"]):
+            jac = jaccard(sets[int(a)], sets[int(b)])
+            if jac >= threshold:
+                ka.append(int(a))
+                kb.append(int(b))
+                jp.append(int(jac * 100))
+        out = {"doc_a": pa.array(ka, pa.int64()),
+               "doc_b": pa.array(kb, pa.int64())}
+        if with_pct:
+            out["jaccard_pct"] = pa.array(jp, pa.int64())
+        tbl = pa.table(out)
+        order = pa.compute.sort_indices(
+            tbl, sort_keys=[("doc_a", "ascending"),
+                            ("doc_b", "ascending")])
+        return tbl.take(order)
     sh_a = sh.map_batches(lambda t: t.rename_columns(["doc_a", "sh_a"]),
                           batch_format="pyarrow")
     sh_b = sh.map_batches(lambda t: t.rename_columns(["doc_b", "sh_b"]),
@@ -686,7 +723,11 @@ def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
                       "cluster_id": pa.array([], pa.int64())})
     pairs = minhash_lsh_pairs(ray, sf_dir, threshold=threshold)
     if isinstance(pairs, pa.Table):
-        return empty
+        # the verify's broadcast path returns a plain Table (possibly
+        # empty); lift it back to a Dataset for the propagation rounds
+        if pairs.num_rows == 0:
+            return empty
+        pairs = ray.data.from_arrow(pairs)
     edges = pairs.materialize()  # pair IDS only, bounded by verification
     if edges.count() == 0:
         return empty
