@@ -190,8 +190,18 @@ def run_bench() -> dict:
     # query sweep there so four subprocess runs don't pay 4x61 queries
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES") == "1":
         n_reps = 0
+    # result-level memos make a best-of-2 second rep a dict lookup —
+    # clear them before timing the query that OWNS the computation so
+    # its number reflects the real pipeline. Consumers that reuse a
+    # shared clustering by design (dedup_keep_best / dedup_rate_by_
+    # source) keep the warm memo: reuse IS their steady-state cost.
+    from webcrawler_ray.pipelines import dedup as _dedup
+
+    _pre_hooks = {"dedup_clusters": _dedup._CLUSTERS_MEMO.clear}
     for rep in range(n_reps):
         for name in QUERY_NAMES:
+            if name in _pre_hooks:
+                _pre_hooks[name]()
             t0 = time.perf_counter()
             res = queries[name](SF_DIR)
             if hasattr(res, "to_pandas"):
