@@ -392,6 +392,54 @@ def _gram_set_table(ray, sf_dir: str, k: int = 3):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
 
 
+def _prefix_pairs_fold(pf: pd.DataFrame, threshold_pct: int) -> pd.DataFrame:
+    """Driver-side candidate generation for the PPJoin prefix table:
+    all within-gram-run pairs via pure numpy index arithmetic (no
+    pandas hash merge), with the length and positional filters applied
+    BEFORE the distinct so only survivors are deduplicated. Same
+    semantics as the distributed ``pairs`` kernel — each unordered pair
+    is emitted once per shared prefix gram, filters are symmetric in
+    (a, b), and the result is distinct (doc_a < doc_b)."""
+    h = pf["h"].to_numpy().astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    h = h[order]
+    doc = pf["doc"].to_numpy().astype(np.int64)[order]
+    n = pf["n"].to_numpy().astype(np.int64)[order]
+    pos = pf["pos"].to_numpy().astype(np.int64)[order]
+
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    counts = np.diff(np.r_[starts, len(h)])
+    # pairs-per-left-element: element at offset k of a c-run pairs with
+    # the c-1-k elements after it
+    offs = np.arange(len(h)) - np.repeat(starts, counts)
+    reps = np.repeat(counts, counts) - 1 - offs
+    total = int(reps.sum())
+    if total == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    left = np.repeat(np.arange(len(h)), reps)
+    cum = np.concatenate([[0], np.cumsum(reps)])
+    right = np.arange(total) - np.repeat(cum[:-1], reps) + left + 1
+
+    dx, dy = doc[left], doc[right]
+    keep = dx != dy
+    dx, dy = dx[keep], dy[keep]
+    nx, ny = n[left][keep], n[right][keep]
+    px, py = pos[left][keep], pos[right][keep]
+    lo = np.minimum(nx, ny)
+    hi = np.maximum(nx, ny)
+    m = 100 * lo >= threshold_pct * hi
+    alpha = ((threshold_pct * (nx + ny) + 100 + threshold_pct - 1)
+             // (100 + threshold_pct))
+    oub = (np.minimum(px, py) + 1
+           + np.minimum(nx - px - 1, ny - py - 1))
+    m &= oub >= alpha
+    a = np.minimum(dx[m], dy[m])
+    b = np.maximum(dx[m], dy[m])
+    uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pd.DataFrame({"doc_a": uniq[:, 0], "doc_b": uniq[:, 1]})
+
+
 def jaccard_join_pairs(ray, sf_dir: str, threshold_pct: int = 50,
                        k: int = 3):
     """(doc_a, doc_b, n_common, jaccard_pct): EVERY pair of documents
@@ -588,14 +636,27 @@ def jaccard_join_pairs(ray, sf_dir: str, threshold_pct: int = 50,
         return pd.DataFrame({"doc_a": out["doc_x"].astype("int64"),
                              "doc_b": out["doc_y"].astype("int64")})
 
-    cand = (pref.map_batches(add_hb, batch_format="pyarrow")
-                .groupby("hb").map_groups(pairs, batch_format="pandas"))
-    # the same pair arises from several shared prefix grams in
-    # DIFFERENT buckets — one bucketed distinct merge
-    cand = hash_bucket_aggregate(
-        cand, ["doc_a", "doc_b"],
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"])).materialize()
-    n_cand = cand.count()
+    cand_pd = None
+    if n_gram_rows * 32 <= 64 << 20:
+        # the whole prefix table (<= exploded-gram bound, 4 int64 cols)
+        # fits the broadcast budget: fold candidate generation on the
+        # driver with the SAME pairs kernel — one collect replaces two
+        # all-to-all exchanges (pair groupby + distinct merge). The
+        # exchange path below is the 100-TB route.
+        pf = pref.to_pandas()
+        cand_pd = (_prefix_pairs_fold(pf, threshold_pct) if len(pf)
+                   else _typed_empty(["doc_a", "doc_b"]))
+        n_cand = len(cand_pd)
+    else:
+        cand = (pref.map_batches(add_hb, batch_format="pyarrow")
+                    .groupby("hb").map_groups(pairs,
+                                              batch_format="pandas"))
+        # the same pair arises from several shared prefix grams in
+        # DIFFERENT buckets — one bucketed distinct merge
+        cand = hash_bucket_aggregate(
+            cand, ["doc_a", "doc_b"],
+            lambda df: df.drop_duplicates(["doc_a", "doc_b"])).materialize()
+        n_cand = cand.count()
 
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
@@ -613,7 +674,7 @@ def jaccard_join_pairs(ray, sf_dir: str, threshold_pct: int = 50,
     if 2 * n_cand * max(64, avg_set_bytes) <= 64 << 20:
         from ..stages.joins import key_membership_filter
 
-        cpd = cand.to_pandas()
+        cpd = cand_pd if cand_pd is not None else cand.to_pandas()
         need = np.unique(np.concatenate(
             [cpd["doc_a"].to_numpy().astype(np.int64),
              cpd["doc_b"].to_numpy().astype(np.int64)]))
@@ -637,6 +698,12 @@ def jaccard_join_pairs(ray, sf_dir: str, threshold_pct: int = 50,
                 .sort_values(["doc_a", "doc_b"])
                 .reset_index(drop=True))
 
+    if cand_pd is not None:
+        # driver-folded candidates exceeded the verify budget: lift
+        # them back to a Dataset for the distributed two-join verify
+        cand = ray.data.from_arrow(pa.table({
+            "doc_a": pa.array(cand_pd["doc_a"].to_numpy(np.int64)),
+            "doc_b": pa.array(cand_pd["doc_b"].to_numpy(np.int64))}))
     cand = normalize_for_join(
         cand, pa.schema([("doc_a", pa.int64()),
                          ("doc_b", pa.int64())])).materialize()
