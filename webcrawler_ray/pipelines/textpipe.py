@@ -2160,6 +2160,59 @@ def docs_bigram_lm_score(ray, sf_dir: str):
     n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
     ds = _docs(ray, sf_dir, ["doc_id", "text"])
 
+    if tok_bound * 16 <= 64 << 20:
+        # both count tables are distinct-key-bounded well below the
+        # token-instance bound: fold per-batch Counter partials on the
+        # driver and broadcast ONE (w1, w2) -> score dict — two corpus
+        # map passes, zero shuffles/joins. The exchange path below is
+        # the 100-TB route.
+        from collections import Counter as _C
+
+        def cnt_partial(batch: pa.Table) -> pa.Table:
+            bc: dict = _C()
+            uc: dict = _C()
+            for t in batch.column("text").to_pylist():
+                toks = tokenize(t)
+                uc.update(toks)
+                bc.update(zip(toks, toks[1:]))
+            w1 = [a for a, _ in bc] + list(uc)
+            # a real token is never "" (tokenize drops empties), so
+            # w2 == "" safely marks the unigram rows
+            w2 = [b for _, b in bc] + [""] * len(uc)
+            n = list(bc.values()) + list(uc.values())
+            return pa.table({"w1": pa.array(w1, pa.string()),
+                             "w2": pa.array(w2, pa.string()),
+                             "n": pa.array(n, pa.int64())})
+
+        parts = (ds.map_batches(cnt_partial, batch_format="pyarrow")
+                   .to_pandas())
+        tot = parts.groupby(["w1", "w2"], as_index=False)["n"].sum()
+        uni = tot[tot["w2"] == ""].set_index("w1")["n"]
+        big2 = tot[tot["w2"] != ""]
+        n1 = np.maximum(uni.loc[big2["w1"]].to_numpy(), 1)
+        score = (big2["n"].to_numpy() * 1000) // n1
+        ref = ray.put(dict(zip(zip(big2["w1"], big2["w2"]),
+                               score.tolist())))
+
+        def score_docs(batch: pa.Table) -> pa.Table:
+            lk = ray.get(ref)
+            ids, vals = [], []
+            for i, t in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+                toks = tokenize(t)
+                s = 0
+                if len(toks) >= 2:
+                    for bg, c in _C(zip(toks, toks[1:])).items():
+                        s += c * lk[bg]
+                ids.append(i)
+                vals.append(s)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "bigram_commonness": pa.array(vals, pa.int64())})
+
+        return (ds.map_batches(score_docs, batch_format="pyarrow")
+                  .sort("doc_id"))
+
     def explode(batch: pa.Table) -> pa.Table:
         ids_out, w1s, w2s, tfs = [], [], [], []
         for i, t in zip(batch.column("doc_id").to_pylist(),
