@@ -1376,6 +1376,39 @@ def docs_lm_score(ray, sf_dir: str):
     n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
     ds = _docs(ray, sf_dir, ["doc_id", "text"])
 
+    if tok_bound * 16 <= 64 << 20:
+        # vocab fits the broadcast budget: fold per-batch Counter
+        # partials on the driver, broadcast ONE token -> n dict, score
+        # in a single corpus pass — no explode materialize, no shuffle,
+        # no join. The exchange chain below is the 100-TB route.
+        def v_partial(batch: pa.Table) -> pa.Table:
+            c = Counter()
+            for t in batch.column("text").to_pylist():
+                c.update(tokenize(t))
+            return pa.table({"token": pa.array(list(c), pa.string()),
+                             "n": pa.array(list(c.values()), pa.int64())})
+
+        parts = (ds.map_batches(v_partial, batch_format="pyarrow")
+                   .to_pandas())
+        vb = parts.groupby("token", as_index=False)["n"].sum()
+        ref = ray.put(dict(zip(vb["token"], vb["n"].tolist())))
+
+        def score_docs(batch: pa.Table) -> pa.Table:
+            lk = ray.get(ref)
+            ids, vals = [], []
+            for i, t in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+                s = 0
+                for tok, cnt in Counter(tokenize(t)).items():
+                    s += cnt * lk[tok]
+                ids.append(i)
+                vals.append(s)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "commonness": pa.array(vals, pa.int64())})
+
+        return (ds.map_batches(score_docs, batch_format="pyarrow")
+                  .sort("doc_id"))
+
     def tf_explode(batch: pa.Table) -> pa.Table:
         ids_out, toks, tfs = [], [], []
         for i, t in zip(batch.column("doc_id").to_pylist(),
