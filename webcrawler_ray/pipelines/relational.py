@@ -79,6 +79,50 @@ ORDER BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------------------
+def _per_customer_revenue(ray, sf_dir: str):
+    """Per-customer revenue rollup shared by top_customers /
+    customers_revenue_deciles / customers_gini: lineitem reduces to one
+    row per orderkey (combiner + bucketed merge), the orderkey ->
+    custkey map joins adaptively (two int64 columns — broadcast while
+    it fits the budget, Dataset.join past it), then one bucketed
+    per-customer merge. Returns the lazy (o_custkey, revenue_cents)
+    Dataset."""
+    from ..stages.aggregates import hash_bucket_aggregate
+    from ..stages.joins import auto_join_ds
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64"),
+            "revenue_cents": np.floor(b["l_extendedprice"]
+                                      * (1 - b["l_discount"]) * 100
+                                      ).astype("int64")})
+        return g.groupby("l_orderkey", as_index=False).sum()
+
+    li_agg = hash_bucket_aggregate(
+        li.map_batches(to_cents, batch_format="pandas",
+                       batch_size=65536),
+        ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", as_index=False).sum(),
+        n_rows=n_orders)
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    joined, _plan = auto_join_ds(ray, li_agg, orders, ["l_orderkey"],
+                                 n_right=n_orders, row_bytes_est=16)
+    return hash_bucket_aggregate(
+        joined, ["o_custkey"],
+        lambda df: df[["o_custkey", "revenue_cents"]]
+        .groupby("o_custkey", as_index=False).sum(),
+        n_rows=n_orders)
+
+
 def top_customers(ray, sf_dir: str, k: int = 10):
     """Revenue top-k customers: lineitem bucketed partial-agg -> HASH JOIN
     orders (Dataset.join) -> bucketed groupby customer -> sort desc ->
@@ -87,39 +131,7 @@ def top_customers(ray, sf_dir: str, k: int = 10):
     Many-group rollups use hash_bucket_aggregate (vectorized combine);
     every shuffle fan-out is sized from footer row counts, never a
     constant."""
-    from ..stages.aggregates import hash_bucket_aggregate, join_partitions_for
-
-    n_orders = _nrows(f"{sf_dir}/orders.parquet")
-    li = _rpq(ray,
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "l_orderkey": batch["l_orderkey"],
-            "revenue_cents": np.floor(batch["l_extendedprice"]
-                                      * (1 - batch["l_discount"]) * 100
-                                      ).astype("int64")})
-
-    li_agg = hash_bucket_aggregate(
-        li.map_batches(to_cents, batch_format="pandas", batch_size=65536),
-        ["l_orderkey"],
-        lambda df: df.groupby("l_orderkey", as_index=False).sum(),
-        n_rows=n_orders)  # post-partial rows ~= one per orderkey
-
-    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
-                                   columns=["o_orderkey", "o_custkey"])
-    orders = orders.map_batches(
-        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
-        batch_format="pyarrow")
-
-    joined = li_agg.join(orders, join_type="inner", on=("l_orderkey",),
-                         num_partitions=join_partitions_for(n_orders))
-    per_cust = hash_bucket_aggregate(
-        joined, ["o_custkey"],
-        lambda df: df[["o_custkey", "revenue_cents"]]
-        .groupby("o_custkey", as_index=False).sum(),
-        n_rows=n_orders)
+    per_cust = _per_customer_revenue(ray, sf_dir)
 
     # top-k cut FIRST, then a name lookup for only those k custkeys — the
     # customer table is never materialized anywhere (a k-row filtered
@@ -7107,43 +7119,9 @@ def customers_revenue_deciles(ray, sf_dir: str):
     that O(customers) rollup; positions come from the shared O(blocks)
     exclusive prefix scan — never a driver-side ranking; the final
     rollup is 10 rows."""
-    from ..stages.aggregates import (
-        block_prefix_bases,
-        hash_bucket_aggregate,
-        join_partitions_for,
-    )
+    from ..stages.aggregates import block_prefix_bases
 
-    n_orders = _nrows(f"{sf_dir}/orders.parquet")
-    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
-              columns=["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame({
-            "l_orderkey": b["l_orderkey"].astype("int64"),
-            "revenue_cents": np.floor(b["l_extendedprice"]
-                                      * (1 - b["l_discount"]) * 100
-                                      ).astype("int64")})
-        return g.groupby("l_orderkey", as_index=False).sum()
-
-    li_agg = hash_bucket_aggregate(
-        li.map_batches(to_cents, batch_format="pandas",
-                       batch_size=65536),
-        ["l_orderkey"],
-        lambda df: df.groupby("l_orderkey", as_index=False).sum(),
-        n_rows=n_orders)
-
-    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
-                  columns=["o_orderkey", "o_custkey"])
-    orders = orders.map_batches(
-        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
-        batch_format="pyarrow")
-    joined = li_agg.join(orders, join_type="inner", on=("l_orderkey",),
-                         num_partitions=join_partitions_for(n_orders))
-    per_cust = hash_bucket_aggregate(
-        joined, ["o_custkey"],
-        lambda df: df[["o_custkey", "revenue_cents"]]
-        .groupby("o_custkey", as_index=False).sum(),
-        n_rows=n_orders).materialize()
+    per_cust = _per_customer_revenue(ray, sf_dir).materialize()
 
     n = per_cust.count()
     if n == 0:
@@ -8673,40 +8651,9 @@ def customers_gini(ray, sf_dir: str):
     ONE (Σ i*x, Σ x, n) partial, and the driver folds the O(blocks)
     partials in arbitrary-precision Python ints, so no int64 bound on
     n * total is ever hit."""
-    from ..stages.aggregates import (block_prefix_bases,
-                                     hash_bucket_aggregate,
-                                     join_partitions_for)
+    from ..stages.aggregates import block_prefix_bases
 
-    n_orders = _nrows(f"{sf_dir}/orders.parquet")
-    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
-              columns=["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame({
-            "l_orderkey": b["l_orderkey"].astype("int64"),
-            "revenue_cents": np.floor(b["l_extendedprice"]
-                                      * (1 - b["l_discount"]) * 100
-                                      ).astype("int64")})
-        return g.groupby("l_orderkey", as_index=False).sum()
-
-    li_agg = hash_bucket_aggregate(
-        li.map_batches(to_cents, batch_format="pandas",
-                       batch_size=65536),
-        ["l_orderkey"],
-        lambda df: df.groupby("l_orderkey", as_index=False).sum(),
-        n_rows=n_orders)
-    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
-                  columns=["o_orderkey", "o_custkey"])
-    orders = orders.map_batches(
-        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
-        batch_format="pyarrow")
-    joined = li_agg.join(orders, join_type="inner", on=("l_orderkey",),
-                         num_partitions=join_partitions_for(n_orders))
-    per_cust = hash_bucket_aggregate(
-        joined, ["o_custkey"],
-        lambda df: df[["o_custkey", "revenue_cents"]]
-        .groupby("o_custkey", as_index=False).sum(),
-        n_rows=n_orders).materialize()
+    per_cust = _per_customer_revenue(ray, sf_dir).materialize()
 
     n = per_cust.count()
     if n == 0:
