@@ -114,7 +114,7 @@ SQL_CHECKED = [
     "docs_boolean_search", "events_snapshot_diff",
     "events_dp_counts", "catalog_tables", "events_mv_incremental",
     "events_wow_growth", "dedup_jaccard_join", "docs_rrf_fusion",
-    "dedup_lsh_recall",
+    "dedup_lsh_recall", "dedup_containment_join",
 ]
 
 
@@ -425,6 +425,40 @@ class TestRowsOnly:
         # n_common never exceeds either side's set size implied bound:
         # jaccard_pct = 100*n_common // union stays consistent
         assert (exact["n_common"] > 0).all()
+
+    def test_containment_join_invariants(self, queries):
+        # containment(A->B) >= jaccard(A,B) always, so any jaccard-join
+        # pair at >= 80 must appear in the 80%-containment result in
+        # BOTH orientations; pct stays in [80, 100]
+        q, _ = queries
+        cont = _to_df(q["dedup_containment_join"](SF_DIR))
+        assert len(cont) > 0
+        assert cont["containment_pct"].between(80, 100).all()
+        cpairs = set(zip(cont["doc_a"], cont["doc_b"]))
+        exact = _to_df(q["dedup_jaccard_join"](SF_DIR))
+        hi = exact[exact["jaccard_pct"] >= 80]
+        for a, b in zip(hi["doc_a"], hi["doc_b"]):
+            assert (a, b) in cpairs and (b, a) in cpairs
+
+    def test_containment_exchange_matches_driver_fold(self, queries):
+        # force the exploded-gram bound past the broadcast budget so the
+        # h-bucketed prefix x posting exchange runs, and require the
+        # exact same pairs as the driver-fold route
+        import ray as _ray
+
+        import webcrawler_ray.io_utils as iu
+        from webcrawler_ray.pipelines import dedup
+
+        fold = _to_df(dedup.containment_join_pairs(_ray, SF_DIR))
+        orig = iu.parquet_column_bytes
+        iu.parquet_column_bytes = lambda p, c: 10**12
+        try:
+            ex = _to_df(dedup.containment_join_pairs(_ray, SF_DIR))
+        finally:
+            iu.parquet_column_bytes = orig
+        pd.testing.assert_frame_equal(
+            fold.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+            ex.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
     def test_dedup_clusters_labels_are_min_member(self, queries):
         q, _ = queries

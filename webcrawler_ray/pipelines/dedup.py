@@ -741,6 +741,257 @@ def jaccard_join_pairs(ray, sf_dir: str, threshold_pct: int = 50,
              .sort(["doc_a", "doc_b"]))
 
 
+def containment_join_pairs(ray, sf_dir: str, threshold_pct: int = 80,
+                           k: int = 3):
+    """(doc_a, doc_b, n_common, containment_pct): EXACT containment
+    similarity join — every ORDERED pair where doc_a's word-k-gram set
+    is >= threshold_pct/100 contained in doc_b's
+    (|A∩B| / |A| >= tau). The asymmetric complement of
+    ``jaccard_join_pairs``: it catches a short document embedded in a
+    longer one (quote farms, wrapper pages, partial mirrors) that
+    symmetric Jaccard misses because the union is dominated by the
+    container. All arithmetic is integer (bit-exact vs DuckDB).
+
+    Prefix filter for containment (Chaudhuri et al., ICDE'06 /
+    PPJoin's containment variant): |A∩B| >= ceil(tau*|A|) forces A's
+    first p = |A| - ceil(tau*|A|) + 1 grams under the global
+    (df asc, h asc) token order to intersect B — the FULL B, so
+    candidates come from A-prefix rows probing the complete posting
+    table, not prefix x prefix. df-ascending prefixes hold each doc's
+    rarest grams, which bounds per-gram posting fan-out.
+
+    Scale shape mirrors ``jaccard_join_pairs``: df table folded on the
+    driver under the broadcast budget (else one bucketed exchange),
+    candidates as an h-bucketed prefix x posting merge (driver-folded
+    numpy expansion when the exploded bound fits), verify via the
+    membership-filtered blob collect or the two-join exchange."""
+    from ..io_utils import parquet_column_bytes
+    from ..stages.aggregates import (buckets_for, hash_bucket_aggregate,
+                                     int_bucket_column,
+                                     join_partitions_for,
+                                     normalize_for_join)
+    from ..stages.joins import key_membership_filter
+
+    tau = threshold_pct
+    gs = _gram_set_table(ray, sf_dir, k).materialize()
+    n_gram_rows = max(1, parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 6)
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "n_common": pa.array([], pa.int64()),
+                      "containment_pct": pa.array([], pa.int64())})
+
+    if n_gram_rows * 24 <= 64 << 20:
+        # whole exploded posting table fits the broadcast budget:
+        # df / prefixes / candidate expansion fold on the driver in
+        # pure numpy, the verify reads only the touched blobs
+        ept = gs.map_batches(
+            lambda t: _explode_gram_rows(t), batch_format="pyarrow"
+        ).to_pandas()
+        if len(ept) == 0:
+            return empty
+        h = ept["h"].to_numpy().astype(np.int64)
+        doc = ept["doc"].to_numpy().astype(np.int64)
+        n = ept["n"].to_numpy().astype(np.int64)
+
+        # global df per gram + posting order
+        ho = np.argsort(h, kind="stable")
+        h_s, doc_s, n_s = h[ho], doc[ho], n[ho]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        counts = np.diff(np.r_[starts, len(h_s)])
+        h_keys = h_s[starts]
+        dfv = np.repeat(counts, counts)  # df aligned to posting order
+
+        # per-doc prefixes under (df asc, h asc): doc-major lexsort
+        do = np.lexsort((h_s, dfv, doc_s))
+        dh, dd, dn = h_s[do], doc_s[do], n_s[do]
+        dstart = np.flatnonzero(np.r_[True, dd[1:] != dd[:-1]])
+        dcnt = np.diff(np.r_[dstart, len(dd)])
+        pos = np.arange(len(dd)) - np.repeat(dstart, dcnt)
+        p = dn - (tau * dn + 99) // 100 + 1
+        pm = pos < p
+        pa_h, pa_doc, pa_n = dh[pm], dd[pm], dn[pm]
+
+        # candidate expansion: each prefix row probes its gram's full
+        # posting run
+        ri = np.searchsorted(h_keys, pa_h)
+        s = starts[ri]
+        c = counts[ri]
+        total = int(c.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(len(pa_h)), c)
+        cum = np.concatenate([[0], np.cumsum(c)])
+        right = (np.arange(total) - np.repeat(cum[:-1], c)
+                 + np.repeat(s, c))
+        a_doc, a_n = pa_doc[left], pa_n[left]
+        b_doc, b_n = doc_s[right], n_s[right]
+        m = (a_doc != b_doc) & (100 * b_n >= tau * a_n)
+        if not m.any():
+            return empty
+        uniq = np.unique(np.stack([a_doc[m], b_doc[m]], axis=1), axis=0)
+
+        need = np.unique(uniq)
+        sub = key_membership_filter(ray, gs, "doc_id", need,
+                                    keep_matched=True).to_pandas()
+        sets = {int(d): np.frombuffer(b, dtype=np.uint64)
+                for d, b in zip(sub["doc_id"], sub["sh"])}
+        ka, kb, nc, cp = [], [], [], []
+        for a, b in uniq:
+            sa, sb = sets[int(a)], sets[int(b)]
+            if len(sa) == 0:
+                continue
+            ni = len(np.intersect1d(sa, sb, assume_unique=True))
+            if 100 * ni >= tau * len(sa):
+                ka.append(int(a))
+                kb.append(int(b))
+                nc.append(ni)
+                cp.append(100 * ni // len(sa))
+        return (pd.DataFrame({"doc_a": ka, "doc_b": kb,
+                              "n_common": nc, "containment_pct": cp})
+                .astype("int64")
+                .sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True))
+
+    # ---- exchange route (the 100-TB shape) ----
+    B = buckets_for(n_gram_rows)
+    ex = gs.map_batches(
+        lambda t: _explode_gram_rows(t, bucket=B),
+        batch_format="pyarrow").materialize()
+
+    def _typed_empty(cols):
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+
+    def df_partial(df_: pd.DataFrame) -> pd.DataFrame:
+        if len(df_) == 0 or "h" not in df_.columns:
+            return _typed_empty(["h", "df"])
+        g = df_.groupby("h", as_index=False).size()
+        return pd.DataFrame({"h": g["h"],
+                             "df": g["size"].astype("int64")})
+
+    df_tbl = hash_bucket_aggregate(
+        ex, ["h"], df_partial,
+        merge=lambda d: d.groupby("h", as_index=False)["df"].sum(),
+        n_rows=n_gram_rows).materialize()
+    dfp = df_tbl.to_pandas().sort_values("h")
+    ha = dfp["h"].to_numpy().astype(np.int64)
+    dfa = dfp["df"].to_numpy().astype(np.int64)
+    ref = ray.put((ha, dfa))
+
+    def prefix_local(t: pa.Table) -> pa.Table:
+        k_arr, d_arr = ray.get(ref)
+        hs, docs, ns = [], [], []
+        for did, nn, blob in zip(t.column("doc_id").to_pylist(),
+                                 t.column("n").to_pylist(),
+                                 t.column("sh").to_pylist()):
+            if nn == 0:
+                continue
+            arr = np.frombuffer(blob, dtype=np.uint64).view(np.int64)
+            dfs = d_arr[np.searchsorted(k_arr, arr)]
+            pp = nn - (tau * nn + 99) // 100 + 1
+            top = np.lexsort((arr, dfs))[:pp]
+            hs.append(arr[top])
+            docs.append(np.full(len(top), did, np.int64))
+            ns.append(np.full(len(top), nn, np.int64))
+        hh = np.concatenate(hs) if hs else np.zeros(0, np.int64)
+        dd = np.concatenate(docs) if docs else np.zeros(0, np.int64)
+        nv = np.concatenate(ns) if ns else np.zeros(0, np.int64)
+        return pa.table({"h": pa.array(hh), "doc": pa.array(dd),
+                         "n": pa.array(nv),
+                         "hb": pa.array(int_bucket_column(hh, B)),
+                         "pref": pa.array(np.ones(len(hh), np.bool_))})
+
+    pref = gs.map_batches(prefix_local, batch_format="pyarrow")
+    both = pref.union(ex.map_batches(
+        lambda t: t.append_column(
+            "pref", pa.array(np.zeros(t.num_rows, np.bool_))),
+        batch_format="pyarrow"))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "h" not in g.columns:
+            return _typed_empty(["doc_a", "doc_b"])
+        pp = g[g["pref"]]
+        fl = g[~g["pref"]]
+        if len(pp) == 0 or len(fl) == 0:
+            return _typed_empty(["doc_a", "doc_b"])
+        m = pp[["h", "doc", "n"]].merge(fl[["h", "doc", "n"]], on="h",
+                                        suffixes=("_a", "_b"))
+        m = m[(m["doc_a"] != m["doc_b"])
+              & (100 * m["n_b"] >= tau * m["n_a"])]
+        out = m[["doc_a", "doc_b"]].drop_duplicates()
+        return pd.DataFrame({"doc_a": out["doc_a"].astype("int64"),
+                             "doc_b": out["doc_b"].astype("int64")})
+
+    cand = hash_bucket_aggregate(
+        both.groupby("hb").map_groups(pairs, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        lambda d: d.drop_duplicates(["doc_a", "doc_b"])).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return empty
+
+    cand = normalize_for_join(
+        cand, pa.schema([("doc_a", pa.int64()),
+                         ("doc_b", pa.int64())])).materialize()
+    nparts = join_partitions_for(n_cand)
+    sh_a = gs.map_batches(
+        lambda t: t.select(["doc_id", "sh", "n"]).rename_columns(
+            ["doc_a", "sh_a", "n_a"]), batch_format="pyarrow")
+    sh_b = gs.map_batches(
+        lambda t: t.select(["doc_id", "sh"]).rename_columns(
+            ["doc_b", "sh_b"]), batch_format="pyarrow")
+    j = cand.join(sh_a, join_type="inner", on=("doc_a",),
+                  num_partitions=nparts)
+    j = j.join(sh_b, join_type="inner", on=("doc_b",),
+               num_partitions=nparts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        ka, kb, nc, cp = [], [], [], []
+        for x, y, sa, sb in zip(da, db, _sh_rows(batch.column("sh_a")),
+                                _sh_rows(batch.column("sh_b"))):
+            if len(sa) == 0:
+                continue
+            ni = len(np.intersect1d(sa, sb, assume_unique=True))
+            if 100 * ni >= tau * len(sa):
+                ka.append(int(x))
+                kb.append(int(y))
+                nc.append(ni)
+                cp.append(100 * ni // len(sa))
+        return pa.table({"doc_a": pa.array(ka, pa.int64()),
+                         "doc_b": pa.array(kb, pa.int64()),
+                         "n_common": pa.array(nc, pa.int64()),
+                         "containment_pct": pa.array(cp, pa.int64())})
+
+    return (j.map_batches(verify, batch_format="pyarrow")
+             .sort(["doc_a", "doc_b"]))
+
+
+def _explode_gram_rows(t: pa.Table, bucket: int | None = None) -> pa.Table:
+    """(h, doc, n) posting rows from a gram-set blob batch; with
+    ``bucket`` also an ``hb`` coarse-bucket column."""
+    from ..stages.aggregates import int_bucket_column
+
+    hs, docs, ns = [], [], []
+    for did, n, blob in zip(t.column("doc_id").to_pylist(),
+                            t.column("n").to_pylist(),
+                            t.column("sh").to_pylist()):
+        if n == 0:
+            continue
+        hs.append(np.frombuffer(blob, dtype=np.uint64).view(np.int64))
+        docs.append(np.full(n, did, np.int64))
+        ns.append(np.full(n, n, np.int64))
+    h = np.concatenate(hs) if hs else np.zeros(0, np.int64)
+    d = np.concatenate(docs) if docs else np.zeros(0, np.int64)
+    nv = np.concatenate(ns) if ns else np.zeros(0, np.int64)
+    cols = {"h": pa.array(h), "doc": pa.array(d), "n": pa.array(nv)}
+    if bucket is not None:
+        cols["hb"] = pa.array(int_bucket_column(h, bucket))
+    return pa.table(cols)
+
+
 def dedup_lsh_recall(ray, sf_dir: str, threshold_pct: int = 50):
     """(n_exact, n_found, n_missed, recall_bp): the LSH banding
     pipeline's RECALL against the exact similarity join at the same

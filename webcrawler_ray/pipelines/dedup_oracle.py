@@ -384,6 +384,28 @@ ORDER BY doc_a, doc_b
 """)
 
 
+def containment_join_sql(threshold_pct: int = 80, k: int = 3) -> str:
+    """Oracle for ``dedup_containment_join``: every ORDERED pair
+    (doc_a, doc_b) with |A∩B| / |A| >= threshold_pct/100 over the same
+    staged-FNV distinct word-k-gram sets, via the full quadratic gram
+    self-join (no prefix filter needed at oracle scale). containment_pct
+    and the threshold test are pure integer arithmetic on both sides."""
+    return ("WITH" + _tokens_cte() + _kgram_cte(k) + f""",
+ g AS (SELECT DISTINCT doc_id, acc FROM kg{k - 1}),
+ sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+ prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                COUNT(*) AS n_common
+         FROM g a JOIN g b ON a.acc = b.acc AND a.doc_id != b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+SELECT p.doc_a, p.doc_b, p.n_common,
+       CAST((100 * p.n_common) // sa.n AS BIGINT) AS containment_pct
+FROM prs p
+JOIN sz sa ON sa.doc_id = p.doc_a
+WHERE 100 * p.n_common >= {threshold_pct} * sa.n
+ORDER BY doc_a, doc_b
+""")
+
+
 def lsh_recall_sql(threshold_pct: int = 50, k: int = 3) -> str:
     """Oracle for ``dedup_lsh_recall``: the LSH-banding pipeline's
     recall against the exact similarity join at the same threshold —

@@ -768,6 +768,8 @@ def build_queries() -> dict:
             "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(ray, sf),
             "dedup_jaccard_join":
                 lambda sf: dedup.jaccard_join_pairs(ray, sf),
+            "dedup_containment_join":
+                lambda sf: dedup.containment_join_pairs(ray, sf),
             "dedup_lsh_recall":
                 lambda sf: dedup.dedup_lsh_recall(ray, sf),
             "dedup_clusters": lambda sf: dedup.dedup_clusters(ray, sf),
@@ -1557,6 +1559,8 @@ try:
         _dor.ngram_jaccard_sql())
     ORACLE_SQL["dedup_jaccard_join"] = _materialize_ctes(
         _dor.jaccard_join_sql())
+    ORACLE_SQL["dedup_containment_join"] = _materialize_ctes(
+        _dor.containment_join_sql())
     ORACLE_SQL["dedup_lsh_recall"] = _materialize_ctes(
         _dor.lsh_recall_sql())
     # the recursive closure re-evaluates every CTE it references, so the
