@@ -95,7 +95,7 @@ QUERY_NAMES = [
     "docs_boolean_search", "events_snapshot_diff",
     "catalog_tables", "events_mv_incremental", "events_wow_growth",
     "events_dp_counts", "dedup_jaccard_join", "docs_rrf_fusion",
-    "dedup_lsh_recall", "dedup_containment_join",
+    "dedup_lsh_recall", "dedup_containment_join", "docs_dsir_weights",
 ]
 
 

@@ -114,7 +114,7 @@ SQL_CHECKED = [
     "docs_boolean_search", "events_snapshot_diff",
     "events_dp_counts", "catalog_tables", "events_mv_incremental",
     "events_wow_growth", "dedup_jaccard_join", "docs_rrf_fusion",
-    "dedup_lsh_recall", "dedup_containment_join",
+    "dedup_lsh_recall", "dedup_containment_join", "docs_dsir_weights",
 ]
 
 
@@ -439,6 +439,33 @@ class TestRowsOnly:
         hi = exact[exact["jaccard_pct"] >= 80]
         for a, b in zip(hi["doc_a"], hi["doc_b"]):
             assert (a, b) in cpairs and (b, a) in cpairs
+
+    def test_dsir_exchange_matches_driver_fold(self, queries):
+        import ray as _ray
+
+        import webcrawler_ray.io_utils as iu
+        from webcrawler_ray.pipelines import textpipe
+
+        fold = _to_df(textpipe.docs_dsir_weights(_ray, SF_DIR))
+        orig = iu.parquet_column_bytes
+        iu.parquet_column_bytes = lambda p, c: 10**12
+        try:
+            ex = _to_df(textpipe.docs_dsir_weights(_ray, SF_DIR))
+        finally:
+            iu.parquet_column_bytes = orig
+        pd.testing.assert_frame_equal(fold.reset_index(drop=True),
+                                      ex.reset_index(drop=True))
+        # directional sanity PER TOKEN (raw sums are dominated by doc
+        # length): target-language docs carry the highest mean
+        # per-token ratio — deterministic on the fixed synthetic corpus
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+        docs["n_tok"] = [max(1, len(textpipe.tokenize(t)))
+                         for t in docs["text"]]
+        m = fold.merge(docs[["doc_id", "lang", "n_tok"]], on="doc_id")
+        per_tok = (m.assign(pt=m["dsir_score_e3"] / m["n_tok"])
+                   .groupby("lang")["pt"].mean())
+        assert per_tok.idxmax() == "en"
 
     def test_containment_exchange_matches_driver_fold(self, queries):
         # force the exploded-gram bound past the broadcast budget so the

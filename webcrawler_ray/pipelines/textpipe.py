@@ -1484,6 +1484,168 @@ GROUP BY d.doc_id ORDER BY d.doc_id
 """
 
 
+def docs_dsir_weights(ray, sf_dir: str, target_lang: str = "en"):
+    """(doc_id, dsir_score_e3): DSIR-style importance weights for data
+    selection (Xie et al., NeurIPS'23, "Data Selection for Language
+    Models via Importance Resampling") — per doc, the sum over its
+    token instances of the add-one-smoothed target-vs-corpus frequency
+    ratio ``1000 * (n_target + 1) // (n_corpus + 1)``, where n_target
+    counts instances inside the target slice (lang == target_lang) and
+    n_corpus across the whole corpus. The published method uses
+    hashed-n-gram log-ratios; the integer ratio-sum keeps the score
+    deterministic and bit-exact vs the DuckDB oracle. High = looks like
+    the target distribution; feed the weights to docs_weighted_sample
+    for the resampling step.
+
+    Scale shape (same duality as docs_lm_score): under the broadcast
+    budget, one Counter-partials pass folds BOTH count tables on the
+    driver and one scoring pass consumes the broadcast token -> ratio
+    dict; past it, tf explodes once (with the "" sentinel for
+    zero-token docs), the (token, n_t, n_c) table is built by the
+    bucketed combiner, and ONE distributed join + per-doc regroup
+    scores the corpus."""
+    from collections import Counter
+
+    from ..io_utils import parquet_column_bytes, parquet_num_rows
+    from ..stages.aggregates import (hash_bucket_aggregate,
+                                     join_partitions_for)
+
+    tok_bound = parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 2
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    ds = _docs(ray, sf_dir, ["doc_id", "text", "lang"])
+
+    if tok_bound * 16 <= 64 << 20:
+        def v_partial(batch: pa.Table) -> pa.Table:
+            ct: Counter = Counter()
+            ca: Counter = Counter()
+            for t, lg in zip(batch.column("text").to_pylist(),
+                             batch.column("lang").to_pylist()):
+                toks = tokenize(t)
+                ca.update(toks)
+                if lg == target_lang:
+                    ct.update(toks)
+            toks_ = list(ca)
+            return pa.table({
+                "token": pa.array(toks_, pa.string()),
+                "n_t": pa.array([ct.get(k, 0) for k in toks_],
+                                pa.int64()),
+                "n_c": pa.array([ca[k] for k in toks_], pa.int64())})
+
+        parts = (ds.map_batches(v_partial, batch_format="pyarrow")
+                   .to_pandas())
+        tot = parts.groupby("token", as_index=False)[["n_t", "n_c"]].sum()
+        ratio = ((1000 * (tot["n_t"].to_numpy() + 1))
+                 // (tot["n_c"].to_numpy() + 1))
+        ref = ray.put(dict(zip(tot["token"], ratio.tolist())))
+
+        def score_docs(batch: pa.Table) -> pa.Table:
+            lk = ray.get(ref)
+            ids, vals = [], []
+            for i, t in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+                s = 0
+                for tok, cnt in Counter(tokenize(t)).items():
+                    s += cnt * lk[tok]
+                ids.append(i)
+                vals.append(s)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "dsir_score_e3": pa.array(vals, pa.int64())})
+
+        return (ds.map_batches(score_docs, batch_format="pyarrow")
+                  .sort("doc_id"))
+
+    # exchange route: tf explode (with "" sentinel keeping zero-token
+    # docs alive through the join), bucketed (token, n_t, n_c) counts,
+    # one distributed join, per-doc regroup
+    def tf_explode(batch: pa.Table) -> pa.Table:
+        ids_out, toks_out, tfs = [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            c = Counter(tokenize(t))
+            if not c:
+                ids_out.append(i)
+                toks_out.append("")
+                tfs.append(0)
+                continue
+            for tok, cnt in c.items():
+                ids_out.append(i)
+                toks_out.append(tok)
+                tfs.append(cnt)
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "token": pa.array(toks_out, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    tf = ds.map_batches(tf_explode, batch_format="pyarrow").materialize()
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        ct: Counter = Counter()
+        ca: Counter = Counter()
+        for t, lg in zip(batch.column("text").to_pylist(),
+                         batch.column("lang").to_pylist()):
+            toks = tokenize(t)
+            if not toks:
+                ca[""] += 0
+            ca.update(toks)
+            if lg == target_lang:
+                ct.update(toks)
+        toks_ = list(ca)
+        return pa.table({
+            "token": pa.array(toks_, pa.string()),
+            "n_t": pa.array([ct.get(k, 0) for k in toks_], pa.int64()),
+            "n_c": pa.array([ca[k] for k in toks_], pa.int64())})
+
+    counts = hash_bucket_aggregate(
+        ds.map_batches(cnt_partial, batch_format="pyarrow"),
+        ["token"],
+        lambda df: df.groupby("token", as_index=False)[
+            ["n_t", "n_c"]].sum(),
+        n_rows=tok_bound).materialize()
+
+    joined = tf.join(counts, join_type="inner", on=("token",),
+                     num_partitions=join_partitions_for(
+                         max(1, min(tok_bound, counts.count()))))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        r = ((1000 * (b["n_t"].to_numpy() + 1))
+             // (b["n_c"].to_numpy() + 1))
+        g = pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "dsir_score_e3": (b["tf"].to_numpy() * r).astype("int64")})
+        return g.groupby("doc_id", as_index=False).sum()
+
+    return hash_bucket_aggregate(
+        joined.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+        ["doc_id"],
+        lambda df: df.groupby("doc_id", as_index=False).sum(),
+        n_rows=n_docs).sort("doc_id")
+
+
+DOCS_DSIR_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+'))
+             AS token
+  FROM documents),
+tok2 AS (SELECT doc_id, token FROM t WHERE token != ''),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+ca AS (SELECT token, COUNT(*) AS n_c FROM tok2 GROUP BY 1),
+ct AS (SELECT token, COUNT(*) AS n_t
+       FROM tok2 JOIN documents USING (doc_id)
+       WHERE lang = 'en' GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+              SUM(tf.tf * ((1000 * (COALESCE(ct.n_t, 0) + 1))
+                           // (ca.n_c + 1))) AS s
+       FROM tf JOIN ca USING (token) LEFT JOIN ct USING (token)
+       GROUP BY tf.doc_id)
+SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS dsir_score_e3
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # target language mix as integer weights (en-heavy, rest uniform) — the
 # data-mixing knob of a training run, integerized so both engines land
