@@ -487,6 +487,24 @@ class TestRowsOnly:
             fold.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
             ex.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
+    def test_clusters_local_fold_matches_propagation(self, queries):
+        # the budget-gated driver union-find must produce exactly the
+        # distributed min-label propagation's output on the same edges
+        import ray as _ray
+
+        from webcrawler_ray.pipelines import dedup
+
+        dedup._CLUSTERS_MEMO.clear()
+        local = _to_df(dedup.dedup_clusters(_ray, SF_DIR))
+        pairs = dedup.minhash_lsh_pairs(_ray, SF_DIR, threshold=0.8)
+        if not hasattr(pairs, "materialize"):
+            pairs = _ray.data.from_arrow(pairs)
+        prop = _to_df(dedup.propagate_min_labels(
+            _ray, pairs.materialize()))
+        pd.testing.assert_frame_equal(
+            local.sort_values("doc_id").reset_index(drop=True),
+            prop.sort_values("doc_id").reset_index(drop=True))
+
     def test_dedup_clusters_labels_are_min_member(self, queries):
         q, _ = queries
         df = _to_df(q["dedup_clusters"](SF_DIR))

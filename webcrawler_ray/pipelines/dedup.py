@@ -1047,13 +1047,57 @@ def dedup_clusters(ray, sf_dir: str, threshold: float = 0.8,
             return empty
         pairs = ray.data.from_arrow(pairs)
     edges = pairs.materialize()  # pair IDS only, bounded by verification
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return empty
-    out = propagate_min_labels(ray, edges, max_iters=max_iters)
+    if n_edges * 16 <= 64 << 20:
+        # the edge list fits the broadcast budget: fold connected
+        # components on the driver (path-compressed union-find over
+        # int64 ids, min-id labels) — the same bounded-collect rule as
+        # every other driver fold; the distributed propagation below is
+        # the route once the pair graph outgrows the budget
+        ep = edges.to_pandas()
+        out = ray.data.from_arrow(_local_min_components(ep))
+    else:
+        out = propagate_min_labels(ray, edges, max_iters=max_iters)
     out = out.materialize()  # O(near-dup members) — safe to pin
     _CLUSTERS_MEMO.clear()   # keep at most one corpus pinned
     _CLUSTERS_MEMO[key] = out
     return out
+
+
+def _local_min_components(ep: pd.DataFrame) -> pa.Table:
+    """(doc_id, cluster_id) for the nodes of a driver-held edge list:
+    path-compressed union-find, each component labeled with its minimum
+    member id — exactly ``propagate_min_labels``'s output contract."""
+    a = ep["doc_a"].to_numpy().astype(np.int64)
+    b = ep["doc_b"].to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    parent = list(range(len(nodes)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(idx[int(x)]), find(idx[int(y)])
+        if rx != ry:
+            parent[ry] = rx
+    roots = np.fromiter((find(i) for i in range(len(nodes))),
+                        dtype=np.int64, count=len(nodes))
+    # min node id per root (nodes ascending => first occurrence is min)
+    first = {}
+    for i, r in enumerate(roots):
+        if int(r) not in first:
+            first[int(r)] = int(nodes[i])
+    labels = np.fromiter((first[int(r)] for r in roots),
+                         dtype=np.int64, count=len(nodes))
+    order = np.argsort(nodes, kind="stable")
+    return pa.table({"doc_id": pa.array(nodes[order]),
+                     "cluster_id": pa.array(labels[order])})
 
 
 def propagate_min_labels(ray, edges, max_iters: int = 50):
