@@ -478,24 +478,8 @@ def jaccard_join_pairs(ray, sf_dir: str, threshold_pct: int = 50,
         f"{sf_dir}/documents.parquet", "text") // 6)
     B = buckets_for(n_gram_rows)
 
-    def explode(t: pa.Table) -> pa.Table:
-        hs, docs, ns = [], [], []
-        ids = t.column("doc_id").to_pylist()
-        for did, n, blob in zip(ids, t.column("n").to_pylist(),
-                                t.column("sh").to_pylist()):
-            if n == 0:
-                continue
-            hs.append(np.frombuffer(blob, dtype=np.uint64).view(np.int64))
-            docs.append(np.full(n, did, np.int64))
-            ns.append(np.full(n, n, np.int64))
-        h = np.concatenate(hs) if hs else np.zeros(0, np.int64)
-        d = np.concatenate(docs) if docs else np.zeros(0, np.int64)
-        nv = np.concatenate(ns) if ns else np.zeros(0, np.int64)
-        return pa.table({"h": pa.array(h), "doc": pa.array(d),
-                         "n": pa.array(nv),
-                         "hb": pa.array(int_bucket_column(h, B))})
-
-    ex = gs.map_batches(explode, batch_format="pyarrow")
+    ex = gs.map_batches(lambda t: _explode_gram_rows(t, bucket=B),
+                        batch_format="pyarrow")
 
     def _typed_empty(cols):
         return pd.DataFrame({c: pd.Series([], dtype="int64")
