@@ -96,6 +96,7 @@ QUERY_NAMES = [
     "catalog_tables", "events_mv_incremental", "events_wow_growth",
     "events_dp_counts", "dedup_jaccard_join", "docs_rrf_fusion",
     "dedup_lsh_recall", "dedup_containment_join", "docs_dsir_weights",
+    "docs_dsir_resample",
 ]
 
 

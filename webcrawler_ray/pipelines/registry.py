@@ -534,6 +534,8 @@ def build_queries() -> dict:
         "docs_lm_score": lambda sf: textpipe.docs_lm_score(ray, sf),
         "docs_dsir_weights":
             lambda sf: textpipe.docs_dsir_weights(ray, sf),
+        "docs_dsir_resample":
+            lambda sf: textpipe.docs_dsir_resample(ray, sf),
         "docs_winnow_pairs":
             lambda sf: textpipe.docs_winnow_pairs(ray, sf),
         "docs_mix_rebalance":
@@ -1501,6 +1503,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_inverted_index": textpipe.DOCS_INVERTED_INDEX_SQL,
     "docs_lm_score": textpipe.DOCS_LM_SCORE_SQL,
     "docs_dsir_weights": textpipe.DOCS_DSIR_SQL,
+    "docs_dsir_resample": textpipe.DOCS_DSIR_RESAMPLE_SQL,
     "docs_mix_rebalance": textpipe.DOCS_MIX_REBALANCE_SQL,
     "docs_shuffle_seeded": textpipe.DOCS_SHUFFLE_SQL,
     "corpus_curation": textpipe.CORPUS_CURATION_SQL,

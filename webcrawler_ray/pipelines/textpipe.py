@@ -1623,7 +1623,7 @@ def docs_dsir_weights(ray, sf_dir: str, target_lang: str = "en"):
         n_rows=n_docs).sort("doc_id")
 
 
-DOCS_DSIR_SQL = f"""
+_DSIR_CTES = f"""
 WITH t AS (
   SELECT doc_id,
          unnest(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+'))
@@ -1639,11 +1639,63 @@ sc AS (SELECT tf.doc_id,
               SUM(tf.tf * ((1000 * (COALESCE(ct.n_t, 0) + 1))
                            // (ca.n_c + 1))) AS s
        FROM tf JOIN ca USING (token) LEFT JOIN ct USING (token)
-       GROUP BY tf.doc_id)
+       GROUP BY tf.doc_id)"""
+
+DOCS_DSIR_SQL = _DSIR_CTES + """
 SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS dsir_score_e3
 FROM documents d LEFT JOIN sc USING (doc_id)
 ORDER BY d.doc_id
 """
+
+DSIR_SAMPLE_K = 100
+
+DOCS_DSIR_RESAMPLE_SQL = _DSIR_CTES + f""",
+w AS (SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT)
+          AS dsir_score_e3
+      FROM documents d LEFT JOIN sc USING (doc_id))
+SELECT doc_id, dsir_score_e3 FROM (
+  SELECT doc_id, dsir_score_e3 FROM w
+  WHERE dsir_score_e3 > 0
+  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           / CAST(dsir_score_e3 AS DOUBLE),
+           doc_id
+  LIMIT {DSIR_SAMPLE_K})
+ORDER BY doc_id
+"""
+
+
+def docs_dsir_resample(ray, sf_dir: str, k: int = DSIR_SAMPLE_K):
+    """(doc_id, dsir_score_e3): the RESAMPLING half of DSIR — an
+    exact-k weighted sample without replacement over the importance
+    weights, by the same log-free Efraimidis-Spirakis priority rule as
+    ``docs_weighted_sample`` (key = 52-bit md5 prefix / weight, keep
+    the k smallest; one IEEE division both engines compute
+    identically). Composes the two halves into the published
+    select-then-sample loop: weights stream out of
+    ``docs_dsir_weights``, each batch keeps a LOCAL bottom-k, and only
+    the O(blocks x k) survivors meet in the global sort+limit."""
+    w = docs_dsir_weights(ray, sf_dir)
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        wt = batch.column("dsir_score_e3").to_numpy(
+            zero_copy_only=False)
+        h = np.array([int(p[:13], 16)
+                      for p in _md5_priorities(ids)], dtype=np.float64)
+        with np.errstate(divide="ignore"):
+            key = h / wt.astype(np.float64)
+        ok = wt > 0
+        order = np.argsort(key, kind="mergesort")
+        keep = order[ok[order]][:k]
+        t = batch.take(pa.array(keep, pa.int64()))
+        return t.append_column(
+            "wkey", pa.array(key[keep], pa.float64()))
+
+    out = (w.map_batches(local_bottomk, batch_format="pyarrow")
+            .sort(["wkey", "doc_id"]).limit(k)
+            .map_batches(lambda t: t.drop_columns(["wkey"]),
+                         batch_format="pyarrow"))
+    return out.sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
