@@ -482,13 +482,30 @@ def docs_dup_ngrams(ray, sf_dir: str, n: int = DUP_NGRAM_N,
                              "n_docs": pd.Series(list(c.values()),
                                                  dtype="int64")})
 
+    tok_bound = parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 2
+    if tok_bound * 32 <= 64 << 20:
+        # the per-batch partials are distinct-gram bounded and fit the
+        # broadcast budget: fold + filter + top-k on the driver, one
+        # corpus pass and zero shuffles (the bucketed merge below is
+        # the large-corpus route)
+        parts = (ds.map_batches(partial, batch_format="pyarrow")
+                   .to_pandas())
+        tot = parts.groupby("gram", as_index=False)["n_docs"].sum()
+        tot = tot[tot["n_docs"] >= DUP_NGRAM_MIN_DOCS]
+        tot = (tot.sort_values(["n_docs", "gram"],
+                               ascending=[False, True])
+                  .head(k).reset_index(drop=True))
+        return pa.table({"gram": pa.array(tot["gram"], pa.string()),
+                         "n_docs": pa.array(
+                             tot["n_docs"].astype("int64"))})
+
     out = hash_bucket_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["gram"],
         lambda df: df.groupby("gram", as_index=False).agg(
             n_docs=("n_docs", "sum")),
-        n_rows=parquet_column_bytes(f"{sf_dir}/documents.parquet",
-                                    "text") // 2)
+        n_rows=tok_bound)
 
     def keep(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
