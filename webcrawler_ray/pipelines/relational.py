@@ -189,9 +189,6 @@ def revenue_by_nation(ray, sf_dir: str):
     import ray as _ray
     from ray.data.aggregate import Sum
 
-    from ..stages.aggregates import hash_bucket_aggregate, join_partitions_for
-
-    n_orders = _nrows(f"{sf_dir}/orders.parquet")
     n_cust = _nrows(f"{sf_dir}/customer.parquet")
 
     # tiny dimensions only: nation (25 rows) x region (5 rows)
@@ -207,37 +204,9 @@ def revenue_by_nation(ray, sf_dir: str):
                    nation.column("n_regionkey").to_pylist())}
     ref = _ray.put(n2names)
 
-    li = _rpq(ray, 
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "l_orderkey": batch["l_orderkey"],
-            "revenue_cents": np.floor(batch["l_extendedprice"]
-                                      * (1 - batch["l_discount"]) * 100
-                                      ).astype("int64")})
-
-    li_agg = hash_bucket_aggregate(
-        li.map_batches(to_cents, batch_format="pandas", batch_size=65536),
-        ["l_orderkey"],
-        lambda df: df.groupby("l_orderkey", as_index=False).sum(),
-        n_rows=n_orders)
-
     from ..stages.joins import auto_join_ds
 
-    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
-                                   columns=["o_orderkey", "o_custkey"])
-    orders = orders.map_batches(
-        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
-        batch_format="pyarrow")
-    joined, _ = auto_join_ds(ray, li_agg, orders, ["l_orderkey"],
-                             n_orders, row_bytes_est=16)
-    per_cust = hash_bucket_aggregate(
-        joined, ["o_custkey"],
-        lambda df: df[["o_custkey", "revenue_cents"]]
-        .groupby("o_custkey", as_index=False).sum(),
-        n_rows=n_orders)
+    per_cust = _per_customer_revenue(ray, sf_dir)
 
     cust = _rpq(ray, f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_nationkey"])
