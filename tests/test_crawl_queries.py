@@ -449,6 +449,64 @@ class TestTriangles:
         assert n_got == n_ref // 3
 
 
+class TestReciprocityAndClustering:
+    @staticmethod
+    def _edges_ds(pairs):
+        import pyarrow as pa
+        import ray
+
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([s for s, _ in pairs], pa.string()),
+            "dst": pa.array([d for _, d in pairs], pa.string()),
+            "deg": pa.array([1] * len(pairs), pa.int64())}))
+
+    def test_reciprocity_known_graph(self, ray_session):
+        """a<->b reciprocal, a->c one-way: 2 of 3 edges reciprocal."""
+        import ray
+
+        from webcrawler_ray.pipelines.graph import crawl_reciprocity
+
+        ds = self._edges_ds([("a", "b"), ("b", "a"), ("a", "c")])
+        out = crawl_reciprocity(ray, None, edges=(ds, 3))
+        assert out.column("n_edges")[0].as_py() == 3
+        assert out.column("n_recip")[0].as_py() == 2
+        assert out.column("reciprocity_bp")[0].as_py() == (10000 * 2) // 3
+
+    def test_reciprocity_none_and_all(self, ray_session):
+        import ray
+
+        from webcrawler_ray.pipelines.graph import crawl_reciprocity
+
+        one_way = self._edges_ds([("a", "b"), ("b", "c")])
+        out = crawl_reciprocity(ray, None, edges=(one_way, 3))
+        assert out.column("n_recip")[0].as_py() == 0
+        assert out.column("reciprocity_bp")[0].as_py() == 0
+
+        both = self._edges_ds([("a", "b"), ("b", "a")])
+        out = crawl_reciprocity(ray, None, edges=(both, 2))
+        assert out.column("n_recip")[0].as_py() == 2
+        assert out.column("reciprocity_bp")[0].as_py() == 10000
+
+    def test_clustering_coeff_known_graphs(self, ray_session):
+        """Directed triangle: 1 triangle / 3 wedges -> gcc = 1.
+        Star (no closure): 0 triangles / 3 wedges -> gcc = 0."""
+        import ray
+
+        from webcrawler_ray.pipelines.graph import crawl_clustering_coeff
+
+        tri = self._edges_ds([("a", "b"), ("b", "c"), ("c", "a")])
+        out = crawl_clustering_coeff(ray, None, edges=(tri, 3))
+        assert out.column("n_triangles")[0].as_py() == 1
+        assert out.column("n_wedges")[0].as_py() == 3
+        assert out.column("gcc_bp")[0].as_py() == 10000
+
+        star = self._edges_ds([("hub", "x"), ("hub", "y"), ("hub", "z")])
+        out = crawl_clustering_coeff(ray, None, edges=(star, 4))
+        assert out.column("n_triangles")[0].as_py() == 0
+        assert out.column("n_wedges")[0].as_py() == 3
+        assert out.column("gcc_bp")[0].as_py() == 0
+
+
 class TestComponents:
     def test_crawl_components_match_union_find(self, queries):
         """Distributed min-label propagation over the crawl link graph

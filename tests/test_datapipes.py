@@ -115,7 +115,8 @@ SQL_CHECKED = [
     "events_dp_counts", "catalog_tables", "events_mv_incremental",
     "events_wow_growth", "dedup_jaccard_join", "docs_rrf_fusion",
     "dedup_lsh_recall", "dedup_containment_join", "docs_dsir_weights",
-    "docs_dsir_resample",
+    "docs_dsir_resample", "events_ewm_sum", "events_max_concurrency",
+    "orders_backlog_series",
 ]
 
 

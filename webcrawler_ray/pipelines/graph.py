@@ -511,17 +511,14 @@ def crawl_salsa(ray, crawler, iters: int = 5, k: int = 20, edges=None):
                        descending=[True, True, False]).limit(k)
 
 
-def crawl_triangles(ray, crawler, edges=None):
-    """Single-row (n_triangles) over the crawled link graph, undirected
-    and deduped; node ids are the repo's stable 64-bit url hashes (the
-    exactness test builds its reference from the SAME canonical edge
-    set, so the count is exact by construction)."""
+def canonical_undirected_edges(edges_ds):
+    """Canonical UNDIRECTED simple edge set ``(a, b)`` (a < b, deduped,
+    self-loops dropped) from a directed (src, dst, ...) string edge
+    Dataset; node ids are the repo's stable 64-bit url hashes. One
+    bucketed distinct — the shared front-end of every undirected graph
+    statistic (triangles, wedges, clustering coefficient)."""
     from ..functions.urls import stable_hash64_batch
     from ..stages.aggregates import hash_bucket_aggregate
-
-    if edges is None:
-        edges = crawl_link_edges(ray, crawler)
-    edges_ds, _n = edges
 
     def canon(t: pa.Table) -> pa.Table:
         hs = stable_hash64_batch(
@@ -536,9 +533,21 @@ def crawl_triangles(ray, crawler, edges=None):
     def _dd(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["a", "b"])
 
-    canon_edges = hash_bucket_aggregate(
+    return hash_bucket_aggregate(
         edges_ds.map_batches(canon, batch_format="pyarrow"),
         ["a", "b"], _dd).materialize()
+
+
+def crawl_triangles(ray, crawler, edges=None):
+    """Single-row (n_triangles) over the crawled link graph, undirected
+    and deduped; node ids are the repo's stable 64-bit url hashes (the
+    exactness test builds its reference from the SAME canonical edge
+    set, so the count is exact by construction)."""
+    if edges is None:
+        edges = crawl_link_edges(ray, crawler)
+    edges_ds, _n = edges
+
+    canon_edges = canonical_undirected_edges(edges_ds)
     return count_triangles(ray, canon_edges,
                            n_edges=canon_edges.count())
 
@@ -777,3 +786,123 @@ def crawl_degree_hist(ray, crawler, edges=None):
             .groupby("out_deg")
             .aggregate(Sum("n_pages", alias_name="n_pages"))
             .sort("out_deg"))
+
+
+# ---------------------------------------------------------------------------
+def crawl_reciprocity(ray, crawler, edges=None):
+    """Single-row (n_edges, n_recip, reciprocity_bp): link RECIPROCITY
+    of the crawled DIRECTED graph — how many edges (u -> v) have the
+    reverse edge (v -> u) too, and that share in integer basis points
+    (floor(10000 * n_recip / n_edges)). The standard digraph diagnostic
+    (a web graph is mostly one-way; a near-1 reciprocity means the
+    "links" are really an undirected relation).
+
+    Scale shape: each directed edge maps to its canonical unordered
+    pair plus a direction bit; ONE bucketed aggregate ORs the bits per
+    pair, and the per-bucket partial (edges seen, edges whose pair got
+    both bits) folds into a single Sum — the pair table never lands on
+    the driver."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.urls import stable_hash64_batch
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    if edges is None:
+        edges = crawl_link_edges(ray, crawler)
+    edges_ds, _n = edges
+
+    def pair_bits(t: pa.Table) -> pa.Table:
+        hs = stable_hash64_batch(
+            t.column("src").to_pylist()).astype(np.int64)
+        hd = stable_hash64_batch(
+            t.column("dst").to_pylist()).astype(np.int64)
+        keep = hs != hd
+        hs, hd = hs[keep], hd[keep]
+        fwd = hs < hd
+        return pa.table({
+            "a": pa.array(np.minimum(hs, hd), pa.int64()),
+            "b": pa.array(np.maximum(hs, hd), pa.int64()),
+            "bits": pa.array(np.where(fwd, 1, 2).astype(np.int64),
+                             pa.int64())})
+
+    def dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-BATCH combine must keep the keys (it runs before the
+        # exchange); the scalar fold happens in the per-bucket merge
+        return df.drop_duplicates(["a", "b", "bits"])
+
+    def fold_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # per-pair OR of direction bits, then a per-bucket partial:
+        # n_edges counts DISTINCT directed edges (a same-direction
+        # duplicate collapses like the edge dump's dedup), n_recip
+        # counts directed edges in both-direction pairs (2 per pair)
+        g = (df.drop_duplicates(["a", "b", "bits"])
+               .groupby(["a", "b"], as_index=False)["bits"]
+               .agg(["sum", "count"]))
+        both = g["sum"].to_numpy() == 3
+        n_edges = int(g["count"].sum())
+        n_recip = 2 * int(both.sum())
+        return pd.DataFrame({"n_edges": [n_edges], "n_recip": [n_recip]})
+
+    parts = hash_bucket_aggregate(
+        edges_ds.map_batches(pair_bits, batch_format="pyarrow"),
+        ["a", "b"], dedup_partial, merge=fold_pairs)
+    tot = parts.aggregate(Sum("n_edges"), Sum("n_recip"))  # O(1) scalars
+    n_edges = int(tot["sum(n_edges)"] or 0)
+    n_recip = int(tot["sum(n_recip)"] or 0)
+    bp = (10000 * n_recip) // n_edges if n_edges else 0
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "n_recip": pa.array([n_recip], pa.int64()),
+                     "reciprocity_bp": pa.array([bp], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+def crawl_clustering_coeff(ray, crawler, edges=None):
+    """Single-row (n_triangles, n_wedges, gcc_bp): GLOBAL CLUSTERING
+    COEFFICIENT (transitivity) of the crawled link graph viewed as an
+    undirected simple graph — 3 * triangles / wedges, in integer basis
+    points (floor via integer division, so Ray and the SQL oracle agree
+    bit-for-bit). Wedges = sum over nodes of deg*(deg-1)/2.
+
+    Scale shape: canonical edge set once (shared kernel with
+    crawl_triangles), degrees by bucketed count, wedge partial summed
+    per block (never a per-node table on the driver), triangles by the
+    degree-ordered orientation counter."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    if edges is None:
+        edges = crawl_link_edges(ray, crawler)
+    edges_ds, _n = edges
+
+    canon_edges = canonical_undirected_edges(edges_ds)
+    n_edges = canon_edges.count()
+    n_tri = int(count_triangles(ray, canon_edges, n_edges=n_edges)
+                .column("n_triangles")[0].as_py())
+
+    def ends(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            t.column("a").to_numpy(zero_copy_only=False),
+            t.column("b").to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(ids, pa.int64()),
+                         "deg": pa.array(np.ones(len(ids), np.int64),
+                                         pa.int64())})
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # mergeable per-batch partial — keeps the key column
+        return df.groupby("node", as_index=False).sum()
+
+    def wedge_fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby("node")["deg"].sum().to_numpy()
+        return pd.DataFrame({"n_wedges": [int((d * (d - 1) // 2).sum())]})
+
+    wparts = hash_bucket_aggregate(
+        canon_edges.map_batches(ends, batch_format="pyarrow"),
+        ["node"], deg_partial, merge=wedge_fold,
+        n_rows=2 * max(n_edges, 1))
+    wtot = wparts.aggregate(Sum("n_wedges"))  # O(1) scalar
+    n_wedges = int(wtot["sum(n_wedges)"] or 0)
+    bp = (30000 * n_tri) // n_wedges if n_wedges else 0
+    return pa.table({"n_triangles": pa.array([n_tri], pa.int64()),
+                     "n_wedges": pa.array([n_wedges], pa.int64()),
+                     "gcc_bp": pa.array([bp], pa.int64())})

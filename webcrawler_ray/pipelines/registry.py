@@ -446,6 +446,29 @@ def crawl_degree_hist(sf_dir: str):
                                    edges=_dump_link_graph(c, sf_dir))
 
 
+def crawl_reciprocity(sf_dir: str):
+    """Single row (n_edges, n_recip, reciprocity_bp): directed-edge
+    reciprocity of the crawled link graph (value-checked: self-join
+    DuckDB oracle over the dumped edge list)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_reciprocity(c.ray, c,
+                                   edges=_dump_link_graph(c, sf_dir))
+
+
+def crawl_clustering_coeff(sf_dir: str):
+    """Single row (n_triangles, n_wedges, gcc_bp): global clustering
+    coefficient (transitivity) of the crawled link graph in integer
+    basis points (value-checked: triangle three-way self-join +
+    degree-wedge sum DuckDB oracle over the dumped canonical edges)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_clustering_coeff(c.ray, c,
+                                        edges=_dump_link_graph(c, sf_dir))
+
+
 # --- registry --------------------------------------------------------------
 def build_queries() -> dict:
     ray = _ray()
@@ -464,6 +487,8 @@ def build_queries() -> dict:
         "crawl_components": crawl_components,
         "crawl_depths": crawl_depths,
         "crawl_degree_hist": crawl_degree_hist,
+        "crawl_reciprocity": crawl_reciprocity,
+        "crawl_clustering_coeff": crawl_clustering_coeff,
         "crawl_curation": crawl_curation,
         # text analysis over documents
         "doc_token_counts": lambda sf: textpipe.token_counts(ray, sf),
@@ -588,6 +613,12 @@ def build_queries() -> dict:
             lambda sf: relational.events_type_transitions(ray, sf),
         "events_moving_sum":
             lambda sf: relational.events_moving_sum(ray, sf),
+        "events_ewm_sum":
+            lambda sf: relational.events_ewm_sum(ray, sf),
+        "events_max_concurrency":
+            lambda sf: relational.events_max_concurrency(ray, sf),
+        "orders_backlog_series":
+            lambda sf: relational.orders_backlog_series(ray, sf),
         "events_attribution_window":
             lambda sf: relational.events_attribution_window(ray, sf),
         "events_profile": lambda sf: profile.events_profile(ray, sf),
@@ -1176,6 +1207,34 @@ GROUP BY n.url ORDER BY n.url
 _CRAWL_ORACLE_TEMPLATES["crawl_depths"] = _DEPTHS_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_salsa"] = _salsa_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
+_CRAWL_ORACLE_TEMPLATES["crawl_reciprocity"] = """
+WITH e AS (SELECT DISTINCT src, dst
+           FROM read_parquet('{edges_dump}/*.parquet') WHERE src <> dst),
+r AS (SELECT COUNT(*) AS n
+      FROM e JOIN e e2 ON e.src = e2.dst AND e.dst = e2.src),
+t AS (SELECT COUNT(*) AS m FROM e)
+SELECT CAST(t.m AS BIGINT) AS n_edges,
+       CAST(r.n AS BIGINT) AS n_recip,
+       CAST(CASE WHEN t.m = 0 THEN 0
+                 ELSE (10000 * r.n) // t.m END AS BIGINT) AS reciprocity_bp
+FROM t, r
+"""
+_CRAWL_ORACLE_TEMPLATES["crawl_clustering_coeff"] = """
+WITH ce AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM read_parquet('{edges_dump}/*.parquet') WHERE src <> dst),
+tri AS (SELECT COUNT(*) AS t
+        FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+                   JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+deg AS (SELECT node, COUNT(*) AS d FROM (
+          SELECT a AS node FROM ce UNION ALL SELECT b AS node FROM ce)
+        GROUP BY node),
+w AS (SELECT COALESCE(SUM(d * (d - 1) // 2), 0) AS nw FROM deg)
+SELECT CAST(tri.t AS BIGINT) AS n_triangles,
+       CAST(w.nw AS BIGINT) AS n_wedges,
+       CAST(CASE WHEN w.nw = 0 THEN 0
+                 ELSE (30000 * tri.t) // w.nw END AS BIGINT) AS gcc_bp
+FROM tri, w
+"""
 _CRAWL_ORACLE_TEMPLATES["crawl_degree_hist"] = """
 WITH nodes AS (SELECT url FROM read_parquet('{nodes_dump}/*.parquet')),
 d AS (SELECT src, MAX(deg) AS deg
@@ -1382,6 +1441,9 @@ ORDER BY vec_id_a, vec_id_b
     "events_user_value_delta": relational.EVENTS_USER_DELTA_SQL,
     "events_type_transitions": relational.EVENTS_TYPE_TRANSITIONS_SQL,
     "events_moving_sum": relational.EVENTS_MOVING_SUM_SQL,
+    "events_ewm_sum": relational.EVENTS_EWM_SUM_SQL,
+    "events_max_concurrency": relational.EVENTS_MAX_CONCURRENCY_SQL,
+    "orders_backlog_series": relational.ORDERS_BACKLOG_SQL,
     "events_attribution_window": relational.EVENTS_ATTRIB_SQL,
     "events_profile": profile.EVENTS_PROFILE_SQL,
     "docs_split": textpipe.DOCS_SPLIT_SQL,

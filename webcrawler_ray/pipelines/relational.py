@@ -8931,3 +8931,274 @@ FROM w
 WINDOW w AS (PARTITION BY event_type ORDER BY week)
 ORDER BY event_type, week
 """
+
+
+# ---------------------------------------------------------------------------
+CONCUR_WINDOW_US = 30 * 60 * 1_000_000       # each event "lasts" 30 min
+_DAY_US = 86_400 * 1_000_000
+
+
+def events_max_concurrency(ray, sf_dir: str):
+    """(event_type, day, max_concurrent): SWEEP-LINE max overlap — treat
+    each event as a live interval [ts, min(ts+30min, midnight)) and
+    report, per (type, day), the maximum number of simultaneously live
+    intervals. The interval-stabbing aggregate (peak concurrent
+    sessions / connections) that no plain GROUP BY can express: it
+    needs an ordered prefix sum over +1/-1 boundaries (end-exclusive,
+    so at equal t the -1 applies first).
+
+    Scale shape: each event emits two boundary rows; ONE shuffle keyed
+    by coarse day bucket (a (type, day) group never splits), then a
+    vectorized segmented cumsum + reduceat-max per bucket — no
+    per-group dispatch, no global sort, and the result is one row per
+    (type, day)."""
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(2 * _nrows(f"{sf_dir}/events.parquet"))
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["ts", "event_type"])
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False) \
+              .astype("datetime64[us]").astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        day = ts // _DAY_US * _DAY_US
+        end = np.minimum(ts + CONCUR_WINDOW_US, day + _DAY_US)
+        n = len(ts)
+        tb = np.concatenate([ts, end])
+        delta = np.concatenate([np.ones(n, np.int64),
+                                np.full(n, -1, np.int64)])
+        day2 = np.concatenate([day, day])
+        et2 = np.concatenate([et, et])
+        b = int_bucket_column(day2 // _DAY_US, N_BUCKETS)
+        return pa.table({"event_type": pa.array(et2, pa.string()),
+                         "day_us": pa.array(day2, pa.int64()),
+                         "t_us": pa.array(tb, pa.int64()),
+                         "delta": pa.array(delta, pa.int64()),
+                         "bucket": pa.array(b, pa.int64())})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "day_us", "t_us", "delta"],
+                          kind="mergesort")
+        d = g["delta"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=str),
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "max_concurrent": pd.Series([], dtype="int64")})
+        key_day = g["day_us"].to_numpy()
+        key_typ = g["event_type"].to_numpy()
+        new_seg = np.r_[True, (key_day[1:] != key_day[:-1])
+                        | (key_typ[1:] != key_typ[:-1])]
+        starts = np.nonzero(new_seg)[0]
+        cum = np.cumsum(d)
+        prev = np.where(starts > 0, cum[starts - 1], 0)
+        prefix = cum - np.repeat(prev, np.diff(np.r_[starts, n]))
+        mx = np.maximum.reduceat(prefix, starts)
+        return pd.DataFrame({
+            "event_type": key_typ[starts],
+            "day": pd.Series(key_day[starts].astype("datetime64[us]")),
+            "max_concurrent": mx.astype("int64")})
+
+    return (ds.map_batches(boundaries, batch_format="pyarrow")
+              .groupby("bucket").map_groups(sweep, batch_format="pandas")
+              .sort(["event_type", "day"]))
+
+
+EVENTS_MAX_CONCURRENCY_SQL = """
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS day, ts AS t,
+         1 AS d FROM events
+  UNION ALL
+  SELECT event_type, date_trunc('day', ts),
+         LEAST(ts + INTERVAL 30 MINUTE,
+               date_trunc('day', ts) + INTERVAL 1 DAY), -1 FROM events),
+s AS (
+  SELECT event_type, day,
+         SUM(d) OVER (PARTITION BY event_type, day ORDER BY t, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS c
+  FROM b)
+SELECT event_type, day, CAST(MAX(c) AS BIGINT) AS max_concurrent
+FROM s GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+def orders_backlog_series(ray, sf_dir: str):
+    """(day, n_open): DAILY BACKLOG — for every calendar day between the
+    first order and the last shipment, how many orders were placed but
+    not yet fully shipped (open interval [o_orderdate,
+    max(l_shipdate)] inclusive; orders with no lineitems never open).
+    The open-interval census (inventory / WIP series) — a sweep over
+    interval endpoints, not a per-day scan of the fact table.
+
+    Scale shape: per-order close day by ONE bucketed max over lineitem
+    (pre-combined per batch), one equi-join against orders, then each
+    open interval collapses to two (day, ±1) boundary rows aggregated
+    by day — the driver sees only the O(days) delta series and does an
+    O(days) cumsum (same footprint as orders_monthly_series'
+    calendar)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+        normalize_for_join,
+    )
+
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_shipdate"])
+
+    def close_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].values.astype("datetime64[D]").astype(
+            "int64")
+        g = pd.DataFrame({"o_orderkey": b["l_orderkey"],
+                          "close_day": d})
+        return g.groupby("o_orderkey", as_index=False).max()
+
+    closes = hash_bucket_aggregate(
+        li.map_batches(close_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["o_orderkey"],
+        lambda df: df.groupby("o_orderkey", as_index=False).max(),
+        n_rows=n_orders)
+    closes = normalize_for_join(
+        closes, pa.schema([("o_orderkey", pa.int64()),
+                           ("close_day", pa.int64())])).materialize()
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_orderdate"])
+
+    def open_day(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False) \
+             .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "open_day": pa.array(d, pa.int64())})
+
+    op = normalize_for_join(
+        orders.map_batches(open_day, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()),
+                   ("open_day", pa.int64())]))
+    joined = op.join(closes, join_type="inner", on=("o_orderkey",),
+                     num_partitions=join_partitions_for(
+                         min(n_orders, closes.count())))
+
+    def deltas(t: pa.Table) -> pd.DataFrame:
+        o = t.column("open_day").to_numpy(zero_copy_only=False)
+        c = t.column("close_day").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "day": np.concatenate([o, c + 1]),
+            "d": np.concatenate([np.ones(len(o), np.int64),
+                                 np.full(len(c), -1, np.int64)])})
+        return g.groupby("day", as_index=False).sum()
+
+    agg = (joined.map_batches(deltas, batch_format="pyarrow")
+                 .groupby("day").aggregate(Sum("d", alias_name="d"))
+                 .to_pandas())  # O(distinct boundary days) — tiny
+    if len(agg) == 0:
+        return pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                             "n_open": pd.Series([], dtype="int64")})
+    agg = agg.sort_values("day")
+    lo = int(agg["day"].min())
+    hi = int(agg["day"].max()) - 1          # last boundary is a close+1
+    cal = pd.DataFrame({"day": np.arange(lo, hi + 1, dtype=np.int64)})
+    out = cal.merge(agg, on="day", how="left").fillna({"d": 0})
+    return pd.DataFrame({
+        "day": out["day"].to_numpy().astype("datetime64[D]")
+                         .astype("datetime64[us]"),
+        "n_open": out["d"].astype("int64").cumsum()})
+
+
+ORDERS_BACKLOG_SQL = """
+WITH cl AS (SELECT l_orderkey,
+                   MAX(date_trunc('day', l_shipdate)) AS close
+            FROM lineitem GROUP BY 1),
+op AS (SELECT date_trunc('day', o.o_orderdate) AS open_d, cl.close
+       FROM orders o JOIN cl ON o.o_orderkey = cl.l_orderkey),
+b AS (SELECT open_d AS day, 1 AS d FROM op
+      UNION ALL SELECT close + INTERVAL 1 DAY, -1 FROM op),
+agg AS (SELECT day, SUM(d) AS d FROM b GROUP BY 1),
+bounds AS (SELECT MIN(open_d) AS lo, MAX(close) AS hi FROM op),
+cal AS (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 1 DAY)) AS day)
+SELECT cal.day,
+       CAST(SUM(COALESCE(agg.d, 0)) OVER (ORDER BY cal.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_open
+FROM cal LEFT JOIN agg USING (day) ORDER BY cal.day
+"""
+
+
+# ---------------------------------------------------------------------------
+EWM_WINDOW = 8                      # last 8 events; weight 2^(7-j), lag j
+
+
+def events_ewm_sum(ray, sf_dir: str):
+    """(event_id, ewm_cents): EXPONENTIALLY-WEIGHTED moving sum per
+    user — the current event's cents get weight 128, the previous
+    event 64, ... the 7th-back event 1 (missing lags contribute 0).
+    The half-life rate feature every streaming feature store computes;
+    powers of two over integer cents keep it bit-exact against SQL
+    (the float-determinism rule — a true float EWMA is
+    order-dependent).
+
+    Scale shape: identical to events_moving_sum — ONE shuffle keyed by
+    coarse user bucket, then 8 vectorized shifted adds per bucket (no
+    per-row loop, no per-user dispatch)."""
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u, N_BUCKETS)
+        return t.append_column("ubucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "ewm_cents": pd.Series([], dtype="int64")})
+        num = cents * (1 << (EWM_WINDOW - 1))
+        for j in range(1, EWM_WINDOW):
+            w = 1 << (EWM_WINDOW - 1 - j)
+            shifted = np.zeros(n, dtype=np.int64)
+            shifted[j:] = cents[:-j]
+            same = np.zeros(n, dtype=bool)
+            same[j:] = uid[j:] == uid[:-j]
+            num += np.where(same, shifted, 0) * w
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "ewm_cents": num})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort("event_id"))
+
+
+EVENTS_EWM_SUM_SQL = """
+WITH c AS (SELECT event_id, user_id, ts,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id,
+       CAST(cents * 128
+            + COALESCE(LAG(cents, 1) OVER w, 0) * 64
+            + COALESCE(LAG(cents, 2) OVER w, 0) * 32
+            + COALESCE(LAG(cents, 3) OVER w, 0) * 16
+            + COALESCE(LAG(cents, 4) OVER w, 0) * 8
+            + COALESCE(LAG(cents, 5) OVER w, 0) * 4
+            + COALESCE(LAG(cents, 6) OVER w, 0) * 2
+            + COALESCE(LAG(cents, 7) OVER w, 0) * 1 AS BIGINT)
+           AS ewm_cents
+FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
