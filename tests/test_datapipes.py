@@ -116,7 +116,8 @@ SQL_CHECKED = [
     "events_wow_growth", "dedup_jaccard_join", "docs_rrf_fusion",
     "dedup_lsh_recall", "dedup_containment_join", "docs_dsir_weights",
     "docs_dsir_resample", "events_ewm_sum", "events_max_concurrency",
-    "orders_backlog_series",
+    "orders_backlog_series", "events_user_diversity",
+    "docs_greedy_cover",
 ]
 
 

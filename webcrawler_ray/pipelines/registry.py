@@ -556,6 +556,10 @@ def build_queries() -> dict:
         "docs_repetition": lambda sf: textpipe.docs_repetition(ray, sf),
         "docs_inverted_index":
             lambda sf: textpipe.docs_inverted_index(ray, sf),
+        "docs_greedy_cover":
+            lambda sf: textpipe.docs_greedy_cover(ray, sf),
+        "events_user_diversity":
+            lambda sf: relational.events_user_diversity(ray, sf),
         "docs_lm_score": lambda sf: textpipe.docs_lm_score(ray, sf),
         "docs_dsir_weights":
             lambda sf: textpipe.docs_dsir_weights(ray, sf),
@@ -1563,6 +1567,8 @@ ORDER BY vec_id_a, vec_id_b
     "docs_pii_scrub": textpipe.DOCS_PII_SCRUB_SQL,
     "docs_repetition": textpipe.DOCS_REPETITION_SQL,
     "docs_inverted_index": textpipe.DOCS_INVERTED_INDEX_SQL,
+    "docs_greedy_cover": textpipe.DOCS_GREEDY_COVER_SQL,
+    "events_user_diversity": relational.EVENTS_USER_DIVERSITY_SQL,
     "docs_lm_score": textpipe.DOCS_LM_SCORE_SQL,
     "docs_dsir_weights": textpipe.DOCS_DSIR_SQL,
     "docs_dsir_resample": textpipe.DOCS_DSIR_RESAMPLE_SQL,

@@ -9202,3 +9202,69 @@ SELECT event_id,
 FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+def events_user_diversity(ray, sf_dir: str):
+    """(user_id, n_events, diversity_bp): GINI-SIMPSON DIVERSITY of each
+    user's event-type mix in integer basis points — 10000 * (1 - sum
+    n_i*(n_i-1) / (N*(N-1))), the probability two of the user's events
+    (sampled without replacement) have different types. The
+    behavioral-diversity feature that entropy usually serves, but in a
+    rational form that is EXACT in int64 (entropy's log is
+    float-orderless; Simpson's index is a ratio of integer counts —
+    the float-determinism rule again). Users with N < 2 report 0.
+
+    Scale shape: per-batch (user, type) count partials, ONE exchange
+    keyed by user_id (a user's type rows must co-locate), then a
+    vectorized per-bucket fold (two grouped sums, one integer divide) —
+    output is one row per user."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"user_id": b["user_id"],
+                          "event_type": b["event_type"],
+                          "n": np.ones(len(b), dtype="int64")})
+        return g.groupby(["user_id", "event_type"], as_index=False).sum()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # merge split partials of the same (user, type), then per-user
+        c = df.groupby(["user_id", "event_type"], as_index=False)["n"] \
+              .sum()
+        c["s"] = c["n"] * (c["n"] - 1)
+        u = c.groupby("user_id", as_index=False)[["n", "s"]].sum()
+        n = u["n"].to_numpy()
+        s = u["s"].to_numpy()
+        denom = n * (n - 1)
+        bp = np.where(n < 2, 0,
+                      10000 - (10000 * s) // np.maximum(denom, 1))
+        return pd.DataFrame({"user_id": u["user_id"],
+                             "n_events": n.astype("int64"),
+                             "diversity_bp": bp.astype("int64")})
+
+    def resum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"],
+                          as_index=False).sum()
+
+    return (hash_bucket_aggregate(
+                ds.map_batches(partial, batch_format="pandas",
+                               batch_size=65536),
+                ["user_id"], resum, merge=fold,
+                n_rows=_nrows(f"{sf_dir}/events.parquet"))
+            .sort("user_id"))
+
+
+EVENTS_USER_DIVERSITY_SQL = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+u AS (SELECT user_id, SUM(n) AS nn, SUM(n * (n - 1)) AS s
+      FROM c GROUP BY 1)
+SELECT user_id, CAST(nn AS BIGINT) AS n_events,
+       CAST(CASE WHEN nn < 2 THEN 0
+                 ELSE 10000 - (10000 * s) // (nn * (nn - 1))
+            END AS BIGINT) AS diversity_bp
+FROM u ORDER BY user_id
+"""

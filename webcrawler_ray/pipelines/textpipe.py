@@ -3679,3 +3679,142 @@ CATALOG_TABLES_SQL = "\nUNION ALL\n".join(
     f" (SELECT CAST(COUNT(*) AS BIGINT) FROM information_schema.columns"
     f" WHERE table_name = '{t}') AS n_cols FROM {t}"
     for t in CATALOG_TABLES) + "\nORDER BY table_name"
+
+
+# ---------------------------------------------------------------------------
+GREEDY_COVER_K = 5
+GREEDY_COVER_N = 3        # coverage unit: token 3-grams (unigrams are
+                          # too few on a small vocab — one doc covers all)
+
+
+def docs_greedy_cover(ray, sf_dir: str, k: int = GREEDY_COVER_K,
+                      n: int = GREEDY_COVER_N):
+    """(rank, doc_id, new_tokens): GREEDY MAX-COVERAGE data selection —
+    pick ``k`` documents one at a time, each maximizing the number of
+    DISTINCT token ``n``-grams not covered by earlier picks (ties to the
+    smaller doc_id; stop early when no document adds a new gram). The
+    classical (1 - 1/e) coreset/facility-location selection a training
+    mix uses to seed a diverse subset — a greedy TRAJECTORY, so like
+    knn_mmr it is value-checked by replaying every selection step in
+    unrolled SQL CTEs.
+
+    Scale shape: the distinct (doc_id, token) posting table is built
+    ONCE (per-doc distinct explode; a doc lives in one row, so
+    per-batch distinct is global) and materialized; each of the <= k
+    rounds broadcasts the covered-token set (<= k * tokens-per-doc
+    strings via ray.put — never the corpus), counts surviving postings
+    per doc with mergeable per-batch partials, and reduces the
+    per-bucket argmax rows so the driver only ever sees O(buckets)
+    candidates. The winner's token list (one doc) is the only other
+    driver transfer per round."""
+    import pyarrow.compute as pc
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        toks, docs = [], []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            tk = tokenize(t)
+            if len(tk) < n:
+                continue
+            for g in {" ".join(tk[j:j + n])
+                      for j in range(len(tk) - n + 1)}:
+                toks.append(g)
+                docs.append(i)
+        return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                         "token": pa.array(toks, pa.string())})
+
+    posts = ds.map_batches(explode,
+                           batch_format="pyarrow").materialize()
+    n_posts = posts.count()
+
+    def best_row(df: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket argmax (count desc, doc_id asc) over merged partials
+        g = df.groupby("doc_id", as_index=False)["c"].sum()
+        g = g.sort_values(["c", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(1)
+
+    covered: set[str] = set()
+    picks: list[tuple[int, int, int]] = []
+    for r in range(k):
+        cov_ref = ray.put(covered)
+
+        def count_new(t: pa.Table, _ref=cov_ref) -> pd.DataFrame:
+            cov = ray.get(_ref)
+            toks = t.column("token").to_pylist()
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = np.fromiter((tok not in cov for tok in toks),
+                               dtype=bool, count=len(toks))
+            g = pd.DataFrame({"doc_id": ids[keep].astype("int64"),
+                              "c": np.ones(int(keep.sum()),
+                                           dtype="int64")})
+            return g.groupby("doc_id", as_index=False).sum()
+
+        cands = hash_bucket_aggregate(
+            posts.map_batches(count_new, batch_format="pyarrow"),
+            ["doc_id"],
+            lambda df: df.groupby("doc_id", as_index=False).sum(),
+            merge=best_row, n_rows=n_posts).to_pandas()  # O(buckets)
+        if len(cands) == 0:
+            break
+        cands = cands.sort_values(["c", "doc_id"],
+                                  ascending=[False, True],
+                                  kind="mergesort")
+        winner = int(cands["doc_id"].iloc[0])
+        gain = int(cands["c"].iloc[0])
+        if gain == 0:
+            break
+        picks.append((r + 1, winner, gain))
+        wtoks = posts.map_batches(
+            lambda t, w=winner: t.filter(pc.equal(t.column("doc_id"),
+                                                  w)),
+            batch_format="pyarrow").take_all()  # one doc's tokens
+        covered |= {row["token"] for row in wtoks}
+
+    return pd.DataFrame({
+        "rank": pd.Series([p[0] for p in picks], dtype="int64"),
+        "doc_id": pd.Series([p[1] for p in picks], dtype="int64"),
+        "new_tokens": pd.Series([p[2] for p in picks], dtype="int64")})
+
+
+def _greedy_cover_sql(k: int = GREEDY_COVER_K,
+                      n: int = GREEDY_COVER_N) -> str:
+    """Unrolled greedy-selection CTE chain (the knn_mmr precedent: the
+    oracle replays the trajectory, not just the final set)."""
+    parts = [f"""
+WITH toks AS (
+  SELECT doc_id, str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+')
+             AS tk
+  FROM documents),
+pos AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, len(tk) - {n - 1})) AS i
+  FROM toks WHERE len(tk) >= {n}),
+p AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(tk[i:i+{n - 1}], ' ') AS token
+  FROM pos)"""]
+    for r in range(1, k + 1):
+        not_in = ""
+        if r > 1:
+            prev = " UNION ".join(
+                f"SELECT token FROM cov{j}" for j in range(1, r))
+            not_in = f" WHERE token NOT IN ({prev})"
+        parts.append(f"""
+w{r} AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM p{not_in}
+        GROUP BY doc_id ORDER BY c DESC, doc_id LIMIT 1),
+cov{r} AS (SELECT token FROM p
+          WHERE doc_id = (SELECT doc_id FROM w{r}))""")
+    sel = "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS BIGINT) AS "rank", doc_id,'
+        f" c AS new_tokens FROM w{r}"
+        for r in range(1, k + 1))
+    return (",".join(parts) + "\nSELECT * FROM (\n" + sel
+            + "\n) ORDER BY rank")
+
+
+DOCS_GREEDY_COVER_SQL = _greedy_cover_sql()
