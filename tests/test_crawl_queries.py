@@ -327,6 +327,56 @@ class TestPageRank:
         assert (df["rank"].to_numpy()[:-1]
                 >= df["rank"].to_numpy()[1:]).all()
 
+    def test_ppr_matches_integer_reference_exactly(self, queries):
+        """Personalized variant: teleport returns to the round-0 seed
+        set; the sparse distributed iteration must equal a
+        single-process integer reference on EVERY node (zeros
+        included)."""
+        from collections import defaultdict
+
+        import ray
+
+        from webcrawler_ray.pipelines.graph import (
+            DAMP_DEN,
+            DAMP_NUM,
+            crawl_link_edges,
+            node_mass,
+            ppr,
+        )
+        from webcrawler_ray.pipelines.registry import _crawl_workdir
+
+        c = _crawl_workdir(SF_DIR)
+        pre = crawl_link_edges(ray, c)
+        got = _df(ppr(ray, c, edges=pre).sort("url"))
+
+        edges_ds, _n = pre
+        edges = _df(edges_ds)
+        nodes = _df(c.crawled_dataset().map_batches(
+            lambda t: t.select(["url", "round"]),
+            batch_format="pyarrow"))
+        seeds = sorted(nodes.loc[nodes["round"] == 0, "url"])
+        ns = max(len(seeds), 1)
+        mass = node_mass(ns)
+        total = ns * mass
+        rank = defaultdict(int, {u: mass for u in seeds})
+        for _ in range(5):
+            contribs = [(d, (rank[s] * DAMP_NUM // DAMP_DEN) // int(dg))
+                        for s, d, dg in zip(edges["src"], edges["dst"],
+                                            edges["deg"])
+                        if rank[s]]
+            base = (total - sum(cc for _, cc in contribs)) // ns
+            new = defaultdict(int)
+            for u in seeds:
+                new[u] = base
+            for d, cc in contribs:
+                new[d] += cc
+            rank = new
+        want = pd.DataFrame(
+            sorted((u, rank.get(u, 0)) for u in nodes["url"]),
+            columns=["url", "rank"])
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False)
+
 
 class TestSalsa:
     def test_salsa_matches_integer_reference_exactly(self, queries):

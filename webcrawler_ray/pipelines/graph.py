@@ -906,3 +906,117 @@ def crawl_clustering_coeff(ray, crawler, edges=None):
     return pa.table({"n_triangles": pa.array([n_tri], pa.int64()),
                      "n_wedges": pa.array([n_wedges], pa.int64()),
                      "gcc_bp": pa.array([bp], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+def ppr(ray, crawler, iters: int = 5, edges=None):
+    """(url, rank): integer-mass PERSONALIZED PageRank — the teleport
+    mass restarts at the round-0 SEED pages instead of uniformly, so
+    rank measures proximity to the seeds (topic-sensitive PageRank,
+    Haveliwala 2002). Same exactness trick as ``pagerank``: all mass
+    is integer; each round the damped floor-divided mass flows along
+    edges, and EVERYTHING that did not flow (teleport share, dangling
+    mass, floor residue) returns uniformly to the seed set.
+    Unreached pages hold rank 0 (the rank vector stays SPARSE — only
+    seed + reached rows exist until the final densifying union).
+
+    Scale shape per iteration: identical to pagerank — one edge join,
+    one bucketed sum, two O(1) driver scalars; the sparse rank table
+    is never driver-materialized."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+        normalize_for_join,
+    )
+
+    if edges is None:
+        edges = crawl_link_edges(ray, crawler)
+    edges, n_nodes = edges
+
+    corpus = crawler.crawled_dataset().map_batches(
+        lambda t: t.select(["url", "round"]),
+        batch_format="pyarrow").materialize()
+    seeds = normalize_for_join(
+        corpus.map_batches(
+            lambda t: t.filter(pc.equal(t.column("round"), 0))
+                       .select(["url"]),
+            batch_format="pyarrow"),
+        pa.schema([("url", pa.string())])).materialize()
+    n_seeds = max(seeds.count(), 1)
+    nparts = join_partitions_for(min(n_nodes, edges.count()))
+    mass = node_mass(n_seeds)
+    total_mass = n_seeds * mass
+
+    def sum_col(ds, col):
+        out = ds.aggregate(Sum(col))
+        return int(out[f"sum({col})"] or 0)
+
+    ranks = normalize_for_join(
+        seeds.map_batches(
+            lambda t: pa.table({
+                "url": t.column("url"),
+                "rank": pa.array(np.full(t.num_rows, mass,
+                                         dtype=np.int64))}),
+            batch_format="pyarrow"),
+        _RANK).materialize()
+
+    for _ in range(iters):
+        er = edges.join(
+            ranks.map_batches(
+                lambda t: t.rename_columns(["src", "rank"]),
+                batch_format="pyarrow"),
+            join_type="inner", on=("src",), num_partitions=nparts)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t.column("rank").to_numpy(zero_copy_only=False)
+            d = t.column("deg").to_numpy(zero_copy_only=False)
+            c = (r * DAMP_NUM // DAMP_DEN) // np.maximum(d, 1)
+            return pa.table({"url": t.column("dst"),
+                             "rank": pa.array(c.astype(np.int64))})
+
+        inflow = er.map_batches(contrib, batch_format="pyarrow") \
+                   .materialize()
+        base = (total_mass - sum_col(inflow, "rank")) // n_seeds
+
+        def seed_rows(t: pa.Table, base=base) -> pa.Table:
+            return pa.table({
+                "url": t.column("url"),
+                "rank": pa.array(np.full(t.num_rows, base,
+                                         dtype=np.int64))})
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("url", as_index=False).agg(
+                rank=("rank", "sum"))
+
+        ranks = normalize_for_join(
+            hash_bucket_aggregate(
+                seeds.map_batches(seed_rows, batch_format="pyarrow")
+                     .union(inflow),
+                ["url"], merge, n_rows=n_seeds + edges.count()),
+            _RANK).materialize()
+
+    # densify: unreached crawled pages report rank 0
+    zeros = corpus.map_batches(
+        lambda t: pa.table({
+            "url": t.column("url"),
+            "rank": pa.array(np.zeros(t.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+
+    def merge_all(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("url", as_index=False).agg(
+            rank=("rank", "sum"))
+
+    return normalize_for_join(
+        hash_bucket_aggregate(ranks.union(zeros), ["url"], merge_all,
+                              n_rows=n_nodes + n_seeds + edges.count()),
+        _RANK)
+
+
+def crawl_ppr(ray, crawler, iters: int = 5, k: int = 20, edges=None):
+    """Top-k (url, rank) by seed-personalized PageRank (value-checked
+    against a chained-CTE DuckDB oracle over the dumped edge list +
+    attempts dump, same precedent as crawl_pagerank)."""
+    ranks = ppr(ray, crawler, iters=iters, edges=edges)
+    return ranks.sort(["rank", "url"], descending=[True, False]).limit(k)

@@ -446,6 +446,16 @@ def crawl_degree_hist(sf_dir: str):
                                    edges=_dump_link_graph(c, sf_dir))
 
 
+def crawl_ppr(sf_dir: str):
+    """Top-20 pages by seed-personalized PageRank (value-checked:
+    chained-CTE DuckDB oracle over the dumped edge list + the attempts
+    dump's round-0 seed set)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_ppr(c.ray, c, edges=_dump_link_graph(c, sf_dir))
+
+
 def crawl_reciprocity(sf_dir: str):
     """Single row (n_edges, n_recip, reciprocity_bp): directed-edge
     reciprocity of the crawled link graph (value-checked: self-join
@@ -487,6 +497,7 @@ def build_queries() -> dict:
         "crawl_components": crawl_components,
         "crawl_depths": crawl_depths,
         "crawl_degree_hist": crawl_degree_hist,
+        "crawl_ppr": crawl_ppr,
         "crawl_reciprocity": crawl_reciprocity,
         "crawl_clustering_coeff": crawl_clustering_coeff,
         "crawl_curation": crawl_curation,
@@ -1061,6 +1072,47 @@ ORDER BY rnk DESC, url LIMIT {k}
     return _materialize_ctes("".join(cte))
 
 
+def _ppr_oracle_template(iters: int = 5, k: int = 20) -> str:
+    """DuckDB SQL replicating integer-mass PERSONALIZED PageRank
+    EXACTLY (graph.py:ppr): teleport/dangling/floor leftover returns
+    uniformly to the round-0 SEED set; mass = node_mass(n_seeds); the
+    rank vector stays sparse until a final densifying left join."""
+    cte = [
+        "WITH nodes AS (SELECT url FROM"
+        " read_parquet('{nodes_dump}/*.parquet')),",
+        " edges AS (SELECT src, dst, deg FROM"
+        " read_parquet('{edges_dump}/*.parquet')),",
+        " seeds AS (SELECT a.url FROM read_parquet('{dump}') a"
+        " JOIN nodes n ON n.url = a.url WHERE a.round = 0),",
+        # node_mass(max(ns,1)) with ns = seed count
+        " const AS (SELECT GREATEST(COUNT(*), 1) AS ns,"
+        " GREATEST(1, LEAST(1000000000,"
+        " 4611686018427387904 // (85 * GREATEST(COUNT(*), 1)))) AS mass"
+        " FROM seeds),",
+        " r0 AS (SELECT url, (SELECT mass FROM const) AS rnk FROM seeds)",
+    ]
+    for i in range(1, iters + 1):
+        cte.append(f""",
+ i{i} AS (SELECT e.dst AS url,
+        CAST(SUM((r.rnk * 85 // 100) // GREATEST(e.deg, 1)) AS BIGINT)
+            AS infl
+        FROM edges e JOIN r{i - 1} r ON e.src = r.url GROUP BY e.dst),
+ r{i} AS (SELECT url, CAST(SUM(rnk) AS BIGINT) AS rnk FROM (
+        SELECT url,
+               ((SELECT ns * mass FROM const)
+                - COALESCE((SELECT CAST(SUM(infl) AS BIGINT)
+                            FROM i{i}), 0))
+               // (SELECT ns FROM const) AS rnk
+        FROM seeds
+        UNION ALL SELECT url, infl FROM i{i}) GROUP BY url)""")
+    cte.append(f"""
+SELECT n.url, CAST(COALESCE(r.rnk, 0) AS BIGINT) AS "rank"
+FROM nodes n LEFT JOIN r{iters} r ON r.url = n.url
+ORDER BY COALESCE(r.rnk, 0) DESC, n.url LIMIT {k}
+""")
+    return _materialize_ctes("".join(cte))
+
+
 def _materialize_ctes(sql: str) -> str:
     """Mark every CTE ``AS MATERIALIZED``: DuckDB 1.0 INLINES plain
     CTEs, so an iteration chain where each step references the
@@ -1211,6 +1263,7 @@ GROUP BY n.url ORDER BY n.url
 _CRAWL_ORACLE_TEMPLATES["crawl_depths"] = _DEPTHS_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_salsa"] = _salsa_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
+_CRAWL_ORACLE_TEMPLATES["crawl_ppr"] = _ppr_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_reciprocity"] = """
 WITH e AS (SELECT DISTINCT src, dst
            FROM read_parquet('{edges_dump}/*.parquet') WHERE src <> dst),
