@@ -556,6 +556,25 @@ class TestReciprocityAndClustering:
         assert out.column("n_wedges")[0].as_py() == 3
         assert out.column("gcc_bp")[0].as_py() == 0
 
+    def test_kcore_known_graphs(self, ray_session):
+        """K4 with a dangling path: the path peels away over two
+        rounds, K4 survives as the 3-core with degree 3 everywhere;
+        a pure path has no 3-core at all."""
+        import ray
+
+        from webcrawler_ray.pipelines.graph import crawl_kcore
+
+        k4_tail = self._edges_ds(
+            [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f")])
+        out = crawl_kcore(ray, None, edges=(k4_tail, 6)).to_pandas()
+        assert sorted(out["url"]) == ["a", "b", "c", "d"]
+        assert (out["core_deg"] == 3).all()
+
+        path = self._edges_ds([("a", "b"), ("b", "c"), ("c", "d")])
+        out = crawl_kcore(ray, None, edges=(path, 4))
+        assert out.num_rows == 0
+
 
 class TestComponents:
     def test_crawl_components_match_union_find(self, queries):

@@ -1020,3 +1020,117 @@ def crawl_ppr(ray, crawler, iters: int = 5, k: int = 20, edges=None):
     attempts dump, same precedent as crawl_pagerank)."""
     ranks = ppr(ray, crawler, iters=iters, edges=edges)
     return ranks.sort(["rank", "url"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 12
+
+
+def crawl_kcore(ray, crawler, k: int = KCORE_K,
+                rounds: int = KCORE_ROUNDS, edges=None):
+    """(url, core_deg): BOUNDED k-CORE PEEL of the crawled link graph
+    viewed as an undirected simple graph — ``rounds`` iterations of
+    "drop every node with degree < k, restrict the edges, recompute",
+    then each surviving endpoint with its degree in the residual
+    subgraph. The dense-subgraph extractor (spam-farm / community
+    core detection). Both engines run EXACTLY the same bounded peel
+    (the Ray side exits early only at a fixpoint, which further
+    rounds preserve — so a ``rounds``-unrolled SQL chain is value-
+    identical whether or not the peel converged).
+
+    Scale shape per round: one bucketed degree count (mergeable
+    partials) + two hash joins restricting the edge table to the
+    alive set; the edge table only ever SHRINKS, node ids stay the
+    url strings the SQL oracle can canonicalize with LEAST/GREATEST,
+    and nothing is driver-materialized but the O(1) edge count."""
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+        normalize_for_join,
+    )
+
+    if edges is None:
+        edges = crawl_link_edges(ray, crawler)
+    edges_ds, _n = edges
+    _E = pa.schema([("a", pa.string()), ("b", pa.string())])
+    _D = pa.schema([("node", pa.string()), ("deg", pa.int64())])
+
+    def canon(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        lt = src < dst          # lexicographic, ASCII == SQL binary
+        return pa.table({
+            "a": pa.array(np.where(lt, src, dst), pa.string()),
+            "b": pa.array(np.where(lt, dst, src), pa.string())})
+
+    def _dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])
+
+    cur = normalize_for_join(
+        hash_bucket_aggregate(
+            edges_ds.map_batches(canon, batch_format="pyarrow"),
+            ["a", "b"], _dd),
+        _E).materialize()
+    m = cur.count()
+
+    def ends(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            t.column("a").to_numpy(zero_copy_only=False),
+            t.column("b").to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(ids, pa.string()),
+                         "deg": pa.array(np.ones(len(ids), np.int64),
+                                         pa.int64())})
+
+    def sum_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False).sum()
+
+    def degrees(eds, n_edges):
+        return normalize_for_join(
+            hash_bucket_aggregate(
+                eds.map_batches(ends, batch_format="pyarrow"),
+                ["node"], sum_deg, n_rows=2 * max(n_edges, 1)),
+            _D).materialize()
+
+    for _ in range(rounds):
+        if m == 0:
+            break
+        degs = degrees(cur, m)
+        alive = degs.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("deg"), k))
+                       .select(["node"]),
+            batch_format="pyarrow")
+        alive = normalize_for_join(
+            alive, pa.schema([("node", pa.string())])).materialize()
+        n_alive = alive.count()
+        if n_alive == 0:
+            m = 0
+            break
+        nparts = join_partitions_for(max(1, min(m, n_alive)))
+        cur = (cur.join(alive.map_batches(
+                    lambda t: t.rename_columns(["a"]),
+                    batch_format="pyarrow"),
+                    join_type="inner", on=("a",),
+                    num_partitions=nparts)
+                  .join(alive.map_batches(
+                      lambda t: t.rename_columns(["b"]),
+                      batch_format="pyarrow"),
+                      join_type="inner", on=("b",),
+                      num_partitions=nparts))
+        cur = normalize_for_join(
+            cur.map_batches(lambda t: t.select(["a", "b"]),
+                            batch_format="pyarrow"), _E).materialize()
+        m2 = cur.count()
+        if m2 == m:
+            break           # fixpoint: every later round is a no-op
+        m = m2
+
+    if m == 0:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "core_deg": pa.array([], pa.int64())})
+    out = degrees(cur, m)
+    return out.map_batches(
+        lambda t: t.rename_columns(["url", "core_deg"]),
+        batch_format="pyarrow").sort("url")

@@ -446,6 +446,16 @@ def crawl_degree_hist(sf_dir: str):
                                    edges=_dump_link_graph(c, sf_dir))
 
 
+def crawl_kcore(sf_dir: str):
+    """(url, core_deg): bounded 3-core peel of the crawled link graph
+    (value-checked: 12-round unrolled peel chain in DuckDB over the
+    dumped canonical edge list)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_kcore(c.ray, c, edges=_dump_link_graph(c, sf_dir))
+
+
 def crawl_ppr(sf_dir: str):
     """Top-20 pages by seed-personalized PageRank (value-checked:
     chained-CTE DuckDB oracle over the dumped edge list + the attempts
@@ -498,6 +508,7 @@ def build_queries() -> dict:
         "crawl_depths": crawl_depths,
         "crawl_degree_hist": crawl_degree_hist,
         "crawl_ppr": crawl_ppr,
+        "crawl_kcore": crawl_kcore,
         "crawl_reciprocity": crawl_reciprocity,
         "crawl_clustering_coeff": crawl_clustering_coeff,
         "crawl_curation": crawl_curation,
@@ -1113,6 +1124,33 @@ ORDER BY COALESCE(r.rnk, 0) DESC, n.url LIMIT {k}
     return _materialize_ctes("".join(cte))
 
 
+def _kcore_oracle_template(k: int = 3, rounds: int = 12) -> str:
+    """DuckDB SQL replicating graph.py:crawl_kcore's BOUNDED peel
+    exactly: ``rounds`` unrolled drop-degree-<k / restrict steps over
+    the canonical undirected edge set, then the residual degrees.
+    (The Ray side exits early only at a fixpoint, which the remaining
+    unrolled rounds preserve — so the chain is value-identical.)"""
+    cte = [
+        "WITH e0 AS (SELECT DISTINCT LEAST(src, dst) AS a,"
+        " GREATEST(src, dst) AS b"
+        " FROM read_parquet('{edges_dump}/*.parquet') WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        cte.append(f""",
+ d{r} AS (SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM e{r - 1}
+        UNION ALL SELECT b AS node FROM e{r - 1}) GROUP BY node),
+ a{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
+ e{r} AS (SELECT e.a, e.b FROM e{r - 1} e
+        JOIN a{r} x ON e.a = x.node JOIN a{r} y ON e.b = y.node)""")
+    cte.append(f"""
+SELECT node AS url, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+  SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node
+  FROM e{rounds}) GROUP BY node ORDER BY url
+""")
+    return _materialize_ctes("".join(cte))
+
+
 def _materialize_ctes(sql: str) -> str:
     """Mark every CTE ``AS MATERIALIZED``: DuckDB 1.0 INLINES plain
     CTEs, so an iteration chain where each step references the
@@ -1264,6 +1302,7 @@ _CRAWL_ORACLE_TEMPLATES["crawl_depths"] = _DEPTHS_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_salsa"] = _salsa_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_ppr"] = _ppr_oracle_template()
+_CRAWL_ORACLE_TEMPLATES["crawl_kcore"] = _kcore_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_reciprocity"] = """
 WITH e AS (SELECT DISTINCT src, dst
            FROM read_parquet('{edges_dump}/*.parquet') WHERE src <> dst),
