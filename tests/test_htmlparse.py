@@ -183,3 +183,35 @@ class TestCharsetHook:
             "html": [b"<body>\x93x\x94</body>"]})
         out = ParseHtmlBatch(decode="detect")(batch)
         assert out.column("extracted_text")[0].as_py() == "“x”"
+
+
+class TestAnchorTexts:
+    def test_alignment_and_capture(self):
+        from webcrawler_ray.functions.htmlparse import (
+            anchor_texts,
+            parse_page,
+        )
+
+        h = (b'<html><body><a href="/x">Click <b>here</b> now</a>'
+             b' between <a href=" ">blank skipped</a>'
+             b'<a href="/y z">Y link</a><a>no href</a>'
+             b'<a href="/empty"></a></body></html>')
+        got = anchor_texts(h)
+        assert got == [("/x", "Click here now"), ("/y", "Y link"),
+                       ("/empty", "")]
+        # href list identical to the crawl parser's (same skip rule)
+        assert [h for h, _ in got] == parse_page(h).hrefs
+
+    def test_nested_anchor_innermost_wins(self):
+        from webcrawler_ray.functions.htmlparse import anchor_texts
+
+        h = b'<a href="/outer">out <a href="/inner">in</a></a> tail'
+        got = dict(anchor_texts(h))
+        assert got["/inner"] == "in"
+        assert got["/outer"] == "out"
+
+    def test_text_outside_anchors_ignored(self):
+        from webcrawler_ray.functions.htmlparse import anchor_texts
+
+        h = b'<p>pre</p><a href="/a">A</a><p>post</p>'
+        assert anchor_texts(h) == [("/a", "A")]

@@ -253,3 +253,63 @@ def parse_page(html: bytes | str, decoder=None) -> ParsedPage:
 def extract_visible_text(html: bytes | str) -> str:
     """M9 convenience wrapper."""
     return parse_page(html).visible_text
+
+
+class _AnchorCollector(_Collector):
+    """_Collector plus per-anchor text capture: each ``<a>`` whose href
+    survives the reference's skip rule gets the concatenation of the
+    text nodes INSIDE it (innermost anchor wins for nested anchors).
+    A separate opt-in subclass so the crawl's byte-identical hot path
+    stays untouched."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.anchor_datas: list[list[str]] = []   # aligned with hrefs
+        self._open_anchors: list[int] = []
+
+    def handle_starttag(self, tag, attrs):
+        n_before = len(self.hrefs)
+        super().handle_starttag(tag, attrs)
+        if tag == "a" and len(self.hrefs) > n_before:
+            self.anchor_datas.append([])
+            self._open_anchors.append(len(self.anchor_datas) - 1)
+        elif tag == "a":
+            # href-less/blank anchor still nests: track it so its end
+            # tag pops IT, not an outer captured anchor
+            self._open_anchors.append(-1)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag == "a" and self._open_anchors:
+            self._open_anchors.pop()
+        if tag not in VOID_ELEMENTS and self._stack and \
+                self._stack[-1] == tag:
+            self._stack.pop()
+        if tag == "title":
+            self._in_first_title = False
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._open_anchors:
+            self._open_anchors.pop()
+        super().handle_endtag(tag)
+
+    def handle_data(self, data):
+        super().handle_data(data)
+        if self._open_anchors and self._open_anchors[-1] >= 0:
+            self.anchor_datas[self._open_anchors[-1]].append(data)
+
+
+def anchor_texts(html: bytes | str, decoder=None) -> list[tuple[str, str]]:
+    """[(raw_href_first_token, anchor_text)] in document order — the
+    href list is IDENTICAL to ``parse_page(...).hrefs`` (same skip
+    rule), each paired with the single-space join of the stripped text
+    nodes inside its anchor element."""
+    text = decode_html(html, decoder)
+    c = _AnchorCollector()
+    try:
+        c.feed(text)
+        c.close()
+    except Exception:
+        pass
+    return [(h, " ".join(d.strip() for d in datas))
+            for h, datas in zip(c.hrefs, c.anchor_datas)]

@@ -1134,3 +1134,95 @@ def crawl_kcore(ray, crawler, k: int = KCORE_K,
     return out.map_batches(
         lambda t: t.rename_columns(["url", "core_deg"]),
         batch_format="pyarrow").sort("url")
+
+
+# ---------------------------------------------------------------------------
+ANCHOR_TOPK = 5
+
+
+def crawl_anchor_pairs(ray, crawler):
+    """(dst, token) Dataset: every canonical-tokenizer token of every
+    anchor text whose (fixup-surviving, non-self) href points at a
+    CRAWLED page — the raw material of an anchor-text index (the
+    description other pages give a page; the classic web-retrieval
+    signal the page's own text can't provide). Re-parses the stored
+    html with the SAME decode strategy and href skip/fixup rules the
+    crawl used, restricted to crawled targets by one string join."""
+    from ..functions.htmlparse import anchor_texts
+    from ..functions.tokenizer import tokenize
+    from ..functions.urls import fixup_href
+    from ..stages.aggregates import join_partitions_for, normalize_for_join
+
+    corpus = crawler.crawled_dataset()
+    if "html" not in corpus.schema().names:
+        raise ValueError("crawl_anchor_pairs needs the stored html")
+    n_nodes = corpus.count()
+    decode = crawler.cfg.extra.get("decode_strategy")
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        dsts, toks = [], []
+        for u, h, html in zip(urls, hosts, htmls):
+            for href, atext in anchor_texts(html, decoder=decode):
+                link = fixup_href(href, h)
+                if link is None or link == u:
+                    continue
+                for tok in tokenize(atext):
+                    dsts.append(link)
+                    toks.append(tok)
+        return pa.table({"dst": pa.array(dsts, pa.string()),
+                         "token": pa.array(toks, pa.string())})
+
+    _P = pa.schema([("dst", pa.string()), ("token", pa.string())])
+    pairs = normalize_for_join(
+        corpus.map_batches(to_pairs, batch_format="pyarrow"),
+        _P).materialize()
+    nodes = normalize_for_join(
+        corpus.map_batches(lambda t: t.select(["url"]).rename_columns(
+            ["dst"]), batch_format="pyarrow"),
+        pa.schema([("dst", pa.string())])).materialize()
+    nparts = join_partitions_for(max(1, min(n_nodes, pairs.count())))
+    kept = pairs.join(nodes, join_type="inner", on=("dst",),
+                      num_partitions=nparts)
+    return normalize_for_join(kept, _P).materialize()
+
+
+def crawl_anchor_terms(ray, crawler, k: int = ANCHOR_TOPK, pairs=None):
+    """(url, token, n): the top-``k`` anchor-text terms per crawled
+    page by incoming-anchor term frequency (ties to the smaller
+    token) — the anchor-text profile every link-based retrieval /
+    spam-analysis pipeline builds.
+
+    Scale shape: mergeable per-batch (dst, token) count partials, ONE
+    exchange keyed by dst (a page's terms co-locate), vectorized
+    per-bucket sort + grouped head-k."""
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    if pairs is None:
+        pairs = crawl_anchor_pairs(ray, crawler)
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "token": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["dst", "token"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["dst", "token"], as_index=False)["n"].sum()
+        g = g.sort_values(["dst", "n", "token"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        return g.groupby("dst", as_index=False).head(k)
+
+    out = hash_bucket_aggregate(pairs, ["dst"], partial, merge=merge,
+                                n_rows=n_pairs)
+    return (out.map_batches(
+                lambda t: t.rename_columns(["url", "token", "n"]),
+                batch_format="pyarrow")
+               .sort(["url", "n", "token"],
+                     descending=[False, True, False]))

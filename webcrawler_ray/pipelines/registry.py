@@ -446,6 +446,26 @@ def crawl_degree_hist(sf_dir: str):
                                    edges=_dump_link_graph(c, sf_dir))
 
 
+def _anchor_dump_path(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/webcrawler_ray_cache/{name}/anchor_pairs_dump"
+
+
+def crawl_anchor_terms(sf_dir: str):
+    """(url, token, n): top-5 incoming anchor-text terms per crawled
+    page (value-checked: GROUP BY + ROW_NUMBER DuckDB oracle over the
+    dumped (dst, token) anchor-pair table — same precedent as the edge
+    dump: the oracle checks the AGGREGATION math, the parse/fixup is
+    covered by the crawl-oracle e2e and the anchor unit tests)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    pairs = graph.crawl_anchor_pairs(c.ray, c)
+    dump = _anchor_dump_path(sf_dir)
+    _sig_keyed_dump(c.workdir, dump + ".sig", [(dump, pairs)])
+    return graph.crawl_anchor_terms(c.ray, c, pairs=pairs)
+
+
 def crawl_kcore(sf_dir: str):
     """(url, core_deg): bounded 3-core peel of the crawled link graph
     (value-checked: 12-round unrolled peel chain in DuckDB over the
@@ -509,6 +529,7 @@ def build_queries() -> dict:
         "crawl_degree_hist": crawl_degree_hist,
         "crawl_ppr": crawl_ppr,
         "crawl_kcore": crawl_kcore,
+        "crawl_anchor_terms": crawl_anchor_terms,
         "crawl_reciprocity": crawl_reciprocity,
         "crawl_clustering_coeff": crawl_clustering_coeff,
         "crawl_curation": crawl_curation,
@@ -1303,6 +1324,16 @@ _CRAWL_ORACLE_TEMPLATES["crawl_salsa"] = _salsa_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_ppr"] = _ppr_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_kcore"] = _kcore_oracle_template()
+_CRAWL_ORACLE_TEMPLATES["crawl_anchor_terms"] = """
+WITH c AS (SELECT dst, token, COUNT(*) AS n
+           FROM read_parquet('{anchor_dump}/*.parquet') GROUP BY 1, 2),
+r AS (SELECT dst, token, n,
+             ROW_NUMBER() OVER (PARTITION BY dst
+                                ORDER BY n DESC, token) AS rk
+      FROM c)
+SELECT dst AS url, token, CAST(n AS BIGINT) AS n
+FROM r WHERE rk <= 5 ORDER BY url, n DESC, token
+"""
 _CRAWL_ORACLE_TEMPLATES["crawl_reciprocity"] = """
 WITH e AS (SELECT DISTINCT src, dst
            FROM read_parquet('{edges_dump}/*.parquet') WHERE src <> dst),
@@ -1456,7 +1487,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     for name, tmpl in _CRAWL_ORACLE_TEMPLATES.items():
         out[name] = tmpl.format(dump=dump, edges_dump=edges_dump,
                                 nodes_dump=nodes_dump,
-                                corpus_dump=_corpus_dump_path(sf_dir))
+                                corpus_dump=_corpus_dump_path(sf_dir),
+                                anchor_dump=_anchor_dump_path(sf_dir))
     return out
 
 
@@ -1802,4 +1834,5 @@ for _name, _tmpl in _CRAWL_ORACLE_TEMPLATES.items():
     ORACLE_SQL[_name] = _tmpl.format(
         dump=_DRIVER_DUMP, edges_dump=_DRIVER_EDGES,
         nodes_dump=_DRIVER_NODES,
-        corpus_dump=_corpus_dump_path("/root/testdata/sf0.01"))
+        corpus_dump=_corpus_dump_path("/root/testdata/sf0.01"),
+        anchor_dump=_anchor_dump_path("/root/testdata/sf0.01"))
