@@ -117,7 +117,7 @@ SQL_CHECKED = [
     "dedup_lsh_recall", "dedup_containment_join", "docs_dsir_weights",
     "docs_dsir_resample", "events_ewm_sum", "events_max_concurrency",
     "orders_backlog_series", "events_user_diversity",
-    "docs_greedy_cover",
+    "docs_greedy_cover", "docs_boilerplate",
 ]
 
 
@@ -2928,3 +2928,38 @@ class TestNewKernels:
         salt = np.arange(reps.sum(), dtype=np.int64) - starts[ridx]
         rows = sorted(zip(uid[ridx].tolist(), salt.tolist()))
         assert rows == [(5, 0), (6, 0), (6, 1), (6, 2), (6, 3), (7, 0)]
+
+
+class TestBoilerplate:
+    def test_planted_boilerplate_detected(self, ray_session, tmp_path):
+        """One source, 10 docs, 3 sharing a footer 5-gram: the shared
+        gram passes the (>=2 docs, >=10% share, >=8 docs) rule and
+        only the three docs carrying it report a nonzero share."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        import webcrawler_ray.pipelines.textpipe as tp
+
+        footer = "copyright acme corp all rights"
+        texts = []
+        for i in range(10):
+            body = " ".join(f"word{i}x{j}" for j in range(8))
+            texts.append(body + (" " + footer if i < 3 else ""))
+        t = pa.table({
+            "doc_id": pa.array(range(10), pa.int64()),
+            "source": pa.array(["s0"] * 10),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 10),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+        out = tp.docs_boilerplate(ray, str(tmp_path)).to_pandas()
+        assert len(out) == 10
+        hit = out[out["n_boiler"] > 0]
+        assert sorted(hit["doc_id"]) == [0, 1, 2]
+        # the footer contributes exactly its 5-gram windows (6 tokens
+        # appended to an 8-token body -> grams spanning the boundary
+        # are doc-unique, the footer-internal ones are shared)
+        assert (hit["boiler_bp"] > 0).all()
+        assert (out["n_grams"] > 0).all()

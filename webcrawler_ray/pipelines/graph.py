@@ -1226,3 +1226,39 @@ def crawl_anchor_terms(ray, crawler, k: int = ANCHOR_TOPK, pairs=None):
                 batch_format="pyarrow")
                .sort(["url", "n", "token"],
                      descending=[False, True, False]))
+
+
+# ---------------------------------------------------------------------------
+def crawl_host_graph(ray, crawler, edges=None):
+    """(src_host, dst_host, n_links): the HOST-LEVEL link graph — the
+    page graph collapsed to hosts with page-edge multiplicities
+    (intra-host edges included; the form web graphs actually ship in,
+    and the input every host-reputation / link-spam analysis wants).
+
+    Scale shape: host extraction is a vectorized per-batch map over
+    the edge list (the SAME naive scheme://host split the reference
+    uses, validated by url_algebra); ONE bucketed exchange keyed by
+    the host pair sums the mergeable partial counts."""
+    from ..functions.urls import split_host_resource
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    if edges is None:
+        edges = crawl_link_edges(ray, crawler)
+    edges_ds, _n = edges
+
+    def hosts(t: pa.Table) -> pd.DataFrame:
+        sh = [split_host_resource(u)[0]
+              for u in t.column("src").to_pylist()]
+        dh = [split_host_resource(u)[0]
+              for u in t.column("dst").to_pylist()]
+        g = pd.DataFrame({"src_host": sh, "dst_host": dh,
+                          "n_links": np.ones(len(sh), dtype="int64")})
+        return g.groupby(["src_host", "dst_host"], as_index=False).sum()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["src_host", "dst_host"], as_index=False).sum()
+
+    return hash_bucket_aggregate(
+        edges_ds.map_batches(hosts, batch_format="pyarrow"),
+        ["src_host", "dst_host"], merge,
+        n_rows=edges_ds.count()).sort(["src_host", "dst_host"])

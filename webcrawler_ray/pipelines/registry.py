@@ -466,6 +466,17 @@ def crawl_anchor_terms(sf_dir: str):
     return graph.crawl_anchor_terms(c.ray, c, pairs=pairs)
 
 
+def crawl_host_graph(sf_dir: str):
+    """(src_host, dst_host, n_links): host-level collapse of the page
+    link graph (value-checked: GROUP BY over the dumped edge list with
+    the url_algebra host-split expression)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_host_graph(c.ray, c,
+                                  edges=_dump_link_graph(c, sf_dir))
+
+
 def crawl_kcore(sf_dir: str):
     """(url, core_deg): bounded 3-core peel of the crawled link graph
     (value-checked: 12-round unrolled peel chain in DuckDB over the
@@ -530,6 +541,7 @@ def build_queries() -> dict:
         "crawl_ppr": crawl_ppr,
         "crawl_kcore": crawl_kcore,
         "crawl_anchor_terms": crawl_anchor_terms,
+        "crawl_host_graph": crawl_host_graph,
         "crawl_reciprocity": crawl_reciprocity,
         "crawl_clustering_coeff": crawl_clustering_coeff,
         "crawl_curation": crawl_curation,
@@ -601,6 +613,8 @@ def build_queries() -> dict:
             lambda sf: textpipe.docs_inverted_index(ray, sf),
         "docs_greedy_cover":
             lambda sf: textpipe.docs_greedy_cover(ray, sf),
+        "docs_boilerplate":
+            lambda sf: textpipe.docs_boilerplate(ray, sf),
         "events_user_diversity":
             lambda sf: relational.events_user_diversity(ray, sf),
         "docs_lm_score": lambda sf: textpipe.docs_lm_score(ray, sf),
@@ -1324,6 +1338,16 @@ _CRAWL_ORACLE_TEMPLATES["crawl_salsa"] = _salsa_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_ppr"] = _ppr_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_kcore"] = _kcore_oracle_template()
+_CRAWL_ORACLE_TEMPLATES["crawl_host_graph"] = """
+WITH e AS (SELECT
+    string_split(src, '/')[1] || '//' || string_split(src, '/')[3]
+        AS src_host,
+    string_split(dst, '/')[1] || '//' || string_split(dst, '/')[3]
+        AS dst_host
+  FROM read_parquet('{edges_dump}/*.parquet'))
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
+"""
 _CRAWL_ORACLE_TEMPLATES["crawl_anchor_terms"] = """
 WITH c AS (SELECT dst, token, COUNT(*) AS n
            FROM read_parquet('{anchor_dump}/*.parquet') GROUP BY 1, 2),
@@ -1692,6 +1716,7 @@ ORDER BY vec_id_a, vec_id_b
     "docs_repetition": textpipe.DOCS_REPETITION_SQL,
     "docs_inverted_index": textpipe.DOCS_INVERTED_INDEX_SQL,
     "docs_greedy_cover": textpipe.DOCS_GREEDY_COVER_SQL,
+    "docs_boilerplate": textpipe.DOCS_BOILERPLATE_SQL,
     "events_user_diversity": relational.EVENTS_USER_DIVERSITY_SQL,
     "docs_lm_score": textpipe.DOCS_LM_SCORE_SQL,
     "docs_dsir_weights": textpipe.DOCS_DSIR_SQL,

@@ -3818,3 +3818,186 @@ cov{r} AS (SELECT token FROM p
 
 
 DOCS_GREEDY_COVER_SQL = _greedy_cover_sql()
+
+
+# ---------------------------------------------------------------------------
+BOILER_N = 5            # gram width defining a boilerplate candidate
+BOILER_MIN_SRC = 8      # only sources with >= this many docs
+BOILER_MIN_DOCS = 2     # gram must appear in >= 2 docs of the source
+BOILER_SHARE = 10       # ... and in >= 1/10 of the source's docs
+
+
+def docs_boilerplate(ray, sf_dir: str, n: int = BOILER_N):
+    """(doc_id, n_grams, n_boiler, boiler_bp): WITHIN-SOURCE BOILERPLATE
+    share — a token 5-gram is boilerplate for a source when it repeats
+    across >= 1/10 of that source's documents (>= 2 docs, sources with
+    >= 8 docs only): the nav-bar / footer signal CCNet-style pipelines
+    strip before training. Each doc reports how many of its DISTINCT
+    grams are boilerplate, in integer basis points.
+
+    Scale shape: one per-doc distinct gram explode (docs live in one
+    row, so per-batch distinct is global) carrying the doc's gram
+    total; (source, gram) doc-frequencies by ONE bucketed mergeable
+    count; the tiny per-source doc totals are a broadcast dict; the
+    boilerplate set joins back against the gram table with one
+    two-key hash join; per-doc counts by one more bucketed sum.
+    Nothing driver-side but the O(sources) totals."""
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+        normalize_for_join,
+    )
+
+    ds = _docs(ray, sf_dir, ["doc_id", "source", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        docs, sources, grams, gtots = [], [], [], []
+        for i, s, t in zip(ids, srcs,
+                           batch.column("text").to_pylist()):
+            tk = tokenize(t)
+            if len(tk) < n:
+                continue
+            gs = {" ".join(tk[j:j + n])
+                  for j in range(len(tk) - n + 1)}
+            for g in gs:
+                docs.append(i)
+                sources.append(s)
+                grams.append(g)
+                gtots.append(len(gs))
+        return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                         "source": pa.array(sources, pa.string()),
+                         "gram": pa.array(grams, pa.string()),
+                         "gtot": pa.array(gtots, pa.int64())})
+
+    _G = pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                    ("gram", pa.string()), ("gtot", pa.int64())])
+    grams = normalize_for_join(
+        ds.map_batches(explode, batch_format="pyarrow"), _G).materialize()
+    n_gr = grams.count()
+
+    # per-source doc totals: O(sources) — safe to fold on the driver
+    src_tot = (_docs(ray, sf_dir, ["source"])
+               .map_batches(lambda b: b.groupby("source", as_index=False)
+                            .size().rename(columns={"size": "nsd"}),
+                            batch_format="pandas", batch_size=65536)
+               .to_pandas()
+               .groupby("source", as_index=False)["nsd"].sum())
+    nsd_map = dict(zip(src_tot["source"], src_tot["nsd"].astype(int)))
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "gram"], as_index=False).size()
+        return g.rename(columns={"size": "nd"})
+
+    def df_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "gram"], as_index=False)["nd"].sum()
+        nsd = g["source"].map(nsd_map).fillna(0).astype(int)
+        keep = ((g["nd"] >= BOILER_MIN_DOCS)
+                & (g["nd"] * BOILER_SHARE >= nsd)
+                & (nsd >= BOILER_MIN_SRC))
+        return g.loc[keep, ["source", "gram"]]
+
+    _B = pa.schema([("source", pa.string()), ("gram", pa.string())])
+    boiler = normalize_for_join(
+        hash_bucket_aggregate(
+            grams.map_batches(
+                lambda t: t.select(["doc_id", "source", "gram"]),
+                batch_format="pyarrow"),
+            ["source", "gram"], df_partial, merge=df_merge,
+            n_rows=n_gr),
+        _B).materialize()
+
+    # per-doc totals ride the gram rows (gtot is a doc-level constant)
+    def doc_tot(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)["gtot"].max()
+
+    totals = normalize_for_join(
+        hash_bucket_aggregate(
+            grams.map_batches(lambda t: t.select(["doc_id", "gtot"]),
+                              batch_format="pyarrow"),
+            ["doc_id"], doc_tot, n_rows=n_gr),
+        pa.schema([("doc_id", pa.int64()),
+                   ("gtot", pa.int64())])).materialize()
+
+    nb = boiler.count()
+    if nb == 0:
+        def zero(t: pa.Table) -> pa.Table:
+            g = t.column("gtot").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_grams": pa.array(g.astype(np.int64)),
+                "n_boiler": pa.array(np.zeros(len(g), np.int64)),
+                "boiler_bp": pa.array(np.zeros(len(g), np.int64))})
+
+        return totals.map_batches(zero,
+                                  batch_format="pyarrow").sort("doc_id")
+
+    nparts = join_partitions_for(max(1, min(n_gr, nb)))
+    hits = grams.join(boiler, join_type="inner",
+                      on=("source", "gram"), num_partitions=nparts)
+
+    def hit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).size()
+        return g.rename(columns={"size": "n_boiler"})
+
+    def hit_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)["n_boiler"].sum()
+
+    bcounts = normalize_for_join(
+        hash_bucket_aggregate(
+            hits.map_batches(lambda t: t.select(["doc_id"]),
+                             batch_format="pyarrow"),
+            ["doc_id"], hit_partial, merge=hit_merge, n_rows=n_gr),
+        pa.schema([("doc_id", pa.int64()),
+                   ("n_boiler", pa.int64())])).materialize()
+
+    joined = totals.join(
+        bcounts, join_type="left_outer", on=("doc_id",),
+        num_partitions=join_partitions_for(
+            max(1, min(totals.count(), max(bcounts.count(), 1)))))
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.column("gtot").to_numpy(zero_copy_only=False) \
+             .astype(np.int64)
+        b = t.column("n_boiler").to_numpy(zero_copy_only=False)
+        b = np.nan_to_num(b.astype(np.float64), nan=0).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_grams": pa.array(g),
+            "n_boiler": pa.array(b),
+            "boiler_bp": pa.array(10000 * b // np.maximum(g, 1))})
+
+    return joined.map_batches(finish,
+                              batch_format="pyarrow").sort("doc_id")
+
+
+DOCS_BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+') AS tk
+  FROM documents),
+pos AS (
+  SELECT doc_id, source, tk,
+         unnest(generate_series(1, len(tk) - {BOILER_N - 1})) AS i
+  FROM toks WHERE len(tk) >= {BOILER_N}),
+g AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(tk[i:i+{BOILER_N - 1}], ' ') AS gram
+  FROM pos),
+sdocs AS (SELECT source, COUNT(*) AS nsd FROM documents GROUP BY 1),
+sg AS (SELECT source, gram, COUNT(*) AS nd FROM g GROUP BY 1, 2),
+boiler AS (
+  SELECT sg.source, sg.gram FROM sg JOIN sdocs USING (source)
+  WHERE nd >= {BOILER_MIN_DOCS} AND nd * {BOILER_SHARE} >= nsd
+        AND nsd >= {BOILER_MIN_SRC}),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1),
+hit AS (SELECT g.doc_id, COUNT(*) AS n_boiler
+        FROM g JOIN boiler b ON g.source = b.source AND g.gram = b.gram
+        GROUP BY 1)
+SELECT tot.doc_id, CAST(tot.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(hit.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CAST((10000 * COALESCE(hit.n_boiler, 0)) // tot.n_grams
+            AS BIGINT) AS boiler_bp
+FROM tot LEFT JOIN hit USING (doc_id) ORDER BY tot.doc_id
+"""
