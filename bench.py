@@ -96,7 +96,9 @@ QUERY_NAMES = [
     "catalog_tables", "events_mv_incremental", "events_wow_growth",
     "events_dp_counts", "dedup_jaccard_join", "docs_rrf_fusion",
     "dedup_lsh_recall", "dedup_containment_join", "docs_dsir_weights",
-    "docs_dsir_resample",
+    "docs_dsir_resample", "events_ewm_sum", "events_max_concurrency",
+    "orders_backlog_series", "events_user_diversity",
+    "docs_greedy_cover", "docs_boilerplate", "events_changepoint",
 ]
 
 

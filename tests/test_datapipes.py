@@ -117,7 +117,7 @@ SQL_CHECKED = [
     "dedup_lsh_recall", "dedup_containment_join", "docs_dsir_weights",
     "docs_dsir_resample", "events_ewm_sum", "events_max_concurrency",
     "orders_backlog_series", "events_user_diversity",
-    "docs_greedy_cover", "docs_boilerplate",
+    "docs_greedy_cover", "docs_boilerplate", "events_changepoint",
 ]
 
 

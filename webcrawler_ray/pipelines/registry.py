@@ -174,6 +174,39 @@ def url_algebra(sf_dir: str):
              .sort("url"))
 
 
+def crawl_path_depths(sf_dir: str):
+    """(depth, n_urls): PATH-DEPTH HISTOGRAM of every attempted URL —
+    depth = path segments below the host (slash count minus the two of
+    ``scheme://``), the URL-space shape diagnostic (how deep did the
+    frontier descend?). Vectorized slash count per batch; the grouped
+    count is a tiny mergeable aggregate; SQL side recomputes depth
+    independently from string_split over the attempts dump."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    c = _crawl_workdir(sf_dir)
+
+    def f(batch: pa.Table):
+        import pandas as pd
+
+        n_slash = pc.count_substring(batch.column("url"), "/") \
+                    .to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"depth": n_slash.astype("int64") - 2,
+                          "n_urls": np.ones(len(n_slash),
+                                            dtype="int64")})
+        return g.groupby("depth", as_index=False).sum()
+
+    return (c.attempts_dataset()
+             .map_batches(lambda t: t.select(["url"]),
+                          batch_format="pyarrow")
+             .map_batches(f, batch_format="pyarrow")
+             .groupby("depth").aggregate(Sum("n_urls",
+                                             alias_name="n_urls"))
+             .sort("depth"))
+
+
 def crawl_warc(sf_dir: str):
     """S5 in the TRUE byte format: crawled corpus -> gzipped WARC
     response records, 1000/file (`WarcFileSave.py:20-54` parity);
@@ -542,6 +575,7 @@ def build_queries() -> dict:
         "crawl_kcore": crawl_kcore,
         "crawl_anchor_terms": crawl_anchor_terms,
         "crawl_host_graph": crawl_host_graph,
+        "crawl_path_depths": crawl_path_depths,
         "crawl_reciprocity": crawl_reciprocity,
         "crawl_clustering_coeff": crawl_clustering_coeff,
         "crawl_curation": crawl_curation,
@@ -678,6 +712,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_ewm_sum(ray, sf),
         "events_max_concurrency":
             lambda sf: relational.events_max_concurrency(ray, sf),
+        "events_changepoint":
+            lambda sf: relational.events_changepoint(ray, sf),
         "orders_backlog_series":
             lambda sf: relational.orders_backlog_series(ray, sf),
         "events_attribution_window":
@@ -1304,6 +1340,12 @@ SELECT url,
 FROM read_parquet('{{dump}}')
 ORDER BY url
 """,
+    "crawl_path_depths": """
+SELECT CAST(len(string_split(url, '/')) - 3 AS BIGINT) AS depth,
+       COUNT(*) AS n_urls
+FROM read_parquet('{dump}')
+GROUP BY 1 ORDER BY depth
+""",
     "crawl_round_stats": """
 SELECT CAST(round AS BIGINT) AS round, COUNT(*) AS n_attempted,
        CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1595,6 +1637,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_moving_sum": relational.EVENTS_MOVING_SUM_SQL,
     "events_ewm_sum": relational.EVENTS_EWM_SUM_SQL,
     "events_max_concurrency": relational.EVENTS_MAX_CONCURRENCY_SQL,
+    "events_changepoint": relational.EVENTS_CHANGEPOINT_SQL,
     "orders_backlog_series": relational.ORDERS_BACKLOG_SQL,
     "events_attribution_window": relational.EVENTS_ATTRIB_SQL,
     "events_profile": profile.EVENTS_PROFILE_SQL,

@@ -9268,3 +9268,87 @@ SELECT user_id, CAST(nn AS BIGINT) AS n_events,
             END AS BIGINT) AS diversity_bp
 FROM u ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+def events_changepoint(ray, sf_dir: str):
+    """(event_type, cp_day, s_abs): CUSUM CHANGE-POINT — for each type,
+    the day where the cumulative deviation of the daily count from the
+    type's overall mean peaks (the classic level-shift detector). All
+    arithmetic is integer: with D calendar days and N_t total events,
+    S_d = sum_{i<=d} (n_i * D - N_t) is divisible-free and its |max|
+    day (ties to the earliest) is exact on both engines.
+
+    Scale shape: the corpus collapses to per-(type, day) count partials
+    in one pass (mergeable combiner, tiny groupby); the CUSUM scan runs
+    on the O(types x days) series — driver-side like the calendar ops
+    (orders_monthly_series precedent), never on raw events."""
+    from ray.data.aggregate import Sum
+
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].values.astype("datetime64[D]").astype("int64")
+        g = pd.DataFrame({"event_type": b["event_type"], "day": d,
+                          "n": np.ones(len(b), dtype="int64")})
+        return g.groupby(["event_type", "day"], as_index=False).sum()
+
+    agg = (ds.map_batches(partial, batch_format="pandas",
+                          batch_size=65536)
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())  # O(types x active days)
+    if len(agg) == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=str),
+            "cp_day": pd.Series([], dtype="datetime64[us]"),
+            "s_abs": pd.Series([], dtype="int64")})
+    lo, hi = int(agg["day"].min()), int(agg["day"].max())
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    D = len(days)
+    rows = []
+    for et, g in agg.groupby("event_type"):
+        n = np.zeros(D, dtype=np.int64)
+        n[g["day"].to_numpy() - lo] = g["n"].to_numpy()
+        N = int(n.sum())
+        s = np.cumsum(n * D - N)
+        a = np.abs(s)
+        i = int(np.argmax(a))        # first maximal |S| (earliest day)
+        rows.append((et, days[i], int(a[i])))
+    out = pd.DataFrame(rows, columns=["event_type", "cp_day", "s_abs"])
+    out["cp_day"] = out["cp_day"].to_numpy().astype("datetime64[D]") \
+                                 .astype("datetime64[us]")
+    out["s_abs"] = out["s_abs"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_CHANGEPOINT_SQL = """
+WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi,
+                  1 + datediff('day', MIN(day), MAX(day)) AS nd
+           FROM c),
+cal AS (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 1 DAY)) AS day),
+grid AS (SELECT t.event_type, cal.day, COALESCE(c.n, 0) AS n
+         FROM (SELECT DISTINCT event_type FROM c) t
+         CROSS JOIN cal
+         LEFT JOIN c ON c.event_type = t.event_type
+                    AND c.day = cal.day),
+tot AS (SELECT event_type, SUM(n) AS nt FROM grid GROUP BY 1),
+s AS (SELECT g.event_type, g.day,
+             SUM(g.n * (SELECT nd FROM bounds) - tot.nt)
+                 OVER (PARTITION BY g.event_type ORDER BY g.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cs
+      FROM grid g JOIN tot USING (event_type)),
+r AS (SELECT event_type, day, ABS(cs) AS a,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(cs) DESC, day) AS rk
+      FROM s)
+SELECT event_type, day AS cp_day, CAST(a AS BIGINT) AS s_abs
+FROM r WHERE rk = 1 ORDER BY event_type
+"""
