@@ -2963,3 +2963,61 @@ class TestBoilerplate:
         # are doc-unique, the footer-internal ones are shared)
         assert (hit["boiler_bp"] > 0).all()
         assert (out["n_grams"] > 0).all()
+
+
+class TestNewOpsMultiblockRound3:
+    """Force many small blocks through the newest operators so the
+    bucketed exchanges see partials split across block boundaries."""
+
+    def _re7(self, monkeypatch, mod):
+        orig = mod._rpq
+        monkeypatch.setattr(
+            mod, "_rpq",
+            lambda r, path, **kw: orig(r, path, **kw).repartition(7))
+
+    def test_ewm_multiblock(self, ray_session, ddb, monkeypatch):
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        self._re7(monkeypatch, rel)
+        got = _canon(_to_df(rel.events_ewm_sum(ray, SF_DIR)))
+        want = _canon(ddb.execute(rel.EVENTS_EWM_SUM_SQL).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_max_concurrency_multiblock(self, ray_session, ddb,
+                                        monkeypatch):
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        self._re7(monkeypatch, rel)
+        got = _canon(_to_df(rel.events_max_concurrency(ray, SF_DIR)))
+        want = _canon(
+            ddb.execute(rel.EVENTS_MAX_CONCURRENCY_SQL).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_user_diversity_multiblock(self, ray_session, ddb,
+                                       monkeypatch):
+        import ray
+
+        import webcrawler_ray.pipelines.relational as rel
+
+        self._re7(monkeypatch, rel)
+        got = _canon(_to_df(rel.events_user_diversity(ray, SF_DIR)))
+        want = _canon(
+            ddb.execute(rel.EVENTS_USER_DIVERSITY_SQL).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_boilerplate_multiblock(self, ray_session, ddb, monkeypatch):
+        import ray
+
+        import webcrawler_ray.pipelines.textpipe as tp
+
+        orig = tp._rpq
+        monkeypatch.setattr(
+            tp, "_rpq",
+            lambda r, path, **kw: orig(r, path, **kw).repartition(7))
+        got = _canon(_to_df(tp.docs_boilerplate(ray, SF_DIR)))
+        want = _canon(ddb.execute(tp.DOCS_BOILERPLATE_SQL).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
