@@ -9352,3 +9352,81 @@ r AS (SELECT event_type, day, ABS(cs) AS a,
 SELECT event_type, day AS cp_day, CAST(a AS BIGINT) AS s_abs
 FROM r WHERE rk = 1 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+TRAILING_HOURS = 24
+
+
+def events_trailing_sum(ray, sf_dir: str, hours: int = TRAILING_HOURS):
+    """(event_id, trail_cents): TIME-BASED (RANGE-frame) trailing
+    window — each event's cents plus the same user's cents in the
+    preceding ``hours`` hours, INCLUDING same-timestamp peers (SQL
+    ``RANGE BETWEEN ... PRECEDING AND CURRENT ROW`` semantics, which
+    a ROWS frame like events_moving_sum cannot express).
+
+    Scale shape: one shuffle keyed by coarse user bucket; inside a
+    bucket the frame bounds are two np.searchsorted calls against the
+    user-segmented composite (user_rank, ts) axis and the sum is a
+    cumulative-sum difference — no per-row loop."""
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+    span_us = hours * 3_600_000_000
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u, N_BUCKETS)
+        return t.append_column("ubucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "trail_cents": pd.Series([], dtype="int64")})
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(g["value"].to_numpy() * 100).astype(np.int64)
+        # composite axis: (user_rank << 52) | ts-offset keeps users
+        # disjoint; instead use per-user rank scaling via searchsorted
+        # on a (rank, ts) lexicographic float-free composite: rank
+        # spans * time span
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        rank = np.cumsum(new_user) - 1          # dense user rank
+        lo_t, hi_t = int(ts.min()), int(ts.max())
+        span = (hi_t - lo_t) + span_us + 1
+        axis = rank * span + (ts - lo_t)
+        # frame start: first index with axis >= rank*span + (t - win)
+        target = rank * span + np.maximum(ts - lo_t - span_us, 0)
+        start = np.searchsorted(axis, target, side="left")
+        # frame end: last same-user index with ts <= t (RANGE includes
+        # same-timestamp peers AFTER this row in tie order too)
+        end = np.searchsorted(axis, rank * span + (ts - lo_t),
+                              side="right")
+        cum = np.concatenate(([0], np.cumsum(cents)))
+        trail = cum[end] - cum[start]
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "trail_cents": trail})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort("event_id"))
+
+
+EVENTS_TRAILING_SUM_SQL = f"""
+WITH c AS (SELECT event_id, user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id,
+       CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY t
+            RANGE BETWEEN {TRAILING_HOURS * 3_600_000_000} PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS trail_cents
+FROM c ORDER BY event_id
+"""
