@@ -31,6 +31,18 @@ HEADER_FMT = "<4sIII"  # magic, width, height, n_frames
 HEADER_SIZE = struct.calcsize(HEADER_FMT)  # 16
 
 
+def _synth_blocks(sf_dir: str) -> int:
+    """Block count for the doc_id-only synthesis reads: per-doc payload
+    generation (and the decode stages after it) is the expensive part,
+    so split the tiny id table into ~32-row blocks (capped) to fan the
+    work across the pool — the default small-table sizing would give
+    ONE block and serialize everything."""
+    from ..io_utils import parquet_num_rows
+
+    n = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    return max(1, min(64, n // 32))
+
+
 def payload_dims(doc_id: int) -> tuple[int, int, int]:
     """(width, height, n_frames) for a doc — small enough that payload
     bytes stay O(KB) per row at any sf."""
@@ -46,8 +58,12 @@ def make_payload(doc_id: int) -> bytes:
 
 
 def synthesize_payloads(ray, sf_dir: str):
-    """documents -> (doc_id, media: binary) with real decodable pixels."""
-    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    """documents -> (doc_id, media: binary) with real decodable pixels.
+    The id-only read collapses to one tiny block; re-split it (and keep
+    batches small) so the per-doc synthesis fans out across the pool
+    instead of serializing in one task."""
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"],
+              override_num_blocks=_synth_blocks(sf_dir))
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -55,7 +71,7 @@ def synthesize_payloads(ray, sf_dir: str):
                          "media": pa.array([make_payload(d) for d in ids],
                                            pa.binary())})
 
-    return ds.map_batches(synth, batch_format="pyarrow", batch_size=512)
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=32)
 
 
 class DecodeStage:
@@ -121,7 +137,7 @@ def decode_meta(ray, sf_dir: str, concurrency: int = 2):
     synthesized binary column."""
     ds = synthesize_payloads(ray, sf_dir)
     out = ds.map_batches(DecodeStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=concurrency)
+                         batch_size=32, concurrency=concurrency)
     return out.sort("doc_id")
 
 
@@ -166,7 +182,7 @@ def frame_samples(ray, sf_dir: str, concurrency: int = 2):
     binary media column."""
     ds = synthesize_payloads(ray, sf_dir)
     out = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=concurrency)
+                         batch_size=32, concurrency=concurrency)
     return out.sort(["doc_id", "frame_idx"])
 
 
@@ -210,7 +226,7 @@ def resize_stats(ray, sf_dir: str, out_w: int = 8, out_h: int = 8,
     ds = synthesize_payloads(ray, sf_dir)
     out = ds.map_batches(ResizeStage,
                          fn_constructor_args=(out_w, out_h),
-                         batch_format="pyarrow", batch_size=256,
+                         batch_format="pyarrow", batch_size=32,
                          concurrency=concurrency)
     return out.sort("doc_id")
 
@@ -244,7 +260,7 @@ def channel_hist(ray, sf_dir: str, concurrency: int = 2):
     from ray.data.aggregate import Sum
 
     out = (ds.map_batches(HistStage, batch_format="pyarrow",
-                          batch_size=256, concurrency=concurrency)
+                          batch_size=32, concurrency=concurrency)
              .groupby("bin").aggregate(Sum("n", alias_name="n")))
     return out.sort("bin")
 
@@ -281,8 +297,10 @@ def make_audio_payload(doc_id: int) -> bytes:
 
 
 def synthesize_audio(ray, sf_dir: str):
-    """documents -> (doc_id, audio: binary) with real decodable PCM."""
-    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    """documents -> (doc_id, audio: binary) with real decodable PCM
+    (re-split like synthesize_payloads so synthesis parallelizes)."""
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"],
+              override_num_blocks=_synth_blocks(sf_dir))
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -291,7 +309,7 @@ def synthesize_audio(ray, sf_dir: str):
             "audio": pa.array([make_audio_payload(d) for d in ids],
                               pa.binary())})
 
-    return ds.map_batches(synth, batch_format="pyarrow", batch_size=512)
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=32)
 
 
 class AudioWindowStage:
@@ -339,7 +357,7 @@ def audio_windows(ray, sf_dir: str, concurrency: int = 2):
     is the value gate, audio_meta is the SQL-checked layout gate)."""
     ds = synthesize_audio(ray, sf_dir)
     out = ds.map_batches(AudioWindowStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=concurrency)
+                         batch_size=32, concurrency=concurrency)
     return out.sort(["doc_id", "win_idx"])
 
 
@@ -367,7 +385,7 @@ def audio_meta(ray, sf_dir: str, concurrency: int = 2):
                 "n_bytes": pa.array(nbs, pa.int64())})
 
     return (ds.map_batches(MetaStage, batch_format="pyarrow",
-                           batch_size=256, concurrency=concurrency)
+                           batch_size=32, concurrency=concurrency)
               .sort("doc_id"))
 
 
@@ -423,9 +441,8 @@ def synthesize_near_dup_images(ray, sf_dir: str):
     single task."""
     from ..io_utils import parquet_num_rows
 
-    n = parquet_num_rows(f"{sf_dir}/documents.parquet")
     ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"],
-              override_num_blocks=max(1, min(64, n // 256)))
+              override_num_blocks=_synth_blocks(sf_dir))
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -434,7 +451,7 @@ def synthesize_near_dup_images(ray, sf_dir: str):
                              [make_near_dup_image(d) for d in ids],
                              pa.binary())})
 
-    return ds.map_batches(synth, batch_format="pyarrow", batch_size=512)
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=32)
 
 
 def dhash64(px: np.ndarray) -> int:
@@ -474,7 +491,7 @@ def phash_pairs(ray, sf_dir: str, max_hamming: int = 3):
     n_docs = _nrows(f"{sf_dir}/documents.parquet")
     ds = synthesize_near_dup_images(ray, sf_dir)
     hashes = ds.map_batches(phash_batch, batch_format="pyarrow",
-                            batch_size=256)
+                            batch_size=32)
     return hamming_pairs_int64(hashes, n_docs, max_hamming)
 
 
@@ -514,8 +531,10 @@ def make_video_payload(doc_id: int) -> bytes:
 
 
 def synthesize_videos(ray, sf_dir: str):
-    """documents -> (doc_id, media: binary) scene-structured videos."""
-    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    """documents -> (doc_id, media: binary) scene-structured videos
+    (re-split like synthesize_payloads so synthesis parallelizes)."""
+    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"],
+              override_num_blocks=_synth_blocks(sf_dir))
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -524,7 +543,7 @@ def synthesize_videos(ray, sf_dir: str):
             "media": pa.array([make_video_payload(d) for d in ids],
                               pa.binary())})
 
-    return ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=32)
 
 
 class SceneCutStage:
@@ -562,7 +581,7 @@ def scene_cuts(ray, sf_dir: str, concurrency: int = 2):
     check that the decode + SAD kernel actually ran correctly."""
     ds = synthesize_videos(ray, sf_dir)
     out = ds.map_batches(SceneCutStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=concurrency)
+                         batch_size=32, concurrency=concurrency)
     return out.sort(["doc_id", "cut_frame"])
 
 
