@@ -716,6 +716,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_changepoint(ray, sf),
         "events_trailing_sum":
             lambda sf: relational.events_trailing_sum(ray, sf),
+        "events_bounce_rate":
+            lambda sf: relational.events_bounce_rate(ray, sf),
         "orders_backlog_series":
             lambda sf: relational.orders_backlog_series(ray, sf),
         "events_attribution_window":
@@ -1641,6 +1643,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_max_concurrency": relational.EVENTS_MAX_CONCURRENCY_SQL,
     "events_changepoint": relational.EVENTS_CHANGEPOINT_SQL,
     "events_trailing_sum": relational.EVENTS_TRAILING_SUM_SQL,
+    "events_bounce_rate": relational.EVENTS_BOUNCE_SQL,
     "orders_backlog_series": relational.ORDERS_BACKLOG_SQL,
     "events_attribution_window": relational.EVENTS_ATTRIB_SQL,
     "events_profile": profile.EVENTS_PROFILE_SQL,

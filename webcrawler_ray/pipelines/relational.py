@@ -9430,3 +9430,81 @@ SELECT event_id,
                       AND CURRENT ROW) AS BIGINT) AS trail_cents
 FROM c ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+def events_bounce_rate(ray, sf_dir: str):
+    """(n_sessions, n_bounce, bounce_bp): single-row BOUNCE RATE — the
+    share (integer basis points) of 30-min-gap sessions containing
+    exactly ONE event, the standard engagement diagnostic layered on
+    sessionization. Tie-safe: rows sharing a timestamp always land in
+    the same session whichever order the engines visit them (a gap of
+    0 can never open a session), so the length distribution is exact.
+
+    Scale shape: the sessionize exchange (ONE shuffle keyed by coarse
+    user bucket), a vectorized run-length pass per bucket emitting two
+    integers, and an O(buckets) Sum fold."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u, N_BUCKETS)
+        return pa.table({"user_id": t.column("user_id"),
+                         "t_us": t.column("ts").cast(pa.int64()),
+                         "ubucket": pa.array(b, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_us"], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"n_sessions": pd.Series([], dtype="int64"),
+                                 "n_bounce": pd.Series([], dtype="int64")})
+        uid = g["user_id"].to_numpy()
+        ts = g["t_us"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = np.r_[0, np.diff(ts)] > SESSION_GAP_US
+        start = new_user | gap
+        idx = np.nonzero(start)[0]
+        lens = np.diff(np.r_[idx, n])
+        return pd.DataFrame({"n_sessions": [int(len(idx))],
+                             "n_bounce": [int((lens == 1).sum())]})
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+               .groupby("ubucket").map_groups(per_bucket,
+                                              batch_format="pandas"))
+    tot = parts.aggregate(Sum("n_sessions"), Sum("n_bounce"))
+    ns = int(tot["sum(n_sessions)"] or 0)
+    nb = int(tot["sum(n_bounce)"] or 0)
+    bp = (10000 * nb) // ns if ns else 0
+    return pd.DataFrame({"n_sessions": pd.Series([ns], dtype="int64"),
+                         "n_bounce": pd.Series([nb], dtype="int64"),
+                         "bounce_bp": pd.Series([bp], dtype="int64")})
+
+
+EVENTS_BOUNCE_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sid AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS s
+  FROM gaps),
+sess AS (SELECT user_id, s, COUNT(*) AS len FROM sid GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounce,
+       CAST((10000 * SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS bounce_bp
+FROM sess
+"""
