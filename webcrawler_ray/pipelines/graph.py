@@ -1262,3 +1262,117 @@ def crawl_host_graph(ray, crawler, edges=None):
         edges_ds.map_batches(hosts, batch_format="pyarrow"),
         ["src_host", "dst_host"], merge,
         n_rows=edges_ds.count()).sort(["src_host", "dst_host"])
+
+
+# ---------------------------------------------------------------------------
+HITS_ITERS = 2
+
+
+def crawl_hits(ray, crawler, iters: int = HITS_ITERS, k: int = 20,
+               edges=None):
+    """Top-k (url, authority, hub) by UNNORMALIZED integer HITS
+    (Kleinberg 1999): h0 = 1 everywhere, then alternately
+    a = sum of in-neighbors' h and h = sum of out-neighbors' a,
+    ``iters`` full rounds. Skipping the float normalization keeps
+    every value an exact integer sum (the ranking is identical —
+    normalization is a positive scalar); magnitudes grow like
+    deg^(2*iters), so iters=2 stays far inside int64 for web-scale
+    degree distributions (the SQL oracle's HUGEINT has headroom
+    beyond that).
+
+    Scale shape per half-step: ONE hash join of the edge list against
+    the current score table + ONE bucketed sum — the pagerank skeleton
+    without the leftover redistribution."""
+    from ray.data.aggregate import Sum  # noqa: F401  (parity w/ pagerank)
+
+    from ..stages.aggregates import (
+        hash_bucket_aggregate,
+        join_partitions_for,
+        normalize_for_join,
+    )
+
+    if edges is None:
+        edges = crawl_link_edges(ray, crawler)
+    edges, n_nodes = edges
+    corpus = crawler.crawled_dataset()
+    nparts = join_partitions_for(min(n_nodes, edges.count()))
+    _E2 = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    ed = normalize_for_join(
+        edges.map_batches(lambda t: t.select(["src", "dst"]),
+                          batch_format="pyarrow"), _E2).materialize()
+
+    def const_scores(ds, val):
+        return normalize_for_join(
+            ds.map_batches(
+                lambda t: pa.table({
+                    "url": t.column("url"),
+                    "score": pa.array(np.full(t.num_rows, val,
+                                              dtype=np.int64))}),
+                batch_format="pyarrow"),
+            pa.schema([("url", pa.string()),
+                       ("score", pa.int64())])).materialize()
+
+    def push(scores, key_in, key_out):
+        """sum scores of ``key_in``-neighbors onto ``key_out`` nodes."""
+        joined = ed.join(
+            scores.map_batches(
+                lambda t: t.rename_columns([key_in, "score"]),
+                batch_format="pyarrow"),
+            join_type="inner", on=(key_in,), num_partitions=nparts)
+
+        def project(t: pa.Table) -> pd.DataFrame:
+            g = pd.DataFrame({
+                "url": t.column(key_out).to_pylist(),
+                "score": t.column("score").to_numpy(
+                    zero_copy_only=False).astype("int64")})
+            return g.groupby("url", as_index=False).sum()
+
+        return normalize_for_join(
+            hash_bucket_aggregate(
+                joined.map_batches(project, batch_format="pyarrow"),
+                ["url"],
+                lambda df: df.groupby("url", as_index=False).sum(),
+                n_rows=ed.count()),
+            pa.schema([("url", pa.string()),
+                       ("score", pa.int64())])).materialize()
+
+    nodes = corpus.map_batches(lambda t: t.select(["url"]),
+                               batch_format="pyarrow").materialize()
+    h = const_scores(nodes, 1)
+    a = None
+    for _ in range(iters):
+        a = push(h, "src", "dst")     # authorities from hubs
+        h = push(a, "dst", "src")     # hubs from authorities
+
+    # densify + pair up: nodes left-join authority and hub, zeros fill
+    av = a.map_batches(lambda t: t.rename_columns(["url", "authority"]),
+                       batch_format="pyarrow")
+    hv = h.map_batches(lambda t: t.rename_columns(["url", "hub"]),
+                       batch_format="pyarrow")
+    out = normalize_for_join(
+        nodes, pa.schema([("url", pa.string())])).join(
+        normalize_for_join(av, pa.schema(
+            [("url", pa.string()), ("authority", pa.int64())])),
+        join_type="left_outer", on=("url",),
+        num_partitions=join_partitions_for(
+            max(1, min(n_nodes, a.count()))))
+    out = out.join(
+        normalize_for_join(hv, pa.schema(
+            [("url", pa.string()), ("hub", pa.int64())])),
+        join_type="left_outer", on=("url",),
+        num_partitions=join_partitions_for(
+            max(1, min(n_nodes, h.count()))))
+
+    def fill(t: pa.Table) -> pa.Table:
+        def z(col):
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            return np.nan_to_num(v.astype(np.float64),
+                                 nan=0).astype(np.int64)
+
+        return pa.table({"url": t.column("url"),
+                         "authority": pa.array(z("authority")),
+                         "hub": pa.array(z("hub"))})
+
+    return (out.map_batches(fill, batch_format="pyarrow")
+               .sort(["authority", "url"], descending=[True, False])
+               .limit(k))

@@ -499,6 +499,16 @@ def crawl_anchor_terms(sf_dir: str):
     return graph.crawl_anchor_terms(c.ray, c, pairs=pairs)
 
 
+def crawl_hits(sf_dir: str):
+    """Top-20 (url, authority, hub) by unnormalized integer HITS
+    (value-checked: chained-CTE DuckDB oracle over the dumped edge
+    list)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_hits(c.ray, c, edges=_dump_link_graph(c, sf_dir))
+
+
 def crawl_host_graph(sf_dir: str):
     """(src_host, dst_host, n_links): host-level collapse of the page
     link graph (value-checked: GROUP BY over the dumped edge list with
@@ -576,6 +586,7 @@ def build_queries() -> dict:
         "crawl_anchor_terms": crawl_anchor_terms,
         "crawl_host_graph": crawl_host_graph,
         "crawl_path_depths": crawl_path_depths,
+        "crawl_hits": crawl_hits,
         "crawl_reciprocity": crawl_reciprocity,
         "crawl_clustering_coeff": crawl_clustering_coeff,
         "crawl_curation": crawl_curation,
@@ -1199,6 +1210,34 @@ ORDER BY COALESCE(r.rnk, 0) DESC, n.url LIMIT {k}
     return _materialize_ctes("".join(cte))
 
 
+def _hits_oracle_template(iters: int = 2, k: int = 20) -> str:
+    """DuckDB SQL replicating unnormalized integer HITS exactly
+    (graph.py:crawl_hits): h0 = 1, then a = sum in-neighbor h /
+    h = sum out-neighbor a per full round (a uses the SAME round's h;
+    h uses the NEW a)."""
+    cte = [
+        "WITH nodes AS (SELECT url FROM"
+        " read_parquet('{nodes_dump}/*.parquet')),",
+        " e AS (SELECT src, dst FROM"
+        " read_parquet('{edges_dump}/*.parquet')),",
+        " h0 AS (SELECT url, CAST(1 AS BIGINT) AS s FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        cte.append(f""",
+ a{i} AS (SELECT e.dst AS url, CAST(SUM(h.s) AS BIGINT) AS s
+        FROM e JOIN h{i - 1} h ON e.src = h.url GROUP BY e.dst),
+ h{i} AS (SELECT e.src AS url, CAST(SUM(a.s) AS BIGINT) AS s
+        FROM e JOIN a{i} a ON e.dst = a.url GROUP BY e.src)""")
+    cte.append(f"""
+SELECT n.url, CAST(COALESCE(a.s, 0) AS BIGINT) AS authority,
+       CAST(COALESCE(h.s, 0) AS BIGINT) AS hub
+FROM nodes n LEFT JOIN a{iters} a ON a.url = n.url
+             LEFT JOIN h{iters} h ON h.url = n.url
+ORDER BY COALESCE(a.s, 0) DESC, n.url LIMIT {k}
+""")
+    return _materialize_ctes("".join(cte))
+
+
 def _kcore_oracle_template(k: int = 3, rounds: int = 12) -> str:
     """DuckDB SQL replicating graph.py:crawl_kcore's BOUNDED peel
     exactly: ``rounds`` unrolled drop-degree-<k / restrict steps over
@@ -1384,6 +1423,7 @@ _CRAWL_ORACLE_TEMPLATES["crawl_salsa"] = _salsa_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_ppr"] = _ppr_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_kcore"] = _kcore_oracle_template()
+_CRAWL_ORACLE_TEMPLATES["crawl_hits"] = _hits_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_host_graph"] = """
 WITH e AS (SELECT
     string_split(src, '/')[1] || '//' || string_split(src, '/')[3]
