@@ -108,9 +108,11 @@ def crawl_link_edges(ray, crawler):
         df["deg"] = df.groupby("src")["dst"].transform("count")
         return df[["src", "dst", "deg"]]
 
+    n_kept = kept.count()
     edges = hash_bucket_aggregate(kept, ["src"], deg_group,
-                                  n_rows=kept.count())
-    return normalize_for_join(edges, _EDGE).materialize(), n_nodes
+                                  n_rows=n_kept)
+    return normalize_for_join(edges, _EDGE,
+                              n_rows=n_kept).materialize(), n_nodes
 
 
 def pagerank(ray, crawler, iters: int = 5, edges=None):

@@ -158,7 +158,18 @@ def distinct_keys(ds, col: str, n_rows: int | None = None):
         [col], _dd, n_rows=n_rows)
 
 
-def normalize_for_join(ds, schema: pa.Schema, num_blocks: int = 8):
+def blocks_for_rows(n_rows: int, rows_per_block: int = 65_536,
+                    lo: int = 8, hi: int = 512) -> int:
+    """Repartition fan-out sized from DATA (the buckets_for principle
+    applied to block counts): ~64k rows per block keeps every block a
+    single sane Arrow table while the count — and with it both join
+    parallelism and the per-task heap — scales with the input instead
+    of being a constant."""
+    return int(max(lo, min(hi, n_rows // rows_per_block + 1)))
+
+
+def normalize_for_join(ds, schema: pa.Schema, num_blocks: int = 8,
+                       n_rows: int | None = None):
     """Coerce every block of ``ds`` to exactly ``schema`` and rebalance.
 
     ``groupby().map_groups`` emits COLUMN-LESS empty pandas blocks for
@@ -166,7 +177,15 @@ def normalize_for_join(ds, schema: pa.Schema, num_blocks: int = 8):
     ("No match ... for key field on right side") even when a map stage
     retypes each block — the join's partition build needs uniform block
     schemas, which only a repartition after the typed map guarantees.
-    Use on any BOUNDED dataset headed into a join/union."""
+    Use on any BOUNDED dataset headed into a join/union.
+
+    ``n_rows`` (when the caller knows the row count — a materialized
+    upstream makes it metadata-only) overrides the 8-block default
+    with a data-sized count via ``blocks_for_rows`` so a LARGE table
+    is never squeezed into 8 giant blocks (an OOM + parallelism
+    ceiling at cluster scale)."""
+    if n_rows is not None:
+        num_blocks = blocks_for_rows(n_rows)
 
     def f(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
