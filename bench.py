@@ -99,6 +99,7 @@ QUERY_NAMES = [
     "docs_dsir_resample", "events_ewm_sum", "events_max_concurrency",
     "orders_backlog_series", "events_user_diversity",
     "docs_greedy_cover", "docs_boilerplate", "events_changepoint",
+    "events_trailing_sum", "events_bounce_rate",
 ]
 
 

@@ -117,8 +117,12 @@ def crawl_flagship(sf_dir: str):
 
 
 def crawl_corpus(sf_dir: str):
-    """Saved-pages corpus with byte-identical extracted text."""
+    """Saved-pages corpus with byte-identical extracted text
+    (value-checked: identity SQL over the sig-keyed corpus dump —
+    the docs_ipc_roundtrip precedent; the text bytes themselves are
+    pinned by the crawl-oracle e2e)."""
     c = _crawl_workdir(sf_dir)
+    _dump_crawl_corpus(c, sf_dir)   # oracle reads the dumped rows
     return (c.crawled_dataset()
              .map_batches(lambda t: t.select(
                  ["fetch_seq", "url", "host", "extracted_text", "title",
@@ -395,10 +399,17 @@ def _adapted_corpus(crawler):
     import pyarrow as pa
 
     def adapt(t: pa.Table) -> pa.Table:
+        # the curation columns PLUS the full crawl_corpus projection —
+        # one dump serves both the curation oracle (selects by name)
+        # and crawl_corpus's identity oracle
         return pa.table({
             "doc_id": t.column("fetch_seq").cast(pa.int64()),
             "source": t.column("host").cast(pa.string()),
-            "text": t.column("extracted_text").cast(pa.string())})
+            "text": t.column("extracted_text").cast(pa.string()),
+            "url": t.column("url").cast(pa.string()),
+            "title": t.column("title").cast(pa.string()),
+            "first_n": t.column("first_n").cast(pa.string()),
+            "n_links": t.column("n_links").cast(pa.int64())})
 
     return crawler.crawled_dataset().map_batches(
         adapt, batch_format="pyarrow")
@@ -411,7 +422,10 @@ def _dump_crawl_corpus(crawler, sf_dir: str):
     dataset for reuse."""
     ds = _adapted_corpus(crawler)
     path = _corpus_dump_path(sf_dir)
-    _sig_keyed_dump(crawler.workdir, path + ".sig", [(path, ds)])
+    # "|corpusv2": schema-versioned sig — the dump gained the
+    # crawl_corpus projection columns, so pre-v2 dumps must regenerate
+    _sig_keyed_dump(crawler.workdir + "|corpusv2", path + ".sig",
+                    [(path, ds)])
     return ds
 
 
@@ -1382,6 +1396,16 @@ SELECT url,
            AS passes_blocklist
 FROM read_parquet('{{dump}}')
 ORDER BY url
+""",
+    "crawl_flagship": """
+SELECT fetch_seq, url, host, ts, status, round, seq
+FROM read_parquet('{dump}') ORDER BY fetch_seq
+""",
+    "crawl_corpus": """
+SELECT CAST(doc_id AS BIGINT) AS fetch_seq, url, source AS host,
+       text AS extracted_text, title, first_n,
+       CAST(n_links AS INTEGER) AS n_links
+FROM read_parquet('{corpus_dump}/*.parquet') ORDER BY fetch_seq
 """,
     "crawl_path_depths": """
 SELECT CAST(len(string_split(url, '/')) - 3 AS BIGINT) AS depth,
