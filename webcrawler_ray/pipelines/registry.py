@@ -258,6 +258,7 @@ def crawl_warc_read(sf_dir: str):
         return write_warc(ds, out).materialize()
 
     ensure_complete_set(out, ".warc.gz", _write)
+    _dump_crawl_corpus(c, sf_dir)   # oracle: record lengths vs dump
     rb = read_warc(ray, out)
     return rb.map_batches(
         lambda t: pa.table({"url": t.column("url"),
@@ -275,6 +276,7 @@ def crawl_log(sf_dir: str):
     c = _crawl_workdir(sf_dir)
     import ray
 
+    _dump_crawl_corpus(c, sf_dir)   # the oracle joins the two dumps
     files = []
     rounds_dir = _os.path.join(c.workdir, "rounds")
     for d in sorted(_os.listdir(rounds_dir)):
@@ -400,8 +402,10 @@ def _adapted_corpus(crawler):
 
     def adapt(t: pa.Table) -> pa.Table:
         # the curation columns PLUS the full crawl_corpus projection —
-        # one dump serves both the curation oracle (selects by name)
-        # and crawl_corpus's identity oracle
+        # one dump serves the curation oracle (selects by name) and the
+        # identity oracles of crawl_corpus / crawl_log / crawl_warc_read
+        import pyarrow.compute as pc
+
         return pa.table({
             "doc_id": t.column("fetch_seq").cast(pa.int64()),
             "source": t.column("host").cast(pa.string()),
@@ -409,7 +413,9 @@ def _adapted_corpus(crawler):
             "url": t.column("url").cast(pa.string()),
             "title": t.column("title").cast(pa.string()),
             "first_n": t.column("first_n").cast(pa.string()),
-            "n_links": t.column("n_links").cast(pa.int64())})
+            "n_links": t.column("n_links").cast(pa.int64()),
+            "n_html": pc.binary_length(t.column("html")).cast(
+                pa.int64())})
 
     return crawler.crawled_dataset().map_batches(
         adapt, batch_format="pyarrow")
@@ -422,9 +428,9 @@ def _dump_crawl_corpus(crawler, sf_dir: str):
     dataset for reuse."""
     ds = _adapted_corpus(crawler)
     path = _corpus_dump_path(sf_dir)
-    # "|corpusv2": schema-versioned sig — the dump gained the
+    # "|corpusv3": schema-versioned sig — the dump gained the
     # crawl_corpus projection columns, so pre-v2 dumps must regenerate
-    _sig_keyed_dump(crawler.workdir + "|corpusv2", path + ".sig",
+    _sig_keyed_dump(crawler.workdir + "|corpusv3", path + ".sig",
                     [(path, ds)])
     return ds
 
@@ -1401,11 +1407,28 @@ ORDER BY url
 SELECT fetch_seq, url, host, ts, status, round, seq
 FROM read_parquet('{dump}') ORDER BY fetch_seq
 """,
+    "crawl_log": """
+SELECT a.url AS "URL", c.title AS "Title", c.first_n AS "Text",
+       a.ts AS "Timestamp"
+FROM read_parquet('{corpus_dump}/*.parquet') c
+JOIN read_parquet('{dump}') a ON a.fetch_seq = c.doc_id
+ORDER BY a.url
+""",
     "crawl_corpus": """
 SELECT CAST(doc_id AS BIGINT) AS fetch_seq, url, source AS host,
        text AS extracted_text, title, first_n,
        CAST(n_links AS INTEGER) AS n_links
 FROM read_parquet('{corpus_dump}/*.parquet') ORDER BY fetch_seq
+""",
+    "crawl_log_jsonl": """
+SELECT a.url AS "URL", a.ts AS "Timestamp"
+FROM read_parquet('{dump}') a
+JOIN read_parquet('{corpus_dump}/*.parquet') c ON a.fetch_seq = c.doc_id
+ORDER BY a.url
+""",
+    "crawl_warc_read": """
+SELECT url, CAST(n_html AS BIGINT) AS n_bytes
+FROM read_parquet('{corpus_dump}/*.parquet') ORDER BY url
 """,
     "crawl_path_depths": """
 SELECT CAST(len(string_split(url, '/')) - 3 AS BIGINT) AS depth,
