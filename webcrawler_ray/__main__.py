@@ -47,6 +47,9 @@ def query_main(argv) -> int:
                          "printing")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--head", type=int, default=10)
+    ap.add_argument("--stats", action="store_true",
+                    help="print the Ray Data per-stage execution stats "
+                         "(ds.stats()) after the result")
     args = ap.parse_args(argv)
 
     from .pipelines.registry import ORACLE_SQL, build_queries
@@ -81,6 +84,8 @@ def query_main(argv) -> int:
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         print(df.head(args.head).to_string(index=False))
         print(json.dumps({"query": args.name, "rows": int(len(df))}))
+    if args.stats and hasattr(res, "stats"):
+        print(res.stats())  # per-stage wall/cpu/rows — the tuning loop
     if owned:
         ray.shutdown()
     return 0
