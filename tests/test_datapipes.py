@@ -119,6 +119,7 @@ SQL_CHECKED = [
     "orders_backlog_series", "events_user_diversity",
     "docs_greedy_cover", "docs_boilerplate", "events_changepoint",
     "events_trailing_sum", "events_bounce_rate",
+    "events_gap_histogram", "docs_hapax_ratio",
 ]
 
 

@@ -749,6 +749,10 @@ def build_queries() -> dict:
             lambda sf: relational.events_trailing_sum(ray, sf),
         "events_bounce_rate":
             lambda sf: relational.events_bounce_rate(ray, sf),
+        "events_gap_histogram":
+            lambda sf: relational.events_gap_histogram(ray, sf),
+        "docs_hapax_ratio":
+            lambda sf: textpipe.docs_hapax_ratio(ray, sf),
         "orders_backlog_series":
             lambda sf: relational.orders_backlog_series(ray, sf),
         "events_attribution_window":
@@ -1731,6 +1735,8 @@ ORDER BY vec_id_a, vec_id_b
     "events_changepoint": relational.EVENTS_CHANGEPOINT_SQL,
     "events_trailing_sum": relational.EVENTS_TRAILING_SUM_SQL,
     "events_bounce_rate": relational.EVENTS_BOUNCE_SQL,
+    "events_gap_histogram": relational.EVENTS_GAP_HISTOGRAM_SQL,
+    "docs_hapax_ratio": textpipe.DOCS_HAPAX_SQL,
     "orders_backlog_series": relational.ORDERS_BACKLOG_SQL,
     "events_attribution_window": relational.EVENTS_ATTRIB_SQL,
     "events_profile": profile.EVENTS_PROFILE_SQL,

@@ -9508,3 +9508,70 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
             // COUNT(*) AS BIGINT) AS bounce_bp
 FROM sess
 """
+
+
+# ---------------------------------------------------------------------------
+def events_gap_histogram(ray, sf_dir: str):
+    """(log2_gap, n_gaps): LOG-SCALE INTER-EVENT GAP DISTRIBUTION —
+    each same-user consecutive gap (in microseconds) lands in bucket
+    floor(log2(gap)); zero gaps (same-timestamp bursts) take bucket
+    -1. The burstiness diagnostic behind session-gap / rate-limit
+    tuning, exact on both engines because bucket = bit_length(gap)-1
+    on integers and IEEE log2 is exact at powers of two.
+
+    Scale shape: ONE shuffle keyed by coarse user bucket, a segmented
+    diff + bit-twiddling pass per bucket emitting O(64) partial rows,
+    and a tiny grouped Sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u, N_BUCKETS)
+        return pa.table({"user_id": t.column("user_id"),
+                         "t_us": t.column("ts").cast(pa.int64()),
+                         "ubucket": pa.array(b, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_us"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["t_us"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        gap = np.r_[0, np.diff(ts)][same]
+        if len(gap) == 0:
+            return pd.DataFrame({"log2_gap": pd.Series([], dtype="int64"),
+                                 "n_gaps": pd.Series([], dtype="int64")})
+        # floor(log2(gap)) == 63 - clz(gap); -1 for gap == 0
+        b = np.full(len(gap), -1, dtype=np.int64)
+        nz = gap > 0
+        b[nz] = np.floor(np.log2(gap[nz].astype(np.float64))) \
+                  .astype(np.int64)
+        h = pd.DataFrame({"log2_gap": b,
+                          "n_gaps": np.ones(len(b), dtype="int64")})
+        return h.groupby("log2_gap", as_index=False).sum()
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .groupby("log2_gap").aggregate(Sum("n_gaps",
+                                                 alias_name="n_gaps"))
+              .sort("log2_gap"))
+
+
+EVENTS_GAP_HISTOGRAM_SQL = """
+WITH g AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP))
+         - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+               (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events),
+b AS (SELECT CASE WHEN gap = 0 THEN -1
+                  ELSE CAST(FLOOR(LOG2(gap)) AS BIGINT) END AS log2_gap
+      FROM g WHERE gap IS NOT NULL)
+SELECT log2_gap, COUNT(*) AS n_gaps
+FROM b GROUP BY log2_gap ORDER BY log2_gap
+"""

@@ -4001,3 +4001,70 @@ SELECT tot.doc_id, CAST(tot.n_grams AS BIGINT) AS n_grams,
             AS BIGINT) AS boiler_bp
 FROM tot LEFT JOIN hit USING (doc_id) ORDER BY tot.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+def docs_hapax_ratio(ray, sf_dir: str):
+    """(vocab_size, n_hapax, hapax_bp): HAPAX LEGOMENA share — how much
+    of the corpus vocabulary occurs exactly once (Zipf-tail health: a
+    synthetic or deduplicated corpus shows a depressed hapax rate,
+    OCR noise an inflated one). Integer basis points.
+
+    Scale shape: per-batch token-count partials (the wordcount
+    combiner), ONE bucketed exchange keyed by token, per-bucket fold
+    to two integers, O(buckets) Sum."""
+    from ray.data.aggregate import Sum
+
+    from ..io_utils import parquet_column_bytes
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _docs(ray, sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tokenize(t))
+        return pd.DataFrame({"token": list(c.keys()),
+                             "n": pd.Series(list(c.values()),
+                                            dtype="int64")})
+
+    def resum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", as_index=False).sum()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("token")["n"].sum()
+        return pd.DataFrame({
+            "vocab": [int(len(tot))],
+            "hapax": [int((tot.to_numpy() == 1).sum())]})
+
+    tok_bound = parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 2
+    parts = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"], resum, merge=fold, n_rows=tok_bound)
+    tot = parts.aggregate(Sum("vocab"), Sum("hapax"))
+    v = int(tot["sum(vocab)"] or 0)
+    h = int(tot["sum(hapax)"] or 0)
+    bp = (10000 * h) // v if v else 0
+    return pd.DataFrame({"vocab_size": pd.Series([v], dtype="int64"),
+                         "n_hapax": pd.Series([h], dtype="int64"),
+                         "hapax_bp": pd.Series([bp], dtype="int64")})
+
+
+DOCS_HAPAX_SQL = f"""
+WITH t AS (
+  SELECT unnest(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+'))
+             AS token
+  FROM documents),
+c AS (SELECT token, COUNT(*) AS n FROM t WHERE token != ''
+      GROUP BY token)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+       CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                 ELSE (10000 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END))
+                      // COUNT(*) END AS BIGINT) AS hapax_bp
+FROM c
+"""
