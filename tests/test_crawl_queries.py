@@ -690,3 +690,42 @@ class TestCrawlCuration:
                 == (cum // SEQ_LEN_TOKENS).to_numpy()).all()
         # dedup keep-first: fetch_seq ids unique
         assert df["doc_id"].is_unique
+
+
+class TestTitleDups:
+    def test_planted_duplicate_titles(self, ray_session):
+        """The bucketed title-count kernel surfaces only shared titles,
+        most-shared first (the registry query's corpus is all-unique,
+        so the sweep's 0-row check needs this planted complement)."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray
+
+        from webcrawler_ray.stages.aggregates import (
+            hash_bucket_aggregate,
+            normalize_for_join,
+        )
+
+        titles = (["Welcome"] * 3 + ["About"] * 2
+                  + [f"unique {i}" for i in range(5)] + [None])
+        src = ray.data.from_arrow(
+            pa.table({"title": pa.array(titles, pa.string())}))
+
+        def partial(df):
+            g = df.groupby("title", as_index=False, dropna=True).size()
+            return g.rename(columns={"size": "n_pages"})
+
+        def merge(df):
+            g = df.groupby("title", as_index=False)["n_pages"].sum()
+            return g[g["n_pages"] > 1]
+
+        out = normalize_for_join(
+            hash_bucket_aggregate(src.repartition(4), ["title"],
+                                  partial, merge=merge),
+            pa.schema([("title", pa.string()), ("n_pages", pa.int64())]))
+        df = (out.sort(["n_pages", "title"], descending=[True, False])
+                 .to_pandas())
+        pd.testing.assert_frame_equal(
+            df.reset_index(drop=True),
+            pd.DataFrame({"title": ["Welcome", "About"],
+                          "n_pages": pd.Series([3, 2], dtype="int64")}))

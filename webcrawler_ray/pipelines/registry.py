@@ -211,6 +211,45 @@ def crawl_path_depths(sf_dir: str):
              .sort("depth"))
 
 
+def crawl_title_dups(sf_dir: str):
+    """(title, n_pages): TITLES SHARED BY >1 CRAWLED PAGE, most-shared
+    first — the duplicate-title diagnostic (soft-404s / templated pages
+    surface here before any content hashing). One bucketed count over
+    the corpus titles; oracle = GROUP BY HAVING over the corpus dump."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    c = _crawl_workdir(sf_dir)
+    _dump_crawl_corpus(c, sf_dir)
+
+    def partial(df):
+        g = df.groupby("title", as_index=False, dropna=True).size()
+        return g.rename(columns={"size": "n_pages"})
+
+    def merge(df):
+        g = df.groupby("title", as_index=False)["n_pages"].sum()
+        return g[g["n_pages"] > 1]
+
+    from ..stages.aggregates import normalize_for_join
+
+    src = c.crawled_dataset().map_batches(
+        lambda t: t.select(["title"]), batch_format="pyarrow")
+    out = hash_bucket_aggregate(src, ["title"], partial, merge=merge)
+    # normalize: an all-filtered result otherwise ends as column-less
+    # empty blocks and the driver sees a schema-less frame
+    out = normalize_for_join(out, pa.schema(
+        [("title", pa.string()), ("n_pages", pa.int64())])).materialize()
+    if out.count() == 0:
+        # a zero-group result yields a block-less dataset whose pandas
+        # frame would be schema-less; return the typed empty directly
+        return pa.table({"title": pa.array([], pa.string()),
+                         "n_pages": pa.array([], pa.int64())})
+    return out.sort(["n_pages", "title"], descending=[True, False])
+
+
 def crawl_warc(sf_dir: str):
     """S5 in the TRUE byte format: crawled corpus -> gzipped WARC
     response records, 1000/file (`WarcFileSave.py:20-54` parity);
@@ -607,6 +646,7 @@ def build_queries() -> dict:
         "crawl_host_graph": crawl_host_graph,
         "crawl_path_depths": crawl_path_depths,
         "crawl_hits": crawl_hits,
+        "crawl_title_dups": crawl_title_dups,
         "crawl_reciprocity": crawl_reciprocity,
         "crawl_clustering_coeff": crawl_clustering_coeff,
         "crawl_curation": crawl_curation,
@@ -1433,6 +1473,13 @@ ORDER BY a.url
     "crawl_warc_read": """
 SELECT url, CAST(n_html AS BIGINT) AS n_bytes
 FROM read_parquet('{corpus_dump}/*.parquet') ORDER BY url
+""",
+    "crawl_title_dups": """
+SELECT title, CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM read_parquet('{corpus_dump}/*.parquet')
+WHERE title IS NOT NULL
+GROUP BY title HAVING COUNT(*) > 1
+ORDER BY n_pages DESC, title
 """,
     "crawl_path_depths": """
 SELECT CAST(len(string_split(url, '/')) - 3 AS BIGINT) AS depth,
