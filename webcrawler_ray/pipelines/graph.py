@@ -1378,3 +1378,88 @@ def crawl_hits(ray, crawler, iters: int = HITS_ITERS, k: int = 20,
     return (out.map_batches(fill, batch_format="pyarrow")
                .sort(["authority", "url"], descending=[True, False])
                .limit(k))
+
+
+# ---------------------------------------------------------------------------
+def crawl_indegree_hist(ray, crawler, edges=None):
+    """(in_deg, n_pages): IN-DEGREE distribution of the crawled link
+    graph, zero-indegree pages included — the authority-spread twin of
+    crawl_degree_hist (out-degree): a heavy right tail here is the
+    supernode warning for every dst-keyed join/propagation.
+
+    Scale shape: identical to the out-degree kernel — per-batch dst
+    count partials, zero-marker union, ONE bucketed max-merge, tiny
+    grouped count."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    if edges is None:
+        edges = crawl_link_edges(ray, crawler)
+    edges_ds, n_nodes = edges
+
+    def dst_deg(t: pa.Table) -> pd.DataFrame:
+        g = pd.DataFrame({"url": t.column("dst").to_pylist(),
+                          "deg": np.ones(t.num_rows, dtype="int64")})
+        return g.groupby("url", as_index=False).sum()
+
+    nodes = crawler.crawled_dataset().map_batches(
+        lambda t: pa.table({
+            "url": t.column("url"),
+            "deg": pa.array(np.zeros(t.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+
+    both = (edges_ds.map_batches(dst_deg, batch_format="pyarrow")
+            .union(nodes))
+    per_url = hash_bucket_aggregate(
+        both, ["url"],
+        lambda df: df.groupby("url", as_index=False).sum(),
+        n_rows=n_nodes + edges_ds.count())
+
+    def hist(t: pa.Table) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "in_deg": t.column("deg").to_numpy(zero_copy_only=False)
+            .astype("int64"),
+            "n_pages": np.ones(t.num_rows, dtype="int64")})
+        return g.groupby("in_deg", as_index=False).sum()
+
+    return (per_url.map_batches(hist, batch_format="pyarrow")
+            .groupby("in_deg")
+            .aggregate(Sum("n_pages", alias_name="n_pages"))
+            .sort("in_deg"))
+
+
+# ---------------------------------------------------------------------------
+def crawl_edge_locality(ray, crawler, edges=None):
+    """(n_intra, n_inter, intra_bp): single-row EDGE LOCALITY — the
+    share of page-level links staying on their own host, in integer
+    basis points. High locality is what makes host-partitioned crawling
+    and host-bucketed graph processing efficient; this measures it.
+
+    Scale shape: vectorized host-split per batch, two O(1) partial
+    counters per block, one Sum fold."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.urls import split_host_resource
+
+    if edges is None:
+        edges = crawl_link_edges(ray, crawler)
+    edges_ds, _n = edges
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        sh = [split_host_resource(u)[0]
+              for u in t.column("src").to_pylist()]
+        dh = [split_host_resource(u)[0]
+              for u in t.column("dst").to_pylist()]
+        same = sum(1 for a, b in zip(sh, dh) if a == b)
+        return pd.DataFrame({"n_intra": [int(same)],
+                             "n_inter": [int(len(sh) - same)]})
+
+    tot = edges_ds.map_batches(partial, batch_format="pyarrow") \
+                  .aggregate(Sum("n_intra"), Sum("n_inter"))
+    ni = int(tot["sum(n_intra)"] or 0)
+    nx = int(tot["sum(n_inter)"] or 0)
+    bp = (10000 * ni) // (ni + nx) if (ni + nx) else 0
+    return pa.table({"n_intra": pa.array([ni], pa.int64()),
+                     "n_inter": pa.array([nx], pa.int64()),
+                     "intra_bp": pa.array([bp], pa.int64())})

@@ -568,6 +568,27 @@ def crawl_hits(sf_dir: str):
     return graph.crawl_hits(c.ray, c, edges=_dump_link_graph(c, sf_dir))
 
 
+def crawl_indegree_hist(sf_dir: str):
+    """(in_deg, n_pages): in-degree distribution incl. zero-indegree
+    pages (value-checked: GROUP BY over the dumped edge + node lists)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_indegree_hist(c.ray, c,
+                                     edges=_dump_link_graph(c, sf_dir))
+
+
+def crawl_edge_locality(sf_dir: str):
+    """Single row (n_intra, n_inter, intra_bp): same-host share of the
+    page link graph (value-checked: host-split GROUP BY over the dumped
+    edge list)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_edge_locality(c.ray, c,
+                                     edges=_dump_link_graph(c, sf_dir))
+
+
 def crawl_host_graph(sf_dir: str):
     """(src_host, dst_host, n_links): host-level collapse of the page
     link graph (value-checked: GROUP BY over the dumped edge list with
@@ -647,6 +668,8 @@ def build_queries() -> dict:
         "crawl_path_depths": crawl_path_depths,
         "crawl_hits": crawl_hits,
         "crawl_title_dups": crawl_title_dups,
+        "crawl_indegree_hist": crawl_indegree_hist,
+        "crawl_edge_locality": crawl_edge_locality,
         "crawl_reciprocity": crawl_reciprocity,
         "crawl_clustering_coeff": crawl_clustering_coeff,
         "crawl_curation": crawl_curation,
@@ -793,6 +816,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_gap_histogram(ray, sf),
         "docs_hapax_ratio":
             lambda sf: textpipe.docs_hapax_ratio(ray, sf),
+        "docs_vocab_coverage":
+            lambda sf: textpipe.docs_vocab_coverage(ray, sf),
         "orders_backlog_series":
             lambda sf: relational.orders_backlog_series(ray, sf),
         "events_attribution_window":
@@ -1522,6 +1547,31 @@ _CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_ppr"] = _ppr_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_kcore"] = _kcore_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_hits"] = _hits_oracle_template()
+_CRAWL_ORACLE_TEMPLATES["crawl_indegree_hist"] = """
+WITH nodes AS (SELECT url FROM read_parquet('{nodes_dump}/*.parquet')),
+d AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM read_parquet('{edges_dump}/*.parquet') GROUP BY dst)
+SELECT CAST(COALESCE(d.deg, 0) AS BIGINT) AS in_deg,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM nodes n LEFT JOIN d ON n.url = d.dst
+GROUP BY 1 ORDER BY in_deg
+"""
+_CRAWL_ORACLE_TEMPLATES["crawl_edge_locality"] = """
+WITH e AS (SELECT
+    string_split(src, '/')[1] || '//' || string_split(src, '/')[3]
+        AS sh,
+    string_split(dst, '/')[1] || '//' || string_split(dst, '/')[3]
+        AS dh
+  FROM read_parquet('{edges_dump}/*.parquet')),
+c AS (SELECT SUM(CASE WHEN sh = dh THEN 1 ELSE 0 END) AS ni,
+             SUM(CASE WHEN sh = dh THEN 0 ELSE 1 END) AS nx
+      FROM e)
+SELECT CAST(ni AS BIGINT) AS n_intra, CAST(nx AS BIGINT) AS n_inter,
+       CAST(CASE WHEN ni + nx = 0 THEN 0
+                 ELSE (10000 * ni) // (ni + nx) END AS BIGINT)
+           AS intra_bp
+FROM c
+"""
 _CRAWL_ORACLE_TEMPLATES["crawl_host_graph"] = """
 WITH e AS (SELECT
     string_split(src, '/')[1] || '//' || string_split(src, '/')[3]
@@ -1784,6 +1834,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_bounce_rate": relational.EVENTS_BOUNCE_SQL,
     "events_gap_histogram": relational.EVENTS_GAP_HISTOGRAM_SQL,
     "docs_hapax_ratio": textpipe.DOCS_HAPAX_SQL,
+    "docs_vocab_coverage": textpipe.DOCS_VOCAB_COVERAGE_SQL,
     "orders_backlog_series": relational.ORDERS_BACKLOG_SQL,
     "events_attribution_window": relational.EVENTS_ATTRIB_SQL,
     "events_profile": profile.EVENTS_PROFILE_SQL,

@@ -4068,3 +4068,90 @@ SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
                       // COUNT(*) END AS BIGINT) AS hapax_bp
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+COVERAGE_KS = (10, 100, 1000)
+
+
+def docs_vocab_coverage(ray, sf_dir: str, ks=COVERAGE_KS):
+    """(k, share_bp, total_tokens): VOCABULARY COVERAGE CURVE — the
+    share of all token OCCURRENCES covered by the k most frequent
+    types (ties to the lexicographically smaller token), for k in
+    {10, 100, 1000}. The Zipf-concentration summary tokenizer and
+    vocab-size decisions start from; integer basis points.
+
+    Scale shape: wordcount combiner partials, ONE bucketed exchange
+    keyed by token; each bucket emits its LOCAL top-max(ks) rows plus
+    a one-row occurrence total (the global top-k is contained in the
+    union of per-bucket top-ks — distinct tokens never split across
+    buckets), so the driver merges only O(buckets * max(ks)) rows."""
+    from ..io_utils import parquet_column_bytes
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    kmax = max(ks)
+    ds = _docs(ray, sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tokenize(t))
+        return pd.DataFrame({"token": list(c.keys()),
+                             "n": pd.Series(list(c.values()),
+                                            dtype="int64")})
+
+    def resum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", as_index=False).sum()
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["n"].sum()
+        total = int(g["n"].sum())
+        g = g.sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort").head(kmax)
+        g = g.assign(total=np.int64(0))
+        # one extra row carries the bucket's occurrence total
+        return pd.concat(
+            [g, pd.DataFrame({"token": [""], "n": [0],
+                              "total": pd.Series([total],
+                                                 dtype="int64")})],
+            ignore_index=True)
+
+    tok_bound = parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 2
+    parts = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"], resum, merge=local_top,
+        n_rows=tok_bound).to_pandas()  # O(buckets * kmax)
+    total = int(parts["total"].sum())
+    cand = parts[parts["token"] != ""].sort_values(
+        ["n", "token"], ascending=[False, True], kind="mergesort")
+    csum = cand["n"].to_numpy().cumsum()
+    rows = []
+    for k in sorted(ks):
+        cov = int(csum[min(k, len(csum)) - 1]) if len(csum) else 0
+        rows.append((k, (10000 * cov) // total if total else 0, total))
+    return pd.DataFrame({
+        "k": pd.Series([r[0] for r in rows], dtype="int64"),
+        "share_bp": pd.Series([r[1] for r in rows], dtype="int64"),
+        "total_tokens": pd.Series([r[2] for r in rows], dtype="int64")})
+
+
+DOCS_VOCAB_COVERAGE_SQL = f"""
+WITH t AS (
+  SELECT unnest(str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+'))
+             AS token
+  FROM documents),
+c AS (SELECT token, COUNT(*) AS n FROM t WHERE token != ''
+      GROUP BY token),
+tot AS (SELECT SUM(n) AS s FROM c),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk
+      FROM c)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST((10000 * (SELECT COALESCE(SUM(n), 0) FROM r
+                      WHERE rk <= ks.k))
+            // (SELECT s FROM tot) AS BIGINT) AS share_bp,
+       CAST((SELECT s FROM tot) AS BIGINT) AS total_tokens
+FROM (VALUES (10), (100), (1000)) AS ks(k) ORDER BY k
+"""
