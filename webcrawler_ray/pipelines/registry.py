@@ -1024,6 +1024,8 @@ def build_queries() -> dict:
             "knn_cosine_filtered":
                 lambda sf: similarity.knn_cosine_filtered(ray, sf),
             "emb_quantize": lambda sf: similarity.emb_quantize(ray, sf),
+            "emb_qnorm_hist":
+                lambda sf: similarity.emb_qnorm_hist(ray, sf),
             "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
             "knn_lsh": lambda sf: similarity.knn_lsh(ray, sf),
             "knn_pq": lambda sf: similarity.knn_pq(ray, sf),
@@ -1993,6 +1995,7 @@ try:
     ORACLE_SQL["cluster_embedding_cosine"] = _sim.CLUSTER_COSINE_SQL
     ORACLE_SQL["emb_gram_matrix"] = _sim.EMB_GRAM_SQL
     ORACLE_SQL["emb_quantize"] = _sim.EMB_QUANTIZE_SQL
+    ORACLE_SQL["emb_qnorm_hist"] = _sim.EMB_QNORM_HIST_SQL
     ORACLE_SQL["knn_cosine_q8"] = _sim.KNN_Q8_SQL
     ORACLE_SQL["knn_cosine_filtered"] = _sim.KNN_FILTERED_SQL
     ORACLE_SQL["knn_mmr"] = _sim.KNN_MMR_SQL

@@ -1335,3 +1335,59 @@ ORDER BY query_id, step
 
 
 KNN_MMR_SQL = _mmr_sql()
+
+
+# ---------------------------------------------------------------------------
+QNORM_SCALE = 1024.0
+
+
+def emb_qnorm_hist(ray, sf_dir: str):
+    """(log2_qnorm2, n_vecs): QUANTIZED-NORM HISTOGRAM — every
+    embedding's squared norm after floor(x * 1024) integer
+    quantization, bucketed by floor(log2) (all-zero vectors take
+    bucket -1). The embeddings-QA pass a vector corpus runs before
+    indexing: norm outliers are truncated/broken vectors, and the
+    integer quantization keeps the histogram bit-exact against SQL
+    (float norms are order-dependent; the emb_quantize discipline).
+
+    Scale shape: pure streaming map_batches partials + one tiny
+    grouped Sum — no shuffle of vectors, no state."""
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, m = _emb_matrix(batch)
+        q = np.floor(m.astype(np.float64) * QNORM_SCALE).astype(np.int64)
+        qn2 = (q * q).sum(axis=1)
+        b = np.full(len(qn2), -1, dtype=np.int64)
+        nz = qn2 > 0
+        b[nz] = np.floor(np.log2(qn2[nz].astype(np.float64))) \
+                  .astype(np.int64)
+        h = pd.DataFrame({"log2_qnorm2": b,
+                          "n_vecs": np.ones(len(b), dtype="int64")})
+        return h.groupby("log2_qnorm2", as_index=False).sum()
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("log2_qnorm2")
+              .aggregate(Sum("n_vecs", alias_name="n_vecs"))
+              .sort("log2_qnorm2"))
+
+
+EMB_QNORM_HIST_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))
+         AS code
+  FROM embeddings),
+n AS (SELECT CAST(list_sum(list_transform(code, c -> c * c)) AS BIGINT)
+             AS qn2 FROM q),
+b AS (SELECT CASE WHEN qn2 <= 0 THEN -1
+                  ELSE CAST(FLOOR(LOG2(qn2)) AS BIGINT)
+             END AS log2_qnorm2 FROM n)
+SELECT log2_qnorm2, COUNT(*) AS n_vecs
+FROM b GROUP BY log2_qnorm2 ORDER BY log2_qnorm2
+"""
