@@ -120,7 +120,7 @@ SQL_CHECKED = [
     "docs_greedy_cover", "docs_boilerplate", "events_changepoint",
     "events_trailing_sum", "events_bounce_rate",
     "events_gap_histogram", "docs_hapax_ratio",
-    "docs_vocab_coverage", "emb_qnorm_hist",
+    "docs_vocab_coverage", "emb_qnorm_hist", "events_active_time",
 ]
 
 

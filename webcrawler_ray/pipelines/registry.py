@@ -814,6 +814,8 @@ def build_queries() -> dict:
             lambda sf: relational.events_bounce_rate(ray, sf),
         "events_gap_histogram":
             lambda sf: relational.events_gap_histogram(ray, sf),
+        "events_active_time":
+            lambda sf: relational.events_active_time(ray, sf),
         "docs_hapax_ratio":
             lambda sf: textpipe.docs_hapax_ratio(ray, sf),
         "docs_vocab_coverage":
@@ -1835,6 +1837,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_trailing_sum": relational.EVENTS_TRAILING_SUM_SQL,
     "events_bounce_rate": relational.EVENTS_BOUNCE_SQL,
     "events_gap_histogram": relational.EVENTS_GAP_HISTOGRAM_SQL,
+    "events_active_time": relational.EVENTS_ACTIVE_TIME_SQL,
     "docs_hapax_ratio": textpipe.DOCS_HAPAX_SQL,
     "docs_vocab_coverage": textpipe.DOCS_VOCAB_COVERAGE_SQL,
     "orders_backlog_series": relational.ORDERS_BACKLOG_SQL,

@@ -9580,3 +9580,82 @@ b AS (SELECT CASE WHEN gap = 0 THEN -1
 SELECT log2_gap, COUNT(*) AS n_gaps
 FROM b GROUP BY log2_gap ORDER BY log2_gap
 """
+
+
+# ---------------------------------------------------------------------------
+def events_active_time(ray, sf_dir: str):
+    """(user_id, active_us): GAPS-AND-ISLANDS interval union — each
+    event projects a [ts, ts+30min) activity interval; overlapping or
+    touching intervals merge, and the user's total ACTIVE time is the
+    union length in microseconds (sum over islands of last - first +
+    30min). The billing/engagement measure sessionize's event counts
+    don't give; exact in int64 on both engines.
+
+    Scale shape: the sessionize exchange (ONE user-bucket shuffle),
+    then a segmented reduceat pass per bucket: island starts via the
+    gap rule, per-island first/last via index arithmetic, per-user
+    sums via a second reduceat."""
+    from ..stages.aggregates import buckets_for
+
+    N_BUCKETS = buckets_for(_nrows(f"{sf_dir}/events.parquet"))
+    ds = _rpq(ray, f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = int_bucket_column(u, N_BUCKETS)
+        return pa.table({"user_id": t.column("user_id"),
+                         "t_us": t.column("ts").cast(pa.int64()),
+                         "ubucket": pa.array(b, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_us"], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "active_us": pd.Series([], dtype="int64")})
+        uid = g["user_id"].to_numpy()
+        ts = g["t_us"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        brk = np.r_[0, np.diff(ts)] > SESSION_GAP_US
+        start = new_user | brk
+        idx = np.nonzero(start)[0]
+        last = np.r_[idx[1:] - 1, n - 1]
+        island_len = ts[last] - ts[idx] + SESSION_GAP_US
+        # fold island lengths per user (islands of a user are adjacent)
+        ustart = np.nonzero(new_user[idx])[0]
+        active = np.add.reduceat(island_len, ustart)
+        return pd.DataFrame({
+            "user_id": uid[idx][ustart].astype("int64"),
+            "active_us": active.astype("int64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .sort("user_id"))
+
+
+EVENTS_ACTIVE_TIME_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                     (PARTITION BY user_id ORDER BY ts)
+                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM events),
+sid AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS s
+  FROM gaps),
+sess AS (
+  SELECT user_id, s,
+         epoch_us(CAST(MAX(ts) AS TIMESTAMP))
+         - epoch_us(CAST(MIN(ts) AS TIMESTAMP)) + {SESSION_GAP_US}
+             AS len
+  FROM sid GROUP BY 1, 2)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_us
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
