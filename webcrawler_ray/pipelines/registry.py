@@ -467,8 +467,8 @@ def _dump_crawl_corpus(crawler, sf_dir: str):
     dataset for reuse."""
     ds = _adapted_corpus(crawler)
     path = _corpus_dump_path(sf_dir)
-    # "|corpusv3": schema-versioned sig — the dump gained the
-    # crawl_corpus projection columns, so pre-v2 dumps must regenerate
+    # "|corpusv3": schema-versioned sig — bump the suffix whenever the
+    # dump's schema/kernel changes so older-versioned dumps regenerate
     _sig_keyed_dump(crawler.workdir + "|corpusv3", path + ".sig",
                     [(path, ds)])
     return ds
@@ -554,7 +554,11 @@ def crawl_anchor_terms(sf_dir: str):
 
     pairs = graph.crawl_anchor_pairs(c.ray, c)
     dump = _anchor_dump_path(sf_dir)
-    _sig_keyed_dump(c.workdir, dump + ".sig", [(dump, pairs)])
+    # "|anchorv1": kernel-versioned sig (corpus-dump precedent) — bump
+    # when anchor_texts/tokenize/fixup changes so stale pair dumps
+    # cannot shadow a changed extraction kernel
+    _sig_keyed_dump(c.workdir + "|anchorv1", dump + ".sig",
+                    [(dump, pairs)])
     return graph.crawl_anchor_terms(c.ray, c, pairs=pairs)
 
 

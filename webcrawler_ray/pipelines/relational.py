@@ -9405,14 +9405,29 @@ def events_trailing_sum(ray, sf_dir: str, hours: int = TRAILING_HOURS):
         rank = np.cumsum(new_user) - 1          # dense user rank
         lo_t, hi_t = int(ts.min()), int(ts.max())
         span = (hi_t - lo_t) + span_us + 1
-        axis = rank * span + (ts - lo_t)
-        # frame start: first index with axis >= rank*span + (t - win)
-        target = rank * span + np.maximum(ts - lo_t - span_us, 0)
-        start = np.searchsorted(axis, target, side="left")
-        # frame end: last same-user index with ts <= t (RANGE includes
-        # same-timestamp peers AFTER this row in tie order too)
-        end = np.searchsorted(axis, rank * span + (ts - lo_t),
-                              side="right")
+        n_users = int(rank[-1]) + 1
+        if n_users * span < 2 ** 62:            # no silent int64 wrap
+            axis = rank * span + (ts - lo_t)
+            # frame start: first idx with axis >= rank*span + (t-win)
+            target = rank * span + np.maximum(ts - lo_t - span_us, 0)
+            start = np.searchsorted(axis, target, side="left")
+            # frame end: last same-user index with ts <= t (RANGE
+            # includes same-timestamp peers AFTER this row too)
+            end = np.searchsorted(axis, rank * span + (ts - lo_t),
+                                  side="right")
+        else:
+            # composite product would overflow int64 (multi-year span
+            # x >>1e5 users in one bucket): searchsorted per user
+            # segment instead — O(users) loop, rare path
+            seg_starts = np.flatnonzero(new_user)
+            seg_ends = np.r_[seg_starts[1:], n]
+            start = np.empty(n, np.int64)
+            end = np.empty(n, np.int64)
+            for s, e in zip(seg_starts, seg_ends):
+                seg = ts[s:e]
+                start[s:e] = s + np.searchsorted(
+                    seg, seg - span_us, side="left")
+                end[s:e] = s + np.searchsorted(seg, seg, side="right")
         cum = np.concatenate(([0], np.cumsum(cents)))
         trail = cum[end] - cum[start]
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),

@@ -111,6 +111,12 @@ def hash_bucket_aggregate(ds, keys: list[str], combine,
     # unhashable and defeats Ray's block-schema dedup (io_utils docstring)
     def partial(batch: pd.DataFrame):
         if len(batch) == 0:
+            # keep the __bucket column even on empty partials so an
+            # ALL-empty input (e.g. greedy-cover round after full
+            # coverage) still groupbys cleanly instead of failing on
+            # a missing column
+            batch = batch.assign(
+                __bucket=pd.Series([], dtype="int64"))
             return pa.Table.from_pandas(
                 batch, preserve_index=False).replace_schema_metadata(None)
         out = combine(batch)
