@@ -84,6 +84,16 @@ def _meta_broadcast_max(cfg) -> int:
     return min(1 << 30, oss // 32) if oss else 1 << 30
 
 
+def _is_live(path: str) -> bool:
+    """A pages/robots 'path' that is a URL (fetch-gateway base) or the
+    sentinel ``live:`` selects the live-HTTP route."""
+    return path == "live:" or path.startswith(("http://", "https://"))
+
+
+def _live_gateway(path: str) -> str | None:
+    return None if path == "live:" else path
+
+
 FRONTIER_SCHEMA = pa.schema([
     ("url", pa.string()), ("host", pa.string()),
     ("resource", pa.string()), ("seq", pa.int64()),
@@ -141,9 +151,23 @@ class RayCrawler:
         self.robots_path = robots_path
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
-        # the bucketed store is derived data of the pages table: co-locate
-        # it with the table so repeated runs (and fresh workdirs) reuse it
-        self.store = PagesStore(pages_path, self.cfg, pages_path + "_store")
+        if _is_live(pages_path):
+            # live web: pages_path is a fetch-gateway base URL (or the
+            # sentinel "live:" for direct fetching) — HEAD/GET run over
+            # HTTP through per-process pooled fetchers instead of the
+            # Parquet pages table (`WebAccesser.py:42-94` parity)
+            from ..stages.fetcher import HttpPagesStore
+
+            self.store = HttpPagesStore(
+                self.cfg, gateway=_live_gateway(pages_path),
+                timeout_s=float(self.cfg.extra.get("fetch_timeout_s",
+                                                   10.0)))
+        else:
+            # the bucketed store is derived data of the pages table:
+            # co-locate it with the table so repeated runs (and fresh
+            # workdirs) reuse it
+            self.store = PagesStore(pages_path, self.cfg,
+                                    pages_path + "_store")
         self._services_up = False
         self.seen = []
         self.pol = []
@@ -162,7 +186,18 @@ class RayCrawler:
             # the map_groups tasks doing the calling.
             cpus = ray.cluster_resources().get("CPU", 4)
             cfg.num_politeness_shards = max(4, int(cpus) // 2)
-        robots_ref = ray.put(RobotsTable.from_parquet(self.robots_path))
+        if _is_live(self.robots_path):
+            # live robots: each politeness shard fetches+caches robots.txt
+            # per host lazily (reference Host.py:116-122); the broadcast
+            # object carries only the gateway/timeout, never a rule table
+            from ..robots import LiveRobotsTable
+
+            robots_src = LiveRobotsTable(
+                gateway=_live_gateway(self.robots_path),
+                timeout_s=float(cfg.extra.get("fetch_timeout_s", 10.0)))
+        else:
+            robots_src = RobotsTable.from_parquet(self.robots_path)
+        robots_ref = ray.put(robots_src)
         Seen = make_seen_shard_actor()
         Pol = make_politeness_shard_actor()
         self.seen = [Seen.remote(i, cfg.seen_capacity_per_shard,

@@ -127,6 +127,114 @@ class HostRules:
 ALLOW_ALL = HostRules(host="", disallow=(), crawl_delay=None, fetchable=False)
 
 
+def parse_robots_txt(text: str) -> tuple[tuple[str, ...], tuple[str, ...],
+                                         float | None]:
+    """Minimal RFC 9309 ``robots.txt`` parser for the agent-``*`` group:
+    returns ``(disallow, allow, crawl_delay)``. Field names are
+    case-insensitive, ``#`` comments are stripped, consecutive
+    ``User-agent`` lines form one group header, and only groups naming
+    ``*`` contribute rules (the reference's reppy usage queries agent
+    ``*`` exclusively, `Host.py:83-114`)."""
+    dis: list[str] = []
+    al: list[str] = []
+    cd: float | None = None
+    active = False        # the current group applies to agent '*'
+    in_agent_run = False  # inside a run of consecutive User-agent lines
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        fieldname, _, value = line.partition(":")
+        fieldname = fieldname.strip().lower()
+        value = value.strip()
+        if fieldname == "user-agent":
+            if not in_agent_run:
+                active = False
+                in_agent_run = True
+            if value == "*":
+                active = True
+            continue
+        in_agent_run = False
+        if not active:
+            continue
+        if fieldname == "disallow":
+            if value:
+                dis.append(value)
+        elif fieldname == "allow":
+            if value:
+                al.append(value)
+        elif fieldname == "crawl-delay":
+            try:
+                cd = float(value)
+            except ValueError:
+                pass
+    return tuple(dis), tuple(al), cd
+
+
+def render_robots_txt(disallow=(), allow=(), crawl_delay: float | None = None
+                      ) -> str:
+    """Inverse of :func:`parse_robots_txt` (round-trip tested): one
+    agent-``*`` group in the standard line format. Used by the loopback
+    test gateway to serve the synthetic robots table as real HTTP
+    ``robots.txt`` bodies."""
+    lines = ["User-agent: *"]
+    lines += [f"Disallow: {p}" for p in disallow]
+    lines += [f"Allow: {p}" for p in allow]
+    if crawl_delay is not None:
+        lines.append(f"Crawl-delay: {crawl_delay}")
+    return "\n".join(lines) + "\n"
+
+
+class LiveRobotsTable:
+    """RobotsTable-shaped LIVE robots source: fetches
+    ``{host}/robots.txt`` over HTTP on FIRST query per host and caches
+    the parsed rules forever — the reference's per-host robots cache
+    (ST2, `Host.py:116-122`, `WebAccesser.py:51-71`). A non-200 or
+    unreachable robots is allow-all / min-delay (`Host.py:74-81`).
+
+    Scale shape: the object is broadcast once (``ray.put``) and each
+    politeness shard deserializes its OWN copy, so every shard ends up
+    with a private connection pool and a robots cache covering exactly
+    the hosts that hash to it — no shared mutable state, no global
+    robots table materialized anywhere. Picklable by construction: the
+    urllib3 pool is built lazily on first use after transfer."""
+
+    def __init__(self, gateway: str | None = None, timeout_s: float = 10.0):
+        self.gateway = gateway
+        self.timeout_s = timeout_s
+        self._cache: dict[str, HostRules] = {}
+        self._fetcher = None
+
+    def __getstate__(self):
+        return {"gateway": self.gateway, "timeout_s": self.timeout_s}
+
+    def __setstate__(self, st):
+        self.__init__(**st)
+
+    def get(self, host: str) -> HostRules:
+        r = self._cache.get(host)
+        if r is None:
+            r = self._fetch_rules(host)
+            self._cache[host] = r
+        return r
+
+    def _fetch_rules(self, host: str) -> HostRules:
+        from .stages.fetcher import HttpFetcher
+
+        if self._fetcher is None:
+            self._fetcher = HttpFetcher(timeout_s=self.timeout_s,
+                                        gateway=self.gateway)
+        raw = self._fetcher.get([host + "/robots.txt"])[0]
+        if raw is None:
+            return HostRules(host=host, fetchable=False)
+        try:
+            dis, al, cd = parse_robots_txt(raw.decode("utf-8", "replace"))
+        except Exception:
+            return HostRules(host=host, fetchable=False)
+        return HostRules(host=host, disallow=dis, allow=al,
+                         crawl_delay=cd, fetchable=True)
+
+
 @dataclass
 class RobotsTable:
     """host -> HostRules registry built from the synthetic robots table."""

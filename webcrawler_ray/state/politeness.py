@@ -199,7 +199,13 @@ def make_politeness_shard_actor():
     @ray.remote(num_cpus=0.1)
     class PolitenessShard:
         def __init__(self, shard_id: int, robots_ref):
-            robots = ray.get(robots_ref) if not isinstance(robots_ref, RobotsTable) else robots_ref
+            # a ray.put ref arrives auto-dereferenced; only a raw
+            # ObjectRef (tests passing refs directly) needs ray.get —
+            # type-check the REF, not the table class (LiveRobotsTable
+            # is RobotsTable-shaped, not a subclass)
+            robots = (ray.get(robots_ref)
+                      if isinstance(robots_ref, ray.ObjectRef)
+                      else robots_ref)
             self.state = PolitenessShardState(shard_id, robots)
 
         def schedule(self, batch: pa.Table, T: float,
