@@ -165,6 +165,45 @@ class TestBucketedFlagsRoute:
         finally:
             crawler.shutdown_services()
 
+    def test_flags_bucketed_auto_follows_store(self, ray_session, tiny_web,
+                                               tmp_path_factory):
+        """flags_bucketed=None (the default) inherits the store's
+        size-derived decision: a table too big to broadcast auto-selects
+        the bucketed flag route with NO configuration, and the crawl is
+        identical to the oracle (attempts output, saved count)."""
+        limit = 40
+        wd = str(tmp_path_factory.mktemp("fauto") / "wd")
+        cfg = CrawlConfig(limit=limit, num_seen_shards=3,
+                          num_politeness_shards=2,
+                          fetch_broadcast_max_bytes=0,  # "large" table
+                          pages_store_buckets=8)        # flags_bucketed unset
+        crawler = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd, cfg)
+        seeds = open(tiny_web["seeds"]).read().splitlines()
+        summary = crawler.crawl(seeds)
+        oracle = oracle_run(tiny_web, limit)
+        try:
+            assert crawler.store.flags_bucketed is True   # auto-derived
+            assert crawler.store._flags_ref is None       # no driver index
+            att = crawler.attempts_dataset().to_pandas().sort_values(
+                "fetch_seq")
+            got = list(zip(att["fetch_seq"], att["url"], att["status"],
+                           att["round"]))
+            want = [(r.fetch_seq, r.url, r.status, r.round)
+                    for r in oracle.records]
+            assert got == want
+            assert summary["saved_total"] == len(oracle.saved_records)
+        finally:
+            crawler.shutdown_services()
+
+    def test_flags_auto_small_table_stays_broadcast(self, tiny_web,
+                                                    tmp_path_factory):
+        from webcrawler_ray.stages.fetch import PagesStore
+
+        cfg = CrawlConfig()  # tiny table, default byte ceiling
+        s = PagesStore(tiny_web["pages"], cfg,
+                       str(tmp_path_factory.mktemp("fsmall") / "store"))
+        assert s.bucketed is False and s.flags_bucketed is False
+
 
 class TestStoreBucketCountRecorded:
     """The on-disk store records the bucket count it was built with; a
@@ -235,13 +274,15 @@ class TestWidePolitenessStage:
         import ray
 
         wd = str(tmp_path_factory.mktemp("pauto") / "wd")
-        cfg = CrawlConfig(limit=5, num_politeness_shards=None)
+        cfg = CrawlConfig(limit=5)  # BOTH shard counts default to None
         crawler = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd, cfg)
         crawler._start_services()
         try:
             want = max(4, int(ray.cluster_resources().get("CPU", 4)) // 2)
             assert cfg.num_politeness_shards == want
             assert len(crawler.pol) == want
+            assert cfg.num_seen_shards == want
+            assert len(crawler.seen) == want
         finally:
             crawler.shutdown_services()
 

@@ -23,11 +23,16 @@ class CrawlConfig:
     html_langs: tuple = ("en", "pt")  # lang values treated as text/html
 
     # --- scale knobs -----------------------------------------------------
-    num_seen_shards: int = 8         # URL-seen actor shards (ST1)
-    num_politeness_shards: int | None = 4
-    #                                  politeness/robots actor shards
-    #                                  (ST2-ST4). None -> sized from the
+    num_seen_shards: int | None = None
+    #                                  URL-seen actor shards (ST1).
+    #                                  None (default) -> sized from the
     #                                  cluster at service start
+    #                                  (max(4, CPUs // 2)) so CrawlConfig()
+    #                                  scales with the machine
+    num_politeness_shards: int | None = None
+    #                                  politeness/robots actor shards
+    #                                  (ST2-ST4). None (default) -> sized
+    #                                  from the cluster at service start
     #                                  (max(4, CPUs // 2)): each shard
     #                                  handles its whole round slice in
     #                                  ONE schedule RPC, so P is the
@@ -53,16 +58,21 @@ class CrawlConfig:
     #                                  broadcast via ray.put; larger ones use
     #                                  the hash-bucketed PagesStore
     pages_store_buckets: int = 64    # buckets for the partitioned store
-    flags_bucketed: bool = False     # answer HEAD flags from the bucketed
+    flags_bucketed: bool | None = None
+    #                                  answer HEAD flags from the bucketed
     #                                  store (url+lang projection, filtered
     #                                  reads) instead of a driver-built
-    #                                  broadcast hash index. REQUIRED at the
-    #                                  10^10-URL design point: the broadcast
-    #                                  index is ~9 bytes/URL (~90 GB) and is
-    #                                  built by materializing every URL on
-    #                                  the driver; the bucketed path never
-    #                                  holds more than one filtered bucket
-    #                                  projection per task
+    #                                  broadcast hash index. None (default)
+    #                                  = inherit the store's own bucketed
+    #                                  decision (fetch_broadcast_max_bytes
+    #                                  heuristic), so no configuration of a
+    #                                  large-table crawl ever materializes
+    #                                  the URL key space on the driver.
+    #                                  REQUIRED at the 10^10-URL design
+    #                                  point: the broadcast index is
+    #                                  ~9 bytes/URL (~90 GB); the bucketed
+    #                                  path never holds more than one
+    #                                  filtered bucket projection per task
 
     # --- seen-set sizing -------------------------------------------------
     seen_capacity_per_shard: int = 1 << 20  # cuckoo slots per shard

@@ -178,14 +178,18 @@ class RayCrawler:
             return
         ray = self.ray
         cfg = self.cfg
+        cpus = ray.cluster_resources().get("CPU", 4)
         if cfg.num_politeness_shards is None:
             # sizing rule: a politeness shard serves its whole round slice
             # in one schedule RPC (sched_group blocks on it), so shard
             # count IS that stage's parallelism — derive it from the
             # cluster rather than a constant. CPUs//2 leaves headroom for
             # the map_groups tasks doing the calling.
-            cpus = ray.cluster_resources().get("CPU", 4)
             cfg.num_politeness_shards = max(4, int(cpus) // 2)
+        if cfg.num_seen_shards is None:
+            # same rule: seen shards serve batched insert/contains RPCs
+            # from every attempts/frontier task — widen with the cluster
+            cfg.num_seen_shards = max(4, int(cpus) // 2)
         if _is_live(self.robots_path):
             # live robots: each politeness shard fetches+caches robots.txt
             # per host lazily (reference Host.py:116-122); the broadcast

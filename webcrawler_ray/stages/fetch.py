@@ -17,12 +17,14 @@ modes, chosen by table size (CrawlConfig.fetch_broadcast_max_bytes):
   of the whole web. Failed lookups are 404-equivalents, recorded and never
   retried (reference disables retries, `WebAccesser.py:45`, report §5).
 
-Flag lookups default to the broadcast hash index (compact: 9 bytes/URL,
-right up to ~10^8 URLs); ``CrawlConfig.flags_bucketed=True`` routes flags
-through the bucketed store instead (url+lang projection, one filtered
-column-pruned read per touched bucket per batch) — the required mode at
-the 10^10-URL design point, where the index would be ~90 GB and its
-construction a driver-side materialization of the whole key space.
+Flag lookups follow the store's own size heuristic by default
+(``CrawlConfig.flags_bucketed=None``): small tables use the broadcast
+hash index (compact: 9 bytes/URL, fine to ~10^8 URLs); tables above
+``fetch_broadcast_max_bytes`` answer flags from the bucketed store
+(url+lang projection, one filtered column-pruned read per touched bucket
+per batch) — the required mode at the 10^10-URL design point, where the
+index would be ~90 GB and its construction a driver-side materialization
+of the whole key space. An explicit True/False overrides either way.
 """
 
 from __future__ import annotations
@@ -95,6 +97,12 @@ class PagesStore:
         self.cfg = cfg
         self.store_dir = store_dir
         self.bucketed = _table_size_bytes(pages_path) > cfg.fetch_broadcast_max_bytes
+        # flags route: explicit config wins; None inherits the store's
+        # size-derived decision — a table too big to broadcast as an html
+        # map is also too big to driver-build a flag index for
+        self.flags_bucketed = (cfg.flags_bucketed
+                               if cfg.flags_bucketed is not None
+                               else self.bucketed)
         self._flags_ref = None
         self._html_ref = None
         self._store_B: int | None = None  # bucket count of the ON-DISK store
@@ -105,9 +113,9 @@ class PagesStore:
         With ``flags_bucketed`` the driver-built flag index is SKIPPED —
         no step of preparation (or of the crawl) materializes the full
         URL key space on the driver on that path."""
-        if self.cfg.flags_bucketed or self.bucketed:
+        if self.flags_bucketed or self.bucketed:
             self._build_buckets(ray)
-        if not self.cfg.flags_bucketed:
+        if not self.flags_bucketed:
             self._build_flags(ray)
         if not self.bucketed:
             tbl = pads.dataset(self.pages_path).to_table(
@@ -229,7 +237,7 @@ class PagesStore:
           its URLs to store buckets and does one filtered (url, lang)
           column-pruned read per touched bucket. O(batch) + matching row
           groups, nothing driver-side, nothing O(corpus) anywhere."""
-        if self.cfg.flags_bucketed:
+        if self.flags_bucketed:
             return self._add_flags_bucketed_fn()
         flags_ref = self._flags_ref
 
