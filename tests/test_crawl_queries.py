@@ -45,9 +45,10 @@ class TestCrawlQueries:
         df = _df(queries["crawl_host_gap_stats"](SF_DIR))
         assert len(df) > 0
         assert (df["n_saved"] >= 2).all()
-        name = os.path.basename(os.path.normpath(SF_DIR))
+        from webcrawler_ray.io_utils import corpus_cache_dir
+
         rt = RobotsTable.from_parquet(
-            f"/tmp/webcrawler_ray_cache/{name}/web/robots.parquet")
+            os.path.join(corpus_cache_dir(SF_DIR), "web/robots.parquet"))
         for _, r in df.iterrows():
             delay = rt.get(r["host"]).delay_seconds()
             assert r["med_gap"] >= delay - 1e-9, r["host"]
@@ -83,9 +84,10 @@ class TestWarcSink:
 
         corpus = _df(queries["crawl_corpus"](SF_DIR))
         # locate the warc dir written by the query for THIS scale
-        name = os.path.basename(SF_DIR)
+        from webcrawler_ray.io_utils import corpus_cache_dir
+
         cache = sorted(glob.glob(
-            f"/tmp/webcrawler_ray_cache/{name}/crawl_wd_*/warc"))
+            os.path.join(corpus_cache_dir(SF_DIR), "crawl_wd_*/warc")))
         assert cache
         wdir = cache[-1]
         got = {}

@@ -3024,3 +3024,20 @@ class TestNewOpsMultiblockRound3:
         got = _canon(_to_df(tp.docs_boilerplate(ray, SF_DIR)))
         want = _canon(ddb.execute(tp.DOCS_BOILERPLATE_SQL).fetchdf())
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_corpus_cache_dir_env_redirect(monkeypatch, tmp_path):
+    """The ONE shared cache root: GRAFT_CACHE_DIR redirects every dump/
+    state path (multi-node: must point at a shared filesystem); the
+    default is the single-node /tmp root; corpora keep separate
+    namespaces by basename."""
+    from webcrawler_ray.io_utils import corpus_cache_dir
+
+    monkeypatch.delenv("GRAFT_CACHE_DIR", raising=False)
+    assert corpus_cache_dir("/data/sf0.01") == \
+        "/tmp/webcrawler_ray_cache/sf0.01"
+    assert corpus_cache_dir("/data/sf0.01/") == \
+        "/tmp/webcrawler_ray_cache/sf0.01"
+    monkeypatch.setenv("GRAFT_CACHE_DIR", str(tmp_path / "shared"))
+    assert corpus_cache_dir("/data/sf0.1") == \
+        str(tmp_path / "shared" / "sf0.1")

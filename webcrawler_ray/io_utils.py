@@ -31,6 +31,23 @@ def clean_schema(path, columns=None) -> pa.Schema:
     return sch
 
 
+def corpus_cache_dir(sf_dir: str) -> str:
+    """The ONE shared cache/dump root for derived data of a corpus
+    (crawl workdirs, oracle dumps, windowed-op state, codec sinks).
+
+    Resolution: ``$GRAFT_CACHE_DIR`` wins — on a multi-node cluster it
+    MUST be a shared filesystem path, because distributed
+    ``write_parquet`` tasks write dump files from every node; the
+    default ``/tmp/webcrawler_ray_cache`` is correct only single-node.
+    (The input directory itself would be the natural co-located default,
+    the ``pages_path + "_store"`` pattern, but corpus inputs are
+    commonly read-only mounts — so the root is a setting, not a
+    sibling.) Layout: ``{root}/{basename(sf_dir)}/...`` so corpora keep
+    separate namespaces."""
+    root = os.environ.get("GRAFT_CACHE_DIR", "/tmp/webcrawler_ray_cache")
+    return os.path.join(root, os.path.basename(os.path.normpath(sf_dir)))
+
+
 _SMALL_ROWS_PER_BLOCK = 32_768
 _SMALL_TABLE_BLOCKS_CAP = 64
 

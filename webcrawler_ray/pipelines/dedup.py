@@ -15,6 +15,7 @@ Scaling shape (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+from ..io_utils import corpus_cache_dir
 from ..io_utils import read_parquet_clean as _rpq
 
 
@@ -1523,8 +1524,7 @@ def dedup_incremental(ray, sf_dir: str, state_dir: str | None = None,
 
     path = f"{sf_dir}/documents.parquet"
     if state_dir is None:
-        name = os.path.basename(os.path.normpath(sf_dir))
-        state_dir = f"/tmp/webcrawler_ray_cache/{name}/dedup_state"
+        state_dir = os.path.join(corpus_cache_dir(sf_dir), "dedup_state")
     os.makedirs(state_dir, exist_ok=True)
     lock_fd = os.open(os.path.join(state_dir, "_LOCK"),
                       os.O_CREAT | os.O_RDWR)

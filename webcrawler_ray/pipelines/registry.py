@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 
+from ..io_utils import corpus_cache_dir
 from . import profile, relational, sketches, textpipe
 
 
@@ -40,7 +41,7 @@ def _crawl_workdir(sf_dir: str):
     name = os.path.basename(os.path.normpath(sf_dir))
     spec = dict(_CRAWL_SCALES.get(name, _CRAWL_SCALES["sf0.01"]))
     limit = spec.pop("limit")
-    base = f"/tmp/webcrawler_ray_cache/{name}"
+    base = corpus_cache_dir(sf_dir)
     web = generate_web(os.path.join(base, "web"),
                        WebSpec(n_seeds=5, **spec))
     cfg = CrawlConfig(limit=limit)
@@ -432,8 +433,7 @@ def _corpus_dump_path(sf_dir: str) -> str:
     curation input shape (doc_id=fetch_seq, source=host, text) — lets
     the crawl_curation oracle run the SAME SQL as corpus_curation over
     the exact rows the Ray pipeline curated."""
-    name = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/webcrawler_ray_cache/{name}/corpus_dump"
+    return os.path.join(corpus_cache_dir(sf_dir), "corpus_dump")
 
 
 def _adapted_corpus(crawler):
@@ -539,8 +539,7 @@ def crawl_degree_hist(sf_dir: str):
 
 
 def _anchor_dump_path(sf_dir: str) -> str:
-    name = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/webcrawler_ray_cache/{name}/anchor_pairs_dump"
+    return os.path.join(corpus_cache_dir(sf_dir), "anchor_pairs_dump")
 
 
 def crawl_anchor_terms(sf_dir: str):
@@ -1217,17 +1216,16 @@ FROM documents ORDER BY doc_id
 # ``ORACLE_SQL`` is pinned to sf0.01 (the scale the external driver runs
 # oracles at).
 def _attempts_dump_path(sf_dir: str) -> str:
-    name = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/webcrawler_ray_cache/{name}/attempts_dump.parquet"
+    return os.path.join(corpus_cache_dir(sf_dir), "attempts_dump.parquet")
 
 
 def _graph_dump_paths(sf_dir: str) -> tuple[str, str]:
     """(edges_dir, nodes_dir) for the per-scale link-graph dump the
     graph oracles read (directories of parquet files — the dump is a
     distributed write)."""
-    name = os.path.basename(os.path.normpath(sf_dir))
-    base = f"/tmp/webcrawler_ray_cache/{name}"
-    return f"{base}/graph_edges_dump", f"{base}/graph_nodes_dump"
+    base = corpus_cache_dir(sf_dir)
+    return (os.path.join(base, "graph_edges_dump"),
+            os.path.join(base, "graph_nodes_dump"))
 
 
 def _pagerank_oracle_template(iters: int = 5, k: int = 20) -> str:

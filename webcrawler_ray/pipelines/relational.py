@@ -11,6 +11,7 @@ SQL-checked aggregate in this repo).
 
 from __future__ import annotations
 
+from ..io_utils import corpus_cache_dir
 from ..io_utils import parquet_num_rows as _nrows
 from ..io_utils import read_parquet_clean as _rpq
 from ..stages.aggregates import int_bucket_column
@@ -1264,8 +1265,7 @@ def events_windowed_incremental(ray, sf_dir: str, n_chunks: int = 3,
             min_event_id=("min_event_id", "min"))
 
     if state_dir is None:
-        name = os.path.basename(os.path.normpath(sf_dir))
-        state_dir = f"/tmp/webcrawler_ray_cache/{name}/win_state"
+        state_dir = os.path.join(corpus_cache_dir(sf_dir), "win_state")
     os.makedirs(state_dir, exist_ok=True)
 
     # SINGLE-WRITER lock for the shared state dir: two concurrent
@@ -7928,10 +7928,9 @@ def events_time_travel(ray, sf_dir: str):
                                    commit_delete, current_version,
                                    read_manifest, read_snapshot)
 
-    name = os.path.basename(os.path.normpath(sf_dir))
     # _v2: manifest entries gained sequence numbers (stale caches with
     # the 2-element format must not be read)
-    table_dir = f"/tmp/webcrawler_ray_cache/{name}/events_snapshots_v2"
+    table_dir = os.path.join(corpus_cache_dir(sf_dir), "events_snapshots_v2")
 
     if current_version(table_dir) != 6:
         shutil.rmtree(table_dir, ignore_errors=True)
@@ -8134,8 +8133,7 @@ def events_upsert(ray, sf_dir: str):
     from ..state.snapshots import (commit_append, commit_merge,
                                    current_version, read_snapshot)
 
-    name = os.path.basename(os.path.normpath(sf_dir))
-    table_dir = f"/tmp/webcrawler_ray_cache/{name}/events_upsert_v1"
+    table_dir = os.path.join(corpus_cache_dir(sf_dir), "events_upsert_v1")
 
     if current_version(table_dir) != 2:
         shutil.rmtree(table_dir, ignore_errors=True)
@@ -8708,8 +8706,7 @@ def events_snapshot_diff(ray, sf_dir: str):
     # reuse (or build) the upsert table
     import os
 
-    name = os.path.basename(os.path.normpath(sf_dir))
-    table_dir = f"/tmp/webcrawler_ray_cache/{name}/events_upsert_v1"
+    table_dir = os.path.join(corpus_cache_dir(sf_dir), "events_upsert_v1")
     if current_version(table_dir) != 2:
         events_upsert(ray, sf_dir)  # builds v1+v2 deterministically
 
@@ -8826,8 +8823,7 @@ def events_mv_incremental(ray, sf_dir: str):
 
     import os
 
-    name = os.path.basename(os.path.normpath(sf_dir))
-    table_dir = f"/tmp/webcrawler_ray_cache/{name}/events_upsert_v1"
+    table_dir = os.path.join(corpus_cache_dir(sf_dir), "events_upsert_v1")
     if current_version(table_dir) != 2:
         events_upsert(ray, sf_dir)
 

@@ -11,6 +11,7 @@ strings) so the DuckDB oracle hashes match bit-for-bit.
 
 from __future__ import annotations
 
+from ..io_utils import corpus_cache_dir
 from ..io_utils import read_parquet_clean as _rpq
 
 import hashlib
@@ -1953,8 +1954,7 @@ def docs_csv_roundtrip(ray, sf_dir: str):
     from ..sinks.complete import ensure_complete_set
     from ..sinks.csvsink import read_csv, write_csv
 
-    name = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/webcrawler_ray_cache/{name}/docs_csv"
+    out = os.path.join(corpus_cache_dir(sf_dir), "docs_csv")
     cols = ["doc_id", "lang", "source", "n_chars"]
     ensure_complete_set(
         out, ".csv.gz",
@@ -1979,8 +1979,7 @@ def docs_orc_roundtrip(ray, sf_dir: str):
     from ..sinks.complete import ensure_complete_set
     from ..sinks.orcsink import read_orc, write_orc
 
-    name = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/webcrawler_ray_cache/{name}/docs_orc"
+    out = os.path.join(corpus_cache_dir(sf_dir), "docs_orc")
     cols = ["doc_id", "lang", "source", "n_chars", "text"]
     ensure_complete_set(
         out, ".orc",
@@ -2007,8 +2006,7 @@ def docs_tfrecord_roundtrip(ray, sf_dir: str):
     from ..sinks.complete import ensure_complete_set
     from ..sinks.tfrecord import read_tfrecord, write_tfrecord
 
-    name = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/webcrawler_ray_cache/{name}/docs_tfrecord"
+    out = os.path.join(corpus_cache_dir(sf_dir), "docs_tfrecord")
     cols = ["doc_id", "lang", "source", "n_chars", "text"]
     schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
                         ("source", pa.string()),
@@ -2036,8 +2034,7 @@ def docs_avro_roundtrip(ray, sf_dir: str):
     from ..sinks.avro import read_avro, write_avro
     from ..sinks.complete import ensure_complete_set
 
-    name = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/webcrawler_ray_cache/{name}/docs_avro"
+    out = os.path.join(corpus_cache_dir(sf_dir), "docs_avro")
     cols = ["doc_id", "lang", "source", "n_chars", "text"]
     schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
                         ("source", pa.string()),
@@ -3432,10 +3429,7 @@ def docs_range_partition(ray, sf_dir: str, k: int = RANGE_PARTS,
 
     # the clustered write: one directory per key-range partition
     if out_dir is None:
-        out_dir = os.path.join("/tmp/webcrawler_ray_cache",
-                               "range_part_"
-                               + os.path.basename(os.path.normpath(
-                                   sf_dir)))
+        out_dir = os.path.join(corpus_cache_dir(sf_dir), "range_part")
     shutil.rmtree(out_dir, ignore_errors=True)
     parts.write_parquet(out_dir, partition_cols=["partition"])
 
@@ -3477,8 +3471,7 @@ def docs_ipc_roundtrip(ray, sf_dir: str):
     from ..sinks.complete import ensure_complete_set
     from ..sinks.ipc import read_ipc, write_ipc
 
-    name = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/webcrawler_ray_cache/{name}/docs_ipc"
+    out = os.path.join(corpus_cache_dir(sf_dir), "docs_ipc")
     cols = ["doc_id", "lang", "source", "n_chars", "text"]
     ensure_complete_set(
         out, ".arrows",
