@@ -23,9 +23,12 @@ def ddb():
 
 @pytest.fixture(scope="module")
 def queries(ray_session):
-    from webcrawler_ray.pipelines.registry import ORACLE_SQL, build_queries
+    # oracle_sql_for binds the dump-bound oracles (ANN recall audits) to
+    # THIS test scale; it is identical to ORACLE_SQL everywhere else
+    from webcrawler_ray.pipelines.registry import (build_queries,
+                                                   oracle_sql_for)
 
-    return build_queries(), ORACLE_SQL
+    return build_queries(), oracle_sql_for(SF_DIR)
 
 
 def _to_df(res):
@@ -121,6 +124,7 @@ SQL_CHECKED = [
     "events_trailing_sum", "events_bounce_rate",
     "events_gap_histogram", "docs_hapax_ratio",
     "docs_vocab_coverage", "emb_qnorm_hist", "events_active_time",
+    "knn_ivf_recall", "knn_lsh_recall", "knn_pq_recall",
 ]
 
 

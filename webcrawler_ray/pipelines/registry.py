@@ -1034,6 +1034,14 @@ def build_queries() -> dict:
             "knn_ivf": lambda sf: similarity.knn_ivf(ray, sf),
             "knn_lsh": lambda sf: similarity.knn_lsh(ray, sf),
             "knn_pq": lambda sf: similarity.knn_pq(ray, sf),
+            # value-checked recall audits of the three approximate
+            # indexes vs exact brute force (dump-bound SQL oracles)
+            "knn_ivf_recall":
+                lambda sf: similarity.knn_ivf_recall(ray, sf),
+            "knn_lsh_recall":
+                lambda sf: similarity.knn_lsh_recall(ray, sf),
+            "knn_pq_recall":
+                lambda sf: similarity.knn_pq_recall(ray, sf),
             "knn_mmr": lambda sf: similarity.knn_mmr(ray, sf),
             "emb_label_sums": lambda sf: similarity.emb_label_sums(ray, sf),
             "emb_kmeans": lambda sf: similarity.emb_kmeans(ray, sf),
@@ -1551,6 +1559,13 @@ _CRAWL_ORACLE_TEMPLATES["crawl_depths"] = _DEPTHS_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_salsa"] = _salsa_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_ppr"] = _ppr_oracle_template()
+# ANN recall audits: dump-bound like the crawl oracles (the dict holds
+# every per-scale dump-bound template, not only crawl ones)
+from . import similarity as _simtpl  # noqa: E402
+
+for _v in ("ivf", "lsh", "pq"):
+    _CRAWL_ORACLE_TEMPLATES[f"knn_{_v}_recall"] = \
+        _simtpl.knn_recall_sql_template(f"knn_{_v}_dump")
 _CRAWL_ORACLE_TEMPLATES["crawl_kcore"] = _kcore_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_hits"] = _hits_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_indegree_hist"] = """
@@ -1741,18 +1756,29 @@ def crawl_host_gap_stats(sf_dir: str):
               .sort("host"))
 
 
-def oracle_sql_for(sf_dir: str) -> dict[str, str]:
-    """The full oracle dict with the crawl oracles bound to ``sf_dir``'s
-    attempts dump (the non-crawl oracles are scale-independent: they read
-    the pre-registered table views)."""
-    out = dict(ORACLE_SQL)
-    dump = _attempts_dump_path(sf_dir)
+def _sf_dump_kwargs(sf_dir: str) -> dict[str, str]:
+    """All per-scale dump paths the dump-bound oracle templates can
+    reference (crawl dumps + the ANN recall pair dumps)."""
+    from . import similarity as _sim
+
     edges_dump, nodes_dump = _graph_dump_paths(sf_dir)
+    return dict(dump=_attempts_dump_path(sf_dir),
+                edges_dump=edges_dump, nodes_dump=nodes_dump,
+                corpus_dump=_corpus_dump_path(sf_dir),
+                anchor_dump=_anchor_dump_path(sf_dir),
+                knn_ivf_dump=_sim.knn_pairs_dump_path(sf_dir, "ivf"),
+                knn_lsh_dump=_sim.knn_pairs_dump_path(sf_dir, "lsh"),
+                knn_pq_dump=_sim.knn_pairs_dump_path(sf_dir, "pq"))
+
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """The full oracle dict with the dump-bound oracles (crawl + ANN
+    recall audits) bound to ``sf_dir``'s dumps (the other oracles are
+    scale-independent: they read the pre-registered table views)."""
+    out = dict(ORACLE_SQL)
+    kwargs = _sf_dump_kwargs(sf_dir)
     for name, tmpl in _CRAWL_ORACLE_TEMPLATES.items():
-        out[name] = tmpl.format(dump=dump, edges_dump=edges_dump,
-                                nodes_dump=nodes_dump,
-                                corpus_dump=_corpus_dump_path(sf_dir),
-                                anchor_dump=_anchor_dump_path(sf_dir))
+        out[name] = tmpl.format(**kwargs)
     return out
 
 
@@ -2099,13 +2125,8 @@ def crawl_round_stats(sf_dir: str):
 
 
 # driver contract: the external driver runs oracles at sf0.01, so the
-# module-level dict carries the crawl oracles bound to that scale; any
-# other scale goes through oracle_sql_for(sf_dir)
-_DRIVER_DUMP = _attempts_dump_path("/root/testdata/sf0.01")
-_DRIVER_EDGES, _DRIVER_NODES = _graph_dump_paths("/root/testdata/sf0.01")
+# module-level dict carries the dump-bound oracles (crawl + ANN recall)
+# pinned to that scale; any other scale goes through oracle_sql_for()
+_DRIVER_KWARGS = _sf_dump_kwargs("/root/testdata/sf0.01")
 for _name, _tmpl in _CRAWL_ORACLE_TEMPLATES.items():
-    ORACLE_SQL[_name] = _tmpl.format(
-        dump=_DRIVER_DUMP, edges_dump=_DRIVER_EDGES,
-        nodes_dump=_DRIVER_NODES,
-        corpus_dump=_corpus_dump_path("/root/testdata/sf0.01"),
-        anchor_dump=_anchor_dump_path("/root/testdata/sf0.01"))
+    ORACLE_SQL[_name] = _tmpl.format(**_DRIVER_KWARGS)

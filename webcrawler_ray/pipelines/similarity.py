@@ -1377,6 +1377,98 @@ def emb_qnorm_hist(ray, sf_dir: str):
               .sort("log2_qnorm2"))
 
 
+# ---------------------------------------------------------------------------
+# ANN recall audits: value-checked recall of each approximate index vs
+# the exact brute-force top-k (dedup_lsh_recall precedent — the audit an
+# engine owes its own approximations). The APPROX pair set is dumped to
+# parquet during the Ray query; the DuckDB oracle reproduces the exact
+# side independently (the already-green knn_cosine SQL) and does the
+# recall arithmetic in SQL over the dumped pairs — so the rows-only
+# approximations gain a green, value-compared audit twin.
+
+
+def knn_pairs_dump_path(sf_dir: str, variant: str) -> str:
+    from ..io_utils import corpus_cache_dir
+    import os
+
+    return os.path.join(corpus_cache_dir(sf_dir),
+                        f"knn_{variant}_pairs.parquet")
+
+
+def _knn_recall_audit(ray, sf_dir: str, approx_ds, dump_path: str):
+    """(n_exact, n_found, n_missed, recall_bp): recall of an approximate
+    (query_id, neighbor_id) result against the exact brute-force top-k.
+    Both sides are the bounded outputs of verified distributed pipelines
+    (n_queries x k rows), so the set compare is a driver fold and the
+    dump is tiny; recall_bp = 10000 * |exact ∩ approx| / |exact|."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    ap = approx_ds.to_pandas() if hasattr(approx_ds, "to_pandas") \
+        else approx_ds
+    os.makedirs(os.path.dirname(dump_path), exist_ok=True)
+    _pq.write_table(pa.table({
+        "query_id": pa.array(ap["query_id"].to_numpy().astype(np.int64)),
+        "neighbor_id": pa.array(
+            ap["neighbor_id"].to_numpy().astype(np.int64))}), dump_path)
+    exact = knn_brute_force(ray, sf_dir).to_pandas()
+    ep = set(zip(exact["query_id"], exact["neighbor_id"]))
+    lp = set(zip(ap["query_id"], ap["neighbor_id"]))
+    n_exact, n_found = len(ep), len(ep & lp)
+    recall_bp = (10_000 * n_found // n_exact) if n_exact else 10_000
+    return pd.DataFrame({"n_exact": [n_exact], "n_found": [n_found],
+                         "n_missed": [n_exact - n_found],
+                         "recall_bp": [recall_bp]}).astype("int64")
+
+
+def knn_ivf_recall(ray, sf_dir: str):
+    return _knn_recall_audit(ray, sf_dir, knn_ivf(ray, sf_dir),
+                             knn_pairs_dump_path(sf_dir, "ivf"))
+
+
+def knn_lsh_recall(ray, sf_dir: str):
+    return _knn_recall_audit(ray, sf_dir, knn_lsh(ray, sf_dir),
+                             knn_pairs_dump_path(sf_dir, "lsh"))
+
+
+def knn_pq_recall(ray, sf_dir: str):
+    return _knn_recall_audit(ray, sf_dir, knn_pq(ray, sf_dir),
+                             knn_pairs_dump_path(sf_dir, "pq"))
+
+
+def knn_recall_sql_template(dump_key: str) -> str:
+    """Oracle template: exact top-k reproduced in SQL (same expression
+    as the green knn_cosine oracle, so exact-side parity is already
+    value-proven) + recall arithmetic over the dumped approx pairs.
+    ``{dump_key}`` is bound per scale by the registry."""
+    return f"""
+WITH exact AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                     e.vec_id) AS rnk
+  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  QUALIFY rnk <= {TOP_K}
+), approx AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM read_parquet('{{{dump_key}}}')
+), stats AS (
+  SELECT COUNT(*) AS n_exact, COUNT(a.query_id) AS n_found
+  FROM exact x LEFT JOIN approx a
+    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_exact - n_found AS BIGINT) AS n_missed,
+       CAST(CASE WHEN n_exact = 0 THEN 10000
+                 ELSE (10000 * n_found) // n_exact END AS BIGINT)
+         AS recall_bp
+FROM stats
+"""
+
+
 EMB_QNORM_HIST_SQL = """
 WITH q AS (
   SELECT list_transform(embedding,
