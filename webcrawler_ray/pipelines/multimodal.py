@@ -57,21 +57,57 @@ def make_payload(doc_id: int) -> bytes:
     return struct.pack(HEADER_FMT, MAGIC, w, h, nf) + body.tobytes()
 
 
-def synthesize_payloads(ray, sf_dir: str):
-    """documents -> (doc_id, media: binary) with real decodable pixels.
-    The id-only read collapses to one tiny block; re-split it (and keep
-    batches small) so the per-doc synthesis fans out across the pool
-    instead of serializing in one task."""
-    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"],
+def _payload_store(ray, sf_dir: str, kind: str, col: str, make_fn) -> str:
+    """Content-keyed ONE-TIME parquet store of the synthesized payloads
+    beside the other corpus caches (the TokenHashCache pattern): every
+    multimodal/audio query of a corpus shares one synthesis pass, so
+    the bench measures the decode kernels, not repeated synthesis. The
+    sig is the documents table's identity (realpath, mtime, size) + a
+    generator version — touching the corpus or the generator rebuilds.
+    Build is a distributed write to a temp dir + atomic rename."""
+    import os
+    import shutil
+
+    from ..io_utils import corpus_cache_dir
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    sig = (f"{os.path.realpath(doc_path)}|{st.st_mtime_ns}|"
+           f"{st.st_size}|{kind}v1")
+    store = os.path.join(corpus_cache_dir(sf_dir), f"{kind}_store")
+    sigf = store + ".sig"
+    if os.path.isdir(store) and os.path.exists(sigf):
+        with open(sigf) as f:
+            if f.read() == sig:
+                return store
+    ds = _rpq(ray, doc_path, columns=["doc_id"],
               override_num_blocks=_synth_blocks(sf_dir))
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "media": pa.array([make_payload(d) for d in ids],
-                                           pa.binary())})
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            col: pa.array([make_fn(d) for d in ids], pa.binary())})
 
-    return ds.map_batches(synth, batch_format="pyarrow", batch_size=32)
+    tmp = store + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (ds.map_batches(synth, batch_format="pyarrow", batch_size=32)
+       .write_parquet(tmp))
+    shutil.rmtree(store, ignore_errors=True)
+    os.rename(tmp, store)
+    with open(sigf, "w") as f:
+        f.write(sig)
+    return store
+
+
+def synthesize_payloads(ray, sf_dir: str):
+    """documents -> (doc_id, media: binary) with real decodable pixels,
+    from the memoized per-corpus payload store (built once, distributed;
+    re-split on read so the decode stages after it fan out across the
+    pool instead of serializing in one task)."""
+    store = _payload_store(ray, sf_dir, "media", "media", make_payload)
+    return _rpq(ray, store, columns=["doc_id", "media"],
+                override_num_blocks=_synth_blocks(sf_dir))
 
 
 class DecodeStage:
@@ -297,19 +333,13 @@ def make_audio_payload(doc_id: int) -> bytes:
 
 
 def synthesize_audio(ray, sf_dir: str):
-    """documents -> (doc_id, audio: binary) with real decodable PCM
-    (re-split like synthesize_payloads so synthesis parallelizes)."""
-    ds = _rpq(ray, f"{sf_dir}/documents.parquet", columns=["doc_id"],
-              override_num_blocks=_synth_blocks(sf_dir))
-
-    def synth(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "audio": pa.array([make_audio_payload(d) for d in ids],
-                              pa.binary())})
-
-    return ds.map_batches(synth, batch_format="pyarrow", batch_size=32)
+    """documents -> (doc_id, audio: binary) with real decodable PCM,
+    from the memoized per-corpus payload store (synthesize_payloads
+    docstring — one distributed synthesis per corpus, then reads)."""
+    store = _payload_store(ray, sf_dir, "audio", "audio",
+                           make_audio_payload)
+    return _rpq(ray, store, columns=["doc_id", "audio"],
+                override_num_blocks=_synth_blocks(sf_dir))
 
 
 class AudioWindowStage:
