@@ -138,6 +138,53 @@ class TestCharsetHook:
             out = decode_html(junk, decoder="detect")
             assert isinstance(out, str)
 
+    def test_detect_bomless_utf16_html(self):
+        # real utf-16 web pages carry ASCII markup, so every 8-bit read
+        # is NUL-ridden and the scored fallback must pick utf-16
+        from webcrawler_ray.functions.htmlparse import decode_html
+
+        doc = "<html><body>naïve café — 中文 test</body></html>"
+        for enc in ("utf-16-le", "utf-16-be"):
+            out = decode_html(doc.encode(enc), decoder="detect")
+            assert "naïve café — 中文 test" in out, enc
+
+    def test_detect_mojibake_corpus_roundtrip(self):
+        # mojibake corpus: for each (text, encoding) the scored detect
+        # must reproduce the ORIGINAL text — and because the Ray parse
+        # stage and the conformance oracle share decode_html, oracle
+        # parity on non-UTF-8 pages is parity by construction; assert it
+        # anyway through parse_page on both call shapes
+        from webcrawler_ray.functions.htmlparse import (decode_html,
+                                                        parse_page)
+
+        corpus = [
+            ("<p>très élégant, señor</p>", "latin-1"),
+            ("<p>“curly” and — em-dash …</p>",
+             "cp1252"),
+            ("<p>Ärger süß Öl</p>", "cp1252"),
+            ("<html><head><title>t</title></head>"
+             "<body>utf-16 body — ça va</body></html>", "utf-16-le"),
+            ("<body>plain ascii stays ascii</body>", "ascii"),
+        ]
+        for text, enc in corpus:
+            raw = text.encode(enc)
+            got = decode_html(raw, decoder="detect")
+            assert got == text, (enc, got)
+            # parse path (the oracle and the Ray stage both call this)
+            assert parse_page(raw, decoder="detect").visible_text == \
+                parse_page(text).visible_text, enc
+
+    def test_detect_prefers_cp1252_over_wrong_utf16(self):
+        # even-length cp1252 text must NOT be misread as utf-16: the
+        # wrong utf-16 read is mess-free CJK soup, but has ~zero Latin
+        # coherence — the tie-break keeps the 8-bit candidate
+        from webcrawler_ray.functions.htmlparse import decode_html
+
+        text = "<p>café “ok”</p>"  # 16 chars
+        raw = text.encode("cp1252")
+        assert len(raw) % 2 == 0  # utf-16 candidates are in play
+        assert decode_html(raw, decoder="detect") == text
+
     def test_unknown_strategy_name_is_valueerror(self):
         import pytest
 

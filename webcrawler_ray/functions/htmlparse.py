@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from html.parser import HTMLParser as _StdHTMLParser
 
+import numpy as np
+
 EXCLUDED_PARENTS = frozenset(["style", "script", "head", "title", "meta", "[document]"])
 
 # Elements that cannot hold content (bs4 html.parser treats these as empty).
@@ -140,9 +142,14 @@ def detect_decode(html: bytes) -> str:
     2. strict UTF-8 (a valid UTF-8 document is almost never mislabeled);
     3. an HTML ``<meta charset=...>`` / ``http-equiv`` declaration in the
        first 1024 bytes (the HTML standard's pre-scan window);
-    4. cp1252 (the web's de-facto latin-1: 0x80-0x9F are punctuation),
-       falling back to latin-1 (total: never fails) on cp1252's five
-       unmapped bytes.
+    4. a frequency-scored best guess over the unlabeled-legacy
+       candidates (utf-16-le/be when byte length is even, cp1252,
+       latin-1): decode with each, rank by (mess, -latin-coherence,
+       priority) — the public charset-detection recipe of penalizing
+       control/replacement/private-use characters and rewarding
+       Latin-script coherence; latin-1 never fails, so the guess is
+       total. UTF-16 html wins on real pages because its ASCII markup
+       decodes to NUL-ridden text under any 8-bit candidate.
     """
     import codecs
     import re
@@ -174,10 +181,61 @@ def detect_decode(html: bytes) -> str:
             return html.decode(m.group(1).decode("ascii").lower())
         except (LookupError, UnicodeDecodeError):
             pass
-    try:
-        return html.decode("cp1252")
-    except UnicodeDecodeError:
-        return html.decode("latin-1")
+    return _best_guess_decode(html)
+
+
+def _mess_and_coherence(text: str) -> tuple[float, float]:
+    """(mess, coherence) of a candidate decode over the first 4 KiB —
+    the public charset-detection scoring shape (charset_normalizer's
+    'mess detector' idea, reimplemented from the published heuristic):
+
+    * mess — fraction of characters a correctly decoded document should
+      not contain: C0 controls outside ``\\t\\n\\r``, the C1 block
+      (0x7F-0x9F — raw cp1252 bytes decoded as latin-1 land here),
+      U+FFFD replacement + FFF0-FFFF specials, private use;
+    * coherence — fraction of characters in the Latin web's usual
+      repertoire (ASCII printable, NBSP..Latin Extended-B, general
+      punctuation, whitespace). Lower mess wins; higher coherence
+      breaks mess ties (a wrong utf-16 read of 8-bit Latin text is
+      mess-free CJK soup but has near-zero Latin coherence)."""
+    if not text:
+        return 1.0, 0.0
+    s = text[:4096]
+    o = np.fromiter(map(ord, s), dtype=np.int64, count=len(s))
+    ws = (o == 9) | (o == 10) | (o == 13)
+    bad = (((o < 0x20) & ~ws)
+           | ((o >= 0x7F) & (o <= 0x9F))
+           | ((o >= 0xFFF0) & (o <= 0xFFFD))
+           | ((o >= 0xE000) & (o <= 0xF8FF)))
+    good = (((o >= 0x20) & (o <= 0x7E))
+            | ((o >= 0xA0) & (o <= 0x24F))
+            | ((o >= 0x2000) & (o <= 0x206F))
+            | ws)
+    n = len(s)
+    return float(bad.sum()) / n, float(good.sum()) / n
+
+
+def _best_guess_decode(html: bytes) -> str:
+    """Step 4 of ``detect_decode``: frequency-scored candidate ranking
+    for unlabeled non-UTF-8 bytes. Candidate priority (the tie-break
+    after mess and coherence) prefers utf-16 first — it only survives
+    scoring when the 8-bit reads are NUL-ridden — then cp1252 (the
+    web's de-facto latin-1) over latin-1 proper."""
+    cands = []
+    if len(html) % 2 == 0:
+        cands += ["utf-16-le", "utf-16-be"]
+    cands += ["cp1252", "latin-1"]
+    best_key, best_text = None, None
+    for pri, enc in enumerate(cands):
+        try:
+            t = html.decode(enc)
+        except UnicodeDecodeError:
+            continue
+        mess, coh = _mess_and_coherence(t)
+        key = (mess, -coh, pri)
+        if best_key is None or key < best_key:
+            best_key, best_text = key, t
+    return best_text  # latin-1 never fails -> always set
 
 
 _DECODERS = {"pinned": _decode_pinned, "detect": detect_decode}
