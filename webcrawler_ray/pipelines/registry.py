@@ -307,6 +307,109 @@ def crawl_warc_read(sf_dir: str):
         batch_format="pyarrow").sort("url")
 
 
+def crawl_wet(sf_dir: str):
+    """Extracted-text corpus in the WET byte format (WARC ``conversion``
+    records, ``.warc.wet.gz``, Common Crawl's text-interchange layout);
+    returns the per-file summary (rows-only — binary sink; content is
+    value-checked by ``crawl_wet_read``)."""
+    from ..sinks.complete import write_complete_set
+    from ..sinks.wet import write_wet
+
+    c = _crawl_workdir(sf_dir)
+    out = os.path.join(c.workdir, "wet")
+
+    def _write():
+        ds = c.crawled_dataset().map_batches(
+            lambda t: t.select(["url", "extracted_text", "warc_ts"]),
+            batch_format="pyarrow")
+        return write_wet(ds, out).sort("wet_file").materialize()
+
+    return write_complete_set(out, ".warc.wet.gz", _write)
+
+
+def crawl_wet_read(sf_dir: str):
+    """WET ROUND-TRIP, full-content value check: re-ingest the
+    ``.warc.wet.gz`` archives and return (url, text) — the oracle is
+    the corpus dump's text column, so the EXACT extracted text must
+    survive the byte format (record grammar, utf-8 body, gzip members)
+    to hash-match."""
+    import ray
+
+    from ..sinks.complete import ensure_complete_set
+    from ..sinks.wet import write_wet
+    from ..sources.wet import read_wet
+
+    c = _crawl_workdir(sf_dir)
+    out = os.path.join(c.workdir, "wet")
+
+    def _write():
+        ds = c.crawled_dataset().map_batches(
+            lambda t: t.select(["url", "extracted_text", "warc_ts"]),
+            batch_format="pyarrow")
+        return write_wet(ds, out).materialize()
+
+    ensure_complete_set(out, ".warc.wet.gz", _write)
+    _dump_crawl_corpus(c, sf_dir)   # oracle: (url, text) vs dump
+    rb = read_wet(ray, out)
+    return rb.map_batches(
+        lambda t: t.select(["url", "text"]),
+        batch_format="pyarrow").sort("url")
+
+
+def crawl_cdx(sf_dir: str):
+    """CDX capture index over the WARC archives (the real Common Crawl
+    pipeline shape: the index is generated FROM the warc files):
+    (surt_key, ts14, url, digest, n_html) per response record, sorted
+    by SURT key then timestamp — value-checked: the DuckDB oracle
+    recomputes the SURT transform, the 14-digit timestamp AND the
+    sha256 payload digest independently from the corpus dump (the
+    corpus is utf-8-clean, so bytes-digest == utf-8-string-digest;
+    digest role of CC's base32 sha1, hash function swapped for SQL
+    recomputability)."""
+    import datetime as _dt
+    import hashlib as _hl
+
+    import pyarrow as pa
+    import ray
+
+    from ..functions.urls import surt_key
+    from ..sinks.complete import ensure_complete_set
+    from ..sinks.warc import write_warc
+    from ..sources.warc import read_warc
+
+    c = _crawl_workdir(sf_dir)
+    out = os.path.join(c.workdir, "warc")
+
+    def _write():
+        ds = c.crawled_dataset().map_batches(
+            lambda t: t.select(["url", "html", "warc_ts"]),
+            batch_format="pyarrow")
+        return write_warc(ds, out).materialize()
+
+    ensure_complete_set(out, ".warc.gz", _write)
+    _dump_crawl_corpus(c, sf_dir)
+
+    def to_cdx(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        htmls = t.column("html").to_pylist()
+        tss = t.column("warc_ts").to_pylist()  # int64 us (read_warc)
+        ts14 = [_dt.datetime.fromtimestamp(
+                    x / 1e6, tz=_dt.timezone.utc).strftime("%Y%m%d%H%M%S")
+                for x in tss]
+        return pa.table({
+            "surt_key": pa.array([surt_key(u) for u in urls],
+                                 pa.string()),
+            "ts14": pa.array(ts14, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "digest": pa.array([_hl.sha256(h).hexdigest()
+                                for h in htmls], pa.string()),
+            "n_html": pa.array([len(h) for h in htmls], pa.int64())})
+
+    return (read_warc(ray, out)
+            .map_batches(to_cdx, batch_format="pyarrow")
+            .sort(["surt_key", "ts14", "url"]))
+
+
 def crawl_log(sf_dir: str):
     """S6 debug-log dataset (URL/Title/Text/Timestamp per saved page,
     DebugPrinter.py:9-18 fields)."""
@@ -454,7 +557,13 @@ def _adapted_corpus(crawler):
             "first_n": t.column("first_n").cast(pa.string()),
             "n_links": t.column("n_links").cast(pa.int64()),
             "n_html": pc.binary_length(t.column("html")).cast(
-                pa.int64())})
+                pa.int64()),
+            # v4 additions for the CDX oracle: capture time + the html
+            # AS TEXT (the corpus is utf-8-clean by construction, so
+            # sha256(html bytes) == sha256(utf-8 of this string) — what
+            # lets DuckDB recompute the digest with its VARCHAR sha256)
+            "warc_ts_us": t.column("warc_ts").cast(pa.int64()),
+            "html_str": pc.cast(t.column("html"), pa.string())})
 
     return crawler.crawled_dataset().map_batches(
         adapt, batch_format="pyarrow")
@@ -467,9 +576,10 @@ def _dump_crawl_corpus(crawler, sf_dir: str):
     dataset for reuse."""
     ds = _adapted_corpus(crawler)
     path = _corpus_dump_path(sf_dir)
-    # "|corpusv3": schema-versioned sig — bump the suffix whenever the
+    # "|corpusv4": schema-versioned sig — bump the suffix whenever the
     # dump's schema/kernel changes so older-versioned dumps regenerate
-    _sig_keyed_dump(crawler.workdir + "|corpusv3", path + ".sig",
+    # (v4: warc_ts_us + html_str for the CDX oracle)
+    _sig_keyed_dump(crawler.workdir + "|corpusv4", path + ".sig",
                     [(path, ds)])
     return ds
 
@@ -657,6 +767,9 @@ def build_queries() -> dict:
         "crawl_host_gap_stats": crawl_host_gap_stats,
         "crawl_warc": crawl_warc,
         "crawl_warc_read": crawl_warc_read,
+        "crawl_wet": crawl_wet,
+        "crawl_wet_read": crawl_wet_read,
+        "crawl_cdx": crawl_cdx,
         "crawl_round_stats": crawl_round_stats,
         "crawl_pagerank": crawl_pagerank,
         "crawl_salsa": crawl_salsa,
@@ -1512,6 +1625,26 @@ ORDER BY a.url
     "crawl_warc_read": """
 SELECT url, CAST(n_html AS BIGINT) AS n_bytes
 FROM read_parquet('{corpus_dump}/*.parquet') ORDER BY url
+""",
+    "crawl_wet_read": """
+SELECT url, text FROM read_parquet('{corpus_dump}/*.parquet')
+ORDER BY url
+""",
+    "crawl_cdx": """
+WITH c AS (
+  SELECT url, warc_ts_us, html_str,
+         regexp_replace(url, '^https?://', '') AS nohost
+  FROM read_parquet('{corpus_dump}/*.parquet')
+)
+SELECT lower(array_to_string(
+         list_reverse(string_split(split_part(nohost, '/', 1), '.')),
+         ',')) || ')' || lower(substr(nohost,
+             length(split_part(nohost, '/', 1)) + 1)) AS surt_key,
+       strftime(make_timestamp(warc_ts_us), '%Y%m%d%H%M%S') AS ts14,
+       url,
+       sha256(html_str) AS digest,
+       CAST(strlen(html_str) AS BIGINT) AS n_html
+FROM c ORDER BY surt_key, ts14, url
 """,
     "crawl_title_dups": """
 SELECT title, CAST(COUNT(*) AS BIGINT) AS n_pages

@@ -122,10 +122,13 @@ def count_gzip_members(path: str) -> int:
     return n
 
 
-def parse_warc_stream(raw: bytes):
-    """THE record walker (one copy — ``sources/warc.py`` imports it):
-    yields (headers: dict, http_body: bytes) per record from an
-    UNCOMPRESSED WARC byte stream, walked by Content-Length."""
+def parse_warc_stream(raw: bytes, strip_http: bool = True):
+    """THE record walker (one copy — ``sources/warc.py`` and
+    ``sources/wet.py`` import it): yields (headers: dict, body: bytes)
+    per record from an UNCOMPRESSED WARC byte stream, walked by
+    Content-Length. ``strip_http`` drops the HTTP envelope (response
+    records); pass False for record types whose content block IS the
+    payload (conversion/WET, metadata)."""
     pos = 0
     while pos < len(raw):
         head_end = raw.index(b"\r\n\r\n", pos)
@@ -139,9 +142,10 @@ def parse_warc_stream(raw: bytes):
             headers[k.decode()] = v.decode()
         clen = int(headers["Content-Length"])
         body_start = head_end + 4
-        http = raw[body_start:body_start + clen]
-        _, _, body = http.partition(b"\r\n\r\n")
-        yield headers, body
+        content = raw[body_start:body_start + clen]
+        if strip_http:
+            _, _, content = content.partition(b"\r\n\r\n")
+        yield headers, content
         pos = body_start + clen + 4  # skip the record's trailing CRLFCRLF
 
 
