@@ -167,6 +167,42 @@ class TestWarcSink:
         texts = dict(zip(corpus["url"], corpus["extracted_text"]))
         assert set(cdx["url"]) == set(texts)
 
+    def test_sitemap_grammar_and_index(self, queries):
+        """Per-host urlset documents parse as namespaced sitemaps.org
+        XML, entries are loc-sorted, and the sitemapindex lists every
+        per-host file."""
+        import glob
+        import os
+        import xml.etree.ElementTree as ET
+
+        from webcrawler_ray.io_utils import corpus_cache_dir
+
+        summ = _df(queries["crawl_sitemaps"](SF_DIR))
+        assert len(summ) >= 2 and (summ["n_urls"] > 0).all()
+        cache = sorted(glob.glob(os.path.join(
+            corpus_cache_dir(SF_DIR), "crawl_wd_*/sitemaps")))
+        assert cache
+        sdir = cache[-1]
+        files = [f for f in os.listdir(sdir)
+                 if f.endswith(".xml") and not f.startswith(
+                     "sitemap-index")]
+        assert len(files) == len(summ)
+        ns = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+        locs_seen = 0
+        for f in files:
+            root = ET.parse(os.path.join(sdir, f)).getroot()
+            assert root.tag == ns + "urlset"
+            locs = [u.find(ns + "loc").text for u in root]
+            assert locs == sorted(locs) and locs
+            for u in root:
+                assert u.find(ns + "lastmod").text.endswith("Z")
+            locs_seen += len(locs)
+        assert locs_seen == int(summ["n_urls"].sum())
+        idx = ET.parse(os.path.join(sdir, "sitemap-index.xml")).getroot()
+        assert idx.tag == ns + "sitemapindex"
+        assert sorted(s.find(ns + "loc").text for s in idx) == \
+            sorted(files)
+
     def test_warc_source_roundtrip(self, queries):
         """The Dataset-level WARC SOURCE re-ingests the sink's archives
         byte-identically: every crawled page comes back with the exact

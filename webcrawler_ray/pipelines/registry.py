@@ -410,6 +410,115 @@ def crawl_cdx(sf_dir: str):
             .sort(["surt_key", "ts14", "url"]))
 
 
+def crawl_robots_report(sf_dir: str):
+    """Per-host politeness outcome report: (host, n_attempted,
+    n_denied, n_blocklisted, n_missing, n_non_html, n_saved) — the
+    crawl-ops dashboard row (how much of each host's frontier the
+    robots/blocklist/content gates cut). Distributed: one status-coded
+    groupby over the attempts log; SQL-checked against the attempts
+    dump."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..state.politeness import (
+        STATUS_BLOCKLISTED,
+        STATUS_MISSING,
+        STATUS_NON_HTML,
+        STATUS_ROBOTS_DENIED,
+        STATUS_SAVED,
+    )
+
+    # _crawl_workdir already refreshed the attempts dump the oracle reads
+    c = _crawl_workdir(sf_dir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import numpy as np
+
+        df = pd.DataFrame({
+            "host": t.column("host").to_pylist(),
+            "status": t.column("status").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = df.groupby("host")["status"]
+        out = pd.DataFrame({
+            "n_attempted": g.size(),
+            "n_denied": g.apply(
+                lambda s: int((s == STATUS_ROBOTS_DENIED).sum())),
+            "n_blocklisted": g.apply(
+                lambda s: int((s == STATUS_BLOCKLISTED).sum())),
+            "n_missing": g.apply(
+                lambda s: int((s == STATUS_MISSING).sum())),
+            "n_non_html": g.apply(
+                lambda s: int((s == STATUS_NON_HTML).sum())),
+            "n_saved": g.apply(
+                lambda s: int((s == STATUS_SAVED).sum())),
+        }).reset_index()
+        return out.astype({c2: "int64" for c2 in out.columns
+                           if c2 != "host"})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.drop(columns=["host"]).sum()
+        out = pd.DataFrame([s]).astype("int64")
+        out.insert(0, "host", g["host"].iloc[0])
+        return out
+
+    return (c.attempts_dataset()
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("host").map_groups(merge, batch_format="pandas")
+             .sort("host"))
+
+
+def crawl_sitemaps(sf_dir: str):
+    """Publish per-host sitemaps.org urlset documents (+ the
+    sitemapindex pointer file) from the crawl corpus — one distributed
+    write task per host, O(hosts) driver rows for the index. Returns
+    (host, n_urls) sorted by host (SQL-checked); file grammar and the
+    full url/lastmod content are value-checked by
+    ``crawl_sitemap_read``."""
+    import pyarrow as pa
+
+    from ..sinks.complete import write_complete_set
+    from ..sinks.sitemap import write_sitemap_index, write_sitemaps
+
+    c = _crawl_workdir(sf_dir)
+    out = os.path.join(c.workdir, "sitemaps")
+
+    def _write():
+        ds = c.crawled_dataset().map_batches(
+            lambda t: t.select(["url", "host", "warc_ts"]),
+            batch_format="pyarrow")
+        summ = write_sitemaps(ds, out).materialize()  # O(hosts)
+        write_sitemap_index(
+            summ.to_pandas()["sitemap_file"].tolist(), out)
+        return summ
+
+    summ = write_complete_set(out, ".xml", _write)
+    return summ.map_batches(
+        lambda t: t.select(["host", "n_urls"]),
+        batch_format="pyarrow").sort("host")
+
+
+def crawl_sitemap_read(sf_dir: str):
+    """Sitemap ROUND-TRIP, full-content value check: re-ingest the
+    urlset XML documents and return (url, lastmod_us) — the oracle is
+    the corpus dump's capture timestamp, so every url and its W3C
+    lastmod must survive the XML format exactly."""
+    import ray
+
+    from ..sinks.complete import ensure_complete_set, is_complete
+    from ..sources.sitemap import read_sitemaps
+
+    # ensure the sitemap set exists (same write as crawl_sitemaps)
+    c = _crawl_workdir(sf_dir)
+    out = os.path.join(c.workdir, "sitemaps")
+    if not is_complete(out):
+        crawl_sitemaps(sf_dir)
+    _dump_crawl_corpus(c, sf_dir)   # oracle: (url, warc_ts_us) vs dump
+    rb = read_sitemaps(ray, out)
+    return rb.map_batches(
+        lambda t: t.select(["url", "lastmod_us"]),
+        batch_format="pyarrow").sort("url")
+
+
 def crawl_log(sf_dir: str):
     """S6 debug-log dataset (URL/Title/Text/Timestamp per saved page,
     DebugPrinter.py:9-18 fields)."""
@@ -770,6 +879,9 @@ def build_queries() -> dict:
         "crawl_wet": crawl_wet,
         "crawl_wet_read": crawl_wet_read,
         "crawl_cdx": crawl_cdx,
+        "crawl_sitemaps": crawl_sitemaps,
+        "crawl_sitemap_read": crawl_sitemap_read,
+        "crawl_robots_report": crawl_robots_report,
         "crawl_round_stats": crawl_round_stats,
         "crawl_pagerank": crawl_pagerank,
         "crawl_salsa": crawl_salsa,
@@ -811,6 +923,8 @@ def build_queries() -> dict:
         "doc_token_counts_bpe": lambda sf: textpipe.token_counts_bpe(ray, sf),
         "docs_quality_filter": lambda sf: textpipe.quality_filter(ray, sf),
         "docs_dup_ngrams": lambda sf: textpipe.docs_dup_ngrams(ray, sf),
+        "docs_ngram_novelty":
+            lambda sf: textpipe.docs_ngram_novelty(ray, sf),
         "docs_dup_spans": lambda sf: textpipe.docs_dup_spans(ray, sf),
         # rows-only: iterative trainer (no SQL equivalent) — covered by
         # the exact-equality test vs the single-process reference
@@ -1630,6 +1744,31 @@ FROM read_parquet('{corpus_dump}/*.parquet') ORDER BY url
 SELECT url, text FROM read_parquet('{corpus_dump}/*.parquet')
 ORDER BY url
 """,
+    "crawl_sitemaps": """
+SELECT source AS host, COUNT(*) AS n_urls
+FROM read_parquet('{corpus_dump}/*.parquet')
+GROUP BY source ORDER BY host
+""",
+    "crawl_robots_report": """
+SELECT host,
+       COUNT(*) AS n_attempted,
+       CAST(SUM(CASE WHEN status = 460 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_denied,
+       CAST(SUM(CASE WHEN status = 461 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocklisted,
+       CAST(SUM(CASE WHEN status = 404 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       CAST(SUM(CASE WHEN status = 415 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_non_html,
+       CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_saved
+FROM read_parquet('{dump}')
+GROUP BY host ORDER BY host
+""",
+    "crawl_sitemap_read": """
+SELECT url, warc_ts_us AS lastmod_us
+FROM read_parquet('{corpus_dump}/*.parquet') ORDER BY url
+""",
     "crawl_cdx": """
 WITH c AS (
   SELECT url, warc_ts_us, html_str,
@@ -2097,6 +2236,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_daily_stats": relational.EVENTS_DAILY_SQL,
     "events_by_segment": relational.EVENTS_BY_SEGMENT_SQL,
     "docs_dup_ngrams": textpipe.DOCS_DUP_NGRAMS_SQL,
+    "docs_ngram_novelty": textpipe.DOCS_NGRAM_NOVELTY_SQL,
     "docs_chunks": textpipe.DOCS_CHUNKS_SQL,
     "docs_orc_roundtrip": textpipe.DOCS_ORC_ROUNDTRIP_SQL,
     "docs_tfrecord_roundtrip": textpipe.DOCS_TFRECORD_ROUNDTRIP_SQL,

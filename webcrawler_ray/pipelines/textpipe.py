@@ -4148,3 +4148,105 @@ SELECT CAST(ks.k AS BIGINT) AS k,
        CAST((SELECT s FROM tot) AS BIGINT) AS total_tokens
 FROM (VALUES (10), (100), (1000)) AS ks(k) ORDER BY k
 """
+
+
+# --- per-document n-gram NOVELTY (streaming-corpus ordering signal) ---------
+NOVELTY_N = 3  # token n-gram width for the novelty score
+
+
+def docs_ngram_novelty(ray, sf_dir: str, n: int = NOVELTY_N):
+    """(doc_id, n_grams, n_novel, novelty_bp): per-document n-gram
+    novelty — the share (integer basis points) of a doc's DISTINCT
+    token n-grams whose FIRST corpus appearance (minimum doc_id) is
+    this doc. The incremental-ingest signal a streaming training-data
+    pipeline uses to rank late arrivals: a near-duplicate of earlier
+    data scores ~0, genuinely new text scores ~10000.
+
+    Scale shape: a doc lives in one row, so per-batch per-doc DISTINCT
+    grams are globally correct; the exchange moves (doc_id, gram) rows
+    bucketed BY GRAM (text never shuffles), each gram bucket resolves
+    first-appearance locally (all rows of a gram share its bucket) and
+    emits O(docs-in-bucket) partial count rows; a final small doc_id
+    groupby sums partials. Fan-out is token-bytes sized."""
+    from ..io_utils import parquet_column_bytes
+    from ..stages.aggregates import buckets_for
+
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+    tok_bound = parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 8
+    B = buckets_for(tok_bound)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = tokenize(t)
+            if len(toks) < n:
+                continue
+            for g in {" ".join(toks[j:j + n])
+                      for j in range(len(toks) - n + 1)}:
+                ids.append(i)
+                grams.append(g)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(
+                g.encode(), digest_size=8).digest(), "big") % B
+             for g in grams), dtype=np.int64, count=len(grams))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "gram": pa.array(grams, pa.string()),
+                         "gbucket": pa.array(h, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_grams": pd.Series([], dtype="int64"),
+                "n_novel": pd.Series([], dtype="int64")})
+        first = g.groupby("gram")["doc_id"].transform("min")
+        novel = (g["doc_id"] == first).astype("int64")
+        out = (g.assign(novel=novel)
+                .groupby("doc_id", as_index=False)
+                .agg(n_grams=("gram", "count"),
+                     n_novel=("novel", "sum")))
+        return out.astype({"doc_id": "int64", "n_grams": "int64",
+                           "n_novel": "int64"})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[["n_grams", "n_novel"]].sum()
+        ng, nv = int(s["n_grams"]), int(s["n_novel"])
+        return pd.DataFrame({
+            "doc_id": pd.Series([g["doc_id"].iloc[0]], dtype="int64"),
+            "n_grams": pd.Series([ng], dtype="int64"),
+            "n_novel": pd.Series([nv], dtype="int64"),
+            "novelty_bp": pd.Series([10_000 * nv // ng], dtype="int64")})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("gbucket")
+              .map_groups(per_bucket, batch_format="pandas")
+              .groupby("doc_id")
+              .map_groups(finish, batch_format="pandas")
+              .sort("doc_id"))
+
+
+DOCS_NGRAM_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split_regex({{trim}}, '{{ws}}+') AS tk
+  FROM documents),
+pos AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, len(tk) - {NOVELTY_N - 1})) AS i
+  FROM toks WHERE len(tk) >= {NOVELTY_N}),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(tk[i:i+{NOVELTY_N - 1}], ' ') AS gram
+  FROM pos),
+firsts AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(10000 * SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0
+            END) // COUNT(*) AS BIGINT) AS novelty_bp
+FROM g JOIN firsts f USING (gram)
+GROUP BY g.doc_id ORDER BY g.doc_id
+""".replace("{trim}", SQL_TRIM_TEXT).replace("{ws}", SQL_WS_CLASS)
