@@ -1463,3 +1463,89 @@ def crawl_edge_locality(ray, crawler, edges=None):
     return pa.table({"n_intra": pa.array([ni], pa.int64()),
                      "n_inter": pa.array([nx], pa.int64()),
                      "intra_bp": pa.array([bp], pa.int64())})
+
+
+def crawl_pivot_scc(ray, crawler, edges=None, max_depth: int = 64):
+    """(url) members of the strongly connected component containing the
+    PIVOT page — the lexicographically smallest crawled url — i.e. the
+    FW∩BW step of the classic divide-and-conquer distributed SCC
+    decomposition (Fleischer-Hendrickson-Pinar 2000): SCC(pivot) =
+    forward-reachable(pivot) ∩ backward-reachable(pivot). Two
+    distributed BFS passes over the crawled-to-crawled edge list (the
+    second with edges reversed); only url rows ever move. On web
+    graphs this one pivot typically captures the giant core SCC.
+
+    Value-checked: two bounded recursive-CTE closures intersected in
+    DuckDB over the dumped edge list."""
+    from ..stages.aggregates import (
+        distinct_keys,
+        join_partitions_for,
+        normalize_for_join,
+    )
+
+    _URL = pa.schema([("url", pa.string())])
+
+    corpus = crawler.crawled_dataset().map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow").materialize()
+    n_nodes = corpus.count()
+    edges_ds, _ = edges if edges is not None \
+        else crawl_link_edges(ray, crawler)
+    edges_n = normalize_for_join(
+        edges_ds.map_batches(lambda t: t.select(["src", "dst"]),
+                             batch_format="pyarrow"),
+        pa.schema([("src", pa.string()), ("dst", pa.string())])
+    ).materialize()
+    n_edges = edges_n.count()
+
+    # pivot: distributed per-block min -> O(blocks) driver reduce
+    pmin = corpus.map_batches(
+        lambda t: pa.table({"url": pa.array(
+            [min(t.column("url").to_pylist())] if t.num_rows else [],
+            pa.string())}), batch_size=None,
+        batch_format="pyarrow").to_pandas()
+    pivot = min(pmin["url"]) if len(pmin) else None
+    if pivot is None:
+        return pa.table({"url": pa.array([], pa.string())})
+
+    def bfs_set(src_col: str, dst_col: str):
+        """Set of urls reachable from the pivot following
+        src_col -> dst_col edges (the reverse pass just swaps roles)."""
+        start = normalize_for_join(
+            ray.data.from_arrow(pa.table({"url": pa.array([pivot])})),
+            _URL).materialize()
+        seen, frontier = start, start
+        if n_edges == 0:
+            return seen
+        for _ in range(max_depth):
+            cand = (edges_n.join(
+                        frontier.map_batches(
+                            lambda t: t.rename_columns([src_col]),
+                            batch_format="pyarrow"),
+                        join_type="inner", on=(src_col,),
+                        num_partitions=join_partitions_for(
+                            max(1, min(n_edges, frontier.count()))))
+                    .map_batches(
+                        lambda t: t.select([dst_col]).rename_columns(
+                            ["url"]), batch_format="pyarrow"))
+            cand = normalize_for_join(
+                distinct_keys(cand, "url", n_rows=n_nodes), _URL
+            ).materialize()
+            if cand.count() == 0:
+                break
+            new = cand.join(
+                seen, join_type="left_anti", on=("url",),
+                num_partitions=join_partitions_for(
+                    max(1, min(cand.count(), seen.count())))
+            ).materialize()
+            if new.count() == 0:
+                break
+            seen = normalize_for_join(seen.union(new), _URL).materialize()
+            frontier = new
+        return seen
+
+    fwd = bfs_set("src", "dst")
+    bwd = bfs_set("dst", "src")
+    scc = fwd.join(bwd, join_type="inner", on=("url",),
+                   num_partitions=join_partitions_for(
+                       max(1, min(fwd.count(), bwd.count()))))
+    return scc.sort("url")

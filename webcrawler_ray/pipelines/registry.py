@@ -746,6 +746,18 @@ def crawl_depths(sf_dir: str):
     return graph.crawl_depths(c.ray, c, edges=_dump_link_graph(c, sf_dir))
 
 
+def crawl_pivot_scc(sf_dir: str):
+    """(url): the strongly connected component of the pivot page
+    (lexicographically smallest crawled url) — the FW∩BW step of
+    divide-and-conquer distributed SCC (value-checked: two
+    recursive-CTE closures intersected in DuckDB)."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_pivot_scc(c.ray, c,
+                                 edges=_dump_link_graph(c, sf_dir))
+
+
 def crawl_degree_hist(sf_dir: str):
     """(out_deg, n_pages): out-degree distribution of the crawled link
     graph including zero-outlink pages (value-checked: GROUP BY over
@@ -778,6 +790,46 @@ def crawl_anchor_terms(sf_dir: str):
     _sig_keyed_dump(c.workdir + "|anchorv1", dump + ".sig",
                     [(dump, pairs)])
     return graph.crawl_anchor_terms(c.ray, c, pairs=pairs)
+
+
+FOCUS_TERMS = ("crawl", "frontier", "robot", "politeness")
+
+
+def crawl_focused_frontier(sf_dir: str, k: int = 20):
+    """Focused-crawl prioritization (Chakrabarti et al.'99 focused
+    crawling — crawl order driven by topic relevance): rank crawled
+    pages by how strongly their INCOMING anchor text describes them as
+    on-topic — score = count of topic-term tokens across incoming
+    anchors (the signal a focused frontier would sort by before
+    fetching). Top-k with deterministic (score desc, url) ties;
+    value-checked over the anchor-pair dump. Scale shape: anchor pairs
+    stream through one token filter + one dst-keyed count; the html
+    never leaves the parse stage."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from . import graph
+
+    c = _crawl_workdir(sf_dir)
+    pairs = graph.crawl_anchor_pairs(c.ray, c)
+    dump = _anchor_dump_path(sf_dir)
+    _sig_keyed_dump(c.workdir + "|anchorv1", dump + ".sig",
+                    [(dump, pairs)])
+    terms = pa.array(list(FOCUS_TERMS), pa.string())
+
+    def on_topic(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("token"), value_set=terms))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column("dst"),
+            "score": t.column("count()").cast(pa.int64())})
+
+    return (pairs.map_batches(on_topic, batch_format="pyarrow")
+                 .groupby("dst").count()
+                 .map_batches(rename, batch_format="pyarrow")
+                 .sort(["score", "url"], descending=[True, False])
+                 .limit(k))
 
 
 def crawl_hits(sf_dir: str):
@@ -888,10 +940,12 @@ def build_queries() -> dict:
         "crawl_triangles": crawl_triangles,
         "crawl_components": crawl_components,
         "crawl_depths": crawl_depths,
+        "crawl_pivot_scc": crawl_pivot_scc,
         "crawl_degree_hist": crawl_degree_hist,
         "crawl_ppr": crawl_ppr,
         "crawl_kcore": crawl_kcore,
         "crawl_anchor_terms": crawl_anchor_terms,
+        "crawl_focused_frontier": crawl_focused_frontier,
         "crawl_host_graph": crawl_host_graph,
         "crawl_path_depths": crawl_path_depths,
         "crawl_hits": crawl_hits,
@@ -925,6 +979,8 @@ def build_queries() -> dict:
         "docs_dup_ngrams": lambda sf: textpipe.docs_dup_ngrams(ray, sf),
         "docs_ngram_novelty":
             lambda sf: textpipe.docs_ngram_novelty(ray, sf),
+        "docs_readability":
+            lambda sf: textpipe.docs_readability(ray, sf),
         "docs_dup_spans": lambda sf: textpipe.docs_dup_spans(ray, sf),
         # rows-only: iterative trainer (no SQL equivalent) — covered by
         # the exact-equality test vs the single-process reference
@@ -1828,6 +1884,20 @@ FROM nmap n LEFT JOIN d ON d.url = n.url
 GROUP BY n.url ORDER BY n.url
 """
 _CRAWL_ORACLE_TEMPLATES["crawl_depths"] = _DEPTHS_ORACLE_TEMPLATE
+_CRAWL_ORACLE_TEMPLATES["crawl_pivot_scc"] = """
+WITH RECURSIVE
+ e AS (SELECT DISTINCT src, dst
+       FROM read_parquet('{edges_dump}/*.parquet')),
+ p AS (SELECT MIN(url) AS u
+       FROM read_parquet('{nodes_dump}/*.parquet')),
+ fwd AS (SELECT u AS url FROM p
+         UNION
+         SELECT e.dst FROM fwd f JOIN e ON e.src = f.url),
+ bwd AS (SELECT u AS url FROM p
+         UNION
+         SELECT e.src FROM bwd b JOIN e ON e.dst = b.url)
+SELECT f.url FROM fwd f JOIN bwd b ON b.url = f.url ORDER BY f.url
+"""
 _CRAWL_ORACLE_TEMPLATES["crawl_salsa"] = _salsa_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_triangles"] = _TRIANGLES_ORACLE_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_ppr"] = _ppr_oracle_template()
@@ -1884,6 +1954,14 @@ r AS (SELECT dst, token, n,
       FROM c)
 SELECT dst AS url, token, CAST(n AS BIGINT) AS n
 FROM r WHERE rk <= 5 ORDER BY url, n DESC, token
+"""
+_CRAWL_ORACLE_TEMPLATES["crawl_focused_frontier"] = f"""
+WITH s AS (SELECT dst, COUNT(*) AS n
+           FROM read_parquet('{{anchor_dump}}/*.parquet')
+           WHERE token IN {FOCUS_TERMS!r}
+           GROUP BY dst)
+SELECT dst AS url, CAST(n AS BIGINT) AS score
+FROM s ORDER BY score DESC, url LIMIT 20
 """
 _CRAWL_ORACLE_TEMPLATES["crawl_reciprocity"] = """
 WITH e AS (SELECT DISTINCT src, dst
@@ -2237,6 +2315,7 @@ ORDER BY vec_id_a, vec_id_b
     "events_by_segment": relational.EVENTS_BY_SEGMENT_SQL,
     "docs_dup_ngrams": textpipe.DOCS_DUP_NGRAMS_SQL,
     "docs_ngram_novelty": textpipe.DOCS_NGRAM_NOVELTY_SQL,
+    "docs_readability": textpipe.DOCS_READABILITY_SQL,
     "docs_chunks": textpipe.DOCS_CHUNKS_SQL,
     "docs_orc_roundtrip": textpipe.DOCS_ORC_ROUNDTRIP_SQL,
     "docs_tfrecord_roundtrip": textpipe.DOCS_TFRECORD_ROUNDTRIP_SQL,

@@ -4151,23 +4151,32 @@ FROM (VALUES (10), (100), (1000)) AS ks(k) ORDER BY k
 
 
 # --- per-document n-gram NOVELTY (streaming-corpus ordering signal) ---------
-NOVELTY_N = 3  # token n-gram width for the novelty score
+# gram width = functions.hashing.SHINGLE_K (3) — shared with the
+# minhash/simhash kernels and the dedup_oracle SQL CTEs
+_PROC_TOKEN_CACHE: dict = {}  # one TokenHashCache per worker process
 
 
-def docs_ngram_novelty(ray, sf_dir: str, n: int = NOVELTY_N):
-    """(doc_id, n_grams, n_novel, novelty_bp): per-document n-gram
+def docs_ngram_novelty(ray, sf_dir: str):
+    """(doc_id, n_grams, n_novel, novelty_bp): per-document 3-gram
     novelty — the share (integer basis points) of a doc's DISTINCT
-    token n-grams whose FIRST corpus appearance (minimum doc_id) is
-    this doc. The incremental-ingest signal a streaming training-data
-    pipeline uses to rank late arrivals: a near-duplicate of earlier
-    data scores ~0, genuinely new text scores ~10000.
+    word-shingle hashes whose FIRST corpus appearance (minimum doc_id)
+    is this doc. The incremental-ingest signal a streaming
+    training-data pipeline uses to rank late arrivals: a near-duplicate
+    of earlier data scores ~0, genuinely new text scores ~10000.
 
-    Scale shape: a doc lives in one row, so per-batch per-doc DISTINCT
-    grams are globally correct; the exchange moves (doc_id, gram) rows
-    bucketed BY GRAM (text never shuffles), each gram bucket resolves
-    first-appearance locally (all rows of a gram share its bucket) and
-    emits O(docs-in-bucket) partial count rows; a final small doc_id
-    groupby sums partials. Fan-out is token-bytes sized."""
+    Scale shape: grams are the VECTORIZED FNV-fold shingle hashes over
+    md5 token hashes (``functions.hashing.shingle_hashes`` — no
+    per-gram string building; DuckDB replays the identical arithmetic
+    via ``md5_number_upper`` + the staged fold, the minhash-oracle
+    precedent, so hash semantics match EXACTLY on both engines).
+    Only (sh:int64, doc_id) rows shuffle, bucketed BY HASH so each
+    bucket resolves first-appearance locally and emits
+    O(docs-in-bucket) partial rows carrying BOTH counts (a doc's
+    total grams = sum of its per-bucket row counts, so no second text
+    pass exists); a final small doc_id groupby sums partials. Text
+    never shuffles."""
+    from ..functions.hashing import (TokenHashCache,
+                                     shingle_hashes_from_token_hashes)
     from ..io_utils import parquet_column_bytes
     from ..stages.aggregates import buckets_for
 
@@ -4177,23 +4186,29 @@ def docs_ngram_novelty(ray, sf_dir: str, n: int = NOVELTY_N):
     B = buckets_for(tok_bound)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, grams = [], []
-        for i, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            toks = tokenize(t)
-            if len(toks) < n:
+        # per-process memoized md5 (Zipf vocabulary: the token-hash
+        # pass is one factorize + cache probes, not one md5 per token)
+        cache = _PROC_TOKEN_CACHE.setdefault(
+            "c", TokenHashCache())
+        texts = batch.column("text").to_pylist()
+        th_lists = cache.hash_token_lists(
+            [tokenize(t) for t in texts])
+        ids, shs = [], []
+        for i, th in zip(batch.column("doc_id").to_pylist(), th_lists):
+            sh = shingle_hashes_from_token_hashes(th)
+            if len(sh) == 0:
                 continue
-            for g in {" ".join(toks[j:j + n])
-                      for j in range(len(toks) - n + 1)}:
-                ids.append(i)
-                grams.append(g)
-        h = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(
-                g.encode(), digest_size=8).digest(), "big") % B
-             for g in grams), dtype=np.int64, count=len(grams))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "gram": pa.array(grams, pa.string()),
-                         "gbucket": pa.array(h, pa.int64())})
+            ids.append(np.full(len(sh), i, np.int64))
+            shs.append(sh.view(np.int64))
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.int64()),
+                             "gbucket": pa.array([], pa.int64())})
+        sh_all = np.concatenate(shs)
+        bk = (sh_all.view(np.uint64) % np.uint64(B)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.concatenate(ids)),
+                         "sh": pa.array(sh_all),
+                         "gbucket": pa.array(bk)})
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -4201,52 +4216,131 @@ def docs_ngram_novelty(ray, sf_dir: str, n: int = NOVELTY_N):
                 "doc_id": pd.Series([], dtype="int64"),
                 "n_grams": pd.Series([], dtype="int64"),
                 "n_novel": pd.Series([], dtype="int64")})
-        first = g.groupby("gram")["doc_id"].transform("min")
+        first = g.groupby("sh")["doc_id"].transform("min")
         novel = (g["doc_id"] == first).astype("int64")
         out = (g.assign(novel=novel)
                 .groupby("doc_id", as_index=False)
-                .agg(n_grams=("gram", "count"),
-                     n_novel=("novel", "sum")))
+                .agg(n_grams=("sh", "count"), n_novel=("novel", "sum")))
         return out.astype({"doc_id": "int64", "n_grams": "int64",
                            "n_novel": "int64"})
 
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        s = g[["n_grams", "n_novel"]].sum()
-        ng, nv = int(s["n_grams"]), int(s["n_novel"])
-        return pd.DataFrame({
-            "doc_id": pd.Series([g["doc_id"].iloc[0]], dtype="int64"),
-            "n_grams": pd.Series([ng], dtype="int64"),
-            "n_novel": pd.Series([nv], dtype="int64"),
-            "novelty_bp": pd.Series([10_000 * nv // ng], dtype="int64")})
+    # finish: sum the per-bucket partials per doc — VECTORIZED inside
+    # doc-bucketed groups (one pandas groupby-sum per group, never one
+    # map_groups call per doc: 5k one-row groups cost ~10 s of pure
+    # per-group overhead, the vectorized form milliseconds)
+    from ..io_utils import parquet_num_rows
+
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    B2 = buckets_for(n_docs)
+
+    def add_dbucket(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "dbucket", pa.array((d % B2).astype(np.int64), pa.int64()))
+
+    def finish_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_grams": pd.Series([], dtype="int64"),
+                "n_novel": pd.Series([], dtype="int64"),
+                "novelty_bp": pd.Series([], dtype="int64")})
+        out = (g.groupby("doc_id", as_index=False)
+                [["n_grams", "n_novel"]].sum())
+        out["novelty_bp"] = (10_000 * out["n_novel"]) // out["n_grams"]
+        return out.astype("int64")
 
     return (ds.map_batches(explode, batch_format="pyarrow")
               .groupby("gbucket")
               .map_groups(per_bucket, batch_format="pandas")
-              .groupby("doc_id")
-              .map_groups(finish, batch_format="pandas")
+              .map_batches(add_dbucket, batch_format="pyarrow")
+              .groupby("dbucket")
+              .map_groups(finish_bucket, batch_format="pandas")
               .sort("doc_id"))
 
 
-DOCS_NGRAM_NOVELTY_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, str_split_regex({{trim}}, '{{ws}}+') AS tk
-  FROM documents),
-pos AS (
-  SELECT doc_id, tk,
-         unnest(generate_series(1, len(tk) - {NOVELTY_N - 1})) AS i
-  FROM toks WHERE len(tk) >= {NOVELTY_N}),
-g AS (
-  SELECT DISTINCT doc_id,
-         array_to_string(tk[i:i+{NOVELTY_N - 1}], ' ') AS gram
-  FROM pos),
-firsts AS (
-  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
-SELECT g.doc_id,
+def _novelty_sql() -> str:
+    from .dedup_oracle import _shingles_cte, _tokens_cte
+
+    return ("WITH" + _tokens_cte() + "," + _shingles_cte()[2:] + """,
+ firsts AS (SELECT sh, MIN(doc_id) AS first_doc
+            FROM shingles GROUP BY sh)
+SELECT s.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_grams,
-       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
             AS BIGINT) AS n_novel,
-       CAST(10000 * SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0
-            END) // COUNT(*) AS BIGINT) AS novelty_bp
-FROM g JOIN firsts f USING (gram)
-GROUP BY g.doc_id ORDER BY g.doc_id
-""".replace("{trim}", SQL_TRIM_TEXT).replace("{ws}", SQL_WS_CLASS)
+       CAST(10000 * SUM(CASE WHEN f.first_doc = s.doc_id THEN 1
+            ELSE 0 END) // COUNT(*) AS BIGINT) AS novelty_bp
+FROM shingles s JOIN firsts f ON f.sh = s.sh
+GROUP BY s.doc_id ORDER BY s.doc_id
+""")
+
+
+DOCS_NGRAM_NOVELTY_SQL = _novelty_sql()
+
+
+# --- readability scoring (classic Flesch reading-ease shape) ----------------
+def docs_readability(ray, sf_dir: str):
+    """(doc_id, n_words, n_sentences, n_syllables, flesch_x1000):
+    classic Flesch reading-ease quality signal (Flesch'48 — the public
+    readability formula every text-quality stack ships), with the
+    deterministic proxies a byte-exact cross-engine check needs:
+    sentences = runs of [.!?], syllables = runs of [aeiouy] in the
+    lowercased text, words = the shared tokenizer. The score is exact
+    integer arithmetic — F*1000 = trunc((206835*S*W - 1015*W^2
+    - 84600*Y*S) / (S*W)) — using TRUNCATING division on both engines
+    (DuckDB's ``//`` truncates toward zero; Python's floors, so the Ray
+    side truncates explicitly).
+
+    Scale shape: one vectorized regex pass per batch, no shuffle — the
+    output is O(docs) scalar rows."""
+    sent_re = re.compile(r"[.!?]+")
+    syl_re = re.compile(r"[aeiouy]+")
+
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        n_w, n_s, n_y, fx = [], [], [], []
+        for t in batch.column("text").to_pylist():
+            w = len(tokenize(t))
+            s = len(sent_re.findall(t))
+            y = len(syl_re.findall(t.lower()))
+            n_w.append(w)
+            n_s.append(s)
+            n_y.append(y)
+            if w == 0 or s == 0:
+                fx.append(0)
+                continue
+            num = 206_835 * s * w - 1_015 * w * w - 84_600 * y * s
+            den = s * w
+            q = abs(num) // den
+            fx.append(q if num >= 0 else -q)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_w, pa.int64()),
+            "n_sentences": pa.array(n_s, pa.int64()),
+            "n_syllables": pa.array(n_y, pa.int64()),
+            "flesch_x1000": pa.array(fx, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+DOCS_READABILITY_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN {SQL_TRIM_TEXT} = '' THEN 0
+              ELSE len(regexp_split_to_array({SQL_TRIM_TEXT},
+                   '{SQL_WS_CLASS}+')) END AS w,
+         len(regexp_extract_all(text, '[.!?]+')) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       CAST(CASE WHEN w = 0 OR s = 0 THEN 0
+                 ELSE (206835 * s * w - 1015 * w * w - 84600 * y * s)
+                      // (s * w) END AS BIGINT) AS flesch_x1000
+FROM c ORDER BY doc_id
+"""
