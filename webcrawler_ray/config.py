@@ -63,11 +63,15 @@ class CrawlConfig:
     #                                  store (url+lang projection, filtered
     #                                  reads) instead of a driver-built
     #                                  broadcast hash index. None (default)
-    #                                  = inherit the store's own bucketed
-    #                                  decision (fetch_broadcast_max_bytes
-    #                                  heuristic), so no configuration of a
-    #                                  large-table crawl ever materializes
-    #                                  the URL key space on the driver.
+    #                                  = size the decision by the flag
+    #                                  index's own cost (~17 bytes/URL vs
+    #                                  fetch_broadcast_max_bytes), so no
+    #                                  configuration of a huge-frontier
+    #                                  crawl ever materializes the URL key
+    #                                  space on the driver, while webs
+    #                                  whose INDEX is small keep the fast
+    #                                  broadcast route even when the html
+    #                                  store is bucketed.
     #                                  REQUIRED at the 10^10-URL design
     #                                  point: the broadcast index is
     #                                  ~9 bytes/URL (~90 GB); the bucketed

@@ -97,12 +97,23 @@ class PagesStore:
         self.cfg = cfg
         self.store_dir = store_dir
         self.bucketed = _table_size_bytes(pages_path) > cfg.fetch_broadcast_max_bytes
-        # flags route: explicit config wins; None inherits the store's
-        # size-derived decision — a table too big to broadcast as an html
-        # map is also too big to driver-build a flag index for
-        self.flags_bucketed = (cfg.flags_bucketed
-                               if cfg.flags_bucketed is not None
-                               else self.bucketed)
+        # flags route: explicit config wins; None sizes the decision by
+        # what the FLAG INDEX itself would cost (~17 bytes/URL: uint64
+        # hash + bool + overhead), not by html bytes — a 2 GB-html web
+        # of 100k pages has a 2 MB flag index (broadcast is right), a
+        # 10^10-URL frontier has a ~170 GB one (bucketed is mandatory)
+        if cfg.flags_bucketed is not None:
+            self.flags_bucketed = cfg.flags_bucketed
+        else:
+            from ..io_utils import parquet_num_rows
+
+            try:
+                n_urls = parquet_num_rows(_table_files(pages_path))
+            except Exception:
+                n_urls = None
+            self.flags_bucketed = (self.bucketed if n_urls is None
+                                   else 17 * n_urls
+                                   > cfg.fetch_broadcast_max_bytes)
         self._flags_ref = None
         self._html_ref = None
         self._store_B: int | None = None  # bucket count of the ON-DISK store
