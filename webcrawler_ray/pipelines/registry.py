@@ -540,6 +540,37 @@ def crawl_log(sf_dir: str):
         files, columns=["URL", "Title", "Text", "Timestamp"]).sort("URL")
 
 
+def crawl_debug_text(sf_dir: str):
+    """S6 in the reference's EXACT stdout byte format: per saved page,
+    the tab-indented, non-ascii-preserving JSON record the reference's
+    debug printer emits (`DebugPrinter.py:9-18` —
+    ``json.dumps({URL, Title, Text, Timestamp}, ensure_ascii=False,
+    indent='\\t')``), byte-identical. The DuckDB oracle rebuilds every
+    record with ``to_json`` (escaping and shortest-roundtrip double
+    formatting match CPython's json exactly — probed property, relied
+    on here), so the byte format itself is value-checked — closing the
+    one accepted format deviation of the S6 sink."""
+    import json as _json
+
+    import pyarrow as pa
+
+    log = crawl_log(sf_dir)
+
+    def to_text(t: pa.Table) -> pa.Table:
+        recs = [
+            _json.dumps({"URL": u, "Title": ti, "Text": te,
+                         "Timestamp": ts},
+                        ensure_ascii=False, indent="\t")
+            for u, ti, te, ts in zip(t.column("URL").to_pylist(),
+                                     t.column("Title").to_pylist(),
+                                     t.column("Text").to_pylist(),
+                                     t.column("Timestamp").to_pylist())]
+        return pa.table({"URL": t.column("URL"),
+                         "debug_text": pa.array(recs, pa.string())})
+
+    return log.map_batches(to_text, batch_format="pyarrow").sort("URL")
+
+
 def crawl_log_jsonl(sf_dir: str):
     """S6 in the TRUE byte format: debug log -> gzipped JSONL files
     (sinks/jsonl.py), re-ingested through ray.data.read_json; returns
@@ -1061,6 +1092,7 @@ def build_queries() -> dict:
         "url_algebra": url_algebra,
         "crawl_log": crawl_log,
         "crawl_log_jsonl": crawl_log_jsonl,
+        "crawl_debug_text": crawl_debug_text,
         "events_by_type": lambda sf: relational.events_by_type(ray, sf),
         "events_windowed": lambda sf: relational.events_windowed(ray, sf),
         "events_windowed_late":
@@ -1790,6 +1822,20 @@ FROM read_parquet('{corpus_dump}/*.parquet') ORDER BY fetch_seq
 SELECT a.url AS "URL", a.ts AS "Timestamp"
 FROM read_parquet('{dump}') a
 JOIN read_parquet('{corpus_dump}/*.parquet') c ON a.fetch_seq = c.doc_id
+ORDER BY a.url
+""",
+    "crawl_debug_text": """
+SELECT a.url AS "URL",
+       '{{' || chr(10) ||
+       chr(9) || '"URL": '   || to_json(a.url)::VARCHAR  || ',' || chr(10) ||
+       chr(9) || '"Title": ' || COALESCE(to_json(c.title)::VARCHAR,
+                                         'null') || ',' || chr(10) ||
+       chr(9) || '"Text": '  || COALESCE(to_json(c.first_n)::VARCHAR,
+                                         'null') || ',' || chr(10) ||
+       chr(9) || '"Timestamp": ' || to_json(a.ts)::VARCHAR || chr(10) ||
+       '}}' AS debug_text
+FROM read_parquet('{corpus_dump}/*.parquet') c
+JOIN read_parquet('{dump}') a ON a.fetch_seq = c.doc_id
 ORDER BY a.url
 """,
     "crawl_warc_read": """
