@@ -467,6 +467,57 @@ def crawl_robots_report(sf_dir: str):
              .sort("host"))
 
 
+def crawl_wat(sf_dir: str):
+    """Metadata archives in the WAT byte format (WARC ``metadata``
+    records carrying per-page JSON: url/title/n_links/text_len —
+    completing the WARC/WET/WAT companion-format triple); returns the
+    per-file summary (rows-only — binary sink; content value-checked
+    by ``crawl_wat_read``)."""
+    from ..sinks.complete import write_complete_set
+    from ..sinks.wat import write_wat
+
+    c = _crawl_workdir(sf_dir)
+    out = os.path.join(c.workdir, "wat")
+
+    def _write():
+        ds = c.crawled_dataset().map_batches(
+            lambda t: t.select(["url", "title", "n_links",
+                                "extracted_text", "warc_ts"]),
+            batch_format="pyarrow")
+        return write_wat(ds, out).sort("wat_file").materialize()
+
+    return write_complete_set(out, ".warc.wat.gz", _write)
+
+
+def crawl_wat_read(sf_dir: str):
+    """WAT ROUND-TRIP value check: re-ingest the metadata archives and
+    return (url, title, n_links, text_len) — the oracle recomputes all
+    three from the corpus dump, so the JSON metadata must survive the
+    byte format exactly."""
+    import pyarrow as pa
+    import ray
+
+    from ..sinks.complete import ensure_complete_set
+    from ..sinks.wat import read_wat, write_wat
+
+    c = _crawl_workdir(sf_dir)
+    out = os.path.join(c.workdir, "wat")
+
+    def _write():
+        ds = c.crawled_dataset().map_batches(
+            lambda t: t.select(["url", "title", "n_links",
+                                "extracted_text", "warc_ts"]),
+            batch_format="pyarrow")
+        return write_wat(ds, out).materialize()
+
+    ensure_complete_set(out, ".warc.wat.gz", _write)
+    _dump_crawl_corpus(c, sf_dir)
+    rb = read_wat(ray, out)
+    return rb.map_batches(
+        lambda t: t.select(["url", "title", "n_links", "text_len"]),
+        batch_format="pyarrow").sort("url")
+
+
 def crawl_sitemaps(sf_dir: str):
     """Publish per-host sitemaps.org urlset documents (+ the
     sitemapindex pointer file) from the crawl corpus — one distributed
@@ -961,6 +1012,8 @@ def build_queries() -> dict:
         "crawl_warc_read": crawl_warc_read,
         "crawl_wet": crawl_wet,
         "crawl_wet_read": crawl_wet_read,
+        "crawl_wat": crawl_wat,
+        "crawl_wat_read": crawl_wat_read,
         "crawl_cdx": crawl_cdx,
         "crawl_sitemaps": crawl_sitemaps,
         "crawl_sitemap_read": crawl_sitemap_read,
@@ -1845,6 +1898,11 @@ FROM read_parquet('{corpus_dump}/*.parquet') ORDER BY url
     "crawl_wet_read": """
 SELECT url, text FROM read_parquet('{corpus_dump}/*.parquet')
 ORDER BY url
+""",
+    "crawl_wat_read": """
+SELECT url, title, CAST(n_links AS BIGINT) AS n_links,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM read_parquet('{corpus_dump}/*.parquet') ORDER BY url
 """,
     "crawl_sitemaps": """
 SELECT source AS host, COUNT(*) AS n_urls
