@@ -668,6 +668,62 @@ class TestReciprocityAndClustering:
         assert out.num_rows == 0
 
 
+class TestSccDecompose:
+    """Full SCC decomposition kernel on known graphs — BOTH routes:
+    the budget-gated driver Tarjan and (budget=0) the distributed
+    trim + FW-BW pivot path, which must agree exactly."""
+
+    GRAPH = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),   # 3-cycle A
+             ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),   # 3-cycle B
+             ("a1", "b1"),                               # A -> B bridge
+             ("c1", "c2"), ("c2", "a1")]                 # acyclic tail
+    NODES = ["a1", "a2", "a3", "b1", "b2", "b3", "c1", "c2"]
+    WANT = {"a1": "a1", "a2": "a1", "a3": "a1",
+            "b1": "b1", "b2": "b1", "b3": "b1",
+            "c1": "c1", "c2": "c2"}
+
+    def _graph(self, ray):
+        import pyarrow as pa
+
+        nodes = ray.data.from_arrow(pa.table(
+            {"url": pa.array(self.NODES)}))
+        edges = ray.data.from_arrow(pa.table({
+            "src": pa.array([s for s, _ in self.GRAPH]),
+            "dst": pa.array([d for _, d in self.GRAPH])}))
+        return nodes, edges
+
+    def test_driver_route(self, ray_session):
+        import ray
+
+        from webcrawler_ray.pipelines.graph import scc_decompose
+
+        nodes, edges = self._graph(ray)
+        out = scc_decompose(ray, nodes, edges).to_pandas()
+        assert dict(zip(out["url"], out["scc_id"])) == self.WANT
+
+    def test_distributed_route_matches(self, ray_session):
+        import ray
+
+        from webcrawler_ray.pipelines.graph import scc_decompose
+
+        nodes, edges = self._graph(ray)
+        out = scc_decompose(ray, nodes, edges,
+                            driver_budget_bytes=0,
+                            max_pivots=4).to_pandas()
+        assert dict(zip(out["url"], out["scc_id"])) == self.WANT
+
+    def test_distributed_route_pivot_exhaustion_raises(self, ray_session):
+        import pytest
+        import ray
+
+        from webcrawler_ray.pipelines.graph import scc_decompose
+
+        nodes, edges = self._graph(ray)
+        with pytest.raises(RuntimeError, match="above the driver"):
+            scc_decompose(ray, nodes, edges, driver_budget_bytes=0,
+                          max_pivots=1)
+
+
 class TestComponents:
     def test_crawl_components_match_union_find(self, queries):
         """Distributed min-label propagation over the crawl link graph

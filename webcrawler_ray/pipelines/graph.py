@@ -1549,3 +1549,264 @@ def crawl_pivot_scc(ray, crawler, edges=None, max_depth: int = 64):
                    num_partitions=join_partitions_for(
                        max(1, min(fwd.count(), bwd.count()))))
     return scc.sort("url")
+
+
+def _scc_driver_tarjan(ep: "pd.DataFrame", nodes: list[str]) -> pa.Table:
+    """Iterative Tarjan SCC over a driver-held edge list — the
+    budget-gated finishing fold of ``crawl_scc`` (dedup_clusters
+    union-find precedent). Returns (url, scc_id=min member url)."""
+    import pandas as pd  # noqa: F401  (annotation only)
+
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for s, d in zip(ep["src"], ep["dst"]):
+        si, di = idx.get(s), idx.get(d)
+        if si is not None and di is not None and si != di:
+            adj[si].append(di)
+    index = [-1] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack: list[int] = []
+    comp = [-1] * n
+    counter = [0]
+    comps: list[list[int]] = []
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        # explicit-stack Tarjan (recursion depth == graph size)
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for j in range(pi, len(adj[v])):
+                w = adj[v][j]
+                if index[w] == -1:
+                    work[-1] = (v, j + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                grp = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    grp.append(w)
+                    if w == v:
+                        break
+                comps.append(grp)
+            work.pop()
+            if work:
+                p = work[-1][0]
+                low[p] = min(low[p], low[v])
+    for grp in comps:
+        label = min(nodes[i] for i in grp)
+        for i in grp:
+            comp[i] = label  # type: ignore[assignment]
+    return pa.table({"url": pa.array(nodes, pa.string()),
+                     "scc_id": pa.array([comp[i] for i in range(n)],
+                                        pa.string())})
+
+
+def scc_decompose(ray, nodes_ds, edges_ds, max_pivots: int = 8,
+                  max_trim_iters: int = 64,
+                  driver_budget_bytes: int = 64 << 20):
+    """(url, scc_id) FULL SCC decomposition of an arbitrary directed
+    graph — nodes_ds: (url), edges_ds: (src, dst). The classic
+    distributed recipe (Fleischer-Hendrickson-Pinar 2000 FW-BW
+    divide-and-conquer + the trim step of the parallel-SCC literature),
+    with the budget-gated driver fold FIRST (dedup_clusters precedent):
+
+    0. A graph whose edge+node lists fit the broadcast budget folds to
+       an exact iterative driver Tarjan immediately.
+    1. Above budget — TRIM, iterated distributed: a remaining node
+       absent from either endpoint side of the remaining edges cannot
+       be in a nontrivial SCC — label it a singleton and drop it (two
+       distinct-key sets + three joins per iteration; strips the
+       acyclic fringe, which on web crawls is most pages).
+    2. FW-BW pivots: pivot = min remaining url; SCC(pivot) = forward
+       BFS ∩ backward BFS within the remaining set (the giant core SCC
+       falls in the first round); re-restrict edges and repeat.
+    3. As soon as the remainder fits the budget, driver Tarjan
+       finishes it; pivots exhausted ABOVE budget fails loudly.
+    """
+    from ..stages.aggregates import (
+        distinct_keys,
+        join_partitions_for,
+        normalize_for_join,
+    )
+
+    _URL = pa.schema([("url", pa.string())])
+    _EDGE = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    _OUT = pa.schema([("url", pa.string()), ("scc_id", pa.string())])
+
+    edges_cur = normalize_for_join(
+        edges_ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(
+                t.column("src"), t.column("dst"))))
+             .select(["src", "dst"]),
+            batch_format="pyarrow"), _EDGE).materialize()
+    remaining = normalize_for_join(
+        nodes_ds.map_batches(lambda t: t.select(["url"]),
+                             batch_format="pyarrow"), _URL).materialize()
+    n_rem = remaining.count()
+    n_e = edges_cur.count()
+    labeled_parts: list = []
+
+    def _under_budget() -> bool:
+        return (n_e * 48 + n_rem * 48) <= driver_budget_bytes
+
+    def _driver_finish():
+        ep = edges_cur.to_pandas()
+        nodes = sorted(remaining.to_pandas()["url"])
+        return ray.data.from_arrow(_scc_driver_tarjan(ep, nodes))
+
+    def _jp(a: int, b: int) -> int:
+        return join_partitions_for(max(1, min(a, b)))
+
+    def _self_label(ds):
+        return ds.map_batches(
+            lambda t: pa.table({"url": t.column("url"),
+                                "scc_id": t.column("url")}),
+            batch_format="pyarrow")
+
+    def _restrict_edges():
+        """Edges with BOTH endpoints still in ``remaining``."""
+        e1 = edges_cur.join(
+            remaining.map_batches(lambda t: t.rename_columns(["src"]),
+                                  batch_format="pyarrow"),
+            join_type="inner", on=("src",), num_partitions=_jp(n_e, n_rem))
+        e1 = normalize_for_join(e1, _EDGE).materialize()
+        e2 = e1.join(
+            remaining.map_batches(lambda t: t.rename_columns(["dst"]),
+                                  batch_format="pyarrow"),
+            join_type="inner", on=("dst",),
+            num_partitions=_jp(e1.count(), n_rem))
+        return normalize_for_join(e2, _EDGE).materialize()
+
+    # ---- 1. iterated trim (only above budget) -----------------------
+    trim_iters = 0
+    while not _under_budget() and trim_iters < max_trim_iters \
+            and n_rem > 0 and n_e > 0:
+        srcs = normalize_for_join(distinct_keys(
+            edges_cur.map_batches(
+                lambda t: t.select(["src"]).rename_columns(["url"]),
+                batch_format="pyarrow"), "url", n_rows=n_e), _URL
+        ).materialize()
+        dsts = normalize_for_join(distinct_keys(
+            edges_cur.map_batches(
+                lambda t: t.select(["dst"]).rename_columns(["url"]),
+                batch_format="pyarrow"), "url", n_rows=n_e), _URL
+        ).materialize()
+        keep = normalize_for_join(
+            srcs.join(dsts, join_type="inner", on=("url",),
+                      num_partitions=_jp(srcs.count(), dsts.count())),
+            _URL).materialize()
+        n_keep = keep.count()
+        if n_keep == n_rem:
+            break
+        dropped = remaining.join(
+            keep, join_type="left_anti", on=("url",),
+            num_partitions=_jp(n_rem, max(1, n_keep))).materialize()
+        labeled_parts.append(_self_label(dropped).materialize())
+        remaining, n_rem = keep, n_keep
+        if n_rem:
+            edges_cur = _restrict_edges()
+            n_e = edges_cur.count()
+        trim_iters += 1
+
+    # ---- 2. FW-BW pivot rounds (only above budget) ------------------
+    def _bfs(pivot: str, src_col: str, dst_col: str):
+        start = normalize_for_join(
+            ray.data.from_arrow(pa.table({"url": pa.array([pivot])})),
+            _URL).materialize()
+        seen, frontier = start, start
+        if n_e == 0:
+            return seen
+        while True:
+            cand = edges_cur.join(
+                frontier.map_batches(
+                    lambda t, _c=src_col: t.rename_columns([_c]),
+                    batch_format="pyarrow"),
+                join_type="inner", on=(src_col,),
+                num_partitions=_jp(n_e, frontier.count())).map_batches(
+                    lambda t, _c=dst_col: pa.table(
+                        {"url": t.column(_c)}), batch_format="pyarrow")
+            cand = normalize_for_join(
+                distinct_keys(cand, "url", n_rows=n_e), _URL
+            ).materialize()
+            if cand.count() == 0:
+                return seen
+            new = cand.join(
+                seen, join_type="left_anti", on=("url",),
+                num_partitions=_jp(cand.count(), seen.count())
+            ).materialize()
+            if new.count() == 0:
+                return seen
+            seen = normalize_for_join(seen.union(new), _URL).materialize()
+            frontier = new
+
+    pivots = 0
+    while n_rem > 0 and not _under_budget() and pivots < max_pivots:
+        pmin = remaining.map_batches(
+            lambda t: pa.table({"url": pa.array(
+                [min(t.column("url").to_pylist())] if t.num_rows else [],
+                pa.string())}), batch_size=None,
+            batch_format="pyarrow").to_pandas()
+        pivot = min(pmin["url"])
+        fwd = _bfs(pivot, "src", "dst")
+        bwd = _bfs(pivot, "dst", "src")
+        scc = normalize_for_join(
+            fwd.join(bwd, join_type="inner", on=("url",),
+                     num_partitions=_jp(fwd.count(), bwd.count())),
+            _URL).materialize()
+        labeled_parts.append(scc.map_batches(
+            lambda t, _p=pivot: pa.table(
+                {"url": t.column("url"),
+                 "scc_id": pa.array([_p] * t.num_rows, pa.string())}),
+            batch_format="pyarrow").materialize())
+        remaining = remaining.join(
+            scc, join_type="left_anti", on=("url",),
+            num_partitions=_jp(n_rem, scc.count())).materialize()
+        n_rem = remaining.count()
+        if n_rem:
+            edges_cur = _restrict_edges()
+            n_e = edges_cur.count()
+        pivots += 1
+
+    # ---- 3. budget-gated driver finish ------------------------------
+    if n_rem > 0:
+        if not _under_budget():
+            raise RuntimeError(
+                f"scc_decompose: {n_rem} nodes / {n_e} edges remain "
+                f"above the driver budget after {max_pivots} pivots — "
+                "raise max_pivots (each round removes one SCC)")
+        labeled_parts.append(_driver_finish())
+
+    if not labeled_parts:
+        return ray.data.from_arrow(_OUT.empty_table())
+    out = labeled_parts[0]
+    for p in labeled_parts[1:]:
+        out = out.union(p)
+    return normalize_for_join(out, _OUT).sort("url")
+
+
+def crawl_scc(ray, crawler, edges=None, **kw):
+    """(url, scc_id): FULL SCC decomposition of the crawled link graph
+    (``scc_decompose`` over the crawled-to-crawled edges; scc_id =
+    minimum member url). Value-checked: recursive-CTE transitive
+    closure + mutual-pair min-label DuckDB oracle."""
+    corpus = crawler.crawled_dataset().map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow").materialize()
+    edges_ds, _ = edges if edges is not None \
+        else crawl_link_edges(ray, crawler)
+    return scc_decompose(ray, corpus, edges_ds, **kw)

@@ -840,6 +840,17 @@ def crawl_pivot_scc(sf_dir: str):
                                  edges=_dump_link_graph(c, sf_dir))
 
 
+def crawl_scc(sf_dir: str):
+    """(url, scc_id): FULL SCC decomposition of the crawled link graph
+    (distributed trim + FW-BW pivots + budget-gated driver Tarjan;
+    scc_id = minimum member url). Value-checked: recursive-CTE
+    transitive closure + mutual-pair min-label DuckDB oracle."""
+    c = _crawl_workdir(sf_dir)
+    from . import graph
+
+    return graph.crawl_scc(c.ray, c, edges=_dump_link_graph(c, sf_dir))
+
+
 def crawl_degree_hist(sf_dir: str):
     """(out_deg, n_pages): out-degree distribution of the crawled link
     graph including zero-outlink pages (value-checked: GROUP BY over
@@ -1025,6 +1036,7 @@ def build_queries() -> dict:
         "crawl_components": crawl_components,
         "crawl_depths": crawl_depths,
         "crawl_pivot_scc": crawl_pivot_scc,
+        "crawl_scc": crawl_scc,
         "crawl_degree_hist": crawl_degree_hist,
         "crawl_ppr": crawl_ppr,
         "crawl_kcore": crawl_kcore,
@@ -1988,6 +2000,20 @@ FROM nmap n LEFT JOIN d ON d.url = n.url
 GROUP BY n.url ORDER BY n.url
 """
 _CRAWL_ORACLE_TEMPLATES["crawl_depths"] = _DEPTHS_ORACLE_TEMPLATE
+_CRAWL_ORACLE_TEMPLATES["crawl_scc"] = """
+WITH RECURSIVE
+ e AS (SELECT DISTINCT src, dst
+       FROM read_parquet('{edges_dump}/*.parquet') WHERE src <> dst),
+ n AS (SELECT url FROM read_parquet('{nodes_dump}/*.parquet')),
+ r AS (SELECT src, dst FROM e
+       UNION
+       SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst),
+ m AS (SELECT a.src AS u, a.dst AS v
+       FROM r a JOIN r b ON b.src = a.dst AND b.dst = a.src
+       UNION
+       SELECT url, url FROM n)
+SELECT u AS url, MIN(v) AS scc_id FROM m GROUP BY u ORDER BY u
+"""
 _CRAWL_ORACLE_TEMPLATES["crawl_pivot_scc"] = """
 WITH RECURSIVE
  e AS (SELECT DISTINCT src, dst
