@@ -134,6 +134,67 @@ class TestHttpFetcherBranches:
         assert f.get([f"http://127.0.0.1:{port}/x"]) == [None]
 
 
+class TestSitemapDiscovery:
+    def test_discover_seeds_lists_fetchable_hosts_pages(
+            self, ray_session, tiny_web, gateway):
+        import pyarrow.parquet as pq
+
+        from webcrawler_ray.discovery import discover_seeds
+        from webcrawler_ray.functions.urls import split_host_resource
+
+        r = pq.read_table(tiny_web["robots"])
+        fetchable = {h for h, fe in zip(r.column("host").to_pylist(),
+                                        r.column("fetchable").to_pylist())
+                     if fe}
+        all_hosts = set(r.column("host").to_pylist())
+        got = discover_seeds(ray_session, sorted(all_hosts),
+                             gateway=gateway.base_url,
+                             timeout_s=2.0).to_pandas()
+        # every page of every fetchable host, nothing else
+        pages = pq.read_table(tiny_web["pages"],
+                              columns=["url"]).column("url").to_pylist()
+        want = {u for u in pages
+                if split_host_resource(u)[0] in fetchable}
+        assert set(got["url"]) == want
+        assert set(got["host"]) <= fetchable
+        # lastmod round-trips the capture timestamps (whole seconds)
+        ts = dict(zip(
+            pq.read_table(tiny_web["pages"]).column("url").to_pylist(),
+            pq.read_table(tiny_web["pages"]).column(
+                "warc_ts").to_pylist()))
+        import datetime as dt
+
+        for u, lm in zip(got["url"], got["lastmod_us"]):
+            want_us = int(ts[u].replace(
+                tzinfo=dt.timezone.utc).timestamp() * 1e6)
+            assert int(lm) == want_us, u
+
+    def test_discovered_seeds_drive_a_crawl(self, ray_session, tiny_web,
+                                            gateway, tmp_path_factory):
+        from webcrawler_ray.config import CrawlConfig
+        from webcrawler_ray.discovery import discover_seeds
+        from webcrawler_ray.pipelines.crawl import RayCrawler
+
+        import pyarrow.parquet as pq
+
+        r = pq.read_table(tiny_web["robots"])
+        hosts = sorted(r.column("host").to_pylist())
+        seeds = sorted(discover_seeds(
+            ray_session, hosts, gateway=gateway.base_url,
+            timeout_s=2.0).to_pandas()["url"])[:10]
+        wd = str(tmp_path_factory.mktemp("disc") / "wd")
+        cfg = CrawlConfig(limit=15, num_seen_shards=2,
+                          num_politeness_shards=2, parse_concurrency=2)
+        c = RayCrawler(gateway.base_url, gateway.base_url, wd, cfg)
+        summary = c.crawl(seeds)
+        try:
+            assert summary["saved_total"] > 0
+            att = c.attempts_dataset().to_pandas()
+            assert set(seeds) <= set(att["url"])
+        finally:
+            c.shutdown_services()
+
+
 class TestLiveRobots:
     def test_robots_roundtrip_and_unreachable(self, tiny_web, gateway):
         import pyarrow.parquet as pq

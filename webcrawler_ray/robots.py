@@ -171,18 +171,36 @@ def parse_robots_txt(text: str) -> tuple[tuple[str, ...], tuple[str, ...],
     return tuple(dis), tuple(al), cd
 
 
-def render_robots_txt(disallow=(), allow=(), crawl_delay: float | None = None
-                      ) -> str:
+def render_robots_txt(disallow=(), allow=(), crawl_delay: float | None = None,
+                      sitemaps=()) -> str:
     """Inverse of :func:`parse_robots_txt` (round-trip tested): one
-    agent-``*`` group in the standard line format. Used by the loopback
-    test gateway to serve the synthetic robots table as real HTTP
-    ``robots.txt`` bodies."""
+    agent-``*`` group in the standard line format, plus optional
+    group-independent ``Sitemap:`` directives (RFC 9309 §2.3 /
+    sitemaps.org discovery). Used by the loopback test gateway to serve
+    the synthetic robots table as real HTTP ``robots.txt`` bodies."""
     lines = ["User-agent: *"]
     lines += [f"Disallow: {p}" for p in disallow]
     lines += [f"Allow: {p}" for p in allow]
     if crawl_delay is not None:
         lines.append(f"Crawl-delay: {crawl_delay}")
+    lines += [f"Sitemap: {s}" for s in sitemaps]
     return "\n".join(lines) + "\n"
+
+
+def parse_robots_sitemaps(text: str) -> tuple[str, ...]:
+    """``Sitemap:`` directives of a robots.txt — group-INDEPENDENT per
+    the sitemaps.org protocol (they apply regardless of User-agent), so
+    this is a separate scan from :func:`parse_robots_txt`'s agent-``*``
+    group parse."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        fieldname, _, value = line.partition(":")
+        if fieldname.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return tuple(out)
 
 
 class LiveRobotsTable:

@@ -53,6 +53,20 @@ class WebGateway:
                                     t.column("html").to_pylist(),
                                     t.column("lang").to_pylist(),
                                     t.column("warc_ts").to_pylist())}
+        # per-host sitemap.xml (sitemaps.org urlset over that host's
+        # pages) + the robots.txt Sitemap: directive advertising it —
+        # the discovery chain `discovery.discover_seeds` walks
+        from .functions.urls import split_host_resource
+        from .sinks.sitemap import build_urlset
+
+        by_host: dict[str, list[tuple[str, float]]] = {}
+        for u, (_h, _is, ts) in self._pages.items():
+            host, _res = split_host_resource(u)
+            if host:
+                by_host.setdefault(host, []).append((u, ts * 1e6))
+        self._sitemaps = {
+            h: build_urlset([u for u, _ in rows], [t for _, t in rows])
+            for h, rows in by_host.items()}
         r = pq.read_table(robots_path)
         al = (r.column("allow").to_pylist()
               if "allow" in r.column_names else [None] * r.num_rows)
@@ -64,7 +78,9 @@ class WebGateway:
                 r.column("fetchable").to_pylist()):
             if fe:  # fetchable=False host == robots 404 (unreachable)
                 self._robots[host] = render_robots_txt(
-                    dis or (), a or (), cd)
+                    dis or (), a or (), cd,
+                    sitemaps=([f"{host}/sitemap.xml"]
+                              if host in self._sitemaps else []))
         self._delays = delays or {}
         gw = self
 
@@ -77,6 +93,18 @@ class WebGateway:
                 delay = gw._delays.get(url)
                 if delay:
                     time.sleep(delay)
+                if url.endswith("/sitemap.xml"):
+                    doc = gw._sitemaps.get(url[:-len("/sitemap.xml")])
+                    if doc is None:
+                        self.send_error(404)
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/xml")
+                    self.send_header("Content-Length", str(len(doc)))
+                    self.end_headers()
+                    if send_body:
+                        self.wfile.write(doc)
+                    return
                 if url.endswith(_ROBOTS_SUFFIX):
                     text = gw._robots.get(url[:-len(_ROBOTS_SUFFIX)])
                     if text is None:
