@@ -518,6 +518,65 @@ def crawl_wat_read(sf_dir: str):
         batch_format="pyarrow").sort("url")
 
 
+def crawl_coverage_by_host(sf_dir: str):
+    """(host, n_pages, n_crawled, coverage_bp): how much of each host's
+    ACTUAL page inventory the crawl reached — the coverage-gap report a
+    crawl operator reads before the next seed/budget decision.
+    Distributed: one host-keyed count over the (url-only, column-pruned)
+    pages table, one over the saved attempts, one small join; SQL-checked
+    against the web pages parquet + attempts dump."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.urls import split_host_resource
+    from ..state.politeness import STATUS_SAVED
+
+    c = _crawl_workdir(sf_dir)
+    import ray
+
+    web_pages = os.path.join(corpus_cache_dir(sf_dir), "web",
+                             "pages.parquet")
+    from ..io_utils import read_parquet_clean as _rpq2
+
+    pages = _rpq2(ray, web_pages, columns=["url"])
+
+    def page_hosts(t: pa.Table) -> pd.DataFrame:
+        hosts = [split_host_resource(u)[0]
+                 for u in t.column("url").to_pylist()]
+        df = pd.DataFrame({"host": hosts})
+        return df.groupby("host", as_index=False).size().rename(
+            columns={"size": "n_pages"})
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("host", as_index=False)[
+            ["n_pages", "n_crawled"]].sum()
+        out["coverage_bp"] = (10_000 * out["n_crawled"]) // out["n_pages"]
+        return out.astype({"n_pages": "int64", "n_crawled": "int64",
+                           "coverage_bp": "int64"})
+
+    pp = pages.map_batches(page_hosts, batch_format="pyarrow") \
+              .map_batches(lambda df: df.assign(n_crawled=0),
+                           batch_format="pandas")
+
+    att = c.attempts_dataset()
+
+    def saved_hosts(t: pa.Table) -> pd.DataFrame:
+        import numpy as np
+
+        st = t.column("status").to_numpy(zero_copy_only=False)
+        hosts = pd.Series(t.column("host").to_pylist())[
+            st == STATUS_SAVED]
+        df = pd.DataFrame({"host": hosts})
+        out = df.groupby("host", as_index=False).size().rename(
+            columns={"size": "n_crawled"})
+        return out.assign(n_pages=0)[["host", "n_pages", "n_crawled"]]
+
+    aa = att.map_batches(saved_hosts, batch_format="pyarrow")
+    return (pp.union(aa).groupby("host")
+              .map_groups(merge_counts, batch_format="pandas")
+              .sort("host"))
+
+
 def crawl_sitemaps(sf_dir: str):
     """Publish per-host sitemaps.org urlset documents (+ the
     sitemapindex pointer file) from the crawl corpus — one distributed
@@ -1029,6 +1088,7 @@ def build_queries() -> dict:
         "crawl_sitemaps": crawl_sitemaps,
         "crawl_sitemap_read": crawl_sitemap_read,
         "crawl_robots_report": crawl_robots_report,
+        "crawl_coverage_by_host": crawl_coverage_by_host,
         "crawl_round_stats": crawl_round_stats,
         "crawl_pagerank": crawl_pagerank,
         "crawl_salsa": crawl_salsa,
@@ -1921,6 +1981,20 @@ SELECT source AS host, COUNT(*) AS n_urls
 FROM read_parquet('{corpus_dump}/*.parquet')
 GROUP BY source ORDER BY host
 """,
+    "crawl_coverage_by_host": """
+WITH p AS (SELECT regexp_extract(url, '^https?://[^/]+') AS host,
+                  COUNT(*) AS n_pages
+           FROM read_parquet('{web_pages}') GROUP BY 1),
+a AS (SELECT host, COUNT(*) AS n_crawled
+      FROM read_parquet('{dump}') WHERE status = 200 GROUP BY host)
+SELECT p.host,
+       CAST(p.n_pages AS BIGINT) AS n_pages,
+       CAST(COALESCE(a.n_crawled, 0) AS BIGINT) AS n_crawled,
+       CAST(10000 * COALESCE(a.n_crawled, 0) // p.n_pages AS BIGINT)
+         AS coverage_bp
+FROM p LEFT JOIN a ON a.host = p.host
+ORDER BY p.host
+""",
     "crawl_robots_report": """
 SELECT host,
        COUNT(*) AS n_attempted,
@@ -2246,6 +2320,8 @@ def _sf_dump_kwargs(sf_dir: str) -> dict[str, str]:
                 edges_dump=edges_dump, nodes_dump=nodes_dump,
                 corpus_dump=_corpus_dump_path(sf_dir),
                 anchor_dump=_anchor_dump_path(sf_dir),
+                web_pages=os.path.join(corpus_cache_dir(sf_dir),
+                                       "web", "pages.parquet"),
                 knn_ivf_dump=_sim.knn_pairs_dump_path(sf_dir, "ivf"),
                 knn_lsh_dump=_sim.knn_pairs_dump_path(sf_dir, "lsh"),
                 knn_pq_dump=_sim.knn_pairs_dump_path(sf_dir, "pq"))
