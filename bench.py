@@ -103,7 +103,7 @@ QUERY_NAMES = [
     "events_gap_histogram", "docs_hapax_ratio",
     "docs_vocab_coverage", "emb_qnorm_hist", "events_active_time",
     "knn_ivf_recall", "knn_lsh_recall", "knn_pq_recall",
-    "docs_ngram_novelty", "docs_readability",
+    "docs_ngram_novelty", "docs_readability", "knn_mips",
 ]
 
 

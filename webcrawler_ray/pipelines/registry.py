@@ -1476,6 +1476,7 @@ def build_queries() -> dict:
             "knn_pq": lambda sf: similarity.knn_pq(ray, sf),
             # value-checked recall audits of the three approximate
             # indexes vs exact brute force (dump-bound SQL oracles)
+            "knn_mips": lambda sf: similarity.knn_mips(ray, sf),
             "knn_ivf_recall":
                 lambda sf: similarity.knn_ivf_recall(ray, sf),
             "knn_lsh_recall":
@@ -2586,6 +2587,7 @@ try:
     ORACLE_SQL["emb_quantize"] = _sim.EMB_QUANTIZE_SQL
     ORACLE_SQL["emb_qnorm_hist"] = _sim.EMB_QNORM_HIST_SQL
     ORACLE_SQL["knn_cosine_q8"] = _sim.KNN_Q8_SQL
+    ORACLE_SQL["knn_mips"] = _sim.KNN_MIPS_SQL
     ORACLE_SQL["knn_cosine_filtered"] = _sim.KNN_FILTERED_SQL
     ORACLE_SQL["knn_mmr"] = _sim.KNN_MMR_SQL
 

@@ -1377,6 +1377,83 @@ def emb_qnorm_hist(ray, sf_dir: str):
               .sort("log2_qnorm2"))
 
 
+def knn_mips(ray, sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K):
+    """(query_id, neighbor_id, rnk): exact MAXIMUM INNER PRODUCT top-k
+    per query (self excluded; ties by neighbor_id) — the retrieval
+    semantics of unnormalized embedding models (recommendation /
+    reward-model scoring), distinct from cosine: a long vector can
+    outrank a better-aligned short one. Same broadcast-queries +
+    per-batch matmul + per-query reduce shape as knn_brute_force, with
+    NO normalization on either side."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < n_queries)
+    qids, qm = _emb_matrix(t)
+    order = np.argsort(qids)
+    qref = ray.put((qids[order], qm[order]))  # RAW queries, unnormalized
+
+    ds = _rpq(ray, f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        _qids, _qm = ray.get(qref)
+        ids, m = _emb_matrix(batch)
+        sims = m @ _qm.T  # raw inner products
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(_qids)):
+            s = sims[:, qi]
+            mask = ids != _qids[qi]
+            cand_ids, cand_s = ids[mask], s[mask]
+            if len(cand_ids) == 0:
+                continue
+            take = min(k, len(cand_ids))
+            if take < len(cand_ids):
+                part = np.argpartition(-cand_s, take - 1)
+                kth = cand_s[part[take - 1]]
+                sel = np.nonzero(cand_s >= kth)[0]
+            else:
+                sel = np.arange(len(cand_ids))
+            order2 = np.lexsort((cand_ids[sel], -cand_s[sel]))[:take]
+            idx = sel[order2]
+            out_q.extend([int(_qids[qi])] * take)
+            out_n.extend(cand_ids[idx].astype(int))
+            out_s.extend(cand_s[idx])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=4096)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({"query_id": g["query_id"].astype("int64"),
+                             "neighbor_id":
+                                 g["neighbor_id"].astype("int64"),
+                             "rnk": np.arange(1, len(g) + 1,
+                                              dtype="int64")})
+
+    return (local.groupby("query_id").map_groups(final_topk,
+                                                 batch_format="pandas")
+                 .sort(["query_id", "rnk"]))
+
+
+KNN_MIPS_SQL = f"""
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_dot_product(q.embedding, e.embedding) DESC,
+                                   e.vec_id) AS rnk
+FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+WHERE q.vec_id < {N_QUERIES}
+QUALIFY rnk <= {TOP_K}
+ORDER BY query_id, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # ANN recall audits: value-checked recall of each approximate index vs
 # the exact brute-force top-k (dedup_lsh_recall precedent — the audit an
