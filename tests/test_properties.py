@@ -241,3 +241,72 @@ class TestByteCodecProperties:
                + _zigzag(t.num_rows) + _zigzag(len(recs)) + recs + sync)
         back = _decode_file(buf, schema)
         assert back.equals(t)
+
+
+class TestRobotsTxtRoundtripProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.from_regex(r"/[a-z0-9/*$.-]{0,12}",
+                                  fullmatch=True), max_size=5),
+           st.lists(st.from_regex(r"/[a-z0-9/*$.-]{0,12}",
+                                  fullmatch=True), max_size=4),
+           st.one_of(st.none(),
+                     st.floats(0.01, 9.5, allow_nan=False)),
+           st.lists(st.from_regex(r"https://[a-z0-9.]{1,10}/s\.xml",
+                                  fullmatch=True), max_size=3))
+    def test_render_parse_roundtrip(self, dis, al, cd, sm):
+        from webcrawler_ray.robots import (parse_robots_sitemaps,
+                                           parse_robots_txt,
+                                           render_robots_txt)
+
+        text = render_robots_txt(dis, al, cd, sitemaps=sm)
+        got_dis, got_al, got_cd = parse_robots_txt(text)
+        assert got_dis == tuple(p for p in dis if p)
+        assert got_al == tuple(p for p in al if p)
+        assert got_cd == cd
+        assert parse_robots_sitemaps(text) == tuple(sm)
+
+
+class TestSurtProperties:
+    @settings(max_examples=80, deadline=None)
+    @given(st.from_regex(
+        r"https?://[a-z0-9]{1,8}(\.[a-z0-9]{1,6}){0,3}/[a-zA-Z0-9/._-]{0,16}",
+        fullmatch=True))
+    def test_surt_invariants(self, url):
+        from webcrawler_ray.functions.urls import surt_key
+
+        k = surt_key(url)
+        assert ")/" in k
+        assert k == k.lower()
+        # scheme-insensitive: http and https produce the same key
+        other = url.replace("https://", "http://", 1) \
+            if url.startswith("https://") \
+            else url.replace("http://", "https://", 1)
+        assert surt_key(other) == k
+        # host labels reversed: first SURT segment is the url's TLD
+        host = url.split("://", 1)[1].split("/", 1)[0]
+        assert k.split(",")[0].split(")")[0] == host.split(".")[-1]
+
+
+class TestNoveltyInvariants:
+    def test_novelty_sums_to_distinct_grams(self, ray_session):
+        """Σ n_novel over docs == |distinct shingle hashes of the
+        corpus|, and every doc's novelty_bp is in [0, 10000] with the
+        first doc scoring exactly 10000."""
+        import numpy as np
+
+        from tests.conftest import SF_DIR
+        from webcrawler_ray.functions.hashing import shingle_hashes
+        from webcrawler_ray.pipelines.textpipe import docs_ngram_novelty
+        import pyarrow.dataset as pads
+
+        out = docs_ngram_novelty(ray_session, SF_DIR).to_pandas()
+        assert ((out["novelty_bp"] >= 0)
+                & (out["novelty_bp"] <= 10_000)).all()
+        first = out.iloc[0]
+        assert first["novelty_bp"] == 10_000  # nothing precedes doc 0
+        t = pads.dataset(f"{SF_DIR}/documents.parquet").to_table(
+            columns=["text"])
+        all_sh = set()
+        for txt in t.column("text").to_pylist():
+            all_sh.update(shingle_hashes(txt).tolist())
+        assert int(out["n_novel"].sum()) == len(all_sh)

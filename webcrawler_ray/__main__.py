@@ -91,10 +91,47 @@ def query_main(argv) -> int:
     return 0
 
 
+def discover_main(argv) -> int:
+    """``python -m webcrawler_ray discover --hosts h.txt [--gateway U]``
+    — sitemap-driven seed discovery (robots.txt ``Sitemap:`` chain);
+    prints discovered URLs one per line, ready for ``-s``."""
+    ap = argparse.ArgumentParser(prog="webcrawler_ray discover")
+    ap.add_argument("--hosts", required=True,
+                    help="file of scheme-qualified hosts, one per line")
+    ap.add_argument("--gateway", default=None,
+                    help="optional fetch-gateway base URL")
+    ap.add_argument("--timeout", type=float, default=10.0)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .discovery import discover_seeds
+
+    with open(args.hosts) as f:
+        hosts = [h.strip() for h in f if h.strip()]
+    df = discover_seeds(ray, hosts, gateway=args.gateway,
+                        timeout_s=args.timeout).to_pandas()
+    for u in sorted(set(df["url"])):
+        print(u)
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "query":
         return query_main(argv[1:])
+    if argv and argv[0] == "discover":
+        return discover_main(argv[1:])
     ap = argparse.ArgumentParser(prog="webcrawler_ray")
     ap.add_argument("-s", "--seeds", required=True,
                     help="seed URL file, one per line")
