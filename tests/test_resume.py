@@ -100,3 +100,32 @@ class TestResume:
         state = c._load_latest_checkpoint()
         assert state is None
         c.shutdown_services()
+
+    def test_resume_refuses_config_drift(self, ray_session, tiny_web,
+                                         tmp_path):
+        """A checkpoint written under one SEMANTIC config must not be
+        resumed under another (lineage guard): changed first_n_words
+        here — parallelism knobs (shard counts) must NOT trip it."""
+        seeds = open(tiny_web["seeds"]).read().splitlines()
+        wd = str(tmp_path / "drift")
+        c1 = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd,
+                        _cfg(max_rounds=1))
+        c1.crawl(seeds)
+        c1.shutdown_services()
+        # same semantics, different REQUESTED parallelism: resume
+        # proceeds — shard counts snap to the checkpoint's (state is
+        # hash-partitioned per actor) and the crawl completes
+        c2 = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd,
+                        CrawlConfig(limit=LIMIT, num_seen_shards=5,
+                                    num_politeness_shards=3))
+        s2 = c2.crawl(seeds, resume=True)
+        assert c2.cfg.num_seen_shards == 3      # checkpoint's counts
+        assert c2.cfg.num_politeness_shards == 2
+        assert s2["saved_total"] == LIMIT + 1
+        c2.shutdown_services()
+        # drifted semantics: loud refusal
+        c3 = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd,
+                        _cfg(first_n_words=7))
+        with pytest.raises(ValueError, match="resume refused"):
+            c3.crawl(seeds, resume=True)
+        c3.shutdown_services()

@@ -92,3 +92,26 @@ class CrawlConfig:
     #                                  fingerprints) in the parse stage
 
     extra: dict = field(default_factory=dict)
+
+    def semantics_sig(self) -> str:
+        """Stable signature of the SEMANTIC knobs (the ones that change
+        what a crawl computes, not how parallel it runs). A checkpoint
+        resumed under a different signature would silently mix two
+        crawl semantics in one output tree — the resume path compares
+        signatures and fails loudly instead (test_resume)."""
+        import hashlib
+        import json
+
+        fields = {
+            "limit": self.limit,
+            "plus_one_quirk": self.plus_one_quirk,
+            "first_n_words": self.first_n_words,
+            "html_langs": list(self.html_langs),
+            "store_html": self.store_html,
+            "enrich": self.enrich,
+            "debug_log": self.debug_log,
+            "decode_strategy": str(self.extra.get("decode_strategy")),
+        }
+        return hashlib.blake2b(
+            json.dumps(fields, sort_keys=True).encode(),
+            digest_size=8).hexdigest()

@@ -244,8 +244,34 @@ class RayCrawler:
         return path, n
 
     # ------------------------------------------------------------------
+    def _checkpoint_shard_counts(self) -> tuple[int, int] | None:
+        """(num_seen, num_politeness) recorded by the latest complete
+        checkpoint's state dump — resume MUST recreate the same shard
+        counts (state is hash-partitioned per actor), so these override
+        the config/cluster-derived values; a crawl resumed on a
+        different-sized cluster still loads correctly."""
+        rounds_dir = os.path.join(self.workdir, "rounds")
+        if not os.path.isdir(rounds_dir):
+            return None
+        done = sorted(d for d in os.listdir(rounds_dir)
+                      if os.path.exists(os.path.join(rounds_dir, d,
+                                                     "_SUCCESS")))
+        if not done:
+            return None
+        sd = os.path.join(rounds_dir, done[-1], "state")
+        if not os.path.isdir(sd):
+            return None
+        ns = len([f for f in os.listdir(sd) if f.startswith("seen_")])
+        np_ = len([f for f in os.listdir(sd) if f.startswith("pol_")])
+        return (ns, np_) if ns and np_ else None
+
     def crawl(self, seeds: list[str], resume: bool = False) -> dict:
         """Run (or resume) the crawl; returns the final summary dict."""
+        if resume and not self._services_up:
+            counts = self._checkpoint_shard_counts()
+            if counts is not None:
+                self.cfg.num_seen_shards, \
+                    self.cfg.num_politeness_shards = counts
         self._start_services()
         cfg = self.cfg
         state = None
@@ -618,6 +644,9 @@ class RayCrawler:
             "wall_sec": time.perf_counter() - t0,
             "stage_secs": stage_secs,
             "fetch_route": fetch_route,
+            # lineage: the semantic-config signature pins what this
+            # round COMPUTED; resume refuses a drifted config
+            "config_sig": cfg.semantics_sig(),
         })
         with open(os.path.join(rdir, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=1)
@@ -637,6 +666,14 @@ class RayCrawler:
         last = os.path.join(rounds_dir, done[-1])
         with open(os.path.join(last, "metrics.json")) as f:
             m = json.load(f)
+        stored_sig = m.get("config_sig")
+        if stored_sig is not None and stored_sig != self.cfg.semantics_sig():
+            raise ValueError(
+                "resume refused: checkpoint was written under a "
+                f"different semantic config (sig {stored_sig} != "
+                f"{self.cfg.semantics_sig()}) — resuming would mix two "
+                "crawl semantics in one output tree; use a fresh "
+                "workdir (or restore the original CrawlConfig)")
         state_dir = os.path.join(last, "state")
         ray = self.ray
         futs = []
