@@ -126,6 +126,7 @@ SQL_CHECKED = [
     "docs_vocab_coverage", "emb_qnorm_hist", "events_active_time",
     "knn_ivf_recall", "knn_lsh_recall", "knn_pq_recall",
     "docs_ngram_novelty", "docs_readability", "knn_mips",
+    "docs_gopher_filter", "docs_freq_spectrum",
 ]
 
 

@@ -1137,6 +1137,10 @@ def build_queries() -> dict:
             lambda sf: textpipe.docs_ngram_novelty(ray, sf),
         "docs_readability":
             lambda sf: textpipe.docs_readability(ray, sf),
+        "docs_gopher_filter":
+            lambda sf: textpipe.docs_gopher_filter(ray, sf),
+        "docs_freq_spectrum":
+            lambda sf: textpipe.docs_freq_spectrum(ray, sf),
         "docs_dup_spans": lambda sf: textpipe.docs_dup_spans(ray, sf),
         # rows-only: iterative trainer (no SQL equivalent) — covered by
         # the exact-equality test vs the single-process reference
@@ -2523,6 +2527,8 @@ ORDER BY vec_id_a, vec_id_b
     "docs_dup_ngrams": textpipe.DOCS_DUP_NGRAMS_SQL,
     "docs_ngram_novelty": textpipe.DOCS_NGRAM_NOVELTY_SQL,
     "docs_readability": textpipe.DOCS_READABILITY_SQL,
+    "docs_gopher_filter": textpipe.DOCS_GOPHER_SQL,
+    "docs_freq_spectrum": textpipe.DOCS_FREQ_SPECTRUM_SQL,
     "docs_chunks": textpipe.DOCS_CHUNKS_SQL,
     "docs_orc_roundtrip": textpipe.DOCS_ORC_ROUNDTRIP_SQL,
     "docs_tfrecord_roundtrip": textpipe.DOCS_TFRECORD_ROUNDTRIP_SQL,

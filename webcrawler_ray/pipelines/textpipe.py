@@ -4344,3 +4344,157 @@ SELECT doc_id,
                       // (s * w) END AS BIGINT) AS flesch_x1000
 FROM c ORDER BY doc_id
 """
+
+
+# --- Gopher quality rules (Rae et al. 2021, public filter set) --------------
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def docs_gopher_filter(ray, sf_dir: str):
+    """(doc_id, n_words, n_word_chars, n_symbols, n_stopwords, passes):
+    the public Gopher quality-rule subset expressible byte-exactly in
+    BOTH engines (Rae et al. 2021 §A1.1, the standard webtext filter
+    stack): word count in [50, 100000]; mean word length in [3, 10]
+    (as integer cross-multiplication 3W <= C <= 10W); symbol-to-word
+    ratio < 0.1 over '#' and '...' occurrences (10*sym < W); and >= 2
+    distinct stopwords from the canonical eight. One vectorized text
+    pass, no shuffle — O(docs) scalar rows out."""
+    stops = set(GOPHER_STOPS)
+
+    ds = _docs(ray, sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        W, C, S, ST, P = [], [], [], [], []
+        for t in batch.column("text").to_pylist():
+            toks = tokenize(t)
+            w = len(toks)
+            c = sum(len(x) for x in toks)
+            sym = t.count("#") + t.count("...")
+            st = len({x.lower() for x in toks} & stops)
+            ok = (50 <= w <= 100_000
+                  and 3 * w <= c <= 10 * w
+                  and 10 * sym < w
+                  and st >= 2)
+            W.append(w)
+            C.append(c)
+            S.append(sym)
+            ST.append(st)
+            P.append(ok)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(W, pa.int64()),
+            "n_word_chars": pa.array(C, pa.int64()),
+            "n_symbols": pa.array(S, pa.int64()),
+            "n_stopwords": pa.array(ST, pa.int64()),
+            "passes": pa.array(P, pa.bool_())})
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+DOCS_GOPHER_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN {SQL_TRIM_TEXT} = '' THEN []
+              ELSE str_split_regex({SQL_TRIM_TEXT}, '{SQL_WS_CLASS}+')
+         END AS tk,
+         length(text) - length(replace(text, '#', ''))
+           + (length(text) - length(replace(text, '...', ''))) // 3
+           AS sym
+  FROM documents),
+m AS (
+  SELECT doc_id, len(tk) AS w,
+         COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS ch,
+         sym,
+         len(list_distinct(list_filter(
+             list_transform(tk, x -> lower(x)),
+             x -> x IN {GOPHER_STOPS!r}))) AS st
+  FROM c)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(ch AS BIGINT) AS n_word_chars,
+       CAST(sym AS BIGINT) AS n_symbols,
+       CAST(st AS BIGINT) AS n_stopwords,
+       (w BETWEEN 50 AND 100000 AND 3 * w <= ch AND ch <= 10 * w
+        AND 10 * sym < w AND st >= 2) AS passes
+FROM m ORDER BY doc_id
+"""
+
+
+# --- token frequency-of-frequencies spectrum --------------------------------
+def docs_freq_spectrum(ray, sf_dir: str):
+    """(freq_bucket, n_types): the frequency-of-frequencies spectrum —
+    vocabulary types bucketed by floor(log2(occurrences)) (exact
+    integer bit-length arithmetic on BOTH engines, so no float log).
+    The Zipf diagnostic behind Good-Turing smoothing and corpus-health
+    checks: a deduplicated corpus bends the low buckets, boilerplate
+    inflates the high ones.
+
+    Scale shape: wordcount partials -> ONE token-keyed bucketed
+    exchange -> per-bucket spectrum fold (a handful of integers) ->
+    tiny groupby sum."""
+    from ..io_utils import parquet_column_bytes
+    from ..stages.aggregates import hash_bucket_aggregate
+
+    ds = _docs(ray, sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tokenize(t))
+        return pd.DataFrame({"token": list(c.keys()),
+                             "n": pd.Series(list(c.values()),
+                                            dtype="int64")})
+
+    def resum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", as_index=False).sum()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("token")["n"].sum().to_numpy()
+        # floor(log2(n)) == bit_length(n) - 1: exact integer
+        # arithmetic, no float log on either engine
+        lg = np.array([int(x).bit_length() - 1 for x in tot],
+                      dtype=np.int64)
+        g = pd.DataFrame({"freq_bucket": lg}).groupby(
+            "freq_bucket", as_index=False).size()
+        return pd.DataFrame({
+            "freq_bucket": g["freq_bucket"].astype("int64"),
+            "n_types": g["size"].astype("int64")})
+
+    tok_bound = parquet_column_bytes(
+        f"{sf_dir}/documents.parquet", "text") // 2
+    parts = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"], resum, merge=fold, n_rows=tok_bound)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        total = int(g["n_types"].sum())
+        if total == 0:  # SQL GROUP BY omits empty buckets — match it
+            return pd.DataFrame({
+                "freq_bucket": pd.Series([], dtype="int64"),
+                "n_types": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "freq_bucket": pd.Series([g["freq_bucket"].iloc[0]],
+                                     dtype="int64"),
+            "n_types": pd.Series([total], dtype="int64")})
+
+    return (parts.groupby("freq_bucket")
+                 .map_groups(finish, batch_format="pandas")
+                 .sort("freq_bucket"))
+
+
+DOCS_FREQ_SPECTRUM_SQL = f"""
+WITH toks AS (
+  SELECT unnest(str_split_regex({SQL_TRIM_TEXT},
+                                '{SQL_WS_CLASS}+')) AS token
+  FROM documents WHERE {SQL_TRIM_TEXT} <> ''),
+tc AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+sp AS (SELECT length(bin(CAST(n AS BIGINT))) - 1 AS freq_bucket,
+              COUNT(*) AS n_types
+       FROM tc GROUP BY 1)
+SELECT CAST(freq_bucket AS BIGINT) AS freq_bucket,
+       CAST(n_types AS BIGINT) AS n_types
+FROM sp ORDER BY freq_bucket
+"""
