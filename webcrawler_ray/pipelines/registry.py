@@ -518,6 +518,62 @@ def crawl_wat_read(sf_dir: str):
         batch_format="pyarrow").sort("url")
 
 
+def crawl_politeness_audit(sf_dir: str):
+    """(n_hosts, n_gaps, n_violations): the politeness INVARIANT as a
+    value-checked number — over every host's consecutive SAVED fetches
+    (virtual-time order), count gaps smaller than the host's clamped
+    crawl-delay (`Host.py:95-114` semantics). A correct scheduler
+    yields n_violations = 0, and the oracle RECOMPUTES the whole audit
+    (LAG window + the delay clamp CASE) from the attempts dump and the
+    robots parquet — so the zero is proven, not asserted."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..robots import RobotsTable
+    from ..state.politeness import STATUS_SAVED
+
+    c = _crawl_workdir(sf_dir)
+    import ray
+
+    robots_path = os.path.join(corpus_cache_dir(sf_dir), "web",
+                               "robots.parquet")
+    rt = RobotsTable.from_parquet(robots_path)
+    delays = {h: r.delay_seconds() for h, r in rt.rules.items()}
+    dref = ray.put(delays)
+
+    att = c.attempts_dataset()
+
+    # a host's saves can span blocks, so per-block partials would miss
+    # boundary gaps: group by host first (input = saved rows only)
+    def one_host(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        d = _ray.get(dref)
+        ts = np.sort(g["ts"].to_numpy())
+        gaps = np.diff(ts)
+        delay = d.get(g["host"].iloc[0], 0.1)
+        return pd.DataFrame({
+            "host": [g["host"].iloc[0]],
+            "n_gaps": pd.Series([len(gaps)], dtype="int64"),
+            "n_violations": pd.Series(
+                [int((gaps < delay - 1e-9).sum())], dtype="int64")})
+
+    saved = att.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("status"),
+                                            STATUS_SAVED))
+                   .select(["host", "ts"]),
+        batch_format="pyarrow")
+    per_host = saved.groupby("host").map_groups(one_host,
+                                                batch_format="pandas")
+    agg = per_host.to_pandas()  # O(hosts)
+    return pd.DataFrame({
+        "n_hosts": pd.Series([len(agg)], dtype="int64"),
+        "n_gaps": pd.Series([int(agg["n_gaps"].sum())], dtype="int64"),
+        "n_violations": pd.Series([int(agg["n_violations"].sum())],
+                                  dtype="int64")})
+
+
 def crawl_coverage_by_host(sf_dir: str):
     """(host, n_pages, n_crawled, coverage_bp): how much of each host's
     ACTUAL page inventory the crawl reached — the coverage-gap report a
@@ -1089,6 +1145,7 @@ def build_queries() -> dict:
         "crawl_sitemap_read": crawl_sitemap_read,
         "crawl_robots_report": crawl_robots_report,
         "crawl_coverage_by_host": crawl_coverage_by_host,
+        "crawl_politeness_audit": crawl_politeness_audit,
         "crawl_round_stats": crawl_round_stats,
         "crawl_pagerank": crawl_pagerank,
         "crawl_salsa": crawl_salsa,
@@ -1986,6 +2043,28 @@ SELECT source AS host, COUNT(*) AS n_urls
 FROM read_parquet('{corpus_dump}/*.parquet')
 GROUP BY source ORDER BY host
 """,
+    "crawl_politeness_audit": """
+WITH saved AS (
+  SELECT host, ts FROM read_parquet('{dump}') WHERE status = 200),
+d AS (
+  SELECT host,
+         CASE WHEN NOT fetchable THEN 0.1
+              WHEN crawl_delay IS NULL THEN 0.1
+              WHEN crawl_delay > 3.0 THEN 3.0
+              ELSE crawl_delay END AS delay
+  FROM read_parquet('{web_robots}')),
+g AS (
+  SELECT s.host, s.ts - LAG(s.ts) OVER (PARTITION BY s.host
+                                        ORDER BY s.ts) AS gap,
+         COALESCE(d.delay, 0.1) AS delay
+  FROM saved s LEFT JOIN d ON d.host = s.host)
+SELECT CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(SUM(CASE WHEN gap < delay - 1e-9 THEN 1
+                              ELSE 0 END), 0) AS BIGINT)
+         AS n_violations
+FROM g
+""",
     "crawl_coverage_by_host": """
 WITH p AS (SELECT regexp_extract(url, '^https?://[^/]+') AS host,
                   COUNT(*) AS n_pages
@@ -2327,6 +2406,8 @@ def _sf_dump_kwargs(sf_dir: str) -> dict[str, str]:
                 anchor_dump=_anchor_dump_path(sf_dir),
                 web_pages=os.path.join(corpus_cache_dir(sf_dir),
                                        "web", "pages.parquet"),
+                web_robots=os.path.join(corpus_cache_dir(sf_dir),
+                                        "web", "robots.parquet"),
                 knn_ivf_dump=_sim.knn_pairs_dump_path(sf_dir, "ivf"),
                 knn_lsh_dump=_sim.knn_pairs_dump_path(sf_dir, "lsh"),
                 knn_pq_dump=_sim.knn_pairs_dump_path(sf_dir, "pq"))
