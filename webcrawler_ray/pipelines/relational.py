@@ -9670,3 +9670,163 @@ sess AS (
 SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_us
 FROM sess GROUP BY user_id ORDER BY user_id
 """
+
+
+# --- TPC-H Q4 shape (order priority checking) -------------------------------
+Q4_START = "1997-01-01"
+Q4_END = "1997-04-01"
+Q4_LATE_DAYS = 60
+
+
+def q4_order_priority(ray, sf_dir: str):
+    """(o_orderpriority, order_count): TPC-H Q4 shape — orders placed
+    in one quarter that have at least one LATE lineitem, counted by
+    priority. The synthetic schema carries no commit/receipt dates, so
+    "late" is adapted to l_shipdate > o_orderdate + 60 days
+    (documented deviation; the EXISTS-semi-join shape is the point).
+    Scale shape: lineitem collapses to one MAX(l_shipdate) row per
+    order inside a bucketed aggregate BEFORE the join (the EXISTS
+    needs only the max), the join is sized from real counts, and only
+    5 priority rows reach the driver."""
+    from ..stages.aggregates import hash_bucket_aggregate
+    from ..stages.joins import auto_join_ds
+
+    lo = pd.Timestamp(Q4_START)
+    hi = pd.Timestamp(Q4_END)
+    n_orders = _nrows(f"{sf_dir}/orders.parquet")
+
+    import pyarrow.dataset as _pads
+
+    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_orderdate",
+                           "o_orderpriority"],
+                  filter=(_pads.field("o_orderdate") >= lo)
+                  & (_pads.field("o_orderdate") < hi)).materialize()
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_shipdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("l_orderkey", as_index=False)["l_shipdate"].max()
+        return g.rename(columns={"l_orderkey": "o_orderkey",
+                                 "l_shipdate": "max_ship"})
+
+    li_max = hash_bucket_aggregate(
+        li.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["o_orderkey"],
+        lambda df: df.groupby("o_orderkey", as_index=False).max(),
+        n_rows=n_orders)
+
+    joined, _ = auto_join_ds(ray, li_max, orders, ["o_orderkey"],
+                             orders.count(), row_bytes_est=48)
+
+    def count_late(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        late = df["max_ship"] > (df["o_orderdate"]
+                                 + pd.Timedelta(days=Q4_LATE_DAYS))
+        g = df[late].groupby("o_orderpriority", as_index=False).size()
+        return g.rename(columns={"size": "order_count"}).astype(
+            {"order_count": "int64"})
+
+    parts = joined.map_batches(count_late,
+                               batch_format="pyarrow").to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False)[
+        "order_count"].sum()
+    return (out.sort_values("o_orderpriority")
+               .reset_index(drop=True)
+               .astype({"order_count": "int64"}))
+
+
+Q4_SQL = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_START}'
+  AND o.o_orderdate < TIMESTAMP '{Q4_END}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                                   + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- TPC-H Q14 shape (promotion revenue share) ------------------------------
+Q14_START = "1997-03-01"
+Q14_END = "1997-04-01"
+
+
+def q14_promo_revenue(ray, sf_dir: str):
+    """(promo_cents, total_cents, promo_bp): TPC-H Q14 shape — the
+    PROMO part-type share of one month's discounted revenue, in
+    integer cents and basis points. Scale shape: the month's lineitems
+    collapse to one revenue row per partkey (bucketed combiner) before
+    the part join; the final fold is two integers per block."""
+    from ..stages.aggregates import hash_bucket_aggregate
+    from ..stages.joins import auto_join_ds
+
+    lo = pd.Timestamp(Q14_START)
+    hi = pd.Timestamp(Q14_END)
+    n_part = _nrows(f"{sf_dir}/part.parquet")
+
+    import pyarrow.dataset as _pads
+
+    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"],
+              filter=(_pads.field("l_shipdate") >= lo)
+              & (_pads.field("l_shipdate") < hi))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "p_partkey": b["l_partkey"].astype("int64"),
+            "cents": np.floor(b["l_extendedprice"]
+                              * (1 - b["l_discount"]) * 100
+                              ).astype("int64")})
+        return g.groupby("p_partkey", as_index=False).sum()
+
+    per_part = hash_bucket_aggregate(
+        li.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["p_partkey"],
+        lambda df: df.groupby("p_partkey", as_index=False).sum(),
+        n_rows=n_part)
+
+    part = _rpq(ray, f"{sf_dir}/part.parquet",
+                columns=["p_partkey", "p_type"])
+    joined, _ = auto_join_ds(ray, per_part, part.materialize(),
+                             ["p_partkey"], n_part, row_bytes_est=32)
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        promo = int(df.loc[df["p_type"] == "PROMO", "cents"].sum())
+        return pd.DataFrame({"promo": pd.Series([promo], dtype="int64"),
+                             "total": pd.Series([int(df["cents"].sum())],
+                                                dtype="int64")})
+
+    parts = joined.map_batches(fold, batch_format="pyarrow").to_pandas()
+    promo, total = int(parts["promo"].sum()), int(parts["total"].sum())
+    bp = (10_000 * promo) // total if total else 0
+    return pd.DataFrame({
+        "promo_cents": pd.Series([promo], dtype="int64"),
+        "total_cents": pd.Series([total], dtype="int64"),
+        "promo_bp": pd.Series([bp], dtype="int64")})
+
+
+Q14_SQL = f"""
+WITH l AS (
+  SELECT l_partkey,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q14_START}'
+    AND l_shipdate < TIMESTAMP '{Q14_END}')
+SELECT CAST(COALESCE(SUM(CASE WHEN p.p_type = 'PROMO' THEN l.cents
+                              ELSE 0 END), 0) AS BIGINT) AS promo_cents,
+       CAST(COALESCE(SUM(l.cents), 0) AS BIGINT) AS total_cents,
+       CAST(CASE WHEN COALESCE(SUM(l.cents), 0) = 0 THEN 0
+                 ELSE (10000 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                        THEN l.cents ELSE 0 END))
+                      // SUM(l.cents) END AS BIGINT) AS promo_bp
+FROM l JOIN part p ON p.p_partkey = l.l_partkey
+"""
