@@ -1351,8 +1351,6 @@ def build_queries() -> dict:
         "events_value_props_corr":
             lambda sf: relational.events_value_props_corr(ray, sf),
         "lineitem_q6": lambda sf: relational.lineitem_q6(ray, sf),
-        "q4_order_priority":
-            lambda sf: relational.q4_order_priority(ray, sf),
         "q14_promo_revenue":
             lambda sf: relational.q14_promo_revenue(ray, sf),
         "q3_shipping_priority":
@@ -2531,7 +2529,6 @@ ORDER BY vec_id_a, vec_id_b
     "events_value_props_corr": relational.EVENTS_VALUE_PROPS_CORR_SQL,
     "lineitem_q6": relational.LINEITEM_Q6_SQL,
     "q3_shipping_priority": relational.Q3_SQL,
-    "q4_order_priority": relational.Q4_SQL,
     "q14_promo_revenue": relational.Q14_SQL,
     "orders_priority_exists": relational.Q4_EXISTS_SQL,
     "events_type_stats": relational.EVENTS_TYPE_STATS_SQL,

@@ -9672,85 +9672,6 @@ FROM sess GROUP BY user_id ORDER BY user_id
 """
 
 
-# --- TPC-H Q4 shape (order priority checking) -------------------------------
-Q4_START = "1997-01-01"
-Q4_END = "1997-04-01"
-Q4_LATE_DAYS = 60
-
-
-def q4_order_priority(ray, sf_dir: str):
-    """(o_orderpriority, order_count): TPC-H Q4 shape — orders placed
-    in one quarter that have at least one LATE lineitem, counted by
-    priority. The synthetic schema carries no commit/receipt dates, so
-    "late" is adapted to l_shipdate > o_orderdate + 60 days
-    (documented deviation; the EXISTS-semi-join shape is the point).
-    Scale shape: lineitem collapses to one MAX(l_shipdate) row per
-    order inside a bucketed aggregate BEFORE the join (the EXISTS
-    needs only the max), the join is sized from real counts, and only
-    5 priority rows reach the driver."""
-    from ..stages.aggregates import hash_bucket_aggregate
-    from ..stages.joins import auto_join_ds
-
-    lo = pd.Timestamp(Q4_START)
-    hi = pd.Timestamp(Q4_END)
-    n_orders = _nrows(f"{sf_dir}/orders.parquet")
-
-    import pyarrow.dataset as _pads
-
-    orders = _rpq(ray, f"{sf_dir}/orders.parquet",
-                  columns=["o_orderkey", "o_orderdate",
-                           "o_orderpriority"],
-                  filter=(_pads.field("o_orderdate") >= lo)
-                  & (_pads.field("o_orderdate") < hi)).materialize()
-
-    li = _rpq(ray, f"{sf_dir}/lineitem.parquet",
-              columns=["l_orderkey", "l_shipdate"])
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("l_orderkey", as_index=False)["l_shipdate"].max()
-        return g.rename(columns={"l_orderkey": "o_orderkey",
-                                 "l_shipdate": "max_ship"})
-
-    li_max = hash_bucket_aggregate(
-        li.map_batches(partial, batch_format="pandas",
-                       batch_size=65536),
-        ["o_orderkey"],
-        lambda df: df.groupby("o_orderkey", as_index=False).max(),
-        n_rows=n_orders)
-
-    joined, _ = auto_join_ds(ray, li_max, orders, ["o_orderkey"],
-                             orders.count(), row_bytes_est=48)
-
-    def count_late(t: pa.Table) -> pd.DataFrame:
-        df = t.to_pandas()
-        late = df["max_ship"] > (df["o_orderdate"]
-                                 + pd.Timedelta(days=Q4_LATE_DAYS))
-        g = df[late].groupby("o_orderpriority", as_index=False).size()
-        return g.rename(columns={"size": "order_count"}).astype(
-            {"order_count": "int64"})
-
-    parts = joined.map_batches(count_late,
-                               batch_format="pyarrow").to_pandas()
-    out = parts.groupby("o_orderpriority", as_index=False)[
-        "order_count"].sum()
-    return (out.sort_values("o_orderpriority")
-               .reset_index(drop=True)
-               .astype({"order_count": "int64"}))
-
-
-Q4_SQL = f"""
-SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '{Q4_START}'
-  AND o.o_orderdate < TIMESTAMP '{Q4_END}'
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey
-                AND l.l_shipdate > o.o_orderdate
-                                   + INTERVAL {Q4_LATE_DAYS} DAY)
-GROUP BY o_orderpriority ORDER BY o_orderpriority
-"""
-
-
 # --- TPC-H Q14 shape (promotion revenue share) ------------------------------
 Q14_START = "1997-03-01"
 Q14_END = "1997-04-01"
