@@ -127,7 +127,7 @@ SQL_CHECKED = [
     "knn_ivf_recall", "knn_lsh_recall", "knn_pq_recall",
     "docs_ngram_novelty", "docs_readability", "knn_mips",
     "docs_gopher_filter", "docs_freq_spectrum",
-    "q14_promo_revenue",
+    "q14_promo_revenue", "events_dow_hour_heatmap",
 ]
 
 

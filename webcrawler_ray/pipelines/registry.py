@@ -1353,6 +1353,8 @@ def build_queries() -> dict:
         "lineitem_q6": lambda sf: relational.lineitem_q6(ray, sf),
         "q14_promo_revenue":
             lambda sf: relational.q14_promo_revenue(ray, sf),
+        "events_dow_hour_heatmap":
+            lambda sf: relational.events_dow_hour_heatmap(ray, sf),
         "q3_shipping_priority":
             lambda sf: relational.q3_shipping_priority(ray, sf),
         "orders_priority_exists":
@@ -2530,6 +2532,7 @@ ORDER BY vec_id_a, vec_id_b
     "lineitem_q6": relational.LINEITEM_Q6_SQL,
     "q3_shipping_priority": relational.Q3_SQL,
     "q14_promo_revenue": relational.Q14_SQL,
+    "events_dow_hour_heatmap": relational.EVENTS_DOW_HOUR_SQL,
     "orders_priority_exists": relational.Q4_EXISTS_SQL,
     "events_type_stats": relational.EVENTS_TYPE_STATS_SQL,
     "events_type_pairs": relational.EVENTS_TYPE_PAIRS_SQL,

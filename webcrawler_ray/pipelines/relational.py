@@ -9751,3 +9751,45 @@ SELECT CAST(COALESCE(SUM(CASE WHEN p.p_type = 'PROMO' THEN l.cents
                       // SUM(l.cents) END AS BIGINT) AS promo_bp
 FROM l JOIN part p ON p.p_partkey = l.l_partkey
 """
+
+
+def events_dow_hour_heatmap(ray, sf_dir: str):
+    """(dow, hour, n_events): the classic traffic heatmap — event
+    counts by ISO weekday (1=Mon..7=Sun) x hour-of-day. Scale shape:
+    per-batch vectorized (dow, hour) bincount partials (a 7x24-int
+    table per batch) -> one tiny groupby; nothing but 168 rows ever
+    moves."""
+    ds = _rpq(ray, f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        s = pd.Series(t.column("ts").to_pandas())
+        dow = (s.dt.dayofweek + 1).to_numpy()   # ISO: 1=Mon..7=Sun
+        hour = s.dt.hour.to_numpy()
+        code = (dow - 1) * 24 + hour
+        counts = np.bincount(code, minlength=7 * 24)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame({
+            "dow": (nz // 24 + 1).astype("int64"),
+            "hour": (nz % 24).astype("int64"),
+            "n_events": counts[nz].astype("int64")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dow": t.column("dow").cast(pa.int64()),
+            "hour": t.column("hour").cast(pa.int64()),
+            "n_events": t.column("sum(n_events)").cast(pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["dow", "hour"]).sum("n_events")
+             .map_batches(finish, batch_format="pyarrow"))
+    return out.sort(["dow", "hour"])
+
+
+EVENTS_DOW_HOUR_SQL = """
+SELECT CAST(EXTRACT(isodow FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+         AS dow,
+       CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+         AS hour,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY dow, hour
+"""
