@@ -966,6 +966,33 @@ def crawl_scc(sf_dir: str):
     return graph.crawl_scc(c.ray, c, edges=_dump_link_graph(c, sf_dir))
 
 
+def crawl_host_scc(sf_dir: str):
+    """(url=host, scc_id): SCC decomposition of the HOST-LEVEL graph —
+    ``scc_decompose`` applied to the collapsed host edges (the
+    link-spam / host-reputation unit of analysis; same generic core as
+    crawl_scc, different graph — demonstrating the operator composes).
+    Value-checked by the same closure oracle over host edges."""
+    import pyarrow as pa
+
+    from . import graph
+
+    c = _crawl_workdir(sf_dir)
+    hg = crawl_host_graph(sf_dir)  # (src_host, dst_host, n_links)
+    edges = hg.map_batches(
+        lambda t: pa.table({"src": t.column("src_host"),
+                            "dst": t.column("dst_host")}),
+        batch_format="pyarrow")
+    nodes = edges.map_batches(
+        lambda t: pa.table({"url": pa.array(
+            t.column("src").to_pylist() + t.column("dst").to_pylist(),
+            pa.string())}),
+        batch_format="pyarrow")
+    from ..stages.aggregates import distinct_keys
+
+    nodes = distinct_keys(nodes, "url", n_rows=1024)
+    return graph.scc_decompose(c.ray, nodes, edges)
+
+
 def crawl_degree_hist(sf_dir: str):
     """(out_deg, n_pages): out-degree distribution of the crawled link
     graph including zero-outlink pages (value-checked: GROUP BY over
@@ -1154,6 +1181,7 @@ def build_queries() -> dict:
         "crawl_depths": crawl_depths,
         "crawl_pivot_scc": crawl_pivot_scc,
         "crawl_scc": crawl_scc,
+        "crawl_host_scc": crawl_host_scc,
         "crawl_degree_hist": crawl_degree_hist,
         "crawl_ppr": crawl_ppr,
         "crawl_kcore": crawl_kcore,
@@ -2167,6 +2195,26 @@ WITH RECURSIVE
  e AS (SELECT DISTINCT src, dst
        FROM read_parquet('{edges_dump}/*.parquet') WHERE src <> dst),
  n AS (SELECT url FROM read_parquet('{nodes_dump}/*.parquet')),
+ r AS (SELECT src, dst FROM e
+       UNION
+       SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst),
+ m AS (SELECT a.src AS u, a.dst AS v
+       FROM r a JOIN r b ON b.src = a.dst AND b.dst = a.src
+       UNION
+       SELECT url, url FROM n)
+SELECT u AS url, MIN(v) AS scc_id FROM m GROUP BY u ORDER BY u
+"""
+_CRAWL_ORACLE_TEMPLATES["crawl_host_scc"] = """
+WITH RECURSIVE
+ e0 AS (SELECT
+    string_split(src, '/')[1] || '//' || string_split(src, '/')[3]
+        AS src,
+    string_split(dst, '/')[1] || '//' || string_split(dst, '/')[3]
+        AS dst
+   FROM read_parquet('{edges_dump}/*.parquet')),
+ e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+ n AS (SELECT DISTINCT src AS url FROM e0
+       UNION SELECT DISTINCT dst FROM e0),
  r AS (SELECT src, dst FROM e
        UNION
        SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst),
