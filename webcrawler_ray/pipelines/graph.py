@@ -1465,7 +1465,7 @@ def crawl_edge_locality(ray, crawler, edges=None):
                      "intra_bp": pa.array([bp], pa.int64())})
 
 
-def crawl_pivot_scc(ray, crawler, edges=None, max_depth: int = 64):
+def crawl_pivot_scc(ray, crawler, edges=None):
     """(url) members of the strongly connected component containing the
     PIVOT page — the lexicographically smallest crawled url — i.e. the
     FW∩BW step of the classic divide-and-conquer distributed SCC
@@ -1516,7 +1516,11 @@ def crawl_pivot_scc(ray, crawler, edges=None, max_depth: int = 64):
         seen, frontier = start, start
         if n_edges == 0:
             return seen
-        for _ in range(max_depth):
+        # fixpoint, not a depth cap: the oracle's recursive-CTE closure
+        # is unbounded, so a diameter-heavy graph must not truncate the
+        # Ray side (scc_decompose._bfs discipline); the empty-frontier
+        # breaks below guarantee termination on any finite graph.
+        while True:
             cand = (edges_n.join(
                         frontier.map_batches(
                             lambda t: t.rename_columns([src_col]),

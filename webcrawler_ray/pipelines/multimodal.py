@@ -64,7 +64,12 @@ def _payload_store(ray, sf_dir: str, kind: str, col: str, make_fn) -> str:
     the bench measures the decode kernels, not repeated synthesis. The
     sig is the documents table's identity (realpath, mtime, size) + a
     generator version — touching the corpus or the generator rebuilds.
-    Build is a distributed write to a temp dir + atomic rename."""
+    Build is a distributed write to a pid-unique temp dir, atomically
+    renamed over the store under the same flock protocol the other
+    shared caches use (dedup_incremental, windowed-incremental) — two
+    concurrent runs of one corpus serialize instead of racing rmtree /
+    write / rename on a shared tmp path."""
+    import fcntl
     import os
     import shutil
 
@@ -76,28 +81,45 @@ def _payload_store(ray, sf_dir: str, kind: str, col: str, make_fn) -> str:
            f"{st.st_size}|{kind}v1")
     store = os.path.join(corpus_cache_dir(sf_dir), f"{kind}_store")
     sigf = store + ".sig"
-    if os.path.isdir(store) and os.path.exists(sigf):
-        with open(sigf) as f:
-            if f.read() == sig:
-                return store
-    ds = _rpq(ray, doc_path, columns=["doc_id"],
-              override_num_blocks=_synth_blocks(sf_dir))
 
-    def synth(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            col: pa.array([make_fn(d) for d in ids], pa.binary())})
+    def _current() -> bool:
+        if os.path.isdir(store) and os.path.exists(sigf):
+            with open(sigf) as f:
+                return f.read() == sig
+        return False
 
-    tmp = store + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (ds.map_batches(synth, batch_format="pyarrow", batch_size=32)
-       .write_parquet(tmp))
-    shutil.rmtree(store, ignore_errors=True)
-    os.rename(tmp, store)
-    with open(sigf, "w") as f:
-        f.write(sig)
-    return store
+    if _current():  # fast path: no lock for the memoized-hit case
+        return store
+    lock_fd = os.open(store + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.flock(lock_fd, fcntl.LOCK_EX)
+    try:
+        if _current():  # a concurrent holder built it while we waited
+            return store
+        ds = _rpq(ray, doc_path, columns=["doc_id"],
+                  override_num_blocks=_synth_blocks(sf_dir))
+
+        def synth(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                col: pa.array([make_fn(d) for d in ids], pa.binary())})
+
+        tmp = f"{store}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (ds.map_batches(synth, batch_format="pyarrow", batch_size=32)
+           .write_parquet(tmp))
+        # stale-sig first, so a reader never sees a fresh sig beside an
+        # old/empty store; dir swap itself is one rename (same fs).
+        if os.path.exists(sigf):
+            os.unlink(sigf)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(tmp, store)
+        with open(sigf, "w") as f:
+            f.write(sig)
+        return store
+    finally:
+        fcntl.flock(lock_fd, fcntl.LOCK_UN)
+        os.close(lock_fd)
 
 
 def synthesize_payloads(ray, sf_dir: str):

@@ -983,9 +983,9 @@ def crawl_host_scc(sf_dir: str):
                             "dst": t.column("dst_host")}),
         batch_format="pyarrow")
     nodes = edges.map_batches(
-        lambda t: pa.table({"url": pa.array(
-            t.column("src").to_pylist() + t.column("dst").to_pylist(),
-            pa.string())}),
+        lambda t: pa.table({"url": pa.concat_arrays(
+            t.column("src").cast(pa.string()).chunks
+            + t.column("dst").cast(pa.string()).chunks)}),
         batch_format="pyarrow")
     from ..stages.aggregates import distinct_keys
 
@@ -2139,8 +2139,12 @@ WITH c AS (
 )
 SELECT lower(array_to_string(
          list_reverse(string_split(split_part(nohost, '/', 1), '.')),
-         ',')) || ')' || lower(substr(nohost,
-             length(split_part(nohost, '/', 1)) + 1)) AS surt_key,
+         ',')) || ')' ||
+       CASE WHEN substr(nohost,
+                 length(split_part(nohost, '/', 1)) + 1) = ''
+            THEN '/'   -- pathless URL: surt_key still emits ')/' (urls.py)
+            ELSE lower(substr(nohost,
+                 length(split_part(nohost, '/', 1)) + 1)) END AS surt_key,
        strftime(make_timestamp(warc_ts_us), '%Y%m%d%H%M%S') AS ts14,
        url,
        sha256(html_str) AS digest,

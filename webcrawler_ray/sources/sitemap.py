@@ -13,8 +13,22 @@ import pyarrow as pa
 
 
 def _lastmod_us(s: str) -> int:
-    t = dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
-    return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    """Tolerant W3C-datetime parse: sitemaps.org allows full datetimes
+    with 'Z' or numeric offsets, fractional seconds, minute precision,
+    and bare dates (``2005-01-01``). A malformed value falls back to 0
+    rather than raising — one sloppy <lastmod> must not discard an
+    otherwise-valid urlset (the reference tolerates it too)."""
+    try:
+        # fromisoformat (3.11+) covers offsets + fractions; map 'Z'.
+        t = dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        try:
+            t = dt.datetime.strptime(s, "%Y-%m-%d")
+        except ValueError:
+            return 0
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=dt.timezone.utc)
+    return int(t.timestamp() * 1e6)
 
 
 def parse_urlset(raw: bytes) -> list[tuple[str, int]]:

@@ -31,11 +31,33 @@ class TableFetcher:
     html bytes or None. Loads the url->(html, is_html, warc_ts) map once
     per instance from a column-pruned read."""
 
-    def __init__(self, pages_path: str, html_langs=("en", "pt")):
+    def __init__(self, pages_path: str, html_langs=("en", "pt"),
+                 max_bytes: int | None = None):
         import pyarrow.dataset as pads
 
-        t = pads.dataset(pages_path).to_table(
-            columns=["url", "html", "lang", "warc_ts"])
+        if max_bytes is None:
+            from ..config import CrawlConfig
+
+            max_bytes = CrawlConfig.fetch_broadcast_max_bytes
+        dset = pads.dataset(pages_path)
+        # guard the whole-table materialization: this class is the
+        # SMALL-web implementation of the fetcher seam — a big pages
+        # table must go through PagesStore (broadcast/bucketed,
+        # pipelines/crawl.py) or HttpPagesStore, never here. Footer
+        # metadata is enough to size the decision without reading data.
+        data_bytes = sum(
+            rg.total_byte_size
+            for frag in dset.get_fragments() if frag.metadata is not None
+            for rg in (frag.metadata.row_group(i)
+                       for i in range(frag.metadata.num_row_groups)))
+        if data_bytes > max_bytes:
+            raise ValueError(
+                f"TableFetcher loads the whole pages table into one "
+                f"process ({data_bytes} bytes > "
+                f"fetch_broadcast_max_bytes={max_bytes}); use "
+                f"PagesStore (bucketed) or HttpPagesStore for tables "
+                f"this size")
+        t = dset.to_table(columns=["url", "html", "lang", "warc_ts"])
         langs = t.column("lang").to_pylist()
         self._map = {u: (h, lg in html_langs, ts) for u, h, lg, ts in
                      zip(t.column("url").to_pylist(),
