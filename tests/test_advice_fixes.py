@@ -203,3 +203,116 @@ class TestTableFetcherGuard:
                                   "https://h.test/nope"])
         assert list(exists) == [True, False]
         assert list(is_html) == [True, False]
+
+
+class TestArchiveSummaryOracleParity:
+    """Multi-file exercise of the WARC/WET/WAT value-checked summary:
+    the per-file fold over ACTUAL archive bytes must match the oracle
+    SQL recomputation from the corpus dump + manifest — including file
+    grouping at a small rotation size (the sf checks only ever produce
+    one file), and the '<MISSING>' coverage failure mode."""
+
+    def _corpus(self, n=23):
+        urls = [f"https://h{i % 3}.test/p{i}" for i in range(n)]
+        htmls = [f"<html><body>page {i} é</body></html>"
+                 .encode("utf-8") for i in range(n)]
+        ts = [1_600_000_000_000_000 + i * 1_000_000 for i in range(n)]
+        return urls, htmls, ts
+
+    def test_warc_summary_multi_file(self, ray_session, tmp_path):
+        import hashlib
+
+        import pandas as pd
+
+        from webcrawler_ray.sinks.warc import write_warc
+        from webcrawler_ray.sources.warc import read_warc
+
+        ray = ray_session
+        urls, htmls, ts = self._corpus()
+        ds = ray.data.from_arrow(pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+            "warc_ts": pa.array(ts, pa.int64())}))
+        out = str(tmp_path / "warc")
+        write_warc(ds, out, records_per_file=7).materialize()
+        files = [f for f in os.listdir(out) if f.endswith(".warc.gz")]
+        assert len(files) >= 3  # rotation actually split
+
+        # Ray side: per-record digests from the actual bytes, per-file
+        # fold exactly as _archive_file_summary does
+        rb = read_warc(ray, out).to_pandas()
+        rb["d"] = [hashlib.sha256(h).hexdigest() for h in rb["html"]]
+        rb["nb"] = [len(h) for h in rb["html"]]
+        got = (rb.sort_values("url").groupby("warc_file")
+               .agg(n_records=("url", "size"),
+                    n_payload_bytes=("nb", "sum"),
+                    content_digest=("d", lambda s: hashlib.sha256(
+                        "".join(s).encode()).hexdigest()))
+               .reset_index().sort_values("warc_file")
+               .reset_index(drop=True))
+
+        # oracle side: the committed template over a synthetic corpus
+        # dump + the (file, url) manifest
+        from webcrawler_ray.pipelines.registry import (
+            _CRAWL_ORACLE_TEMPLATES,
+        )
+
+        dump_dir = tmp_path / "corpus_dump"
+        dump_dir.mkdir()
+        pq.write_table(pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html_str": pa.array([h.decode("utf-8") for h in htmls],
+                                 pa.string())}),
+            str(dump_dir / "part.parquet"))
+        mani_dir = tmp_path / "warc_manifest"
+        mani_dir.mkdir()
+        pq.write_table(pa.table({
+            "warc_file": pa.array(list(rb["warc_file"]), pa.string()),
+            "url": pa.array(list(rb["url"]), pa.string())}),
+            str(mani_dir / "part.parquet"))
+        sql = _CRAWL_ORACLE_TEMPLATES["crawl_warc"].format(
+            warc_manifest=str(mani_dir), corpus_dump=str(dump_dir))
+        want = duckdb.sql(sql).df()
+        pd.testing.assert_frame_equal(
+            got.astype({"n_records": "int64",
+                        "n_payload_bytes": "int64"}),
+            want, check_dtype=False)
+
+        # coverage failure mode: a corpus url in NO archive surfaces as
+        # a '<MISSING>' file row on the oracle side
+        pq.write_table(pa.table({
+            "url": pa.array(urls + ["https://h9.test/ghost"],
+                            pa.string()),
+            "html_str": pa.array(
+                [h.decode("utf-8") for h in htmls] + ["<html></html>"],
+                pa.string())}),
+            str(dump_dir / "part.parquet"))
+        want2 = duckdb.sql(sql).df()
+        assert "<MISSING>" in set(want2["warc_file"])
+
+    def test_wat_json_body_parity(self, tmp_path):
+        """The WAT oracle's SQL-built JSON body is byte-identical to the
+        sink's json.dumps layout, including unicode titles and nulls."""
+        import json
+
+        rows = [
+            ("https://a.test/1", "Título — ünï", 3, 17),
+            ("https://a.test/2", None, 0, 0),
+            ('https://a.test/3?q="x"', 'quote "t" \\ back', 12, 999),
+        ]
+        bodies = [json.dumps(
+            {"n_links": nl, "text_len": tl, "title": ti, "url": u},
+            ensure_ascii=False, sort_keys=True) for u, ti, nl, tl in rows]
+        got = duckdb.sql("""
+            SELECT '{"n_links": ' || n_links ||
+                   ', "text_len": ' || tl ||
+                   ', "title": ' || COALESCE(to_json(title)::VARCHAR,
+                                             'null') ||
+                   ', "url": ' || to_json(url)::VARCHAR || '}' AS body
+            FROM (SELECT * FROM (VALUES
+                ('https://a.test/1', 'Título — ünï', 3, 17),
+                ('https://a.test/2', NULL, 0, 0),
+                ('https://a.test/3?q="x"', 'quote "t" \\ back', 12, 999))
+                AS t(url, title, n_links, tl))
+        """).df()
+        assert list(got["body"]) == bodies

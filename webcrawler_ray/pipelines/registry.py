@@ -251,14 +251,74 @@ def crawl_title_dups(sf_dir: str):
     return out.sort(["n_pages", "title"], descending=[True, False])
 
 
+def _archive_manifest_path(sf_dir: str, kind: str) -> str:
+    return os.path.join(corpus_cache_dir(sf_dir), f"{kind}_manifest")
+
+
+def _archive_file_summary(crawler, sf_dir: str, kind: str, per_rec,
+                          file_col: str):
+    """Shared value-checked per-file accounting for the byte-format
+    archive sinks (the `knn_*_recall` dumped-artifact pattern applied
+    to WARC/WET/WAT): ``per_rec`` is the per-record dataset derived by
+    RE-READING the actual archive bytes — (file_col, url, d: sha256
+    hexdigest of the record payload, nb: payload bytes). The
+    (file, url) assignment is dumped for the oracle, which then
+    recomputes every summary column FROM THE CORPUS DUMP independently
+    (corpus LEFT JOIN manifest — a corpus url missing from every
+    archive surfaces as a '<MISSING>' file row on the oracle side only,
+    so coverage failures break the row count; duplicate records are
+    covered by the ``*_read`` round-trip twins). content_digest =
+    sha256 over the url-ordered concatenation of per-record digests,
+    which DuckDB reproduces with sha256(string_agg(...)) — so the check
+    proves the bytes on disk decode to exactly the per-url corpus
+    payloads, file by file."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    per_rec = per_rec.materialize()  # consumed twice: manifest + fold
+    manifest = _archive_manifest_path(sf_dir, kind)
+    _sig_keyed_dump(crawler.workdir + f"|{kind}manifestv1",
+                    manifest + ".sig",
+                    [(manifest, per_rec.map_batches(
+                        lambda t: t.select([file_col, "url"]),
+                        batch_format="pyarrow"))])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url")
+        cd = _hl.sha256("".join(g["d"]).encode()).hexdigest()
+        return pd.DataFrame({
+            file_col: [g[file_col].iloc[0]],
+            "n_records": pd.Series([len(g)], dtype="int64"),
+            "n_payload_bytes": pd.Series([int(g["nb"].sum())],
+                                         dtype="int64"),
+            "content_digest": [cd]})
+
+    # records/file is bounded by the rotation size (1000), so one
+    # group = one O(1000)-row fold; file count scales out
+    return (per_rec.groupby(file_col)
+            .map_groups(fold, batch_format="pandas")
+            .sort(file_col))
+
+
 def crawl_warc(sf_dir: str):
     """S5 in the TRUE byte format: crawled corpus -> gzipped WARC
-    response records, 1000/file (`WarcFileSave.py:20-54` parity);
-    returns the per-file summary (rows-only — binary sink)."""
-    import pyarrow as pa
+    response records, 1000/file (`WarcFileSave.py:20-54` parity).
+    Returns the VALUE-CHECKED per-file summary (warc_file, n_records,
+    n_payload_bytes, content_digest) recomputed from the actual
+    archive bytes — the DuckDB oracle independently rebuilds every
+    column from the corpus dump + the dumped (file, url) manifest
+    (see ``_archive_file_summary``); byte-level format guarantees
+    stay covered by the round-trip tests + ``crawl_warc_read``."""
+    import hashlib as _hl
 
-    from ..sinks.complete import write_complete_set
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..sinks.complete import ensure_complete_set
     from ..sinks.warc import write_warc
+    from ..sources.warc import read_warc
 
     c = _crawl_workdir(sf_dir)
     out = os.path.join(c.workdir, "warc")
@@ -267,11 +327,26 @@ def crawl_warc(sf_dir: str):
         ds = c.crawled_dataset().map_batches(
             lambda t: t.select(["url", "html", "warc_ts"]),
             batch_format="pyarrow")
-        return write_warc(ds, out).sort("warc_file").materialize()
+        return write_warc(ds, out).materialize()
 
     # every writer of this dir goes through the set-completeness
     # protocol, so crawl_warc_read's marker check stays honest
-    return write_complete_set(out, ".warc.gz", _write)
+    ensure_complete_set(out, ".warc.gz", _write)
+    _dump_crawl_corpus(c, sf_dir)
+
+    def digests(t: pa.Table) -> pa.Table:
+        htmls = t.column("html").to_pylist()
+        return pa.table({
+            "warc_file": t.column("warc_file"),
+            "url": t.column("url"),
+            "d": pa.array([_hl.sha256(h or b"").hexdigest()
+                           for h in htmls], pa.string()),
+            "nb": pc.binary_length(t.column("html")).cast(pa.int64())})
+
+    per_rec = read_warc(ray, out).map_batches(digests,
+                                              batch_format="pyarrow")
+    return _archive_file_summary(c, sf_dir, "warc", per_rec,
+                                 "warc_file")
 
 
 def crawl_warc_read(sf_dir: str):
@@ -309,11 +384,19 @@ def crawl_warc_read(sf_dir: str):
 
 def crawl_wet(sf_dir: str):
     """Extracted-text corpus in the WET byte format (WARC ``conversion``
-    records, ``.warc.wet.gz``, Common Crawl's text-interchange layout);
-    returns the per-file summary (rows-only — binary sink; content is
-    value-checked by ``crawl_wet_read``)."""
-    from ..sinks.complete import write_complete_set
+    records, ``.warc.wet.gz``, Common Crawl's text-interchange layout).
+    Returns the VALUE-CHECKED per-file summary — the oracle rebuilds
+    n_records / n_payload_bytes / content_digest from the corpus
+    dump's text column + the dumped manifest (``_archive_file_summary``
+    protocol; full-content equality stays with ``crawl_wet_read``)."""
+    import hashlib as _hl
+
+    import pyarrow as pa
+    import ray
+
+    from ..sinks.complete import ensure_complete_set
     from ..sinks.wet import write_wet
+    from ..sources.wet import read_wet
 
     c = _crawl_workdir(sf_dir)
     out = os.path.join(c.workdir, "wet")
@@ -322,9 +405,24 @@ def crawl_wet(sf_dir: str):
         ds = c.crawled_dataset().map_batches(
             lambda t: t.select(["url", "extracted_text", "warc_ts"]),
             batch_format="pyarrow")
-        return write_wet(ds, out).sort("wet_file").materialize()
+        return write_wet(ds, out).materialize()
 
-    return write_complete_set(out, ".warc.wet.gz", _write)
+    ensure_complete_set(out, ".warc.wet.gz", _write)
+    _dump_crawl_corpus(c, sf_dir)
+
+    def digests(t: pa.Table) -> pa.Table:
+        bodies = [(x or "").encode("utf-8")
+                  for x in t.column("text").to_pylist()]
+        return pa.table({
+            "wet_file": t.column("wet_file"),
+            "url": t.column("url"),
+            "d": pa.array([_hl.sha256(b).hexdigest() for b in bodies],
+                          pa.string()),
+            "nb": pa.array([len(b) for b in bodies], pa.int64())})
+
+    per_rec = read_wet(ray, out).map_batches(digests,
+                                             batch_format="pyarrow")
+    return _archive_file_summary(c, sf_dir, "wet", per_rec, "wet_file")
 
 
 def crawl_wet_read(sf_dir: str):
@@ -470,11 +568,21 @@ def crawl_robots_report(sf_dir: str):
 def crawl_wat(sf_dir: str):
     """Metadata archives in the WAT byte format (WARC ``metadata``
     records carrying per-page JSON: url/title/n_links/text_len —
-    completing the WARC/WET/WAT companion-format triple); returns the
-    per-file summary (rows-only — binary sink; content value-checked
-    by ``crawl_wat_read``)."""
-    from ..sinks.complete import write_complete_set
-    from ..sinks.wat import write_wat
+    completing the WARC/WET/WAT companion-format triple). Returns the
+    VALUE-CHECKED per-file summary: each record's JSON body is
+    re-serialized from the parsed archive (CPython ``json.dumps``
+    sort_keys/ensure_ascii=False layout) and digested; the oracle
+    rebuilds the identical JSON bytes in SQL via the proven
+    ``to_json`` byte-parity (crawl_debug_text precedent) from the
+    corpus dump + the dumped manifest."""
+    import hashlib as _hl
+    import json as _json
+
+    import pyarrow as pa
+    import ray
+
+    from ..sinks.complete import ensure_complete_set
+    from ..sinks.wat import read_wat, write_wat
 
     c = _crawl_workdir(sf_dir)
     out = os.path.join(c.workdir, "wat")
@@ -484,9 +592,31 @@ def crawl_wat(sf_dir: str):
             lambda t: t.select(["url", "title", "n_links",
                                 "extracted_text", "warc_ts"]),
             batch_format="pyarrow")
-        return write_wat(ds, out).sort("wat_file").materialize()
+        return write_wat(ds, out).materialize()
 
-    return write_complete_set(out, ".warc.wat.gz", _write)
+    ensure_complete_set(out, ".warc.wat.gz", _write)
+    _dump_crawl_corpus(c, sf_dir)
+
+    def digests(t: pa.Table) -> pa.Table:
+        bodies = [
+            _json.dumps({"n_links": int(nl), "text_len": int(tl),
+                         "title": ti, "url": u},
+                        ensure_ascii=False,
+                        sort_keys=True).encode("utf-8")
+            for u, ti, nl, tl in zip(t.column("url").to_pylist(),
+                                     t.column("title").to_pylist(),
+                                     t.column("n_links").to_pylist(),
+                                     t.column("text_len").to_pylist())]
+        return pa.table({
+            "wat_file": t.column("wat_file"),
+            "url": t.column("url"),
+            "d": pa.array([_hl.sha256(b).hexdigest() for b in bodies],
+                          pa.string()),
+            "nb": pa.array([len(b) for b in bodies], pa.int64())})
+
+    per_rec = read_wat(ray, out).map_batches(digests,
+                                             batch_format="pyarrow")
+    return _archive_file_summary(c, sf_dir, "wat", per_rec, "wat_file")
 
 
 def crawl_wat_read(sf_dir: str):
@@ -2061,6 +2191,50 @@ ORDER BY a.url
 SELECT url, CAST(n_html AS BIGINT) AS n_bytes
 FROM read_parquet('{corpus_dump}/*.parquet') ORDER BY url
 """,
+    "crawl_warc": """
+WITH m AS (SELECT warc_file, url
+           FROM read_parquet('{warc_manifest}/*.parquet')),
+c AS (SELECT url, html_str FROM read_parquet('{corpus_dump}/*.parquet')),
+j AS (SELECT COALESCE(m.warc_file, '<MISSING>') AS warc_file, c.url,
+             strlen(c.html_str) AS nb, sha256(c.html_str) AS d
+      FROM c LEFT JOIN m ON m.url = c.url)
+SELECT warc_file,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(nb) AS BIGINT) AS n_payload_bytes,
+       sha256(string_agg(d, '' ORDER BY url)) AS content_digest
+FROM j GROUP BY warc_file ORDER BY warc_file
+""",
+    "crawl_wet": """
+WITH m AS (SELECT wet_file, url
+           FROM read_parquet('{wet_manifest}/*.parquet')),
+c AS (SELECT url, text FROM read_parquet('{corpus_dump}/*.parquet')),
+j AS (SELECT COALESCE(m.wet_file, '<MISSING>') AS wet_file, c.url,
+             strlen(c.text) AS nb, sha256(c.text) AS d
+      FROM c LEFT JOIN m ON m.url = c.url)
+SELECT wet_file,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(nb) AS BIGINT) AS n_payload_bytes,
+       sha256(string_agg(d, '' ORDER BY url)) AS content_digest
+FROM j GROUP BY wet_file ORDER BY wet_file
+""",
+    "crawl_wat": """
+WITH m AS (SELECT wat_file, url
+           FROM read_parquet('{wat_manifest}/*.parquet')),
+c AS (SELECT url,
+             '{{"n_links": ' || n_links ||
+             ', "text_len": ' || length(text) ||
+             ', "title": ' || COALESCE(to_json(title)::VARCHAR, 'null') ||
+             ', "url": ' || to_json(url)::VARCHAR || '}}' AS body
+      FROM read_parquet('{corpus_dump}/*.parquet')),
+j AS (SELECT COALESCE(m.wat_file, '<MISSING>') AS wat_file, c.url,
+             strlen(c.body) AS nb, sha256(c.body) AS d
+      FROM c LEFT JOIN m ON m.url = c.url)
+SELECT wat_file,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(nb) AS BIGINT) AS n_payload_bytes,
+       sha256(string_agg(d, '' ORDER BY url)) AS content_digest
+FROM j GROUP BY wat_file ORDER BY wat_file
+""",
     "crawl_wet_read": """
 SELECT url, text FROM read_parquet('{corpus_dump}/*.parquet')
 ORDER BY url
@@ -2466,7 +2640,10 @@ def _sf_dump_kwargs(sf_dir: str) -> dict[str, str]:
                                         "web", "robots.parquet"),
                 knn_ivf_dump=_sim.knn_pairs_dump_path(sf_dir, "ivf"),
                 knn_lsh_dump=_sim.knn_pairs_dump_path(sf_dir, "lsh"),
-                knn_pq_dump=_sim.knn_pairs_dump_path(sf_dir, "pq"))
+                knn_pq_dump=_sim.knn_pairs_dump_path(sf_dir, "pq"),
+                warc_manifest=_archive_manifest_path(sf_dir, "warc"),
+                wet_manifest=_archive_manifest_path(sf_dir, "wet"),
+                wat_manifest=_archive_manifest_path(sf_dir, "wat"))
 
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
