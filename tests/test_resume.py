@@ -129,3 +129,60 @@ class TestResume:
         with pytest.raises(ValueError, match="resume refused"):
             c3.crawl(seeds, resume=True)
         c3.shutdown_services()
+
+
+class TestInRoundTaskRetry:
+    """Fault injection INSIDE a round: SIGKILL a worker mid-task so Ray
+    retries it (a system failure — the genuine retry path, not an
+    application exception), then require the crawl's outputs to be
+    bit-identical to a clean run. Forced paths:
+
+    - ``seen_insert``: killed after its shard inserts landed, so the
+      retried fused task re-runs cut -> seen-insert -> attempts write;
+      the re-executed inserts must be absorbed set-idempotently and the
+      attempts parquet must not double-write.
+    - ``finish_candidates``: killed before the seen.contains probe, so
+      lineage recomputes through the bucketed frontier-dedup aggregate
+      (the hash_bucket_aggregate sidecar idempotence contract) and the
+      shards are re-probed.
+    """
+
+    @pytest.fixture(scope="class")
+    def clean_run(self, ray_session, tiny_web, tmp_path_factory):
+        seeds = open(tiny_web["seeds"]).read().splitlines()
+        wd = str(tmp_path_factory.mktemp("retry") / "clean")
+        c = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd, _cfg())
+        c.crawl(seeds)
+        att = c.attempts_dataset().to_pandas().sort_values(
+            "fetch_seq").reset_index(drop=True)
+        corpus = (c.crawled_dataset().to_pandas()
+                  .sort_values("url").reset_index(drop=True))
+        c.shutdown_services()
+        return att, corpus
+
+    @pytest.mark.parametrize("point", ["seen_insert",
+                                       "finish_candidates"])
+    def test_midround_retry_bit_identical(self, ray_session, tiny_web,
+                                          tmp_path_factory, clean_run,
+                                          point):
+        import pandas as pd
+
+        from webcrawler_ray.faults import fault_tripped
+
+        att_clean, corpus_clean = clean_run
+        seeds = open(tiny_web["seeds"]).read().splitlines()
+        fault_dir = str(tmp_path_factory.mktemp(f"fault_{point}"))
+        wd = str(tmp_path_factory.mktemp("retry") / f"faulted_{point}")
+        cfg = _cfg(extra={"fault_inject": (point, fault_dir)})
+        c = RayCrawler(tiny_web["pages"], tiny_web["robots"], wd, cfg)
+        c.crawl(seeds)
+        assert fault_tripped(fault_dir, point), \
+            "the fault never fired - the test exercised nothing"
+        att = c.attempts_dataset().to_pandas().sort_values(
+            "fetch_seq").reset_index(drop=True)
+        corpus = (c.crawled_dataset().to_pandas()
+                  .sort_values("url").reset_index(drop=True))
+        c.shutdown_services()
+
+        pd.testing.assert_frame_equal(att, att_clean)
+        pd.testing.assert_frame_equal(corpus, corpus_clean)

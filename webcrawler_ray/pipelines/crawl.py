@@ -325,6 +325,11 @@ class RayCrawler:
         # NOT scale with CPUs — trade (parallel) compression cpu for it
         pq_args = {"compression": cfg.extra.get("parquet_compression", "zstd")}
 
+        # chaos seam (faults.py): None in production; a test can target
+        # one stage to SIGKILL its worker once, driving Ray's real
+        # task-retry path through this round's idempotence contracts
+        fault_spec = cfg.extra.get("fault_inject")
+
         # partitioning=None everywhere under workdir: the r=NNNNN round
         # path component must never be inferred as a hive column (it
         # would leak an `r` column into every written attempts/crawled
@@ -448,6 +453,12 @@ class RayCrawler:
                 futs.append(seen[int(s)].insert.remote(
                     h[m], [urls[i] for i in np.nonzero(m)[0]]))
             _ray.get(futs)
+            # kill AFTER the shard inserts landed: the retry re-runs the
+            # whole fused task (cut -> insert -> attempts write), so the
+            # re-executed inserts must be absorbed set-idempotently
+            from ..faults import maybe_inject_fault
+
+            maybe_inject_fault(fault_spec, "seen_insert")
             return batch
 
         # ---- attempts log: the round's ONE materialization point --------
@@ -571,6 +582,14 @@ class RayCrawler:
 
             def finish_candidates(batch: pa.Table) -> pa.Table:
                 import ray as _ray
+
+                from ..faults import maybe_inject_fault
+
+                # kill BEFORE the seen.contains probe: the lost block
+                # forces lineage recompute through the bucketed dedup
+                # aggregate (the sidecar idempotence contract,
+                # stages/aggregates.py) plus a re-probe of the shards
+                maybe_inject_fault(fault_spec, "finish_candidates")
                 names = batch.column_names
                 seq_col = "min(seq)" if "min(seq)" in names else "seq"
                 urls = batch.column("url").to_pylist()
