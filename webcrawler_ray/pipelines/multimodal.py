@@ -19,6 +19,7 @@ codec-agnostic.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -545,6 +546,133 @@ def phash_pairs(ray, sf_dir: str, max_hamming: int = 3):
     hashes = ds.map_batches(phash_batch, batch_format="pyarrow",
                             batch_size=32)
     return hamming_pairs_int64(hashes, n_docs, max_hamming)
+
+
+# Recall audit of the pigeonhole hamming join (the knn_*_recall pattern
+# applied to image dedup): audit all pairs whose smaller member id is
+# below this cap — a FIXED constant so the DuckDB oracle can bake it
+# into static SQL. At sandbox scales it covers (nearly) the whole
+# corpus; at 100-TB scale it bounds the O(n * cap) exact side to a
+# diagnostic sample, which is what a recall audit is for.
+PHASH_AUDIT_CAP = 4096
+
+
+def phash_dump_paths(sf_dir: str) -> tuple[str, str]:
+    from ..io_utils import corpus_cache_dir
+
+    base = corpus_cache_dir(sf_dir)
+    return (os.path.join(base, "phash_hashes.parquet"),
+            os.path.join(base, "phash_pairs.parquet"))
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (any shape)."""
+    out = np.zeros(x.shape, dtype=np.int64)
+    x = x.copy()
+    for _ in range(64):
+        out += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return out
+
+
+def phash_recall(ray, sf_dir: str, max_hamming: int = 3):
+    """(n_exact, n_found, n_missed, recall_bp): value-checked recall of
+    the 4-segment pigeonhole hamming join vs an independent brute-force
+    hamming pass, over pairs whose smaller doc_id < PHASH_AUDIT_CAP.
+    The dHash table and the engine's pair set are dumped; the DuckDB
+    oracle recomputes the EXACT side from the dumped hashes with
+    ``bit_count(xor(a.h, b.h))`` (the centered-int64 encoding XORs the
+    offset bit away) and does the recall arithmetic in SQL — so the
+    lossless-pigeonhole claim is proven by value, not asserted. The
+    driver fold is bounded by the audited pair count (planted near-dup
+    corpus: O(n/16)); the hash table driver pass is 16 B/doc, the same
+    documented audit bound as the knn recall trio."""
+    import pyarrow.parquet as _pq
+
+    from .dedup import hamming_pairs_int64
+    from ..io_utils import parquet_num_rows as _nrows
+
+    n_docs = _nrows(f"{sf_dir}/documents.parquet")
+    ds = synthesize_near_dup_images(ray, sf_dir)
+    hashes = ds.map_batches(phash_batch, batch_format="pyarrow",
+                            batch_size=32).materialize()
+
+    hdump, pdump = phash_dump_paths(sf_dir)
+    ht = hashes.to_pandas()  # bounded: (doc_id, h) 16 B/doc
+    _pq.write_table(pa.table({
+        "doc_id": pa.array(ht["doc_id"].to_numpy().astype(np.int64)),
+        "h": pa.array(ht["h"].to_numpy().astype(np.int64))}), hdump)
+
+    eng = hamming_pairs_int64(hashes, n_docs, max_hamming).to_pandas()
+    _pq.write_table(pa.table({
+        "doc_a": pa.array(eng["doc_a"].to_numpy().astype(np.int64)),
+        "doc_b": pa.array(eng["doc_b"].to_numpy().astype(np.int64))}),
+        pdump)
+
+    # exact side: distributed brute force — each batch compares its
+    # audited rows (doc_id < cap) against the broadcast full hash
+    # vector; hamming via vectorized popcount, no Python pair loop
+    all_ids = ht["doc_id"].to_numpy().astype(np.int64)
+    all_hs = ht["h"].to_numpy().astype(np.int64).astype(np.uint64)
+    ref = ray.put((all_ids, all_hs))
+    cap = PHASH_AUDIT_CAP
+
+    def exact_batch(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids = np.asarray(batch.column("doc_id").to_pylist(),
+                         dtype=np.int64)
+        hs = (batch.column("h").to_numpy(zero_copy_only=False)
+              .astype(np.int64).astype(np.uint64))
+        m = ids < cap
+        ids, hs = ids[m], hs[m]
+        if len(ids) == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        bids, bhs = _ray.get(ref)
+        ham = _popcount64(hs[:, None] ^ bhs[None, :])
+        ok = (ham <= max_hamming) & (ids[:, None] < bids[None, :])
+        ia, ib = np.nonzero(ok)
+        return pa.table({"doc_a": pa.array(ids[ia], pa.int64()),
+                         "doc_b": pa.array(bids[ib], pa.int64())})
+
+    exact = hashes.map_batches(exact_batch, batch_format="pyarrow",
+                               batch_size=512).to_pandas()
+    ep = set(zip(exact["doc_a"], exact["doc_b"]))
+    lp = set(zip(eng.loc[eng["doc_a"] < cap, "doc_a"],
+                 eng.loc[eng["doc_a"] < cap, "doc_b"]))
+    n_exact, n_found = len(ep), len(ep & lp)
+    recall_bp = (10_000 * n_found // n_exact) if n_exact else 10_000
+    import pandas as pd
+
+    return pd.DataFrame({"n_exact": [n_exact], "n_found": [n_found],
+                         "n_missed": [n_exact - n_found],
+                         "recall_bp": [recall_bp]}).astype("int64")
+
+
+PHASH_RECALL_SQL_TEMPLATE = f"""
+WITH h AS (SELECT doc_id, h FROM read_parquet('{{phash_hash_dump}}')),
+exact AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+  WHERE a.doc_id < {PHASH_AUDIT_CAP}
+    AND bit_count(xor(a.h, b.h)) <= 3),
+approx AS (
+  SELECT DISTINCT doc_a, doc_b
+  FROM read_parquet('{{phash_pairs_dump}}')
+  WHERE doc_a < {PHASH_AUDIT_CAP}),
+stats AS (
+  SELECT COUNT(*) AS n_exact, COUNT(ap.doc_a) AS n_found
+  FROM exact x LEFT JOIN approx ap
+    ON ap.doc_a = x.doc_a AND ap.doc_b = x.doc_b)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_exact - n_found AS BIGINT) AS n_missed,
+       CAST(CASE WHEN n_exact = 0 THEN 10000
+                 ELSE (10000 * n_found) // n_exact END AS BIGINT)
+         AS recall_bp
+FROM stats
+"""
 
 
 # ---------------------------------------------------------------------------

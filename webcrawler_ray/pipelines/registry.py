@@ -1748,6 +1748,8 @@ def build_queries() -> dict:
                 lambda sf: multimodal.channel_hist(ray, sf),
             "multimodal_phash":
                 lambda sf: multimodal.phash_pairs(ray, sf),
+            "multimodal_phash_recall":
+                lambda sf: multimodal.phash_recall(ray, sf),
             "multimodal_scene_cuts":
                 lambda sf: multimodal.scene_cuts(ray, sf),
         })
@@ -2426,6 +2428,10 @@ from . import similarity as _simtpl  # noqa: E402
 for _v in ("ivf", "lsh", "pq"):
     _CRAWL_ORACLE_TEMPLATES[f"knn_{_v}_recall"] = \
         _simtpl.knn_recall_sql_template(f"knn_{_v}_dump")
+from . import multimodal as _mmtpl  # noqa: E402
+
+_CRAWL_ORACLE_TEMPLATES["multimodal_phash_recall"] = \
+    _mmtpl.PHASH_RECALL_SQL_TEMPLATE
 _CRAWL_ORACLE_TEMPLATES["crawl_kcore"] = _kcore_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_hits"] = _hits_oracle_template()
 _CRAWL_ORACLE_TEMPLATES["crawl_indegree_hist"] = """
@@ -2624,9 +2630,15 @@ def crawl_host_gap_stats(sf_dir: str):
               .sort("host"))
 
 
+def _phash_dump_kw(sf_dir: str) -> tuple[str, str]:
+    from . import multimodal as _mm
+
+    return _mm.phash_dump_paths(sf_dir)
+
+
 def _sf_dump_kwargs(sf_dir: str) -> dict[str, str]:
     """All per-scale dump paths the dump-bound oracle templates can
-    reference (crawl dumps + the ANN recall pair dumps)."""
+    reference (crawl dumps + the ANN/phash recall dumps)."""
     from . import similarity as _sim
 
     edges_dump, nodes_dump = _graph_dump_paths(sf_dir)
@@ -2643,7 +2655,9 @@ def _sf_dump_kwargs(sf_dir: str) -> dict[str, str]:
                 knn_pq_dump=_sim.knn_pairs_dump_path(sf_dir, "pq"),
                 warc_manifest=_archive_manifest_path(sf_dir, "warc"),
                 wet_manifest=_archive_manifest_path(sf_dir, "wet"),
-                wat_manifest=_archive_manifest_path(sf_dir, "wat"))
+                wat_manifest=_archive_manifest_path(sf_dir, "wat"),
+                phash_hash_dump=_phash_dump_kw(sf_dir)[0],
+                phash_pairs_dump=_phash_dump_kw(sf_dir)[1])
 
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
