@@ -165,6 +165,13 @@ class TestCharsetHook:
             ("<html><head><title>t</title></head>"
              "<body>utf-16 body — ça va</body></html>", "utf-16-le"),
             ("<body>plain ascii stays ascii</body>", "ascii"),
+            # round-5 candidate-set extension: the letter-fraction key
+            # splits the Latin family (latin-2 letters vs latin-1
+            # symbol soup over the same bytes), kana coherence plus the
+            # byte-pattern gate admits shift_jis
+            ("<p>Zażółć gęślą jaźń łódź</p>", "iso-8859-2"),
+            ("<p>Œuvre cœur Žižka €100</p>", "iso-8859-15"),
+            ("<p>こんにちは、世界。テスト</p>", "shift_jis"),
         ]
         for text, enc in corpus:
             raw = text.encode(enc)

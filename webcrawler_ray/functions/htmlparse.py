@@ -207,24 +207,60 @@ def _mess_and_coherence(text: str) -> tuple[float, float]:
            | ((o >= 0x7F) & (o <= 0x9F))
            | ((o >= 0xFFF0) & (o <= 0xFFFD))
            | ((o >= 0xE000) & (o <= 0xF8FF)))
+    # kana + CJK punctuation (0x3000-0x30FF) count as coherent so a
+    # correct shift_jis read scores like Latin text does — but CJK
+    # IDEOGRAPHS deliberately do NOT: a wrong utf-16 read of 8-bit
+    # text is mess-free ideograph soup, and keeping ideographs out of
+    # 'good' is what lets the 8-bit candidate still win. Real Japanese
+    # is kana-heavy, so the kana range alone carries its coherence.
     good = (((o >= 0x20) & (o <= 0x7E))
             | ((o >= 0xA0) & (o <= 0x24F))
             | ((o >= 0x2000) & (o <= 0x206F))
+            | ((o >= 0x20A0) & (o <= 0x20CF))
+            | ((o >= 0x3000) & (o <= 0x30FF))
             | ws)
     n = len(s)
     return float(bad.sum()) / n, float(good.sum()) / n
 
 
+def _letter_fraction(text: str) -> float:
+    """Fraction of the candidate decode's NON-ASCII characters that are
+    alphabetic (first 4 KiB) — the cheap language-coherence proxy that
+    splits same-mess same-coherence Latin candidates: Polish bytes read
+    as iso-8859-2 yield letters (ą ł ś ż), the same bytes read as
+    latin-1/cp1252 yield symbol soup (± ³ ¶ ¿); both land in the
+    'good' ranges, but only one is made of letters."""
+    na = [c for c in text[:4096] if ord(c) > 0x7E]
+    if not na:
+        return 1.0  # pure-ASCII decodes tie; later keys decide
+    return sum(c.isalpha() for c in na) / len(na)
+
+
 def _best_guess_decode(html: bytes) -> str:
     """Step 4 of ``detect_decode``: frequency-scored candidate ranking
-    for unlabeled non-UTF-8 bytes. Candidate priority (the tie-break
-    after mess and coherence) prefers utf-16 first — it only survives
-    scoring when the 8-bit reads are NUL-ridden — then cp1252 (the
-    web's de-facto latin-1) over latin-1 proper."""
+    for unlabeled non-UTF-8 bytes, over charset_normalizer's common-web
+    candidate set (`Parser.py:8-9` behavior slot): utf-16 pair (even
+    length only), shift_jis (candidacy by byte pattern: a lead byte in
+    0x81-0x9F/0xE0-0xEF must occur, and the strict codec rejects
+    non-Japanese byte streams), cp1252, iso-8859-15, iso-8859-2,
+    latin-1. Rank by (mess, -coherence, -letter_fraction, priority):
+    mess and Latin/kana coherence as before, then the letter fraction
+    splits the Latin family (iso-8859-2 letters vs latin-1 symbol soup
+    for the same bytes), then priority prefers utf-16 — which only
+    survives scoring when the 8-bit reads are NUL-ridden — and the
+    web-frequency order cp1252 > iso-8859-15 > iso-8859-2 among
+    otherwise-tied candidates. latin-1 never fails, so the guess is
+    total."""
     cands = []
     if len(html) % 2 == 0:
         cands += ["utf-16-le", "utf-16-be"]
-    cands += ["cp1252", "latin-1"]
+    # shift_jis candidacy gate: some byte must be a plausible two-byte
+    # lead — pure single-byte Latin never qualifies, so French 0xE9 'é'
+    # followed by ASCII can't be misread as a lone kanji page unless
+    # the codec AND the scorer both prefer it
+    if any(0x81 <= b <= 0x9F or 0xE0 <= b <= 0xEF for b in html[:4096]):
+        cands += ["shift_jis"]
+    cands += ["cp1252", "iso-8859-15", "iso-8859-2", "latin-1"]
     best_key, best_text = None, None
     for pri, enc in enumerate(cands):
         try:
@@ -232,7 +268,7 @@ def _best_guess_decode(html: bytes) -> str:
         except UnicodeDecodeError:
             continue
         mess, coh = _mess_and_coherence(t)
-        key = (mess, -coh, pri)
+        key = (mess, -coh, -_letter_fraction(t), pri)
         if best_key is None or key < best_key:
             best_key, best_text = key, t
     return best_text  # latin-1 never fails -> always set
