@@ -106,6 +106,7 @@ QUERY_NAMES = [
     "docs_ngram_novelty", "docs_readability", "knn_mips",
     "docs_gopher_filter", "docs_freq_spectrum",
     "q14_promo_revenue", "events_dow_hour_heatmap",
+    "multimodal_phash_recall",
 ]
 
 

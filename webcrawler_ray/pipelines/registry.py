@@ -24,6 +24,11 @@ _CRAWL_SCALES = {  # sf_dir basename -> synthetic web spec + budget
     "sf0.001": dict(n_hosts=5, pages_per_host=20, seed=42, limit=60),
     "sf0.01": dict(n_hosts=20, pages_per_host=40, seed=7, limit=200),
     "sf0.1": dict(n_hosts=60, pages_per_host=120, seed=11, limit=2000),
+    # scale rehearsal (tools/make_sf1.py tables): 10x the sf0.1 web +
+    # budget, parallel generation — big enough that the auto-sized
+    # fan-outs matter, small enough for one-command regeneration
+    "sf1": dict(n_hosts=200, pages_per_host=360, seed=13, limit=20000,
+                n_seeds=40, parallel=True),
 }
 
 
@@ -42,8 +47,8 @@ def _crawl_workdir(sf_dir: str):
     spec = dict(_CRAWL_SCALES.get(name, _CRAWL_SCALES["sf0.01"]))
     limit = spec.pop("limit")
     base = corpus_cache_dir(sf_dir)
-    web = generate_web(os.path.join(base, "web"),
-                       WebSpec(n_seeds=5, **spec))
+    spec.setdefault("n_seeds", 5)
+    web = generate_web(os.path.join(base, "web"), WebSpec(**spec))
     cfg = CrawlConfig(limit=limit)
     # crawl workdir is keyed by the webgen signature: a regenerated web
     # (webgen version bump) must never pair with a stale crawl checkpoint
