@@ -28,8 +28,11 @@ if "--json" in args:
 sf_dir = args[0] if args else "/root/testdata/sf0.01"
 wanted = args[1:]
 
-ray.init(address="local", num_cpus=8, include_dashboard=False,
-         ignore_reinit_error=True)
+import os  # noqa: E402
+
+ray.init(address="local",
+         num_cpus=int(os.environ.get("RAY_CHECK_CPUS", "8")),
+         include_dashboard=False, ignore_reinit_error=True)
 
 sys.path.insert(0, "/root/repo")
 import __ray_entry__ as E  # noqa: E402

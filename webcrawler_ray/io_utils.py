@@ -17,6 +17,76 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def _clamp_shuffle_aggregator_reservation() -> None:
+    """Make hash-shuffle aggregator pools co-schedulable on the ACTUAL
+    cluster.
+
+    ray 2.49's hash-shuffle operators (every ``Dataset.join``) reserve
+    per-aggregator logical CPU and memory from static estimates (a
+    target-block-size partition guess of ~1 GiB x7, CPU proportional to
+    partition count); at num_partitions ~ 64 a pool can demand ~500 GiB
+    of logical memory / 240 logical CPUs. The pool needs EVERY
+    aggregator alive before the shuffle makes progress, so on any
+    cluster smaller than the estimate the join does not degrade — it
+    deadlocks with part of the pool pending forever (observed: sf1
+    PPJoin, 64 partitions, 87 GiB / 32-CPU node, ~0% CPU, no
+    progress). A reservation the cluster cannot co-schedule is not
+    conservative; clamping the per-aggregator num_cpus/memory so the
+    WHOLE pool fits in 50% of the cluster's logical resources restores
+    the estimator's protective intent — oversized partitions fall back
+    to object-store spill / task queuing instead of livelock. Applied
+    once at import (the base class covers join + hash-shuffle +
+    hash-aggregate pools); reservations that already fit are kept."""
+    try:
+        from ray.data._internal.execution.operators.hash_shuffle import (
+            HashShufflingOperatorBase,
+        )
+    except ImportError:  # internals moved in a future ray
+        return
+    if getattr(HashShufflingOperatorBase, "_wcr_clamped", False):
+        return
+    orig = HashShufflingOperatorBase._get_default_aggregator_ray_remote_args
+
+    def clamped(self, *, num_partitions, num_aggregators,
+                partition_size_hint=None):
+        args = orig(self, num_partitions=num_partitions,
+                    num_aggregators=num_aggregators,
+                    partition_size_hint=partition_size_hint)
+        try:
+            import ray as _ray
+
+            res = _ray.cluster_resources()
+        except Exception:
+            return args
+        a = max(1, num_aggregators)
+        total_cpu = res.get("CPU")
+        if total_cpu and args.get("num_cpus"):
+            # one POOL may reserve at most ~20% of cluster CPUs: joins
+            # commonly run two pools concurrently (left+right inputs of
+            # chained joins), and map/shuffle TASKS still need slots —
+            # two 128-aggregator pools at ray's default 0.125 CPU each
+            # reserve an entire 32-CPU node and deadlock the shuffle
+            args["num_cpus"] = min(args["num_cpus"],
+                                   max(0.01, 0.2 * total_cpu / a))
+        total_mem = res.get("memory")
+        if total_mem and args.get("memory"):
+            # same 20%-per-pool rule as CPUs: the memory reservation is
+            # a logical scheduling resource — two pools at 50% each
+            # reserve the whole cluster and every memory-tagged task
+            # pends forever (observed via `ray status`: 87.58/87.58 GiB
+            # reserved, shuffle tasks starved)
+            args["memory"] = min(int(args["memory"]),
+                                 int(0.2 * total_mem / a))
+        return args
+
+    HashShufflingOperatorBase._get_default_aggregator_ray_remote_args = \
+        clamped
+    HashShufflingOperatorBase._wcr_clamped = True
+
+
+_clamp_shuffle_aggregator_reservation()
+
+
 def clean_schema(path, columns=None) -> pa.Schema:
     """Metadata-free (optionally projected) schema of a parquet file,
     directory, or file list — reads one footer only."""

@@ -91,6 +91,7 @@ def _payload_store(ray, sf_dir: str, kind: str, col: str, make_fn) -> str:
 
     if _current():  # fast path: no lock for the memoized-hit case
         return store
+    os.makedirs(os.path.dirname(store), exist_ok=True)
     lock_fd = os.open(store + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
     fcntl.flock(lock_fd, fcntl.LOCK_EX)
     try:

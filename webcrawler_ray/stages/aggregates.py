@@ -145,7 +145,22 @@ def join_partitions_for(n_rows: int, cap: int = 2048,
     n_rows // 16384 keeps every partition statistically certain to see
     rows (the crash needs an empty one) while the partition count — and
     so the per-task join heap — tracks the input instead of a constant.
-    ``n_rows`` should be the SMALLER side's (footer-cheap) row count."""
+    ``n_rows`` should be the SMALLER side's (footer-cheap) row count.
+
+    The cap is CLUSTER-AWARE: every partition costs an aggregator slot
+    plus two shuffle tasks, so partitions beyond ~4x the cluster's CPUs
+    are pure scheduling overhead (observed: a 30M-row sf1 join sized to
+    1879 partitions starved a 32-CPU node); on a 256-node cluster the
+    same rule leaves the data-sized count untouched."""
+    try:
+        import ray as _ray
+
+        cpus = _ray.cluster_resources().get("CPU") \
+            if _ray.is_initialized() else None
+    except Exception:
+        cpus = None
+    if cpus:
+        cap = min(cap, max(16, 4 * int(cpus)))
     return max(1, min(cap, n_rows // rows_per_partition))
 
 
