@@ -877,3 +877,36 @@ class TestTitleDups:
             df.reset_index(drop=True),
             pd.DataFrame({"title": ["Welcome", "About"],
                           "n_pages": pd.Series([3, 2], dtype="int64")}))
+
+
+class TestDebugStdoutStream:
+    """`-d` CLI parity with the reference's DebugPrinter
+    (`DebugPrinter.py:9-18`): saved pages stream to STDOUT as
+    json.dumps(record, ensure_ascii=False, indent='\\t'), in
+    round-major virtual-time order."""
+
+    def test_debug_stream_records(self, ray_session, tiny_web,
+                                  tmp_path_factory, capsys):
+        import json
+
+        from webcrawler_ray.__main__ import main
+
+        wd = str(tmp_path_factory.mktemp("cli_debug") / "wd")
+        rc = main(["-s", tiny_web["seeds"], "-n", "30", "-d",
+                   "--pages", tiny_web["pages"],
+                   "--robots", tiny_web["robots"], "--workdir", wd])
+        assert rc == 0
+        out = capsys.readouterr().out
+        # records are tab-indented multi-line JSON objects; re-split on
+        # the closing brace at column 0
+        chunks = [c + "}" for c in out.split("}\n")
+                  if c.startswith('{\n\t"URL"')]
+        assert len(chunks) == 31  # limit+1 quirk
+        seen_ts = None
+        for c in chunks:
+            rec = json.loads(c)
+            assert set(rec) == {"URL", "Title", "Text", "Timestamp"}
+            # byte-identity with the reference's serializer
+            assert c == json.dumps(rec, ensure_ascii=False, indent="\t")
+        # summary json still follows the stream
+        assert '"saved_total": 31' in out

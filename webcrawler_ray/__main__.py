@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -153,7 +154,8 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()  # embedded callers keep their session
+    if owned:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
@@ -170,6 +172,32 @@ def main(argv=None) -> int:
     with open(args.seeds) as f:
         seeds = f.read().splitlines()
     summary = crawler.crawl(seeds, resume=args.resume)
+
+    if args.debug:
+        # DebugPrinter parity (`DebugPrinter.py:9-18`): the reference
+        # prints each saved page's record to STDOUT as
+        # json.dumps(..., ensure_ascii=False, indent='\t') under a
+        # print lock. The round engine's equivalent delivery: stream
+        # the per-round crawl_log partitions in round order, each
+        # round's records in virtual-time (Timestamp, URL) order — the
+        # same total order the lock-serialized printer realizes, with
+        # the already-proven byte-identical record layout
+        # (crawl_debug_text's DuckDB to_json parity).
+        import pyarrow.dataset as pads
+
+        rounds_dir = os.path.join(args.workdir, "rounds")
+        for d in (sorted(os.listdir(rounds_dir))
+                  if os.path.isdir(rounds_dir) else []):
+            log_dir = os.path.join(rounds_dir, d, "crawl_log")
+            if not (os.path.isdir(log_dir) and os.path.exists(
+                    os.path.join(rounds_dir, d, "_SUCCESS"))):
+                continue
+            t = pads.dataset(log_dir, partitioning=None).to_table()
+            t = t.sort_by([("Timestamp", "ascending"),
+                           ("URL", "ascending")])
+            for rec in t.to_pylist():
+                print(json.dumps(rec, ensure_ascii=False, indent="\t"))
+
     print(json.dumps(summary))
 
     hc = crawler.host_counts()
@@ -177,7 +205,8 @@ def main(argv=None) -> int:
         stats = {r["host"]: r["count()"] for r in hc.take_all()}
         print(json.dumps({"resources_num_per_host": stats}))
     crawler.shutdown_services()
-    ray.shutdown()
+    if owned:
+        ray.shutdown()
     return 0
 
 
