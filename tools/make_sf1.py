@@ -26,7 +26,12 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
-SIG = f"sf1v1|{SRC}|copies={COPIES}"
+SIG = f"sf1v2|{SRC}|copies={COPIES}"
+
+# TPC-H name columns are unique in-spec and several ORDER BY clauses
+# lean on that; keep the invariant across copies (v2)
+NAME_COLS = {"customer": "c_name", "supplier": "s_name",
+             "part": "p_name"}
 
 # table -> {column: key_space} ; columns sharing a key_space get the
 # same per-copy offset so FK joins stay intact across tables
@@ -77,6 +82,13 @@ def build(out_base: str = "/tmp/webcrawler_ray_sf1") -> str:
                                  pa.scalar(i * spans[space],
                                            c.schema.field(col).type))
                 c = c.set_column(idx, c.schema.field(col), shifted)
+            if tbl in NAME_COLS and i > 0:
+                col = NAME_COLS[tbl]
+                j = c.schema.get_field_index(col)
+                uniq = pc.binary_join_element_wise(
+                    c.column(col).cast(pa.string()),
+                    pa.scalar(f"#{i}"), "")
+                c = c.set_column(j, c.schema.field(col), uniq)
             if tbl == "documents" and i > 0:
                 idx = c.schema.get_field_index("text")
                 txt = pc.binary_join_element_wise(

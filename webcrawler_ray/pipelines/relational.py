@@ -6264,10 +6264,15 @@ def q21_waiting_suppliers(ray, sf_dir: str, k: int = 100):
     supp = _rpq(ray, f"{sf_dir}/supplier.parquet",
                 columns=["s_suppkey", "s_name"])
     out, _ = auto_join_ds(ray, per_supp, supp, ["s_suppkey"], n_supp)
+    # s_suppkey as FINAL tie-break: TPC-H names are unique so
+    # (numwait, s_name) is total there, but a corpus with duplicate
+    # names (10x-replicated sf1 rehearsal) makes the LIMIT cut
+    # engine-dependent without a unique last key
     out = (out.map_batches(
                lambda t: t.select(["s_suppkey", "s_name", "numwait"]),
                batch_format="pyarrow")
-              .sort(["numwait", "s_name"], descending=[True, False])
+              .sort(["numwait", "s_name", "s_suppkey"],
+                    descending=[True, False, False])
               .limit(k))
     return out
 
@@ -6294,7 +6299,7 @@ WHERE late = 1
   AND 2 <= (SELECT COUNT(DISTINCT l3.l_suppkey) FROM lineitem l3
             WHERE l3.l_orderkey = p.l_orderkey)
 GROUP BY s_suppkey, s_name
-ORDER BY numwait DESC, s_name LIMIT 100
+ORDER BY numwait DESC, s_name, s_suppkey LIMIT 100
 """
 
 
